@@ -1,0 +1,456 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Airline, Dates, Durations, Luggage, Normalize}
+import graft.operators.{Conform, Dedupe}
+import graft.sources.Tables
+
+/** Reference-parity operator inventory (SURVEY.md §2), each expressed
+  * over the driver's TPC-H-ish testdata with a DuckDB oracle.
+  *
+  * The flight-domain inputs the reference consumes (flight numbers,
+  * luggage strings, durations…) are synthesized deterministically from
+  * testdata columns inside each query, so the *operators* under test are
+  * exactly the reference's (F1-F14, J1/J2, D1/D2, P3/P5, F-C/F-D, A1,
+  * W1/W2, S1-S3) while inputs stay driver-controlled.
+  *
+  * Scale notes: every query is a single declarative plan — filters and
+  * projections reach the parquet scan, scalar work is whole-stage
+  * codegen'd, joins shuffle only on their keys (dims get broadcast),
+  * and the dedup window shuffles once on its partition key.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // Deterministic watermark: events span Jan 2024 at every sf.
+  private val WatermarkTs = "2024-01-24 00:00:00"
+
+  /** Epoch seconds of a timestamp col, truncated — matches DuckDB
+    * `epoch_us(ts)//1000000` (ns-precision parquet would otherwise
+    * hash-mismatch between Spark's us timestamps and DuckDB's ns). */
+  private def epochS(c: Column): Column = c.cast("long")
+
+  // Exact-sum trick: per-element fixed-point rounding makes SUM order-
+  // independent, so Spark's parallel aggregation matches DuckDB bit-for-bit.
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  val all: Map[String, QueryDef] = Map(
+
+    // S1+D1+F-A+F-B: filtered DISTINCT scan (etl/extractor.py:42-58,67).
+    "q01_scan_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .filter(col("value").isNotNull && col("ts") > lit(WatermarkTs).cast("timestamp"))
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      s"""SELECT DISTINCT user_id, event_type FROM events
+         |WHERE value IS NOT NULL AND ts > TIMESTAMP '$WatermarkTs'
+         |ORDER BY user_id, event_type""".stripMargin),
+
+    // S2: deterministic 12h-lookback watermark scan (etl/extractor.py:8-17).
+    "q02_watermark_scan" -> QueryDef(
+      (s, dir) => {
+        val nowEpoch = 1706659200L // 2024-01-31 00:00:00 UTC
+        t(s, dir, "events")
+          .filter(Tables.watermarkPredicate("ts", nowEpoch, 12))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), epochS(col("ts")).as("ts_s"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, event_type, value,
+        |       epoch_us(ts)//1000000 AS ts_s FROM events
+        |WHERE ts > TIMESTAMP '2024-01-30 12:00:00'
+        |ORDER BY event_id""".stripMargin),
+
+    // S3: one table, two boolean-partition branches (etl/extractor.py:90-110).
+    "q03_boolean_split" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val a = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), lit(true).as("is_error"))
+        val b = ev.filter(col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), lit(false).as("is_error"))
+        a.unionAll(b).orderBy("event_id")
+      },
+      """SELECT event_id, user_id, TRUE AS is_error FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, user_id, FALSE AS is_error FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin),
+
+    // J1: chained multi-table LEFT equi-joins attaching payloads to the
+    // primary row (unified_transformer.py:260-270). Dims broadcast.
+    "q04_multikey_left_join" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        val r = t(s, dir, "region").select("r_regionkey", "r_name")
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_name")
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+          .join(c, o("o_custkey") === c("c_custkey"), "left")
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+          .join(su, li("l_suppkey") === su("s_suppkey"), "left")
+          .select(li("l_orderkey"), li("l_linenumber"), li("l_quantity"),
+            col("o_totalprice"), col("c_name"), col("n_name"), col("r_name"), col("s_name"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice,
+        |       c_name, n_name, r_name, s_name
+        |FROM lineitem
+        |LEFT JOIN orders   ON l_orderkey = o_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation   ON c_nationkey = n_nationkey
+        |LEFT JOIN region   ON n_regionkey = r_regionkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // J2+J1: join on *normalized* string keys (unified_transformer.py:216-258).
+    "q05_normalized_key_join" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            Normalize.normalizeKey(concat(lit("  "), col("o_orderpriority"), lit("  ")))
+              .as("prio_key"),
+            col("o_totalprice"))
+        val dim = o.groupBy("prio_key").agg(dsum(col("o_totalprice")).as("prio_total"))
+        o.join(broadcast(dim), Seq("prio_key"), "left")
+          .select("o_orderkey", "prio_key", "prio_total")
+          .orderBy("o_orderkey")
+      },
+      """WITH o2 AS (
+        |  SELECT o_orderkey,
+        |         upper(regexp_replace(trim(concat('  ', o_orderpriority, '  ')), '\s+', ' ', 'g')) AS prio_key,
+        |         o_totalprice
+        |  FROM orders),
+        |dim AS (
+        |  SELECT prio_key, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS prio_total
+        |  FROM o2 GROUP BY prio_key)
+        |SELECT o2.o_orderkey, o2.prio_key, dim.prio_total
+        |FROM o2 LEFT JOIN dim USING (prio_key)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // D2+W1: keep-latest dedup via window (etl/pipeline.py:56) with a
+    // deterministic tiebreaker (event_id desc).
+    "q06_keep_latest_dedup" -> QueryDef(
+      (s, dir) => Dedupe.keepLatest(t(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts", Seq(col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), epochS(col("ts")).as("ts_s"))
+        .orderBy("user_id", "event_type"),
+      """SELECT user_id, event_type, event_id, value, epoch_us(ts)//1000000 AS ts_s
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin),
+
+    // P3+P5+F12+F13+F14: conform-to-schema null pad + wide projection
+    // (unified_transformer.py:190-207,290-503,475-487,539-544).
+    "q07_conform_project" -> QueryDef(
+      (s, dir) => Conform.ensureColumns(t(s, dir, "part"), Seq("p_pad_col"))
+        .select(col("p_partkey").as("part_key"),
+          upper(trim(col("p_brand"))).as("brand"),
+          Airline.airportHeadToken(col("p_name")).as("name_head"),
+          floor(col("p_retailprice")).cast("long").as("retail_floor"),
+          Normalize.blankToNull(col("p_pad_col")).as("p_pad_col"))
+        .orderBy("part_key"),
+      """SELECT p_partkey AS part_key,
+        |       upper(trim(p_brand)) AS brand,
+        |       CASE WHEN trim(p_name) = '' THEN NULL
+        |            ELSE regexp_split_to_array(trim(p_name), '\s+')[1] END AS name_head,
+        |       CAST(FLOOR(p_retailprice) AS BIGINT) AS retail_floor,
+        |       CAST(NULL AS VARCHAR) AS p_pad_col
+        |FROM part ORDER BY part_key""".stripMargin),
+
+    // F1+F10+F-C(predicate): airline extraction + flight normalization
+    // (unified_transformer.py:13-31; set_transformer.py:85-92).
+    "q08_airline_extract" -> QueryDef(
+      (s, dir) => {
+        val fn = concat(col("l_returnflag"), col("l_linestatus"),
+          (col("l_orderkey") % 10000).cast("string"))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), fn.as("flight_no"),
+            Airline.extractAirlineCode(fn).as("airline"),
+            Normalize.normalizeFlightNumber(fn).as("flight_norm"))
+          .withColumn("is_valid", Normalize.isValidFlightNumber(col("flight_norm")))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_returnflag || l_linestatus || CAST(l_orderkey % 10000 AS VARCHAR) AS flight_no
+        |  FROM lineitem),
+        |norm AS (
+        |  SELECT *, upper(regexp_replace(flight_no, '\s+', '', 'g')) AS n0 FROM base),
+        |padded AS (
+        |  SELECT l_orderkey, l_linenumber, flight_no,
+        |         upper(regexp_extract(flight_no, '^([A-Za-z]+)', 1)) AS airline,
+        |         CASE WHEN regexp_matches(n0, '^[A-Z0-9]{2}\d{2}$') THEN n0[1:2] || '0' || n0[3:4]
+        |              WHEN regexp_matches(n0, '^[A-Z0-9]{2}\d{1}$') THEN n0[1:2] || '00' || n0[3:3]
+        |              ELSE n0 END AS flight_norm
+        |  FROM norm)
+        |SELECT *, (flight_norm = '' OR regexp_matches(flight_norm, '^[A-Z0-9]{2}\d{3,4}$')) AS is_valid
+        |FROM padded ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // F2: multi-format time normalization (unified_transformer.py:33-74).
+    "q09_time_hhmm" -> QueryDef(
+      (s, dir) => {
+        val raw = when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 3 === 1, date_format(col("ts"), "H:mm"))
+          .otherwise(concat(lit("dep at "), date_format(col("ts"), "HH:mm"), lit(" local")))
+        t(s, dir, "events")
+          .select(col("event_id"), raw.as("raw_time"),
+            Dates.toTimeHhmm(raw).as("hhmm"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |       CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |            WHEN event_id % 3 = 1 THEN strftime(ts, '%-H:%M')
+        |            ELSE 'dep at ' || strftime(ts, '%H:%M') || ' local' END AS raw_time,
+        |       strftime(ts, '%H:%M') AS hhmm
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // F3: duration -> minutes (unified_transformer.py:76-113).
+    "q10_duration_minutes" -> QueryDef(
+      (s, dir) => {
+        val d = (col("user_id") % 3).cast("int")
+        val h = (col("event_id") % 24).cast("int")
+        val m = (col("user_id") % 60).cast("int")
+        val sec = ((col("event_id") * 7) % 60).cast("int")
+        val hms = concat(lpad(h.cast("string"), 2, "0"), lit(":"),
+          lpad(m.cast("string"), 2, "0"), lit(":"), lpad(sec.cast("string"), 2, "0"))
+        val raw = when(col("event_id") % 4 === 0, concat(d.cast("string"), lit(" days "), hms))
+          .when(col("event_id") % 4 === 1, hms)
+          .when(col("event_id") % 4 === 2, (col("event_id") % 500).cast("string"))
+          .otherwise(lit("n/a"))
+        t(s, dir, "events")
+          .select(col("event_id"), raw.as("dur_str"),
+            Durations.durationToMinutes(raw).as("minutes"))
+          .orderBy("event_id")
+      },
+      """WITH base AS (
+        |  SELECT event_id,
+        |         CAST(user_id % 3 AS INTEGER)  AS d,
+        |         CAST(event_id % 24 AS INTEGER) AS h,
+        |         CAST(user_id % 60 AS INTEGER)  AS m,
+        |         CAST((event_id * 7) % 60 AS INTEGER) AS sec
+        |  FROM events),
+        |built AS (
+        |  SELECT event_id, d, h, m, sec,
+        |         lpad(CAST(h AS VARCHAR), 2, '0') || ':' || lpad(CAST(m AS VARCHAR), 2, '0')
+        |           || ':' || lpad(CAST(sec AS VARCHAR), 2, '0') AS hms
+        |  FROM base)
+        |SELECT event_id,
+        |       CASE WHEN event_id % 4 = 0 THEN CAST(d AS VARCHAR) || ' days ' || hms
+        |            WHEN event_id % 4 = 1 THEN hms
+        |            WHEN event_id % 4 = 2 THEN CAST(event_id % 500 AS VARCHAR)
+        |            ELSE 'n/a' END AS dur_str,
+        |       CASE WHEN event_id % 4 = 0 THEN CAST(d*1440 + h*60 + m + CASE WHEN sec >= 30 THEN 1 ELSE 0 END AS INTEGER)
+        |            WHEN event_id % 4 = 1 THEN CAST(h*60 + m + CASE WHEN sec >= 30 THEN 1 ELSE 0 END AS INTEGER)
+        |            WHEN event_id % 4 = 2 THEN CAST(event_id % 500 AS INTEGER)
+        |            ELSE CAST(NULL AS INTEGER) END AS minutes
+        |FROM built ORDER BY event_id""".stripMargin),
+
+    // F4+F5: luggage split + recompose (unified_transformer.py:115-147).
+    "q11_luggage" -> QueryDef(
+      (s, dir) => {
+        val raw = when(col("event_id") % 5 === 0, lit("25 公斤"))
+          .when(col("event_id") % 5 === 1, lit("1件"))
+          .when(col("event_id") % 5 === 2, lit("2 件"))
+          .when(col("event_id") % 5 === 3, concat((col("user_id") % 40).cast("string"), lit(".5 kg")))
+          .otherwise(lit("無"))
+        t(s, dir, "events")
+          .select(col("event_id"), raw.as("lug"),
+            Luggage.luggageValue(raw).as("lug_value"),
+            Luggage.luggageUnit(raw).as("lug_unit"),
+            Luggage.recomposeLuggage(raw).as("lug_norm"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+        |       CASE WHEN event_id % 5 = 0 THEN '25 公斤'
+        |            WHEN event_id % 5 = 1 THEN '1件'
+        |            WHEN event_id % 5 = 2 THEN '2 件'
+        |            WHEN event_id % 5 = 3 THEN CAST(user_id % 40 AS VARCHAR) || '.5 kg'
+        |            ELSE '無' END AS lug,
+        |       CASE WHEN event_id % 5 = 0 THEN 25.0
+        |            WHEN event_id % 5 = 1 THEN 1.0
+        |            WHEN event_id % 5 = 2 THEN 2.0
+        |            WHEN event_id % 5 = 3 THEN CAST(user_id % 40 AS DOUBLE) + 0.5
+        |            ELSE CAST(NULL AS DOUBLE) END AS lug_value,
+        |       CASE WHEN event_id % 5 = 3 THEN '公斤'
+        |            WHEN event_id % 5 = 0 THEN '公斤'
+        |            WHEN event_id % 5 IN (1, 2) THEN '件'
+        |            ELSE '無' END AS lug_unit,
+        |       CASE WHEN event_id % 5 = 0 THEN '25公斤'
+        |            WHEN event_id % 5 = 1 THEN '1件'
+        |            WHEN event_id % 5 = 2 THEN '2件'
+        |            WHEN event_id % 5 = 3 THEN CAST(user_id % 40 AS VARCHAR) || '.5公斤'
+        |            ELSE '' END AS lug_norm
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // F6+F7+F8+F9: date chains (cola_transformer.py:50-85,222-228;
+    // set_transformer.py:60-66; unified_transformer.py:518-537).
+    "q12_date_mmdd" -> QueryDef(
+      (s, dir) => {
+        val iso = col("o_orderdate").cast("date").cast("string")
+        val mmdd = Dates.isoSliceToMmDd(iso)
+        val yr = Dates.yearPrefix(iso)
+        val dtStr = date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm")
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), mmdd.as("mmdd"), yr.as("yr"),
+            Dates.attachYear(yr, mmdd).as("full_date"),
+            Dates.toDateYyyySlashMmSlashDd(dtStr).as("parsed"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |       replace(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)[6:10], '-', '/') AS mmdd,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)[1:4] AS yr,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)[1:4] || '/' ||
+        |         replace(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)[6:10], '-', '/') AS full_date,
+        |       strftime(o_orderdate, '%Y/%m/%d') AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // A1: row-wise transfer count (unified_transformer.py:427-436).
+    "q13_transfer_count" -> QueryDef(
+      (s, dir) => {
+        val leg1 = concat(lit("CI"), (col("l_orderkey") % 1000).cast("string"))
+        val leg2 = when(col("l_orderkey") % 3 === 0, lit(""))
+          .otherwise(concat(lit("BR"), (col("l_partkey") % 1000).cast("string")))
+        val leg3 = when(col("l_orderkey") % 7 === 0, lit(null).cast("string")).otherwise(lit("  "))
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), leg1.as("leg1"),
+            leg2.as("leg2"), leg3.as("leg3"),
+            Airline.transferCount(Seq(leg1, leg2, leg3)).as("transfer_count"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |       'CI' || CAST(l_orderkey % 1000 AS VARCHAR) AS leg1,
+        |       CASE WHEN l_orderkey % 3 = 0 THEN ''
+        |            ELSE 'BR' || CAST(l_partkey % 1000 AS VARCHAR) END AS leg2,
+        |       CASE WHEN l_orderkey % 7 = 0 THEN CAST(NULL AS VARCHAR) ELSE '  ' END AS leg3,
+        |       CAST(GREATEST(0, 1 + CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE 1 END - 1) AS INTEGER) AS transfer_count
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // F-C+F10: invalid-flight-number row drop (set_transformer.py:94-109).
+    "q14_invalid_flight_filter" -> QueryDef(
+      (s, dir) => {
+        val fn1 = when(col("l_orderkey") % 4 === 0,
+            concat(lit("ci "), (col("l_partkey") % 90 + 10).cast("string")))
+          .when(col("l_orderkey") % 4 === 1,
+            concat(lit("BR"), (col("l_partkey") % 9000 + 1000).cast("string")))
+          .when(col("l_orderkey") % 4 === 2, lit("BAD*CODE"))
+          .otherwise(lit(""))
+        val fn2 = when(col("l_orderkey") % 5 === 0,
+            concat(lit("JX"), (col("l_partkey") % 900 + 100).cast("string")))
+          .when(col("l_orderkey") % 5 === 1, lit("1234567"))
+          .otherwise(lit(""))
+        val n1 = Normalize.normalizeFlightNumber(fn1)
+        val n2 = Normalize.normalizeFlightNumber(fn2)
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), n1.as("fn1"), n2.as("fn2"))
+          .filter(Normalize.allFlightNumbersValid(Seq(col("fn1"), col("fn2"))))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 4 = 0 THEN 'ci ' || CAST(l_partkey % 90 + 10 AS VARCHAR)
+        |              WHEN l_orderkey % 4 = 1 THEN 'BR' || CAST(l_partkey % 9000 + 1000 AS VARCHAR)
+        |              WHEN l_orderkey % 4 = 2 THEN 'BAD*CODE'
+        |              ELSE '' END AS r1,
+        |         CASE WHEN l_orderkey % 5 = 0 THEN 'JX' || CAST(l_partkey % 900 + 100 AS VARCHAR)
+        |              WHEN l_orderkey % 5 = 1 THEN '1234567'
+        |              ELSE '' END AS r2
+        |  FROM lineitem),
+        |norm AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         upper(regexp_replace(r1, '\s+', '', 'g')) AS m1,
+        |         upper(regexp_replace(r2, '\s+', '', 'g')) AS m2
+        |  FROM base),
+        |padded AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN regexp_matches(m1, '^[A-Z0-9]{2}\d{2}$') THEN m1[1:2] || '0' || m1[3:4]
+        |              WHEN regexp_matches(m1, '^[A-Z0-9]{2}\d{1}$') THEN m1[1:2] || '00' || m1[3:3]
+        |              ELSE m1 END AS fn1,
+        |         CASE WHEN regexp_matches(m2, '^[A-Z0-9]{2}\d{2}$') THEN m2[1:2] || '0' || m2[3:4]
+        |              WHEN regexp_matches(m2, '^[A-Z0-9]{2}\d{1}$') THEN m2[1:2] || '00' || m2[3:3]
+        |              ELSE m2 END AS fn2
+        |  FROM norm)
+        |SELECT * FROM padded
+        |WHERE (fn1 = '' OR regexp_matches(fn1, '^[A-Z0-9]{2}\d{3,4}$'))
+        |  AND (fn2 = '' OR regexp_matches(fn2, '^[A-Z0-9]{2}\d{3,4}$'))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // W2: order-by-desc LIMIT 1-style top-k (etl/loader.py:255-261).
+    "q15_topk" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // Group-by aggregation demo (SURVEY §2.6 extension; partial
+    // map-side combine + single shuffle on the group key).
+    "q16_agg_groupby" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(col("l_quantity")).cast("double")).as("avg_qty"),
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        |       COUNT(*) AS n,
+        |       COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // S10/A2: count-verification read-back (etl/loader.py:69-89,290-298).
+    "q17_counts" -> QueryDef(
+      (s, dir) => {
+        val tables = Seq("lineitem", "orders", "customer", "part", "supplier", "nation", "region")
+        tables.map { name =>
+          t(s, dir, name).select(lit(name).as("tbl"), lit(1).as("one"))
+            .groupBy("tbl").agg(count(lit(1)).as("n"))
+        }.reduce(_ unionAll _).orderBy("tbl")
+      },
+      """SELECT tbl, n FROM (
+        |  SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem UNION ALL
+        |  SELECT 'orders', COUNT(*) FROM orders UNION ALL
+        |  SELECT 'customer', COUNT(*) FROM customer UNION ALL
+        |  SELECT 'part', COUNT(*) FROM part UNION ALL
+        |  SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+        |  SELECT 'nation', COUNT(*) FROM nation UNION ALL
+        |  SELECT 'region', COUNT(*) FROM region)
+        |ORDER BY tbl""".stripMargin),
+
+    // Semi/anti join coverage (SURVEY §2.4 note).
+    "q18_semi_anti_join" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders").select("o_custkey")
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit(true).as("has_orders"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit(false).as("has_orders"))
+        semi.unionAll(anti).orderBy("c_custkey")
+      },
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, FALSE AS has_orders FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  )
+}
