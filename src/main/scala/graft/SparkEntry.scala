@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ParityQueries, QueryDef}
+import graft.queries.{FlightQueries, ParityQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,11 +14,12 @@ import graft.queries.{ParityQueries, QueryDef}
 object SparkEntry {
 
   private def catalog: Map[String, QueryDef] =
-    ParityQueries.all
+    ParityQueries.all ++ FlightQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full flight pipeline (E1/E2) on sf0.001; driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    catalog("q04_multikey_left_join").fn(spark, "/root/testdata/sf0.001")
+    FlightPipeline.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
