@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch operators: gap-based sessionization and tumbling
+  * time-window aggregation.
+  *
+  * Sessionization is the classic two-window construction: lag() marks
+  * session starts, a running sum assigns session ids — both windows
+  * share one partitioning by user, so the whole operator costs a single
+  * shuffle. At 100 TB this is the right shape: no self-join, state
+  * bounded per user partition. (The Structured Streaming analogue lives
+  * in graft.streaming.)
+  */
+object Sessionize {
+
+  /** Assign session ids per user with a max inactivity gap, then
+    * aggregate one row per session. Timestamps are compared in epoch
+    * microseconds (exact integer arithmetic). */
+  def sessions(events: DataFrame, gapMinutes: Int,
+               userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val marked = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev", lag(col("__us"), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col("__us")).as("session_start_us"),
+        max(col("__us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
+  /** Tumbling-window aggregation (hourly by default). */
+  def tumbling(events: DataFrame, unit: String = "hour",
+               tsCol: String = "ts"): DataFrame =
+    events.groupBy(date_trunc(unit, col(tsCol)).as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+}

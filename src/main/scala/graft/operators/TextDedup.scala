@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document deduplication operators for the large-scale training-data
+  * pipeline: exact hash dedup, n-gram Jaccard near-dup via an inverted
+  * shingle index, MinHash+LSH banding with exact verification, and
+  * SimHash with banded Hamming search.
+  *
+  * Scale design: every operator is explode -> hash-partitioned groupBy
+  * -> equi-join — no cross join ever touches the full corpus. Candidate
+  * generation is an inverted-index self-join on shingles (or band
+  * signatures), so cost follows the number of *colliding* pairs, not
+  * n². All hashes are explicit modular arithmetic (TextFunctions
+  * .polyHash) bounded to int64, reproducible by any SQL engine.
+  */
+object TextDedup {
+
+  /** Exact dedup: keep the lowest id per identical text, count members.
+    * One shuffle on the (hashed) text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(textCol)
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (doc, shingle) pairs — the inverted index rows. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
+
+  /** n-gram Jaccard near-dup: inverted-index candidate join + exact
+    * Jaccard on shared-shingle counts. Returns (doc_a, doc_b, shared,
+    * n_a, n_b, jaccard >= threshold). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, k)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "n_a")), "doc_a")
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature rows: (doc_id, j, minhash_j) for j in [0, k).
+    * Hash family: h_j(x) = ((2j+1)*polyHash(x) + j*j+7) mod p — products
+    * stay far below 2^63. */
+  def minhashRows(sh: DataFrame, numHashes: Int, p: Long = 1000000007L): DataFrame = {
+    val h = TextFunctions.polyHash(col("shingle"))
+    sh.withColumn("h", h)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("h"))
+      .withColumn("hj", ((col("j") * 2 + 1) * col("h") + col("j") * col("j") + 7) % p)
+      .groupBy("doc_id", "j").agg(min(col("hj")).as("mh"))
+  }
+
+  /** LSH band signatures: group the k minhashes into bands of
+    * `rowsPerBand`, signature = ordered minhash concat. */
+  def bandSignatures(mh: DataFrame, rowsPerBand: Int): DataFrame =
+    mh.withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("sig"))
+
+  /** MinHash+LSH near-dup with exact verification: candidates = pairs
+    * sharing any full band signature; verified with exact shingle
+    * Jaccard >= threshold. The LSH join touches only banded signature
+    * collisions — the scale path for corpora where the shingle inverted
+    * index itself is too hot. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+                      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, k)
+    val bands = bandSignatures(minhashRows(sh, numHashes), rowsPerBand)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle" -> "s_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "db", "shingle" -> "s_b")),
+        col("doc_b") === col("db") && col("s_a") === col("s_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "n_a")), "doc_a")
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 60-bit signature from two 30-bit polynomial token hashes.
+    * Per (doc, bit): sum +1/-1 over distinct tokens by the bit of the
+    * token hash; bit set when the sum is positive. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .withColumn("h1", TextFunctions.polyHash(col("tok"), 31, 1000000007L))
+      .withColumn("h2", TextFunctions.polyHash(col("tok"), 37, 999999937L))
+    toks
+      .select(col("doc_id"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("bit",
+        expr("CASE WHEN b < 30 THEN shiftright(h1, b) % 2 ELSE shiftright(h2, b - 30) % 2 END"))
+      .withColumn("w", col("bit") * 2 - 1)
+      .groupBy("doc_id", "b").agg(sum(col("w")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END")).as("simhash"))
+  }
+
+  /** SimHash near-dup: block on 4 bands of 15 bits, verify Hamming
+    * distance over the full 60-bit signature. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bandval", expr(s"shiftright(simhash, band * 15) % ${1L << 15}L"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** Training-data text operators over the `documents` table: exact and
+  * near-duplicate detection (n-gram Jaccard, MinHash+LSH, SimHash),
+  * token counting, quality scoring, language id, and fingerprinting —
+  * each with a DuckDB oracle that reproduces the arithmetic exactly.
+  */
+object TextQueries {
+
+  /** Shared DuckDB CTE: distinct word-5-gram shingles per doc. */
+  private val ShingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents) t,
+      |       UNNEST(range(1, len(tk) - 3)) AS u(i)
+      |  WHERE len(tk) >= 5)""".stripMargin
+
+  /** DuckDB polynomial rolling hash over a string expression. */
+  private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ascii($e[i]) AS BIGINT))), " +
+      s"(acc, c) -> (acc * $base + c) % $p)"
+
+  val all: Map[String, QueryDef] = Map(
+
+    // Exact dedup (hash groupBy); duplicates synthesized by self-union.
+    "q20_exact_dedup" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.table(s, dir, "documents").select("doc_id", "text")
+        val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
+        TextDedup.exactDedup(d.unionAll(dup), "doc_id", "text")
+          .select(col("keeper_id"), col("n_dups"), length(col("text")).as("len"))
+          .orderBy("keeper_id")
+      },
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_dups,
+        |       CAST(length(text) AS INTEGER) AS len
+        |FROM u GROUP BY text ORDER BY keeper_id""".stripMargin),
+
+    // Token counting: whitespace + BPE-ish regex.
+    "q21_token_count" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("ws_tokens"),
+          TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |       CAST(CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens,
+        |       CAST(length(text) AS INTEGER) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: ratios + fixed linear combination.
+    "q22_text_quality" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordCount(col("text")).as("n_words"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN trim(text) = '' THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_words,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE) END AS alpha_ratio,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+        |                   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        |         CASE WHEN trim(text) = '' THEN 0.0
+        |              ELSE CAST(len(regexp_extract_all(lower(text),
+        |                     '\b(the|and|of|to|is|in|that|for|with|on)\b')) AS DOUBLE)
+        |                   / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) END AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_words, alpha_ratio, punct_ratio, stop_ratio,
+        |       alpha_ratio * 0.5 + stop_ratio * 0.3 + punct_ratio * 0.2 AS quality
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // Language id: stopword-count argmax with fixed tie order.
+    "q23_langid" -> QueryDef(
+      (s, dir) => {
+        val scores = TextFunctions.LangStopwords.map { case (lang, pat) =>
+          lang -> TextFunctions.langScore(col("text"), pat)
+        }
+        Tables.table(s, dir, "documents")
+          .select(Seq(col("doc_id")) ++
+            scores.map { case (l, e) => e.as(s"score_$l") } :+
+            TextFunctions.langId(col("text")).as("lang_pred"): _*)
+          .orderBy("doc_id")
+      }, {
+        val counts = TextFunctions.LangStopwords.map { case (lang, pat) =>
+          s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS score_$lang"
+        }.mkString(",\n         ")
+        val langs = TextFunctions.LangStopwords.map(_._1)
+        val best = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |         $counts
+           |  FROM documents)
+           |SELECT doc_id, ${langs.map("score_" + _).mkString(", ")},
+           |       CASE $caseChain ELSE 'und' END AS lang_pred
+           |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    // Document fingerprint: polynomial rolling hash over characters.
+    "q24_fingerprint" -> QueryDef(
+      (s, dir) => Tables.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.polyHash(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, ${duckPolyHash("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // n-gram Jaccard near-dup via inverted shingle index.
+    "q25_ngram_jaccard" -> QueryDef(
+      (s, dir) => TextDedup.ngramJaccardPairs(
+          Tables.table(s, dir, "documents"), "doc_id", "text", k = 5, threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH $ShingleCte,
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared, ca.n AS n_a, cb.n AS n_b,
+         |       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+         |FROM pairs
+         |JOIN counts ca ON doc_a = ca.doc_id
+         |JOIN counts cb ON doc_b = cb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // MinHash + LSH banding, exact-verified.
+    "q26_minhash_lsh" -> QueryDef(
+      (s, dir) => TextDedup.minhashLshPairs(
+          Tables.table(s, dir, "documents"), "doc_id", "text",
+          k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.8)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH $ShingleCte,
+         |hh AS (SELECT doc_id, s, ${duckPolyHash("s")} AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % 1000000007) AS mh
+         |  FROM hh, UNNEST(range(0, 32)) AS u(j)
+         |  GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS sh_n
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.doc_a
+         |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.s = s1.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       CAST(sh_n AS DOUBLE) / (ca.n + cb.n - sh_n) AS jaccard
+         |FROM shared
+         |JOIN counts ca ON doc_a = ca.doc_id
+         |JOIN counts cb ON doc_b = cb.doc_id
+         |WHERE CAST(sh_n AS DOUBLE) / (ca.n + cb.n - sh_n) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // SimHash near-dup: banded Hamming blocking.
+    "q27_simhash" -> QueryDef(
+      (s, dir) => TextDedup.simhashPairs(
+          Tables.table(s, dir, "documents"), "doc_id", "text", maxHamming = 2)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents WHERE trim(text) <> '') t,
+         |       UNNEST(tk) AS u(tok)),
+         |hs AS (
+         |  SELECT doc_id, ${duckPolyHash("tok")} AS h1,
+         |         ${duckPolyHash("tok", 37, 999999937L)} AS h2
+         |  FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         SUM(CASE WHEN (CASE WHEN b < 30 THEN (h1 >> CAST(b AS INTEGER))
+         |                        ELSE (h2 >> CAST(b - 30 AS INTEGER)) END) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS sgn
+         |  FROM hs, UNNEST(range(0, 60)) AS u(b)
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+         |             ELSE CAST(0 AS BIGINT) END) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, CAST(b AS INTEGER) AS band,
+         |         (simhash >> CAST(b * 15 AS INTEGER)) % 32768 AS bandval
+         |  FROM sig, UNNEST(range(0, 4)) AS u(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.simhash AS sh_a, y.simhash AS sh_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+}
