@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+
+class OperatorsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("Conform adds missing columns as typed nulls, keeps existing") {
+    val df = Seq((1L, "x")).toDF("id", "a")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType),
+      StructField("b", DoubleType)))
+    val out = Conform.conformSchema(df, schema)
+    assert(out.columns.toSeq == Seq("id", "a", "b"))
+    assert(out.select("b").collect()(0).get(0) == null)
+    assert(out.schema("b").dataType == DoubleType)
+  }
+
+  test("Dedupe.keepLatest keeps the max recency row per payload") {
+    val df = Seq(
+      ("k1", "p", 1.0), ("k1", "p", 3.0), ("k1", "p", 2.0),
+      ("k2", "q", 5.0)).toDF("k", "payload", "ct")
+    val out = Dedupe.keepLatest(df, Seq("k", "payload"), "ct")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(2))).toSeq ==
+      Seq(("k1", 3.0), ("k2", 5.0)))
+  }
+
+  test("keepLatestAllCols: identical payloads collapse, distinct stay") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0)).toDF("p", "creation_time")
+    val out = Dedupe.keepLatestAllCols(df, "creation_time")
+    assert(out.count() == 2)
+    assert(out.filter($"p" === "a").select("creation_time").collect()(0).getDouble(0) == 2.0)
+  }
+
+  test("cleanCompetitor drops rows with any invalid flight number (F-C)") {
+    val raw = Seq(
+      ("CI73", "2024-01-05", "2024-01-12", 100L, 10L),
+      ("BAD*CODE", "2024-01-05", "2024-01-12", 100L, 10L),
+      ("", "2024-01-06", "2024-01-13", 200L, 20L))
+      .toDF("去程航班編號1", "去程日期", "回程日期", "票面價格", "稅金")
+    val out = Cleaners.cleanCompetitor(raw, "p", "t")
+    val rows = out.select("去程_航班編號1", "出發日期").orderBy("出發日期").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "CI073") // padded
+    assert(rows(0).getString(1) == "01/05") // ISO sliced
+    assert(rows(1).getString(0) == "")
+  }
+
+  test("exactDedup groups identical text, keeps min id") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = TextDedup.exactDedup(df, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds a planted near-duplicate, skips distinct docs") {
+    val a = "the quick brown fox jumps over the lazy dog today again"
+    val b = "the quick brown fox jumps over the lazy dog today tomorrow" // 1-word change
+    val c = "completely different words with no overlap at all here now"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.3).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+  }
+
+  test("minhashLshPairs recall matches exact jaccard on planted dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val exact = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b").collect().toSet
+    val lsh = TextDedup.minhashLshPairs(df, "doc_id", "text", 5, 32, 4, 0.5)
+      .select("doc_a", "doc_b").collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs get identical signatures; hamming 0 pair found") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val sigs = TextDedup.simhash(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sigs(0) == sigs(1))
+    val pairs = TextDedup.simhashPairs(df, "doc_id", "text", 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.1f)), (2L, Array(0f, 1f)),
+      (3L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0), 2)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 3L) // identical vector, cos=1
+    assert(out(1).getLong(1) == 1L)
+  }
+
+  test("sessions split on gap > N minutes, single session otherwise") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val df = Seq(
+      (1L, ts(0), 10L, 1.0), (2L, ts(10), 10L, 2.0), // session 1
+      (3L, ts(60), 10L, 3.0), // gap 50min -> session 2
+      (4L, ts(0), 20L, 4.0)) // other user
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessionize.sessions(df, 30).orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(4 /* n_events */) == 2)
+    assert(out(1).getLong(4) == 1)
+  }
+
+  test("multimodal decodePartitions stub matches column-level metadata") {
+    import graft.operators.Multimodal._
+    val docs = Seq((1L, "hello"), (2L, "a longer payload here")).toDF("doc_id", "text")
+    val typed = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      .as[MediaRecord]
+    val viaPartitions = decodePartitions(typed).orderBy("doc_id").collect()
+    val viaColumns = Multimodal.withMedia(docs, "text")
+      .select("doc_id", "byte_len", "format", "width", "height", "n_frames")
+      .orderBy("doc_id").collect()
+    viaPartitions.zip(viaColumns).foreach { case (p, c) =>
+      assert(p.byte_len == c.getInt(1))
+      assert(p.format == c.getString(2))
+      assert(p.width == c.getInt(3))
+      assert(p.height == c.getInt(4))
+      assert(p.n_frames == c.getInt(5))
+    }
+  }
+}
