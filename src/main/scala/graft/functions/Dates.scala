@@ -19,12 +19,19 @@ object Dates {
     * Order mirrors the reference: full datetime formats first
     * (`%Y-%m-%d %H:%M:%S`, `%Y/%m/%d %H:%M`, `%Y-%m-%d %H:%M`), then the
     * first `\d{1,2}:\d{2}` found anywhere, zero-padded. */
+  /** Every full-datetime format below contains a literal `-` or `/`, so
+    * inputs without either separator can never parse; the guard skips
+    * the try_to_timestamp chain (whose misses are exception-driven and
+    * cost microseconds each) for the common bare `H:MM` case. */
+  private def hasDateSep(s: Column): Column =
+    (instr(s, "-") > 0) || (instr(s, "/") > 0)
+
   def toTimeHhmm(c: Column): Column = {
     val s = trim(coalesce(c.cast("string"), lit("")))
-    val full = coalesce(
+    val full = when(hasDateSep(s), coalesce(
       try_to_timestamp(s, lit("yyyy-M-d H:m:s")),
       try_to_timestamp(s, lit("yyyy/M/d H:m")),
-      try_to_timestamp(s, lit("yyyy-M-d H:m")))
+      try_to_timestamp(s, lit("yyyy-M-d H:m"))))
     val anyHhmm = regexp_extract(s, "(\\d{1,2}):(\\d{2})", 0)
     val padded = when(anyHhmm =!= "",
       concat(lpad(split(anyHhmm, ":").getItem(0), 2, "0"), lit(":"),
@@ -38,12 +45,12 @@ object Dates {
     * `pd.to_datetime`). */
   def toDateYyyySlashMmSlashDd(c: Column): Column = {
     val s = trim(coalesce(c.cast("string"), lit("")))
-    val parsed = coalesce(
+    val parsed = when(hasDateSep(s), coalesce(
       try_to_timestamp(s, lit("yyyy-M-d H:m:s")),
       try_to_timestamp(s, lit("yyyy-M-d")),
       try_to_timestamp(s, lit("yyyy/M/d H:m")),
       try_to_timestamp(s, lit("yyyy/M/d")),
-      try_to_timestamp(s))
+      try_to_timestamp(s)))
     coalesce(date_format(parsed, "yyyy/MM/dd"), lit(""))
   }
 

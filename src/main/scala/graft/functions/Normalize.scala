@@ -34,28 +34,58 @@ object Normalize {
     * downstream equi-join matches empty keys to empty keys exactly like
     * the reference's pandas merge on `""`-normalized strings. */
   def normalizeKey(c: Column): Column = {
-    val s = coalesce(c.cast("string"), lit(""))
-    upper(scrubPlaceholders(regexp_replace(trim(s), "\\s+", " ")))
+    val s = trim(coalesce(c.cast("string"), lit("")))
+    // Collapse interior whitespace runs — but only pay the regex when a
+    // cheap translate pass shows the string still contains whitespace.
+    val collapsed = when(length(stripAllWhitespace(s)) === length(s), s)
+      .otherwise(regexp_replace(s, "\\s+", " "))
+    upper(scrubPlaceholders(collapsed))
   }
+
+  /** The whitespace class the reference's `\s` matches on these ASCII
+    * payloads — used with `translate`, a single char-table pass that
+    * replaces a regex scan in the hot cleaning path. */
+  private val WsChars = " \t\n\f\r"
+
+  /** Strip ALL whitespace without a regex (translate is a per-char
+    * table lookup; equivalent to `regexp_replace(c, "\\s+", "")`). */
+  def stripAllWhitespace(c: Column): Column = translate(c, WsChars, "")
 
   /** J2 (flight-number / cabin-class key): normalizeKey + strip ALL
     * whitespace (`unified_transformer.py:236-241`: 'CX 450' -> 'CX450'). */
   def normalizeTightKey(c: Column): Column =
-    regexp_replace(normalizeKey(c), "\\s+", "")
+    stripAllWhitespace(normalizeKey(c))
 
   /** F10: flight-number canonicalization — strip whitespace, uppercase,
     * zero-pad 2-digit (`CI73` -> `CI073`) and 1-digit (`CI7` -> `CI007`)
-    * tails (`set_transformer.py:85-92`). Null -> "". */
+    * tails (`set_transformer.py:85-92`). Null -> "".
+    *
+    * The pad rewrites fire only behind a length guard, so the regex
+    * (the dominant per-row cost in the cleaning stage) runs on the rare
+    * short tails instead of every value. */
   def normalizeFlightNumber(c: Column): Column = {
-    val base = upper(regexp_replace(trim(coalesce(c.cast("string"), lit(""))), "\\s+", ""))
-    val pad2 = regexp_replace(base, "^([A-Z0-9]{2})(\\d{2})$", "$10$2")
-    regexp_replace(pad2, "^([A-Z0-9]{2})(\\d{1})$", "$100$2")
+    val base = upper(stripAllWhitespace(coalesce(c.cast("string"), lit(""))))
+    val pad2 = when(length(base) === 4 && base.rlike("^[A-Z0-9]{2}\\d{2}$"),
+      concat(substring(base, 1, 2), lit("0"), substring(base, 3, 2))).otherwise(base)
+    when(length(pad2) === 3 && pad2.rlike("^[A-Z0-9]{2}\\d$"),
+      concat(substring(pad2, 1, 2), lit("00"), substring(pad2, 3, 1))).otherwise(pad2)
   }
 
   /** F-C validity predicate: a normalized flight number is valid when
-    * empty or `^[A-Z0-9]{2}\d{3,4}$` (`set_transformer.py:94-102`). */
-  def isValidFlightNumber(c: Column): Column =
-    (c.isNull || c === "") || c.rlike("^[A-Z0-9]{2}\\d{3,4}$")
+    * empty or `^[A-Z0-9]{2}\d{3,4}$` (`set_transformer.py:94-102`).
+    * Decomposed into length + per-char codepoint range checks — exact
+    * same accept set as the anchored ASCII regex, but each check is a
+    * codegen'd substring/ascii intrinsic instead of a regex engine run
+    * per row per flight column. */
+  def isValidFlightNumber(c: Column): Column = {
+    def ch(i: Int): Column = ascii(substring(c, i, 1))
+    def digit(i: Int): Column = ch(i).between(48, 57)
+    def upnum(i: Int): Column = digit(i) || ch(i).between(65, 90)
+    val len = length(c)
+    (c.isNull || c === "") ||
+      (len.between(5, 6) && upnum(1) && upnum(2) && digit(3) && digit(4) &&
+        digit(5) && (len === 5 || digit(6)))
+  }
 
   /** F-C row filter: keep rows where EVERY flight column is valid. */
   def allFlightNumbersValid(cols: Seq[Column]): Column =

@@ -33,10 +33,16 @@ object Dedupe {
   }
 
   /** D2 exactly as the pipeline uses it: payload = all columns except
-    * the recency column. */
-  def keepLatestAllCols(df: DataFrame, recencyCol: String,
-                        tiebreakers: Seq[Column] = Nil): DataFrame =
-    keepLatest(df, df.columns.filterNot(_ == recencyCol).toSeq, recencyCol, tiebreakers)
+    * the recency column. Ties need no tiebreaker: rows tied on recency
+    * are identical in every column, so any survivor is the same row.
+    *
+    * Deliberately the window form, not `groupBy(payload).agg(max)`:
+    * with a wide, mostly-unique payload a hash aggregate builds a
+    * near-full-size hash map per task on both sides of the shuffle
+    * (partial aggregation reduces nothing) and spills; the window sorts
+    * each post-shuffle partition once and streams. */
+  def keepLatestAllCols(df: DataFrame, recencyCol: String): DataFrame =
+    keepLatest(df, df.columns.filterNot(_ == recencyCol).toSeq, recencyCol)
 
   /** D1: plain distinct (the reference pushes `SELECT DISTINCT` into the
     * source scan, `etl/extractor.py:67-120`); Catalyst plans a

@@ -13,7 +13,7 @@ object EventQueries {
   val all: Map[String, QueryDef] = Map(
 
     "q30_sessionize" -> QueryDef(
-      (s, dir) => Sessionize.sessions(Tables.table(s, dir, "events"), gapMinutes = 30)
+      (s, dir) => Sessionize.sessions(Tables.computeTable(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_seq"),
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
@@ -33,7 +33,7 @@ object EventQueries {
         |ORDER BY user_id, session_seq""".stripMargin),
 
     "q31_window_hourly" -> QueryDef(
-      (s, dir) => Sessionize.tumbling(Tables.table(s, dir, "events"), "hour")
+      (s, dir) => Sessionize.tumbling(Tables.computeTable(s, dir, "events"), "hour")
         .orderBy("window_start"),
       """SELECT date_trunc('hour', ts) AS window_start,
         |       COUNT(*) AS n_events,

@@ -26,6 +26,13 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** For the regexp/scalar-heavy queries: same table, but parallelized
+    * when the local fixture is a single parquet split (see
+    * [[Tables.computeTable]]). Scan-demo queries keep the plain read so
+    * their PushedFilters reach the parquet scan. */
+  private def tc(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.computeTable(s, dir, name)
+
   // Deterministic watermark: events span Jan 2024 at every sf.
   private val WatermarkTs = "2024-01-24 00:00:00"
 
@@ -172,7 +179,7 @@ object ParityQueries {
       (s, dir) => {
         val fn = concat(col("l_returnflag"), col("l_linestatus"),
           (col("l_orderkey") % 10000).cast("string"))
-        t(s, dir, "lineitem")
+        tc(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), fn.as("flight_no"),
             Airline.extractAirlineCode(fn).as("airline"),
             Normalize.normalizeFlightNumber(fn).as("flight_norm"))
@@ -201,7 +208,7 @@ object ParityQueries {
         val raw = when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
           .when(col("event_id") % 3 === 1, date_format(col("ts"), "H:mm"))
           .otherwise(concat(lit("dep at "), date_format(col("ts"), "HH:mm"), lit(" local")))
-        t(s, dir, "events")
+        tc(s, dir, "events")
           .select(col("event_id"), raw.as("raw_time"),
             Dates.toTimeHhmm(raw).as("hhmm"))
           .orderBy("event_id")
@@ -226,7 +233,7 @@ object ParityQueries {
           .when(col("event_id") % 4 === 1, hms)
           .when(col("event_id") % 4 === 2, (col("event_id") % 500).cast("string"))
           .otherwise(lit("n/a"))
-        t(s, dir, "events")
+        tc(s, dir, "events")
           .select(col("event_id"), raw.as("dur_str"),
             Durations.durationToMinutes(raw).as("minutes"))
           .orderBy("event_id")
@@ -262,7 +269,7 @@ object ParityQueries {
           .when(col("event_id") % 5 === 2, lit("2 件"))
           .when(col("event_id") % 5 === 3, concat((col("user_id") % 40).cast("string"), lit(".5 kg")))
           .otherwise(lit("無"))
-        t(s, dir, "events")
+        tc(s, dir, "events")
           .select(col("event_id"), raw.as("lug"),
             Luggage.luggageValue(raw).as("lug_value"),
             Luggage.luggageUnit(raw).as("lug_unit"),
@@ -299,7 +306,7 @@ object ParityQueries {
         val mmdd = Dates.isoSliceToMmDd(iso)
         val yr = Dates.yearPrefix(iso)
         val dtStr = date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm")
-        t(s, dir, "orders")
+        tc(s, dir, "orders")
           .select(col("o_orderkey"), mmdd.as("mmdd"), yr.as("yr"),
             Dates.attachYear(yr, mmdd).as("full_date"),
             Dates.toDateYyyySlashMmSlashDd(dtStr).as("parsed"))
@@ -320,7 +327,7 @@ object ParityQueries {
         val leg2 = when(col("l_orderkey") % 3 === 0, lit(""))
           .otherwise(concat(lit("BR"), (col("l_partkey") % 1000).cast("string")))
         val leg3 = when(col("l_orderkey") % 7 === 0, lit(null).cast("string")).otherwise(lit("  "))
-        t(s, dir, "lineitem")
+        tc(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), leg1.as("leg1"),
             leg2.as("leg2"), leg3.as("leg3"),
             Airline.transferCount(Seq(leg1, leg2, leg3)).as("transfer_count"))
@@ -349,7 +356,7 @@ object ParityQueries {
           .otherwise(lit(""))
         val n1 = Normalize.normalizeFlightNumber(fn1)
         val n2 = Normalize.normalizeFlightNumber(fn2)
-        t(s, dir, "lineitem")
+        tc(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"), n1.as("fn1"), n2.as("fn2"))
           .filter(Normalize.allFlightNumbersValid(Seq(col("fn1"), col("fn2"))))
           .orderBy("l_orderkey", "l_linenumber")

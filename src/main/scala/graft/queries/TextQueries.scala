@@ -32,7 +32,7 @@ object TextQueries {
     // Exact dedup (hash groupBy); duplicates synthesized by self-union.
     "q20_exact_dedup" -> QueryDef(
       (s, dir) => {
-        val d = Tables.table(s, dir, "documents").select("doc_id", "text")
+        val d = Tables.computeTable(s, dir, "documents").select("doc_id", "text")
         val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
         TextDedup.exactDedup(d.unionAll(dup), "doc_id", "text")
           .select(col("keeper_id"), col("n_dups"), length(col("text")).as("len"))
@@ -47,7 +47,7 @@ object TextQueries {
 
     // Token counting: whitespace + BPE-ish regex.
     "q21_token_count" -> QueryDef(
-      (s, dir) => Tables.table(s, dir, "documents")
+      (s, dir) => Tables.computeTable(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.wordCount(col("text")).as("ws_tokens"),
           TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
@@ -62,7 +62,7 @@ object TextQueries {
 
     // Quality scoring: ratios + fixed linear combination.
     "q22_text_quality" -> QueryDef(
-      (s, dir) => Tables.table(s, dir, "documents")
+      (s, dir) => Tables.computeTable(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.wordCount(col("text")).as("n_words"),
           TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
@@ -95,7 +95,7 @@ object TextQueries {
         val scores = TextFunctions.LangStopwords.map { case (lang, pat) =>
           lang -> TextFunctions.langScore(col("text"), pat)
         }
-        Tables.table(s, dir, "documents")
+        Tables.computeTable(s, dir, "documents")
           .select(Seq(col("doc_id")) ++
             scores.map { case (l, e) => e.as(s"score_$l") } :+
             TextFunctions.langId(col("text")).as("lang_pred"): _*)
@@ -119,7 +119,7 @@ object TextQueries {
 
     // Document fingerprint: polynomial rolling hash over characters.
     "q24_fingerprint" -> QueryDef(
-      (s, dir) => Tables.table(s, dir, "documents")
+      (s, dir) => Tables.computeTable(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.polyHash(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
       s"""SELECT doc_id, ${duckPolyHash("text")} AS fingerprint
@@ -128,7 +128,7 @@ object TextQueries {
     // n-gram Jaccard near-dup via inverted shingle index.
     "q25_ngram_jaccard" -> QueryDef(
       (s, dir) => TextDedup.ngramJaccardPairs(
-          Tables.table(s, dir, "documents"), "doc_id", "text", k = 5, threshold = 0.8)
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text", k = 5, threshold = 0.8)
         .orderBy("doc_a", "doc_b"),
       s"""WITH $ShingleCte,
          |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -147,7 +147,7 @@ object TextQueries {
     // MinHash + LSH banding, exact-verified.
     "q26_minhash_lsh" -> QueryDef(
       (s, dir) => TextDedup.minhashLshPairs(
-          Tables.table(s, dir, "documents"), "doc_id", "text",
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text",
           k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.8)
         .orderBy("doc_a", "doc_b"),
       s"""WITH $ShingleCte,
@@ -182,7 +182,7 @@ object TextQueries {
     // SimHash near-dup: banded Hamming blocking.
     "q27_simhash" -> QueryDef(
       (s, dir) => TextDedup.simhashPairs(
-          Tables.table(s, dir, "documents"), "doc_id", "text", maxHamming = 2)
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text", maxHamming = 2)
         .orderBy("doc_a", "doc_b"),
       s"""WITH toks AS (
          |  SELECT DISTINCT doc_id, tok

@@ -30,7 +30,7 @@ object VectorQueries {
     // Brute-force cosine top-5 for 8 query vectors.
     "q28_cosine_topk" -> QueryDef(
       (s, dir) => {
-        val emb = Tables.table(s, dir, "embeddings")
+        val emb = Tables.computeTable(s, dir, "embeddings")
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
           .orderBy("qid", "rank")
       },
@@ -47,7 +47,7 @@ object VectorQueries {
     // Sign-LSH bucketed ANN top-5 (8-bit buckets).
     "q29_ann_lsh" -> QueryDef(
       (s, dir) => {
-        val emb = Tables.table(s, dir, "embeddings")
+        val emb = Tables.computeTable(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 8)
           .orderBy("qid", "rank")
       },
@@ -68,7 +68,7 @@ object VectorQueries {
     // Embedding-cosine near-duplicate pairs within sign buckets.
     "q2A_cosine_neardup" -> QueryDef(
       (s, dir) => Similarity.cosineNearDupPairs(
-          Tables.table(s, dir, "embeddings"), threshold = 0.3, bits = 8)
+          Tables.computeTable(s, dir, "embeddings"), threshold = 0.3, bits = 8)
         .orderBy("id_a", "id_b"),
       s"""WITH b AS (
          |  SELECT vec_id, embedding,

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object FlightSynth {
 
   private def base(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.table(spark, sfDir, "lineitem")
+    Tables.computeTable(spark, sfDir, "lineitem")
 
   // shared key ingredients (cola and competitors must agree post-cleaning)
   private def dep1 = concat(lit("CI"), (col("l_partkey") % 900 + 100).cast("string"))

@@ -23,6 +23,44 @@ object Tables {
     }
   }
 
+  /** Table read feeding expression-heavy map stages: if the file layout
+    * yields fewer scan partitions than the session's parallelism (the
+    * local fixtures are one row group, hence one split), add a
+    * round-robin repartition so the regexp/hash-heavy downstream work
+    * uses every core. At production scale a parquet scan already has
+    * >= cores splits and this is a no-op — no exchange is added.
+    */
+  private val staged =
+    scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
+
+  /** Table read for expression-heavy pipelines.
+    *
+    * The local fixtures are single-row-group parquet files, so a scan —
+    * and everything Catalyst pushes down into its stage (the filters
+    * over regexp/normalize-derived columns this engine is made of) —
+    * would run on one core. At production scale a table has >= cores
+    * row groups and this returns the plain scan; below that threshold
+    * the table is re-laid-out ONCE per session into a `target`-file
+    * parquet copy under the JVM temp dir (the same class of scratch
+    * I/O as shuffle spill), so every later scan of it parallelizes,
+    * pushdown included. Hash-repartition, not round-robin: round-robin
+    * locally sorts the whole frame first (sortBeforeRepartition).
+    */
+  def computeTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = table(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else staged.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, name), {
+      val dir = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        s"graft-staged/${spark.sparkContext.applicationId}/" +
+          s"${new java.io.File(sfDir).getName}-$name").getAbsolutePath
+      df.repartition(target, xxhash64(df.columns.map(col): _*))
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    })
+  }
+
   /** S1: filtered + DISTINCT scan. */
   def scanFiltered(spark: SparkSession, sfDir: String, name: String,
                    predicate: org.apache.spark.sql.Column, distinct: Boolean = true): DataFrame = {
