@@ -12,14 +12,12 @@ object Airline {
   /** F1: leading letters of a flight number, uppercased; "" otherwise
     * (`"HX261"` -> `"HX"`, null -> `""`). */
   def extractAirlineCode(c: Column): Column =
-    coalesce(upper(regexp_extract(c.cast("string"), "^([A-Za-z]+)", 1)), lit(""))
+    graft.functions.cat.GraftExpr.call("airlineCode", coalesce(c.cast("string"), lit("")))
 
   /** F12: first whitespace-delimited token (`"TPE 桃園機場"` -> `"TPE"`).
     * Python `"".split()[0]` yields NaN for empty input, so blank -> NULL. */
-  def airportHeadToken(c: Column): Column = {
-    val s = trim(coalesce(c.cast("string"), lit("")))
-    when(s === "", lit(null)).otherwise(element_at(split(s, "\\s+"), 1))
-  }
+  def airportHeadToken(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("headToken", coalesce(c.cast("string"), lit("")))
 
   /** A1: transfer count = (non-blank legs - 1) clamped at 0. The
     * reference first scrubs blank/whitespace flight cells to NaN, then

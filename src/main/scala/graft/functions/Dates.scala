@@ -19,40 +19,15 @@ object Dates {
     * Order mirrors the reference: full datetime formats first
     * (`%Y-%m-%d %H:%M:%S`, `%Y/%m/%d %H:%M`, `%Y-%m-%d %H:%M`), then the
     * first `\d{1,2}:\d{2}` found anywhere, zero-padded. */
-  /** Every full-datetime format below contains a literal `-` or `/`, so
-    * inputs without either separator can never parse; the guard skips
-    * the try_to_timestamp chain (whose misses are exception-driven and
-    * cost microseconds each) for the common bare `H:MM` case. */
-  private def hasDateSep(s: Column): Column =
-    (instr(s, "-") > 0) || (instr(s, "/") > 0)
-
-  def toTimeHhmm(c: Column): Column = {
-    val s = trim(coalesce(c.cast("string"), lit("")))
-    val full = when(hasDateSep(s), coalesce(
-      try_to_timestamp(s, lit("yyyy-M-d H:m:s")),
-      try_to_timestamp(s, lit("yyyy/M/d H:m")),
-      try_to_timestamp(s, lit("yyyy-M-d H:m"))))
-    val anyHhmm = regexp_extract(s, "(\\d{1,2}):(\\d{2})", 0)
-    val padded = when(anyHhmm =!= "",
-      concat(lpad(split(anyHhmm, ":").getItem(0), 2, "0"), lit(":"),
-             split(anyHhmm, ":").getItem(1)))
-    coalesce(date_format(full, "HH:mm"), padded, lit(""))
-  }
+  def toTimeHhmm(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("timeHhmm", coalesce(c.cast("string"), lit("")))
 
   /** F6: multi-format date parse -> `YYYY/MM/DD`; "" when unparseable.
     * strptime order: `%Y-%m-%d %H:%M:%S`, `%Y-%m-%d`, `%Y/%m/%d %H:%M`,
     * `%Y/%m/%d`, then a lenient ISO fallback (the reference's
     * `pd.to_datetime`). */
-  def toDateYyyySlashMmSlashDd(c: Column): Column = {
-    val s = trim(coalesce(c.cast("string"), lit("")))
-    val parsed = when(hasDateSep(s), coalesce(
-      try_to_timestamp(s, lit("yyyy-M-d H:m:s")),
-      try_to_timestamp(s, lit("yyyy-M-d")),
-      try_to_timestamp(s, lit("yyyy/M/d H:m")),
-      try_to_timestamp(s, lit("yyyy/M/d")),
-      try_to_timestamp(s)))
-    coalesce(date_format(parsed, "yyyy/MM/dd"), lit(""))
-  }
+  def toDateYyyySlashMmSlashDd(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("dateYyyySlash", coalesce(c.cast("string"), lit("")))
 
   /** F7: ISO-ish `YYYY-MM-DD...` string -> `MM/DD` by positional slice —
     * the reference slices chars [5,10) and swaps `-` for `/`

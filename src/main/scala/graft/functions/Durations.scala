@@ -13,21 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object Durations {
 
-  private val Pat = "(?:(\\d+)\\s*days\\s*)?(\\d{1,2}):(\\d{2})(?::(\\d{2}))?"
-
-  def durationToMinutes(c: Column): Column = {
-    val s = trim(coalesce(c.cast("string"), lit("")))
-    val whole = regexp_extract(s, Pat, 0)
-    val days = coalesce(nullif(regexp_extract(s, Pat, 1), lit("")), lit("0")).cast("int")
-    val hours = regexp_extract(s, Pat, 2).cast("int")
-    val mins = regexp_extract(s, Pat, 3).cast("int")
-    val secs = coalesce(nullif(regexp_extract(s, Pat, 4), lit("")), lit("0")).cast("int")
-    val fromPat = days * 1440 + hours * 60 + mins + when(secs >= 30, 1).otherwise(0)
-    when(s === "", lit(null).cast("int"))
-      .when(whole =!= "", fromPat)
-      .when(s.rlike("^\\d+$"), s.cast("int"))
-      .otherwise(lit(null).cast("int"))
-  }
+  def durationToMinutes(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("durationMinutes", coalesce(c.cast("string"), lit("")))
 
   /** Numeric passthrough variant for already-numeric columns. */
   def durationToMinutesNumeric(c: Column): Column = c.cast("int")

@@ -15,30 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Luggage {
 
+  private def call(fn: String, c: Column): Column =
+    graft.functions.cat.GraftExpr.call(fn, coalesce(c.cast("string"), lit("")))
+
   /** F4 number part: first `\d+(\.\d+)?` as double; NULL when absent. */
-  def luggageValue(c: Column): Column =
-    nullif(regexp_extract(trim(coalesce(c.cast("string"), lit(""))),
-      "(\\d+(?:\\.\\d+)?)", 1), lit("")).cast("double")
+  def luggageValue(c: Column): Column = call("luggageValue", c)
 
   /** F4 unit part: strip `[\d\s.]`, canonicalize; "" for null/blank input. */
-  def luggageUnit(c: Column): Column = {
-    val s = trim(coalesce(c.cast("string"), lit("")))
-    val residue = regexp_replace(s, "[\\d\\s\\.]+", "")
-    when(s === "", lit(""))
-      .when(residue.contains("件"), lit("件"))
-      .when(residue.rlike("公斤|kg|KG|Kg"), lit("公斤"))
-      .otherwise(residue)
-  }
+  def luggageUnit(c: Column): Column = call("luggageUnit", c)
 
   /** F5: re-compose `<number><unit>`, formatting integral values without
     * the decimal point (`25.0公斤` -> `25公斤`); "" when no number. */
-  def recomposeLuggage(c: Column): Column = {
-    val n = luggageValue(c)
-    val u = luggageUnit(c)
-    val nStr = when(n === floor(n), n.cast("long").cast("string"))
-      .otherwise(n.cast("string"))
-    when(n.isNotNull && u =!= "", concat(nStr, u))
-      .when(n.isNotNull, n.cast("string"))
-      .otherwise(lit(""))
-  }
+  def recomposeLuggage(c: Column): Column = call("luggageRecompose", c)
 }

@@ -33,14 +33,8 @@ object Normalize {
     * (`unified_transformer.py:228-234`). Result is never NULL, so the
     * downstream equi-join matches empty keys to empty keys exactly like
     * the reference's pandas merge on `""`-normalized strings. */
-  def normalizeKey(c: Column): Column = {
-    val s = trim(coalesce(c.cast("string"), lit("")))
-    // Collapse interior whitespace runs — but only pay the regex when a
-    // cheap translate pass shows the string still contains whitespace.
-    val collapsed = when(length(stripAllWhitespace(s)) === length(s), s)
-      .otherwise(regexp_replace(s, "\\s+", " "))
-    upper(scrubPlaceholders(collapsed))
-  }
+  def normalizeKey(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("keyNorm", coalesce(c.cast("string"), lit("")))
 
   /** The whitespace class the reference's `\s` matches on these ASCII
     * payloads — used with `translate`, a single char-table pass that
@@ -54,7 +48,7 @@ object Normalize {
   /** J2 (flight-number / cabin-class key): normalizeKey + strip ALL
     * whitespace (`unified_transformer.py:236-241`: 'CX 450' -> 'CX450'). */
   def normalizeTightKey(c: Column): Column =
-    stripAllWhitespace(normalizeKey(c))
+    graft.functions.cat.GraftExpr.call("tightKeyNorm", coalesce(c.cast("string"), lit("")))
 
   /** F10: flight-number canonicalization — strip whitespace, uppercase,
     * zero-pad 2-digit (`CI73` -> `CI073`) and 1-digit (`CI7` -> `CI007`)
@@ -63,13 +57,8 @@ object Normalize {
     * The pad rewrites fire only behind a length guard, so the regex
     * (the dominant per-row cost in the cleaning stage) runs on the rare
     * short tails instead of every value. */
-  def normalizeFlightNumber(c: Column): Column = {
-    val base = upper(stripAllWhitespace(coalesce(c.cast("string"), lit(""))))
-    val pad2 = when(length(base) === 4 && base.rlike("^[A-Z0-9]{2}\\d{2}$"),
-      concat(substring(base, 1, 2), lit("0"), substring(base, 3, 2))).otherwise(base)
-    when(length(pad2) === 3 && pad2.rlike("^[A-Z0-9]{2}\\d$"),
-      concat(substring(pad2, 1, 2), lit("00"), substring(pad2, 3, 1))).otherwise(pad2)
-  }
+  def normalizeFlightNumber(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("flightNorm", coalesce(c.cast("string"), lit("")))
 
   /** F-C validity predicate: a normalized flight number is valid when
     * empty or `^[A-Z0-9]{2}\d{3,4}$` (`set_transformer.py:94-102`).
@@ -77,15 +66,9 @@ object Normalize {
     * same accept set as the anchored ASCII regex, but each check is a
     * codegen'd substring/ascii intrinsic instead of a regex engine run
     * per row per flight column. */
-  def isValidFlightNumber(c: Column): Column = {
-    def ch(i: Int): Column = ascii(substring(c, i, 1))
-    def digit(i: Int): Column = ch(i).between(48, 57)
-    def upnum(i: Int): Column = digit(i) || ch(i).between(65, 90)
-    val len = length(c)
-    (c.isNull || c === "") ||
-      (len.between(5, 6) && upnum(1) && upnum(2) && digit(3) && digit(4) &&
-        digit(5) && (len === 5 || digit(6)))
-  }
+  def isValidFlightNumber(c: Column): Column =
+    coalesce(graft.functions.cat.GraftExpr.call("flightValid", c.cast("string")),
+      lit(true)) // NULL is valid (the reference checks only non-empty cells)
 
   /** F-C row filter: keep rows where EVERY flight column is valid. */
   def allFlightNumbersValid(cols: Seq[Column]): Column =
@@ -101,18 +84,8 @@ object Normalize {
     * strip a leading or trailing 4-digit year, zero-pad month/day. The
     * reference's `pd.to_datetime` round-trip is a no-op on the padded
     * value (it re-emits `%m/%d`), so the padded string IS the result. */
-  def normalizeDateKeyMMDD(c: Column): Column = {
-    val s0 = coalesce(c.cast("string"), lit(""))
-    val slash = trim(translate(s0, ".-", "//"))
-    val noYear = regexp_replace(
-      regexp_replace(slash, "^\\s*\\d{4}\\s*/", ""),
-      "/\\s*\\d{4}\\s*$", "")
-    val m = regexp_extract(noYear, "^\\s*(\\d{1,2})\\s*/\\s*(\\d{1,2})\\s*$", 1)
-    val d = regexp_extract(noYear, "^\\s*(\\d{1,2})\\s*/\\s*(\\d{1,2})\\s*$", 2)
-    when(m =!= "", concat(lpad(m.cast("int").cast("string"), 2, "0"), lit("/"),
-                          lpad(d.cast("int").cast("string"), 2, "0")))
-      .otherwise(noYear)
-  }
+  def normalizeDateKeyMMDD(c: Column): Column =
+    graft.functions.cat.GraftExpr.call("dateKeyMmDd", coalesce(c.cast("string"), lit("")))
 
   /** Full J2 date-key chain: generic normalize first (the date columns go
     * through the same loop as every join key), then MM/DD canonicalization. */

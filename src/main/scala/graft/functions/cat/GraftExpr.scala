@@ -1,0 +1,105 @@
+package graft.functions.cat
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the engine's hot scalar functions.
+  *
+  * Each one generates a single static call into [[Kernels]] — compact
+  * generated code (the combinator forms of these functions blew past
+  * Janino's 64KB method limit in the 85-column flight projection and
+  * forced interpreted fallback) and a hand-rolled, regex-free inner
+  * loop. `nullSafeEval` provides the interpreted path, so the
+  * expressions behave under both codegen factory modes.
+  */
+object GraftExpr {
+
+  /** fn name in [[Kernels]] -> (result type, can a non-null input
+    * produce a null result). */
+  private val Sigs: Map[String, (DataType, Boolean)] = Map(
+    "timeHhmm" -> (StringType, false),
+    "dateYyyySlash" -> (StringType, false),
+    "durationMinutes" -> (IntegerType, true),
+    "luggageValue" -> (DoubleType, true),
+    "luggageUnit" -> (StringType, false),
+    "luggageRecompose" -> (StringType, false),
+    "airlineCode" -> (StringType, false),
+    "headToken" -> (StringType, true),
+    "keyNorm" -> (StringType, false),
+    "tightKeyNorm" -> (StringType, false),
+    "flightNorm" -> (StringType, false),
+    "flightValid" -> (BooleanType, false),
+    "dateKeyMmDd" -> (StringType, false))
+
+  private def eval1(fn: String, in: UTF8String): Any = fn match {
+    case "timeHhmm" => Kernels.timeHhmm(in)
+    case "dateYyyySlash" => Kernels.dateYyyySlash(in)
+    case "durationMinutes" => Kernels.durationMinutes(in)
+    case "luggageValue" => Kernels.luggageValue(in)
+    case "luggageUnit" => Kernels.luggageUnit(in)
+    case "luggageRecompose" => Kernels.luggageRecompose(in)
+    case "airlineCode" => Kernels.airlineCode(in)
+    case "headToken" => Kernels.headToken(in)
+    case "keyNorm" => Kernels.keyNorm(in)
+    case "tightKeyNorm" => Kernels.tightKeyNorm(in)
+    case "flightNorm" => Kernels.flightNorm(in)
+    case "flightValid" => Kernels.flightValid(in)
+    case "dateKeyMmDd" => Kernels.dateKeyMmDd(in)
+  }
+
+  /** Column-level entry point used by the function builders. */
+  def call(fn: String, c: Column): Column =
+    Bridge.column(StringKernelCall(Bridge.expression(c), fn))
+
+  /** The callers ([[graft.functions]] builders) always cast the child to
+    * string, so no ExpectsInputTypes coercion is needed. */
+  case class StringKernelCall(child: Expression, fn: String)
+      extends UnaryExpression {
+
+    private val (resultType, fnNullable) = Sigs(fn)
+
+    override def dataType: DataType = resultType
+    override def nullable: Boolean = child.nullable || fnNullable
+    override def prettyName: String = s"graft_$fn"
+
+    override protected def nullSafeEval(input: Any): Any =
+      eval1(fn, input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val kernels = "graft.functions.cat.Kernels"
+      if (!fnNullable) {
+        val javaCast = resultType match {
+          case BooleanType => (v: String) => s"$v.booleanValue()"
+          case _ => (v: String) => v
+        }
+        defineCodeGen(ctx, ev, c => javaCast(s"$kernels.$fn($c)"))
+      } else {
+        val boxed = resultType match {
+          case IntegerType => "java.lang.Integer"
+          case DoubleType => "java.lang.Double"
+          case _ => "org.apache.spark.unsafe.types.UTF8String"
+        }
+        val unbox = resultType match {
+          case IntegerType => ".intValue()"
+          case DoubleType => ".doubleValue()"
+          case _ => ""
+        }
+        nullSafeCodeGen(ctx, ev, c => {
+          val tmp = ctx.freshName("kres")
+          s"""
+             |$boxed $tmp = $kernels.$fn($c);
+             |if ($tmp == null) { ${ev.isNull} = true; }
+             |else { ${ev.value} = $tmp$unbox; }
+           """.stripMargin
+        })
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): StringKernelCall =
+      copy(child = newChild)
+  }
+}

@@ -1,0 +1,545 @@
+package graft.functions.cat
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hand-rolled scalar kernels backing the custom Catalyst expressions in
+  * [[GraftExpr]]. Each is the exact semantics of the Column-combinator
+  * version it replaces (golden tests in FunctionsSpec pin them), but as a
+  * single JIT-friendly char scan: no regex engine, no exception-driven
+  * parse misses, and — the original motivation — one static call in the
+  * generated code instead of a multi-KB expression tree. The flight
+  * pipeline's projection stage overflowed Janino's 64KB method limit
+  * with the combinator forms and fell back to interpreted evaluation;
+  * with these kernels the whole stage stays in whole-stage codegen.
+  *
+  * Referenced semantics: `etl/transform/unified_transformer.py:13-147,
+  * 216-258`, `etl/transform/cola_transformer.py:50-119`,
+  * `etl/transform/set_transformer.py:85-92` (reference repo paths).
+  *
+  * All methods take/return UTF8String (Spark's native string), are
+  * called only on non-null input (null handling lives in the expression
+  * wrapper), and use Java regex `\s` = `[ \t\n\x0B\f\r]` as the
+  * whitespace class throughout.
+  */
+object Kernels {
+
+  @inline private def isWs(ch: Char): Boolean =
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+  @inline private def isDigit(ch: Char): Boolean = ch >= '0' && ch <= '9'
+  @inline private def isAsciiLetter(ch: Char): Boolean =
+    (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')
+  @inline private def isUpnum(ch: Char): Boolean =
+    (ch >= 'A' && ch <= 'Z') || isDigit(ch)
+
+  /** Spark's `trim()`: ASCII space only. */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  private def stripWs(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && !isWs(s.charAt(i))) i += 1
+    if (i == n) return s
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val ch = s.charAt(i)
+      if (!isWs(ch)) sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Unicode-correct uppercase identical to Spark's `upper()`. */
+  private def upperU(s: String): String =
+    UTF8String.fromString(s).toUpperCase.toString
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  // ---------------------------------------------------------------------
+  // F2: to_time_hhmm
+  // ---------------------------------------------------------------------
+
+  private def daysInMonth(y: Int, m: Int): Int = m match {
+    case 1 | 3 | 5 | 7 | 8 | 10 | 12 => 31
+    case 4 | 6 | 9 | 11 => 30
+    case 2 => if (y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)) 29 else 28
+    case _ => 0
+  }
+
+  /** Parse `yyyy<sep>M<sep>d H:m[:s]` with full-string consumption and
+    * calendar validation; returns h*100+m, or -1. */
+  private def parseYmdTime(t: String, sep: Char, withSeconds: Boolean): Int = {
+    val n = t.length
+    var i = 0
+    // exactly 4-digit year
+    if (n < 4 || !isDigit(t.charAt(0)) || !isDigit(t.charAt(1)) ||
+      !isDigit(t.charAt(2)) || !isDigit(t.charAt(3))) return -1
+    val y = (t.charAt(0) - '0') * 1000 + (t.charAt(1) - '0') * 100 +
+      (t.charAt(2) - '0') * 10 + (t.charAt(3) - '0')
+    i = 4
+    def field(sepCh: Char): Int = {
+      if (i >= n || t.charAt(i) != sepCh) return -1
+      i += 1
+      if (i >= n || !isDigit(t.charAt(i))) return -1
+      var v = t.charAt(i) - '0'
+      i += 1
+      if (i < n && isDigit(t.charAt(i))) { v = v * 10 + (t.charAt(i) - '0'); i += 1 }
+      v
+    }
+    val mo = field(sep); if (mo < 1 || mo > 12) return -1
+    val d = field(sep); if (d < 1 || d > daysInMonth(y, mo)) return -1
+    val h = field(' '); if (h < 0 || h > 23) return -1
+    val mi = field(':'); if (mi < 0 || mi > 59) return -1
+    if (withSeconds) {
+      val se = field(':'); if (se < 0 || se > 59) return -1
+    }
+    if (i != n) return -1
+    h * 100 + mi
+  }
+
+  /** Leftmost `(\d{1,2}):(\d{2})` (greedy hours, Java-regex backtracking
+    * order); returns h*100+m packed, or -1. */
+  private def findHhmm(t: String): Int = {
+    val n = t.length
+    var i = 0
+    while (i < n) {
+      if (isDigit(t.charAt(i))) {
+        // greedy: two-digit hour first
+        if (i + 4 < n && isDigit(t.charAt(i + 1)) && t.charAt(i + 2) == ':' &&
+          isDigit(t.charAt(i + 3)) && isDigit(t.charAt(i + 4)))
+          return ((t.charAt(i) - '0') * 10 + (t.charAt(i + 1) - '0')) * 100 +
+            (t.charAt(i + 3) - '0') * 10 + (t.charAt(i + 4) - '0')
+        if (i + 3 < n && t.charAt(i + 1) == ':' &&
+          isDigit(t.charAt(i + 2)) && isDigit(t.charAt(i + 3)))
+          return (t.charAt(i) - '0') * 100 +
+            (t.charAt(i + 2) - '0') * 10 + (t.charAt(i + 3) - '0')
+      }
+      i += 1
+    }
+    -1
+  }
+
+  @inline private def pad2(v: Int, sb: java.lang.StringBuilder): Unit = {
+    if (v < 10) sb.append('0')
+    sb.append(v)
+  }
+
+  private def hhmmString(packed: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder(5)
+    pad2(packed / 100, sb)
+    sb.append(':')
+    pad2(packed % 100, sb)
+    utf8(sb.toString)
+  }
+
+  /** F2 (`unified_transformer.py:33-74`): full-datetime formats in the
+    * reference's order, then the first `\d{1,2}:\d{2}` anywhere; "". */
+  def timeHhmm(u: UTF8String): UTF8String = {
+    val t = trimSpaces(u.toString)
+    if (t.indexOf('-') >= 0 || t.indexOf('/') >= 0) {
+      var p = parseYmdTime(t, '-', withSeconds = true) // %Y-%m-%d %H:%M:%S
+      if (p < 0) p = parseYmdTime(t, '/', withSeconds = false) // %Y/%m/%d %H:%M
+      if (p < 0) p = parseYmdTime(t, '-', withSeconds = false) // %Y-%m-%d %H:%M
+      if (p >= 0) return hhmmString(p)
+    }
+    val f = findHhmm(t)
+    if (f >= 0) hhmmString(f) else UTF8String.EMPTY_UTF8
+  }
+
+  // ---------------------------------------------------------------------
+  // F6: to_date_yyyy_slash_mm_slash_dd
+  // ---------------------------------------------------------------------
+
+  /** Parse `yyyy<sep>M[<sep>d[ H:m[:s]]]` shapes; returns packed
+    * y*10000+m*100+d or -1. `requireTime`: the format must include the
+    * time part; `allowSeconds` likewise. */
+  private def parseDateShape(t: String, sep: Char, withTime: Boolean,
+                             withSeconds: Boolean): Int = {
+    val n = t.length
+    if (n < 4 || !isDigit(t.charAt(0)) || !isDigit(t.charAt(1)) ||
+      !isDigit(t.charAt(2)) || !isDigit(t.charAt(3))) return -1
+    val y = (t.charAt(0) - '0') * 1000 + (t.charAt(1) - '0') * 100 +
+      (t.charAt(2) - '0') * 10 + (t.charAt(3) - '0')
+    var i = 4
+    def field(sepCh: Char): Int = {
+      if (i >= n || t.charAt(i) != sepCh) return -1
+      i += 1
+      if (i >= n || !isDigit(t.charAt(i))) return -1
+      var v = t.charAt(i) - '0'
+      i += 1
+      if (i < n && isDigit(t.charAt(i))) { v = v * 10 + (t.charAt(i) - '0'); i += 1 }
+      v
+    }
+    val mo = field(sep); if (mo < 1 || mo > 12) return -1
+    val d = field(sep); if (d < 1 || d > daysInMonth(y, mo)) return -1
+    if (withTime) {
+      val h = field(' '); if (h < 0 || h > 23) return -1
+      val mi = field(':'); if (mi < 0 || mi > 59) return -1
+      if (withSeconds) {
+        val se = field(':'); if (se < 0 || se > 59) return -1
+      }
+    }
+    if (i != n) return -1
+    y * 10000 + mo * 100 + d
+  }
+
+  /** The lenient ISO fallback (the reference's `pd.to_datetime`, our
+    * previous `try_to_timestamp(s)`): `yyyy-M-d[ |T]H:m[:s[.frac]]`. */
+  private def parseLenientIso(t: String): Int = {
+    val n = t.length
+    if (n < 4 || !isDigit(t.charAt(0)) || !isDigit(t.charAt(1)) ||
+      !isDigit(t.charAt(2)) || !isDigit(t.charAt(3))) return -1
+    val y = (t.charAt(0) - '0') * 1000 + (t.charAt(1) - '0') * 100 +
+      (t.charAt(2) - '0') * 10 + (t.charAt(3) - '0')
+    var i = 4
+    def field(sepOk: Char => Boolean): Int = {
+      if (i >= n || !sepOk(t.charAt(i))) return -1
+      i += 1
+      if (i >= n || !isDigit(t.charAt(i))) return -1
+      var v = t.charAt(i) - '0'
+      i += 1
+      if (i < n && isDigit(t.charAt(i))) { v = v * 10 + (t.charAt(i) - '0'); i += 1 }
+      v
+    }
+    val mo = field(_ == '-'); if (mo < 1 || mo > 12) return -1
+    val d = field(_ == '-'); if (d < 1 || d > daysInMonth(y, mo)) return -1
+    if (i == n) return y * 10000 + mo * 100 + d
+    val h = field(c => c == ' ' || c == 'T'); if (h < 0 || h > 23) return -1
+    val mi = field(_ == ':'); if (mi < 0 || mi > 59) return -1
+    if (i < n) {
+      val se = field(_ == ':'); if (se < 0 || se > 59) return -1
+      if (i < n && t.charAt(i) == '.') {
+        i += 1
+        val f0 = i
+        while (i < n && isDigit(t.charAt(i))) i += 1
+        if (i == f0) return -1
+      }
+    }
+    if (i != n) return -1
+    y * 10000 + mo * 100 + d
+  }
+
+  /** F6 (`cola_transformer.py:50-85`): strptime chain
+    * `%Y-%m-%d %H:%M:%S`, `%Y-%m-%d`, `%Y/%m/%d %H:%M`, `%Y/%m/%d`,
+    * then lenient ISO; result `YYYY/MM/DD` or "". */
+  def dateYyyySlash(u: UTF8String): UTF8String = {
+    val t = trimSpaces(u.toString)
+    if (t.indexOf('-') < 0 && t.indexOf('/') < 0) return UTF8String.EMPTY_UTF8
+    var p = parseDateShape(t, '-', withTime = true, withSeconds = true)
+    if (p < 0) p = parseDateShape(t, '-', withTime = false, withSeconds = false)
+    if (p < 0) p = parseDateShape(t, '/', withTime = true, withSeconds = false)
+    if (p < 0) p = parseDateShape(t, '/', withTime = false, withSeconds = false)
+    if (p < 0) p = parseLenientIso(t)
+    if (p < 0) return UTF8String.EMPTY_UTF8
+    val sb = new java.lang.StringBuilder(10)
+    sb.append(p / 10000).append('/')
+    pad2(p / 100 % 100, sb)
+    sb.append('/')
+    pad2(p % 100, sb)
+    utf8(sb.toString)
+  }
+
+  // ---------------------------------------------------------------------
+  // F3: duration_to_minutes
+  // ---------------------------------------------------------------------
+
+  /** Try the time part `(\d{1,2}):(\d{2})(?::(\d{2}))?` at position k
+    * with Java-regex greediness; returns minutes-with-rounding or -1. */
+  private def tryTimeAt(t: String, k: Int): Int = {
+    val n = t.length
+    var h = -1
+    var after = -1
+    if (k + 4 < n && isDigit(t.charAt(k)) && isDigit(t.charAt(k + 1)) &&
+      t.charAt(k + 2) == ':' && isDigit(t.charAt(k + 3)) && isDigit(t.charAt(k + 4))) {
+      h = (t.charAt(k) - '0') * 10 + (t.charAt(k + 1) - '0')
+      after = k + 2
+    } else if (k + 3 < n && isDigit(t.charAt(k)) && t.charAt(k + 1) == ':' &&
+      isDigit(t.charAt(k + 2)) && isDigit(t.charAt(k + 3))) {
+      h = t.charAt(k) - '0'
+      after = k + 1
+    } else return -1
+    val m = (t.charAt(after + 1) - '0') * 10 + (t.charAt(after + 2) - '0')
+    var total = h * 60 + m
+    val sPos = after + 3
+    if (sPos + 2 < n && t.charAt(sPos) == ':' &&
+      isDigit(t.charAt(sPos + 1)) && isDigit(t.charAt(sPos + 2))) {
+      val se = (t.charAt(sPos + 1) - '0') * 10 + (t.charAt(sPos + 2) - '0')
+      if (se >= 30) total += 1
+    }
+    total
+  }
+
+  /** F3 (`unified_transformer.py:76-113`): leftmost
+    * `(?:(\d+)\s*days\s*)?(\d{1,2}):(\d{2})(?::(\d{2}))?` anywhere,
+    * else bare digits are already minutes, else null. */
+  def durationMinutes(u: UTF8String): Integer = {
+    val t = trimSpaces(u.toString)
+    val n = t.length
+    if (n == 0) return null
+    var i = 0
+    while (i < n) {
+      if (isDigit(t.charAt(i))) {
+        // optional greedy days prefix: digits+ ws* "days" ws*
+        var e = i
+        while (e < n && isDigit(t.charAt(e))) e += 1
+        var w = e
+        while (w < n && isWs(t.charAt(w))) w += 1
+        if (w + 4 <= n && t.charAt(w) == 'd' && t.charAt(w + 1) == 'a' &&
+          t.charAt(w + 2) == 'y' && t.charAt(w + 3) == 's') {
+          var k = w + 4
+          while (k < n && isWs(t.charAt(k))) k += 1
+          val tm = tryTimeAt(t, k)
+          if (tm >= 0) {
+            var days = 0L
+            var j = i
+            while (j < e) { days = math.min(days * 10 + (t.charAt(j) - '0'), 1500000L); j += 1 }
+            return Integer.valueOf((days * 1440L + tm).min(Int.MaxValue).toInt)
+          }
+        }
+        // no days prefix: time must start right here
+        val tm = tryTimeAt(t, i)
+        if (tm >= 0) return Integer.valueOf(tm)
+      }
+      i += 1
+    }
+    // ^\d+$ -> already minutes
+    var j = 0
+    var v = 0L
+    while (j < n && isDigit(t.charAt(j))) { v = v * 10 + (t.charAt(j) - '0'); if (v > Int.MaxValue) return null; j += 1 }
+    if (j == n) Integer.valueOf(v.toInt) else null
+  }
+
+  // ---------------------------------------------------------------------
+  // F4/F5: luggage
+  // ---------------------------------------------------------------------
+
+  /** First `\d+(\.\d+)?` anywhere as a double; null when absent. */
+  def luggageValue(u: UTF8String): java.lang.Double = {
+    val t = trimSpaces(u.toString)
+    val n = t.length
+    var i = 0
+    while (i < n && !isDigit(t.charAt(i))) i += 1
+    if (i == n) return null
+    var e = i
+    while (e < n && isDigit(t.charAt(e))) e += 1
+    var end = e
+    if (e + 1 < n && t.charAt(e) == '.' && isDigit(t.charAt(e + 1))) {
+      end = e + 1
+      while (end < n && isDigit(t.charAt(end))) end += 1
+    }
+    java.lang.Double.valueOf(java.lang.Double.parseDouble(t.substring(i, end)))
+  }
+
+  /** Residue after stripping `[\d\s.]`, canonicalized to 件 / 公斤
+    * (kg/KG/Kg synonyms); "" for blank input. */
+  def luggageUnit(u: UTF8String): UTF8String = {
+    val t = trimSpaces(u.toString)
+    if (t.isEmpty) return UTF8String.EMPTY_UTF8
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      val ch = t.charAt(i)
+      if (!isDigit(ch) && !isWs(ch) && ch != '.') sb.append(ch)
+      i += 1
+    }
+    val r = sb.toString
+    if (r.indexOf('件') >= 0) return utf8("件")
+    if (r.contains("公斤") || r.contains("kg") || r.contains("KG") || r.contains("Kg"))
+      return utf8("公斤")
+    utf8(r)
+  }
+
+  /** F5: `<number><unit>`, integral values without the decimal point;
+    * "" when no number. A unit-less number keeps the double rendering
+    * (`25` -> `"25.0"`), matching the combinator form's double cast. */
+  def luggageRecompose(u: UTF8String): UTF8String = {
+    val v = luggageValue(u)
+    if (v == null) return UTF8String.EMPTY_UTF8
+    val unit = luggageUnit(u).toString
+    val d = v.doubleValue()
+    if (unit.isEmpty) return utf8(java.lang.Double.toString(d))
+    val nStr =
+      if (d == math.floor(d) && !d.isInfinite) java.lang.Long.toString(d.toLong)
+      else java.lang.Double.toString(d)
+    utf8(nStr + unit)
+  }
+
+  // ---------------------------------------------------------------------
+  // F1/F12: airline code, airport head token
+  // ---------------------------------------------------------------------
+
+  /** F1: leading ASCII letters, uppercased; "" when none. */
+  def airlineCode(u: UTF8String): UTF8String = {
+    val t = u.toString
+    var e = 0
+    while (e < t.length && isAsciiLetter(t.charAt(e))) e += 1
+    if (e == 0) return UTF8String.EMPTY_UTF8
+    val sb = new java.lang.StringBuilder(e)
+    var i = 0
+    while (i < e) {
+      val ch = t.charAt(i)
+      sb.append(if (ch >= 'a' && ch <= 'z') (ch - 32).toChar else ch)
+      i += 1
+    }
+    utf8(sb.toString)
+  }
+
+  /** F12: first whitespace-delimited token of the space-trimmed input;
+    * null for blank (pandas `"".split()[0]` is NaN); "" when the
+    * trimmed value still *starts* with non-space whitespace (split's
+    * leading empty field). */
+  def headToken(u: UTF8String): UTF8String = {
+    val t = trimSpaces(u.toString)
+    if (t.isEmpty) return null
+    var e = 0
+    while (e < t.length && !isWs(t.charAt(e))) e += 1
+    utf8(t.substring(0, e))
+  }
+
+  // ---------------------------------------------------------------------
+  // J2 / F10 / F-C / F11: key + flight-number normalization
+  // ---------------------------------------------------------------------
+
+  private val PlaceholdersLower = Array("nan", "none", "<na>", "null", "nat")
+
+  /** J2 generic key (`unified_transformer.py:228-234`): trim, collapse
+    * interior whitespace runs to single spaces, scrub `nan`-family
+    * placeholders to "", uppercase (Unicode, like Spark `upper`). */
+  def keyNorm(u: UTF8String): UTF8String = {
+    val t = trimSpaces(u.toString)
+    var collapsed = t
+    var i = 0
+    var needs = false
+    while (i < t.length && !needs) { if (isWs(t.charAt(i))) needs = true; i += 1 }
+    if (needs) {
+      val sb = new java.lang.StringBuilder(t.length)
+      i = 0
+      var inWs = false
+      while (i < t.length) {
+        val ch = t.charAt(i)
+        if (isWs(ch)) { if (!inWs) sb.append(' '); inWs = true }
+        else { sb.append(ch); inWs = false }
+        i += 1
+      }
+      collapsed = sb.toString
+    }
+    if (collapsed.isEmpty) return UTF8String.EMPTY_UTF8
+    var p = 0
+    while (p < PlaceholdersLower.length) {
+      if (collapsed.equalsIgnoreCase(PlaceholdersLower(p))) return UTF8String.EMPTY_UTF8
+      p += 1
+    }
+    utf8(upperU(collapsed))
+  }
+
+  /** J2 tight key: keyNorm then strip remaining whitespace. */
+  def tightKeyNorm(u: UTF8String): UTF8String =
+    utf8(stripWs(keyNorm(u).toString))
+
+  /** F10: strip all whitespace, uppercase, zero-pad `XX99` -> `XX099`
+    * and `XX9` -> `XX009` tails. */
+  def flightNorm(u: UTF8String): UTF8String = {
+    val base = upperU(stripWs(u.toString))
+    val n = base.length
+    if (n == 4 && isUpnum(base.charAt(0)) && isUpnum(base.charAt(1)) &&
+      isDigit(base.charAt(2)) && isDigit(base.charAt(3)))
+      return utf8(base.substring(0, 2) + "0" + base.substring(2))
+    if (n == 3 && isUpnum(base.charAt(0)) && isUpnum(base.charAt(1)) &&
+      isDigit(base.charAt(2)))
+      return utf8(base.substring(0, 2) + "00" + base.substring(2))
+    utf8(base)
+  }
+
+  /** F-C: `""` or `^[A-Z0-9]{2}\d{3,4}$`. */
+  def flightValid(u: UTF8String): java.lang.Boolean = {
+    val t = u.toString
+    val n = t.length
+    if (n == 0) return java.lang.Boolean.TRUE
+    if (n != 5 && n != 6) return java.lang.Boolean.FALSE
+    if (!isUpnum(t.charAt(0)) || !isUpnum(t.charAt(1))) return java.lang.Boolean.FALSE
+    var i = 2
+    while (i < n) {
+      if (!isDigit(t.charAt(i))) return java.lang.Boolean.FALSE
+      i += 1
+    }
+    java.lang.Boolean.TRUE
+  }
+
+  // ---------------------------------------------------------------------
+  // J2 date key
+  // ---------------------------------------------------------------------
+
+  /** J2 date key (`unified_transformer.py:244-258`): `.`/`-` -> `/`,
+    * strip one leading and one trailing 4-digit year, zero-pad to
+    * `MM/DD` when the remainder is `\d{1,2}/\d{1,2}`; otherwise keep
+    * the remainder verbatim. */
+  def dateKeyMmDd(u: UTF8String): UTF8String = {
+    val s0 = u.toString
+    val sb0 = new java.lang.StringBuilder(s0.length)
+    var i = 0
+    while (i < s0.length) {
+      val ch = s0.charAt(i)
+      sb0.append(if (ch == '.' || ch == '-') '/' else ch)
+      i += 1
+    }
+    var t = trimSpaces(sb0.toString)
+    // leading ^\s*\d{4}\s*/
+    var a = 0
+    while (a < t.length && isWs(t.charAt(a))) a += 1
+    if (a + 4 <= t.length && isDigit(t.charAt(a)) && isDigit(t.charAt(a + 1)) &&
+      isDigit(t.charAt(a + 2)) && isDigit(t.charAt(a + 3))) {
+      var j = a + 4
+      while (j < t.length && isWs(t.charAt(j))) j += 1
+      if (j < t.length && t.charAt(j) == '/') t = t.substring(j + 1)
+    }
+    // trailing /\s*\d{4}\s*$
+    var b = t.length
+    while (b > 0 && isWs(t.charAt(b - 1))) b -= 1
+    if (b >= 4 && isDigit(t.charAt(b - 1)) && isDigit(t.charAt(b - 2)) &&
+      isDigit(t.charAt(b - 3)) && isDigit(t.charAt(b - 4))) {
+      var j = b - 4
+      while (j > 0 && isWs(t.charAt(j - 1))) j -= 1
+      if (j > 0 && t.charAt(j - 1) == '/') t = t.substring(0, j - 1)
+    }
+    // ^\s*(\d{1,2})\s*/\s*(\d{1,2})\s*$ -> zero-pad
+    val n = t.length
+    var p = 0
+    while (p < n && isWs(t.charAt(p))) p += 1
+    var m = -1
+    if (p < n && isDigit(t.charAt(p))) {
+      m = t.charAt(p) - '0'
+      p += 1
+      if (p < n && isDigit(t.charAt(p))) { m = m * 10 + (t.charAt(p) - '0'); p += 1 }
+    }
+    if (m >= 0) {
+      while (p < n && isWs(t.charAt(p))) p += 1
+      if (p < n && t.charAt(p) == '/') {
+        p += 1
+        while (p < n && isWs(t.charAt(p))) p += 1
+        var d = -1
+        if (p < n && isDigit(t.charAt(p))) {
+          d = t.charAt(p) - '0'
+          p += 1
+          if (p < n && isDigit(t.charAt(p))) { d = d * 10 + (t.charAt(p) - '0'); p += 1 }
+        }
+        if (d >= 0) {
+          while (p < n && isWs(t.charAt(p))) p += 1
+          if (p == n) {
+            val sb = new java.lang.StringBuilder(5)
+            pad2(m, sb)
+            sb.append('/')
+            pad2(d, sb)
+            return utf8(sb.toString)
+          }
+        }
+      }
+    }
+    utf8(t)
+  }
+}

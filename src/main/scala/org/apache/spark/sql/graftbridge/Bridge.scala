@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * The classic-mode converters are `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`), so this one-file
+  * shim lives under `org.apache.spark.sql` to re-export them — the
+  * standard technique Spark extension libraries use to attach custom
+  * Catalyst expressions (graft.functions.cat) to the public Column API.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
