@@ -458,6 +458,29 @@ object ParityQueries {
         |UNION ALL
         |SELECT c_custkey, FALSE AS has_orders FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // S5-S8: transactional full-refresh load exercised end-to-end — two
+    // refresh cycles (the first becomes the second's backup) then the
+    // read-back, so the oracle checks what actually landed on disk
+    // (etl/loader.py:197-238).
+    "q19_sink_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val src = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .filter(col("o_orderkey") % 10 === 0)
+        val base = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-sink/${new java.io.File(dir).getName}").getAbsolutePath
+        graft.operators.Sinks.truncateAndLoad(s,
+          src.filter(col("o_orderkey") % 20 === 0),
+          s"$base/orders_cmp", s"$base/backups", "orders_cmp", nowEpoch = 1700000001L)
+        graft.operators.Sinks.truncateAndLoad(s, src,
+          s"$base/orders_cmp", s"$base/backups", "orders_cmp", nowEpoch = 1700000002L)
+        s.read.parquet(s"$base/orders_cmp").orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

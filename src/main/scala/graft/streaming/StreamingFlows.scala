@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analogues of the engine's batch semantics
+  * (SURVEY §2.10: the reference is batch-only — its 12-hour lookback
+  * predicate is the one time-based behavior — so these flows are the
+  * beyond-parity streaming surface of the engine).
+  *
+  *  - [[watermarkDistinct]]: the reference's `SELECT DISTINCT … WHERE
+  *    crawl_time > now-12h` scan (S1/S2/D1) as an incremental stream:
+  *    the watermark bounds dedup state exactly like the lookback bounds
+  *    the batch scan.
+  *  - [[tumblingCounts]]: the hourly rollup (q31) with late-data
+  *    handling; `approx_count_distinct` replaces the exact distinct
+  *    (unbounded per-window distinct state does not scale on streams).
+  *  - [[sessionize]]: gap-based sessions via
+  *    `flatMapGroupsWithState` — per-user state with event-time
+  *    timeouts, the streaming twin of Sessionize.sessions' two-window
+  *    batch construction.
+  *
+  * Scale notes: all three are single-shuffle (hash partition on the
+  * group key); state size is bounded by the watermark horizon, not the
+  * stream length.
+  */
+object StreamingFlows {
+
+  /** S1+S2+D1 as a stream: drop duplicate (keyCols, event-time) rows,
+    * keeping state only inside the watermark horizon. */
+  def watermarkDistinct(events: DataFrame, tsCol: String, lookback: String,
+                        keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, lookback)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Tumbling event-time windows with late-data tolerance. */
+  def tumblingCounts(events: DataFrame, tsCol: String = "ts",
+                     width: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_users_approx"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("n_users_approx"), col("sum_value"))
+
+  case class SessEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
+  case class OpenSession(seq: Long, startUs: Long, endUs: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_seq: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with per-user state and event-time
+    * timeouts: a session closes when a newer event arrives past the gap,
+    * or when the watermark passes the gap with no new events (timeout).
+    * `events` needs columns (user_id, event_time: timestamp, value). */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+                 lateness: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fold(userId: Long, evs: Iterator[SessEvent],
+             state: GroupState[OpenSession]): Iterator[Session] = {
+      def close(s: OpenSession): Session =
+        Session(userId, s.seq, s.startUs, s.endUs, s.n, s.sum)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).toSeq
+        state.remove()
+        return out.iterator
+      }
+      val sorted = evs.map(e => (e.event_time.getTime * 1000L, e.value)).toSeq.sortBy(_._1)
+      var open = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { case (us, value) =>
+        open match {
+          case Some(s) if us - s.endUs <= gapUs =>
+            open = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1,
+              sum = s.sum + value))
+          case Some(s) =>
+            closed += close(s)
+            open = Some(OpenSession(s.seq + 1, us, us, 1, value))
+          case None =>
+            open = Some(OpenSession(1, us, us, 1, value))
+        }
+      }
+      open.foreach { s =>
+        state.update(s)
+        // fire once the watermark passes the end of the inactivity gap
+        state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("event_time", lateness)
+      .select(col("user_id").cast("long").as("user_id"), col("event_time"),
+        col("value").cast("double").as("value"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+}

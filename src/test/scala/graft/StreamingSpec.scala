@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingFlows
+
+/** Structured Streaming flows driven through MemoryStream. */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** 2024-01-01 00:00 UTC base (hour-aligned): epoch-0 event times sit
+    * exactly on the initial watermark and are filtered as late. */
+  private val BaseMs = 1704067200000L
+  private def ts(minutes: Long): Timestamp = new Timestamp(BaseMs + minutes * 60000L)
+
+  test("watermarkDistinct drops in-horizon duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingFlows.watermarkDistinct(
+      in.toDF().toDF("user_id", "ts", "value"), "ts", "1 hour", Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("wm_distinct")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), 1.0), (1L, ts(0), 1.0), (2L, ts(1), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_distinct").count() == 2)
+    } finally q.stop()
+  }
+
+  test("tumblingCounts aggregates closed event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingFlows.tumblingCounts(
+      in.toDF().toDF("user_id", "ts", "value"), "ts", "1 hour", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(10), 1.0), (2L, ts(20), 2.0), (1L, ts(50), 3.0))
+      q.processAllAvailable()
+      in.addData((3L, ts(70), 4.0)) // advances the watermark past hour 0
+      q.processAllAvailable()
+      in.addData((3L, ts(130), 5.0)) // closes hour 1
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select("window_start", "n_events", "sum_value")
+        .as[(Timestamp, Long, Double)].collect()
+        .map { case (w, n, s) => ((w.getTime - BaseMs) / 60000L, (n, s)) }.toMap
+      assert(rows.get(0L).map(_._1) == Some(3L))
+      assert(rows.get(0L).map(_._2) == Some(6.0))
+      assert(rows.get(60L).map(_._1) == Some(1L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions by gap and by watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingFlows.sessionize(
+      in.toDF().toDF("user_id", "event_time", "value"), gapMinutes = 30,
+      lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0 and 5 min (one session), then 100 min (new session)
+      in.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(100), 3.0)) // gap > 30 min -> closes session 1
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions")
+        .as[StreamingFlows.Session].collect()
+      assert(afterGap.exists(s =>
+        s.user_id == 1 && s.session_seq == 1 && s.n_events == 2 && s.sum_value == 3.0))
+      // advance the watermark far past 100min + gap so the open session
+      // times out (timeouts fire on the batch after the watermark moves)
+      in.addData((2L, ts(500), 9.0))
+      q.processAllAvailable()
+      in.addData((2L, ts(501), 1.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions")
+        .as[StreamingFlows.Session].collect()
+      assert(afterTimeout.exists(s =>
+        s.user_id == 1 && s.session_seq == 2 && s.n_events == 1 && s.sum_value == 3.0))
+    } finally q.stop()
+  }
+}
