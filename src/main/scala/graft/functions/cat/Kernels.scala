@@ -408,11 +408,24 @@ object Kernels {
 
   private val PlaceholdersLower = Array("nan", "none", "<na>", "null", "nat")
 
-  /** J2 generic key (`unified_transformer.py:228-234`): trim, collapse
-    * interior whitespace runs to single spaces, scrub `nan`-family
-    * placeholders to "", uppercase (Unicode, like Spark `upper`). */
+  /** Python `str.strip()`: both ends, the full whitespace class — the
+    * reference strips before collapsing, which is what makes keyNorm
+    * idempotent (space-only trim would leave `"x\t"` -> `"x "` -> `"x"`
+    * unstable across passes). */
+  private def trimAllWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isWs(s.charAt(a))) a += 1
+    while (b > a && isWs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** J2 generic key (`unified_transformer.py:228-234`): strip (Python
+    * semantics: all whitespace), collapse interior whitespace runs to
+    * single spaces, scrub `nan`-family placeholders to "", uppercase
+    * (Unicode, like Spark `upper`). */
   def keyNorm(u: UTF8String): UTF8String = {
-    val t = trimSpaces(u.toString)
+    val t = trimAllWs(u.toString)
     var collapsed = t
     var i = 0
     var needs = false
