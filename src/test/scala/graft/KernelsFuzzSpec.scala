@@ -155,6 +155,24 @@ class KernelsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotence / absorption algebra used by CollapseIdempotentNormalize") {
+    fuzz("algebra") { s =>
+      def f(fn: UTF8String => UTF8String): String => String =
+        x => fn(k(x)).toString
+      Seq[(String, UTF8String => UTF8String)](
+        "keyNorm" -> Kernels.keyNorm, "tightKeyNorm" -> Kernels.tightKeyNorm,
+        "flightNorm" -> Kernels.flightNorm, "timeHhmm" -> Kernels.timeHhmm,
+        "airlineCode" -> Kernels.airlineCode, "luggageUnit" -> Kernels.luggageUnit
+      ).foreach { case (_, fn) =>
+        val once = f(fn)(s)
+        assert(f(fn)(once) == once)
+      }
+      val tight = f(Kernels.tightKeyNorm)(s)
+      assert(f(Kernels.keyNorm)(tight) == tight)
+      assert(f(Kernels.tightKeyNorm)(f(Kernels.keyNorm)(s)) == tight)
+    }
+  }
+
   test("timeHhmm fallback path matches the search regex") {
     val p = Pattern.compile("(\\d{1,2}):(\\d{2})")
     fuzz("timeHhmm-fallback") { s =>
