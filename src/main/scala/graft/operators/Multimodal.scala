@@ -66,4 +66,32 @@ object Multimodal {
       case (acc, (name, c)) => acc.withColumn(name, c)
     }
   }
+
+  /** STUB resize-to-fit: integer-arithmetic scaled dimensions (no pixel
+    * work — a codec would transform the payload too). Exact in doubles
+    * for all plausible dims, so floor(w*maxDim/m) == integer division
+    * and any SQL engine reproduces it. */
+  def resizeMeta(w: Column, h: Column, maxDim: Int): (Column, Column) = {
+    val m = greatest(w, h)
+    (when(m <= maxDim, w).otherwise(floor(w * maxDim / m)).cast("int"),
+      when(m <= maxDim, h).otherwise(floor(h * maxDim / m)).cast("int"))
+  }
+
+  /** Frame sampling: one row per `stride`-th frame of the decoded
+    * n_frames — plan-side explode, no UDF; 25 fps timestamps. */
+  def sampleFrames(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(filter(sequence(lit(0), col("n_frames") - 1),
+          i => i % stride === 0)))
+      .withColumn("frame_idx", col("frame_idx").cast("int"))
+      .withColumn("frame_ts_ms", (col("frame_idx") * 40).cast("int"))
+
+  /** STUB feature extraction: deterministic `dim`-dim embedding derived
+    * from the payload length — the `array<float>` schema, null-safety
+    * and batch shape are the real plumbing a codec-backed extractor
+    * would keep. */
+  def featureStub(binCol: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (((length(binCol) * 31 + i * 7) % 997).cast("double") / 997.0d)
+        .cast("float"))
 }
