@@ -39,12 +39,13 @@ object TextFunctions {
 
   /** Polynomial rolling hash of a string: fold (acc*base + codepoint)
     * mod p over characters. base*p stays far below 2^63, so the fold
-    * never overflows and any engine with 64-bit ints reproduces it. */
+    * never overflows and any engine with 64-bit ints reproduces it
+    * (the DuckDB oracles re-derive it with list_reduce arithmetic).
+    * Implemented as a custom expression — the combinator form walked
+    * one codepoint per codegen loop iteration with a substring
+    * allocation each. */
   def polyHash(c: Column, base: Int = 31, p: Long = 1000000007L): Column =
-    aggregate(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
-      lit(0L),
-      (acc, ch) => (acc * base + ch) % p)
+    graft.functions.cat.GraftExpr.polyHash(c, base, p)
 
   /** Stopword lists for the n-gram language heuristic. */
   val LangStopwords: Seq[(String, String)] = Seq(

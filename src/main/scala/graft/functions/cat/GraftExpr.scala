@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the engine's hot scalar functions.
@@ -100,6 +100,27 @@ object GraftExpr {
     }
 
     override protected def withNewChildInternal(newChild: Expression): StringKernelCall =
+      copy(child = newChild)
+  }
+
+  def polyHash(c: Column, base: Int, p: Long): Column =
+    Bridge.column(PolyHashCall(Bridge.expression(c), base, p))
+
+  /** Parameterized polynomial hash (see [[Kernels.polyHash]]). */
+  case class PolyHashCall(child: Expression, base: Int, p: Long)
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_poly_hash"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.polyHash(input.asInstanceOf[UTF8String], base, p)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.cat.Kernels.polyHash($c, $base, ${p}L)")
+
+    override protected def withNewChildInternal(newChild: Expression): PolyHashCall =
       copy(child = newChild)
   }
 }

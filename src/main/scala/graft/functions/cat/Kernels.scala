@@ -485,6 +485,28 @@ object Kernels {
   }
 
   // ---------------------------------------------------------------------
+  // Text hashing
+  // ---------------------------------------------------------------------
+
+  /** Polynomial rolling hash over Unicode codepoints:
+    * fold (acc*base + cp) mod p — identical to the combinator form
+    * `aggregate(transform(sequence(1,length), i -> ascii(substr(i,1))),
+    * 0, (a,c) -> (a*base+c) % p)`, which walked the string one
+    * codepoint per generated-code loop iteration with a substring
+    * allocation each. base*p stays below 2^63: no overflow. */
+  def polyHash(u: UTF8String, base: Int, p: Long): Long = {
+    val s = u.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * base + cp) % p
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  // ---------------------------------------------------------------------
   // J2 date key
   // ---------------------------------------------------------------------
 
