@@ -481,6 +481,20 @@ object ParityQueries {
       },
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey % 10 = 0
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Skew-mitigated join: salted left equi-join must be row-for-row the
+    // plain left join (lineitem's l_suppkey is the realistic hot-key
+    // shape; the oracle is the unsalted SQL join).
+    "q34_salted_skew_join" -> QueryDef(
+      (s, dir) => {
+        val li = tc(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+        val su = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+        graft.operators.SkewJoin.saltedLeftJoin(li, su, Seq("l_suppkey"), buckets = 8)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 }

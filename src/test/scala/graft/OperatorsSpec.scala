@@ -37,6 +37,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.filter($"p" === "a").select("creation_time").collect()(0).getDouble(0) == 2.0)
   }
 
+  test("saltedLeftJoin equals the plain left join, hot key included") {
+    val big = ((1 to 200).map(i => ("hot", i)) ++ Seq(("cold", 0), ("miss", -1)))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1.5), ("cold", 2.5), ("other", 9.9)).toDF("k", "w")
+    val salted = SkewJoin.saltedLeftJoin(big, small, Seq("k"), buckets = 8)
+      .select("k", "v", "w").orderBy("k", "v").collect().toSeq
+    val plain = big.join(small, Seq("k"), "left")
+      .select("k", "v", "w").orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+    assert(salted.exists(r => r.getString(0) == "miss" && r.isNullAt(2)))
+  }
+
   test("cleanCompetitor drops rows with any invalid flight number (F-C)") {
     val raw = Seq(
       ("CI73", "2024-01-05", "2024-01-12", 100L, 10L),
