@@ -51,25 +51,36 @@ object TextDedup {
       .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signature rows: (doc_id, j, minhash_j) for j in [0, k).
-    * Hash family: h_j(x) = ((2j+1)*polyHash(x) + j*j+7) mod p — products
-    * stay far below 2^63. */
-  def minhashRows(sh: DataFrame, numHashes: Int, p: Long = 1000000007L): DataFrame = {
+  /** MinHash signatures: one row per doc with numHashes min-aggregate
+    * columns. Hash family: h_j(x) = ((2j+1)*polyHash(x) + j*j+7) mod p —
+    * products stay far below 2^63.
+    *
+    * Shape note: the whole family is computed as `numHashes` parallel
+    * `min(...)` aggregations over the shingle rows — one hash-partition
+    * groupBy with map-side combine — instead of exploding every shingle
+    * row `numHashes`x and re-grouping (measured several times slower
+    * and `numHashes`x the shuffle volume). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int,
+                        p: Long = 1000000007L): DataFrame = {
     val h = TextFunctions.polyHash(col("shingle"))
-    sh.withColumn("h", h)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("h"))
-      .withColumn("hj", ((col("j") * 2 + 1) * col("h") + col("j") * col("j") + 7) % p)
-      .groupBy("doc_id", "j").agg(min(col("hj")).as("mh"))
+    val mins = (0 until numHashes).map { j =>
+      min((col("__h") * (2 * j + 1) + (j * j + 7)) % p).as(s"mh_$j")
+    }
+    sh.withColumn("__h", h)
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band signatures: group the k minhashes into bands of
-    * `rowsPerBand`, signature = ordered minhash concat. */
-  def bandSignatures(mh: DataFrame, rowsPerBand: Int): DataFrame =
-    mh.withColumn("band", (col("j") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("sig"))
+  /** LSH band signatures from the per-doc minhash columns: one row per
+    * (doc, band), signature = ordered minhash concat within the band. */
+  def bandSignatures(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(j => col(s"mh_$j").cast("string")): _*).as("sig"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** MinHash+LSH near-dup with exact verification: candidates = pairs
     * sharing any full band signature; verified with exact shingle
@@ -79,7 +90,7 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                       numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, k)
-    val bands = bandSignatures(minhashRows(sh, numHashes), rowsPerBand)
+    val bands = bandSignatures(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -102,23 +113,29 @@ object TextDedup {
   }
 
   /** SimHash: 60-bit signature from two 30-bit polynomial token hashes.
-    * Per (doc, bit): sum +1/-1 over distinct tokens by the bit of the
-    * token hash; bit set when the sum is positive. */
+    * Per bit: sum +1/-1 over distinct tokens by that bit of the token
+    * hash; bit set when the sum is positive.
+    *
+    * Shape note: the 60 per-bit sums are 60 parallel aggregation
+    * columns over the token rows (single groupBy, map-side combine) —
+    * not a 60x bit-explode (that multiplies the shuffle by the
+    * signature width). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
       .withColumn("h1", TextFunctions.polyHash(col("tok"), 31, 1000000007L))
       .withColumn("h2", TextFunctions.polyHash(col("tok"), 37, 999999937L))
-    toks
-      .select(col("doc_id"), col("h1"), col("h2"),
-        explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("bit",
-        expr("CASE WHEN b < 30 THEN shiftright(h1, b) % 2 ELSE shiftright(h2, b - 30) % 2 END"))
-      .withColumn("w", col("bit") * 2 - 1)
-      .groupBy("doc_id", "b").agg(sum(col("w")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END")).as("simhash"))
+    val bitSums = (0 until 60).map { b =>
+      val bit = if (b < 30) shiftright(col("h1"), b) % 2
+        else shiftright(col("h2"), b - 30) % 2
+      sum(bit * 2 - 1).as(s"s_$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup: block on 4 bands of 15 bits, verify Hamming
