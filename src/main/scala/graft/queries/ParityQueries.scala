@@ -26,10 +26,11 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  /** For the regexp/scalar-heavy queries: same table, but parallelized
-    * when the local fixture is a single parquet split (see
-    * [[Tables.computeTable]]). Scan-demo queries keep the plain read so
-    * their PushedFilters reach the parquet scan. */
+  /** Same table through the staged layout (see [[Tables.computeTable]]):
+    * parallel scans when the local fixture is a single parquet split.
+    * Pushdown is preserved — filters reach the staged files' scan (and
+    * the events watermark even gains pushdown, since staging rewrites
+    * the legacy nanos column as a real TIMESTAMP). */
   private def tc(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.computeTable(s, dir, name)
 
@@ -49,7 +50,7 @@ object ParityQueries {
 
     // S1+D1+F-A+F-B: filtered DISTINCT scan (etl/extractor.py:42-58,67).
     "q01_scan_distinct" -> QueryDef(
-      (s, dir) => t(s, dir, "events")
+      (s, dir) => tc(s, dir, "events")
         .filter(col("value").isNotNull && col("ts") > lit(WatermarkTs).cast("timestamp"))
         .select("user_id", "event_type").distinct()
         .orderBy("user_id", "event_type"),
@@ -61,7 +62,7 @@ object ParityQueries {
     "q02_watermark_scan" -> QueryDef(
       (s, dir) => {
         val nowEpoch = 1706659200L // 2024-01-31 00:00:00 UTC
-        t(s, dir, "events")
+        tc(s, dir, "events")
           .filter(Tables.watermarkPredicate("ts", nowEpoch, 12))
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), epochS(col("ts")).as("ts_s"))
@@ -75,7 +76,7 @@ object ParityQueries {
     // S3: one table, two boolean-partition branches (etl/extractor.py:90-110).
     "q03_boolean_split" -> QueryDef(
       (s, dir) => {
-        val ev = t(s, dir, "events")
+        val ev = tc(s, dir, "events")
         val a = ev.filter(col("event_type") === "error")
           .select(col("event_id"), col("user_id"), lit(true).as("is_error"))
         val b = ev.filter(col("event_type") =!= "error")
@@ -91,7 +92,7 @@ object ParityQueries {
     // primary row (unified_transformer.py:260-270). Dims broadcast.
     "q04_multikey_left_join" -> QueryDef(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        val li = tc(s, dir, "lineitem")
         val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
         val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -119,7 +120,7 @@ object ParityQueries {
     // J2+J1: join on *normalized* string keys (unified_transformer.py:216-258).
     "q05_normalized_key_join" -> QueryDef(
       (s, dir) => {
-        val o = t(s, dir, "orders")
+        val o = tc(s, dir, "orders")
           .select(col("o_orderkey"),
             Normalize.normalizeKey(concat(lit("  "), col("o_orderpriority"), lit("  ")))
               .as("prio_key"),
@@ -144,7 +145,7 @@ object ParityQueries {
     // D2+W1: keep-latest dedup via window (etl/pipeline.py:56) with a
     // deterministic tiebreaker (event_id desc).
     "q06_keep_latest_dedup" -> QueryDef(
-      (s, dir) => Dedupe.keepLatest(t(s, dir, "events"),
+      (s, dir) => Dedupe.keepLatest(tc(s, dir, "events"),
           Seq("user_id", "event_type"), "ts", Seq(col("event_id").desc))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), epochS(col("ts")).as("ts_s"))
