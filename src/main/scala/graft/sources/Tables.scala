@@ -23,13 +23,6 @@ object Tables {
     }
   }
 
-  /** Table read feeding expression-heavy map stages: if the file layout
-    * yields fewer scan partitions than the session's parallelism (the
-    * local fixtures are one row group, hence one split), add a
-    * round-robin repartition so the regexp/hash-heavy downstream work
-    * uses every core. At production scale a parquet scan already has
-    * >= cores splits and this is a no-op — no exchange is added.
-    */
   private val staged =
     scala.collection.concurrent.TrieMap[(String, String, String), DataFrame]()
 
@@ -55,7 +48,7 @@ object Tables {
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         s"graft-staged/${spark.sparkContext.applicationId}/" +
           s"${new java.io.File(sfDir).getName}-$name").getAbsolutePath
-      df.repartition(target, xxhash64(df.columns.map(col): _*))
+      df.repartition(target, xxhash64(df.columns.toIndexedSeq.map(col): _*))
         .write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
     })
