@@ -71,15 +71,20 @@ object TextDedup {
   }
 
   /** LSH band signatures from the per-doc minhash columns: one row per
-    * (doc, band), signature = ordered minhash concat within the band. */
+    * (doc, band) carrying that band's signature AND the full signature
+    * array — the latter lets the candidate join emit each pair only
+    * from its first matching band (an in-row predicate) instead of
+    * deduplicating multi-band collisions with a distinct shuffle. */
   def bandSignatures(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(j => col(s"mh_$j").cast("string")): _*).as("sig"))
+    val nb = numHashes / rowsPerBand
+    val sigExprs = (0 until nb).map { b =>
+      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"mh_$j").cast("string")): _*)
     }
-    sig.select(col("doc_id"), explode(array(bands: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sig.select(col("doc_id"), array(sigExprs: _*).as("sigs"))
+      .select(col("doc_id"), col("sigs"),
+        explode(sequence(lit(0), lit(nb - 1))).as("band"))
+      .withColumn("sig", element_at(col("sigs"), col("band") + 1))
   }
 
   /** MinHash+LSH near-dup with exact verification: candidates = pairs
@@ -90,13 +95,20 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                       numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, k)
+    val nb = numHashes / rowsPerBand
     val bands = bandSignatures(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
+    // keep a pair only at its FIRST matching band: exact once-per-pair
+    // emission with an in-row predicate, no distinct shuffle
+    val noEarlierMatch = (0 until nb - 1).map { bp =>
+      (col("x.band") > bp) &&
+        (element_at(col("x.sigs"), bp + 1) === element_at(col("y.sigs"), bp + 1))
+    }.reduceOption(_ || _).map(e => !e).getOrElse(lit(true))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(noEarlierMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle" -> "s_a")), "doc_a")
@@ -139,20 +151,28 @@ object TextDedup {
   }
 
   /** SimHash near-dup: block on 4 bands of 15 bits, verify Hamming
-    * distance over the full 60-bit signature. */
+    * distance over the full 60-bit signature. Pairs colliding in
+    * several bands are emitted only at the first one (the band values
+    * are recomputable in-row from the signatures both sides carry), so
+    * no distinct shuffle is needed. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bandval", expr(s"shiftright(simhash, band * 15) % ${1L << 15}L"))
-    banded.as("x")
+    def bandOf(sh: Column, b: Int): Column = shiftright(sh, b * 15) % (1L << 15)
+    val joined = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
-      .distinct()
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"),
+        col("x.band").as("band"))
+    val earlierBandMatches = (0 until 3).map { bp =>
+      (col("band") > bp) && (bandOf(col("sh_a"), bp) === bandOf(col("sh_b"), bp))
+    }.reduce(_ || _)
+    joined.filter(!earlierBandMatches)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
