@@ -496,6 +496,29 @@ object ParityQueries {
       },
       """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
         |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Set operations (absent in the reference, SURVEY §2.5 — engine
+    // completeness demo): INTERSECT/EXCEPT with SQL set semantics.
+    "q35_set_ops" -> QueryDef(
+      (s, dir) => {
+        val a = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val b = tc(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000).select(col("o_custkey").as("c_custkey"))
+        val inter = a.intersect(b).withColumn("op", lit("intersect"))
+        val exc = a.except(b).withColumn("op", lit("except"))
+        inter.unionAll(exc).orderBy("op", "c_custkey")
+      },
+      """SELECT c_custkey, 'intersect' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |ORDER BY op, c_custkey""".stripMargin)
   )
 }
