@@ -30,12 +30,39 @@ object TextDedup {
     df.select(col(idCol).as("doc_id"),
         explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
 
+  /** Drop shingles whose document frequency exceeds `maxDf` from the
+    * inverted index (standard CCNet/Gopher boilerplate guard). A shingle
+    * in d docs emits d²/2 candidate rows from the self-join, so one
+    * boilerplate 5-gram with d in the millions is a single straggler
+    * task materializing ~10¹² rows — the cap bounds every group to
+    * maxDf²/2. The hot set (df > cap) is tiny by construction — Zipfian
+    * df means almost all mass is in the low-df tail — so it broadcasts,
+    * and the index never reshuffles: one count aggregation (map-side
+    * combined) + a broadcast anti-join. */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /** Same guard for LSH band buckets: a bucket of d near-identical docs
+    * is d²/2 candidate pairs; such groups belong to exact-dedup (which
+    * runs first in the pipeline), not to the pairwise verifier. */
+  def capBandBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val hot = bands.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select("band", "sig")
+    bands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+  }
+
   /** n-gram Jaccard near-dup: inverted-index candidate join + exact
-    * Jaccard on shared-shingle counts. Returns (doc_a, doc_b, shared,
-    * n_a, n_b, jaccard >= threshold). */
+    * Jaccard on shared-shingle counts over the df-capped index (Jaccard
+    * is over each doc's non-boilerplate shingles — the CCNet semantic).
+    * Returns (doc_a, doc_b, shared, n_a, n_b, jaccard >= threshold). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, k)
+                        k: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = capShingleDf(shingleIndex(df, idCol, textCol, k), maxDf)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -70,45 +97,45 @@ object TextDedup {
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band signatures from the per-doc minhash columns: one row per
-    * (doc, band) carrying that band's signature AND the full signature
-    * array — the latter lets the candidate join emit each pair only
-    * from its first matching band (an in-row predicate) instead of
-    * deduplicating multi-band collisions with a distinct shuffle. */
+  /** LSH band signatures from the per-doc minhash columns: one slim
+    * (doc_id, band, sig) row per band. The round-1 variant also carried
+    * the full signature array on every row so the candidate join could
+    * emit each pair only at its first matching band with an in-row
+    * predicate; that made every shuffled band row numBands× fatter to
+    * save a distinct over the (tiny, capped) candidate-pair set — the
+    * wrong trade, so the fat column is gone. */
   def bandSignatures(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nb = numHashes / rowsPerBand
-    val sigExprs = (0 until nb).map { b =>
-      concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(j => col(s"mh_$j").cast("string")): _*)
+    val bandStructs = (0 until nb).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(j => col(s"mh_$j").cast("string")): _*).as("sig"))
     }
-    sig.select(col("doc_id"), array(sigExprs: _*).as("sigs"))
-      .select(col("doc_id"), col("sigs"),
-        explode(sequence(lit(0), lit(nb - 1))).as("band"))
-      .withColumn("sig", element_at(col("sigs"), col("band") + 1))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** MinHash+LSH near-dup with exact verification: candidates = pairs
-    * sharing any full band signature; verified with exact shingle
-    * Jaccard >= threshold. The LSH join touches only banded signature
-    * collisions — the scale path for corpora where the shingle inverted
-    * index itself is too hot. */
+    * sharing any full band signature (bucket-size-capped), verified
+    * with exact shingle Jaccard >= threshold over the df-capped index.
+    * The LSH join touches only banded signature collisions — the scale
+    * path for corpora where the shingle inverted index itself is too
+    * hot. Multi-band collisions are deduplicated with a distinct over
+    * candidate pairs only — post-cap that set is orders of magnitude
+    * smaller than the band rows, so the extra shuffle is negligible
+    * next to the band-row slimming it buys. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-                      numHashes: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, k)
-    val nb = numHashes / rowsPerBand
-    val bands = bandSignatures(minhashSignatures(sh, numHashes), numHashes, rowsPerBand)
-    // keep a pair only at its FIRST matching band: exact once-per-pair
-    // emission with an in-row predicate, no distinct shuffle
-    val noEarlierMatch = (0 until nb - 1).map { bp =>
-      (col("x.band") > bp) &&
-        (element_at(col("x.sigs"), bp + 1) === element_at(col("y.sigs"), bp + 1))
-    }.reduceOption(_ || _).map(e => !e).getOrElse(lit(true))
+                      numHashes: Int, rowsPerBand: Int, threshold: Double,
+                      maxDf: Int, maxBucket: Int): DataFrame = {
+    val sh = capShingleDf(shingleIndex(df, idCol, textCol, k), maxDf)
+    val bands = capBandBuckets(
+      bandSignatures(minhashSignatures(sh, numHashes), numHashes, rowsPerBand), maxBucket)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(noEarlierMatch)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle" -> "s_a")), "doc_a")

@@ -13,13 +13,16 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** Shared DuckDB CTE: distinct word-5-gram shingles per doc. */
-  private val ShingleCte =
-    """sh AS (
+  /** Shared DuckDB CTEs: distinct word-5-gram shingles per doc, then the
+    * document-frequency cap mirroring `TextDedup.capShingleDf`. */
+  private def shingleCte(maxDf: Int): String =
+    s"""sh0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents) t,
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents) t,
       |       UNNEST(range(1, len(tk) - 3)) AS u(i)
-      |  WHERE len(tk) >= 5)""".stripMargin
+      |  WHERE len(tk) >= 5),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $maxDf),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
 
   /** DuckDB polynomial rolling hash over a string expression. */
   private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
@@ -125,12 +128,13 @@ object TextQueries {
       s"""SELECT doc_id, ${duckPolyHash("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // n-gram Jaccard near-dup via inverted shingle index.
+    // n-gram Jaccard near-dup via inverted shingle index, df-capped.
     "q25_ngram_jaccard" -> QueryDef(
       (s, dir) => TextDedup.ngramJaccardPairs(
-          Tables.computeTable(s, dir, "documents"), "doc_id", "text", k = 5, threshold = 0.8)
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text", k = 5,
+          threshold = 0.8, maxDf = 20)
         .orderBy("doc_a", "doc_b"),
-      s"""WITH $ShingleCte,
+      s"""WITH ${shingleCte(20)},
          |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -144,22 +148,26 @@ object TextQueries {
          |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
-    // MinHash + LSH banding, exact-verified.
+    // MinHash + LSH banding, df- and bucket-capped, exact-verified.
     "q26_minhash_lsh" -> QueryDef(
       (s, dir) => TextDedup.minhashLshPairs(
           Tables.computeTable(s, dir, "documents"), "doc_id", "text",
-          k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.8)
+          k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.8,
+          maxDf = 20, maxBucket = 20)
         .orderBy("doc_a", "doc_b"),
-      s"""WITH $ShingleCte,
+      s"""WITH ${shingleCte(20)},
          |hh AS (SELECT doc_id, s, ${duckPolyHash("s")} AS h FROM sh),
          |mh AS (
          |  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % 1000000007) AS mh
          |  FROM hh, UNNEST(range(0, 32)) AS u(j)
          |  GROUP BY doc_id, j),
-         |bands AS (
+         |bands0 AS (
          |  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
          |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
          |  FROM mh GROUP BY doc_id, j // 4),
+         |hotb AS (SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) > 20),
+         |bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS (
+         |  SELECT 1 FROM hotb h WHERE h.band = b.band AND h.sig = b.sig)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y

@@ -75,9 +75,47 @@ class OperatorsSpec extends SparkTestBase {
     val b = "the quick brown fox jumps over the lazy dog today tomorrow" // 1-word change
     val c = "completely different words with no overlap at all here now"
     val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
-    val out = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.3).collect()
+    val out = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.3, maxDf = 100)
+      .collect()
     assert(out.length == 1)
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+  }
+
+  test("capShingleDf drops a boilerplate shingle present in >50% of docs") {
+    // 20 distinct docs sharing one boilerplate 5-gram prefix + 1 true near-dup pair
+    val boiler = "all rights reserved by site"
+    val docs = (1 to 20).map(i =>
+      (i.toLong, s"$boiler unique$i words$i here$i only$i body$i text$i tail$i")) ++ Seq(
+      (100L, "strawberry kiwi mango papaya guava lychee durian peach plum apricot"),
+      (101L, "strawberry kiwi mango papaya guava lychee durian peach plum nectarine"))
+    val df = docs.toDF("doc_id", "text")
+    val sh = TextDedup.shingleIndex(df, "doc_id", "text", 5)
+    val capped = TextDedup.capShingleDf(sh, maxDf = 5)
+    // the boilerplate shingle is gone; per-doc uniques survive
+    assert(capped.filter($"shingle" === boiler).count() == 0)
+    assert(capped.count() > 0)
+    val maxDfLeft = capped.groupBy("shingle").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxDfLeft <= 5)
+    // the planted near-dup is still found; no pair exists merely via boilerplate
+    val pairs = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.3, maxDf = 5)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 100L && pairs(0).getLong(1) == 101L)
+  }
+
+  test("capBandBuckets drops a hot LSH bucket of near-identical docs") {
+    // 30 identical docs (exact-dedup territory -> hot band buckets) + a near-dup pair
+    val docs = (1 to 30).map(i =>
+      (i.toLong, "identical boilerplate document body repeated verbatim many times over")) ++ Seq(
+      (100L, "strawberry kiwi mango papaya guava lychee durian peach plum apricot"),
+      (101L, "strawberry kiwi mango papaya guava lychee durian peach plum nectarine"))
+    val df = docs.toDF("doc_id", "text")
+    val out = TextDedup.minhashLshPairs(df, "doc_id", "text", 5, 32, 4, 0.3,
+      maxDf = 100, maxBucket = 10).collect()
+    // the identical-doc cluster (bucket size 30 > 10) emits no pairs;
+    // the small near-dup bucket survives
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
   }
 
   test("minhashLshPairs recall matches exact jaccard on planted dups") {
@@ -85,9 +123,10 @@ class OperatorsSpec extends SparkTestBase {
     val near = base.replace("mu", "nu")
     val far = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-    val exact = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.5)
+    val exact = TextDedup.ngramJaccardPairs(df, "doc_id", "text", 5, 0.5, maxDf = 100)
       .select("doc_a", "doc_b").collect().toSet
-    val lsh = TextDedup.minhashLshPairs(df, "doc_id", "text", 5, 32, 4, 0.5)
+    val lsh = TextDedup.minhashLshPairs(df, "doc_id", "text", 5, 32, 4, 0.5,
+        maxDf = 100, maxBucket = 100)
       .select("doc_a", "doc_b").collect().toSet
     assert(exact.nonEmpty)
     assert(lsh == exact)
