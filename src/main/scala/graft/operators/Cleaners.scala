@@ -81,6 +81,29 @@ object Cleaners {
     Conform.ensureWithDefault(df, Kp, lit(""))
   }
 
+  /** P7 (`cola_transformer.py:170-201`): split each composite
+    * `去程_航班號{n}` / `回程_航班號{n}` column ("CI073 K") on the FIRST
+    * space into `…航班編號{n}` (trimmed) and `…艙等{n}` (the untouched
+    * remainder, so "CI073  K" keeps its leading space exactly as the
+    * reference's `str.split(' ', n=1)` does), dropping the original.
+    * The reference's all-null branch (manufacture both columns as
+    * nulls) is subsumed: splitting a null yields null in both outputs,
+    * with no data-dependent schema decision — the same plan shape at
+    * any scale. */
+  def splitFlightAndClass(df: DataFrame): DataFrame = {
+    val composites = df.columns.filter(c =>
+      c.startsWith("去程_航班號") || c.startsWith("回程_航班號"))
+    composites.foldLeft(df) { (acc, c) =>
+      val leg = c.takeRight(1)
+      val prefix = c.dropRight(1).replace("航班號", "")
+      val parts = split(col(c), " ", 2)
+      acc
+        .withColumn(s"${prefix}航班編號$leg", trim(get(parts, lit(0))))
+        .withColumn(s"${prefix}艙等$leg", get(parts, lit(1)))
+        .drop(c)
+    }
+  }
+
   /** Competitor cleaning chain (`set_transformer.py:13-26` + 4 clones):
     * rename -> flight-number normalize + invalid-row drop (F10/F-C) ->
     * ISO date slice to MM/DD (F7). */

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, sum, when, count => countAgg}
+import org.apache.spark.storage.StorageLevel
 
 /** Sink operators (SURVEY §2.1 S4-S8, S10): the reference's
   * transactional full-refresh load re-expressed over parquet table
@@ -99,16 +101,42 @@ object Sinks {
     restored
   }
 
-  /** S5: transactional full refresh — backup, overwrite, verify the
-    * read-back count, restore the backup on any failure, then prune old
-    * backups. Returns the loaded row count. */
+  /** F-E (`etl/loader.py:29-34`): the load-time gate — drop rows whose
+    * `gateCol` is null, counting the rejects *in-flight* with
+    * `df.observe` (a CollectMetrics node below the filter) so the gate
+    * adds zero extra passes over the data; the reference filters the
+    * frame and logs the dropped count. Read `obs.get("rejected")` after
+    * the load action completes. */
+  def notNullLoadGate(df: DataFrame, gateCol: String, obs: Observation): DataFrame =
+    df.observe(obs,
+        sum(when(col(gateCol).isNull, 1L).otherwise(0L)).as("rejected"),
+        countAgg(lit(1)).as("input_rows"))
+      .filter(col(gateCol).isNotNull)
+
+  /** S5 (+F-E): transactional full refresh — optional not-null load
+    * gate, backup, overwrite, verify the read-back count, restore the
+    * backup on any failure, then prune old backups. Returns the loaded
+    * row count.
+    *
+    * The frame is persisted across the write + verification count so
+    * the upstream pipeline executes once per load (the reference also
+    * materializes once — a pandas frame in memory). On a cluster
+    * against an object store, prefer a table format whose commit
+    * returns row counts (write-task metrics) over the read-back count,
+    * and note parquet-directory `overwrite` is not atomic there. */
   def truncateAndLoad(spark: SparkSession, df: DataFrame, tableDir: String,
                       backupRoot: String, table: String, nowEpoch: Long,
-                      maxBackups: Int = 3): Long = {
+                      maxBackups: Int = 3, gateCol: Option[String] = None,
+                      gateObs: Option[Observation] = None): Long = {
+    val gated = gateCol match {
+      case Some(c) => notNullLoadGate(df, c, gateObs.getOrElse(Observation()))
+      case None => df
+    }
     val backup = backupTable(spark, tableDir, backupRoot, table, nowEpoch)
+    val data = gated.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      df.write.mode("overwrite").parquet(tableDir)
-      val expected = df.count()
+      data.write.mode("overwrite").parquet(tableDir)
+      val expected = data.count() // served from the cache, not a re-run
       val loaded = count(spark, tableDir)
       require(loaded == expected,
         s"load verification failed for $table: $loaded != $expected")
@@ -118,6 +146,6 @@ object Sinks {
       case e: Throwable =>
         if (backup.isDefined) restoreFromBackup(spark, tableDir, backupRoot, table)
         throw e
-    }
+    } finally data.unpersist()
   }
 }

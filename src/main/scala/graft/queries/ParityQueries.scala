@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Airline, Dates, Durations, Luggage, Normalize}
-import graft.operators.{Conform, Dedupe}
+import graft.operators.{Cleaners, Conform, Dedupe}
+import graft.schema.FlightVocab
 import graft.sources.Tables
 
 /** Reference-parity operator inventory (SURVEY.md §2), each expressed
@@ -519,6 +520,85 @@ object ParityQueries {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
-        |ORDER BY op, c_custkey""".stripMargin)
+        |ORDER BY op, c_custkey""".stripMargin),
+
+    // P7 (`cola_transformer.py:170-201`): split composite flight+class
+    // columns on the first space; covers the normal, double-space,
+    // empty, null, and no-space shapes.
+    "q36_split_flight_class" -> QueryDef(
+      (s, dir) => {
+        val li = tc(s, dir, "lineitem")
+        val raw = li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat(lit("CI"), (col("l_partkey") % 900 + 100).cast("string"), lit(" "),
+            when(col("l_partkey") % 2 === 0, "Y").otherwise("J1"))
+            .as(FlightVocab.depFlightComposite(1)),
+          when(col("l_orderkey") % 3 === 0,
+            concat(lit("BR0"), (col("l_partkey") % 90 + 10).cast("string"), lit("  K")))
+            .otherwise(lit("")).as(FlightVocab.depFlightComposite(2)),
+          when(col("l_orderkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("BR"), (col("l_suppkey") % 900 + 100).cast("string"),
+              lit(" Y"))).as(FlightVocab.retFlightComposite(1)),
+          concat(lit("XX"), (col("l_partkey") % 90 + 10).cast("string"))
+            .as(FlightVocab.retFlightComposite(2)))
+        Cleaners.splitFlightAndClass(raw)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col(FlightVocab.depFlight(1)).as("dep_fn1"),
+            col(FlightVocab.depCabin(1)).as("dep_cab1"),
+            col(FlightVocab.depFlight(2)).as("dep_fn2"),
+            col(FlightVocab.depCabin(2)).as("dep_cab2"),
+            col(FlightVocab.retFlight(1)).as("ret_fn1"),
+            col(FlightVocab.retCabin(1)).as("ret_cab1"),
+            col(FlightVocab.retFlight(2)).as("ret_fn2"),
+            col(FlightVocab.retCabin(2)).as("ret_cab2"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }, {
+        def splitSql(c: String, fn: String, cab: String): String =
+          // DuckDB split_part maps NULL input to '' -- guard explicitly
+          s"CASE WHEN $c IS NOT NULL THEN trim(split_part($c, ' ', 1)) END AS $fn,\n" +
+            s"       CASE WHEN strpos($c, ' ') > 0 THEN substr($c, strpos($c, ' ') + 1) END AS $cab"
+        s"""WITH raw AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |         'CI' || CAST(l_partkey % 900 + 100 AS VARCHAR) || ' ' ||
+           |           (CASE WHEN l_partkey % 2 = 0 THEN 'Y' ELSE 'J1' END) AS c1,
+           |         CASE WHEN l_orderkey % 3 = 0
+           |              THEN 'BR0' || CAST(l_partkey % 90 + 10 AS VARCHAR) || '  K'
+           |              ELSE '' END AS c2,
+           |         CASE WHEN l_orderkey % 5 = 0 THEN NULL
+           |              ELSE 'BR' || CAST(l_suppkey % 900 + 100 AS VARCHAR) || ' Y' END AS c3,
+           |         'XX' || CAST(l_partkey % 90 + 10 AS VARCHAR) AS c4
+           |  FROM lineitem)
+           |SELECT l_orderkey, l_linenumber,
+           |       ${splitSql("c1", "dep_fn1", "dep_cab1")},
+           |       ${splitSql("c2", "dep_fn2", "dep_cab2")},
+           |       ${splitSql("c3", "ret_fn1", "ret_cab1")},
+           |       ${splitSql("c4", "ret_fn2", "ret_cab2")}
+           |FROM raw ORDER BY l_orderkey, l_linenumber""".stripMargin
+      }),
+
+    // F-E (`etl/loader.py:29-34`): the load gate drops gds_type-null
+    // rows (reject count observed in-flight); the read-back proves the
+    // dropped rows never reached the table.
+    "q37_load_gate" -> QueryDef(
+      (s, dir) => {
+        val src = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit(null).cast("string"))
+              .when(col("o_orderkey") % 2 === 0, "AMADEUS").otherwise("SABRE")
+              .as("gds_type"))
+        val base = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-sink-gate/${new java.io.File(dir).getName}").getAbsolutePath
+        graft.operators.Sinks.truncateAndLoad(s, src,
+          s"$base/orders_gated", s"$base/backups", "orders_gated",
+          nowEpoch = 1700000001L, gateCol = Some("gds_type"))
+        s.read.parquet(s"$base/orders_gated").orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 2 = 0 THEN 'AMADEUS' ELSE 'SABRE' END AS gds_type
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -15,6 +15,10 @@ object FlightVocab {
   // ── standard intermediate vocabulary ────────────────────────────────
   def depFlight(i: Int) = s"去程_航班編號$i"
   def retFlight(i: Int) = s"回程_航班編號$i"
+  /** Composite "flight number + space + cabin class" columns P7 splits
+    * (`cola_transformer.py:170-201`). */
+  def depFlightComposite(i: Int) = s"去程_航班號$i"
+  def retFlightComposite(i: Int) = s"回程_航班號$i"
   def depCabin(i: Int) = s"去程_艙等$i"
   def retCabin(i: Int) = s"回程_艙等$i"
   def depDepTime(i: Int) = s"去程_出發時間$i"

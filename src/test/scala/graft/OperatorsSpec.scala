@@ -63,6 +63,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows(1).getString(0) == "")
   }
 
+  test("splitFlightAndClass (P7) splits on first space, trims flight, drops original") {
+    val df = Seq(
+      ("CI073 K", "BR010  J1", Option.empty[String]),
+      ("CI9", "", Option("BR100 Y")))
+      .toDF("去程_航班號1", "去程_航班號2", "回程_航班號1")
+    val out = Cleaners.splitFlightAndClass(df)
+    assert(!out.columns.exists(_.contains("航班號")))
+    val rows = out.select(
+        "去程_航班編號1", "去程_艙等1", "去程_航班編號2", "去程_艙等2",
+        "回程_航班編號1", "回程_艙等1")
+      .orderBy("去程_航班編號1").collect()
+    // reference split(' ', n=1): flight trimmed, class keeps remainder verbatim
+    assert(rows(0).getString(0) == "CI073" && rows(0).getString(1) == "K")
+    assert(rows(0).getString(2) == "BR010" && rows(0).getString(3) == " J1")
+    assert(rows(0).isNullAt(4) && rows(0).isNullAt(5)) // null composite -> both null
+    assert(rows(1).getString(0) == "CI9" && rows(1).isNullAt(1)) // no space -> class null
+    assert(rows(1).getString(2) == "" && rows(1).isNullAt(3)) // empty -> "", null
+    assert(rows(1).getString(4) == "BR100" && rows(1).getString(5) == "Y")
+  }
+
   test("exactDedup groups identical text, keeps min id") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = TextDedup.exactDedup(df, "doc_id", "text")

@@ -54,6 +54,19 @@ class SinksSpec extends SparkTestBase {
     assert(readIds(s"$root/bk/${left.head}") == Set(4L))
   }
 
+  test("F-E gds_type load gate drops null rows, observes the reject count") {
+    val root = freshRoot()
+    val df = Seq((1L, Option("AMADEUS")), (2L, None), (3L, Option("SABRE")),
+      (4L, None), (5L, Option("AMADEUS"))).toDF("id", "gds_type")
+    val obs = org.apache.spark.sql.Observation()
+    val loaded = Sinks.truncateAndLoad(spark, df, s"$root/t", s"$root/bk", "t", 1000L,
+      gateCol = Some("gds_type"), gateObs = Some(obs))
+    assert(loaded == 3)
+    assert(readIds(s"$root/t") == Set(1L, 3L, 5L))
+    assert(obs.get("rejected").asInstanceOf[Long] == 2L)
+    assert(obs.get("input_rows").asInstanceOf[Long] == 5L)
+  }
+
   test("S4 append-load verifies the read-back count") {
     val root = freshRoot()
     assert(Sinks.appendLoad(spark, Seq(1L, 2L).toDF("id"), s"$root/t") == 2)
