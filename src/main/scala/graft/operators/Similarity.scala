@@ -42,22 +42,38 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
-  /** Sign-LSH bucket id from the first `bits` coordinates: bit d set
-    * when embedding[d] >= 0. Deterministic, oracle-friendly; a seeded
-    * random-rotation variant would pre-multiply the vectors. */
-  def signBucket(vec: Column, bits: Int): Column =
-    (0 until bits).map { d =>
-      when(element_at(vec, d + 1) >= 0f, lit(1L << d)).otherwise(lit(0L))
+  /** Seeded random hyperplanes for sign-LSH: `bits` gaussian weight
+    * rows over `dim` coordinates, rounded to 6dp so the exact same
+    * literals can be inlined into any oracle engine's SQL. Random
+    * projections (vs the raw leading coordinates round 1 hashed on)
+    * spread correlated embedding dimensions across buckets — real
+    * embedding spaces concentrate variance in the first principal
+    * components, so coordinate bits put most of the corpus into a
+    * handful of buckets (skew + recall loss). */
+  def randomHyperplanes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits, dim)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** Sign-LSH bucket id: bit j set when the projection of the vector on
+    * hyperplane j is >= 0. Projections fold in element order, so an
+    * oracle summing the same inlined weights in the same order
+    * reproduces every sign bit-for-bit. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, j) =>
+      val proj = dot(vec, array(w.map(lit): _*))
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN top-k: queries meet only candidates in their sign
     * bucket. Same scoring/ranking as brute force. */
-  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, bits: Int,
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              planes: Array[Array[Double]],
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), bits).as("bucket")))
+      signBucket(col(vecCol), planes).as("bucket")))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      signBucket(col(vecCol), planes).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
@@ -66,12 +82,57 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
+  /** Hyperplane weight for flat index `idx` derived from an integer
+    * LCG, in [-1, 1). Pure integer arithmetic plus a power-of-two
+    * division, so any engine reproduces it bit-for-bit from the formula
+    * alone — no literal weight tables to inline into oracle SQL. */
+  def lcgWeight(idx: Column): Column =
+    ((lit(1103515245L) * idx + lit(12345L)) % lit(2147483648L)).cast("double") /
+      lit(2147483648d) * lit(2d) - lit(1d)
+
+  /** Sign bucket for hash table `table` using LCG-formula hyperplanes. */
+  def lcgBucket(vec: Column, table: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { j =>
+      val base = table * bits * dim + j * dim
+      val proj = aggregate(
+        transform(vec, (x, i) => x.cast("double") * lcgWeight(lit(base) + i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table sign-LSH ANN top-k: OR-amplification across `tables`
+    * independent hyperplane sets. Single-table sign-LSH collides two
+    * vectors at angle θ with probability (1 - θ/π)^bits — a few percent
+    * at moderate similarity — so production ANN runs L tables and takes
+    * the union of bucket collisions: recall 1-(1-p)^L at L× the
+    * (bucketed, equi-join) candidate cost. Collisions dedupe on the
+    * (qid, cid) pair before scoring, so each survivor's cosine is
+    * computed once. */
+  def lshTopKMultiTable(candidates: DataFrame, queries: DataFrame, k: Int,
+                        tables: Int, bits: Int, dim: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        posexplode(array((0 until tables).map(t => lcgBucket(col(vecCol), t, bits, dim)): _*))
+          .as(Seq("tbl", "bucket")))
+    val q = broadcast(banded(queries, "qid", "qv"))
+    val c = banded(candidates, "cid", "cv")
+    val coll = q.join(c, Seq("tbl", "bucket")).filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "cid", "cv").dropDuplicates("qid", "cid")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    coll.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign buckets:
     * candidate pairs share a bucket; keep cosine >= threshold. */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int,
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         planes: Array[Array[Double]],
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      signBucket(col(vecCol), planes).as("bucket"))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cos", round(cosine(col("x.v"), col("y.v")), 6))

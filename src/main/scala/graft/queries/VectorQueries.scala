@@ -21,9 +21,17 @@ object VectorQueries {
     s"round(${dot("q.embedding", "c.embedding")} / " +
       s"(sqrt(${norm2("q.embedding")}) * sqrt(${norm2("c.embedding")})), 6)"
 
-  private val DuckBucket8 = (0 until 8)
-    .map(d => s"CASE WHEN %s.embedding[${d + 1}] >= 0 THEN ${1L << d} ELSE 0 END")
-    .mkString(" + ")
+  /** The exact hyperplane literals the Spark plan uses, inlined so the
+    * oracle's projections are the same doubles folded in the same
+    * order — every sign bit matches. */
+  private val Planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
+
+  private val DuckBucket8 = Planes.zipWithIndex.map { case (w, j) =>
+    val wlist = w.mkString("[", ", ", "]")
+    s"(CASE WHEN list_sum(list_transform(range(1, ${w.length + 1}), " +
+      s"i -> CAST(%s.embedding[i] AS DOUBLE) * ($wlist)[i])) >= 0 " +
+      s"THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
 
   val all: Map[String, QueryDef] = Map(
 
@@ -48,7 +56,7 @@ object VectorQueries {
     "q29_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = Tables.computeTable(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 8)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, planes = Planes)
           .orderBy("qid", "rank")
       },
       s"""WITH b AS (
@@ -65,10 +73,47 @@ object VectorQueries {
          |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // Multi-table LSH ANN: OR-amplified recall, LCG-formula hyperplanes
+    // (bit-exact in both engines from the formula alone).
+    "q2B_ann_multitable" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        Similarity.lshTopKMultiTable(emb, emb.filter(col("vec_id") < 8), k = 5,
+          tables = 16, bits = 8, dim = 64)
+          .orderBy("qid", "rank")
+      }, {
+        def proj(idxBase: String): String =
+          "list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+            s"(CAST((1103515245 * ($idxBase + i - 1) + 12345) % 2147483648 AS DOUBLE)" +
+            " / 2147483648.0 * 2 - 1)))"
+        val bucketExpr = (0 until 8).map { j =>
+          s"(CASE WHEN ${proj(s"t * 512 + ${j * 64}")} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("\n           + ")
+        s"""WITH buckets AS (
+           |  SELECT vec_id, t,
+           |         $bucketExpr AS bucket
+           |  FROM embeddings, UNNEST(range(0, 16)) AS u(t)),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+           |  FROM buckets q JOIN buckets c
+           |    ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 8),
+           |scored AS (
+           |  SELECT cand.qid, cand.cid, $DuckCos AS cos
+           |  FROM cand
+           |  JOIN embeddings q ON q.vec_id = cand.qid
+           |  JOIN embeddings c ON c.vec_id = cand.cid),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      }),
+
     // Embedding-cosine near-duplicate pairs within sign buckets.
     "q2A_cosine_neardup" -> QueryDef(
       (s, dir) => Similarity.cosineNearDupPairs(
-          Tables.computeTable(s, dir, "embeddings"), threshold = 0.3, bits = 8)
+          Tables.computeTable(s, dir, "embeddings"), threshold = 0.3, planes = Planes)
         .orderBy("id_a", "id_b"),
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
