@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.TextDedup
+import graft.operators.{DedupClusters, TextDedup}
 import graft.sources.Tables
 
 /** Training-data text operators over the `documents` table: exact and
@@ -186,6 +186,36 @@ object TextQueries {
          |JOIN counts cb ON doc_b = cb.doc_id
          |WHERE CAST(sh_n AS DOUBLE) / (ca.n + cb.n - sh_n) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Dup-cluster resolution: near-dup pairs -> connected components ->
+    // (doc_id, cluster_keeper). Oracle = recursive transitive closure.
+    "q38_dup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = TextDedup.ngramJaccardPairs(
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.8, maxDf = 20)
+        DedupClusters.resolve(pairs).orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE ${shingleCte(20)},
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN counts ca ON doc_a = ca.doc_id
+         |  JOIN counts cb ON doc_b = cb.doc_id
+         |  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL SELECT doc_b, doc_a FROM good),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+         |SELECT node AS doc_id, min(r) AS cluster_keeper
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
     // SimHash near-dup: banded Hamming blocking.
     "q27_simhash" -> QueryDef(

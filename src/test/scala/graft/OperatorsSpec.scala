@@ -152,6 +152,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("DedupClusters.resolve: chain + isolated pair -> component minima") {
+    // chain 1-2-3-4-5-6 (diameter 5, needs several propagation rounds),
+    // isolated pair 10-11, and a triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val out = DedupClusters.resolve(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash: identical docs get identical signatures; hamming 0 pair found") {
     val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
       (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
