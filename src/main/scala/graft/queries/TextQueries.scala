@@ -15,10 +15,10 @@ object TextQueries {
 
   /** Shared DuckDB CTEs: distinct word-5-gram shingles per doc, then the
     * document-frequency cap mirroring `TextDedup.capShingleDf`. */
-  private def shingleCte(maxDf: Int): String =
+  private def shingleCte(maxDf: Int, src: String = "documents"): String =
     s"""sh0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents) t,
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src) t,
       |       UNNEST(range(1, len(tk) - 3)) AS u(i)
       |  WHERE len(tk) >= 5),
       |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $maxDf),
@@ -216,6 +216,86 @@ object TextQueries {
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
          |SELECT node AS doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    // Corpus curation end-to-end: language gate -> quality/token gates
+    // -> near-dup cluster resolution -> keeper-only corpus. The
+    // composite proves the LLM-pipeline operators chain in one lazy
+    // plan: the scalar gates stay in the scan stage, dedup runs on the
+    // (smaller) gated corpus, and only cluster losers are anti-joined
+    // away.
+    "q39_corpus_curation" -> QueryDef(
+      (s, dir) => {
+        val scored = Tables.computeTable(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextFunctions.wordCount(col("text")).as("n_words"),
+            TextFunctions.langId(col("text")).as("lang_pred"),
+            TextFunctions.qualityScore(col("text")).as("quality"))
+        val gated = scored.filter(col("lang_pred") === "en" &&
+          col("quality") >= 0.41 && col("n_words") >= 20)
+        val pairs = TextDedup.ngramJaccardPairs(
+          gated.select("doc_id", "text"), "doc_id", "text",
+          k = 5, threshold = 0.8, maxDf = 20)
+        val losers = DedupClusters.resolve(pairs)
+          .filter(col("doc_id") =!= col("cluster_keeper")).select("doc_id")
+        gated.join(losers, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang_pred", "n_words", "quality")
+          .orderBy("doc_id")
+      }, {
+        val counts = TextFunctions.LangStopwords.map { case (lang, pat) =>
+          s"CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS score_$lang"
+        }.mkString(",\n         ")
+        val langs = TextFunctions.LangStopwords.map(_._1)
+        val best = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+        val caseChain = langs.map(l => s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'")
+          .mkString(" ")
+        s"""WITH RECURSIVE feat AS (
+           |  SELECT doc_id, text,
+           |         CAST(CASE WHEN trim(text) = '' THEN 0
+           |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER) AS n_words,
+           |         CASE WHEN length(text) = 0 THEN 0.0
+           |              ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+           |                   / CAST(length(text) AS DOUBLE) END AS ar,
+           |         CASE WHEN length(text) = 0 THEN 0.0
+           |              ELSE CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+           |                   / CAST(length(text) AS DOUBLE) END AS pr,
+           |         CASE WHEN trim(text) = '' THEN 0.0
+           |              ELSE CAST(len(regexp_extract_all(lower(text),
+           |                     '${TextFunctions.LangStopwords.head._2}')) AS DOUBLE)
+           |                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) END AS sr,
+           |         $counts
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, text, n_words,
+           |         CASE $caseChain ELSE 'und' END AS lang_pred,
+           |         ar * 0.5 + sr * 0.3 + pr * 0.2 AS quality
+           |  FROM feat),
+           |gated AS (
+           |  SELECT doc_id, text, n_words, lang_pred, quality FROM scored
+           |  WHERE lang_pred = 'en' AND quality >= 0.41 AND n_words >= 20),
+           |${shingleCte(20, src = "gated")},
+           |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |good AS (
+           |  SELECT doc_a, doc_b FROM pairs
+           |  JOIN counts ca ON doc_a = ca.doc_id
+           |  JOIN counts cb ON doc_b = cb.doc_id
+           |  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM good
+           |  UNION ALL SELECT doc_b, doc_a FROM good),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+           |losers AS (
+           |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r))
+           |SELECT doc_id, lang_pred, n_words, quality
+           |FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // SimHash near-dup: banded Hamming blocking.
     "q27_simhash" -> QueryDef(
