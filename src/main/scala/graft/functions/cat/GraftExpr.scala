@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the engine's hot scalar functions.
@@ -121,6 +122,27 @@ object GraftExpr {
         c => s"graft.functions.cat.Kernels.polyHash($c, $base, ${p}L)")
 
     override protected def withNewChildInternal(newChild: Expression): PolyHashCall =
+      copy(child = newChild)
+  }
+
+  def lshBuckets(c: Column, tables: Int, bits: Int): Column =
+    Bridge.column(LshBucketsCall(Bridge.expression(c), tables, bits))
+
+  /** Multi-table sign-LSH bucket array (see [[Kernels.lcgBuckets]]). */
+  case class LshBucketsCall(child: Expression, tables: Int, bits: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_lsh_buckets"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.lcgBuckets(input.asInstanceOf[ArrayData], tables, bits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.cat.Kernels.lcgBuckets($c, $tables, $bits)")
+
+    override protected def withNewChildInternal(newChild: Expression): LshBucketsCall =
       copy(child = newChild)
   }
 }

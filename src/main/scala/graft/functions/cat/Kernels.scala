@@ -1,5 +1,6 @@
 package graft.functions.cat
 
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Hand-rolled scalar kernels backing the custom Catalyst expressions in
@@ -576,5 +577,40 @@ object Kernels {
       }
     }
     utf8(t)
+  }
+
+  /** All multi-table sign-LSH buckets of a float vector in one pass:
+    * for each of `tables` hash tables, `bits` hyperplane projections
+    * whose weights come from the LCG formula (see
+    * `Similarity.lcgWeight`) — identical arithmetic in identical order
+    * to the Column-combinator form, so results are bit-exact against
+    * the DuckDB oracle. One tight loop of tables*bits*dim fused
+    * multiply-adds replaces tables*bits interpreted higher-order
+    * aggregate(transform(...)) expressions (HigherOrderFunctions do
+    * not participate in whole-stage codegen). Assumes a null-free
+    * vector, which the embedding schema guarantees. */
+  def lcgBuckets(vec: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val base = t.toLong * bits * dim + j.toLong * dim
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val h = (1103515245L * (base + i) + 12345L) % 2147483648L
+          acc += vec.getFloat(i).toDouble * (h.toDouble / 2147483648.0 * 2.0 - 1.0)
+          i += 1
+        }
+        if (acc >= 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -111,9 +111,16 @@ object Similarity {
   def lshTopKMultiTable(candidates: DataFrame, queries: DataFrame, k: Int,
                         tables: Int, bits: Int, dim: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // one codegen'd kernel call computes every table's bucket in a
+    // single pass over the vector; the Column-combinator form
+    // (`lcgBucket`, kept for cross-validation) is tables*bits
+    // interpreted higher-order expressions — HigherOrderFunction does
+    // not participate in whole-stage codegen. `dim` must equal the
+    // embedding length (the kernel reads the runtime length; the
+    // oracle formula indexes with it).
     def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
-        posexplode(array((0 until tables).map(t => lcgBucket(col(vecCol), t, bits, dim)): _*))
+        posexplode(graft.functions.cat.GraftExpr.lshBuckets(col(vecCol), tables, bits))
           .as(Seq("tbl", "bucket")))
     val q = broadcast(banded(queries, "qid", "qv"))
     val c = banded(candidates, "cid", "cv")

@@ -35,6 +35,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(rm > 0.0)
   }
 
+  test("lcgBuckets kernel matches the Column-combinator formula bit-for-bit") {
+    val (tables, bits, dim) = (4, 8, 64)
+    val kernel = emb.select(col("vec_id"),
+      graft.functions.cat.GraftExpr.lshBuckets(col("embedding"), tables, bits).as("b"))
+    val formula = emb.select(col("vec_id"),
+      array((0 until tables).map(t =>
+        Similarity.lcgBucket(col("embedding"), t, bits, dim)): _*).as("b"))
+    assert(kernel.exceptAll(formula).isEmpty && formula.exceptAll(kernel).isEmpty)
+  }
+
   test("sign buckets stay balanced (no catastrophic bucket skew)") {
     val planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
     val n = emb.count()
