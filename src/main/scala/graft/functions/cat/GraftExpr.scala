@@ -1,7 +1,7 @@
 package graft.functions.cat
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -144,5 +144,28 @@ object GraftExpr {
 
     override protected def withNewChildInternal(newChild: Expression): LshBucketsCall =
       copy(child = newChild)
+  }
+
+  def nearestCentroid(vec: Column, cents: Column, dim: Int): Column =
+    Bridge.column(NearestCentroidCall(Bridge.expression(vec), Bridge.expression(cents), dim))
+
+  /** Argmax-cosine centroid position (see [[Kernels.nearestCentroid]]).
+    * The centroid matrix child is a foldable literal array, so codegen
+    * hoists it into a constant. */
+  case class NearestCentroidCall(left: Expression, right: Expression, dim: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_centroid"
+
+    override protected def nullSafeEval(vec: Any, cents: Any): Any =
+      Kernels.nearestCentroid(vec.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], dim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (v, c) => s"graft.functions.cat.Kernels.nearestCentroid($v, $c, $dim)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroidCall =
+      copy(left = newLeft, right = newRight)
   }
 }

@@ -613,4 +613,38 @@ object Kernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Index (0-based, array order) of the centroid with the highest
+    * cosine similarity to `vec`; `cents` is the k*dim row-major flat
+    * centroid matrix. Ties keep the first (= lowest centroid id when
+    * the matrix is built in id order). Cosines stay unrounded: both
+    * engines fold identical doubles in identical order, so the argmax
+    * matches any SQL oracle ordering by the same expression with the
+    * same tie-break. Assumes null-free vectors and non-zero norms. */
+  def nearestCentroid(vec: ArrayData, cents: ArrayData, dim: Int): Int = {
+    val k = cents.numElements() / dim
+    var nv = 0.0
+    var i = 0
+    while (i < dim) { val x = vec.getFloat(i).toDouble; nv += x * x; i += 1 }
+    val nvs = math.sqrt(nv)
+    var best = 0
+    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var j = 0
+    while (j < k) {
+      var dot = 0.0
+      var nc = 0.0
+      var i2 = 0
+      while (i2 < dim) {
+        val c = cents.getDouble(j * dim + i2)
+        val x = vec.getFloat(i2).toDouble
+        dot += x * c
+        nc += c * c
+        i2 += 1
+      }
+      val cos = dot / (nvs * math.sqrt(nc))
+      if (cos > bestCos) { bestCos = cos; best = j }
+      j += 1
+    }
+    best
+  }
 }

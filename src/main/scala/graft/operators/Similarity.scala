@@ -133,6 +133,50 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** IVF-flat ANN top-k: coarse-quantize the corpus by
+    * nearest-cosine centroid, then probe only the `nprobe` cells
+    * nearest each query. `centroids` is a deterministic data sample
+    * (k-means init without the iterations); it is collected once and
+    * inlined as a literal matrix, so candidate assignment is one
+    * codegen'd kernel call *in the scan stage* — zero shuffle for the
+    * corpus; the only exchange in the plan is the final per-query
+    * top-k window over the probed cells (~nprobe/k of the corpus).
+    * The literal matrix suits centroid counts to ~10^4; beyond that
+    * ship it as a broadcast variable behind the same kernel.
+    * Assignment ranks by *unrounded* cosine (both engines fold
+    * identical doubles in identical order, ties -> lowest centroid
+    * id), matching [[graft.functions.cat.Kernels.nearestCentroid]]. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              centroids: DataFrame, nprobe: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids
+      .select(col(idCol).cast("long").as("cen_id"), col(vecCol).as("v"))
+      .orderBy("cen_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centsLit = array(cents.flatMap(_._2).map(x => lit(x.toDouble)).toIndexedSeq: _*)
+    val idsLit = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+    def cellOf(vec: Column): Column =
+      element_at(idsLit,
+        graft.functions.cat.GraftExpr.nearestCentroid(vec, centsLit, dim) + 1)
+    val ca = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      cellOf(col(vecCol)).as("cell"))
+    // probe side is tiny: broadcast cross join + window, mirroring SQL
+    val cen = broadcast(centroids.select(col(idCol).as("cen_id"), col(vecCol).as("cen_v")))
+    val qa = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(cen)
+      .withColumn("csim", cosine(col("qv"), col("cen_v")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cen_id").asc)
+    val probes = broadcast(qa.withColumn("prank", row_number().over(wq))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cen_id").as("cell")))
+    val scored = probes.join(ca, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign buckets:
     * candidate pairs share a bucket; keep cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

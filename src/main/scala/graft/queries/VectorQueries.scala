@@ -21,6 +21,12 @@ object VectorQueries {
     s"round(${dot("q.embedding", "c.embedding")} / " +
       s"(sqrt(${norm2("q.embedding")}) * sqrt(${norm2("c.embedding")})), 6)"
 
+  /** Unrounded cosine over arbitrary column expressions (assignment
+    * ranking must match the kernel's raw doubles, see
+    * `Similarity.ivfTopK`). */
+  private def duckCosRaw(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${norm2(a)}) * sqrt(${norm2(b)}))"
+
   /** The exact hyperplane literals the Spark plan uses, inlined so the
     * oracle's projections are the same doubles folded in the same
     * order — every sign bit matches. */
@@ -109,6 +115,41 @@ object VectorQueries {
            |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
            |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
       }),
+
+    // IVF-flat ANN: map-side coarse quantization (kernel argmax against
+    // an inlined centroid sample), nprobe-cell probing.
+    "q2C_ann_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+          centroids = emb.filter(col("vec_id") % 64 === 0), nprobe = 2, dim = 64)
+          .orderBy("qid", "rank")
+      },
+      s"""WITH cen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |ca AS (
+         |  SELECT cid, cv, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM embeddings e, cen c)
+         |  WHERE rn = 1),
+         |qa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM embeddings q, cen c WHERE q.vec_id < 8)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qid, cid, round(${duckCosRaw("qv", "cv")}, 6) AS cos
+         |  FROM qa JOIN ca USING (cell) WHERE qid <> cid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
     // Embedding-cosine near-duplicate pairs within sign buckets.
     "q2A_cosine_neardup" -> QueryDef(

@@ -23,16 +23,21 @@ class SimilaritySpec extends SparkTestBase {
     val single = pairs(Similarity.lshTopK(emb, queries, 5, planes))
     val multi = pairs(Similarity.lshTopKMultiTable(emb, queries, 5,
       tables = 16, bits = 8, dim = 64))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, 5,
+      centroids = emb.filter(col("vec_id") % 64 === 0), nprobe = 4, dim = 64))
     val rs = (exact & single).size.toDouble / exact.size
     val rm = (exact & multi).size.toDouble / exact.size
+    val ri = (exact & ivf).size.toDouble / exact.size
     // The fixture is near-uniform random, the hardest case for LSH:
     // sign collision at angle θ is (1-θ/π)^bits ≈ a few % at the
     // moderate cosines of uniform data. 16-table OR-amplification is
     // the standard recall lever: 1-(1-p)^16.
-    info(f"recall@5 vs exact: single-table=$rs%.2f multi-table(16)=$rm%.2f (n=${exact.size})")
+    info(f"recall@5 vs exact: single-table=$rs%.2f multi-table(16)=$rm%.2f " +
+      f"ivf(nprobe=4)=$ri%.2f (n=${exact.size})")
     assert(exact.nonEmpty)
     assert(rm >= rs) // amplification can only add candidate buckets
     assert(rm > 0.0)
+    assert(ri > 0.0)
   }
 
   test("lcgBuckets kernel matches the Column-combinator formula bit-for-bit") {
