@@ -32,21 +32,24 @@ object TextQueries {
 
   val all: Map[String, QueryDef] = Map(
 
-    // Exact dedup (hash groupBy); duplicates synthesized by self-union.
+    // Exact dedup (content-fingerprint groupBy); duplicates synthesized
+    // by self-union. The oracle groups by the same fingerprint.
     "q20_exact_dedup" -> QueryDef(
       (s, dir) => {
         val d = Tables.computeTable(s, dir, "documents").select("doc_id", "text")
         val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
         TextDedup.exactDedup(d.unionAll(dup), "doc_id", "text")
-          .select(col("keeper_id"), col("n_dups"), length(col("text")).as("len"))
           .orderBy("keeper_id")
       },
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |SELECT min(doc_id) AS keeper_id, COUNT(*) AS n_dups,
         |       CAST(length(text) AS INTEGER) AS len
-        |FROM u GROUP BY text ORDER BY keeper_id""".stripMargin),
+        |FROM u
+        |GROUP BY CAST(length(text) AS INTEGER), ${duckPolyHash("text")},
+        |         ${duckPolyHash("text", 37, 999999937L)}
+        |ORDER BY keeper_id""".stripMargin),
 
     // Token counting: whitespace + BPE-ish regex.
     "q21_token_count" -> QueryDef(

@@ -87,7 +87,7 @@ class OperatorsSpec extends SparkTestBase {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = TextDedup.exactDedup(df, "doc_id", "text")
       .orderBy("keeper_id").collect()
-    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
   test("ngramJaccardPairs finds a planted near-duplicate, skips distinct docs") {
