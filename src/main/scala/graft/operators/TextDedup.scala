@@ -36,10 +36,17 @@ object TextDedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
       .select("keeper_id", "n_dups", "len")
 
-  /** Distinct (doc, shingle) pairs — the inverted index rows. */
+  /** Distinct (doc, shingle-hash) pairs — the inverted index rows. The
+    * index carries the 8-byte polynomial hash, not the shingle string:
+    * every downstream shuffle (df-cap count, candidate self-join,
+    * verification joins) moves fixed-width rows instead of k-word
+    * strings, and the MinHash family derives from this same hash. Hash
+    * collisions merge shingles identically in any engine running the
+    * same arithmetic, so the oracle stays bit-exact. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
+        explode(TextFunctions.shingles(col(textCol), k)).as("__s"))
+      .select(col("doc_id"), TextFunctions.polyHash(col("__s")).as("sh_hash"))
 
   /** Drop shingles whose document frequency exceeds `maxDf` from the
     * inverted index (standard CCNet/Gopher boilerplate guard). A shingle
@@ -51,10 +58,10 @@ object TextDedup {
     * and the index never reshuffles: one count aggregation (map-side
     * combined) + a broadcast anti-join. */
   def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
-    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val hot = sh.groupBy("sh_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
-      .select("shingle")
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select("sh_hash")
+    sh.join(broadcast(hot), Seq("sh_hash"), "left_anti")
   }
 
   /** Same guard for LSH band buckets: a bucket of d near-identical docs
@@ -77,7 +84,7 @@ object TextDedup {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh_hash") === col("b.sh_hash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     pairs
@@ -100,12 +107,10 @@ object TextDedup {
     * and `numHashes`x the shuffle volume). */
   def minhashSignatures(sh: DataFrame, numHashes: Int,
                         p: Long = 1000000007L): DataFrame = {
-    val h = TextFunctions.polyHash(col("shingle"))
     val mins = (0 until numHashes).map { j =>
-      min((col("__h") * (2 * j + 1) + (j * j + 7)) % p).as(s"mh_$j")
+      min((col("sh_hash") * (2 * j + 1) + (j * j + 7)) % p).as(s"mh_$j")
     }
-    sh.withColumn("__h", h)
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH band signatures from the per-doc minhash columns: one slim
@@ -149,8 +154,8 @@ object TextDedup {
       .distinct()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shared = cand
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingle" -> "s_a")), "doc_a")
-      .join(sh.withColumnsRenamed(Map("doc_id" -> "db", "shingle" -> "s_b")),
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "sh_hash" -> "s_a")), "doc_a")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "db", "sh_hash" -> "s_b")),
         col("doc_b") === col("db") && col("s_a") === col("s_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     shared

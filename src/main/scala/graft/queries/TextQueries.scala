@@ -13,16 +13,19 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** Shared DuckDB CTEs: distinct word-5-gram shingles per doc, then the
-    * document-frequency cap mirroring `TextDedup.capShingleDf`. */
+  /** Shared DuckDB CTEs: distinct word-5-gram shingles per doc, hashed
+    * (the index carries the 8-byte polynomial hash, mirroring
+    * `TextDedup.shingleIndex`), then the document-frequency cap
+    * mirroring `TextDedup.capShingleDf`. */
   private def shingleCte(maxDf: Int, src: String = "documents"): String =
-    s"""sh0 AS (
+    s"""sh1 AS (
       |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src) t,
       |       UNNEST(range(1, len(tk) - 3)) AS u(i)
       |  WHERE len(tk) >= 5),
-      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $maxDf),
-      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+      |sh0 AS (SELECT doc_id, ${duckPolyHash("s")} AS h FROM sh1),
+      |hot AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) > $maxDf),
+      |sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot))""".stripMargin
 
   /** DuckDB polynomial rolling hash over a string expression. */
   private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
@@ -141,7 +144,7 @@ object TextQueries {
          |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, shared, ca.n AS n_a, cb.n AS n_b,
          |       CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
@@ -159,10 +162,9 @@ object TextQueries {
           maxDf = 20, maxBucket = 20)
         .orderBy("doc_a", "doc_b"),
       s"""WITH ${shingleCte(20)},
-         |hh AS (SELECT doc_id, s, ${duckPolyHash("s")} AS h FROM sh),
          |mh AS (
          |  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % 1000000007) AS mh
-         |  FROM hh, UNNEST(range(0, 32)) AS u(j)
+         |  FROM sh, UNNEST(range(0, 32)) AS u(j)
          |  GROUP BY doc_id, j),
          |bands0 AS (
          |  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
@@ -180,7 +182,7 @@ object TextQueries {
          |  SELECT c.doc_a, c.doc_b, COUNT(*) AS sh_n
          |  FROM cand c
          |  JOIN sh s1 ON s1.doc_id = c.doc_a
-         |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.s = s1.s
+         |  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |       CAST(sh_n AS DOUBLE) / (ca.n + cb.n - sh_n) AS jaccard
@@ -203,7 +205,7 @@ object TextQueries {
          |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |good AS (
          |  SELECT doc_a, doc_b FROM pairs
@@ -279,7 +281,7 @@ object TextQueries {
            |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
            |pairs AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
            |good AS (
            |  SELECT doc_a, doc_b FROM pairs

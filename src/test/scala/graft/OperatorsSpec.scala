@@ -111,10 +111,13 @@ class OperatorsSpec extends SparkTestBase {
     val df = docs.toDF("doc_id", "text")
     val sh = TextDedup.shingleIndex(df, "doc_id", "text", 5)
     val capped = TextDedup.capShingleDf(sh, maxDf = 5)
-    // the boilerplate shingle is gone; per-doc uniques survive
-    assert(capped.filter($"shingle" === boiler).count() == 0)
+    // the boilerplate shingle's hash is gone; per-doc uniques survive
+    val boilerHash = spark.range(1)
+      .select(graft.functions.TextFunctions.polyHash(lit(boiler)))
+      .collect()(0).getLong(0)
+    assert(capped.filter($"sh_hash" === boilerHash).count() == 0)
     assert(capped.count() > 0)
-    val maxDfLeft = capped.groupBy("shingle").count()
+    val maxDfLeft = capped.groupBy("sh_hash").count()
       .agg(max("count")).collect()(0).getLong(0)
     assert(maxDfLeft <= 5)
     // the planted near-dup is still found; no pair exists merely via boilerplate
