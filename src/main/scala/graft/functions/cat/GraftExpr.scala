@@ -34,7 +34,8 @@ object GraftExpr {
     "tightKeyNorm" -> (StringType, false),
     "flightNorm" -> (StringType, false),
     "flightValid" -> (BooleanType, false),
-    "dateKeyMmDd" -> (StringType, false))
+    "dateKeyMmDd" -> (StringType, false),
+    "simhash60" -> (LongType, false))
 
   private def eval1(fn: String, in: UTF8String): Any = fn match {
     case "timeHhmm" => Kernels.timeHhmm(in)
@@ -50,6 +51,7 @@ object GraftExpr {
     case "flightNorm" => Kernels.flightNorm(in)
     case "flightValid" => Kernels.flightValid(in)
     case "dateKeyMmDd" => Kernels.dateKeyMmDd(in)
+    case "simhash60" => Kernels.simhash60(in)
   }
 
   /** Column-level entry point used by the function builders. */

@@ -647,4 +647,58 @@ object Kernels {
     }
     best
   }
+
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  /** 60-bit SimHash of whitespace-tokenized text in ONE pass — the
+    * scalar form of the explode -> 60-parallel-bitsum aggregation
+    * (signatures become a map-side computation with no shuffle at
+    * all). Exact parity with the aggregate form: Spark `trim` strips
+    * spaces only, `split("\\s+", -1)` is the same Java regex split
+    * StringSplit runs (leading/trailing empty fields included), tokens
+    * deduplicate, both polynomial hashes fold codepoints like
+    * [[polyHash]], bit b < 30 comes from h1 >> b, else h2 >> (b-30),
+    * each distinct token adds +-1 per bit, and bit b of the signature
+    * is set when its sum is positive. Callers must pre-filter
+    * trim(text) == "" rows — the aggregate form drops them (explode of
+    * an empty array), a scalar cannot. */
+  def simhash60(u: UTF8String): Long = {
+    val full = u.toString
+    var b0 = 0
+    var e0 = full.length
+    while (b0 < e0 && full.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && full.charAt(e0 - 1) == ' ') e0 -= 1
+    val toks = WsSplit.split(full.substring(b0, e0), -1)
+    val seen = new java.util.HashSet[String]()
+    val sums = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (seen.add(tok)) {
+        var h1 = 0L
+        var h2 = 0L
+        var i = 0
+        while (i < tok.length) {
+          val cp = tok.codePointAt(i)
+          h1 = (h1 * 31 + cp) % 1000000007L
+          h2 = (h2 * 37 + cp) % 999999937L
+          i += Character.charCount(cp)
+        }
+        var b = 0
+        while (b < 60) {
+          val bit = if (b < 30) (h1 >> b) & 1L else (h2 >> (b - 30)) & 1L
+          sums(b) += (if (bit == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (sums(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
 }

@@ -171,11 +171,22 @@ object TextDedup {
     * Per bit: sum +1/-1 over distinct tokens by that bit of the token
     * hash; bit set when the sum is positive.
     *
-    * Shape note: the 60 per-bit sums are 60 parallel aggregation
-    * columns over the token rows (single groupBy, map-side combine) —
-    * not a 60x bit-explode (that multiplies the shuffle by the
-    * signature width). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Shape: ONE codegen'd kernel call per document — signatures are a
+    * map-side scalar with no explode and no shuffle at all (the
+    * trim-empty filter mirrors the aggregate form's explode-of-empty
+    * drop). [[simhashViaAggregation]] keeps the explode -> 60-bitsum
+    * shape for cross-validation. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        graft.functions.cat.GraftExpr.call("simhash60", col(textCol).cast("string"))
+          .as("simhash"))
+
+  /** The original aggregation-shaped SimHash (explode distinct tokens,
+    * 60 parallel +-1 bit sums in a single groupBy with map-side
+    * combine). Semantically identical to [[simhash]]; retained as the
+    * independent implementation the kernel is tested against. */
+  def simhashViaAggregation(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))

@@ -47,6 +47,78 @@ object StreamingFlows {
       .select(col("w.start").as("window_start"), col("n_events"),
         col("n_users_approx"), col("sum_value"))
 
+  case class BandDoc(band: Int, bandval: Long, doc_id: Long, simhash: Long,
+                     event_time: java.sql.Timestamp)
+  case class DupHit(doc_id: Long, dup_of: Long, hamming: Int, band: Int)
+  case class BucketState(docs: List[(Long, Long)], lastMs: Long)
+
+  /** Streaming SimHash near-duplicate detection: each arriving document
+    * gets its 60-bit signature from the single-pass kernel (a map-side
+    * scalar — no aggregation before the stateful step), is banded
+    * 4×15 bits exactly like the batch `TextDedup.simhashPairs`, and is
+    * checked against per-(band, bandval) bucket state. Emits one
+    * `DupHit` per (newer doc, earlier doc) pair with Hamming distance
+    * <= `maxHamming`, at the pair's first matching band only (the
+    * in-row predicate both signatures allow — no cross-bucket dedup
+    * state).
+    *
+    * State is bounded two ways: buckets expire `horizonMinutes` of
+    * event time after their last arrival (event-time timeout under the
+    * stream's watermark), and a bucket stops absorbing docs at
+    * `maxBucket` — the streaming analogue of the batch band-bucket cap
+    * (prospective rather than retroactive: docs beyond the cap are
+    * ignored instead of retracting the bucket, since streams cannot
+    * retract). `docs` needs columns (doc_id, text, event_time). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int,
+                      lateness: String = "10 minutes",
+                      horizonMinutes: Int = 60,
+                      maxBucket: Int = 50): Dataset[DupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def bandOf(sh: Long, b: Int): Long = (sh >> (b * 15)) & 32767L
+
+    def fold(key: (Int, Long), evs: Iterator[BandDoc],
+             state: GroupState[BucketState]): Iterator[DupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var kept = state.getOption.map(_.docs).getOrElse(Nil)
+      var lastMs = state.getOption.map(_.lastMs).getOrElse(0L)
+      val out = Seq.newBuilder[DupHit]
+      val band = key._1
+      evs.toSeq.sortBy(_.doc_id).foreach { e =>
+        lastMs = math.max(lastMs, e.event_time.getTime)
+        if (kept.size < maxBucket && !kept.exists(_._1 == e.doc_id)) {
+          kept.foreach { case (oid, osh) =>
+            val earlierBandMatches =
+              (0 until band).exists(bp => bandOf(osh, bp) == bandOf(e.simhash, bp))
+            if (!earlierBandMatches) {
+              val ham = java.lang.Long.bitCount(osh ^ e.simhash)
+              if (ham <= maxHamming)
+                out += DupHit(math.max(e.doc_id, oid), math.min(e.doc_id, oid), ham, band)
+            }
+          }
+          kept = (e.doc_id, e.simhash) :: kept
+        }
+      }
+      state.update(BucketState(kept, lastMs))
+      state.setTimeoutTimestamp(lastMs + horizonMinutes * 60000L)
+      out.result().iterator
+    }
+
+    docs
+      .withWatermark("event_time", lateness)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.cat.GraftExpr.call("simhash60", col("text").cast("string"))
+          .as("simhash"),
+        col("event_time"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bandval", expr("shiftright(simhash, band * 15) % 32768"))
+      .select("band", "bandval", "doc_id", "simhash", "event_time")
+      .as[BandDoc]
+      .groupByKey(b => (b.band, b.bandval))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
   case class SessEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
   case class OpenSession(seq: Long, startUs: Long, endUs: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_seq: Long, session_start_us: Long,

@@ -166,6 +166,23 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("simhash kernel matches the aggregation form on edge-case texts") {
+    val docs = Seq(
+      (1L, "plain words in a row"),
+      (2L, "  leading and trailing spaces  "),
+      (3L, "tab\tseparated\ttokens"),
+      (4L, "repeated repeated repeated tokens tokens"),
+      (5L, "unicode café über straße 😀 emoji"),
+      (6L, "newline\nseparated\nlines\nhere"),
+      (7L, "x"),
+      (8L, ""), (9L, "   ")) // dropped by both forms
+      .toDF("doc_id", "text")
+    val kernel = TextDedup.simhash(docs, "doc_id", "text")
+    val agg = TextDedup.simhashViaAggregation(docs, "doc_id", "text")
+    assert(kernel.exceptAll(agg).isEmpty && agg.exceptAll(kernel).isEmpty)
+    assert(kernel.count() == 7)
+  }
+
   test("simhash: identical docs get identical signatures; hamming 0 pair found") {
     val df = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
       (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")

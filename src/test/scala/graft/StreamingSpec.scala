@@ -55,6 +55,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("simhashNearDups emits a near-dup pair once, skips distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val far = "one two three four five six seven eight nine ten eleven twelve"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingFlows.simhashNearDups(
+      in.toDF().toDF("doc_id", "text", "event_time"), maxHamming = 6,
+      lateness = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("neardups")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, base, ts(0)), (3L, far, ts(1)))
+      q.processAllAvailable()
+      in.addData((2L, near, ts(2)))
+      q.processAllAvailable()
+      val hits = spark.table("neardups").as[StreamingFlows.DupHit].collect()
+      // exactly one emission for the (2,1) pair despite 4 candidate bands
+      assert(hits.map(h => (h.doc_id, h.dup_of)).toSeq == Seq((2L, 1L)))
+      assert(hits.head.hamming <= 6)
+      // batch parity: the streamed signatures match TextDedup.simhash
+      val batch = graft.operators.TextDedup.simhashPairs(
+        Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 6).collect()
+      assert(batch.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions by gap and by watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
