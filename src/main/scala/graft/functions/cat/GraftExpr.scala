@@ -170,4 +170,33 @@ object GraftExpr {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroidCall =
       copy(left = newLeft, right = newRight)
   }
+
+  def minhash32(c: Column, k: Int): Column =
+    Bridge.column(Minhash32Call(Bridge.expression(c), k))
+
+  /** Single-pass MinHash signature array (see [[Kernels.minhash32]]). */
+  case class Minhash32Call(child: Expression, k: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_minhash32"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhash32(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("mh")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+           |  graft.functions.cat.Kernels.minhash32($c, $k);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Minhash32Call =
+      copy(child = newChild)
+  }
 }

@@ -701,4 +701,54 @@ object Kernels {
     }
     sig
   }
+
+  /** 32 MinHash values over the document's distinct word 5-shingles in
+    * ONE pass — the scalar form of explode -> hash -> 32 parallel min
+    * aggregations (signatures become map-side, no shuffle; the
+    * inverted index is then needed only for candidate verification).
+    * Tokenization matches [[simhash60]] (Spark trim + the same Java
+    * regex split); shingles are `k` consecutive tokens space-joined,
+    * deduplicated; the base hash folds codepoints like [[polyHash]];
+    * family j is ((2j+1)*h + j*j+7) mod 1e9+7. Returns null when the
+    * doc has fewer than `k` tokens (the aggregate form has no shingle
+    * rows there — callers filter nulls). */
+  def minhash32(u: UTF8String, k: Int): ArrayData = {
+    val full = u.toString
+    var b0 = 0
+    var e0 = full.length
+    while (b0 < e0 && full.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && full.charAt(e0 - 1) == ' ') e0 -= 1
+    val s = full.substring(b0, e0)
+    if (s.isEmpty) return null
+    val toks = WsSplit.split(s, -1)
+    if (toks.length < k) return null
+    val p = 1000000007L
+    val mins = new Array[Long](32)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var w = 1
+      while (w < k) { sb.append(' ').append(toks(i + w)); w += 1 }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        var h = 0L
+        var ci = 0
+        while (ci < shingle.length) {
+          val cp = shingle.codePointAt(ci)
+          h = (h * 31 + cp) % p
+          ci += Character.charCount(cp)
+        }
+        var j = 0
+        while (j < 32) {
+          val v = (h * (2 * j + 1) + (j * j + 7)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }

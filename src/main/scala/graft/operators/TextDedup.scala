@@ -96,15 +96,24 @@ object TextDedup {
       .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signatures: one row per doc with numHashes min-aggregate
-    * columns. Hash family: h_j(x) = ((2j+1)*polyHash(x) + j*j+7) mod p —
-    * products stay far below 2^63.
-    *
-    * Shape note: the whole family is computed as `numHashes` parallel
-    * `min(...)` aggregations over the shingle rows — one hash-partition
-    * groupBy with map-side combine — instead of exploding every shingle
-    * row `numHashes`x and re-grouping (measured several times slower
-    * and `numHashes`x the shuffle volume). */
+  /** MinHash signatures as ONE kernel call per document — shingling,
+    * hashing, and all 32 family minima in a single map-side pass
+    * (hash family: h_j(x) = ((2j+1)*polyHash(x) + j*j+7) mod p;
+    * products stay far below 2^63). Signatures never touch a shuffle;
+    * the inverted index is needed only for candidate verification.
+    * Docs with < k tokens have no shingles and are dropped, matching
+    * the aggregation form's explode-of-nothing. */
+  def minhashSignatureArray(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.cat.GraftExpr.minhash32(col(textCol).cast("string"), k).as("mh"))
+      .filter(col("mh").isNotNull)
+
+  /** The aggregation-shaped MinHash (numHashes parallel `min`s over the
+    * hashed shingle index — one groupBy with map-side combine, still
+    * far better than a numHashes× explode). Semantically identical to
+    * [[minhashSignatureArray]] over an uncapped index; retained as the
+    * independent implementation the kernel is tested against. */
   def minhashSignatures(sh: DataFrame, numHashes: Int,
                         p: Long = 1000000007L): DataFrame = {
     val mins = (0 until numHashes).map { j =>
@@ -122,10 +131,12 @@ object TextDedup {
     * wrong trade, so the fat column is gone. */
   def bandSignatures(sig: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nb = numHashes / rowsPerBand
+    def mh(j: Int): Column =
+      if (sig.columns.contains("mh")) element_at(col("mh"), j + 1) else col(s"mh_$j")
     val bandStructs = (0 until nb).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(j => col(s"mh_$j").cast("string")): _*).as("sig"))
+          .map(j => mh(j).cast("string")): _*).as("sig"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -143,9 +154,15 @@ object TextDedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                       numHashes: Int, rowsPerBand: Int, threshold: Double,
                       maxDf: Int, maxBucket: Int): DataFrame = {
+    require(numHashes == 32, "the single-pass signature kernel is a 32-hash family")
+    // signatures come from the raw shingle set (the df-cap bounds the
+    // *self-joins*: verification below, and banding via the bucket cap —
+    // MinHash itself never self-joins, so capping its input only skews
+    // the signatures); the capped index serves verification alone
     val sh = capShingleDf(shingleIndex(df, idCol, textCol, k), maxDf)
     val bands = capBandBuckets(
-      bandSignatures(minhashSignatures(sh, numHashes), numHashes, rowsPerBand), maxBucket)
+      bandSignatures(minhashSignatureArray(df, idCol, textCol, k),
+        numHashes, rowsPerBand), maxBucket)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

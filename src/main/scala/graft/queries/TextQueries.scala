@@ -164,7 +164,7 @@ object TextQueries {
       s"""WITH ${shingleCte(20)},
          |mh AS (
          |  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % 1000000007) AS mh
-         |  FROM sh, UNNEST(range(0, 32)) AS u(j)
+         |  FROM sh0, UNNEST(range(0, 32)) AS u(j)
          |  GROUP BY doc_id, j),
          |bands0 AS (
          |  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,

@@ -166,6 +166,22 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("minhash32 kernel matches the aggregation form on edge-case texts") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "  padded   with   extra   internal   whitespace   everywhere  "),
+      (3L, "tab\tseparated words plus more tokens here now"),
+      (4L, "unicode café über straße 😀 emoji and more words"),
+      (5L, "four tokens only here"), // < 5 tokens -> dropped by both
+      (6L, "")).toDF("doc_id", "text")
+    val kernel = TextDedup.minhashSignatureArray(docs, "doc_id", "text", k = 5)
+    val agg = TextDedup.minhashSignatures(
+        TextDedup.shingleIndex(docs, "doc_id", "text", 5), 32)
+      .select(col("doc_id"), array((0 until 32).map(j => col(s"mh_$j")): _*).as("mh"))
+    assert(kernel.exceptAll(agg).isEmpty && agg.exceptAll(kernel).isEmpty)
+    assert(kernel.count() == 4)
+  }
+
   test("simhash kernel matches the aggregation form on edge-case texts") {
     val docs = Seq(
       (1L, "plain words in a row"),
