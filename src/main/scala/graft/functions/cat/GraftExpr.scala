@@ -199,4 +199,25 @@ object GraftExpr {
     override protected def withNewChildInternal(newChild: Expression): Minhash32Call =
       copy(child = newChild)
   }
+
+  def shingleHashes(c: Column, k: Int): Column =
+    Bridge.column(ShingleHashesCall(Bridge.expression(c), k))
+
+  /** Distinct hashed k-shingles (see [[Kernels.shingleHashes]]). */
+  case class ShingleHashesCall(child: Expression, k: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.shingleHashes(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.cat.Kernels.shingleHashes($c, $k)")
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesCall =
+      copy(child = newChild)
+  }
 }

@@ -751,4 +751,46 @@ object Kernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** Hashes of the document's distinct word k-shingles in one pass —
+    * the scalar feeding `TextDedup.shingleIndex`'s explode. Dedup is
+    * by shingle STRING (two distinct shingles colliding in the hash
+    * legitimately emit two equal values), exactly like
+    * `array_distinct(shingles(text)) -> polyHash` — so the exploded
+    * index is identical to the combinator form's, without
+    * materializing per-row shingle strings through an interpreted
+    * higher-order chain. Returns an empty array below k tokens. */
+  def shingleHashes(u: UTF8String, k: Int): ArrayData = {
+    val full = u.toString
+    var b0 = 0
+    var e0 = full.length
+    while (b0 < e0 && full.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && full.charAt(e0 - 1) == ' ') e0 -= 1
+    val s = full.substring(b0, e0)
+    if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val toks = WsSplit.split(s, -1)
+    if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val p = 1000000007L
+    val seen = new java.util.HashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var w = 1
+      while (w < k) { sb.append(' ').append(toks(i + w)); w += 1 }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        var h = 0L
+        var ci = 0
+        while (ci < shingle.length) {
+          val cp = shingle.codePointAt(ci)
+          h = (h * 31 + cp) % p
+          ci += Character.charCount(cp)
+        }
+        out += h
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -42,11 +42,14 @@ object TextDedup {
     * verification joins) moves fixed-width rows instead of k-word
     * strings, and the MinHash family derives from this same hash. Hash
     * collisions merge shingles identically in any engine running the
-    * same arithmetic, so the oracle stays bit-exact. */
+    * same arithmetic, so the oracle stays bit-exact. The per-doc hash
+    * array comes from one codegen'd kernel call (tokenize + shingle +
+    * dedup + hash in a single pass) — only fixed-width longs ever
+    * reach the explode. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(col(textCol), k)).as("__s"))
-      .select(col("doc_id"), TextFunctions.polyHash(col("__s")).as("sh_hash"))
+        explode(graft.functions.cat.GraftExpr.shingleHashes(
+          col(textCol).cast("string"), k)).as("sh_hash"))
 
   /** Drop shingles whose document frequency exceeds `maxDf` from the
     * inverted index (standard CCNet/Gopher boilerplate guard). A shingle

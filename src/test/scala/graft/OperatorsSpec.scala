@@ -166,6 +166,23 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("shingleHashes kernel matches the combinator shingle index") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "  padded   with   extra   internal   whitespace   everywhere  "),
+      (3L, "tab\tseparated words plus more tokens here now"),
+      (4L, "unicode café über straße 😀 emoji and more words"),
+      (5L, "four tokens only here"), (6L, ""),
+      (7L, "dup dup dup dup dup dup dup dup")) // repeated shingles dedupe
+      .toDF("doc_id", "text")
+    val kernel = TextDedup.shingleIndex(docs, "doc_id", "text", 5)
+    val combinator = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"), graft.functions.TextFunctions.polyHash(col("s")).as("sh_hash"))
+    assert(kernel.exceptAll(combinator).isEmpty && combinator.exceptAll(kernel).isEmpty)
+    assert(kernel.filter($"doc_id" === 7L).count() == 1)
+  }
+
   test("minhash32 kernel matches the aggregation form on edge-case texts") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
