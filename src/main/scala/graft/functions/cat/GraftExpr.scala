@@ -220,4 +220,26 @@ object GraftExpr {
     override protected def withNewChildInternal(newChild: Expression): ShingleHashesCall =
       copy(child = newChild)
   }
+
+  def cosineFF(a: Column, b: Column): Column =
+    Bridge.column(CosineFFCall(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Float-vector cosine similarity (see [[Kernels.cosineFF]]). Both
+    * children must be array<float>. */
+  case class CosineFFCall(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.cat.Kernels.cosineFF($a, $b)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineFFCall =
+      copy(left = newLeft, right = newRight)
+  }
 }

@@ -793,4 +793,25 @@ object Kernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Cosine similarity of two float vectors, folding exactly like the
+    * combinator form: dot = sum(a_i*b_i) in index order (doubles),
+    * result = dot / (sqrt(sum a_i^2) * sqrt(sum b_i^2)). Identical
+    * IEEE operations in identical order -> bit-equal to
+    * `aggregate(zip_with(...))`, which runs interpreted (HOFs skip
+    * whole-stage codegen) and was the inner loop of every ANN pair
+    * scorer. */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < n) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

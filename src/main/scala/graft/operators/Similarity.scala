@@ -18,14 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors, in double. */
+  /** Sequential-fold dot product of two vectors, in double. Used for
+    * projections against double-literal hyperplanes; the float-float
+    * pair-scoring hot path goes through the codegen'd kernel below. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine of two `array<float>` columns — one codegen'd kernel call
+    * folding in the same index order as the combinator form (bit-equal
+    * result, proven by the unchanged oracles), instead of three
+    * interpreted higher-order expressions per scored pair. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.cat.GraftExpr.cosineFF(a, b)
 
   /** Brute-force cosine top-k: for each query vector (`queries` must be
     * small — it is broadcast), the k nearest candidates by cosine,
