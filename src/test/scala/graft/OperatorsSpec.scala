@@ -166,6 +166,36 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("text kernels match combinator forms on 500 seeded random docs") {
+    val rnd = new scala.util.Random(20260812L)
+    val wsChars = " \t\n\r\f"
+    val wordChars = "abcXYZ019.,!?café😀ß中"
+    def randDoc(): String = {
+      val sb = new StringBuilder
+      (0 to rnd.nextInt(30)).foreach { _ =>
+        (0 until rnd.nextInt(8)).foreach(_ => sb.append(wordChars(rnd.nextInt(wordChars.length))))
+        (0 to rnd.nextInt(3)).foreach(_ => sb.append(wsChars(rnd.nextInt(wsChars.length))))
+      }
+      sb.toString
+    }
+    val docs = (1L to 500L).map(i => (i, randDoc())).toDF("doc_id", "text")
+
+    val shKernel = TextDedup.shingleIndex(docs, "doc_id", "text", 5)
+    val shComb = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("s"))
+      .select(col("doc_id"), graft.functions.TextFunctions.polyHash(col("s")).as("sh_hash"))
+    assert(shKernel.exceptAll(shComb).isEmpty && shComb.exceptAll(shKernel).isEmpty)
+
+    val mhKernel = TextDedup.minhashSignatureArray(docs, "doc_id", "text", 5)
+    val mhAgg = TextDedup.minhashSignatures(shComb, 32)
+      .select(col("doc_id"), array((0 until 32).map(j => col(s"mh_$j")): _*).as("mh"))
+    assert(mhKernel.exceptAll(mhAgg).isEmpty && mhAgg.exceptAll(mhKernel).isEmpty)
+
+    val simKernel = TextDedup.simhash(docs, "doc_id", "text")
+    val simAgg = TextDedup.simhashViaAggregation(docs, "doc_id", "text")
+    assert(simKernel.exceptAll(simAgg).isEmpty && simAgg.exceptAll(simKernel).isEmpty)
+  }
+
   test("shingleHashes kernel matches the combinator shingle index") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
