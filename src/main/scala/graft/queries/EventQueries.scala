@@ -10,7 +10,47 @@ import graft.sources.Tables
   */
 object EventQueries {
 
+  /** DuckDB polynomial hash, duplicated from TextQueries for locality. */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ascii($e[i]) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % 1000000007)"
+
   val all: Map[String, QueryDef] = Map(
+
+    // §2.9 UDAF surface: KMV distinct-count sketch (custom
+    // TypedImperativeAggregate). Deterministic by construction (min-k
+    // hash set = commutative idempotent monoid), so the oracle
+    // reproduces the estimate exactly.
+    "q3A_distinct_sketch" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "events")
+        .groupBy("event_type")
+        .agg(graft.functions.cat.KmvDistinct(col("user_id"), 64).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      s"""WITH h0 AS (
+        |  SELECT DISTINCT event_type, ${duckHash("CAST(user_id AS VARCHAR)")} AS h
+        |  FROM events),
+        |hv AS (
+        |  SELECT DISTINCT event_type,
+        |         (((h * 48271 + 11) % 1000000007) * 48271 + 11) % 1000000007 AS h
+        |  FROM h0),
+        |rk AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM hv),
+        |agg AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |         max(CASE WHEN r = 64 THEN h END) AS kth
+        |  FROM rk GROUP BY 1)
+        |SELECT a.event_type,
+        |       CASE WHEN a.nd < 64 THEN CAST(a.nd AS DOUBLE)
+        |            ELSE 63 * 1000000007.0 / CAST(a.kth AS DOUBLE) END AS approx_users,
+        |       e.exact_users
+        |FROM agg a JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |                 FROM events GROUP BY 1) e USING (event_type)
+        |ORDER BY event_type""".stripMargin),
 
     "q30_sessionize" -> QueryDef(
       (s, dir) => Sessionize.sessions(Tables.computeTable(s, dir, "events"), gapMinutes = 30)

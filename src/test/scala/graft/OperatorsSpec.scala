@@ -166,6 +166,24 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("KmvDistinct: exact below k, partition-order independent above") {
+    import graft.functions.cat.KmvDistinct
+    // 10 distinct values, k=64 -> exact count
+    val small = (1 to 30).map(i => ("g", (i % 10).toString)).toDF("g", "v")
+    val exact = small.groupBy("g").agg(KmvDistinct(col("v"), 64).as("d"))
+      .collect()(0).getDouble(1)
+    assert(exact == 10.0)
+    // 5000 distinct values, k=64 -> estimator; identical result under
+    // any partitioning (the min-k monoid is order-independent)
+    val big = spark.range(5000).select(lit("g").as("g"), col("id").cast("string").as("v"))
+    def est(parts: Int): Double =
+      big.repartition(parts).groupBy("g").agg(KmvDistinct(col("v"), 64).as("d"))
+        .collect()(0).getDouble(1)
+    val e1 = est(1)
+    assert(e1 == est(7) && e1 == est(32))
+    assert(math.abs(e1 - 5000) / 5000.0 < 0.5) // coarse sketch, sane estimate
+  }
+
   test("text kernels match combinator forms on 500 seeded random docs") {
     val rnd = new scala.util.Random(20260812L)
     val wsChars = " \t\n\r\f"
