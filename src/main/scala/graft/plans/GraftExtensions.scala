@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.cat.GraftExpr.StringKernelCall
+import graft.functions.cat.GraftExpr.{CosineFFCall, LshBucketsCall, Minhash32Call, ShingleHashesCall, StringKernelCall}
+import graft.functions.cat.KmvDistinct
 
 /** Engine extension surface, installed with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (the harness
@@ -31,7 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "graft_luggage_recompose" -> "luggageRecompose",
     "graft_airline_code" -> "airlineCode",
     "graft_head_token" -> "headToken",
-    "graft_date_key_mmdd" -> "dateKeyMmDd")
+    "graft_date_key_mmdd" -> "dateKeyMmDd",
+    "graft_simhash60" -> "simhash60")
+
+  /** Foldable int argument of a SQL call (e.g. the k in
+    * `graft_minhash32(text, 5)`). */
+  private def intArg(e: Expression, sqlName: String): Int = {
+    require(e.foldable, s"$sqlName expects a literal int argument")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     SqlFunctions.foreach { case (sqlName, kernel) =>
@@ -40,6 +49,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, s"$sqlName expects exactly one argument")
         StringKernelCall(args.head, kernel)
       }
+      ext.injectFunction((FunctionIdentifier(sqlName), info, builder))
+    }
+    val parameterized: Seq[(String, Seq[Expression] => Expression)] = Seq(
+      "graft_shingle_hashes" -> { args =>
+        require(args.length == 2, "graft_shingle_hashes(text, k)")
+        ShingleHashesCall(args.head, intArg(args(1), "graft_shingle_hashes"))
+      },
+      "graft_minhash32" -> { args =>
+        require(args.length == 2, "graft_minhash32(text, k)")
+        Minhash32Call(args.head, intArg(args(1), "graft_minhash32"))
+      },
+      "graft_lsh_buckets" -> { args =>
+        require(args.length == 3, "graft_lsh_buckets(vec, tables, bits)")
+        LshBucketsCall(args.head, intArg(args(1), "graft_lsh_buckets"),
+          intArg(args(2), "graft_lsh_buckets"))
+      },
+      "graft_cosine" -> { args =>
+        require(args.length == 2, "graft_cosine(a, b)")
+        CosineFFCall(args.head, args(1))
+      },
+      // aggregate: the analyzer wraps a bare AggregateFunction
+      "graft_kmv_distinct" -> { args =>
+        require(args.length == 2, "graft_kmv_distinct(x, k)")
+        KmvDistinct(args.head, intArg(args(1), "graft_kmv_distinct"))
+      })
+    parameterized.foreach { case (sqlName, builder) =>
+      val info = new ExpressionInfo(classOf[GraftExtensions].getName, sqlName)
       ext.injectFunction((FunctionIdentifier(sqlName), info, builder))
     }
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalize)

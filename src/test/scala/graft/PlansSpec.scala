@@ -24,6 +24,24 @@ class PlansSpec extends SparkTestBase {
     assert(row.getString(4) == "07:45")
   }
 
+  test("parameterized graft_* functions and the KMV aggregate work from SQL") {
+    val row = spark.sql(
+      """SELECT size(graft_shingle_hashes('a b c d e f', 5)) AS nsh,
+        |       size(graft_minhash32('a b c d e f', 5)) AS nmh,
+        |       size(graft_lsh_buckets(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4, 8)) AS nb,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos,
+        |       graft_simhash60('w1 w2 w3') AS sh
+        |""".stripMargin).collect()(0)
+    assert(row.getInt(0) == 2 && row.getInt(1) == 32 && row.getInt(2) == 4)
+    assert(row.getDouble(3) == 1.0)
+    spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS v")
+      .createOrReplaceTempView("kmv_in")
+    val est = spark.sql("SELECT graft_kmv_distinct(v, 64) FROM kmv_in")
+      .collect()(0).getDouble(0)
+    assert(est == 7.0) // below k -> exact
+  }
+
   test("CollapseIdempotentNormalize removes double normalization") {
     // non-foldable input (range, not a literal) so constant folding
     // can't erase the calls before the rule is observable
