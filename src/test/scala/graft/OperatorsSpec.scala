@@ -247,6 +247,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(kernel.count() == 4)
   }
 
+  test("DedupClusters matches union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(424242L)
+    (1 to 8).foreach { _ =>
+      val n = 5 + rnd.nextInt(25)
+      val edges = (0 until n).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a + 1)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // plain union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = DedupClusters.resolve(edges.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected)
+      }
+    }
+  }
+
   test("simhash kernel matches the aggregation form on edge-case texts") {
     val docs = Seq(
       (1L, "plain words in a row"),
