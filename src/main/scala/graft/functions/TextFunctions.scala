@@ -84,4 +84,20 @@ object TextFunctions {
   }
   def qualityScore(c: Column): Column =
     alphaRatio(c) * 0.5 + stopwordRatio(c) * 0.3 + punctRatio(c) * 0.2
+
+  /** PII scrubbing for training corpora: URLs, then emails, then
+    * phone-like number runs, each replaced with a stable token (URLs
+    * first — they can contain '@' and digit runs). Patterns use no
+    * lookaround or backreferences, so RE2-based engines (the DuckDB
+    * oracle) match the JVM regex exactly; `regexp_replace` is
+    * codegen'd, keeping the scrub in the scan stage. */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

@@ -222,6 +222,45 @@ object TextQueries {
          |SELECT node AS doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // PII redaction: URL/email/phone scrubbing with stable tokens.
+    // Synthetic PII is appended per doc (the fixture has none), so the
+    // redaction provably fires on every row.
+    "q3B_pii_redaction" -> QueryDef(
+      (s, dir) => {
+        val withPii = Tables.computeTable(s, dir, "documents")
+          .select(col("doc_id"), concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+              .when(col("doc_id") % 3 === 1,
+                concat(lit(" see https://ex.example/p?id="), col("doc_id"), lit(" today")))
+              .otherwise(concat(lit(" call +1 (555) 010-"),
+                (col("doc_id") % 10000).cast("string"), lit(" soon")))).as("text"))
+        withPii.select(col("doc_id"),
+            TextFunctions.redactPii(col("text")).as("clean"),
+            (length(col("text")) - length(TextFunctions.redactPii(col("text"))))
+              .as("removed_chars"))
+          .orderBy("doc_id")
+      },
+      s"""WITH withpii AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |         WHEN doc_id % 3 = 1
+         |           THEN ' see https://ex.example/p?id=' || CAST(doc_id AS VARCHAR) || ' today'
+         |         ELSE ' call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR) || ' soon'
+         |    END AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id, text,
+         |         regexp_replace(regexp_replace(regexp_replace(text,
+         |           'https?://[^\\s]+', '<URL>', 'g'),
+         |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |           '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean
+         |  FROM withpii)
+         |SELECT doc_id, clean,
+         |       CAST(length(text) - length(clean) AS INTEGER) AS removed_chars
+         |FROM red ORDER BY doc_id""".stripMargin),
+
     // Corpus curation end-to-end: language gate -> quality/token gates
     // -> near-dup cluster resolution -> keeper-only corpus. The
     // composite proves the LLM-pipeline operators chain in one lazy

@@ -166,6 +166,21 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("redactPii scrubs urls, emails, and phone runs; leaves clean text") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "mail me at jo.doe+x@corp.example.org thanks",
+      "docs at https://ex.example/a?b=1&c=2 and more",
+      "call +1 (555) 010-7788 or (02) 1234 5678 now",
+      "no pii in this sentence at all").toDF("text")
+    val out = df.select(TextFunctions.redactPii($"text")).as[String].collect()
+    assert(out(0) == "mail me at <EMAIL> thanks")
+    assert(out(1) == "docs at <URL> and more")
+    // the simple pattern anchors on a digit, so a leading "(" survives
+    assert(out(2) == "call <PHONE> or (<PHONE> now")
+    assert(out(3) == "no pii in this sentence at all")
+  }
+
   test("KmvDistinct: exact below k, partition-order independent above") {
     import graft.functions.cat.KmvDistinct
     // 10 distinct values, k=64 -> exact count
