@@ -222,6 +222,28 @@ object TextQueries {
          |SELECT node AS doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
 
+    // Deterministic stratified corpus mixing: per-language keep rates
+    // decided by a salted row hash — reproducible in any engine and
+    // stable under partitioning (unlike RNG-based df.sample).
+    "q3C_corpus_mix" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.computeTable(s, dir, "documents")
+        graft.operators.Sampling.stratifiedHashSample(d, "doc_id", "lang",
+            rates = Seq("en" -> 3, "de" -> 2), defaultNum = 1, den = 4, salt = "mix1")
+          .groupBy("lang").agg(count(lit(1)).as("kept"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .orderBy("lang")
+      },
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |         (((${duckPolyHash("(CAST(doc_id AS VARCHAR) || ':mix1')")}
+         |            * 48271 + 11) % 1000000007) * 48271 + 11) % 1000000007 AS hh
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS kept, min(doc_id) AS first_id, max(doc_id) AS last_id
+         |FROM h
+         |WHERE hh % 4 < CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+
     // PII redaction: URL/email/phone scrubbing with stable tokens.
     // Synthetic PII is appended per doc (the fixture has none), so the
     // redaction provably fires on every row.

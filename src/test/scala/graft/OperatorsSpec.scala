@@ -166,6 +166,21 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("hashSample is partition-invariant and rate-accurate") {
+    val df = spark.range(10000).select(col("id"), (col("id") % 3).as("s"))
+    def ids(parts: Int): Set[Long] =
+      Sampling.hashSample(df.repartition(parts), "id", 1, 4, "t1")
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(1)
+    assert(a == ids(13)) // same rows under any partitioning
+    assert(math.abs(a.size - 2500) < 250) // ~1/4 kept
+    // a different salt draws an independent sample of the same rate
+    val b = Sampling.hashSample(df, "id", 1, 4, "t2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b != a && math.abs(b.size - 2500) < 250)
+    assert(math.abs((a & b).size - 625) < 200) // ~independent overlap n/16
+  }
+
   test("redactPii scrubs urls, emails, and phone runs; leaves clean text") {
     import graft.functions.TextFunctions
     val df = Seq(
