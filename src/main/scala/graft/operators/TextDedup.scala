@@ -187,6 +187,20 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark decontamination (the standard shares-any-13-gram rule):
+    * corpus documents sharing at least one k-gram with any benchmark
+    * document. An inverted-index semi-join — corpus shingle hashes ⋉
+    * distinct benchmark shingle hashes — so the corpus never
+    * self-joins and needs no df cap; the benchmark side is tiny by
+    * nature (eval sets), so the semi-join broadcasts and the corpus
+    * pays one scan + one distinct on flagged doc ids. */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val cs = shingleIndex(corpus, idCol, textCol, k)
+    val bs = shingleIndex(benchmark, idCol, textCol, k).select("sh_hash").distinct()
+    cs.join(bs, Seq("sh_hash"), "left_semi").select("doc_id").distinct()
+  }
+
   /** SimHash: 60-bit signature from two 30-bit polynomial token hashes.
     * Per bit: sum +1/-1 over distinct tokens by that bit of the token
     * hash; bit set when the sum is positive.

@@ -27,11 +27,14 @@ object TextQueries {
       |hot AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) > $maxDf),
       |sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot))""".stripMargin
 
-  /** DuckDB polynomial rolling hash over a string expression. */
+  /** DuckDB polynomial rolling hash over a string expression. Lambda
+    * variables are deliberately obscure: a lambda var shadows any
+    * outer column/unnest alias of the same name inside `e`, silently
+    * hashing the wrong bytes. */
   private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1, length($e) + 1), i -> CAST(ascii($e[i]) AS BIGINT))), " +
-      s"(acc, c) -> (acc * $base + c) % $p)"
+      s"list_transform(range(1, length($e) + 1), __ci -> CAST(ascii($e[__ci]) AS BIGINT))), " +
+      s"(__acc, __c) -> (__acc * $base + __c) % $p)"
 
   val all: Map[String, QueryDef] = Map(
 
@@ -221,6 +224,26 @@ object TextQueries {
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
          |SELECT node AS doc_id, min(r) AS cluster_keeper
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+
+    // Benchmark decontamination: corpus docs sharing any 13-gram with
+    // the benchmark subset (the subset itself plus its near-dups).
+    "q3D_decontamination" -> QueryDef(
+      (s, dir) => {
+        val corpus = Tables.computeTable(s, dir, "documents")
+        val benchmark = corpus.filter(col("doc_id") % 17 === 5)
+        TextDedup.contaminatedDocs(corpus, benchmark, "doc_id", "text", k = 13)
+          .orderBy("doc_id")
+      },
+      s"""WITH s13 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS s
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents) t,
+         |       UNNEST(range(1, len(tk) - 11)) AS u(i)
+         |  WHERE len(tk) >= 13),
+         |sh13 AS (SELECT doc_id, ${duckPolyHash("s")} AS h FROM s13),
+         |bs AS (SELECT DISTINCT h FROM sh13 WHERE doc_id % 17 = 5)
+         |SELECT DISTINCT doc_id FROM sh13 JOIN bs USING (h)
+         |ORDER BY doc_id""".stripMargin),
 
     // Deterministic stratified corpus mixing: per-language keep rates
     // decided by a salted row hash — reproducible in any engine and

@@ -166,6 +166,20 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("contaminatedDocs flags benchmark copies and 13-gram overlaps only") {
+    val bench13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val corpus = Seq(
+      (1L, s"prefix words here $bench13 suffix words"), // contains the full 13-gram
+      (2L, "totally different text with plenty of tokens but nothing shared " +
+        "from the benchmark document at all in any window of thirteen"),
+      (3L, bench13)) // exact copy
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, bench13)).toDF("doc_id", "text")
+    val out = TextDedup.contaminatedDocs(corpus, benchmark, "doc_id", "text", 13)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
   test("hashSample is partition-invariant and rate-accurate") {
     val df = spark.range(10000).select(col("id"), (col("id") % 3).as("s"))
     def ids(parts: Int): Set[Long] =
