@@ -29,6 +29,17 @@ object Bench {
       .repartition(2).count()
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(tbl => graft.sources.Tables.computeTable(spark, sfDir, tbl).count())
+    // Run every query once at the smallest SF, untimed: the generated
+    // whole-stage-codegen classes are identical across SFs (plans differ
+    // only in file paths), so this pre-fills the Janino cache and the
+    // timed numbers below measure steady-state compute rather than
+    // first-execution compilation (measured: the 85-column flight
+    // pipeline is ~21 s cold vs ~6 s warm under background load).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
