@@ -599,6 +599,37 @@ object ParityQueries {
         |       CASE WHEN o_orderkey % 2 = 0 THEN 'AMADEUS' ELSE 'SABRE' END AS gds_type
         |FROM orders
         |WHERE o_orderkey % 10 = 0 AND o_orderkey % 3 <> 0
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Multi-level aggregation (absent in the reference — engine
+    // completeness): ROLLUP with grouping_id, subtotals and grand total.
+    "q3E_rollup" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "documents")
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), grouping_id().as("gid"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first, col("gid")),
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST, gid""".stripMargin),
+
+    // Pivot (absent in the reference — engine completeness): per-source
+    // doc counts pivoted to one column per language.
+    "q3F_pivot" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("source"),
+      {
+        val langs = Seq("en", "de", "es", "fr", "zh")
+        val cols = langs.map(l =>
+          s"CAST(SUM(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l")
+          .mkString(",\n       ")
+        s"""SELECT source,
+           |       $cols
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin
+      })
   )
 }
