@@ -52,6 +52,34 @@ object EventQueries {
         |                 FROM events GROUP BY 1) e USING (event_type)
         |ORDER BY event_type""".stripMargin),
 
+    // Running window aggregates (W-family completeness): cumulative sum
+    // and a trailing 3-row moving average per user in event order.
+    "q3G_running_windows" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val win3 = w.rowsBetween(-2, 0)
+        Tables.computeTable(s, dir, "events")
+          .filter(col("user_id") % 25 === 0)
+          .select(col("user_id"), col("event_id"),
+            sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("running_sum"),
+            (sum(col("value").cast("decimal(18,4)")).over(win3).cast("double") /
+              count(lit(1)).over(win3).cast("double")).as("avg3"),
+            lag(col("event_id"), 1).over(w).as("prev_event"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_sum,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w3 AS DOUBLE)
+        |         / CAST(COUNT(*) OVER w3 AS DOUBLE) AS avg3,
+        |       lag(event_id, 1) OVER w AS prev_event
+        |FROM events WHERE user_id % 25 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING),
+        |       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
+
     "q30_sessionize" -> QueryDef(
       (s, dir) => Sessionize.sessions(Tables.computeTable(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_seq"),
