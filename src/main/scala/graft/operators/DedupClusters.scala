@@ -53,7 +53,12 @@ object DedupClusters {
         .localCheckpoint()
       val s = labelSum(next)
       labels = next
-      done = s == prevSum
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive, so a
+      // change in either aggregation's result scale would make equal sums
+      // compare unequal and the loop spin to maxIter. Null sums (empty
+      // graph) compare equal to each other.
+      done = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       iter += 1
     }

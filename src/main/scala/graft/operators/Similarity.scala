@@ -89,6 +89,39 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
+  /** Multi-probe sign-LSH ANN top-k: each query probes every bucket
+    * within Hamming distance `maxHamming` of its own sign bucket
+    * (multi-probe LSH, Lv et al., VLDB'07). Single-bucket sign-LSH
+    * collides a true neighbor with probability q^bits (q = per-bit
+    * agreement), which collapses on near-uniform data; probing the
+    * sum(C(bits, 0..r)) nearest buckets raises recall to
+    * P(Hamming <= r) at a bounded, knowable candidate cost — still a
+    * pure equi-join. Crucially only the (tiny, broadcast) QUERY side
+    * expands: each query row explodes to its probe buckets; the corpus
+    * is bucketed exactly once and never reshuffled or rescanned. */
+  def lshTopKMultiProbe(candidates: DataFrame, queries: DataFrame, k: Int,
+                        planes: Array[Array[Double]], maxHamming: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bits = planes.length
+    val masks = (0 until (1 << bits)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+    val q = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        signBucket(col(vecCol), planes).as("qb"))
+      .select(col("qid"), col("qv"),
+        explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m.toLong))): _*)).as("bucket")))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    // no pair-dedup needed: a query's probe buckets are distinct values
+    // (qb XOR distinct masks) and each candidate sits in exactly one
+    // bucket, so every (qid, cid) pair collides at most once.
+    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rank"))
+  }
+
   /** Hyperplane weight for flat index `idx` derived from an integer
     * LCG, in [-1, 1). Pure integer arithmetic plus a power-of-two
     * division, so any engine reproduces it bit-for-bit from the formula

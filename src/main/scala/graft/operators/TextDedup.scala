@@ -56,15 +56,18 @@ object TextDedup {
     * in d docs emits d²/2 candidate rows from the self-join, so one
     * boilerplate 5-gram with d in the millions is a single straggler
     * task materializing ~10¹² rows — the cap bounds every group to
-    * maxDf²/2. The hot set (df > cap) is tiny by construction — Zipfian
-    * df means almost all mass is in the low-df tail — so it broadcasts,
-    * and the index never reshuffles: one count aggregation (map-side
-    * combined) + a broadcast anti-join. */
+    * maxDf²/2. Zipfian df means the hot set is a tiny *proportion* of
+    * shingles, but its absolute size still grows with corpus scale — so
+    * the join strategy is left to AQE, which broadcasts the anti-join
+    * when the hot side measures small at runtime and falls back to a
+    * shuffled anti-join (keyed on the same fixed-width hash) when it
+    * doesn't. No forced broadcast hint: a hint would OOM the driver on
+    * a corpus where "df > cap" covers hundreds of millions of shingles. */
   def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
     val hot = sh.groupBy("sh_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("sh_hash")
-    sh.join(broadcast(hot), Seq("sh_hash"), "left_anti")
+    sh.join(hot, Seq("sh_hash"), "left_anti")
   }
 
   /** Same guard for LSH band buckets: a bucket of d near-identical docs
@@ -74,7 +77,7 @@ object TextDedup {
     val hot = bands.groupBy("band", "sig").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket)
       .select("band", "sig")
-    bands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+    bands.join(hot, Seq("band", "sig"), "left_anti")
   }
 
   /** n-gram Jaccard near-dup: inverted-index candidate join + exact

@@ -10,11 +10,7 @@ import graft.sources.Tables
   */
 object EventQueries {
 
-  /** DuckDB polynomial hash, duplicated from TextQueries for locality. */
-  private def duckHash(e: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1, length($e) + 1), i -> CAST(ascii($e[i]) AS BIGINT))), " +
-      s"(acc, c) -> (acc * 31 + c) % 1000000007)"
+  private def duckHash(e: String): String = QueryDef.duckPolyHash(e)
 
   val all: Map[String, QueryDef] = Map(
 

@@ -14,4 +14,14 @@ final case class QueryDef(
 object QueryDef {
   def apply(fn: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
     QueryDef(fn, Some(oracle))
+
+  /** DuckDB polynomial rolling hash over a string expression — the one
+    * shared definition (query catalogs must not fork it). Lambda
+    * variables are deliberately obscure: a DuckDB lambda var shadows any
+    * outer column/unnest alias of the same name inside `e`, silently
+    * hashing the wrong bytes. */
+  def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), __ci -> CAST(ascii($e[__ci]) AS BIGINT))), " +
+      s"(__acc, __c) -> (__acc * $base + __c) % $p)"
 }

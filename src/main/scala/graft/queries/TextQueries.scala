@@ -27,14 +27,8 @@ object TextQueries {
       |hot AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) > $maxDf),
       |sh AS (SELECT * FROM sh0 WHERE h NOT IN (SELECT h FROM hot))""".stripMargin
 
-  /** DuckDB polynomial rolling hash over a string expression. Lambda
-    * variables are deliberately obscure: a lambda var shadows any
-    * outer column/unnest alias of the same name inside `e`, silently
-    * hashing the wrong bytes. */
   private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1, length($e) + 1), __ci -> CAST(ascii($e[__ci]) AS BIGINT))), " +
-      s"(__acc, __c) -> (__acc * $base + __c) % $p)"
+    QueryDef.duckPolyHash(e, base, p)
 
   val all: Map[String, QueryDef] = Map(
 

@@ -100,7 +100,14 @@ object StreamingFlows {
         }
       }
       state.update(BucketState(kept, lastMs))
-      state.setTimeoutTimestamp(lastMs + horizonMinutes * 60000L)
+      // Clamp to strictly after the current watermark: with caller-chosen
+      // lateness > horizon (or a group whose last arrival lags the
+      // watermark) the raw timestamp can land at/behind the watermark,
+      // which Spark rejects with IllegalArgumentException and kills the
+      // query. The clamp makes any parameter combination expire-eventually
+      // instead of crash.
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm + 1, lastMs + horizonMinutes * 60000L))
       out.result().iterator
     }
 
