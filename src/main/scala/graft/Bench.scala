@@ -66,23 +66,30 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // A query that throws must not masquerade as a timing: its entry is
+    // null in the queries map and its name lands in "failed", so a broken
+    // query can never read as a speedup in a mechanical diff.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case t: Throwable =>
+            failed += name
             System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
       name -> median(times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (failed(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed(k) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$load}"""
     println(line)
     try {
       val w = new java.io.PrintWriter("bench_out.json")
