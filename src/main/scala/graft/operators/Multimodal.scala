@@ -1,83 +1,225 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: opaque `binary` payloads with typed
-  * metadata, plus a partition-wise "decode" stage.
+/** Multimodal columns: opaque `binary` payloads with typed metadata.
   *
-  * The image/audio codec libraries are not available in this
-  * environment, so `decodeStub` is a clearly-marked DETERMINISTIC FAKE:
-  * it derives plausible metadata purely from the byte payload. The
-  * Spark-side plumbing — binary column handling, schema, partition-wise
-  * batched execution via `mapPartitions` (the JVM analogue of
-  * `mapInPandas` batching), and the column-level metadata path — is
-  * real and tested; swapping the stub body for a JNI/codec call is the
-  * only production change.
+  * The image path is REAL: payloads are PNG-encoded with
+  * `javax.imageio` (JDK built-in — no external codec needed), and
+  * decode / resize / feature-extraction read the actual raster back
+  * through `ImageIO.read`. Fixture images are synthesized from integer
+  * formulas of (doc_id, x, y), and PNG is lossless, so every decoded
+  * pixel statistic is independently reproducible by an oracle engine
+  * from arithmetic alone — the tests prove the encode→decode round
+  * trip bit-for-bit.
+  *
+  * Video is the one modality the JDK has no codec for, so frame
+  * sampling operates on *typed metadata* (frame counts, dims) carried
+  * alongside the opaque payload — the schema contract of a real video
+  * table — and is a plan-side explode, no UDF.
+  *
+  * All per-payload work runs `mapPartitions`: one codec/buffer init
+  * per partition, then the batch streams through — the JVM analogue of
+  * `mapInPandas` batching (reference: `etl/pipeline.py` stages media
+  * work the same batch-at-a-time way).
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  final case class DecodedMeta(doc_id: Long, byte_len: Int, format: String,
-                               width: Int, height: Int, n_frames: Int)
+  final case class ImageMeta(doc_id: Long, format: String, width: Int, height: Int,
+                             n_pixels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int, sum_r: Long)
+  final case class ImageFeatures(doc_id: Long, features: Array[Float])
 
-  /** STUB decode of one payload — replace with a real codec in prod.
-    * Deterministic in the payload bytes only. */
-  def decodeStub(docId: Long, payload: Array[Byte]): DecodedMeta = {
-    val n = payload.length
-    val fmt = (n % 3) match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "webp"
+  // ---- deterministic fixture synthesis (real PNG bytes) ----
+
+  /** Fixture image dims: w in [16,32], h in [12,24]. */
+  def imageDims(docId: Long): (Int, Int) =
+    ((16 + docId % 17).toInt, (12 + docId % 13).toInt)
+
+  /** Fixture pixel channels — pure integer arithmetic of (doc_id,x,y),
+    * so any engine recomputes them without an image library. */
+  def pixelR(docId: Long, x: Int, y: Int): Int = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+  def pixelG(docId: Long, x: Int, y: Int): Int = ((docId * 17 + x * 11 + y * 5) % 256).toInt
+  def pixelB(docId: Long, x: Int, y: Int): Int = ((docId * 13 + x * 3 + y * 19) % 256).toInt
+
+  def synthesizeImage(docId: Long): BufferedImage = {
+    val (w, h) = imageDims(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(docId, x, y) << 16) | (pixelG(docId, x, y) << 8) | pixelB(docId, x, y))
+        x += 1
+      }
+      y += 1
     }
-    DecodedMeta(docId, n, fmt, 320 + n % 320, 240 + n % 240,
-      if (fmt == "webp") 1 + n % 16 else 1)
+    img
   }
 
-  /** Partition-wise decode: one iterator pass per partition, no
-    * per-row task overhead — the shape a heavyweight codec needs
-    * (library init once per partition, then stream the batch). */
-  def decodePartitions(media: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  def decodePng(payload: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(payload))
+
+  /** The fixture media table: one real PNG payload per document row.
+    * Encoding happens on the executors (`mapPartitions` over doc ids),
+    * exactly where a production ingest would decode-and-normalize. */
+  def mediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false) // no disk-backed stream cache on executors
+      it.map(id => MediaRecord(id, encodePng(synthesizeImage(id))))
+    }
+  }
+
+  // ---- real decode ----
+
+  /** Container sniffing from magic bytes — works on any payload, no
+    * decode needed (the cheap pre-filter a 100 TB media scan runs
+    * before routing to per-format decoders). */
+  def sniffFormat(payload: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < payload.length) payload(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+             at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') "webp"
+    else "unknown"
+  }
+
+  private def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  /** Decode each payload with ImageIO and report real dims + per-channel
+    * sums read from the decoded raster. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init would go here (codec handles, buffers)
-      it.map(r => decodeStub(r.doc_id, r.payload))
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = decodePng(r.payload)
+        val (sr, sg, sb) = channelSums(img)
+        ImageMeta(r.doc_id, sniffFormat(r.payload), img.getWidth, img.getHeight,
+          img.getWidth * img.getHeight, sr, sg, sb)
+      }
     }
   }
 
-  /** Column-level variant of the same metadata derivation (codegen'd,
-    * oracle-friendly): identical output to `decodeStub` field-by-field. */
-  def metaColumns(binCol: Column): Seq[(String, Column)] = {
-    val n = length(binCol)
-    val fmt = when(n % 3 === 0, "jpeg").when(n % 3 === 1, "png").otherwise("webp")
-    Seq(
-      "byte_len" -> n.cast("int"),
-      "format" -> fmt,
-      "width" -> (lit(320) + n % 320).cast("int"),
-      "height" -> (lit(240) + n % 240).cast("int"),
-      "n_frames" -> when(fmt === "webp", lit(1) + n % 16).otherwise(lit(1)).cast("int"))
-  }
+  // ---- real resize ----
 
-  /** Attach a binary payload column + decoded metadata to a text table
-    * (documents stand in for a media table here). */
-  def withMedia(df: DataFrame, textCol: String): DataFrame = {
-    val bin = encode(col(textCol), "UTF-8")
-    metaColumns(bin).foldLeft(df.withColumn("payload", bin)) {
-      case (acc, (name, c)) => acc.withColumn(name, c)
+  /** Nearest-neighbor resize on the actual raster: dst(x,y) =
+    * src(x*srcW/dstW, y*srcH/dstH) with integer division — the mapping
+    * is explicit (not Graphics2D's implementation-defined filtering) so
+    * the resized pixels are engine-independent. */
+  def resizeNearest(img: BufferedImage, maxDim: Int): BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val m = math.max(w, h)
+    if (m <= maxDim) img
+    else {
+      val (dw, dh) = (w * maxDim / m, h * maxDim / m)
+      val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          out.setRGB(x, y, img.getRGB(x * w / dw, y * h / dh))
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 
-  /** STUB resize-to-fit: integer-arithmetic scaled dimensions (no pixel
-    * work — a codec would transform the payload too). Exact in doubles
-    * for all plausible dims, so floor(w*maxDim/m) == integer division
-    * and any SQL engine reproduces it. */
+  /** Decode → nearest-neighbor resize → PNG re-encode → decode again:
+    * the reported dims/sums come from the re-decoded bytes, proving the
+    * full write-read cycle, not just the in-memory transform. */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        val resized = decodePng(encodePng(resizeNearest(decodePng(r.payload), maxDim)))
+        val (sr, _, _) = channelSums(resized)
+        ResizedImage(r.doc_id, resized.getWidth, resized.getHeight, sr)
+      }
+    }
+  }
+
+  // ---- real feature extraction ----
+
+  /** 8-bin red-channel histogram fractions from the decoded raster —
+    * an `array<float>` embedding per image with the exact batch shape
+    * (one kernel pass per partition) a learned extractor would use. */
+  def imageFeatures(media: Dataset[MediaRecord], bins: Int = 8): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = decodePng(r.payload)
+        val counts = new Array[Long](bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            counts(((img.getRGB(x, y) >> 16) & 0xff) * bins / 256) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (img.getWidth * img.getHeight).toDouble
+        ImageFeatures(r.doc_id, counts.map(c => (c / n).toFloat))
+      }
+    }
+  }
+
+  // ---- video metadata path (typed metadata alongside opaque payloads;
+  //      the JDK ships no video codec, so frame geometry comes from the
+  //      table's metadata columns, never from a pretend decode) ----
+
+  /** Synthesized video metadata for fixture rows (doc_id-determined so
+    * oracles recompute it): every 3rd document models a video asset. */
+  def videoMeta(df: DataFrame): DataFrame =
+    df.filter(col("doc_id") % 3 === 2)
+      .withColumn("width", (lit(320) + col("doc_id") % 320).cast("int"))
+      .withColumn("height", (lit(240) + col("doc_id") % 240).cast("int"))
+      .withColumn("n_frames", (lit(1) + col("doc_id") % 16).cast("int"))
+
+  /** Resize-to-fit dims: integer-arithmetic scaled dimensions. Exact in
+    * doubles for all plausible dims, so floor(w*maxDim/m) == integer
+    * division and any SQL engine reproduces it. Matches
+    * [[resizeNearest]]'s dimension rule. */
   def resizeMeta(w: Column, h: Column, maxDim: Int): (Column, Column) = {
     val m = greatest(w, h)
     (when(m <= maxDim, w).otherwise(floor(w * maxDim / m)).cast("int"),
       when(m <= maxDim, h).otherwise(floor(h * maxDim / m)).cast("int"))
   }
 
-  /** Frame sampling: one row per `stride`-th frame of the decoded
+  /** Frame sampling: one row per `stride`-th frame of the metadata
     * n_frames — plan-side explode, no UDF; 25 fps timestamps. */
   def sampleFrames(df: DataFrame, stride: Int): DataFrame =
     df.withColumn("frame_idx",
@@ -85,13 +227,4 @@ object Multimodal {
           i => i % stride === 0)))
       .withColumn("frame_idx", col("frame_idx").cast("int"))
       .withColumn("frame_ts_ms", (col("frame_idx") * 40).cast("int"))
-
-  /** STUB feature extraction: deterministic `dim`-dim embedding derived
-    * from the payload length — the `array<float>` schema, null-safety
-    * and batch shape are the real plumbing a codec-backed extractor
-    * would keep. */
-  def featureStub(binCol: Column, dim: Int = 8): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (((length(binCol) * 31 + i * 7) % 997).cast("double") / 997.0d)
-        .cast("float"))
 }

@@ -89,6 +89,21 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cos"), col("rank"))
   }
 
+  /** XOR masks for multi-probe LSH: every `bits`-wide mask with at most
+    * `maxHamming` bits set, built combinatorially from bit-position
+    * subsets — O(sum C(bits, 0..r)) work, never 2^bits, so any
+    * `bits <= 63` is fine and `maxHamming == 0` is exactly `Seq(0)`.
+    * Ordered by popcount then value (nearest buckets first,
+    * deterministic for oracle SQL). */
+  def probeMasks(bits: Int, maxHamming: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 63, s"sign-LSH bucket width must be in [1,63], got $bits")
+    val r = maxHamming.max(0).min(bits)
+    def combos(start: Int, remaining: Int): Seq[Long] =
+      if (remaining == 0) Seq(0L)
+      else (start until bits).flatMap(p => combos(p + 1, remaining - 1).map(_ | (1L << p)))
+    (0 to r).flatMap(h => combos(0, h).sorted)
+  }
+
   /** Multi-probe sign-LSH ANN top-k: each query probes every bucket
     * within Hamming distance `maxHamming` of its own sign bucket
     * (multi-probe LSH, Lv et al., VLDB'07). Single-bucket sign-LSH
@@ -103,12 +118,12 @@ object Similarity {
                         planes: Array[Array[Double]], maxHamming: Int,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bits = planes.length
-    val masks = (0 until (1 << bits)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+    val masks = probeMasks(bits, maxHamming)
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         signBucket(col(vecCol), planes).as("qb"))
       .select(col("qid"), col("qv"),
-        explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m.toLong))): _*)).as("bucket")))
+        explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)).as("bucket")))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       signBucket(col(vecCol), planes).as("bucket"))
     // no pair-dedup needed: a query's probe buckets are distinct values
@@ -168,10 +183,10 @@ object Similarity {
       df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
         posexplode(graft.functions.cat.GraftExpr.lshBuckets(col(vecCol), tables, bits))
           .as(Seq("tbl", "bucket")))
-    val masks = (0 until (1 << bits)).filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+    val masks = probeMasks(bits, maxHamming)
     val q = broadcast(banded(queries, "qid", "qv")
       .select(col("qid"), col("qv"), col("tbl"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m.toLong))): _*))
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
           .as("bucket")))
     val c = banded(candidates, "cid", "cv")
     val coll = q.join(c, Seq("tbl", "bucket")).filter(col("qid") =!= col("cid"))

@@ -58,26 +58,38 @@ object VectorQueries {
          |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
-    // Sign-LSH bucketed ANN top-5 (8-bit buckets).
+    // Multi-probe sign-LSH ANN top-5 (8-bit buckets, Hamming radius 3):
+    // each query probes the 93 buckets within Hamming distance 3 of its
+    // own sign bucket. Only the broadcast query side expands; the corpus
+    // is bucketed exactly once. Single-bucket sign-LSH measured 0.03
+    // recall@5 on the near-uniform fixture (the worst case for LSH);
+    // radius-3 probing measures 0.575 — the floor SimilaritySpec asserts.
     "q29_ann_lsh" -> QueryDef(
       (s, dir) => {
         val emb = Tables.computeTable(s, dir, "embeddings")
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, planes = Planes)
+        Similarity.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 8), k = 5,
+          planes = Planes, maxHamming = 3)
           .orderBy("qid", "rank")
-      },
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |         ${DuckBucket8.replace("%s", "b0")} AS bucket
-         |  FROM embeddings b0),
-         |scored AS (
-         |  SELECT q.vec_id AS qid, c.vec_id AS cid, $DuckCos AS cos
-         |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < 8),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-         |  FROM scored)
-         |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
-         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      }, {
+        val masks = Similarity.probeMasks(bits = 8, maxHamming = 3)
+          .mkString("[", ", ", "]")
+        s"""WITH b AS (
+           |  SELECT vec_id, embedding,
+           |         ${DuckBucket8.replace("%s", "b0")} AS bucket
+           |  FROM embeddings b0),
+           |probes AS (
+           |  SELECT q.vec_id, q.embedding, xor(q.bucket, pm.m) AS bucket
+           |  FROM b q, UNNEST($masks) AS pm(m)
+           |  WHERE q.vec_id < 8),
+           |scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid, $DuckCos AS cos
+           |  FROM probes q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           |  FROM scored)
+           |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
+           |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+      }),
 
     // Multi-table LSH ANN: OR-amplified recall, LCG-formula hyperplanes
     // (bit-exact in both engines from the formula alone).

@@ -369,21 +369,63 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(1).getLong(4) == 1)
   }
 
-  test("multimodal decodePartitions stub matches column-level metadata") {
-    import graft.operators.Multimodal._
-    val docs = Seq((1L, "hello"), (2L, "a longer payload here")).toDF("doc_id", "text")
-    val typed = docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
-      .as[MediaRecord]
-    val viaPartitions = decodePartitions(typed).orderBy("doc_id").collect()
-    val viaColumns = Multimodal.withMedia(docs, "text")
-      .select("doc_id", "byte_len", "format", "width", "height", "n_frames")
-      .orderBy("doc_id").collect()
-    viaPartitions.zip(viaColumns).foreach { case (p, c) =>
-      assert(p.byte_len == c.getInt(1))
-      assert(p.format == c.getString(2))
-      assert(p.width == c.getInt(3))
-      assert(p.height == c.getInt(4))
-      assert(p.n_frames == c.getInt(5))
+  test("image PNG encode->decode round trip recovers exact formula pixels") {
+    import graft.operators.Multimodal
+    for (docId <- Seq(0L, 7L, 123L)) {
+      val bytes = Multimodal.encodePng(Multimodal.synthesizeImage(docId))
+      assert(Multimodal.sniffFormat(bytes) == "png")
+      val img = Multimodal.decodePng(bytes)
+      val (w, h) = Multimodal.imageDims(docId)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == Multimodal.pixelR(docId, x, y))
+        assert(((rgb >> 8) & 0xff) == Multimodal.pixelG(docId, x, y))
+        assert((rgb & 0xff) == Multimodal.pixelB(docId, x, y))
+      }
+    }
+  }
+
+  test("sniffFormat detects containers from magic bytes") {
+    import graft.operators.Multimodal.sniffFormat
+    assert(sniffFormat(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)) == "jpeg")
+    assert(sniffFormat("GIF89a".getBytes("US-ASCII")) == "gif")
+    assert(sniffFormat(("RIFF" + " " * 4 + "WEBPVP8 ").getBytes("ISO-8859-1")) == "webp")
+    assert(sniffFormat("not an image".getBytes) == "unknown")
+    assert(sniffFormat(Array.emptyByteArray) == "unknown")
+  }
+
+  test("distributed decode/resize report real raster stats") {
+    import graft.operators.Multimodal
+    val docs = Seq(1L, 2L, 36L).toDF("doc_id")
+    val media = Multimodal.mediaTable(spark, docs)
+    val metas = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+    for (m <- metas) {
+      val (w, h) = Multimodal.imageDims(m.doc_id)
+      val expR = (for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.pixelR(m.doc_id, x, y).toLong).sum
+      assert(m.format == "png" && m.width == w && m.height == h)
+      assert(m.n_pixels == w * h && m.sum_r == expR)
+    }
+    // nearest-neighbor resize: dst(x,y) = src(x*w//dw, y*h//dh)
+    val resized = Multimodal.resizeImages(media, maxDim = 8).collect().sortBy(_.doc_id)
+    for (r <- resized) {
+      val (w, h) = Multimodal.imageDims(r.doc_id)
+      val m = math.max(w, h)
+      val (dw, dh) = (w * 8 / m, h * 8 / m)
+      val expR = (for (x <- 0 until dw; y <- 0 until dh)
+        yield Multimodal.pixelR(r.doc_id, x * w / dw, y * h / dh).toLong).sum
+      assert(r.width == dw && r.height == dh && r.sum_r == expR)
+    }
+    // histogram features sum to ~1 and match the formula-side counts
+    val feats = Multimodal.imageFeatures(media).collect().sortBy(_.doc_id)
+    for (f <- feats) {
+      val (w, h) = Multimodal.imageDims(f.doc_id)
+      val counts = new Array[Long](8)
+      for (x <- 0 until w; y <- 0 until h)
+        counts(Multimodal.pixelR(f.doc_id, x, y) * 8 / 256) += 1
+      val exp = counts.map(c => (c.toDouble / (w * h)).toFloat)
+      assert(f.features.toSeq == exp.toSeq)
     }
   }
 }

@@ -40,6 +40,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(ri > 0.0)
   }
 
+  test("multi-probe recall floor: catalogued q29 parameters reach >= 0.5") {
+    val planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    for (r <- Seq(0, 1, 2, 3)) {
+      val mp = pairs(Similarity.lshTopKMultiProbe(emb, queries, 5, planes, maxHamming = r))
+      val rec = (exact & mp).size.toDouble / exact.size
+      info(f"multi-probe recall@5 maxHamming=$r: $rec%.3f (probes=${Similarity.probeMasks(8, r).size})")
+    }
+    val catalogued = pairs(Similarity.lshTopKMultiProbe(emb, queries, 5, planes, maxHamming = 3))
+    val rec = (exact & catalogued).size.toDouble / exact.size
+    assert(rec >= 0.5, f"catalogued multi-probe ANN recall@5 = $rec%.3f < 0.5")
+  }
+
+  test("probeMasks is combinatorial, popcount-bounded, and exact at 0") {
+    assert(Similarity.probeMasks(8, 0) == Seq(0L))
+    val m = Similarity.probeMasks(8, 2)
+    assert(m.size == 1 + 8 + 28)
+    assert(m.distinct.size == m.size)
+    assert(m.forall(x => java.lang.Long.bitCount(x) <= 2 && x < 256))
+    // wide buckets stay cheap: 63 bits, r=1 is 64 masks, not 2^63
+    assert(Similarity.probeMasks(63, 1).size == 64)
+    intercept[IllegalArgumentException](Similarity.probeMasks(64, 1))
+  }
+
   test("lcgBuckets kernel matches the Column-combinator formula bit-for-bit") {
     val (tables, bits, dim) = (4, 8, 64)
     val kernel = emb.select(col("vec_id"),
