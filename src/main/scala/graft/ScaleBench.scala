@@ -4,17 +4,32 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Standing scale-up benchmark: replicate the sf-dir lineitem `factor`×
-  * with per-replica shifted ship dates (distinct join keys — replicating
-  * rows *without* perturbing keys multiplies equi-join fan-out
-  * quadratically, which measures key multiplicity, not scale) and run
-  * the full flight pipeline. Emits one JSON line like Bench so
-  * round-over-round scale behavior is mechanically comparable.
+/** Standing scale-up benchmark: replicate the fixture tables `factor`×
+  * with *perturbed identities* and run the heavy pipelines at 1× and
+  * factor× in the same JVM (same codegen warmth), emitting one JSON
+  * line like Bench so round-over-round scale behavior is mechanically
+  * comparable.
+  *
+  * Perturbation matters more than replication: copying rows verbatim
+  * multiplies join-key / shingle multiplicity, which measures quadratic
+  * fan-out, not scale.
+  *   - lineitem: per-replica shifted ship dates (disjoint date ranges,
+  *     so per-key multiplicity stays that of the base data);
+  *   - documents: per-replica token prefix (`rN_` on every token), so
+  *     every shingle/fingerprint is replica-local — each replica
+  *     reproduces the base corpus's near-dup structure (planted
+  *     near-dups and hot shingles included) with zero cross-replica
+  *     collisions. Linear pair growth = the scale signal; a quadratic
+  *     blowup would mean a candidate-generation cap failed.
   *
   * Staging is written once per (sf, factor) under /tmp and reused;
-  * only the pipeline run is timed.
+  * only the query runs are timed.
   */
 object ScaleBench {
+
+  private val DedupQueries = Seq(
+    "q20_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh", "q38_dup_clusters")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -34,8 +49,9 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val scaleDir = s"/tmp/graft-scale/${new java.io.File(sfDir).getName}_x$factor"
+    val fs = new Path(scaleDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
     val liPath = new Path(s"$scaleDir/lineitem.parquet")
-    val fs = liPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(liPath)) {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
@@ -48,17 +64,52 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(liPath.toString)
     }
+    val docPath = new Path(s"$scaleDir/documents.parquet")
+    if (!fs.exists(docPath)) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(10000000L))
+        // prefix every token with the replica id: every k-gram shingle
+        // becomes replica-local, so near-dup structure scales linearly
+        .withColumn("text",
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("rep"), lit("_$1"))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(docPath.toString)
+    }
     val rowsIn = spark.read.parquet(liPath.toString).count()
+    val docsIn = spark.read.parquet(docPath.toString).count()
 
     // untimed JVM/codegen warmup, as in Bench
     spark.range(1000000).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .repartition(2).count()
+    val warmDir = "/root/testdata/sf0.001"
+    DedupQueries.foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
 
-    val t0 = System.nanoTime()
-    val rowsOut = FlightPipeline.run(spark, scaleDir).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"metric":"scale_flight_pipeline","value":$sec,"unit":"sec",""" +
-      s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"sf":"$sfDir"}""")
+    def time(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // flight pipeline at factor×
+    val (flightSec, rowsOut) = time(FlightPipeline.run(spark, scaleDir).count())
+
+    // dedup family at 1× then factor× (same JVM, same codegen)
+    val dedup = DedupQueries.map { q =>
+      val (s1, r1) = time(SparkEntry.queries(q)(spark, sfDir).count())
+      val (sF, rF) = time(SparkEntry.queries(q)(spark, scaleDir).count())
+      (q, s1, r1, sF, rF)
+    }
+    val dedupJson = dedup.map { case (q, s1, r1, sF, rF) =>
+      s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
+    }.mkString("{", ",", "}")
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"scale_flight_pipeline","value":$flightSec,"unit":"sec",""" +
+      s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
+      s""""dedup":$dedupJson,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,29 +30,48 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupClusters {
 
+  /** Materialize one round's labels AND its label sum in a single job:
+    * the sum rides the checkpoint materialization as a CollectMetrics
+    * observation instead of a second scan+agg job — under a contended
+    * scheduler every avoided stage barrier counts. The observation
+    * listener is asynchronous, so poll briefly and fall back to a
+    * direct (cheap, checkpoint-backed) agg job if it never fires. */
+  private def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cp = df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+      .localCheckpoint()
+    import org.apache.spark.sql.graftbridge.Bridge.observationOrEmpty
+    var m = observationOrEmpty(obs)
+    var tries = 0
+    while (m.isEmpty && tries < 100) { Thread.sleep(5); m = observationOrEmpty(obs); tries += 1 }
+    val s =
+      if (m.nonEmpty) m("s").asInstanceOf[java.math.BigDecimal]
+      else {
+        System.err.println("[graft] CC observation never fired; falling back to agg job")
+        cp.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      }
+    (cp, s)
+  }
+
   def resolve(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
               maxIter: Int = 20): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      labels = next
+      val (cp, s) = checkpointWithSum(
+        labels.join(nmin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      labels = cp
       // compareTo, not equals: BigDecimal.equals is scale-sensitive, so a
       // change in either aggregation's result scale would make equal sums
       // compare unequal and the loop spin to maxIter. Null sums (empty

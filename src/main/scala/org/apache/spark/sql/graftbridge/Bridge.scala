@@ -15,4 +15,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`; the public `get` blocks indefinitely, which a
+    * fallback-on-missing caller cannot risk). */
+  def observationOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }
