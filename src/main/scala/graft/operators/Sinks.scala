@@ -114,37 +114,67 @@ object Sinks {
       .filter(col(gateCol).isNotNull)
 
   /** S5 (+F-E): transactional full refresh — optional not-null load
-    * gate, backup, overwrite, verify the read-back count, restore the
-    * backup on any failure, then prune old backups. Returns the loaded
-    * row count.
+    * gate, backup, staged write, read-back verification, then an
+    * ATOMIC publish: the new data is written to a staging directory
+    * and verified there, and only then swapped into place with two
+    * filesystem renames (metadata ops, no data copy). A crash anywhere
+    * before the swap leaves the old table untouched and readable; the
+    * swap window itself is two renames instead of `overwrite`'s whole
+    * delete-and-rewrite, and a failed commit rename rolls the old
+    * directory back into place (with the timestamped backup as the
+    * final remedy). Returns the loaded row count.
     *
     * The frame is persisted across the write + verification count so
     * the upstream pipeline executes once per load (the reference also
-    * materializes once — a pandas frame in memory). On a cluster
-    * against an object store, prefer a table format whose commit
-    * returns row counts (write-task metrics) over the read-back count,
-    * and note parquet-directory `overwrite` is not atomic there. */
+    * materializes once — a pandas frame in memory). On an object store
+    * without atomic rename (S3), swap the rename pair for a manifest
+    * commit (or a table format); the staging/verify/publish protocol
+    * is unchanged.
+    *
+    * `commitHook` runs after verification, immediately before the
+    * publish renames — test-only failure injection for the
+    * crash-mid-load path (default no-op). */
   def truncateAndLoad(spark: SparkSession, df: DataFrame, tableDir: String,
                       backupRoot: String, table: String, nowEpoch: Long,
                       maxBackups: Int = 3, gateCol: Option[String] = None,
-                      gateObs: Option[Observation] = None): Long = {
+                      gateObs: Option[Observation] = None,
+                      commitHook: () => Unit = () => ()): Long = {
     val gated = gateCol match {
       case Some(c) => notNullLoadGate(df, c, gateObs.getOrElse(Observation()))
       case None => df
     }
     val backup = backupTable(spark, tableDir, backupRoot, table, nowEpoch)
     val data = gated.persist(StorageLevel.MEMORY_AND_DISK)
+    val tablePath = new Path(tableDir)
+    val f = fs(spark, tablePath)
+    val staging = new Path(s"$tableDir.staging_$nowEpoch")
+    val retired = new Path(s"$tableDir.retired_$nowEpoch")
     try {
-      data.write.mode("overwrite").parquet(tableDir)
+      data.write.mode("overwrite").parquet(staging.toString)
       val expected = data.count() // served from the cache, not a re-run
-      val loaded = count(spark, tableDir)
+      val loaded = spark.read.parquet(staging.toString).count()
       require(loaded == expected,
         s"load verification failed for $table: $loaded != $expected")
+      commitHook()
+      val hadOld = f.exists(tablePath)
+      if (hadOld) require(f.rename(tablePath, retired),
+        s"retire rename failed for $tableDir")
+      try require(f.rename(staging, tablePath), s"commit rename failed for $tableDir")
+      catch {
+        case e: Throwable =>
+          if (hadOld) f.rename(retired, tablePath) // roll the old table back
+          throw e
+      }
+      if (hadOld) f.delete(retired, true)
       cleanupOldBackups(spark, backupRoot, table, maxBackups)
       loaded
     } catch {
       case e: Throwable =>
-        if (backup.isDefined) restoreFromBackup(spark, tableDir, backupRoot, table)
+        f.delete(staging, true)
+        // before the publish the old table was never touched; if both
+        // renames failed mid-swap the timestamped backup is the remedy
+        if (!f.exists(tablePath) && backup.isDefined)
+          restoreFromBackup(spark, tableDir, backupRoot, table)
         throw e
     } finally data.unpersist()
   }

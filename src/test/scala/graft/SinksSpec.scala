@@ -42,6 +42,27 @@ class SinksSpec extends SparkTestBase {
     assert(readIds(s"$root/t") == Set(1L, 2L)) // restored
   }
 
+  test("S5 crash between verified write and publish leaves the old table intact") {
+    val root = freshRoot()
+    val v1 = Seq(1L, 2L, 3L).toDF("id")
+    Sinks.truncateAndLoad(spark, v1, s"$root/t", s"$root/bk", "t", 1000L)
+    // the new data is fully written and verified in staging; the crash
+    // hits immediately before the publish renames
+    intercept[RuntimeException] {
+      Sinks.truncateAndLoad(spark, Seq(9L).toDF("id"), s"$root/t", s"$root/bk", "t",
+        2000L, commitHook = () => throw new RuntimeException("crash before commit"))
+    }
+    // reader still sees the OLD table — not the new rows, not a torn dir
+    assert(readIds(s"$root/t") == Set(1L, 2L, 3L))
+    // staging is cleaned up, nothing half-published
+    val leftovers = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("t", "bk"), s"unexpected leftovers: $leftovers")
+    // and a subsequent load still succeeds normally
+    assert(Sinks.truncateAndLoad(spark, Seq(7L, 8L).toDF("id"),
+      s"$root/t", s"$root/bk", "t", 3000L) == 2)
+    assert(readIds(s"$root/t") == Set(7L, 8L))
+  }
+
   test("S8 retention keeps the newest maxBackups") {
     val root = freshRoot()
     (1 to 5).foreach { i =>
