@@ -85,6 +85,23 @@ object TextFunctions {
   def qualityScore(c: Column): Column =
     alphaRatio(c) * 0.5 + stopwordRatio(c) * 0.3 + punctRatio(c) * 0.2
 
+  /** Within-document repetition (the Gopher-report repetition family):
+    * the fraction of word k-gram occurrences that duplicate an earlier
+    * occurrence in the same document. Boilerplate/spam pages repeat
+    * themselves; high `dup_frac` is a standard corpus-quality drop
+    * rule. Pure per-row map-side arithmetic — no shuffle, and the
+    * whole gram list lives only inside the expression. Docs with < k
+    * tokens score 0. */
+  def dupShingleFraction(c: Column, k: Int = 3): Column = {
+    val tk = tokens(c)
+    val grams = transform(sequence(lit(1), size(tk) - (k - 1)),
+      i => concat_ws(" ", slice(tk, i, lit(k))))
+    when(size(tk) >= k,
+      (size(grams) - size(array_distinct(grams))).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** PII scrubbing for training corpora: URLs, then emails, then
     * phone-like number runs, each replaced with a stable token (URLs
     * first — they can contain '@' and digit runs). Patterns use no

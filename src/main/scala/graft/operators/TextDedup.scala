@@ -36,6 +36,29 @@ object TextDedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
       .select("keeper_id", "n_dups", "len")
 
+  /** Incremental exact dedup: keep the rows of a NEW batch whose
+    * content fingerprint appears neither in the existing corpus nor
+    * earlier in the batch itself (keep-first within the batch). This
+    * is how a production corpus actually ingests — yesterday's corpus
+    * is not re-deduped, its fingerprint index is the join target. The
+    * anti-join and the within-batch window both move the ~20-byte
+    * (len, h1, h2) fingerprint, never the text, and at scale the
+    * corpus side is the pre-computed dedup index, not a re-scan.
+    * Output: (idCol, len) of the surviving batch rows. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame) = df.select(col(idCol),
+      length(col(textCol)).as("len"),
+      TextFunctions.polyHash(col(textCol), 31, 1000000007L).as("__h1"),
+      TextFunctions.polyHash(col(textCol), 37, 999999937L).as("__h2"))
+    val fresh = fp(batch)
+      .join(fp(corpus).select("len", "__h1", "__h2"), Seq("len", "__h1", "__h2"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("len", "__h1", "__h2").orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("len"))
+  }
+
   /** Distinct (doc, shingle-hash) pairs — the inverted index rows. The
     * index carries the 8-byte polynomial hash, not the shingle string:
     * every downstream shuffle (df-cap count, candidate self-join,

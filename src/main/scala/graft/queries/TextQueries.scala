@@ -417,6 +417,61 @@ object TextQueries {
          |    ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Within-document repetition (Gopher-style): fraction of word
+    // trigram occurrences duplicating an earlier one; the standard
+    // boilerplate/spam drop rule. Pure map-side arithmetic.
+    "q3J_repetition" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupShingleFraction(col("text"), 3).as("dup_frac"))
+        .withColumn("keep", col("dup_frac") <= 0.2)
+        .orderBy("doc_id"),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(range(1, len(t) - 1),
+        |                     __gi -> array_to_string(t[__gi:__gi+2], ' '))
+        |              ELSE [] END AS grams
+        |  FROM toks),
+        |f AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(grams) = 0 THEN CAST(0.0 AS DOUBLE)
+        |              ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |                   / len(grams) END AS dup_frac
+        |  FROM g)
+        |SELECT doc_id, dup_frac, dup_frac <= 0.2 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // Incremental exact dedup: a new batch (doc_id % 10 = 7) lands
+    // against the existing corpus — keep batch rows whose content
+    // fingerprint is unseen in the corpus AND first within the batch.
+    "q3K_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+        TextDedup.incrementalDedup(
+            batch = docs.filter(col("doc_id") % 10 === 7),
+            corpus = docs.filter(col("doc_id") % 10 =!= 7),
+            idCol = "doc_id", textCol = "text")
+          .orderBy("doc_id")
+      },
+      s"""WITH fp AS (
+         |  SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
+         |         ${duckPolyHash("text")} AS h1,
+         |         ${duckPolyHash("text", 37, 999999937L)} AS h2
+         |  FROM documents),
+         |newb AS (SELECT * FROM fp WHERE doc_id % 10 = 7),
+         |corpus AS (SELECT len, h1, h2 FROM fp WHERE doc_id % 10 <> 7)
+         |SELECT n.doc_id, n.len FROM newb n
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+         |        WHERE c.len = n.len AND c.h1 = n.h1 AND c.h2 = n.h2)
+         |  AND NOT EXISTS (SELECT 1 FROM newb m
+         |        WHERE m.len = n.len AND m.h1 = n.h1 AND m.h2 = n.h2
+         |          AND m.doc_id < n.doc_id)
+         |ORDER BY doc_id""".stripMargin)
   )
 }

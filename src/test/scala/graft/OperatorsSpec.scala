@@ -90,6 +90,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("incrementalDedup keeps batch rows unseen in corpus, first within batch") {
+    val corpus = Seq((1L, "existing doc"), (2L, "another existing")).toDF("doc_id", "text")
+    val batch = Seq(
+      (17L, "existing doc"),   // dup of corpus -> dropped
+      (27L, "fresh content"),  // fresh -> kept
+      (37L, "repeated batch"), // first in batch -> kept
+      (47L, "repeated batch")  // dup within batch -> dropped
+    ).toDF("doc_id", "text")
+    val out = TextDedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(27L, 37L))
+  }
+
+  test("dupShingleFraction scores repetition, zero for short docs") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      (1L, "a b c a b c a b"), // 6 trigrams, 3 distinct -> 0.5
+      (2L, "all words here are unique today"),
+      (3L, "a b"), (4L, "")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextFunctions.dupShingleFraction($"text", 3).as("f"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 0.5), (2L, 0.0), (3L, 0.0), (4L, 0.0)))
+  }
+
   test("ngramJaccardPairs finds a planted near-duplicate, skips distinct docs") {
     val a = "the quick brown fox jumps over the lazy dog today again"
     val b = "the quick brown fox jumps over the lazy dog today tomorrow" // 1-word change
