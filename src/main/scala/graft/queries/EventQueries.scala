@@ -103,6 +103,76 @@ object EventQueries {
         |       COUNT(*) AS n_events,
         |       COUNT(DISTINCT user_id) AS n_users,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin),
+
+    // Backward as-of join (kdb aj / pandas merge_asof): every
+    // non-signup event picks up its user's most recent prior (or
+    // same-instant) signup event. Single-shuffle union+window form —
+    // no inequality join anywhere in the plan. Oracle is DuckDB's
+    // native ASOF LEFT JOIN on epoch-micro keys.
+    "q3L_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.computeTable(s, dir, "events")
+        val left = ev.filter(col("event_type") =!= "signup")
+          .select("event_id", "user_id", "event_type", "ts")
+        val right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("signup_event"), col("value").as("signup_value"))
+        graft.operators.AsOfJoin.asOf(left, right, Seq("user_id"), "ts",
+            Seq("signup_event", "signup_value"))
+          .select("event_id", "user_id", "event_type",
+            "ref_ts_us", "ref_signup_event", "ref_signup_value")
+          .orderBy("event_id")
+      },
+      """WITH l AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type <> 'signup'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         event_id AS signup_event, value AS signup_value
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.event_type,
+        |       r.us AS ref_ts_us,
+        |       r.signup_event AS ref_signup_event,
+        |       r.signup_value AS ref_signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+        |ORDER BY l.event_id""".stripMargin),
+
+    // Point-in-interval range join: assign every event to the gap
+    // session whose [start, end] window contains it. The equi-binned
+    // index (1h bins) turns the inequality join into a hash join;
+    // each qualifying pair meets in exactly one bin, so the rows need
+    // no dedup. Oracle runs the plain BETWEEN join.
+    "q3M_range_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.computeTable(s, dir, "events")
+        val sessions = Sessionize.sessions(ev, gapMinutes = 30)
+          .select("user_id", "session_seq", "session_start_us", "session_end_us")
+        val points = ev.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        graft.operators.RangeJoin.pointInInterval(points, sessions,
+            Seq("user_id"), "us", "session_start_us", "session_end_us",
+            binWidth = 3600L * 1000000L)
+          .select("event_id", "user_id", "session_seq", "session_start_us")
+          .orderBy("event_id")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m),
+        |s AS (
+        |  SELECT user_id, session_seq, min(us) AS session_start_us,
+        |         max(us) AS session_end_us
+        |  FROM x GROUP BY user_id, session_seq)
+        |SELECT e.event_id, e.user_id, s.session_seq, s.session_start_us
+        |FROM e JOIN s ON e.user_id = s.user_id
+        |              AND e.us BETWEEN s.session_start_us AND s.session_end_us
+        |ORDER BY e.event_id""".stripMargin)
   )
 }
