@@ -242,4 +242,48 @@ object GraftExpr {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineFFCall =
       copy(left = newLeft, right = newRight)
   }
+
+  def bloomMightContain(key: Column, bloom: Column, k: Int): Column =
+    Bridge.column(BloomMightContainCall(Bridge.expression(key), Bridge.expression(bloom), k))
+
+  /** Bloom membership probe (see [[Kernels.bloomMightContain]]). The
+    * bloom child is a foldable literal/broadcast array, so codegen
+    * hoists it into a constant and the probe runs in the scan stage. */
+  case class BloomMightContainCall(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_might_contain"
+
+    override protected def nullSafeEval(key: Any, bloom: Any): Any =
+      Kernels.bloomMightContain(key.asInstanceOf[Long], bloom.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (key, bloom) => s"graft.functions.cat.Kernels.bloomMightContain($key, $bloom, $k)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BloomMightContainCall =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def zorder2(a: Column, b: Column, bits: Int): Column =
+    Bridge.column(Zorder2Call(Bridge.expression(a), Bridge.expression(b), bits))
+
+  /** Morton interleave of two keys (see [[Kernels.zorder2]]). */
+  case class Zorder2Call(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_zorder2"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.cat.Kernels.zorder2($a, $b, $bits)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Zorder2Call =
+      copy(left = newLeft, right = newRight)
+  }
 }

@@ -814,4 +814,66 @@ object Kernels {
     while (i < n) { val x = b.getFloat(i).toDouble; nb += x * x; i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Two independent 64-bit mixes of a long key (SplitMix64 finalizer
+    * with two seeds) feeding double-hashing bloom probes: probe i sets
+    * bit (h1 + i*h2) mod m (Kirsch–Mitzenmacher). Deterministic — no
+    * RNG, no object state — so a bloom built from the same key set is
+    * bit-identical on any partitioning. */
+  @inline private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Set the `k` bloom bits of `key` in `bits` (an Array[Long] bitset of
+    * m = bits.length*64 bits; m must be a power of two). */
+  def bloomSet(bits: Array[Long], key: Long, k: Int): Unit = {
+    val m = bits.length << 6
+    val h1 = splitmix64(key)
+    val h2 = splitmix64(key ^ 0x5851f42d4c957f2dL) | 1L // odd => full cycle
+    var i = 0
+    while (i < k) {
+      val pos = ((h1 + i * h2) & (m - 1)).toInt
+      bits(pos >> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  /** Bloom membership probe — the filter side of [[bloomSet]]. `bloom`
+    * is the aggregated bitset as array<long>. One kernel call per row
+    * in the scan stage; no false negatives, false-positive rate
+    * ~ (1 - e^(-kn/m))^k. */
+  def bloomMightContain(key: Long, bloom: ArrayData, k: Int): Boolean = {
+    val words = bloom.numElements()
+    val m = words << 6
+    val h1 = splitmix64(key)
+    val h2 = splitmix64(key ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = ((h1 + i * h2) & (m - 1)).toInt
+      if ((bloom.getLong(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Z-order (Morton) interleave of the low `bits` bits of two
+    * non-negative keys: result bit 2i is a's bit i, bit 2i+1 is b's
+    * bit i. Sorting by this key clusters BOTH dimensions at every
+    * scale, so a range-partitioned, z-sorted layout gives parquet
+    * min/max pruning on either column — the standard data-layout trick
+    * for 2-D selective scans over immutable corpora. Pure bit
+    * arithmetic, mirrored term-by-term in the oracle SQL. */
+  def zorder2(a: Long, b: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((a >>> i) & 1L) << (2 * i)
+      z |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
 }

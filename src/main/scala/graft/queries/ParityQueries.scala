@@ -630,6 +630,96 @@ object ParityQueries {
         s"""SELECT source,
            |       $cols
            |FROM documents GROUP BY source ORDER BY source""".stripMargin
-      })
+      }),
+
+    // Exact per-group quantiles by nearest rank: idx = ceil(p*n) done in
+    // pure integer arithmetic ((n*P + 99) DIV 100), so both engines
+    // select the identical element — no interpolation, no float
+    // divergence. Scale: per-group window sort parallelizes across
+    // groups; a corpus-scale percentile would use a sketch instead
+    // (the KMV UDAF is the catalogued sketch surface).
+    "q3R_quantiles" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.computeTable(s, dir, "documents")
+          .select("lang", "n_chars", "doc_id")
+        val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+        val cw = Window.partitionBy("lang")
+        d.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(cw))
+          .groupBy("lang").agg(
+            max("n").as("n_docs"),
+            max(when(col("rn") === expr("(n * 50 + 99) DIV 100"), col("n_chars"))).as("p50"),
+            max(when(col("rn") === expr("(n * 95 + 99) DIV 100"), col("n_chars"))).as("p95"),
+            max(when(col("rn") === expr("(n * 99 + 99) DIV 100"), col("n_chars"))).as("p99"))
+          .orderBy("lang")
+      },
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, MAX(n) AS n_docs,
+        |       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |       MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN n_chars END) AS p95,
+        |       MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // CUBE over (lang, source): all four grouping sets in one pass
+    // (partial-aggregated expansion, one shuffle) — completes the
+    // grouping-set surface next to ROLLUP (q3E) and PIVOT (q3F).
+    "q3S_cube" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "documents")
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          grouping_id().as("gid"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first, col("gid")),
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST, gid""".stripMargin),
+
+    // Z-order (Morton) key: the layout operator's curve arithmetic,
+    // mirrored term-by-term in SQL. The layout benefit itself (narrow
+    // per-partition min/max spans on BOTH columns) is asserted by
+    // ZOrderSpec; this pins the key every layout decision derives from.
+    "q3T_zorder" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.ZOrder.zkey(col("doc_id") % 256, col("n_chars") % 256, 8).as("zkey"))
+        .orderBy("doc_id"),
+      {
+        val terms = (0 until 8).flatMap(i => Seq(
+          s"((((doc_id % 256) >> $i) & 1) << ${2 * i})",
+          s"((((n_chars % 256) >> $i) & 1) << ${2 * i + 1})"))
+        s"""SELECT doc_id,
+           |       CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Bloom semi-join pre-filter: big side (lineitem) probed against a
+    // bloom of the selective orders subset BEFORE the join shuffle;
+    // the exact join then removes false positives, so the result is
+    // identical to the plain join the oracle runs. BloomJoinSpec
+    // asserts the pruning actually fires (probe output << big side).
+    "q3U_bloom_join" -> QueryDef(
+      (s, dir) => {
+        val li = tc(s, dir, "lineitem")
+        val ords = tc(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
+          .select("o_orderkey", "o_orderpriority")
+        graft.operators.BloomJoin.bloomJoin(li, ords, "l_orderkey", "o_orderkey",
+            numBits = 1 << 16, k = 7)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

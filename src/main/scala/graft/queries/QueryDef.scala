@@ -24,4 +24,11 @@ object QueryDef {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e) + 1), __ci -> CAST(ascii($e[__ci]) AS BIGINT))), " +
       s"(__acc, __c) -> (__acc * $base + __c) % $p)"
+
+  /** DuckDB mirror of [[graft.operators.Sampling.sampleHash]]: polyHash
+    * of `key ":" salt` then two LCG mix rounds — the one shared
+    * definition for every hash-decided curation oracle. */
+  def duckSampleHash(keyExpr: String, salt: String): String =
+    s"(((${duckPolyHash(s"(CAST($keyExpr AS VARCHAR) || ':$salt')")}" +
+      s" * 48271 + 11) % 1000000007) * 48271 + 11) % 1000000007"
 }

@@ -472,6 +472,50 @@ object TextQueries {
          |  AND NOT EXISTS (SELECT 1 FROM newb m
          |        WHERE m.len = n.len AND m.h1 = n.h1 AND m.h2 = n.h2
          |          AND m.doc_id < n.doc_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin),
+
+    // Per-source (domain) cap: at most 10 docs per source, chosen by
+    // deterministic hash order — the standard web-corpus gate against
+    // mega-domain dominance. WindowGroupLimit bounds the shuffle.
+    "q3P_source_cap" -> QueryDef(
+      (s, dir) => graft.operators.Curation.perSourceCap(
+          Tables.computeTable(s, dir, "documents"),
+          srcCol = "source", keyCol = "doc_id", cap = 10, salt = "cap1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("source"),
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         ${QueryDef.duckSampleHash("doc_id", "cap1")} AS hh
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         |  FROM h)
+         |SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         |FROM r WHERE rn <= 10 GROUP BY source ORDER BY source""".stripMargin),
+
+    // Deterministic corpus shuffle -> training shards: shard = mixed
+    // hash mod 8, position = hash order within the shard. The checksum
+    // SUM(shard_pos * doc_id) pins the exact per-shard ordering.
+    "q3Q_shard_assign" -> QueryDef(
+      (s, dir) => graft.operators.Curation.shardAssign(
+          Tables.computeTable(s, dir, "documents"),
+          keyCol = "doc_id", numShards = 8, salt = "shuf1")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("shard_pos").cast("long") * col("doc_id")).as("pos_id_sum"))
+        .orderBy("shard"),
+      s"""WITH h AS (
+         |  SELECT doc_id, ${QueryDef.duckSampleHash("doc_id", "shuf1")} AS hh
+         |  FROM documents),
+         |sh AS (SELECT doc_id, hh, CAST(hh % 8 AS INTEGER) AS shard FROM h),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS shard_pos
+         |  FROM sh)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |       CAST(SUM(shard_pos * doc_id) AS BIGINT) AS pos_id_sum
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin)
   )
 }

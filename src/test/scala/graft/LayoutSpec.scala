@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.cat.Kernels
+import graft.operators.{BloomJoin, Curation, ZOrder}
+
+/** Round-5 layout/curation operators: per-source cap, shard assignment,
+  * bloom semi-join pre-filter, z-order layout. */
+class LayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docs = (1 to 400).map { i =>
+    (i.toLong, s"src${i % 8}", (i * 37 % 500 + 20).toLong)
+  }.toDF("doc_id", "source", "n_chars")
+
+  test("perSourceCap keeps exactly cap docs per source, stable under repartition") {
+    val capped = Curation.perSourceCap(docs, "source", "doc_id", cap = 10, salt = "s1")
+    val bySrc = capped.groupBy("source").count().collect()
+    assert(bySrc.length == 8 && bySrc.forall(_.getLong(1) == 10))
+    // hash-decided => identical keeper set on any partitioning
+    val again = Curation.perSourceCap(docs.repartition(7), "source", "doc_id", 10, "s1")
+    assert(capped.select("doc_id").except(again.select("doc_id")).isEmpty)
+    // a different salt draws a different keeper set
+    val other = Curation.perSourceCap(docs, "source", "doc_id", 10, "s2")
+    assert(other.select("doc_id").except(capped.select("doc_id")).count() > 0)
+  }
+
+  test("shardAssign gives dense per-shard positions, stable under repartition") {
+    val sh = Curation.shardAssign(docs, "doc_id", numShards = 4, salt = "x")
+    assert(sh.count() == 400)
+    assert(sh.select("shard").distinct().count() == 4)
+    // positions are dense 0..n-1 within each shard
+    val dense = sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("mn"), max("shard_pos").as("mx"))
+      .collect()
+    dense.foreach { r =>
+      assert(r.getInt(2) == 0 && r.getInt(3).toLong == r.getLong(1) - 1, r.toString)
+    }
+    val again = Curation.shardAssign(docs.repartition(5), "doc_id", 4, "x")
+    assert(sh.except(again).isEmpty && again.except(sh).isEmpty)
+  }
+
+  test("bloomJoin equals the plain join and the prefilter prunes") {
+    val big = (1 to 20000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "payload")
+    val small = Seq(7L, 13L, 99L, 250L).toDF("sk").withColumn("tag", col("sk") * 2)
+    val plain = big.join(small, col("k") === col("sk"))
+    val bloomed = BloomJoin.bloomJoin(big, small, "k", "sk", numBits = 1 << 12, k = 5)
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.select("k", "payload").except(plain.select("k", "payload")).isEmpty)
+    // no false negatives by construction; pruning must actually fire
+    val bloom = BloomJoin.buildBloom(small, "sk", 1 << 12, 5)
+    val kept = BloomJoin.prefilter(big, "k", bloom, 5).count()
+    assert(kept < big.count() / 10, s"bloom kept $kept of ${big.count()} rows")
+  }
+
+  test("bloom build is partitioning-invariant") {
+    val keys = (1 to 1000).map(_.toLong * 31).toDF("k")
+    val a = BloomJoin.buildBloom(keys, "k", 1 << 10, 7)
+    val b = BloomJoin.buildBloom(keys.repartition(13), "k", 1 << 10, 7)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("zorder2 kernel interleaves bits") {
+    // a = 0b1010, b = 0b0110 -> z pairs (b_i a_i) from low bit:
+    // i0: b0=0,a0=0 -> 00; i1: b1=1,a1=1 -> 11; i2: b2=1,a2=0 -> 10; i3: b3=0,a3=1 -> 01
+    assert(Kernels.zorder2(0xaL, 0x6L, 4) == java.lang.Long.parseLong("01101100", 2))
+    assert(Kernels.zorder2(0L, 0L, 31) == 0L)
+    assert(Kernels.zorder2((1L << 31) - 1, (1L << 31) - 1, 31) == (1L << 62) - 1)
+  }
+
+  test("z-order layout bounds the worst dimension's per-partition span") {
+    // Uniform 64x64 grid into 16 partitions. A single-column x-sort
+    // prunes x perfectly but leaves every partition spanning all of y
+    // (summed y-span 16*64); the z-layout bounds partitions to squares,
+    // so the WORST dimension's summed span drops ~4x — that worst-dim
+    // span is what file skipping on an arbitrary predicate pays.
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), expr("id DIV 64").as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x") + 1).as("sx"), (max("y") - min("y") + 1).as("sy"))
+        .agg(sum("sx"), sum("sy")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (zx, zy) = spans(ZOrder.layoutBy(grid, col("x"), col("y"), bits = 6, numFiles = 16))
+    val (nx, ny) = spans(grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")))
+    val zWorst = math.max(zx, zy)
+    val nWorst = math.max(nx, ny)
+    assert(zWorst * 2 < nWorst,
+      s"z worst-dim span $zWorst (x=$zx y=$zy) not < half of single-col $nWorst (x=$nx y=$ny)")
+  }
+}
