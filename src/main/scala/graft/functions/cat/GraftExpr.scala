@@ -286,4 +286,69 @@ object GraftExpr {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Zorder2Call =
       copy(left = newLeft, right = newRight)
   }
+
+  def chunkSplit(c: Column, w: Int): Column =
+    Bridge.column(ChunkSplitCall(Bridge.expression(c), w))
+
+  /** Consecutive w-word chunks of a text (see [[Kernels.chunkSplit]]). */
+  case class ChunkSplitCall(child: Expression, w: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_chunk_split"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.chunkSplit(input.asInstanceOf[UTF8String], w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.cat.Kernels.chunkSplit($c, $w)")
+
+    override protected def withNewChildInternal(newChild: Expression): ChunkSplitCall =
+      copy(child = newChild)
+  }
+
+  def quantize127(c: Column): Column =
+    Bridge.column(Quantize127Call(Bridge.expression(c)))
+
+  /** Symmetric int8 quantization of a float vector
+    * (see [[Kernels.quantize127]]). */
+  case class Quantize127Call(child: Expression)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_quantize127"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.quantize127(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.cat.Kernels.quantize127($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Quantize127Call =
+      copy(child = newChild)
+  }
+
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(DotLongCall(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Exact integer dot product of two long arrays
+    * (see [[Kernels.dotLong]]). */
+  case class DotLongCall(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_long"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.cat.Kernels.dotLong($a, $b)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLongCall =
+      copy(left = newLeft, right = newRight)
+  }
 }

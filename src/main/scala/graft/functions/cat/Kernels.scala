@@ -876,4 +876,87 @@ object Kernels {
     }
     z
   }
+
+  /** Split text into consecutive `w`-word chunks (words = maximal
+    * non-whitespace runs, as in [[simhash60]]/wordCount), each chunk
+    * re-joined with single spaces — the unit of C4-style line/chunk
+    * deduplication. One char scan, no regex, no per-word allocation
+    * beyond the chunk strings themselves; empty/blank text yields an
+    * empty array (mirroring the oracle's `length(trim(text)) > 0`
+    * gate). The trailing chunk may hold fewer than `w` words. */
+  def chunkSplit(u: UTF8String, w: Int): ArrayData = {
+    val s = u.toString
+    val n = s.length
+    // count words first so the output array is exactly sized
+    var words = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) { words += 1; while (i < n && !isWs(s.charAt(i))) i += 1 }
+    }
+    if (words == 0) return new GenericArrayData(Array.empty[Any])
+    val nch = (words + w - 1) / w
+    val out = new Array[Any](nch)
+    i = 0
+    var c = 0
+    while (c < nch) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < w && i < n) {
+        while (i < n && isWs(s.charAt(i))) i += 1
+        if (i < n) {
+          if (k > 0) sb.append(' ')
+          val start = i
+          while (i < n && !isWs(s.charAt(i))) i += 1
+          sb.append(s, start, i)
+          k += 1
+        }
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Symmetric per-vector int8 quantization: q_i = floor(x_i * s + 0.5)
+    * with s = 127 / max|x| (all-zero vectors quantize to zeros). Every
+    * step — abs, max, the single division making the scale, the
+    * multiply, +0.5, floor — is a correctly-rounded IEEE-754 double
+    * operation, so any engine reproduces the exact same integers. The
+    * values live in [-127, 127] (int8 range; carried as long for
+    * arithmetic headroom downstream). Cosine over quantized vectors is
+    * invariant to the per-vector scale, so ranking needs only the
+    * integer dot products — see [[dotLong]]. */
+  def quantize127(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (maxAbs > 0.0) {
+      val s = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(vec.getFloat(i).toDouble * s + 0.5).toLong
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact int64 dot product of two long arrays (quantized vectors):
+    * pure integer arithmetic, bit-identical on any engine and free of
+    * float accumulation order concerns. |q_i| <= 127 keeps the sum far
+    * from overflow for any realistic dimension. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
 }

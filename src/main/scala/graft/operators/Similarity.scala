@@ -242,6 +242,41 @@ object Similarity {
       .select("qid", "cid", "cos", "rank")
   }
 
+  /** Top-k neighbors over int8-QUANTIZED vectors — the compressed-scan
+    * path. Each vector is quantized once (symmetric per-vector scale,
+    * [[graft.functions.cat.Kernels.quantize127]]); cosine is invariant
+    * to the per-vector scale, so ranking needs only exact int64 dot
+    * products over the quantized values — no float accumulation, and
+    * bit-identical scores on any engine.
+    *
+    * Why this matters at corpus scale: a stored int8 corpus is 4x
+    * smaller than float32, so the exhaustive scan — the recall-1.0
+    * baseline every ANN path is measured against — reads a quarter of
+    * the bytes, and the inner loop is integer multiply-adds (SIMD-
+    * friendly). The quantized values are carried as long here purely
+    * for arithmetic headroom; a persisted layout stores the 1-byte
+    * values. Query side broadcasts; the candidate corpus streams once
+    * with no shuffle; per-query top-k is a WindowGroupLimit window.
+    * Output: (qid, cid, qcos, rank). */
+  def quantizedTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.cat.GraftExpr
+    def quant(df: DataFrame, ida: String, qa: String, na: String) =
+      df.select(col(idCol).as(ida), GraftExpr.quantize127(col(vecCol)).as(qa))
+        .withColumn(na, GraftExpr.dotLong(col(qa), col(qa)))
+        .filter(col(na) > 0)
+    val c = quant(candidates, "cid", "cq", "cn")
+    val q = broadcast(quant(queries, "qid", "qq", "qn"))
+    val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("cid").asc)
+    c.join(q, col("cid") =!= col("qid"))
+      .withColumn("qcos",
+        GraftExpr.dotLong(col("qq"), col("cq")).cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("qcos"), col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign buckets:
     * candidate pairs share a bucket; keep cosine >= threshold. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,

@@ -227,6 +227,69 @@ object TextDedup {
     cs.join(bs, Seq("sh_hash"), "left_semi").select("doc_id").distinct()
   }
 
+  /** Graded contamination: per corpus document, the fraction of its
+    * distinct k-grams that appear in any benchmark document — the
+    * thresholdable refinement of [[contaminatedDocs]]'s binary rule
+    * (evals typically drop at >= some overlap fraction rather than on
+    * a single shared gram). Same scale shape: the benchmark gram set
+    * is tiny and broadcasts, the left join is map-side, and the
+    * per-doc aggregate moves only (doc_id, 1, 0/1) triples — the
+    * corpus never self-joins and is scanned once.
+    * Output: (doc_id, n_grams, n_matched, contamination). */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val cs = shingleIndex(corpus, idCol, textCol, k)
+    val bs = shingleIndex(benchmark, idCol, textCol, k)
+      .select("sh_hash").distinct().withColumn("__hit", lit(1L))
+    cs.join(broadcast(bs), Seq("sh_hash"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** C4-style chunk-level exact dedup: each document is cut into
+    * consecutive `chunkWords`-word chunks (one codegen'd kernel call —
+    * the distributed analogue of C4's line dedup, with fixed-width
+    * chunks standing in for newline-delimited lines); a chunk is kept
+    * only at its first occurrence corpus-wide (ordered by doc id, then
+    * position), and surviving chunks are re-joined per document.
+    * Documents whose every chunk was seen earlier disappear entirely,
+    * exactly as C4 drops fully-boilerplate pages.
+    *
+    * Scale shape: two linear shuffles. The keep-first decision is a
+    * window over the chunk's (length, 2x polyHash) content fingerprint
+    * — `row_number = 1` compiles to WindowGroupLimit, so each map
+    * partition forwards at most one row per fingerprint; the chunk
+    * text rides along because reassembly needs it downstream either
+    * way (shuffling a slim decision and joining the text back would
+    * move the same text once more). Reassembly is a groupBy on doc_id
+    * whose per-group state is one document's chunks. Nothing is ever
+    * quadratic in corpus size.
+    * Output: (doc_id, n_chunks_kept, text_dedup). */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 16): DataFrame = {
+    val ex = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.cat.GraftExpr
+          .chunkSplit(col(textCol).cast("string"), chunkWords))
+          .as(Seq("cpos", "chunk")))
+    val fp = ex
+      .withColumn("__cl", length(col("chunk")))
+      .withColumn("__h1", TextFunctions.polyHash(col("chunk"), 31, 1000000007L))
+      .withColumn("__h2", TextFunctions.polyHash(col("chunk"), 37, 999999937L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__cl", "__h1", "__h2").orderBy(col("doc_id"), col("cpos"))
+    fp.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("text_dedup"))
+  }
+
   /** SimHash: 60-bit signature from two 30-bit polynomial token hashes.
     * Per bit: sum +1/-1 over distinct tokens by that bit of the token
     * hash; bit set when the sum is positive.
