@@ -4,10 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark harness: times every catalogued query at the SF pointed to by
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query numbers.
   *
-  * Trustworthiness measures (round 3):
+  * Trustworthiness measures (round 3, hardened round 6):
   *   - each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the
   *     reported number is the per-query MEDIAN, so a single scheduling
   *     hiccup or GC pause cannot masquerade as a 9x regression;
+  *   - reps are INTERLEAVED round-robin (full query list, reps times)
+  *     rather than back-to-back per query: a sustained background-load
+  *     event shorter than one full round (~25 s at sf0.1) now lands on at
+  *     most ONE rep of any query and the median discards it. (Round 5's
+  *     "+6.6 s on unchanged code" cluster was exactly two such events
+  *     hitting all 3 consecutive reps of q04-q07 and q2B-q31.);
   *   - the JSON line is also written to bench_out.json so results are
   *     mechanically diffable without scraping logs;
   *   - the 1-minute system load average is recorded alongside the numbers
@@ -75,20 +81,20 @@ object Bench {
     // null in the queries map and its name lands in "failed", so a broken
     // query can never read as a speedup in a mechanical diff.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case t: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, fn) <- catalog) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
-      name -> median(times)
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    val results = catalog.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + (if (failed(k)) "null" else v.toString)
     }.mkString("{", ",", "}")
@@ -97,11 +103,15 @@ object Bench {
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$load}"""
-    println(line)
     try {
       val w = new java.io.PrintWriter("bench_out.json")
       try w.println(line) finally w.close()
     } catch { case t: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${t.getMessage}") }
+    // Stop Spark BEFORE printing the result line: executor/shutdown chatter
+    // can otherwise land on stdout after it, and the driver's parser wants
+    // the JSON as the app's final stdout output.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
