@@ -18,10 +18,14 @@ import graft.functions.TextFunctions
   *
   * Scale shape: one explode + slim (doc_id, term) groupBy for term
   * frequencies; document frequencies aggregate *from the tf frame* (no
-  * second corpus scan) into a vocabulary-sized frame that broadcasts
-  * back; the per-document top-k is a WindowGroupLimit window. The
-  * corpus text is scanned exactly once and never shuffled — only
-  * (doc_id, term, count) triples move.
+  * second corpus scan) into a vocabulary-sized frame; the per-document
+  * top-k is a WindowGroupLimit window. The corpus text is scanned
+  * exactly once and never shuffled — only (doc_id, term, count)
+  * triples move. The tf-vocabulary join is left to AQE: at 100 TB the
+  * distinct-term count can reach billions, so a forced broadcast of
+  * the vocabulary side would OOM the driver — AQE broadcasts it only
+  * when its runtime size is actually small. Only the 1-row corpus
+  * count is broadcast unconditionally.
   */
 object TfIdf {
 
@@ -35,7 +39,7 @@ object TfIdf {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
     val nDocs = docs.select(countDistinct(col(idCol)).as("__n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf").cast("double") * col("__n") / col("df_docs").cast("double"))

@@ -28,10 +28,17 @@ import graft.functions.cat.GraftExpr
   */
 object ZOrder {
 
-  /** Morton key column for the low `bits` bits of two long columns. */
+  /** Morton key column for the low `bits` bits of two long columns.
+    * Negative inputs raise at runtime rather than silently interleaving
+    * the masked low bits of a two's-complement pattern (which would
+    * yield a syntactically valid but meaningless layout). */
   def zkey(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    GraftExpr.zorder2(a.cast("long"), b.cast("long"), bits)
+    def checked(c: Column): Column =
+      when(c < 0, raise_error(
+        concat(lit("zkey requires non-negative keys; got "), c.cast("string"))))
+        .otherwise(c)
+    GraftExpr.zorder2(checked(a.cast("long")), checked(b.cast("long")), bits)
   }
 
   /** Re-layout `df` z-ordered on (`c1`, `c2`) into `numFiles` range

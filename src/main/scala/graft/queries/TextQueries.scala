@@ -516,6 +516,94 @@ object TextQueries {
          |  FROM sh)
          |SELECT shard, COUNT(*) AS n_docs,
          |       CAST(SUM(shard_pos * doc_id) AS BIGINT) AS pos_id_sum
-         |FROM p GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // Per-document distinctive terms (tf-idf, rational idf): top-5
+    // terms per doc. The rational N/df idf keeps every score inside
+    // +,*,/ on integer-valued doubles — bit-exact in any engine.
+    "q3V_tfidf" -> QueryDef(
+      (s, dir) => graft.operators.TfIdf.topTerms(
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank"),
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM docs),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM docs),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+        |         CAST(tf.tf AS DOUBLE) * CAST(nd.n AS DOUBLE)
+        |           / CAST(dfreq.df_docs AS DOUBLE) AS tfidf
+        |  FROM tf JOIN dfreq USING (term), nd),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df_docs, tfidf, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
+
+    // Graded benchmark contamination: per corpus doc, the fraction of
+    // its distinct 13-grams appearing in any benchmark doc — the
+    // thresholdable refinement of q3D's binary rule.
+    "q3X_contamination_frac" -> QueryDef(
+      (s, dir) => {
+        val corpus = Tables.computeTable(s, dir, "documents")
+        TextDedup.contaminationFraction(corpus,
+            corpus.filter(col("doc_id") % 17 === 5), "doc_id", "text", k = 13)
+          .orderBy("doc_id")
+      },
+      s"""WITH s13 AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+12], ' ') AS s
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents) t,
+         |       UNNEST(range(1, len(tk) - 11)) AS u(i)
+         |  WHERE len(tk) >= 13),
+         |sh13 AS (SELECT doc_id, ${duckPolyHash("s")} AS h FROM s13),
+         |bs AS (SELECT DISTINCT h FROM sh13 WHERE doc_id % 17 = 5)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |       CAST(SUM(CASE WHEN bs.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_matched,
+         |       CAST(SUM(CASE WHEN bs.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS contamination
+         |FROM sh13 LEFT JOIN bs USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // C4-style chunk-level exact dedup: 16-word chunks kept at first
+    // corpus-wide occurrence, documents reassembled from survivors.
+    // Duplicates synthesized by self-union (as q20) so the drop rule
+    // provably fires: every +1M copy must vanish entirely.
+    "q3Y_chunk_dedup" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.computeTable(s, dir, "documents").select("doc_id", "text")
+        val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
+        TextDedup.chunkDedup(d.unionAll(dup), "doc_id", "text", chunkWords = 16)
+          .orderBy("doc_id")
+      },
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM u WHERE length(trim(text)) > 0),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS cpos,
+         |         array_to_string(tk[i * 16 + 1 : i * 16 + 16], ' ') AS chunk
+         |  FROM t, UNNEST(range(0, (len(tk) + 15) // 16)) AS u2(i)),
+         |fp AS (
+         |  SELECT doc_id, cpos, chunk, length(chunk) AS cl,
+         |         ${duckPolyHash("chunk")} AS h1,
+         |         ${duckPolyHash("chunk", 37, 999999937L)} AS h2
+         |  FROM ch),
+         |keep AS (
+         |  SELECT doc_id, cpos, chunk,
+         |         row_number() OVER (PARTITION BY cl, h1, h2
+         |                            ORDER BY doc_id, cpos) AS rn
+         |  FROM fp)
+         |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks_kept,
+         |       string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup
+         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -176,6 +176,43 @@ object VectorQueries {
          |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, $DuckCos AS cos
          |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // Int8-quantized exhaustive top-k — the compressed-scan recall-1.0
+    // baseline. Quantization (floor(x*127/max|x| + 0.5)) and the int64
+    // dot products are exact integer/IEEE arithmetic, so the oracle
+    // reproduces every score bit-for-bit.
+    "q3W_quantized_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+          .orderBy("qid", "rank")
+      },
+      """WITH mx AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, __x -> abs(CAST(__x AS DOUBLE)))) AS m
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           __x -> CAST(floor(CAST(__x AS DOUBLE) * (127.0 / m) + 0.5) AS BIGINT)) AS qv
+        |  FROM mx WHERE m > 0),
+        |nz AS (
+        |  SELECT vec_id, qv,
+        |         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |           __i -> qv[__i] * qv[__i])) AS BIGINT) AS nrm
+        |  FROM qz),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |         CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |           __i -> q.qv[__i] * c.qv[__i])) AS BIGINT) AS DOUBLE)
+        |           / (sqrt(CAST(q.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS qcos
+        |  FROM nz q, nz c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND q.nrm > 0 AND c.nrm > 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rank
+        |  FROM scored)
+        |SELECT qid, cid, qcos, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
   )
 }

@@ -453,4 +453,62 @@ class OperatorsSpec extends SparkTestBase {
       assert(f.features.toSeq == exp.toSeq)
     }
   }
+
+  test("chunkDedup keeps first occurrence corpus-wide, reassembles survivors") {
+    // 3-word chunks; doc 1 owns both chunks, doc 2 repeats chunk A plus a
+    // fresh one, doc 3 is entirely seen-before -> disappears.
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks: "a b c", "d e f"
+      (2L, "a b c x y z"),   // "a b c" seen (doc 1), "x y z" fresh
+      (3L, "d e f a b c"),   // both chunks seen -> dropped entirely
+      (4L, "   ")            // blank -> filtered
+    ).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedup(df, "doc_id", "text", chunkWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 2, "a b c d e f"), (2L, 1, "x y z")))
+  }
+
+  test("chunkDedup keep-first is positional within a document") {
+    // the same chunk twice inside one doc: only the first survives, and
+    // reassembly preserves original chunk order
+    val df = Seq((5L, "p q r p q r s t u")).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedup(df, "doc_id", "text", chunkWords = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq((5L, 2, "p q r s t u")))
+  }
+
+  test("contaminationFraction grades per-doc 13-gram overlap") {
+    val bench13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    val corpus = Seq(
+      (1L, s"$bench13 tail1 tail2 tail3"),  // 4 grams, first is the benchmark gram
+      (2L, "no shared material in this very long and quite distinct document " +
+        "with more than thirteen whitespace separated words overall here"),
+      (3L, bench13))                        // exactly the one benchmark gram
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, bench13)).toDF("doc_id", "text")
+    val out = TextDedup.contaminationFraction(corpus, benchmark, "doc_id", "text", 13)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out(0) == ((1L, 4L, 1L, 0.25)))
+    assert(out(1)._3 == 0L && out(1)._4 == 0.0)
+    assert(out(2) == ((3L, 1L, 1L, 1.0)))
+  }
+
+  test("TfIdf.topTerms ranks distinctive terms above corpus-wide ones") {
+    val df = Seq(
+      (1L, "shared shared zebra"),
+      (2L, "shared yak yak"),
+      (3L, "shared walrus")).toDF("doc_id", "text")
+    val out = TfIdf.topTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    // doc 1: zebra tf=1 df=1 -> 3.0 beats shared tf=2 df=3 -> 2.0
+    assert(out(0) == ((1L, "zebra", 1L, 1L, 3.0, 1)))
+    assert(out(1) == ((1L, "shared", 2L, 3L, 2.0, 2)))
+    // doc 2: yak tf=2 df=1 -> 6.0 top; doc 3: walrus 3.0 top
+    assert(out(2) == ((2L, "yak", 2L, 1L, 6.0, 1)))
+    assert(out(4) == ((3L, "walrus", 1L, 1L, 3.0, 1)))
+  }
 }

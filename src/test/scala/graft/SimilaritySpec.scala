@@ -77,6 +77,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(kernel.exceptAll(formula).isEmpty && formula.exceptAll(kernel).isEmpty)
   }
 
+  test("quantizedTopK neighbor sets match float brute force on the fixture") {
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val quant = pairs(Similarity.quantizedTopK(emb, queries, 5))
+    // int8 quantization perturbs each cosine by O(1/127); top-5 sets on
+    // the fixture must stay essentially identical to the float baseline
+    val overlap = (exact & quant).size.toDouble / exact.size
+    info(f"quantized vs float top-5 overlap: $overlap%.3f (n=${exact.size})")
+    assert(exact.size == 40 && quant.size == 40)
+    assert(overlap >= 0.9, f"quantized scan diverged from float baseline: $overlap%.3f")
+  }
+
   test("sign buckets stay balanced (no catastrophic bucket skew)") {
     val planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
     val n = emb.count()
