@@ -266,6 +266,37 @@ object GraftExpr {
       copy(left = newLeft, right = newRight)
   }
 
+  def bloomMightContainBcast(key: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int): Column =
+    Bridge.column(BloomMightContainBcastCall(Bridge.expression(key), bloom, k))
+
+  /** Bloom membership probe reading the bitset from a BROADCAST
+    * variable instead of a plan literal — the large-filter path
+    * (`BloomJoin.LiteralBloomMaxBytes`): the bitset is shipped to each
+    * executor once, and the generated code reads it through a
+    * task-context reference rather than re-serializing it into every
+    * task's plan. */
+  case class BloomMightContainBcastCall(child: Expression,
+      bloom: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_might_contain_bcast"
+
+    override protected def nullSafeEval(key: Any): Any =
+      Kernels.bloomMightContainWords(key.asInstanceOf[Long], bloom.value, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+        "org.apache.spark.broadcast.Broadcast")
+      defineCodeGen(ctx, ev,
+        key => s"graft.functions.cat.Kernels.bloomMightContainWords($key, (long[]) $bcRef.value(), $k)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContainBcastCall =
+      copy(child = newChild)
+  }
+
   def zorder2(a: Column, b: Column, bits: Int): Column =
     Bridge.column(Zorder2Call(Bridge.expression(a), Bridge.expression(b), bits))
 

@@ -859,6 +859,22 @@ object Kernels {
     true
   }
 
+  /** [[bloomMightContain]] over a raw long[] — the broadcast-variable
+    * probe path, where the bitset arrives as an executor-local array
+    * rather than a plan-literal ArrayData. */
+  def bloomMightContainWords(key: Long, words: Array[Long], k: Int): Boolean = {
+    val m = words.length << 6
+    val h1 = splitmix64(key)
+    val h2 = splitmix64(key ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = ((h1 + i * h2) & (m - 1)).toInt
+      if ((words(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two
     * non-negative keys: result bit 2i is a's bit i, bit 2i+1 is b's
     * bit i. Sorting by this key clusters BOTH dimensions at every

@@ -710,7 +710,7 @@ object ParityQueries {
           .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 10 === 0)
           .select("o_orderkey", "o_orderpriority")
         graft.operators.BloomJoin.bloomJoin(li, ords, "l_orderkey", "o_orderkey",
-            numBits = 1 << 16, k = 7)
+            fpp = 0.01)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_rows"),
             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))

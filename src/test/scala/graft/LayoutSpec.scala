@@ -55,6 +55,38 @@ class LayoutSpec extends SparkTestBase {
     assert(kept < big.count() / 10, s"bloom kept $kept of ${big.count()} rows")
   }
 
+  test("geometry sizes from n: fpp bounded at 1x and 10x build cardinality") {
+    // Fixed geometry stops pruning when the build side outgrows it;
+    // adaptive geometry must hold the measured false-positive rate at
+    // both scales. Probe keys are disjoint from build keys.
+    for (n <- Seq(1000, 10000)) {
+      val (numBits, k) = BloomJoin.geometry(n, fpp = 0.01)
+      val build = spark.range(n).select((col("id") * 2 + 1).as("sk")) // odd keys
+      val bloom = BloomJoin.buildBloom(build, "sk", numBits, k)
+      val probes = spark.range(20000).select((col("id") * 2).as("pk")) // even keys
+      val fp = BloomJoin.prefilter(probes, "pk", bloom, k).count()
+      val rate = fp.toDouble / 20000
+      info(f"n=$n%d -> numBits=$numBits k=$k measured fpp=$rate%.4f")
+      assert(rate <= 0.03, f"fpp $rate%.4f above 3x target at n=$n")
+      // and the filter actually grew with the data
+      if (n == 10000) assert(numBits >= BloomJoin.geometry(1000, 0.01)._1 * 8)
+    }
+    // formulas sanity: 1e5 keys at 1% -> 2^20 bits, k=7
+    assert(BloomJoin.geometry(100000, 0.01) == ((1 << 20, 7)))
+  }
+
+  test("broadcast-variable probe path matches the literal path") {
+    val small = Seq(7L, 13L, 99L, 250L).toDF("sk")
+    val big = (1 to 5000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "payload")
+    val bloom = BloomJoin.buildBloom(small, "sk", 1 << 12, 5)
+    val viaLit = BloomJoin.prefilter(big, "k", bloom, 5)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val viaBc = big.filter(graft.functions.cat.GraftExpr
+      .bloomMightContainBcast(col("k").cast("long"), bc, 5))
+    assert(viaLit.except(viaBc).isEmpty && viaBc.except(viaLit).isEmpty)
+    assert(viaBc.count() > 0)
+  }
+
   test("bloom build is partitioning-invariant") {
     val keys = (1 to 1000).map(_.toLong * 31).toDF("k")
     val a = BloomJoin.buildBloom(keys, "k", 1 << 10, 7)
