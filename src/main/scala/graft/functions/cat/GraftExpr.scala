@@ -297,6 +297,33 @@ object GraftExpr {
       copy(child = newChild)
   }
 
+  def signBuckets(vec: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(SignBucketCall(Bridge.expression(vec), planes))
+
+  /** Sign-LSH bucket against an explicit hyperplane matrix (see
+    * [[Kernels.signBucket]]) — the codegen'd production form of
+    * `Similarity.signBucket`'s combinator, folding in the same element
+    * order for bit-identical buckets. The matrix rides the expression
+    * as a referenced object, not a plan literal. */
+  case class SignBucketCall(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sign_bucket"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.signBucket(input.asInstanceOf[ArrayData], planes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.cat.Kernels.signBucket($c, $ref)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SignBucketCall =
+      copy(child = newChild)
+  }
+
   def zorder2(a: Column, b: Column, bits: Int): Column =
     Bridge.column(Zorder2Call(Bridge.expression(a), Bridge.expression(b), bits))
 

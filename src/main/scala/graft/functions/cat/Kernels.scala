@@ -859,6 +859,30 @@ object Kernels {
     true
   }
 
+  /** Sign-LSH bucket id of a float vector against an explicit
+    * hyperplane matrix: bit j set when sum_i vec(i)*planes(j)(i) >= 0,
+    * accumulated left-to-right in element order — the same IEEE fold
+    * as the Column-combinator form (`Similarity.signBucket`), so both
+    * produce identical buckets and the DuckDB oracles that inline the
+    * plane literals keep matching bit-for-bit. One kernel call per row
+    * replaces `bits` interpreted HigherOrderFunction projections. */
+  def signBucket(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val w = planes(j)
+      var acc = 0.0
+      var i = 0
+      while (i < w.length) {
+        acc = acc + vec.getFloat(i).toDouble * w(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
   /** [[bloomMightContain]] over a raw long[] — the broadcast-variable
     * probe path, where the bitset arrives as an executor-local array
     * rather than a plan-literal ArrayData. */

@@ -65,12 +65,24 @@ object Similarity {
   /** Sign-LSH bucket id: bit j set when the projection of the vector on
     * hyperplane j is >= 0. Projections fold in element order, so an
     * oracle summing the same inlined weights in the same order
-    * reproduces every sign bit-for-bit. */
+    * reproduces every sign bit-for-bit.
+    *
+    * This combinator form is the CROSS-VALIDATION implementation (its
+    * `bits` higher-order projection expressions stay interpreted —
+    * HigherOrderFunction does not join whole-stage codegen); the
+    * production paths below bucket through [[signBucketKernel]], the
+    * codegen'd kernel computing the identical fold. SimilaritySpec
+    * asserts the two agree bit-for-bit on the fixture. */
   def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, j) =>
       val proj = dot(vec, array(w.map(lit): _*))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Codegen'd sign bucket — same planes, same element-order fold, one
+    * kernel call per row (see [[graft.functions.cat.Kernels.signBucket]]). */
+  def signBucketKernel(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.cat.GraftExpr.signBuckets(vec, planes)
 
   /** LSH-bucketed ANN top-k: queries meet only candidates in their sign
     * bucket. Same scoring/ranking as brute force. */
@@ -78,9 +90,9 @@ object Similarity {
               planes: Array[Array[Double]],
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), planes).as("bucket")))
+      signBucketKernel(col(vecCol), planes).as("bucket")))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      signBucketKernel(col(vecCol), planes).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
@@ -121,11 +133,11 @@ object Similarity {
     val masks = probeMasks(bits, maxHamming)
     val q = broadcast(queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        signBucket(col(vecCol), planes).as("qb"))
+        signBucketKernel(col(vecCol), planes).as("qb"))
       .select(col("qid"), col("qv"),
         explode(array(masks.map(m => col("qb").bitwiseXOR(lit(m))): _*)).as("bucket")))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      signBucketKernel(col(vecCol), planes).as("bucket"))
     // no pair-dedup needed: a query's probe buckets are distinct values
     // (qb XOR distinct masks) and each candidate sits in exactly one
     // bucket, so every (qid, cid) pair collides at most once.
@@ -283,7 +295,7 @@ object Similarity {
                          planes: Array[Array[Double]],
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      signBucketKernel(col(vecCol), planes).as("bucket"))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .withColumn("cos", round(cosine(col("x.v"), col("y.v")), 6))

@@ -42,6 +42,21 @@ class PlansSpec extends SparkTestBase {
     assert(est == 7.0) // below k -> exact
   }
 
+  test("q29/q2A timed paths carry no interpreted HigherOrderFunction") {
+    // The production LSH paths bucket through the codegen'd signBucket
+    // kernel; the combinator (aggregate/zip_with/transform, which never
+    // joins whole-stage codegen) must not appear anywhere in the
+    // optimized plans of the catalogued queries.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q29_ann_lsh", "q2A_cosine_neardup")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val hofs = plan.collect { case p => p.expressions.flatMap(_.collect {
+        case h: HigherOrderFunction => h }) }.flatten
+      assert(hofs.isEmpty, s"$name still evaluates interpreted HOFs: $hofs")
+    }
+  }
+
   test("CollapseIdempotentNormalize removes double normalization") {
     // non-foldable input (range, not a literal) so constant folding
     // can't erase the calls before the rule is observable

@@ -67,6 +67,15 @@ class SimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException](Similarity.probeMasks(64, 1))
   }
 
+  test("signBucket kernel matches the Column-combinator form bit-for-bit") {
+    val planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
+    val kernel = emb.select(col("vec_id"),
+      Similarity.signBucketKernel(col("embedding"), planes).as("b"))
+    val formula = emb.select(col("vec_id"),
+      Similarity.signBucket(col("embedding"), planes).as("b"))
+    assert(kernel.exceptAll(formula).isEmpty && formula.exceptAll(kernel).isEmpty)
+  }
+
   test("lcgBuckets kernel matches the Column-combinator formula bit-for-bit") {
     val (tables, bits, dim) = (4, 8, 64)
     val kernel = emb.select(col("vec_id"),
