@@ -30,6 +30,8 @@ object ScaleBench {
   private val DedupQueries = Seq(
     "q20_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh", "q38_dup_clusters")
 
+  private val AnnQueries = Seq("q2B_ann_multitable", "q2C_ann_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -79,14 +81,47 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(docPath.toString)
     }
+    val embPath = new Path(s"$scaleDir/embeddings.parquet")
+    if (!fs.exists(embPath)) {
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("vec_id", col("vec_id") + col("rep") * lit(10000000L))
+        // deterministic per-replica perturbation, ZERO for replica 0 so
+        // the catalogued query side (vec_id < 8) is the base vectors and
+        // 1x/factor-x runs rank against an identical probe set. Copying
+        // vectors verbatim would plant exact duplicates (degenerate
+        // cosine ties), not a bigger corpus.
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          (x + col("rep").cast("float") * lit(1e-4f) *
+            ((i % 5) - lit(2)).cast("float")).cast("float")))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embPath.toString)
+    }
     val rowsIn = spark.read.parquet(liPath.toString).count()
     val docsIn = spark.read.parquet(docPath.toString).count()
+    val vecsIn = spark.read.parquet(embPath.toString).count()
+
+    /** The q2B candidate stage in isolation (kernel buckets over 16
+      * OR-amplified tables, distinct colliding pairs): the number the
+      * 100 TB claim rides on — it must grow ~linearly with the corpus,
+      * never quadratically. */
+    def annCandidates(dir: String): Long = {
+      val emb = graft.sources.Tables.computeTable(spark, dir, "embeddings")
+      val b = emb.select(col("vec_id"), posexplode(
+        graft.functions.cat.GraftExpr.lshBuckets(col("embedding"), 16, 8))
+        .as(Seq("t", "bucket")))
+      b.filter(col("vec_id") < 8).alias("q")
+        .join(b.alias("c"), Seq("t", "bucket"))
+        .filter(col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id"), col("c.vec_id")).distinct().count()
+    }
 
     // untimed JVM/codegen warmup, as in Bench
     spark.range(1000000).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .repartition(2).count()
     val warmDir = "/root/testdata/sf0.001"
-    DedupQueries.foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
+    (DedupQueries ++ AnnQueries).foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
 
     def time(body: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -106,10 +141,24 @@ object ScaleBench {
     val dedupJson = dedup.map { case (q, s1, r1, sF, rF) =>
       s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
     }.mkString("{", ",", "}")
+
+    // ANN family at 1× then factor× (top-k output is fixed at 40 rows;
+    // the scale signals are wall time and the candidate-pair count)
+    val ann = AnnQueries.map { q =>
+      val (s1, r1) = time(SparkEntry.queries(q)(spark, sfDir).count())
+      val (sF, rF) = time(SparkEntry.queries(q)(spark, scaleDir).count())
+      (q, s1, r1, sF, rF)
+    }
+    val cand1 = annCandidates(sfDir)
+    val candF = annCandidates(scaleDir)
+    val annJson = (ann.map { case (q, s1, r1, sF, rF) =>
+      s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
+    } :+ s""""q2B_candidates":{"pairs_1x":$cand1,"pairs_${factor}x":$candF}""")
+      .mkString("{", ",", "}")
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     println(s"""{"metric":"scale_flight_pipeline","value":$flightSec,"unit":"sec",""" +
       s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
-      s""""dedup":$dedupJson,"loadavg":$load,"sf":"$sfDir"}""")
+      s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Operators below attach working/output columns by fixed name; a
+    * frame already carrying one of those names would be silently
+    * overwritten and corrupt results, so the clash is an error. */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has reserved column(s) ${clash.mkString(", ")}; rename them first")
+  }
+
   /** Cap any single source's (domain's) contribution to the corpus at
     * `cap` documents, chosen by deterministic hash order (a reproducible
     * uniform draw within each source; ties broken by the key itself).
@@ -30,6 +39,7 @@ object Curation {
   def perSourceCap(df: DataFrame, srcCol: String, keyCol: String, cap: Int,
                    salt: String): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    requireFresh(df, "__src_rn")
     val w = Window.partitionBy(col(srcCol))
       .orderBy(Sampling.sampleHash(col(keyCol), salt).asc, col(keyCol).asc)
     df.withColumn("__src_rn", row_number().over(w))
@@ -58,6 +68,7 @@ object Curation {
   def shardAssign(df: DataFrame, keyCol: String, numShards: Int,
                   salt: String): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    requireFresh(df, "__shuf_h", "shard", "shard_pos")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__shuf_h").asc, col(keyCol).asc)
     df.withColumn("__shuf_h", Sampling.sampleHash(col(keyCol), salt))
@@ -65,4 +76,26 @@ object Curation {
       .withColumn("shard_pos", row_number().over(w) - 1)
       .drop("__shuf_h")
   }
+  // (shard = hash mod N over a ~1e9 hash range has modulo bias O(N/1e9)
+  // for non-power-of-two N — nanoscale next to the per-shard variance
+  // of the draw itself, and identically reproduced by the oracle.)
+
+  /** Materialize [[shardAssign]] as real training-shard files: one
+    * contiguous parquet file set per `shard=<i>` directory, rows inside
+    * each shard in `shard_pos` order — the layout a sequential data
+    * loader streams without any further shuffling.
+    *
+    * The pre-write `repartition(numShards, shard)` puts each shard's
+    * rows in exactly one task, so each shard directory holds exactly
+    * one data file; `sortWithinPartitions` fixes the in-file row order.
+    * Determinism: both the assignment and the order are pure functions
+    * of the key hash, so re-running over the same rows (under any input
+    * partitioning) writes byte-identical row sequences — LayoutSpec
+    * asserts the layout and the rerun stability. */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int, salt: String,
+                  path: String): Unit =
+    shardAssign(df, keyCol, numShards, salt)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -42,6 +42,42 @@ class LayoutSpec extends SparkTestBase {
     assert(sh.except(again).isEmpty && again.except(sh).isEmpty)
   }
 
+  test("writeShards: one contiguous file per shard dir, deterministic reruns") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-shards-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-shards-b").toString
+    Curation.writeShards(docs, "doc_id", numShards = 4, salt = "w1", dirA)
+    // layout: exactly the 4 shard dirs, each holding exactly ONE data file
+    val shardDirs = new java.io.File(dirA).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.map(_.getName).toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    shardDirs.foreach { d =>
+      val dataFiles = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.length == 1, s"${d.getName} has ${dataFiles.length} data files")
+    }
+    // in-file row order IS shard_pos order (a loader can stream it)
+    for (d <- shardDirs) {
+      val pos = spark.read.parquet(d.getPath).select("shard_pos")
+        .collect().map(_.getInt(0)).toSeq
+      assert(pos == pos.sorted && pos.head == 0 && pos.last == pos.size - 1,
+        s"${d.getName} rows not in dense shard_pos order")
+    }
+    // rerun from a differently-partitioned input: identical content
+    Curation.writeShards(docs.repartition(7), "doc_id", 4, "w1", dirB)
+    val a = spark.read.parquet(dirA).orderBy("shard", "shard_pos").collect().toSeq
+    val b = spark.read.parquet(dirB).orderBy("shard", "shard_pos").collect().toSeq
+    assert(a == b)
+  }
+
+  test("curation operators reject inputs carrying reserved column names") {
+    intercept[IllegalArgumentException] {
+      Curation.perSourceCap(docs.withColumn("__src_rn", lit(1)),
+        "source", "doc_id", 10, "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.shardAssign(docs.withColumn("shard", lit(0)), "doc_id", 4, "x")
+    }
+  }
+
   test("bloomJoin equals the plain join and the prefilter prunes") {
     val big = (1 to 20000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "payload")
     val small = Seq(7L, 13L, 99L, 250L).toDF("sk").withColumn("tag", col("sk") * 2)
