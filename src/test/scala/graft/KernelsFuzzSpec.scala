@@ -173,6 +173,45 @@ class KernelsFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkSplit matches regex-split word grouping for several widths") {
+    fuzz("chunkSplit") { s =>
+      val words = s.split("\\s+").filter(_.nonEmpty).toSeq
+      for (w <- Seq(1, 2, 3, 16)) {
+        val expect = words.grouped(w).map(_.mkString(" ")).toSeq
+        val got = Kernels.chunkSplit(k(s), w)
+        val gotSeq = (0 until got.numElements()).map(i => got.getUTF8String(i).toString)
+        assert(gotSeq == expect, s"w=$w")
+      }
+    }
+  }
+
+  test("quantize127: range bound, extremum hits +-127, zero/empty safe") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val r = new scala.util.Random(7L)
+    for (caseNo <- 0 until 20000) {
+      val n = r.nextInt(9)
+      val v: Array[Float] =
+        if (caseNo % 50 == 0) Array.fill(n)(0.0f) // all-zero path
+        else Array.fill(n)((r.nextGaussian() * (1 + r.nextInt(100))).toFloat)
+      val q = Kernels.quantize127(new GenericArrayData(v.map(x => x: Any)))
+      val out = (0 until q.numElements()).map(q.getLong)
+      assert(out.size == n)
+      val maxAbs = if (n == 0) 0.0 else v.map(x => math.abs(x.toDouble)).max
+      if (maxAbs == 0.0) assert(out.forall(_ == 0L))
+      else {
+        assert(out.forall(x => x >= -127 && x <= 127))
+        // the max-magnitude coordinate quantizes to exactly +-127
+        val i = v.indexWhere(x => math.abs(x.toDouble) == maxAbs)
+        assert(math.abs(out(i)) == 127L, s"extremum ${v(i)} -> ${out(i)}")
+        // sign preserved wherever |x| is at least half a quantization step
+        v.indices.foreach { j =>
+          if (math.abs(v(j).toDouble) * 127.0 / maxAbs >= 0.5)
+            assert(math.signum(out(j).toDouble) == math.signum(v(j).toDouble))
+        }
+      }
+    }
+  }
+
   test("timeHhmm fallback path matches the search regex") {
     val p = Pattern.compile("(\\d{1,2}):(\\d{2})")
     fuzz("timeHhmm-fallback") { s =>
