@@ -129,5 +129,33 @@ object MultimodalQueries {
         |       CAST(CASE WHEN greatest(width, height) <= 256 THEN height
         |            ELSE height * 256 // greatest(width, height) END AS INTEGER) AS h256
         |FROM m, unnest(range(0, CAST(nf AS BIGINT), 2)) AS t(fi)
-        |ORDER BY doc_id, frame_idx""".stripMargin))
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Real audio decode: PCM16 WAV payloads encoded on the executors,
+    // parsed back through the RIFF chunk walk, waveform features
+    // (energy, peak, zero crossings) computed from the decoded samples.
+    // The sample formula is pure integer arithmetic of (doc_id, i), so
+    // the oracle regenerates the exact waveform.
+    "q3Z_audio_features" -> QueryDef(
+      (s, dir) => Multimodal.decodeAudio(
+          Multimodal.audioTable(s, Tables.table(s, dir, "documents")))
+        .toDF().orderBy("doc_id"),
+      """WITH n AS (
+        |  SELECT doc_id, CAST(1000 + (doc_id % 5) * 500 AS INTEGER) AS ns
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ns, i, ((doc_id*31 + i*7919) % 65536) - 32768 AS v
+        |  FROM n, unnest(range(0, CAST(ns AS BIGINT))) AS t(i)),
+        |w AS (
+        |  SELECT doc_id, ns, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, 'wav' AS format, CAST(8000 AS INTEGER) AS sample_rate,
+        |       ns AS n_samples,
+        |       CAST(ns * 1000 // 8000 AS INTEGER) AS duration_ms,
+        |       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
+        |       CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+        |       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+        |                THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+        |FROM w GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin))
 }

@@ -511,4 +511,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2) == ((2L, "yak", 2L, 1L, 6.0, 1)))
     assert(out(4) == ((3L, "walrus", 1L, 1L, 3.0, 1)))
   }
+
+  test("WAV encode->decode round trip recovers exact formula samples") {
+    for (id <- Seq(0L, 7L, 123L)) {
+      val samples = Multimodal.synthesizeAudio(id)
+      val payload = Multimodal.encodeWav(samples)
+      assert(Multimodal.sniffFormat(payload) == "wav")
+      val (rate, decoded) = Multimodal.decodeWav(payload)
+      assert(rate == Multimodal.AudioRate)
+      assert(decoded.toSeq == samples.toSeq)
+    }
+    // malformed containers are rejected, not misread
+    intercept[IllegalArgumentException](Multimodal.decodeWav("nota-wav-payload!".getBytes))
+  }
+
+  test("distributed audio decode reports real waveform stats") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 4L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(Multimodal.audioTable(spark, docs))
+      .collect().sortBy(_.doc_id)
+    for (m <- out) {
+      val s = Multimodal.synthesizeAudio(m.doc_id)
+      assert(m.n_samples == s.length && m.sample_rate == 8000)
+      assert(m.sumsq == s.map(v => v.toLong * v).sum)
+      assert(m.peak == s.map(v => math.abs(v.toInt)).max)
+      val zc = (1 until s.length).count(i => (s(i - 1) >= 0) != (s(i) >= 0))
+      assert(m.zero_crossings == zc)
+    }
+  }
 }
