@@ -130,6 +130,22 @@ class LayoutSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("partitionBy(lang) layout prunes the scan for partition predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val src = (1 to 300).map { i =>
+      (i.toLong, Seq("en", "de", "fr")(i % 3), s"text $i")
+    }.toDF("doc_id", "lang", "text")
+    src.write.partitionBy("lang").mode("overwrite").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the predicate must land in PartitionFilters (directory pruning at
+    // planning time), NOT as a post-scan data filter
+    val plan = filtered.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("lang"), s"predicate not pushed to partition pruning:\n$plan")
+    assert(filtered.count() == 100)
+    assert(filtered.select("doc_id").collect().forall(_.getLong(0) % 3 == 0))
+  }
+
   test("zorder2 kernel interleaves bits") {
     // a = 0b1010, b = 0b0110 -> z pairs (b_i a_i) from low bit:
     // i0: b0=0,a0=0 -> 00; i1: b1=1,a1=1 -> 11; i2: b2=1,a2=0 -> 10; i3: b3=0,a3=1 -> 01
