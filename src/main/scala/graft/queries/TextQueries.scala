@@ -604,6 +604,98 @@ object TextQueries {
          |  FROM fp)
          |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks_kept,
          |       string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup
-         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Flagship documents-to-training-shards pipeline: chunk-level exact
+    // dedup -> benchmark-contamination gate on the DEDUPED text ->
+    // per-source cap -> deterministic shard assignment, all one lazy
+    // plan (the LLM-data analogue of q40's flight flagship). The
+    // per-shard checksum SUM(shard_pos * doc_id) pins the exact member
+    // set AND ordering of every shard.
+    "q41_shard_pipeline" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+        val dedup = TextDedup.chunkDedup(docs, "doc_id", "text", chunkWords = 16)
+        val contam = TextDedup.contaminationFraction(
+            dedup.select(col("doc_id"), col("text_dedup").as("text")),
+            docs.filter(col("doc_id") % 17 === 5), "doc_id", "text", k = 13)
+          .select(col("doc_id"), col("contamination"))
+        val gated = dedup.join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .join(contam, Seq("doc_id"), "left_outer")
+          .filter(coalesce(col("contamination"), lit(0.0)) <= 0.1)
+          .select("doc_id", "n_chunks_kept", "source")
+        val capped = graft.operators.Curation.perSourceCap(
+          gated, "source", "doc_id", cap = 20, salt = "pipe1")
+        graft.operators.Curation.shardAssign(capped, "doc_id", numShards = 4,
+            salt = "pipe1")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chunks_kept").as("chunks_total"),
+            sum(col("shard_pos").cast("long") * col("doc_id")).as("pos_id_sum"))
+          .orderBy("shard")
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS cpos,
+         |         array_to_string(tk[i * 16 + 1 : i * 16 + 16], ' ') AS chunk
+         |  FROM t, UNNEST(range(0, (len(tk) + 15) // 16)) AS u2(i)),
+         |fp AS (
+         |  SELECT doc_id, cpos, chunk, length(chunk) AS cl,
+         |         ${duckPolyHash("chunk")} AS h1,
+         |         ${duckPolyHash("chunk", 37, 999999937L)} AS h2
+         |  FROM ch),
+         |keep AS (
+         |  SELECT doc_id, cpos, chunk,
+         |         row_number() OVER (PARTITION BY cl, h1, h2
+         |                            ORDER BY doc_id, cpos) AS rn
+         |  FROM fp),
+         |dedup AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_chunks_kept,
+         |         string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup
+         |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+         |dg AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk2[i:i+12], ' ') AS s
+         |  FROM (SELECT doc_id, string_split_regex(trim(text_dedup), '\\s+') AS tk2
+         |        FROM dedup) x,
+         |       UNNEST(range(1, len(tk2) - 11)) AS u(i)
+         |  WHERE len(tk2) >= 13),
+         |dh AS (SELECT doc_id, ${duckPolyHash("s")} AS h FROM dg),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, array_to_string(tk3[i:i+12], ' ') AS s
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk3
+         |        FROM documents WHERE doc_id % 17 = 5) y,
+         |       UNNEST(range(1, len(tk3) - 11)) AS u(i)
+         |  WHERE len(tk3) >= 13),
+         |bh AS (SELECT DISTINCT ${duckPolyHash("s")} AS h FROM bg),
+         |contam AS (
+         |  SELECT dh.doc_id,
+         |         CAST(SUM(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |           / CAST(COUNT(*) AS DOUBLE) AS cfrac
+         |  FROM dh LEFT JOIN bh USING (h) GROUP BY dh.doc_id),
+         |gated AS (
+         |  SELECT d.doc_id, d.n_chunks_kept, doc.source
+         |  FROM dedup d JOIN documents doc USING (doc_id)
+         |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+         |  WHERE COALESCE(c.cfrac, 0.0) <= 0.1),
+         |hh AS (
+         |  SELECT doc_id, n_chunks_kept, source,
+         |         ${QueryDef.duckSampleHash("doc_id", "pipe1")} AS h
+         |  FROM gated),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, n_chunks_kept, h,
+         |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+         |    FROM hh) WHERE rn <= 20),
+         |sh AS (
+         |  SELECT doc_id, n_chunks_kept, CAST(h % 4 AS INTEGER) AS shard,
+         |         ROW_NUMBER() OVER (PARTITION BY CAST(h % 4 AS INTEGER)
+         |                            ORDER BY h, doc_id) - 1 AS shard_pos
+         |  FROM capped)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chunks_kept) AS BIGINT) AS chunks_total,
+         |       CAST(SUM(shard_pos * doc_id) AS BIGINT) AS pos_id_sum
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)
   )
 }
