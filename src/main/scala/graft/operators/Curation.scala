@@ -80,6 +80,44 @@ object Curation {
   // for non-power-of-two N — nanoscale next to the per-shard variance
   // of the draw itself, and identically reproduced by the oracle.)
 
+  /** GPT-style sequence packing (concatenate-then-chunk): within each
+    * shard, documents are laid out in the deterministic hash order and
+    * the concatenated token stream is cut into `budget`-token training
+    * sequences. Each document reports its token offset (`seq_start`)
+    * and the first/last pack (sequence index) it lands in — a document
+    * crossing a boundary spans consecutive packs, exactly as
+    * concat-and-chunk pretraining feeds data.
+    *
+    * Scale shape: the running offset is a window SUM partitioned BY
+    * SHARD (never a global-order window — each exchange group holds
+    * corpus/N rows), everything else is map-side arithmetic; pack ids
+    * are shard-local so no cross-shard coordination exists at any
+    * scale. Determinism: layout order is (sampleHash, key), a pure
+    * function of the data.
+    * Output: input columns + (shard, seq_start, pack_first, pack_last). */
+  def packSequences(df: DataFrame, keyCol: String, tokenCol: String,
+                    numShards: Int, budget: Long, salt: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    requireFresh(df, "seq_start", "pack_first", "pack_last")
+    val sharded = shardAssign(df, keyCol, numShards, salt)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shard_pos").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("seq_start",
+        sum(col(tokenCol).cast("long")).over(w) - col(tokenCol).cast("long"))
+      // floor-division via doubles is exact for any realistic token
+      // offset (< 2^53); Column./ on longs is double division
+      .withColumn("pack_first", floor(col("seq_start") / budget).cast("long"))
+      // greatest(.,1) keeps a zero-token document inside its own pack
+      // (plain tokens-1 would go negative at a pack boundary, where
+      // truncating and flooring integer division disagree)
+      .withColumn("pack_last",
+        floor((col("seq_start") + greatest(col(tokenCol).cast("long"), lit(1L)) - 1) / budget)
+          .cast("long"))
+      .drop("shard_pos")
+  }
+
   /** Materialize [[shardAssign]] as real training-shard files: one
     * contiguous parquet file set per `shard=<i>` directory, rows inside
     * each shard in `shard_pos` order — the layout a sequential data

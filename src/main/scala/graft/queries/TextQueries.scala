@@ -696,6 +696,46 @@ object TextQueries {
          |SELECT shard, COUNT(*) AS n_docs,
          |       CAST(SUM(n_chunks_kept) AS BIGINT) AS chunks_total,
          |       CAST(SUM(shard_pos * doc_id) AS BIGINT) AS pos_id_sum
-         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // GPT-style sequence packing: per shard, documents concatenate in
+    // deterministic hash order and the token stream is cut into
+    // 2048-token training sequences; every document reports its offset
+    // and the packs it spans. Pure window arithmetic — bit-exact.
+    "q42_sequence_packing" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            TextFunctions.wordCount(col("text")).as("n_tokens"))
+          .drop("text")
+        graft.operators.Curation.packSequences(docs, "doc_id", "n_tokens",
+            numShards = 4, budget = 2048L, salt = "pack1")
+          .select("doc_id", "shard", "n_tokens", "seq_start",
+            "pack_first", "pack_last")
+          .orderBy("doc_id")
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS INTEGER)
+         |           AS n_tokens
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, n_tokens,
+         |         ${QueryDef.duckSampleHash("doc_id", "pack1")} AS hh
+         |  FROM tok),
+         |p AS (
+         |  SELECT doc_id, n_tokens, CAST(hh % 4 AS INTEGER) AS shard,
+         |         CAST(SUM(CAST(n_tokens AS BIGINT))
+         |              OVER (PARTITION BY CAST(hh % 4 AS INTEGER)
+         |                    ORDER BY hh, doc_id
+         |                    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+         |           AS seq_start
+         |  FROM h)
+         |SELECT doc_id, shard, n_tokens, seq_start,
+         |       CAST(seq_start // 2048 AS BIGINT) AS pack_first,
+         |       CAST((seq_start + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT)
+         |         AS pack_last
+         |FROM p ORDER BY doc_id""".stripMargin)
   )
 }

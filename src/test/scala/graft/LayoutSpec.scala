@@ -68,6 +68,33 @@ class LayoutSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("packSequences: contiguous offsets, boundary docs span packs, stable") {
+    val tok = docs.withColumn("n_tokens", (col("doc_id") % 700 + 1).cast("int"))
+    val packed = Curation.packSequences(tok, "doc_id", "n_tokens",
+      numShards = 3, budget = 1000L, salt = "p1")
+    val rows = packed.select("shard", "seq_start", "n_tokens", "pack_first", "pack_last")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // per shard: offsets are contiguous (each doc starts where the
+    // previous ended) and packs follow the concat-then-chunk rule
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, n1, _, _), (_, s2, _, _, _)) => assert(s2 == s1 + n1)
+        case _ =>
+      }
+      sorted.foreach { case (_, s, n, pf, pl) =>
+        assert(pf == s / 1000 && pl == (s + math.max(n, 1) - 1) / 1000)
+      }
+      // some doc crosses a pack boundary (budget < max doc spacing sum)
+      assert(sorted.exists { case (_, _, _, pf, pl) => pl > pf })
+    }
+    // partition-invariant
+    val again = Curation.packSequences(tok.repartition(11), "doc_id", "n_tokens",
+      3, 1000L, "p1")
+    assert(packed.except(again).isEmpty && again.except(packed).isEmpty)
+  }
+
   test("curation operators reject inputs carrying reserved column names") {
     intercept[IllegalArgumentException] {
       Curation.perSourceCap(docs.withColumn("__src_rn", lit(1)),
