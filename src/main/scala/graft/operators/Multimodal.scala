@@ -139,6 +139,39 @@ object Multimodal {
     }
   }
 
+  final case class DecodeResult(doc_id: Long, status: String, format: String,
+                                width: Int, height: Int, sum_r: Long)
+
+  /** Decode with QUARANTINE: at 100 TB one corrupt payload per billion
+    * is a certainty, and a raw `decodePng` would kill the whole job on
+    * the first bad row. Every payload decodes to a row — good ones with
+    * status `ok` and real raster stats, undecodable ones with a
+    * diagnostic status (`corrupt:<reason>`) and zeroed stats — so the
+    * pipeline splits good/bad with two filters on ONE pass and the bad
+    * set is a queryable quarantine table, not an exception trace. */
+  def decodeImagesWithQuarantine(media: Dataset[MediaRecord]): Dataset[DecodeResult] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map { r =>
+        try {
+          val img = decodePng(r.payload)
+          if (img == null)
+            DecodeResult(r.doc_id, "corrupt:unreadable", sniffFormat(r.payload), 0, 0, 0L)
+          else {
+            val (sr, _, _) = channelSums(img)
+            DecodeResult(r.doc_id, "ok", sniffFormat(r.payload),
+              img.getWidth, img.getHeight, sr)
+          }
+        } catch {
+          case e: Exception =>
+            DecodeResult(r.doc_id, s"corrupt:${e.getClass.getSimpleName}",
+              sniffFormat(r.payload), 0, 0, 0L)
+        }
+      }
+    }
+  }
+
   // ---- real resize ----
 
   /** Nearest-neighbor resize on the actual raster: dst(x,y) =

@@ -157,5 +157,44 @@ object MultimodalQueries {
         |       CAST(MAX(ABS(v)) AS INTEGER) AS peak,
         |       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
         |                THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
-        |FROM w GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin))
+        |FROM w GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin),
+
+    // Decode with quarantine: every 37th payload is truncated to 10
+    // bytes (PNG magic survives, the raster does not); corrupt rows
+    // land in a queryable quarantine set with zeroed stats instead of
+    // killing the job — the non-negotiable property of a 100 TB decode
+    // pass. Statuses are collapsed to ok/corrupt so the oracle stays
+    // JDK-exception-name independent.
+    "q43_decode_quarantine" -> QueryDef(
+      (s, dir) => {
+        val media = Multimodal.mediaTable(s, Tables.table(s, dir, "documents"))
+        import media.sparkSession.implicits._
+        val corrupted = media.map(r =>
+          if (r.doc_id % 37 == 0) Multimodal.MediaRecord(r.doc_id, r.payload.take(10))
+          else r)
+        Multimodal.decodeImagesWithQuarantine(corrupted).toDF()
+          .select(col("doc_id"),
+            when(col("status") === "ok", "ok").otherwise("corrupt").as("status"),
+            col("format"), col("width"), col("height"), col("sum_r"))
+          .orderBy("doc_id")
+      },
+      s"""WITH $DuckDims,
+         |px AS (
+         |  SELECT doc_id, width, height,
+         |         (doc_id*31 + x*7 + y*13) % 256 AS r
+         |  FROM dims,
+         |       unnest(range(0, CAST(width AS BIGINT))) AS tx(x),
+         |       unnest(range(0, CAST(height AS BIGINT))) AS ty(y)
+         |  WHERE doc_id % 37 <> 0),
+         |good AS (
+         |  SELECT doc_id, 'ok' AS status, 'png' AS format, width, height,
+         |         CAST(SUM(r) AS BIGINT) AS sum_r
+         |  FROM px GROUP BY doc_id, width, height),
+         |bad AS (
+         |  SELECT doc_id, 'corrupt' AS status, 'png' AS format,
+         |         CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+         |         CAST(0 AS BIGINT) AS sum_r
+         |  FROM documents WHERE doc_id % 37 = 0)
+         |SELECT * FROM good UNION ALL SELECT * FROM bad
+         |ORDER BY doc_id""".stripMargin))
 }

@@ -539,4 +539,22 @@ class OperatorsSpec extends SparkTestBase {
       assert(m.zero_crossings == zc)
     }
   }
+
+  test("decode quarantine: corrupt payloads become rows, not job failures") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, Seq(1L, 2L, 3L).toDF("doc_id"))
+    val mangled = media.map { r =>
+      if (r.doc_id == 1L) Multimodal.MediaRecord(1L, r.payload.take(10))       // truncated PNG
+      else if (r.doc_id == 2L) Multimodal.MediaRecord(2L, "no-magic".getBytes) // unrecognized
+      else r
+    }
+    val out = Multimodal.decodeImagesWithQuarantine(mangled)
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 3)
+    assert(out(0).status.startsWith("corrupt:") && out(0).format == "png")
+    assert(out(1).status.startsWith("corrupt:") && out(1).format == "unknown")
+    assert(out(2).status == "ok")
+    val (w, h) = Multimodal.imageDims(3L)
+    assert(out(2).width == w && out(2).height == h)
+  }
 }
