@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass column profiler: per-column row/null/distinct counts —
+  * the data-quality gate a pipeline runs before a load (the reference
+  * verifies row counts at load time, `etl/loader.py:214-222`; this is
+  * the per-column generalization).
+  *
+  * Scale shape: ONE aggregate over one scan. The multi-column distinct
+  * counts share the scan via Spark's Expand-based multi-distinct
+  * rewrite (rows × columns expanded, then partial+final aggregation) —
+  * still a single pass over the data with map-side partials, no
+  * per-column jobs and nothing driver-side. The 1×wide result row is
+  * unpivoted plan-side with `stack`.
+  */
+object Profiler {
+
+  /** Profile `columns` of `df`: one output row per column with the
+    * total row count, null count, and exact distinct count (nulls
+    * excluded from distinct, standard SQL semantics).
+    * Output: (col_name, n_rows, n_nulls, n_distinct). */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ columns.zipWithIndex.flatMap {
+      case (c, i) =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+          countDistinct(col(c)).as(s"__nd_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = columns.zipWithIndex
+      .map { case (c, i) => s"'$c', __nulls_$i, __nd_$i" }.mkString(", ")
+    one.selectExpr("__n",
+        s"stack(${columns.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("__n").as("n_rows"),
+        col("n_nulls"), col("n_distinct"))
+  }
+}

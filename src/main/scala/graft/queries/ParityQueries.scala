@@ -720,6 +720,26 @@ object ParityQueries {
         |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Single-pass column profiler (pre-load data-quality gate): row,
+    // null, and exact distinct counts for every orders column in ONE
+    // aggregate over one scan.
+    "q44_column_profile" -> QueryDef(
+      (s, dir) => graft.operators.Profiler.profile(
+          tc(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name"),
+      {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       COUNT(DISTINCT $c) AS n_distinct
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      })
   )
 }
