@@ -113,4 +113,23 @@ class StreamingSpec extends SparkTestBase {
         s.user_id == 1 && s.session_seq == 2 && s.n_events == 1 && s.sum_value == 3.0))
     } finally q.stop()
   }
+
+  test("enrichAgainstStatic equals the batch join, stream side unshuffled") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingFlows.enrichAgainstStatic(
+      in.toDF().toDF("user_id", "ts", "value"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(1), 10.0), (2L, ts(2), 20.0), (9L, ts(3), 30.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("user_id", "value", "tier").as[(Long, Double, String)]
+        .collect().toSet
+      // inner join: the dim-less user drops, exactly as in batch
+      assert(got == Set((1L, 10.0, "gold"), (2L, 20.0, "silver")))
+    } finally q.stop()
+  }
 }
