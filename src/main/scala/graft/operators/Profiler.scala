@@ -36,4 +36,26 @@ object Profiler {
       .select(col("col_name"), col("__n").as("n_rows"),
         col("n_nulls"), col("n_distinct"))
   }
+
+  /** Equi-width histogram of a numeric column over [lo, hi): map-side
+    * bin assignment, one groupBy — the distribution profile behind
+    * quality thresholds and skew checks. Out-of-range values clamp to
+    * the edge bins; nulls are excluded. The bin arithmetic is plain
+    * IEEE (one division making the width, one subtract/divide/floor
+    * per row), so any engine reproduces the exact same bins.
+    * Output: (bin, bin_lo, n). */
+  def histogram(df: DataFrame, column: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(column) - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    df.filter(col(column).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * w)
+      .select("bin", "bin_lo", "n")
+      .orderBy("bin")
+  }
 }

@@ -46,4 +46,17 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Sliding-window aggregation via Spark's `window(ts, width, slide)`:
+    * each event contributes to width/slide overlapping windows — the
+    * smoothed-rate view tumbling windows cannot give. Still one
+    * shuffle; the per-event window fan-out is plan-side (Expand), and
+    * the decimal-cast sum keeps parallel aggregation bit-exact. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+              slide: String = "30 minutes", tsCol: String = "ts"): DataFrame =
+    events.groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
 }

@@ -105,6 +105,23 @@ object EventQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin),
 
+    // Sliding windows (1h width / 30m slide): every event lands in two
+    // overlapping windows. The oracle expands each event to its two
+    // slide-aligned window starts.
+    "q45_sliding_windows" -> QueryDef(
+      (s, dir) => Sessionize.sliding(Tables.computeTable(s, dir, "events"),
+          width = "1 hour", slide = "30 minutes")
+        .orderBy("window_start"),
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 AS sec, value FROM events),
+        |w AS (
+        |  SELECT (sec // 1800) * 1800 - k * 1800 AS ws, value
+        |  FROM e, UNNEST(range(0, 2)) AS u(k))
+        |SELECT make_timestamp(ws * 1000000) AS window_start,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws ORDER BY window_start""".stripMargin),
+
     // Backward as-of join (kdb aj / pandas merge_asof): every
     // non-signup event picks up its user's most recent prior (or
     // same-instant) signup event. Single-shuffle union+window form —

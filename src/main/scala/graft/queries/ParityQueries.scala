@@ -740,6 +740,21 @@ object ParityQueries {
              |       COUNT(DISTINCT $c) AS n_distinct
              |FROM orders""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-      })
+      }),
+
+    // Equi-width histogram of order totals: 10 bins over [0, 600000),
+    // out-of-range clamped to edge bins. The bin width and per-row
+    // floor are plain IEEE arithmetic, identical in both engines.
+    "q46_histogram" -> QueryDef(
+      (s, dir) => graft.operators.Profiler.histogram(
+          tc(s, dir, "orders"), "o_totalprice", lo = 0.0, hi = 600000.0,
+          bins = 10)
+        .orderBy("bin"),
+      """WITH b AS (
+        |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 60000.0), 0.0),
+        |              9.0) AS INTEGER) AS bin
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT bin, 0.0 + bin * 60000.0 AS bin_lo, COUNT(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
   )
 }
