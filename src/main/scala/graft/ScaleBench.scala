@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private val DedupQueries = Seq(
-    "q20_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh", "q38_dup_clusters")
+    "q20_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh", "q38_dup_clusters",
+    "q3Y_chunk_dedup", "q41_shard_pipeline")
 
   private val AnnQueries = Seq("q2B_ann_multitable", "q2C_ann_ivf")
 
