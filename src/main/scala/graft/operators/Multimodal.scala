@@ -292,10 +292,12 @@ object Multimodal {
           sampleRate = buf.getInt; buf.getInt; buf.getShort
           val bits = buf.getShort
           require(fmt == 1 && ch == 1 && bits == 16, s"not PCM16 mono: fmt=$fmt ch=$ch bits=$bits")
-          buf.position(buf.position() + (len - 16))
+          buf.position(buf.position() + (len - 16) + (len & 1))
         case "data" =>
           samples = Array.fill(len / 2)(buf.getShort)
-        case _ => buf.position(buf.position() + len)
+        // RIFF chunks are word-aligned: an odd-length foreign chunk
+        // carries a pad byte not counted in its length field
+        case _ => buf.position(buf.position() + len + (len & 1))
       }
     }
     require(sampleRate > 0 && samples != null, "missing fmt/data chunk")

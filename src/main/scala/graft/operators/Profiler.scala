@@ -51,7 +51,9 @@ object Profiler {
     val w = (hi - lo) / bins
     val bin = least(greatest(floor((col(column) - lo) / w), lit(0.0)),
       lit((bins - 1).toDouble)).cast("int")
-    df.filter(col(column).isNotNull)
+    // col === col is false for NaN (and null), true for everything
+    // else including non-floating types — NaN must not become a bin
+    df.filter(col(column).isNotNull && (col(column) === col(column)))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin") * w)
