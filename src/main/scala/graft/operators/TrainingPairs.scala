@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contrastive-training pair generation: turn near-duplicate pairs
+  * (the positives an embedding model should pull together) into
+  * (anchor, positive, negative) triplets by drawing a deterministic
+  * pseudo-random negative from the corpus for each pair — the standard
+  * data-prep step for contrastive fine-tuning (SimCSE-style) run at
+  * corpus scale.
+  *
+  * Negative selection must be reproducible AND scalable: a true random
+  * draw breaks reruns, and indexing the corpus by global position
+  * needs a global sort. Instead the corpus is hashed into `buckets`
+  * buckets and each bucket elects one deterministic representative
+  * (min (hash, id) — a per-bucket window, never global); an anchor
+  * draws its negative as the representative of bucket
+  * hash(anchor) % buckets, falling back to the next bucket if the
+  * draw collides with the pair itself. The representative table is
+  * `buckets` rows — broadcast — so triplet assembly is map-side over
+  * the pairs; nothing anywhere is proportional to corpus × pairs.
+  */
+object TrainingPairs {
+
+  /** Build (anchor, positive, negative) triplets from `pairs`
+    * (`id_a`, `id_b`) with negatives drawn from `corpus(idCol)`.
+    * Pairs whose draw AND fallback both collide are dropped (both
+    * engines drop the same rows — determinism over completeness). */
+  def contrastiveTriplets(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                          buckets: Int, salt: String): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val reps = corpus
+      .select(col(idCol).as("rep_id"),
+        Sampling.sampleHash(col(idCol), salt).as("__h"))
+      .withColumn("__b", (col("__h") % buckets).cast("int"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__h"), col("rep_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("__b"), col("rep_id"))
+    val r1 = broadcast(reps.select(col("__b").as("__nb"), col("rep_id").as("__rep1")))
+    val r2 = broadcast(reps.select(col("__b").as("__nb2"), col("rep_id").as("__rep2")))
+    pairs
+      .withColumn("__nb",
+        (Sampling.sampleHash(col("id_a"), salt + ":n") % buckets).cast("int"))
+      .withColumn("__nb2", ((col("__nb") + 1) % buckets).cast("int"))
+      .join(r1, Seq("__nb"), "left_outer")
+      .join(r2, Seq("__nb2"), "left_outer")
+      .withColumn("negative",
+        when(col("__rep1") =!= col("id_a") && col("__rep1") =!= col("id_b"),
+          col("__rep1"))
+          .otherwise(when(col("__rep2") =!= col("id_a") && col("__rep2") =!= col("id_b"),
+            col("__rep2"))))
+      .filter(col("negative").isNotNull)
+      .select(col("id_a").as("anchor"), col("id_b").as("positive"), col("negative"))
+  }
+}

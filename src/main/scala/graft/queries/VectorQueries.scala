@@ -213,6 +213,56 @@ object VectorQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rank
         |  FROM scored)
         |SELECT qid, cid, qcos, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // Contrastive triplets: cosine near-dup pairs become
+    // (anchor, positive) with a deterministic hash-drawn negative from
+    // the bucket-representative table (64 buckets, broadcast; next
+    // bucket on collision). The draw is a pure function of the data —
+    // bit-reproducible, and assembled map-side over the pairs.
+    "q47_contrastive_triplets" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3,
+          planes = Planes).select("id_a", "id_b")
+        graft.operators.TrainingPairs.contrastiveTriplets(pairs, emb, "vec_id",
+            buckets = 64, salt = "trip")
+          .orderBy("anchor", "positive")
+      },
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |         ${DuckBucket8.replace("%s", "b0")} AS bucket
+         |  FROM embeddings b0),
+         |scored AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, $DuckCos AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id),
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.3),
+         |hh AS (
+         |  SELECT vec_id, ${QueryDef.duckSampleHash("vec_id", "trip")} AS h
+         |  FROM embeddings),
+         |rb AS (SELECT vec_id, h, CAST(h % 64 AS INTEGER) AS bk FROM hh),
+         |reps AS (
+         |  SELECT bk, vec_id AS rep FROM (
+         |    SELECT bk, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY bk ORDER BY h, vec_id) AS rn
+         |    FROM rb) WHERE rn = 1),
+         |pn AS (
+         |  SELECT id_a, id_b,
+         |         CAST(${QueryDef.duckSampleHash("id_a", "trip:n")} % 64 AS INTEGER) AS nb
+         |  FROM pairs),
+         |j AS (
+         |  SELECT id_a, id_b, r1.rep AS rep1, r2.rep AS rep2
+         |  FROM pn LEFT JOIN reps r1 ON r1.bk = pn.nb
+         |          LEFT JOIN reps r2 ON r2.bk = (pn.nb + 1) % 64),
+         |t AS (
+         |  SELECT id_a AS anchor, id_b AS positive,
+         |         CASE WHEN rep1 IS NOT NULL AND rep1 <> id_a AND rep1 <> id_b
+         |                THEN rep1
+         |              WHEN rep2 IS NOT NULL AND rep2 <> id_a AND rep2 <> id_b
+         |                THEN rep2
+         |         END AS negative
+         |  FROM j)
+         |SELECT anchor, positive, negative FROM t
+         |WHERE negative IS NOT NULL ORDER BY anchor, positive""".stripMargin)
   )
 }

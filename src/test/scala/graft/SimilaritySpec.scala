@@ -100,6 +100,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(overlap >= 0.9, f"quantized scan diverged from float baseline: $overlap%.3f")
   }
 
+  test("contrastiveTriplets: negatives never collide, draw is deterministic") {
+    import spark.implicits._
+    val corpus = (1L to 200L).toDF("vec_id")
+    val pairs = (1L to 60L).map(i => (i, i + 100L)).toDF("id_a", "id_b")
+    val t = graft.operators.TrainingPairs
+      .contrastiveTriplets(pairs, corpus, "vec_id", buckets = 16, salt = "t1")
+    val rows = t.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 60)
+    rows.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative $n collides with ($a, $p)")
+      assert(n >= 1L && n <= 200L, s"negative $n not from the corpus")
+    }
+    // pure function of the data: identical under any input partitioning
+    val again = graft.operators.TrainingPairs.contrastiveTriplets(
+      pairs.repartition(7), corpus.repartition(5), "vec_id", 16, "t1")
+    assert(t.except(again).isEmpty && again.except(t).isEmpty)
+  }
+
   test("sign buckets stay balanced (no catastrophic bucket skew)") {
     val planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
     val n = emb.count()
