@@ -57,6 +57,20 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("q40 flagship plan shape: broadcast joins only, bounded exchanges") {
+    // The 5-way synthesis join must stay broadcast (dims are small at
+    // any SF because competitor frames derive from filtered slices) and
+    // the whole pipeline must keep its single dedup exchange — a
+    // SortMergeJoin or extra shuffle here is an optimizer/plan
+    // regression that multiplies cost at 100 TB.
+    val plan = SparkEntry.queries("q40_flight_pipeline")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "flagship fell back to SortMergeJoin")
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"flagship grew to $exchanges hash exchanges")
+  }
+
   test("CollapseIdempotentNormalize removes double normalization") {
     // non-foldable input (range, not a literal) so constant folding
     // can't erase the calls before the rule is observable
