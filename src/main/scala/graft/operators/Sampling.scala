@@ -48,4 +48,28 @@ object Sampling {
     }
     df.filter(sampleHash(col(keyCol), salt) % den < num)
   }
+
+  /** Fractional UPSAMPLING for corpus mixing: repeat each row
+    * `num`/`den` times in expectation — floor(num/den) guaranteed
+    * copies plus one more when the key hash lands under the fractional
+    * remainder — so a 5/2 rate emits 2 or 3 copies per row,
+    * deterministically. High-quality sources are usually repeated
+    * 2-4x in pretraining mixtures (fractional epochs); doing it with
+    * hash-decided copies keeps the mixture a pure function of the
+    * data: partition-order independent, rerun-stable, and exactly
+    * reproducible by any engine. `copy_id` (0-based) distinguishes
+    * the repeats downstream (e.g. packSequences treats copies as
+    * distinct documents via a composite key). Map-side explode of a
+    * per-row sequence — no shuffle, no RNG.
+    * num/den <= 1 degrades to [[hashSample]]'s keep-or-drop. */
+  def weightedRepeat(df: DataFrame, keyCol: String, num: Int, den: Int,
+                     salt: String): DataFrame = {
+    require(num >= 0 && den >= 1, s"need num >= 0, den >= 1; got $num/$den")
+    val copies = lit(num / den) +
+      when(sampleHash(col(keyCol), salt) % den < num % den, 1).otherwise(0)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
 }

@@ -736,6 +736,36 @@ object TextQueries {
          |       CAST(seq_start // 2048 AS BIGINT) AS pack_first,
          |       CAST((seq_start + greatest(n_tokens, 1) - 1) // 2048 AS BIGINT)
          |         AS pack_last
-         |FROM p ORDER BY doc_id""".stripMargin)
+         |FROM p ORDER BY doc_id""".stripMargin),
+
+    // Fractional upsampling (5/2 = 2.5 epochs of the English slice):
+    // hash-decided 2-or-3 copies per doc, aggregated per language with
+    // a copy-sensitive checksum pinning exactly which rows got the
+    // extra repeat.
+    "q48_weighted_upsample" -> QueryDef(
+      (s, dir) => graft.operators.Sampling.weightedRepeat(
+          Tables.computeTable(s, dir, "documents")
+            .filter(col("lang") === "en").select("doc_id", "lang"),
+          "doc_id", num = 5, den = 2, salt = "up1")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows_out"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id") * (col("copy_id") + 1)).as("copy_checksum"))
+        .orderBy("lang"),
+      s"""WITH en AS (
+         |  SELECT doc_id, lang,
+         |         ${QueryDef.duckSampleHash("doc_id", "up1")} AS h
+         |  FROM documents WHERE lang = 'en'),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |         2 + CASE WHEN h % 2 < 1 THEN 1 ELSE 0 END AS copies
+         |  FROM en),
+         |x AS (
+         |  SELECT doc_id, lang, CAST(k AS INTEGER) AS copy_id
+         |  FROM c, UNNEST(range(0, copies)) AS u(k))
+         |SELECT lang, COUNT(*) AS n_rows_out,
+         |       COUNT(DISTINCT doc_id) AS n_docs,
+         |       CAST(SUM(doc_id * (copy_id + 1)) AS BIGINT) AS copy_checksum
+         |FROM x GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }

@@ -220,6 +220,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs((a & b).size - 625) < 200) // ~independent overlap n/16
   }
 
+  test("weightedRepeat emits floor(num/den) or +1 copies, partition-invariant") {
+    val df = spark.range(4000).select(col("id"), (col("id") % 3).as("s"))
+    def rows(parts: Int): Seq[(Long, Int)] =
+      Sampling.weightedRepeat(df.repartition(parts), "id", 5, 2, "up1")
+        .select("id", "copy_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val a = rows(1)
+    assert(a == rows(13)) // deterministic under any partitioning
+    // every source row appears, with 2 or 3 copies numbered 0..k-1
+    val byId = a.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byId.keySet == (0L until 4000L).toSet)
+    assert(byId.values.forall(v => v == Seq(0, 1) || v == Seq(0, 1, 2)))
+    // expectation 2.5 copies/row
+    assert(math.abs(a.size - 10000) < 500)
+    // num <= den degrades to keep-or-drop with copy_id 0
+    val down = Sampling.weightedRepeat(df, "id", 1, 4, "up1")
+      .select("id", "copy_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(down.forall(_._2 == 0) && math.abs(down.length - 1000) < 200)
+  }
+
   test("redactPii scrubs urls, emails, and phone runs; leaves clean text") {
     import graft.functions.TextFunctions
     val df = Seq(
