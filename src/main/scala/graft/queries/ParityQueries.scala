@@ -755,6 +755,89 @@ object ParityQueries {
         |              9.0) AS INTEGER) AS bin
         |  FROM orders WHERE o_totalprice IS NOT NULL)
         |SELECT bin, 0.0 + bin * 60000.0 AS bin_lo, COUNT(*) AS n
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // Transactional snapshot table, MERGE leg: build the table from an
+    // orders slice, upsert a batch (updated rows + brand-new keys) with
+    // whole-row-replace semantics, read the committed snapshot back.
+    // The oracle is the textbook FULL OUTER merge. SnapshotSpec
+    // additionally proves the copy-on-write only rewrites files whose
+    // key range the batch touches.
+    "q49_snapshot_merge" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t49")
+        val tgt = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.write(s, tgt.repartitionByRange(8,
+          col("o_orderkey")), base, "overwrite", Seq("o_orderkey"))
+        val updates = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("0-RUSH").as("o_orderpriority"))
+          .unionAll(t(s, dir, "orders")
+            .filter(col("o_orderkey") % 7 === 3)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+        graft.sources.SnapshotTable.merge(s, base, updates, "o_orderkey",
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.scan(s, base).orderBy("o_orderkey")
+      },
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |         '0-RUSH' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 3)
+        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM tgt t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Snapshot table, time-travel leg: three committed versions
+    // (overwrite, overwrite, append) then RESTORE of v1 — every
+    // version stays readable by number, and restore is a metadata-only
+    // commit reusing v1's files. The oracle recomputes each version's
+    // contents straight from the source table.
+    "q4A_snapshot_time_travel" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t4A")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+        val v1 = graft.sources.SnapshotTable.write(s, nat, base, "overwrite")
+        graft.sources.SnapshotTable.write(s,
+          nat.filter(col("n_regionkey") < 2), base, "overwrite")
+        val v3 = graft.sources.SnapshotTable.write(s,
+          nat.filter(col("n_regionkey") >= 3), base, "append")
+        graft.sources.SnapshotTable.restore(s, base, v1)
+        val read = (v: Option[Long], tag: String) =>
+          graft.sources.SnapshotTable.scan(s, base, v).withColumn("as_of", lit(tag))
+        read(Some(v1), "v1").unionAll(read(Some(v3), "v3"))
+          .unionAll(read(None, "restored"))
+          .orderBy("as_of", "n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey, 'restored' AS as_of FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'v1' AS as_of FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'v3' AS as_of FROM nation
+        |WHERE n_regionkey < 2 OR n_regionkey >= 3
+        |ORDER BY as_of, n_nationkey""".stripMargin)
   )
+
+  /** Fresh per-SF scratch dir for snapshot-table queries — deleted on
+    * entry so reruns are deterministic (versions start at 1). */
+  private def snapDir(s: SparkSession, dir: String, name: String): String = {
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-snap/${new java.io.File(dir).getName}/$name").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
 }

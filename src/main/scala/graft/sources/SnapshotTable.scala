@@ -1,0 +1,316 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal transactional table format over parquet — the "Delta
+  * gives this for free" note of SURVEY §2.1 made concrete without any
+  * dependency beyond Spark + Hadoop FS. Completes the S5-S8 story
+  * (`etl/loader.py:159-348`): where [[graft.operators.Sinks]]
+  * re-expresses the reference's backup/truncate/restore protocol
+  * 1:1 over plain directories, this is the engine-grade shape a
+  * 100 TB deployment actually wants — snapshot isolation, time
+  * travel, O(changed-files) MERGE, and stats-based data skipping.
+  *
+  * Layout (all paths relative to the table root):
+  * {{{
+  *   _log/v0000000042.json   one manifest per committed version
+  *   _log/v0000000042.lock   claim marker (commit protocol, below)
+  *   data/<nonce>-p0042.parquet   immutable data files
+  * }}}
+  *
+  * A manifest lists the data files that ARE the table at that version,
+  * each with a row count and optional per-column (min,max) stats for
+  * integral columns. Data files are never mutated or renamed after
+  * commit; every write produces new files plus a new manifest that
+  * references old files by name. Readers resolve the newest manifest
+  * (or an explicit `version`) and read exactly its file list — a
+  * half-finished write is invisible because its manifest doesn't
+  * exist yet.
+  *
+  * Commit protocol (optimistic, no coordinator):
+  *  1. pick `v` = newest manifest version + 1;
+  *  2. claim it by create-exclusive of `v<v>.lock` — the atomic
+  *     check-and-claim; a concurrent writer losing the race gets
+  *     FileAlreadyExists and retries with `v+1`;
+  *  3. write the manifest bytes to a temp name, then rename onto
+  *     `v<v>.json` — readers see the complete manifest or nothing.
+  * A writer crashing between claim and rename burns a version number
+  * (readers skip it; the next writer claims past it) but can never
+  * corrupt the table. On an object store without atomic
+  * create-exclusive, step 2 swaps for a DynamoDB/etcd conditional put
+  * — the file layout and reader are unchanged (same contract Delta
+  * documents for S3).
+  *
+  * Scale notes: manifests are O(#files), not O(rows); stats make MERGE
+  * rewrite only the files whose key range the batch touches
+  * (copy-on-write at file granularity) and let point/range reads skip
+  * files entirely. The one driver-side structure is the file list —
+  * bounded by #files, the same budget every table format spends.
+  */
+object SnapshotTable {
+
+  /** One immutable data file: relative path, row count, and (min,max)
+    * per stats column (integral columns only, stored as Long). */
+  final case class FileEntry(path: String, rows: Long,
+                             stats: Map[String, (Long, Long)])
+
+  final case class Manifest(version: Long, op: String, files: Seq[FileEntry]) {
+    def totalRows: Long = files.map(_.rows).sum
+  }
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(dir: String) = new Path(dir, "_log")
+  private def dataDir(dir: String) = new Path(dir, "data")
+  private def manifestName(v: Long) = f"v$v%010d.json"
+
+  private val ManifestRe = "v(\\d{10})\\.json".r
+
+  /** Versions with a committed manifest, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val ld = logDir(dir)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) return Nil
+    f.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(v) => v.toLong
+    }.sorted
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).lastOption
+
+  // --- manifest ser/de (schema is ours, so a hand-written emitter +
+  // --- jackson tree reader keeps it dependency-light and explicit) ---
+
+  private def renderManifest(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb.append(s"""{"version":${m.version},"op":"${m.op}","files":[""")
+    m.files.zipWithIndex.foreach { case (fe, i) =>
+      if (i > 0) sb.append(',')
+      sb.append(s"""{"path":"${fe.path}","rows":${fe.rows},"stats":{""")
+      fe.stats.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (lo, hi)), j) =>
+        if (j > 0) sb.append(',')
+        sb.append(s""""$c":[$lo,$hi]""")
+      }
+      sb.append("}}")
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
+  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val p = new Path(logDir(dir), manifestName(version))
+    val f = fs(spark, p)
+    require(f.exists(p), s"no version $version under $dir")
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val root = new ObjectMapper().readTree(bytes)
+    val files = root.get("files").elements()
+    val out = Seq.newBuilder[FileEntry]
+    while (files.hasNext) {
+      val fe = files.next()
+      val stats = Map.newBuilder[String, (Long, Long)]
+      val it = fe.get("stats").properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        stats += e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong)
+      }
+      out += FileEntry(fe.get("path").asText, fe.get("rows").asLong, stats.result())
+    }
+    Manifest(root.get("version").asLong, root.get("op").asText, out.result())
+  }
+
+  /** Claim-then-publish commit (see protocol in the object doc).
+    * Returns the committed version. */
+  private def commit(spark: SparkSession, dir: String, op: String,
+                     files: Seq[FileEntry]): Long = {
+    val ld = logDir(dir)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    var v = latestVersion(spark, dir).getOrElse(0L) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      val lock = new Path(ld, f"v$v%010d.lock")
+      try {
+        // create-exclusive: the atomic check-and-claim
+        f.create(lock, false).close()
+        claimed = true
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts > 10000) throw new IllegalStateException(
+            s"could not claim a version under $dir after $attempts attempts", e)
+          v += 1 // lost the race; try the next slot
+      }
+    }
+    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID}.json")
+    val out = f.create(tmp, true)
+    try out.write(renderManifest(Manifest(v, op, files)).getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, new Path(ld, manifestName(v))),
+      s"manifest publish rename failed for version $v under $dir")
+    v
+  }
+
+  /** Write `df` as new data files under `data/` and return their
+    * entries (with per-file stats for `statsCols`, which must be
+    * integral columns). One extra Spark job computes rows + min/max
+    * per file — the cost real formats pay by scraping footers. */
+  private def stageFiles(spark: SparkSession, df: DataFrame, dir: String,
+                         statsCols: Seq[String]): Seq[FileEntry] = {
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val stage = new Path(dir, s".stage-$nonce")
+    val f = fs(spark, stage)
+    df.write.mode("overwrite").parquet(stage.toString)
+    val aggs = count(lit(1)).as("__rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c)).cast("long").as(s"__min_$c"),
+        max(col(c)).cast("long").as(s"__max_$c")))
+    val perFile = spark.read.parquet(stage.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    f.mkdirs(dataDir(dir))
+    val entries = perFile.toSeq.sortBy(_.getString(0)).zipWithIndex.map { case (r, i) =>
+      val base = new Path(new java.net.URI(r.getString(0)).getPath).getName
+      val name = f"$nonce-p$i%05d.parquet"
+      require(f.rename(new Path(stage, base), new Path(dataDir(dir), name)),
+        s"failed to move staged file $base into $dir/data")
+      val stats = statsCols.flatMap { c =>
+        val lo = r.getAs[Any](s"__min_$c")
+        val hi = r.getAs[Any](s"__max_$c")
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+      }.toMap
+      FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats)
+    }
+    f.delete(stage, true)
+    entries // empty input -> zero non-empty files -> empty (but valid) version
+  }
+
+  /** Commit `df` as a new snapshot. `mode` "overwrite" starts the file
+    * list fresh; "append" carries the current version's files forward.
+    * Old files stay on disk for time travel until [[vacuum]]. */
+  def write(spark: SparkSession, df: DataFrame, dir: String, mode: String,
+            statsCols: Seq[String] = Nil): Long = {
+    val fresh = stageFiles(spark, df, dir, statsCols)
+    val carried = mode match {
+      case "overwrite" => Nil
+      case "append" =>
+        latestVersion(spark, dir).map(readManifest(spark, dir, _).files).getOrElse(Nil)
+      case other => throw new IllegalArgumentException(
+        s"mode must be overwrite|append, got $other")
+    }
+    commit(spark, dir, mode, carried ++ fresh)
+  }
+
+  /** The table as of `version` (default: newest). */
+  def scan(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val m = readManifest(spark, dir, v)
+    if (m.files.isEmpty)
+      throw new IllegalStateException(s"version $v of $dir is empty; cannot infer schema")
+    spark.read.parquet(m.files.map(fe => s"$dir/${fe.path}"): _*)
+  }
+
+  /** Range read with stats-based data skipping: only files whose
+    * (min,max) for `keyCol` intersects [lo,hi] are opened (files
+    * without stats are read conservatively). The residual filter still
+    * applies — skipping is a pure optimization, invisible in results. */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+                lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val m = readManifest(spark, dir, v)
+    val hit = m.files.filter(fe =>
+      fe.stats.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    if (hit.isEmpty)
+      return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
+    spark.read.parquet(hit.map(fe => s"$dir/${fe.path}"): _*)
+      .filter(col(keyCol).between(lo, hi))
+  }
+
+  /** Upsert `updates` by `keyCol` with whole-row-replace semantics,
+    * copy-on-write at FILE granularity: only data files whose key
+    * range contains at least one update key are rewritten; every other
+    * file is carried into the new manifest by name. Touch detection is
+    * exact and distributed — the (tiny) file-stats list broadcast-joins
+    * against the update keys, and only the matched file names come
+    * back to the driver (bounded by #files). Update keys hitting no
+    * existing file's range are inserts and land in the new files. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
+            statsCols: Seq[String] = Nil): Long = {
+    import spark.implicits._
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot merge into empty table $dir"))
+    val m = readManifest(spark, dir, v)
+    val cols = scan(spark, dir, Some(v)).columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"updates schema ${updates.columns.toSeq} != table schema $cols")
+
+    val statsList = m.files.flatMap(fe =>
+      fe.stats.get(keyCol).map { case (mn, mx) => (fe.path, mn, mx) })
+    val statless = m.files.map(_.path).toSet -- statsList.map(_._1).toSet
+    val touchedWithStats: Set[String] =
+      if (statsList.isEmpty) Set.empty
+      else {
+        val statsDf = statsList.toDF("__path", "__min", "__max")
+        updates.select(col(keyCol).cast("long").as("__k")).distinct()
+          .join(broadcast(statsDf), $"__k".between($"__min", $"__max"))
+          .select("__path").distinct().as[String].collect().toSet
+      }
+    val touched = touchedWithStats ++ statless
+    val (rewrite, carry) = m.files.partition(fe => touched.contains(fe.path))
+
+    val merged = if (rewrite.isEmpty) updates else {
+      val base = spark.read.parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
+      val markedU = updates.withColumn("__isu", lit(true))
+      val joined = base.alias("t").join(
+        markedU.alias("u"), base(keyCol) === markedU(keyCol), "full_outer")
+      joined.select(cols.map(c =>
+        when(col("__isu").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    }
+    val fresh = stageFiles(spark, merged, dir, statsCols)
+    commit(spark, dir, "merge", carry ++ fresh)
+  }
+
+  /** RESTORE: make `toVersion`'s file list the newest version (a
+    * metadata-only commit — no data movement, unlike Sinks S7's copy). */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
+    commit(spark, dir, "restore", readManifest(spark, dir, toVersion).files)
+
+  /** Drop time travel older than the newest `keepVersions` versions:
+    * deletes unreferenced data files and the expired manifests.
+    * Returns the deleted data-file paths. */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val vs = versions(spark, dir)
+    val (expired, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    if (expired.isEmpty) return Nil
+    val referenced = kept.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
+    val dd = dataDir(dir)
+    val f = fs(spark, dd)
+    val dead = f.listStatus(dd).toSeq.map(_.getPath.getName)
+      .filterNot(n => referenced.contains(s"data/$n"))
+    dead.foreach(n => f.delete(new Path(dd, n), false))
+    expired.foreach { v =>
+      f.delete(new Path(logDir(dir), manifestName(v)), false)
+      f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false)
+    }
+    dead.map(n => s"data/$n")
+  }
+
+  /** (version, op, totalRows) per committed version, ascending. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, String, Long)] =
+    versions(spark, dir).map { v =>
+      val m = readManifest(spark, dir, v)
+      (v, m.op, m.totalRows)
+    }
+}

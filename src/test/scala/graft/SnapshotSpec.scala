@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The transactional snapshot table (SURVEY §2.1 S5-S8 "a table
+  * format gives this for free", made concrete): commit atomicity
+  * under concurrent writers, time travel, restore, file-granular
+  * copy-on-write MERGE, stats-based data skipping, and vacuum. */
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  test("write/scan round-trip, append, and time travel") {
+    val dir = freshDir()
+    val a = spark.range(0, 100).select($"id", lit("a").as("src"))
+    val b = spark.range(100, 150).select($"id", lit("b").as("src"))
+    val v1 = SnapshotTable.write(spark, a, dir, "overwrite", Seq("id"))
+    val v2 = SnapshotTable.write(spark, b, dir, "append", Seq("id"))
+    assert(v1 == 1 && v2 == 2)
+    assert(SnapshotTable.scan(spark, dir).count() == 150)
+    assert(SnapshotTable.scan(spark, dir, Some(1)).count() == 100)
+    // overwrite starts fresh but v1/v2 stay readable
+    val v3 = SnapshotTable.write(spark, b, dir, "overwrite", Seq("id"))
+    assert(SnapshotTable.scan(spark, dir, Some(v3)).count() == 50)
+    assert(SnapshotTable.scan(spark, dir, Some(v2)).count() == 150)
+    assert(SnapshotTable.history(spark, dir).map(h => (h._1, h._3)) ==
+      Seq((1L, 100L), (2L, 150L), (3L, 50L)))
+  }
+
+  test("concurrent appenders: no lost updates, distinct versions") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    val threads = 6
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (1 to threads).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = results.add(SnapshotTable.write(spark,
+            spark.range(i * 1000, i * 1000 + 10).toDF(), dir, "append"))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val vs = results.asScala.toSeq
+    assert(vs.size == threads && vs.distinct.size == threads) // every commit a distinct version
+    // NOTE append's carry-forward reads latest at call time, so racing
+    // appends may drop each other's FILES (documented: concurrent
+    // appenders need the retry-on-conflict loop a full format adds).
+    // The commit protocol itself must never lose or corrupt a VERSION:
+    val hist = SnapshotTable.history(spark, dir)
+    assert(hist.map(_._1) == hist.map(_._1).sorted)
+    assert(hist.last._3 >= 20) // base + at least the last winner's rows
+    // every committed manifest is complete, parseable, readable
+    hist.foreach { case (v, _, _) =>
+      SnapshotTable.scan(spark, dir, Some(v)).count()
+    }
+  }
+
+  test("readRange skips files by manifest stats") {
+    val dir = freshDir()
+    // range-partitioned by id -> files have disjoint id ranges
+    val df = spark.range(0, 10000).select($"id", ($"id" % 7).as("x"))
+      .repartitionByRange(8, $"id")
+    SnapshotTable.write(spark, df, dir, "overwrite", Seq("id"))
+    val total = SnapshotTable.scan(spark, dir).inputFiles.length
+    assert(total >= 4, s"expected multiple files, got $total")
+    val pruned = SnapshotTable.readRange(spark, dir, "id", 100, 300)
+    assert(pruned.inputFiles.length < total,
+      s"no skipping: ${pruned.inputFiles.length} of $total files read")
+    assert(pruned.count() == 201)
+    // result parity with the unpruned filter
+    val want = SnapshotTable.scan(spark, dir).filter($"id".between(100, 300))
+    assert(pruned.orderBy("id").collect().toSeq == want.orderBy("id").collect().toSeq)
+    // an out-of-range read touches nothing and returns empty
+    val none = SnapshotTable.readRange(spark, dir, "id", 50000, 60000)
+    assert(none.count() == 0)
+  }
+
+  test("merge rewrites only touched files; carries the rest by name") {
+    val dir = freshDir()
+    val base = spark.range(0, 8000)
+      .select($"id", ($"id" * 10).as("v"), lit("keep").as("tag"))
+      .repartitionByRange(8, $"id")
+    SnapshotTable.write(spark, base, dir, "overwrite", Seq("id"))
+    val before = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    // updates hit only the low end of the key space + brand-new keys
+    val updates = spark.range(0, 100)
+      .select($"id", ($"id" * 100).as("v"), lit("upd").as("tag"))
+      .unionAll(spark.range(9000, 9050)
+        .select($"id", ($"id" * 100).as("v"), lit("ins").as("tag")))
+    SnapshotTable.merge(spark, dir, updates, "id", Seq("id"))
+    val after = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    val carried = after.files.map(_.path).toSet & before.files.map(_.path).toSet
+    assert(carried.nonEmpty, "merge rewrote every file despite narrow update range")
+    assert(carried.size < before.files.size, "merge rewrote nothing")
+    // semantics: whole-row replace on matched keys, insert on new keys
+    val out = SnapshotTable.scan(spark, dir)
+    assert(out.count() == 8050)
+    assert(out.filter($"tag" === "upd").count() == 100)
+    assert(out.filter($"tag" === "ins").count() == 50)
+    assert(out.filter($"id" === 50).select("v").as[Long].head() == 5000)
+    assert(out.filter($"id" === 5000).select("v").as[Long].head() == 50000)
+  }
+
+  test("restore is a metadata-only commit; vacuum drops expired versions") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.write(spark,
+      spark.range(0, 100).toDF(), dir, "overwrite", Seq("id"))
+    SnapshotTable.write(spark,
+      spark.range(500, 510).toDF(), dir, "overwrite", Seq("id"))
+    val v3 = SnapshotTable.restore(spark, dir, v1)
+    assert(SnapshotTable.scan(spark, dir, Some(v3)).count() == 100)
+    // restore reuses v1's files verbatim
+    assert(SnapshotTable.readManifest(spark, dir, v3).files ==
+      SnapshotTable.readManifest(spark, dir, v1).files)
+    // vacuum to the last 1 version: v2's files are unreferenced -> gone
+    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(SnapshotTable.versions(spark, dir) == Seq(v3))
+    assert(SnapshotTable.scan(spark, dir).count() == 100) // current still intact
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readManifest(spark, dir, v1)
+    }
+  }
+}
