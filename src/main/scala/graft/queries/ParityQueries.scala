@@ -827,7 +827,74 @@ object ParityQueries {
         |UNION ALL
         |SELECT n_nationkey, n_name, n_regionkey, 'v3' AS as_of FROM nation
         |WHERE n_regionkey < 2 OR n_regionkey >= 3
-        |ORDER BY as_of, n_nationkey""".stripMargin)
+        |ORDER BY as_of, n_nationkey""".stripMargin),
+
+    // Snapshot table, OPTIMIZE leg: four per-batch appends fragment the
+    // table into small files; compact bin-packs them and must leave
+    // content bit-identical (the oracle recomputes the union straight
+    // from the source). SnapshotSpec asserts the layout effects (file
+    // count drops, big files untouched).
+    "q4B_snapshot_compact" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t4B")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        (0 to 3).foreach { i =>
+          graft.sources.SnapshotTable.write(s,
+            ords.filter(col("o_orderkey") % 10 === i), base,
+            if (i == 0) "overwrite" else "append", Seq("o_orderkey"))
+        }
+        graft.sources.SnapshotTable.compact(s, base,
+          smallRows = Long.MaxValue, targetRows = 1000000L,
+          statsCols = Seq("o_orderkey"))
+        graft.sources.SnapshotTable.scan(s, base).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Snapshot table, CDC leg: the row-level change feed between the
+    // pre-merge and post-merge versions — updated rows contribute a
+    // 'delete' pre-image and an 'upsert' post-image, inserts only the
+    // latter, and rows in untouched files never surface (or get read).
+    // The oracle is the global multiset diff (EXCEPT ALL both ways),
+    // which the file-level diff provably equals.
+    "q4C_snapshot_changes" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t4C")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v1 = graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 5 === 0)
+            .repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        val updates = ords.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionAll(ords.filter(col("o_orderkey") % 5 === 2))
+        val v2 = graft.sources.SnapshotTable.merge(s, base, updates,
+          "o_orderkey", Seq("o_orderkey"))
+        graft.sources.SnapshotTable.changes(s, base, v1, v2)
+          .orderBy("change_type", "o_orderkey")
+      },
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 2),
+        |v2 AS (
+        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |  FROM v1 t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey)
+        |SELECT *, 'upsert' AS change_type FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        |UNION ALL
+        |SELECT *, 'delete' AS change_type FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+        |ORDER BY change_type, o_orderkey""".stripMargin)
   )
 
   /** Fresh per-SF scratch dir for snapshot-table queries — deleted on

@@ -307,6 +307,68 @@ object SnapshotTable {
     dead.map(n => s"data/$n")
   }
 
+  /** OPTIMIZE: bin-pack files smaller than `smallRows` into files of
+    * ~`targetRows`, leaving already-large files untouched — the
+    * small-file problem is THE operational failure mode of streaming/
+    * incremental ingestion at scale (a 100 TB table fed by per-batch
+    * appends decays into millions of KB-size files whose open/footer
+    * cost dwarfs the data read). A metadata-only no-op when fewer than
+    * two small files exist. Optionally clusters the rewrite by a
+    * z-order pair so the compacted files get tight (min,max) ranges on
+    * BOTH columns — compaction and [[readRange]] skipping compound.
+    * Content is bit-identical; only layout changes. */
+  def compact(spark: SparkSession, dir: String, smallRows: Long, targetRows: Long,
+              statsCols: Seq[String] = Nil,
+              zorderBy: Option[(String, String, Int)] = None): Long = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot compact empty table $dir"))
+    val m = readManifest(spark, dir, v)
+    val (small, big) = m.files.partition(_.rows < smallRows)
+    if (small.size < 2) return v // nothing to gain
+    val smallDf = spark.read.parquet(small.map(fe => s"$dir/${fe.path}"): _*)
+    val nOut = math.max(1, math.ceil(small.map(_.rows).sum.toDouble / targetRows).toInt)
+    val packed = zorderBy match {
+      case Some((c1, c2, bits)) =>
+        smallDf.repartitionByRange(nOut,
+          graft.operators.ZOrder.zkey(col(c1), col(c2), bits))
+      case None => smallDf.repartition(nOut)
+    }
+    val fresh = stageFiles(spark, packed, dir, statsCols)
+    commit(spark, dir, "compact", big ++ fresh)
+  }
+
+  /** CDC: the row-level change feed between two versions, computed
+    * from the manifest diff so ONLY files touched between the
+    * versions are ever read — carried files are identical in both
+    * and cancel by construction. Returns the table columns plus
+    * `change_type`: 'upsert' rows are the post-images present in
+    * `toV` but not `fromV`; 'delete' rows are the pre-images present
+    * in `fromV` but not `toV` (an updated row contributes one of
+    * each). Multiset semantics (EXCEPT ALL), so duplicate rows diff
+    * correctly. */
+  def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    val from = readManifest(spark, dir, fromV)
+    val to = readManifest(spark, dir, toV)
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    val removed = from.files.filterNot(fe => toPaths.contains(fe.path))
+    val added = to.files.filterNot(fe => fromPaths.contains(fe.path))
+    if (removed.isEmpty && added.isEmpty)
+      return scan(spark, dir, Some(toV)).filter(lit(false))
+        .withColumn("change_type", lit(""))
+    def readOr(files: Seq[FileEntry], other: Seq[FileEntry]): DataFrame = {
+      val use = if (files.nonEmpty) files else other
+      val df = spark.read.parquet(use.map(fe => s"$dir/${fe.path}"): _*)
+      if (files.nonEmpty) df else df.filter(lit(false))
+    }
+    val pre = readOr(removed, added)
+    val post = readOr(added, removed)
+    val cols = post.columns.toSeq
+    post.exceptAll(pre).withColumn("change_type", lit("upsert"))
+      .unionAll(pre.exceptAll(post).withColumn("change_type", lit("delete")))
+      .select((cols :+ "change_type").map(col): _*)
+  }
+
   /** (version, op, totalRows) per committed version, ascending. */
   def history(spark: SparkSession, dir: String): Seq[(Long, String, Long)] =
     versions(spark, dir).map { v =>

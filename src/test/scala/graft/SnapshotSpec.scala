@@ -110,6 +110,61 @@ class SnapshotSpec extends SparkTestBase {
     assert(out.filter($"id" === 5000).select("v").as[Long].head() == 50000)
   }
 
+  test("compact bin-packs small files, leaves big ones, preserves content") {
+    val dir = freshDir()
+    // one big file + many per-batch appends -> fragmented table
+    SnapshotTable.write(spark,
+      spark.range(0, 5000).select($"id", ($"id" % 9).as("x")).coalesce(1),
+      dir, "overwrite", Seq("id"))
+    (0 until 6).foreach { i =>
+      SnapshotTable.write(spark,
+        spark.range(10000 + i * 10, 10000 + i * 10 + 10)
+          .select($"id", ($"id" % 9).as("x")).coalesce(1),
+        dir, "append", Seq("id"))
+    }
+    val before = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(before.files.size == 7)
+    val want = SnapshotTable.scan(spark, dir).orderBy("id").collect().toSeq
+    SnapshotTable.compact(spark, dir, smallRows = 100, targetRows = 1000,
+      statsCols = Seq("id"))
+    val after = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(after.files.size < before.files.size)
+    assert(after.files.exists(_.rows == 5000)) // the big file untouched
+    assert(after.totalRows == before.totalRows)
+    assert(SnapshotTable.scan(spark, dir).orderBy("id").collect().toSeq == want)
+    // compacting an already-compact table is a no-op commit-wise
+    val v = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.compact(spark, dir, 100, 1000, Seq("id")) == v)
+  }
+
+  test("changes reads only touched files and yields pre/post images") {
+    val dir = freshDir()
+    val base = spark.range(0, 4000)
+      .select($"id", ($"id" * 10).as("v"))
+      .repartitionByRange(8, $"id")
+    val v1 = SnapshotTable.write(spark, base, dir, "overwrite", Seq("id"))
+    val updates = spark.range(0, 50).select($"id", ($"id" * 100).as("v"))
+      .unionAll(spark.range(8000, 8020).select($"id", ($"id" * 100).as("v")))
+    val v2 = SnapshotTable.merge(spark, dir, updates, "id", Seq("id"))
+    val cdc = SnapshotTable.changes(spark, dir, v1, v2)
+    // file-diff scope: far fewer files opened than two full snapshots
+    val fullFiles = SnapshotTable.scan(spark, dir, Some(v1)).inputFiles.length +
+      SnapshotTable.scan(spark, dir, Some(v2)).inputFiles.length
+    assert(cdc.inputFiles.length < fullFiles)
+    val ups = cdc.filter($"change_type" === "upsert")
+    val dels = cdc.filter($"change_type" === "delete")
+    // id=0 is a no-op update (0*10 == 0*100) and correctly cancels:
+    // 49 real updated post-images + 20 inserts / 49 pre-images
+    assert(ups.count() == 69)
+    assert(dels.count() == 49)
+    assert(dels.filter($"id" === 10).select("v").as[Long].head() == 100)
+    assert(ups.filter($"id" === 10).select("v").as[Long].head() == 1000)
+    // identical versions diff to an empty feed
+    assert(SnapshotTable.changes(spark, dir, v2, v2).count() == 0)
+  }
+
   test("restore is a metadata-only commit; vacuum drops expired versions") {
     val dir = freshDir()
     val v1 = SnapshotTable.write(spark,
