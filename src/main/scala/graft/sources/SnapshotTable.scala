@@ -198,7 +198,7 @@ object SnapshotTable {
     * list fresh; "append" carries the current version's files forward.
     * Old files stay on disk for time travel until [[vacuum]]. */
   def write(spark: SparkSession, df: DataFrame, dir: String, mode: String,
-            statsCols: Seq[String] = Nil): Long = {
+            statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long = {
     val fresh = stageFiles(spark, df, dir, statsCols)
     val carried = mode match {
       case "overwrite" => Nil
@@ -207,7 +207,7 @@ object SnapshotTable {
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    commit(spark, dir, mode, carried ++ fresh)
+    commit(spark, dir, opTag.getOrElse(mode), carried ++ fresh)
   }
 
   /** The table as of `version` (default: newest). */

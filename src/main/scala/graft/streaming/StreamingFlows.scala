@@ -59,6 +59,39 @@ object StreamingFlows {
                           key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Transactional streaming sink: each micro-batch commits one
+    * `append` version of a [[graft.sources.SnapshotTable]], stamped
+    * with the batch id in an extra `__batch_id` column. Replayed
+    * batches (restart after a crash between sink commit and
+    * checkpoint advance — foreachBatch's documented at-least-once
+    * window) are detected by batch id and skipped, upgrading the sink
+    * to effectively-exactly-once the same way the Delta sink does.
+    * Readers get snapshot isolation per batch for free, and
+    * [[graft.sources.SnapshotTable.compact]] later repairs the
+    * per-batch small files this necessarily produces at scale.
+    * Returns the running query. */
+  def startSnapshotSink(stream: DataFrame, dir: String, checkpoint: String,
+                        statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val tag = s"stream-batch-$batchId"
+        // replay detection is metadata-only: one manifest-list walk,
+        // no data files opened
+        val seen = graft.sources.SnapshotTable.history(spark, dir)
+          .exists(_._2 == tag)
+        if (!seen) {
+          graft.sources.SnapshotTable.write(spark,
+            batch.withColumn("__batch_id", lit(batchId)), dir, "append",
+            statsCols, opTag = Some(tag))
+        }
+        ()
+      }
+      .start()
+
   case class BandDoc(band: Int, bandval: Long, doc_id: Long, simhash: Long,
                      event_time: java.sql.Timestamp)
   case class DupHit(doc_id: Long, dup_of: Long, hamming: Int, band: Int)

@@ -55,6 +55,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("snapshotSink commits one version per batch; restart replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ckpt").toString
+    val in = MemoryStream[(Long, Double)]
+    val df = in.toDF().toDF("id", "value")
+    val q = StreamingFlows.startSnapshotSink(df, dir, ckpt, Seq("id"))
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      assert(SnapshotTable.scan(spark, dir).count() == 3)
+      val hist = SnapshotTable.history(spark, dir)
+      assert(hist.map(_._2) == Seq("stream-batch-0", "stream-batch-1"))
+    } finally q.stop()
+    // restart from the same checkpoint: Spark replays any batch whose
+    // sink-side work it cannot prove complete; the op-tag guard must
+    // keep the table unchanged rather than double-append
+    val in2 = MemoryStream[(Long, Double)]
+    in2.addData((1L, 1.0), (2L, 2.0))
+    in2.addData((3L, 3.0))
+    val q2 = StreamingFlows.startSnapshotSink(
+      in2.toDF().toDF("id", "value"), dir, ckpt, Seq("id"))
+    try {
+      in2.addData((4L, 4.0)) // a genuinely new batch still lands
+      q2.processAllAvailable()
+      assert(SnapshotTable.scan(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      // per-batch snapshot isolation: version 1 is still batch 0 alone
+      assert(SnapshotTable.scan(spark, dir, Some(1L)).count() == 2)
+    } finally q2.stop()
+  }
+
   test("simhashNearDups emits a near-dup pair once, skips distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
