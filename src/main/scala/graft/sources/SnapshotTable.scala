@@ -125,6 +125,23 @@ object SnapshotTable {
     Manifest(root.get("version").asLong, root.get("op").asText, out.result())
   }
 
+  /** Atomic check-and-claim of one version slot. Hadoop's
+    * `create(path, overwrite=false)` is atomic on HDFS (server-side
+    * check) but NOT on the local filesystem — RawLocalFileSystem does
+    * a client-side exists() then create, so two racing writers can
+    * both "win". For `file:` URIs we go through NIO `Files.createFile`
+    * (O_CREAT|O_EXCL — a single atomic syscall) instead. */
+  private def tryClaim(f: FileSystem, lock: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(lock.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { f.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Claim-then-publish commit (see protocol in the object doc).
     * Returns the committed version. */
   private def commit(spark: SparkSession, dir: String, op: String,
@@ -133,21 +150,12 @@ object SnapshotTable {
     val f = fs(spark, ld)
     f.mkdirs(ld)
     var v = latestVersion(spark, dir).getOrElse(0L) + 1
-    var claimed = false
     var attempts = 0
-    while (!claimed) {
-      val lock = new Path(ld, f"v$v%010d.lock")
-      try {
-        // create-exclusive: the atomic check-and-claim
-        f.create(lock, false).close()
-        claimed = true
-      } catch {
-        case e: java.io.IOException =>
-          attempts += 1
-          if (attempts > 10000) throw new IllegalStateException(
-            s"could not claim a version under $dir after $attempts attempts", e)
-          v += 1 // lost the race; try the next slot
-      }
+    while (!tryClaim(f, new Path(ld, f"v$v%010d.lock"))) {
+      attempts += 1
+      if (attempts > 10000) throw new IllegalStateException(
+        s"could not claim a version under $dir after $attempts attempts")
+      v += 1 // lost the race; try the next slot
     }
     val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID}.json")
     val out = f.create(tmp, true)

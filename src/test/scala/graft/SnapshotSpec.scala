@@ -62,6 +62,38 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("claim storm: barrier-released metadata commits get distinct versions") {
+    // restore() is a metadata-only commit, so this isolates the
+    // claim protocol (O_EXCL lock on file:) from Spark job timing:
+    // 16 threads fire simultaneously; every commit must win a
+    // distinct version and every manifest must be readable.
+    val dir = freshDir()
+    val v1 = SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    val threads = 16
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (1 to threads).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await()
+            results.add(SnapshotTable.restore(spark, dir, v1))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val vs = results.asScala.toSeq
+    assert(vs.size == threads && vs.distinct.size == threads,
+      s"version collision under contention: $vs")
+    vs.foreach { v =>
+      assert(SnapshotTable.readManifest(spark, dir, v).files ==
+        SnapshotTable.readManifest(spark, dir, v1).files)
+    }
+  }
+
   test("readRange skips files by manifest stats") {
     val dir = freshDir()
     // range-partitioned by id -> files have disjoint id ranges
