@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ClusterQueries, EventQueries, FlightQueries, MultimodalQueries, ParityQueries, QueryDef, TextQueries, VectorQueries}
+import graft.queries.{ClusterQueries, EventQueries, FlightQueries, MultimodalQueries, ParityQueries, QueryDef, TextQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   private def catalog: Map[String, QueryDef] =
     ParityQueries.all ++ FlightQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++
-      ClusterQueries.all
+      ClusterQueries.all ++ WarehouseQueries.all
 
   /** Flagship: the full flight pipeline (E1/E2) on sf0.001; driver
     * smoke-checks rows>0. */

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance record linkage via deletion-neighborhood blocking
+  * (the FastSS / SymSpell scheme): two strings are within Levenshtein
+  * distance 1 iff their deletion neighborhoods — the string itself
+  * plus every single-character deletion — intersect. Generating the
+  * neighborhood turns the fuzzy predicate into a plain EQUI-join on a
+  * variant key, so the plan is explode → hash join → exact-distance
+  * filter: candidates are bounded by variant-bucket collisions and the
+  * corpus is NEVER all-pairs self-joined.
+  *
+  * Shape at scale: each side shuffles |s|+1 slim (variant, id) rows
+  * per string; the exact `levenshtein` re-check runs only on bucket
+  * collisions, so false candidates (distinct deletions colliding, e.g.
+  * "ab"/"ba" sharing both "a" and "b") cost one codegen'd comparison,
+  * not a shuffle. At 100 TB the variant key partitions like any other
+  * join key; a skew cap is unnecessary because a variant bucket only
+  * holds strings within distance 2 of each other.
+  */
+object FuzzyJoin {
+
+  /** `s` itself (k = 0) plus every single-character deletion
+    * (k = 1..len). Pure Column arithmetic — no UDF. */
+  private[operators] def deletionVariants(s: Column): Column =
+    transform(sequence(lit(0), length(s)), k =>
+      when(k === 0, s)
+        .otherwise(concat(s.substr(lit(1), k - 1),
+          s.substr(k + 1, length(s) - k))))
+
+  private def explodeSide(df: DataFrame, textCol: String, idCol: String,
+                          prefix: String): DataFrame =
+    df.select(col(idCol).as(s"${prefix}_id"), col(textCol).as(s"${prefix}_text"))
+      .withColumn("__v", explode(array_distinct(deletionVariants(col(s"${prefix}_text")))))
+
+  /** All (left_id, right_id) pairs whose texts are within Levenshtein
+    * distance 1. IDs must be unique per side. */
+  def editDistance1Join(left: DataFrame, right: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val lv = explodeSide(left, textCol, idCol, "left")
+    val rv = explodeSide(right, textCol, idCol, "right")
+    lv.join(rv, "__v")
+      .select("left_id", "left_text", "right_id", "right_text")
+      .distinct() // a pair can meet in several shared variants
+      .filter(levenshtein(col("left_text"), col("right_text")) <= 1)
+  }
+
+  /** Self-linkage: unordered pairs of distinct rows within distance 1
+    * (each pair reported once, `left_id < right_id`). */
+  def selfPairs(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    editDistance1Join(df, df, textCol, idCol)
+      .filter(col("left_id") < col("right_id"))
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Expectations, FuzzyJoin, Scd2}
+import graft.sources.Tables
+
+/** Warehouse-grade relational operators beyond the reference's
+  * pipeline: SCD2 history, fuzzy record linkage, declarative data
+  * quality, semi-structured extraction, and ranking-window breadth.
+  */
+object WarehouseQueries {
+
+  val all: Map[String, QueryDef] = Map(
+
+    // SCD2: collapse the per-customer order-status change log into
+    // validity intervals. One hash exchange serves the change window,
+    // the run collapse, and the interval-closing lead().
+    "q4D_scd2" -> QueryDef(
+      (s, dir) => Scd2.history(Tables.computeTable(s, dir, "orders"),
+          keyCols = Seq("o_custkey"), orderCol = "o_orderdate",
+          tieCol = "o_orderkey", attrCols = Seq("o_orderstatus"))
+        .select("o_custkey", "version_seq", "valid_from", "valid_to",
+          "o_orderstatus", "n_rows", "is_current")
+        .orderBy("o_custkey", "version_seq"),
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |r AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_seq
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, version_seq, min(o_orderdate) AS valid_from,
+        |         min(o_orderstatus) AS o_orderstatus, count(*) AS n_rows
+        |  FROM r GROUP BY 1, 2)
+        |SELECT o_custkey, version_seq, valid_from,
+        |       lead(valid_from) OVER wk AS valid_to,
+        |       o_orderstatus, n_rows,
+        |       lead(valid_from) OVER wk IS NULL AS is_current
+        |FROM g WINDOW wk AS (PARTITION BY o_custkey ORDER BY version_seq)
+        |ORDER BY o_custkey, version_seq""".stripMargin),
+
+    // Fuzzy self-linkage on customer names: deletion-neighborhood
+    // blocking turns Levenshtein<=1 into an equi-join; the oracle
+    // brute-forces the same predicate (fine at oracle SF, quadratic —
+    // which is exactly why the operator blocks).
+    "q4E_fuzzy_join" -> QueryDef(
+      (s, dir) => FuzzyJoin.selfPairs(Tables.computeTable(s, dir, "customer"),
+          textCol = "c_name", idCol = "c_custkey")
+        .select(col("left_id"), col("right_id"),
+          levenshtein(col("left_text"), col("right_text")).cast("long").as("dist"))
+        .orderBy("left_id", "right_id"),
+      """SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY left_id, right_id""".stripMargin),
+
+    // Declarative DQ report over orders: four row-level constraints and
+    // a uniqueness key in ONE aggregate pass + an anti-join FK row.
+    "q4F_dq_report" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables.computeTable(s, dir, "orders")
+        val customer = Tables.computeTable(s, dir, "customer")
+        Expectations.report(orders,
+            checks = Seq(
+              Expectations.notNull("o_custkey"),
+              Expectations.inRange("o_totalprice", 0.0, 400000.0),
+              Expectations.inSet("o_orderstatus", Seq("O", "F")),
+              Expectations.matches("o_orderpriority", "^[1-5]-")),
+            uniqueKeys = Seq(Seq("o_orderkey")))
+          .unionAll(Expectations.refIntegrity(orders, "o_custkey",
+            customer, "c_custkey"))
+          .orderBy("check_name")
+      },
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+        |SELECT check_name, violations, total, violations = 0 AS pass FROM (
+        |  SELECT 'not_null:o_custkey' AS check_name,
+        |         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+        |         total FROM t
+        |  UNION ALL
+        |  SELECT 'in_range:o_totalprice',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_totalprice IS NULL
+        |             OR NOT o_totalprice BETWEEN 0 AND 400000), total FROM t
+        |  UNION ALL
+        |  SELECT 'in_set:o_orderstatus',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_orderstatus IS NULL
+        |             OR o_orderstatus NOT IN ('O', 'F')), total FROM t
+        |  UNION ALL
+        |  SELECT 'matches:o_orderpriority',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_orderpriority IS NULL
+        |             OR NOT regexp_matches(o_orderpriority, '^[1-5]-')), total FROM t
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders), total FROM t
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey',
+        |         (SELECT count(*) FROM orders
+        |          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)), total FROM t)
+        |ORDER BY check_name""".stripMargin),
+
+    // Semi-structured extraction: parse the events.props JSON column
+    // (schema'd from_json — codegen'd JacksonParser, no UDF) and
+    // aggregate the extracted field per event type.
+    "q4G_json_extract" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          countDistinct(col("k")).as("k_distinct"))
+        .orderBy("event_type"),
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+        |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Ranking-window breadth (W-family completeness): ntile /
+    // percent_rank / cume_dist / dense_rank over one partition spec —
+    // one exchange, one sort, four codegen'd window functions.
+    "q4H_rank_suite" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.computeTable(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dense_rank().over(w).cast("long").as("drank"))
+          .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+      },
+      """SELECT c_custkey, c_mktsegment,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin)
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Expectations, FuzzyJoin, Scd2}
+
+/** Warehouse operators: SCD2 history, deletion-neighborhood fuzzy
+  * join, declarative expectations. Semantics pinned on small frames
+  * with hand-computed answers; plan shape pinned where it IS the
+  * operator's scale story. */
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scd2 collapses runs into intervals; one exchange for the whole plan") {
+    val log = Seq(
+      // key 1: A A B A  -> three intervals
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"),
+      // key 2: single run, two rows, tie on order col broken by seq
+      (2L, 10L, 6L, "X"), (2L, 10L, 5L, "X")
+    ).toDF("k", "ord", "seq", "status")
+    val out = Scd2.history(log, Seq("k"), "ord", "seq", Seq("status"))
+      .orderBy("k", "version_seq")
+      .select("k", "version_seq", "valid_from", "valid_to", "status",
+        "n_rows", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4),
+        r.getLong(5), r.getBoolean(6)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, 10L, Some(30L), "A", 2L, false),
+      (1L, 2L, 30L, Some(40L), "B", 1L, false),
+      (1L, 3L, 40L, None, "A", 1L, true),
+      (2L, 1L, 10L, None, "X", 2L, true)))
+
+    // the change window, run collapse, and closing lead() must share
+    // ONE hash exchange on the key — that is the 100 TB claim
+    val plan = Scd2.history(log, Seq("k"), "ord", "seq", Seq("status"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("scd2 null-safe attr comparison and reserved-name guard") {
+    val log = Seq((1L, 1L, 1L, Some("A")), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, None), (1L, 4L, 4L, Some("A")))
+      .toDF("k", "ord", "seq", "status")
+    val runs = Scd2.history(log, Seq("k"), "ord", "seq", Seq("status"))
+    // null == null must NOT open a new interval; null -> A must
+    assert(runs.count() == 3)
+    intercept[IllegalArgumentException] {
+      Scd2.history(log.withColumn("valid_from", lit(1)),
+        Seq("k"), "ord", "seq", Seq("status"))
+    }
+  }
+
+  test("fuzzy join finds exactly the distance<=1 pairs, no cartesian in plan") {
+    val names = Seq((1L, "kitten"), (2L, "sitten"), // substitution
+      (3L, "kitte"),  // deletion of #1
+      (4L, "kittens"), // insertion on #1
+      (5L, "sittin"),  // dist 2 from #1, 1 from #2
+      (6L, "ab"), (7L, "ba"), // shared deletion variants but dist 2
+      (8L, "zzz")).toDF("id", "name")
+    val got = FuzzyJoin.selfPairs(names, "name", "id")
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L)))
+    val plan = FuzzyJoin.selfPairs(names, "name", "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"fuzzy join fell back to all-pairs:\n$plan")
+  }
+
+  test("expectations: single-pass report with known violation counts") {
+    val df = Seq(
+      (1L, Some(10.0), "O"), (2L, Some(-5.0), "F"), (3L, None, "O"),
+      (4L, Some(999.0), "Q"), (4L, Some(20.0), "O") // dup key 4
+    ).toDF("id", "price", "status")
+    val rep = Expectations.report(df,
+        Seq(Expectations.notNull("price"),
+          Expectations.inRange("price", 0.0, 100.0),
+          Expectations.inSet("status", Seq("O", "F"))),
+        uniqueKeys = Seq(Seq("id")))
+      .orderBy("check_name")
+      .select("check_name", "violations", "total", "pass")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(rep == Seq(
+      ("in_range:price", 3L, 5L, false),  // -5, null, 999
+      ("in_set:status", 1L, 5L, false),   // Q
+      ("not_null:price", 1L, 5L, false),
+      ("unique:id", 1L, 5L, false)))      // one surplus row for key 4
+  }
+
+  test("expectations: referential integrity via anti-join") {
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "pid")
+    val parent = Seq(10L, 11L).toDF("p")
+    val row = Expectations.refIntegrity(child, "pid", parent, "p")
+      .select("check_name", "violations", "total", "pass")
+      .as[(String, Long, Long, Boolean)].head()
+    assert(row == (("fk:pid", 1L, 3L, false)))
+    val clean = Expectations.refIntegrity(child.filter($"pid" < 50), "pid",
+      parent, "p").select("pass").as[Boolean].head()
+    assert(clean)
+  }
+}
