@@ -409,4 +409,71 @@ object GraftExpr {
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLongCall =
       copy(left = newLeft, right = newRight)
   }
+
+  def nearestSubCentroidL2(vec: Column, cents: Column, offset: Int, ds: Int): Column =
+    Bridge.column(NearestSubCentroidL2Call(
+      Bridge.expression(vec), Bridge.expression(cents), offset, ds))
+
+  /** Argmin-L2 PQ codeword for one subspace
+    * (see [[Kernels.nearestSubCentroidL2]]). */
+  case class NearestSubCentroidL2Call(left: Expression, right: Expression,
+                                      offset: Int, ds: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_subcentroid_l2"
+
+    override protected def nullSafeEval(vec: Any, cents: Any): Any =
+      Kernels.nearestSubCentroidL2(vec.asInstanceOf[ArrayData],
+        cents.asInstanceOf[ArrayData], offset, ds)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (v, c) => s"graft.functions.cat.Kernels.nearestSubCentroidL2($v, $c, $offset, $ds)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestSubCentroidL2Call =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pqLut(q: Column, cbooks: Column, m: Int, ks: Int, ds: Int): Column =
+    Bridge.column(PqLutCall(Bridge.expression(q), Bridge.expression(cbooks), m, ks, ds))
+
+  /** Per-query ADC lookup table (see [[Kernels.pqLut]]). */
+  case class PqLutCall(left: Expression, right: Expression, m: Int, ks: Int, ds: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_pq_lut"
+
+    override protected def nullSafeEval(q: Any, cb: Any): Any =
+      Kernels.pqLut(q.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m, ks, ds)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (q, cb) => s"graft.functions.cat.Kernels.pqLut($q, $cb, $m, $ks, $ds)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqLutCall =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pqAdcSum(lut: Column, codes: Column, ks: Int): Column =
+    Bridge.column(PqAdcSumCall(Bridge.expression(lut), Bridge.expression(codes), ks))
+
+  /** ADC score from lut + codes (see [[Kernels.pqAdcSum]]). */
+  case class PqAdcSumCall(left: Expression, right: Expression, ks: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc_sum"
+
+    override protected def nullSafeEval(lut: Any, codes: Any): Any =
+      Kernels.pqAdcSum(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ks)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (l, c) => s"graft.functions.cat.Kernels.pqAdcSum($l, $c, $ks)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcSumCall =
+      copy(left = newLeft, right = newRight)
+  }
 }

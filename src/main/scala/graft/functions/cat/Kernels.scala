@@ -999,4 +999,73 @@ object Kernels {
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     acc
   }
+
+  /** Argmin-L2 codeword for ONE product-quantization subspace: compare
+    * `vec[offset, offset+ds)` (float) against `cents` = k codewords of
+    * `ds` doubles each, flat-packed. Distances accumulate (x-c)^2 in
+    * ascending dimension order; strict `<` keeps the LOWEST codeword
+    * index on exact ties — both folds an oracle engine can replay
+    * bit-for-bit. Used for subquantizer training assignment AND final
+    * encoding (the offset makes slicing unnecessary — no allocation). */
+  def nearestSubCentroidL2(vec: ArrayData, cents: ArrayData,
+                           offset: Int, ds: Int): Int = {
+    val k = cents.numElements() / ds
+    var best = 0
+    var bestD = java.lang.Double.POSITIVE_INFINITY
+    var j = 0
+    while (j < k) {
+      var d = 0.0
+      var i = 0
+      while (i < ds) {
+        val diff = vec.getFloat(offset + i).toDouble - cents.getDouble(j * ds + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Per-query ADC lookup table: `lut[sub*ks + j]` = squared L2 between
+    * the query's subvector `sub` and codeword `j` of that subspace —
+    * m*ks doubles computed ONCE per query, so scoring a corpus row
+    * costs m lookups instead of `dim` multiplies (Jégou et al., IVF-ADC).
+    * Same (x-c)^2 ascending-dimension fold as the encoder. */
+  def pqLut(q: ArrayData, cbooks: ArrayData, m: Int, ks: Int, ds: Int): ArrayData = {
+    val out = new Array[Double](m * ks)
+    var sub = 0
+    while (sub < m) {
+      var j = 0
+      while (j < ks) {
+        var d = 0.0
+        var i = 0
+        while (i < ds) {
+          val diff = q.getFloat(sub * ds + i).toDouble -
+            cbooks.getDouble((sub * ks + j) * ds + i)
+          d += diff * diff
+          i += 1
+        }
+        out(sub * ks + j) = d
+        j += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: sum the code-selected lut cells in ascending subspace
+    * order (a two-level fold — per-subspace sums, then the m-term outer
+    * sum — which the oracle replays as list_sum over an m-ordered
+    * list). */
+  def pqAdcSum(lut: ArrayData, codes: ArrayData, ks: Int): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var sub = 0
+    while (sub < m) {
+      acc += lut.getDouble(sub * ks + codes.getInt(sub))
+      sub += 1
+    }
+    acc
+  }
 }

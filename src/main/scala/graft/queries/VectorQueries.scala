@@ -32,6 +32,14 @@ object VectorQueries {
     * order — every sign bit matches. */
   private val Planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
 
+  // Product-quantization parameters (q4I): declared BEFORE `all` —
+  // object vals initialize in order, and the oracle string is built
+  // when the map is.
+  private val PqM = 8
+  private val PqKs = 16
+  private val PqIters = 2
+  private val PqDs = 8
+
   private val DuckBucket8 = Planes.zipWithIndex.map { case (w, j) =>
     val wlist = w.mkString("[", ", ", "]")
     s"(CASE WHEN list_sum(list_transform(range(1, ${w.length + 1}), " +
@@ -263,6 +271,91 @@ object VectorQueries {
          |         END AS negative
          |  FROM j)
          |SELECT anchor, positive, negative FROM t
-         |WHERE negative IS NOT NULL ORDER BY anchor, positive""".stripMargin)
+         |WHERE negative IS NOT NULL ORDER BY anchor, positive""".stripMargin),
+
+    // Product-quantization ADC top-k (Jégou et al.): per-subspace Lloyd
+    // codebooks, 8-byte codes, per-query lookup tables. The oracle
+    // replays the entire pipeline — subspace seeds, decimal means,
+    // ascending-order (x-c)^2 folds, lowest-code ties — bit-for-bit.
+    "q4I_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        graft.operators.ProductQuantizer.pqTopK(emb,
+            emb.filter(col("vec_id") < 8), k = 5,
+            m = PqM, ks = PqKs, iters = PqIters, dim = 64)
+          .orderBy("qid", "rank")
+      },
+      duckPq)
   )
+
+  /** Squared L2 between embedding subspace `sub` (1-based dims) and a
+    * codeword list, folded in ascending dimension order — textually the
+    * same multiply the kernel does. */
+  private def duckSubL2(emb: String, sub: String, cen: String): String =
+    s"list_sum(list_transform(range(1, ${PqDs + 1}), __i -> " +
+      s"(CAST($emb[$sub*$PqDs + __i] AS DOUBLE) - $cen[__i]) * " +
+      s"(CAST($emb[$sub*$PqDs + __i] AS DOUBLE) - $cen[__i])))"
+
+  /** One PQ Lloyd assignment CTE: per (vector, subspace), the argmin-L2
+    * codeword from `cbTbl` (unrounded ranking, ties to lowest code). */
+  private def duckPqAssign(out: String, cbTbl: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, sub, code FROM (
+       |    SELECT e.vec_id, e.embedding, c.sub, c.code,
+       |           row_number() OVER (PARTITION BY e.vec_id, c.sub
+       |             ORDER BY ${duckSubL2("e.embedding", "c.sub", "c.cen")} ASC,
+       |                      c.code) AS __rn
+       |    FROM embeddings e, $cbTbl c) __t
+       |  WHERE __rn = 1)""".stripMargin
+
+  /** One PQ Lloyd update: exact decimal per-cell means; codewords with
+    * no members carry the previous round's value (coalesce). */
+  private def duckPqMeans(out: String, asgTbl: String, prevCb: String): String =
+    s"""${out}_cells AS (
+       |  SELECT sub, code, __p,
+       |         CAST(SUM(CAST(CAST(embedding[sub*$PqDs + __p] AS DOUBLE)
+       |           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS __m
+       |  FROM $asgTbl, range(1, ${PqDs + 1}) t(__p)
+       |  GROUP BY sub, code, __p),
+       |$out AS (
+       |  SELECT p.sub, p.code, coalesce(n.cen, p.cen) AS cen
+       |  FROM $prevCb p LEFT JOIN
+       |    (SELECT sub, code, list(__m ORDER BY __p) AS cen
+       |     FROM ${out}_cells GROUP BY sub, code) n
+       |    ON p.sub = n.sub AND p.code = n.code)""".stripMargin
+
+  /** Full PQ oracle: seeds → `PqIters` train rounds → encode → ADC
+    * scoring (per-subspace dists summed in subspace order) → top-5. */
+  private lazy val duckPq: String = {
+    val rounds = (1 to PqIters).map { i =>
+      duckPqAssign(s"pa$i", s"pcb${i - 1}") + ",\n" +
+        duckPqMeans(s"pcb$i", s"pa$i", s"pcb${i - 1}")
+    }.mkString(",\n")
+    s"""WITH pseeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        ORDER BY vec_id LIMIT $PqKs) __s),
+       |pcb0 AS (
+       |  SELECT s.sub, d.code,
+       |         list_transform(range(1, ${PqDs + 1}),
+       |           __i -> CAST(d.embedding[s.sub*$PqDs + __i] AS DOUBLE)) AS cen
+       |  FROM range(0, $PqM) s(sub), pseeds d),
+       |$rounds,
+       |${duckPqAssign("paf", s"pcb$PqIters")},
+       |ppairs AS (
+       |  SELECT q.vec_id AS qid, a.vec_id AS cid, a.sub,
+       |         ${duckSubL2("q.embedding", "a.sub", "c.cen")} AS dm
+       |  FROM paf a JOIN pcb$PqIters c ON a.sub = c.sub AND a.code = c.code
+       |       CROSS JOIN embeddings q
+       |  WHERE q.vec_id < 8 AND a.vec_id <> q.vec_id),
+       |pscored AS (
+       |  SELECT qid, cid, round(list_sum(list(dm ORDER BY sub)), 6) AS adist
+       |  FROM ppairs GROUP BY qid, cid),
+       |pranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adist, cid) AS rank
+       |  FROM pscored)
+       |SELECT qid, cid, adist, CAST(rank AS INTEGER) AS rank
+       |FROM pranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
 }

@@ -100,6 +100,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(overlap >= 0.9, f"quantized scan diverged from float baseline: $overlap%.3f")
   }
 
+  test("pqTopK: ADC ranking recalls the float baseline; codes compress 32x") {
+    import graft.operators.ProductQuantizer
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ ranks by (asymmetric) L2, so the recall reference is the exact
+    // L2 top-5, not the cosine ranking (they differ on unnormalized
+    // vectors): ||q-c||^2 = |q|^2 + |c|^2 - 2 q.c
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val l2 = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("d2", Similarity.dot(col("qv"), col("qv")) +
+        Similarity.dot(col("cv"), col("cv")) -
+        lit(2.0) * Similarity.dot(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2").asc, col("cid").asc)
+    val exact = pairs(l2.withColumn("rank",
+      org.apache.spark.sql.functions.row_number().over(w)).filter(col("rank") <= 5))
+    val pq = ProductQuantizer.pqTopK(emb, queries, k = 5,
+      m = 8, ks = 16, iters = 2, dim = 64)
+    val approx = pairs(pq)
+    assert(approx.size == 40)
+    // The synthetic fixture is near-isotropic noise — PQ's worst case
+    // (relative reconstruction error 0.57 at 8x16 codes; a numpy
+    // replication of the same algorithm measures the same 0.225
+    // recall). The floor asserts the ranking still carries signal:
+    // random top-5 overlap on a 500-vector corpus would be ~0.01.
+    val overlap = (exact & approx).size.toDouble / exact.size
+    info(f"pq vs exact-L2 top-5 overlap: $overlap%.3f (n=${exact.size})")
+    assert(overlap >= 0.15, f"PQ recall collapsed: $overlap%.3f")
+    // determinism: a second run reproduces identical rows
+    val again = ProductQuantizer.pqTopK(emb, queries, k = 5,
+      m = 8, ks = 16, iters = 2, dim = 64)
+    assert(pq.orderBy("qid", "rank").collect().toSeq ==
+      again.orderBy("qid", "rank").collect().toSeq)
+    // codes really are m small ints (the 32x scan-compression claim)
+    val cb = ProductQuantizer.train(emb, 8, 16, 2, 64)
+    val codes = ProductQuantizer.encode(emb, cb, 8, 16, 64)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("contrastiveTriplets: negatives never collide, draw is deterministic") {
     import spark.implicits._
     val corpus = (1L to 200L).toDF("vec_id")
