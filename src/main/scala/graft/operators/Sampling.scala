@@ -36,6 +36,44 @@ object Sampling {
                  salt: String): DataFrame =
     df.filter(sampleHash(col(keyCol), salt) % den < num)
 
+  /** Mergeable bottom-k quantile sketch: per group, keep the `k` rows
+    * with the smallest [[sampleHash]] values (a uniform pseudo-random
+    * draw that is a commutative-idempotent monoid — the same min-k
+    * property [[graft.functions.cat.KmvDistinct]] rides), then report
+    * nearest-rank quantiles of the sample. This is the scale path for
+    * exact quantiles (q3R): exact needs every group value sorted in
+    * one place, the sketch bounds per-group state at `k` rows — and
+    * WindowGroupLimit prunes each partition to its local min-k BEFORE
+    * the exchange, so the shuffle carries at most k*partitions rows
+    * per group regardless of group size.
+    *
+    * Everything is exact integer hashing plus picking actual data
+    * values (no float accumulation), so an oracle replays it
+    * bit-for-bit. Returns one row per group:
+    * (groupCols*, n_sample, q25, q50, q75, q90). */
+  def bottomKQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       idCol: String, k: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val wSample = Window.partitionBy(g: _*)
+      .orderBy(sampleHash(col(idCol), salt), col(idCol))
+    val sample = df
+      .withColumn("__srn", row_number().over(wSample))
+      .filter(col("__srn") <= k)
+    val wRank = Window.partitionBy(g: _*).orderBy(col(valueCol), col(idCol))
+    val ranked = sample
+      .withColumn("__vr", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(g: _*)))
+    // nearest-rank pick: index round(p*(n-1)) + 1 in value order
+    def pick(p: Double, as: String) =
+      max(when(col("__vr") === round(lit(p) * (col("__n") - 1)) + 1,
+        col(valueCol))).as(as)
+    ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_sample"),
+        pick(0.25, "q25"), pick(0.50, "q50"), pick(0.75, "q75"),
+        pick(0.90, "q90"))
+  }
+
   /** Stratified mixing: per-stratum keep rates `num(stratum)/den`
     * (unlisted strata use `defaultNum`). One scan, one filter — the
     * mixture is a pure map-side decision that composes with any

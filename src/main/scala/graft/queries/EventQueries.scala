@@ -190,6 +190,39 @@ object EventQueries {
         |SELECT e.event_id, e.user_id, s.session_seq, s.session_start_us
         |FROM e JOIN s ON e.user_id = s.user_id
         |              AND e.us BETWEEN s.session_start_us AND s.session_end_us
-        |ORDER BY e.event_id""".stripMargin)
+        |ORDER BY e.event_id""".stripMargin),
+
+    // Bottom-k quantile sketch: the scale path for exact quantiles
+    // (q3R). Min-k-by-hash is the same mergeable monoid as the KMV
+    // sketch; WindowGroupLimit prunes to the local min-k before the
+    // exchange. Exact integer hashing + nearest-rank value picks, so
+    // the oracle replays it bit-for-bit.
+    "q4J_sketch_quantiles" -> QueryDef(
+      (s, dir) => graft.operators.Sampling.bottomKQuantiles(
+          Tables.computeTable(s, dir, "events"),
+          groupCols = Seq("event_type"), valueCol = "value",
+          idCol = "event_id", k = 64, salt = "qsk")
+        .orderBy("event_type"),
+      s"""WITH h AS (
+        |  SELECT event_type, event_id, value,
+        |         ${QueryDef.duckSampleHash("event_id", "qsk")} AS __h
+        |  FROM events),
+        |s AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |                 ORDER BY __h, event_id) AS __srn
+        |    FROM h) __t WHERE __srn <= 64),
+        |r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value, event_id) AS __vr,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS __n
+        |  FROM s)
+        |SELECT event_type, count(*) AS n_sample,
+        |       MAX(CASE WHEN __vr = round(0.25*(__n-1)) + 1 THEN value END) AS q25,
+        |       MAX(CASE WHEN __vr = round(0.50*(__n-1)) + 1 THEN value END) AS q50,
+        |       MAX(CASE WHEN __vr = round(0.75*(__n-1)) + 1 THEN value END) AS q75,
+        |       MAX(CASE WHEN __vr = round(0.90*(__n-1)) + 1 THEN value END) AS q90
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

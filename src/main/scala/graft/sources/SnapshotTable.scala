@@ -225,7 +225,10 @@ object SnapshotTable {
     val m = readManifest(spark, dir, v)
     if (m.files.isEmpty)
       throw new IllegalStateException(s"version $v of $dir is empty; cannot infer schema")
-    spark.read.parquet(m.files.map(fe => s"$dir/${fe.path}"): _*)
+    // mergeSchema: appends may add columns over the table's life
+    // (schema evolution); older files surface the new columns as null.
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*)
   }
 
   /** Range read with stats-based data skipping: only files whose
@@ -366,11 +369,22 @@ object SnapshotTable {
         .withColumn("change_type", lit(""))
     def readOr(files: Seq[FileEntry], other: Seq[FileEntry]): DataFrame = {
       val use = if (files.nonEmpty) files else other
-      val df = spark.read.parquet(use.map(fe => s"$dir/${fe.path}"): _*)
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(use.map(fe => s"$dir/${fe.path}"): _*)
       if (files.nonEmpty) df else df.filter(lit(false))
     }
-    val pre = readOr(removed, added)
-    val post = readOr(added, removed)
+    val pre0 = readOr(removed, added)
+    val post0 = readOr(added, removed)
+    // schema evolution between the versions: align both sides to the
+    // column union (missing columns become typed nulls) so the
+    // multiset diff compares whole rows under ONE schema.
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      other.schema.fields.foldLeft(df) { (acc, f) =>
+        if (acc.columns.contains(f.name)) acc
+        else acc.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    val post = align(post0, pre0)
+    val pre = align(pre0, post0).select(post.columns.map(col): _*)
     val cols = post.columns.toSeq
     post.exceptAll(pre).withColumn("change_type", lit("upsert"))
       .unionAll(pre.exceptAll(post).withColumn("change_type", lit("delete")))

@@ -197,6 +197,26 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.changes(spark, dir, v2, v2).count() == 0)
   }
 
+  test("schema evolution: appended columns surface as nulls in old rows") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.write(spark,
+      spark.range(0, 10).select($"id", lit("a").as("src")), dir, "overwrite")
+    val v2 = SnapshotTable.write(spark,
+      spark.range(10, 15).select($"id", lit("b").as("src"), lit(7L).as("score")),
+      dir, "append")
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.columns.toSet == Set("id", "src", "score"))
+    assert(cur.filter($"score".isNull).count() == 10) // old rows null-fill
+    assert(cur.filter($"score" === 7).count() == 5)
+    // time travel to v1 keeps the ORIGINAL two-column schema
+    assert(SnapshotTable.scan(spark, dir, Some(v1)).columns.toSet == Set("id", "src"))
+    // the change feed aligns both versions to the union schema
+    val cdc = SnapshotTable.changes(spark, dir, v1, v2)
+    assert(cdc.columns.toSet == Set("id", "src", "score", "change_type"))
+    assert(cdc.filter($"change_type" === "upsert").count() == 5)
+    assert(cdc.filter($"change_type" === "delete").count() == 0)
+  }
+
   test("restore is a metadata-only commit; vacuum drops expired versions") {
     val dir = freshDir()
     val v1 = SnapshotTable.write(spark,

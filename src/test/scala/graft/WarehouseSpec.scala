@@ -91,6 +91,29 @@ class WarehouseSpec extends SparkTestBase {
       ("unique:id", 1L, 5L, false)))      // one surplus row for key 4
   }
 
+  test("bottom-k quantile sketch: close to exact, partition-invariant") {
+    val ev = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val sk = graft.operators.Sampling.bottomKQuantiles(ev,
+      Seq("event_type"), "value", "event_id", k = 64, salt = "qsk")
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"),
+        min("value").as("lo"), max("value").as("hi"))
+    val joined = sk.join(exact, "event_type")
+      .select($"event_type", $"q50", $"med", $"hi" - $"lo")
+      .as[(String, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (et, q50, med, range) =>
+      assert(math.abs(q50 - med) <= 0.25 * range,
+        s"$et: sketch median $q50 too far from exact $med (range $range)")
+    }
+    // hash-draw is a pure function of the data: any physical layout
+    // yields byte-identical output (the mergeable-monoid property)
+    val again = graft.operators.Sampling.bottomKQuantiles(ev.repartition(7),
+      Seq("event_type"), "value", "event_id", k = 64, salt = "qsk")
+    assert(sk.orderBy("event_type").collect().toSeq ==
+      again.orderBy("event_type").collect().toSeq)
+  }
+
   test("expectations: referential integrity via anti-join") {
     val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "pid")
     val parent = Seq(10L, 11L).toDF("p")
