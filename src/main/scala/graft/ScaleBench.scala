@@ -31,7 +31,9 @@ object ScaleBench {
     "q20_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh", "q38_dup_clusters",
     "q3Y_chunk_dedup", "q41_shard_pipeline")
 
-  private val AnnQueries = Seq("q2B_ann_multitable", "q2C_ann_ivf")
+  private val AnnQueries = Seq("q2B_ann_multitable", "q2C_ann_ivf", "q4I_pq_topk")
+
+  private val FuzzyQueries = Seq("q4E_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,6 +101,21 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(embPath.toString)
     }
+    val custPath = new Path(s"$scaleDir/customer.parquet")
+    if (!fs.exists(custPath)) {
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("c_custkey", col("c_custkey") + col("rep") * lit(10000000L))
+        // replica prefix of >= 3 repeated digits: any two distinct
+        // replica prefixes differ in >= 3 positions, so cross-replica
+        // names can never be within Levenshtein 1 and the fuzzy-pair
+        // structure scales exactly linearly
+        .withColumn("c_name",
+          concat(repeat(col("rep").cast("string"), 3), lit("_"), col("c_name")))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(custPath.toString)
+    }
     val rowsIn = spark.read.parquet(liPath.toString).count()
     val docsIn = spark.read.parquet(docPath.toString).count()
     val vecsIn = spark.read.parquet(embPath.toString).count()
@@ -122,7 +139,8 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .repartition(2).count()
     val warmDir = "/root/testdata/sf0.001"
-    (DedupQueries ++ AnnQueries).foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
+    (DedupQueries ++ AnnQueries ++ FuzzyQueries)
+      .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
 
     def time(body: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -156,10 +174,21 @@ object ScaleBench {
       s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
     } :+ s""""q2B_candidates":{"pairs_1x":$cand1,"pairs_${factor}x":$candF}""")
       .mkString("{", ",", "}")
+    // fuzzy record linkage at 1× then factor× (pairs must grow exactly
+    // linearly — the replica prefixes forbid cross-replica matches)
+    val fuzzy = FuzzyQueries.map { q =>
+      val (s1, r1) = time(SparkEntry.queries(q)(spark, sfDir).count())
+      val (sF, rF) = time(SparkEntry.queries(q)(spark, scaleDir).count())
+      (q, s1, r1, sF, rF)
+    }
+    val fuzzyJson = fuzzy.map { case (q, s1, r1, sF, rF) =>
+      s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
+    }.mkString("{", ",", "}")
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     println(s"""{"metric":"scale_flight_pipeline","value":$flightSec,"unit":"sec",""" +
       s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
-      s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"loadavg":$load,"sf":"$sfDir"}""")
+      s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
+      s""""loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,21 +35,36 @@ object FuzzyJoin {
     df.select(col(idCol).as(s"${prefix}_id"), col(textCol).as(s"${prefix}_text"))
       .withColumn("__v", explode(array_distinct(deletionVariants(col(s"${prefix}_text")))))
 
-  /** All (left_id, right_id) pairs whose texts are within Levenshtein
-    * distance 1. IDs must be unique per side. */
+  /** All (left_id, right_id, dist) pairs whose texts are within
+    * Levenshtein distance 1. IDs must be unique per side. The exact
+    * re-check runs BEFORE the pair dedup: a pair meeting in several
+    * shared variants costs a couple of extra codegen'd comparisons
+    * map-side, but the dedup exchange then carries slim (id, id, dist)
+    * triples instead of both text payloads — at corpus scale the
+    * shuffle, not the comparison, is the cost. */
   def editDistance1Join(left: DataFrame, right: DataFrame,
                         textCol: String, idCol: String): DataFrame = {
     val lv = explodeSide(left, textCol, idCol, "left")
     val rv = explodeSide(right, textCol, idCol, "right")
     lv.join(rv, "__v")
-      .select("left_id", "left_text", "right_id", "right_text")
-      .distinct() // a pair can meet in several shared variants
       .filter(levenshtein(col("left_text"), col("right_text")) <= 1)
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("left_text"), col("right_text")).cast("long").as("dist"))
+      .distinct() // a pair can meet in several shared variants
   }
 
   /** Self-linkage: unordered pairs of distinct rows within distance 1
-    * (each pair reported once, `left_id < right_id`). */
-  def selfPairs(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    editDistance1Join(df, df, textCol, idCol)
+    * (each pair reported once, `left_id < right_id`). The asymmetric
+    * filter halves the candidate stream BEFORE the exact check and the
+    * dedup exchange. */
+  def selfPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lv = explodeSide(df, textCol, idCol, "left")
+    val rv = explodeSide(df, textCol, idCol, "right")
+    lv.join(rv, "__v")
       .filter(col("left_id") < col("right_id"))
+      .filter(levenshtein(col("left_text"), col("right_text")) <= 1)
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("left_text"), col("right_text")).cast("long").as("dist"))
+      .distinct()
+  }
 }

@@ -54,8 +54,6 @@ object WarehouseQueries {
     "q4E_fuzzy_join" -> QueryDef(
       (s, dir) => FuzzyJoin.selfPairs(Tables.computeTable(s, dir, "customer"),
           textCol = "c_name", idCol = "c_custkey")
-        .select(col("left_id"), col("right_id"),
-          levenshtein(col("left_text"), col("right_text")).cast("long").as("dist"))
         .orderBy("left_id", "right_id"),
       """SELECT a.c_custkey AS left_id, b.c_custkey AS right_id,
         |       levenshtein(a.c_name, b.c_name) AS dist

@@ -292,6 +292,34 @@ object SnapshotTable {
     commit(spark, dir, "merge", carry ++ fresh)
   }
 
+  /** DELETE WHERE: copy-on-write at FILE granularity. Touch detection
+    * is distributed — one filtered scan finds the files that contain
+    * at least one matching row (only file NAMES come back to the
+    * driver, bounded by #files); those are rewritten without their
+    * matching rows, every other file carries into the new manifest by
+    * name. A predicate matching nothing commits nothing and returns
+    * the current version. */
+  def delete(spark: SparkSession, dir: String,
+             predicate: org.apache.spark.sql.Column,
+             statsCols: Seq[String] = Nil): Long = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot delete from empty table $dir"))
+    val m = readManifest(spark, dir, v)
+    val touched = scan(spark, dir, Some(v))
+      .filter(predicate)
+      .select(input_file_name().as("__f"))
+      .distinct().collect()
+      .map(r => "data/" + new Path(new java.net.URI(r.getString(0)).getPath).getName)
+      .toSet
+    if (touched.isEmpty) return v
+    val (rewrite, carry) = m.files.partition(fe => touched.contains(fe.path))
+    val kept = spark.read.option("mergeSchema", "true")
+      .parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
+      .filter(!predicate)
+    val fresh = stageFiles(spark, kept, dir, statsCols)
+    commit(spark, dir, "delete", carry ++ fresh)
+  }
+
   /** RESTORE: make `toVersion`'s file list the newest version (a
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =

@@ -197,6 +197,29 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.changes(spark, dir, v2, v2).count() == 0)
   }
 
+  test("delete rewrites only files containing matches; carries the rest") {
+    val dir = freshDir()
+    val base = spark.range(0, 8000)
+      .select($"id", ($"id" % 13).as("x"))
+      .repartitionByRange(8, $"id")
+    val v1 = SnapshotTable.write(spark, base, dir, "overwrite", Seq("id"))
+    val before = SnapshotTable.readManifest(spark, dir, v1)
+    // delete a narrow id range: only the file(s) holding it rewrite
+    val v2 = SnapshotTable.delete(spark, dir, $"id".between(100, 180), Seq("id"))
+    val after = SnapshotTable.readManifest(spark, dir, v2)
+    val carried = after.files.map(_.path).toSet & before.files.map(_.path).toSet
+    assert(carried.nonEmpty, "delete rewrote every file despite narrow predicate")
+    assert(carried.size < before.files.size)
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 8000 - 81)
+    assert(cur.filter($"id".between(100, 180)).count() == 0)
+    // time travel still sees the pre-delete rows
+    assert(SnapshotTable.scan(spark, dir, Some(v1)).count() == 8000)
+    // no-match predicate is a no-op: no new version
+    assert(SnapshotTable.delete(spark, dir, $"id" === 999999L) == v2)
+    assert(SnapshotTable.versions(spark, dir) == Seq(v1, v2))
+  }
+
   test("schema evolution: appended columns surface as nulls in old rows") {
     val dir = freshDir()
     val v1 = SnapshotTable.write(spark,
