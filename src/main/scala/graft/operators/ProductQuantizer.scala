@@ -102,6 +102,55 @@ object ProductQuantizer {
     df.select(col(idCol).as("cid"), encodeCol(cb, m, ks, ds, col(vecCol)).as("codes"))
   }
 
+  /** IVF+PQ — the production composition (Jégou et al.'s IVFADC):
+    * coarse-quantize the corpus into cells (one codegen'd
+    * nearest-centroid call in the scan stage, zero corpus shuffle —
+    * same discipline as [[Similarity.ivfTopK]]), PQ-encode it, then
+    * let each query probe only its `nprobe` nearest cells and score
+    * the probed candidates via the broadcast ADC lut. The exhaustive
+    * [[pqTopK]] scan cost drops by ~|cells|/nprobe while the scanned
+    * bytes stay 8-code-per-row; the only exchange in the plan is the
+    * final per-query top-k window. Returns (qid, cid, adist, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                centroids: DataFrame, nprobe: Int,
+                m: Int, ks: Int, iters: Int, dim: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ds = dim / m
+    // coarse cells: literal centroid matrix + kernel assignment
+    val cents = centroids
+      .select(col(idCol).cast("long").as("cen_id"), col(vecCol).as("v"))
+      .orderBy("cen_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centsLit = array(cents.flatMap(_._2).map(x => lit(x.toDouble)).toIndexedSeq: _*)
+    val idsLit = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+    def cellOf(vec: Column): Column =
+      element_at(idsLit,
+        GraftExpr.nearestCentroid(vec, centsLit, dim) + 1)
+    // PQ codebooks over the full corpus; corpus rows become (cell, codes)
+    val cb = train(corpus, m, ks, iters, dim, idCol, vecCol)
+    val cbLit = array(cb.toIndexedSeq.map(lit): _*)
+    val enc = corpus.select(col(idCol).as("cid"), cellOf(col(vecCol)).as("cell"),
+      encodeCol(cb, m, ks, ds, col(vecCol)).as("codes"))
+    // probe side: nprobe nearest cells per query (unrounded cosine,
+    // ties to lowest centroid id), lut per probe row — all broadcast
+    val cen = broadcast(centroids.select(col(idCol).as("cen_id"),
+      col(vecCol).as("cen_v")))
+    val qa = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(cen)
+      .withColumn("csim", Similarity.cosine(col("qv"), col("cen_v")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cen_id").asc)
+    val probes = broadcast(qa.withColumn("prank", row_number().over(wq))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("cen_id").as("cell"),
+        GraftExpr.pqLut(col("qv"), cbLit, m, ks, ds).as("__lut")))
+    val scored = probes.join(enc, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("adist", round(GraftExpr.pqAdcSum(col("__lut"), col("codes"), ks), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("adist"), col("rank"))
+  }
+
   /** PQ-ADC exhaustive top-k: train on the corpus, encode it, broadcast
     * per-query luts, score code-only rows, keep k per query (asymmetric
     * distance, ascending; ties to the lower candidate id). Returns

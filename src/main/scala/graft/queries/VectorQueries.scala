@@ -285,7 +285,55 @@ object VectorQueries {
             m = PqM, ks = PqKs, iters = PqIters, dim = 64)
           .orderBy("qid", "rank")
       },
-      duckPq)
+      duckPq),
+
+    // IVF+PQ (IVFADC): coarse cells bound the candidate set, PQ codes
+    // bound the scanned bytes — the production large-corpus ANN
+    // composition. Same coarse quantizer as q2C, same codebooks as
+    // q4I; the oracle composes both CTE chains.
+    "q4K_ann_ivfpq" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        graft.operators.ProductQuantizer.ivfPqTopK(emb,
+            emb.filter(col("vec_id") < 8), k = 5,
+            centroids = emb.filter(col("vec_id") % 64 === 0), nprobe = 2,
+            m = PqM, ks = PqKs, iters = PqIters, dim = 64)
+          .orderBy("qid", "rank")
+      },
+      s"""WITH $duckPqCtes,
+         |kcen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |kca AS (
+         |  SELECT cid, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM embeddings e, kcen c) __t
+         |  WHERE rn = 1),
+         |kqa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM embeddings q, kcen c WHERE q.vec_id < 8) __t
+         |  WHERE rn <= 2),
+         |kpairs AS (
+         |  SELECT x.qid, ca.cid, a.sub,
+         |         ${duckSubL2("x.qv", "a.sub", "c.cen")} AS dm
+         |  FROM kqa x JOIN kca ca ON x.cell = ca.cell
+         |       JOIN paf a ON a.vec_id = ca.cid
+         |       JOIN pcb$PqIters c ON a.sub = c.sub AND a.code = c.code
+         |  WHERE ca.cid <> x.qid),
+         |kscored AS (
+         |  SELECT qid, cid, round(list_sum(list(dm ORDER BY sub)), 6) AS adist
+         |  FROM kpairs GROUP BY qid, cid),
+         |kranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adist, cid) AS rank
+         |  FROM kscored)
+         |SELECT qid, cid, adist, CAST(rank AS INTEGER) AS rank
+         |FROM kranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
   )
 
   /** Squared L2 between embedding subspace `sub` (1-based dims) and a
@@ -324,14 +372,15 @@ object VectorQueries {
        |     FROM ${out}_cells GROUP BY sub, code) n
        |    ON p.sub = n.sub AND p.code = n.code)""".stripMargin
 
-  /** Full PQ oracle: seeds → `PqIters` train rounds → encode → ADC
-    * scoring (per-subspace dists summed in subspace order) → top-5. */
-  private lazy val duckPq: String = {
+  /** PQ training + encoding CTE chain: seeds → `PqIters` rounds →
+    * final assignment `paf` (codes per vec_id, sub), codebooks in
+    * `pcb<PqIters>`. Shared by q4I (exhaustive ADC) and q4K (IVF+PQ). */
+  private lazy val duckPqCtes: String = {
     val rounds = (1 to PqIters).map { i =>
       duckPqAssign(s"pa$i", s"pcb${i - 1}") + ",\n" +
         duckPqMeans(s"pcb$i", s"pa$i", s"pcb${i - 1}")
     }.mkString(",\n")
-    s"""WITH pseeds AS (
+    s"""pseeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
        |  FROM (SELECT vec_id, embedding FROM embeddings
        |        ORDER BY vec_id LIMIT $PqKs) __s),
@@ -341,7 +390,13 @@ object VectorQueries {
        |           __i -> CAST(d.embedding[s.sub*$PqDs + __i] AS DOUBLE)) AS cen
        |  FROM range(0, $PqM) s(sub), pseeds d),
        |$rounds,
-       |${duckPqAssign("paf", s"pcb$PqIters")},
+       |${duckPqAssign("paf", s"pcb$PqIters")}""".stripMargin
+  }
+
+  /** Full PQ oracle: seeds → `PqIters` train rounds → encode → ADC
+    * scoring (per-subspace dists summed in subspace order) → top-5. */
+  private lazy val duckPq: String = {
+    s"""WITH $duckPqCtes,
        |ppairs AS (
        |  SELECT q.vec_id AS qid, a.vec_id AS cid, a.sub,
        |         ${duckSubL2("q.embedding", "a.sub", "c.cen")} AS dm

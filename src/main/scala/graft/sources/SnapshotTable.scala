@@ -218,6 +218,41 @@ object SnapshotTable {
     commit(spark, dir, opTag.getOrElse(mode), carried ++ fresh)
   }
 
+  /** Commit `df` only if it passes every declarative expectation
+    * (Delta-style table constraints, built from
+    * [[graft.operators.Expectations]]): the batch is STAGED first,
+    * the checks run against the staged files (one columnar read of
+    * exactly what would publish), and a failure deletes the staged
+    * files and throws — the table is untouched, no version is burned.
+    * This is the engine-grade form of the reference's pre-load gate
+    * (`etl/loader.py:117-156`): validation and publish are one
+    * transaction instead of a filter bolted before a blind write. */
+  def writeGated(spark: SparkSession, df: DataFrame, dir: String, mode: String,
+                 checks: Seq[graft.operators.Expectations.Check],
+                 statsCols: Seq[String] = Nil): Long = {
+    val fresh = stageFiles(spark, df, dir, statsCols)
+    if (fresh.nonEmpty) {
+      val staged = spark.read.parquet(fresh.map(fe => s"$dir/${fe.path}"): _*)
+      val failed = graft.operators.Expectations.report(staged, checks)
+        .filter(!col("pass")).collect()
+      if (failed.nonEmpty) {
+        val f = fs(spark, new Path(dir))
+        fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))
+        throw new IllegalStateException("expectations failed, commit aborted: " +
+          failed.map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+            .mkString(", "))
+      }
+    }
+    val carried = mode match {
+      case "overwrite" => Nil
+      case "append" =>
+        latestVersion(spark, dir).map(readManifest(spark, dir, _).files).getOrElse(Nil)
+      case other => throw new IllegalArgumentException(
+        s"mode must be overwrite|append, got $other")
+    }
+    commit(spark, dir, s"gated-$mode", carried ++ fresh)
+  }
+
   /** The table as of `version` (default: newest). */
   def scan(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(

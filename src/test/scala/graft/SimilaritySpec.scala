@@ -142,6 +142,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("ivfPqTopK: probed-cell ADC agrees with the exhaustive PQ scan") {
+    import graft.operators.ProductQuantizer
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = emb.filter(col("vec_id") % 64 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = ProductQuantizer.ivfPqTopK(emb, queries, k = 5,
+      centroids = cents, nprobe = 2, m = 8, ks = 16, iters = 2, dim = 64)
+    val got = pairs(ivfpq)
+    assert(got.size == 40)
+    // cell probing restricts candidates; the survivors must rank the
+    // same way the exhaustive compressed scan ranks them
+    val full = pairs(ProductQuantizer.pqTopK(emb, queries, k = 5,
+      m = 8, ks = 16, iters = 2, dim = 64))
+    val overlap = (full & got).size.toDouble / full.size
+    info(f"ivf+pq vs exhaustive pq top-5 overlap: $overlap%.3f")
+    assert(overlap >= 0.3, f"cell probing lost the PQ ranking: $overlap%.3f")
+    // the CORPUS side must meet the probes through a hash join on the
+    // cell id (the probe-cell computation itself is a deliberate tiny
+    // queries x centroids cross on two broadcast-small sides)
+    val plan = ProductQuantizer.ivfPqTopK(emb, queries, k = 5,
+      centroids = cents, nprobe = 2, m = 8, ks = 16, iters = 2, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("contrastiveTriplets: negatives never collide, draw is deterministic") {
     import spark.implicits._
     val corpus = (1L to 200L).toDF("vec_id")

@@ -197,6 +197,36 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.changes(spark, dir, v2, v2).count() == 0)
   }
 
+  test("gated write: failing expectations abort before commit, table untouched") {
+    import graft.operators.Expectations
+    val dir = freshDir()
+    val v1 = SnapshotTable.writeGated(spark,
+      spark.range(1, 50).select($"id", ($"id" * 2).as("v")), dir, "overwrite",
+      checks = Seq(Expectations.notNull("v"), Expectations.inRange("v", 0, 1000)))
+    assert(SnapshotTable.scan(spark, dir).count() == 49)
+    val dataFiles = fsList(dir)
+    // a batch violating the range check must not commit OR leave files
+    intercept[IllegalStateException] {
+      SnapshotTable.writeGated(spark,
+        spark.range(0, 10).select($"id", ($"id" * 9999).as("v")), dir, "append",
+        checks = Seq(Expectations.inRange("v", 0, 1000)))
+    }
+    assert(SnapshotTable.versions(spark, dir) == Seq(v1))
+    assert(SnapshotTable.scan(spark, dir).count() == 49)
+    assert(fsList(dir) == dataFiles, "aborted write left staged files behind")
+    // a clean batch commits normally
+    val v2 = SnapshotTable.writeGated(spark,
+      spark.range(100, 110).select($"id", ($"id").as("v")), dir, "append",
+      checks = Seq(Expectations.inRange("v", 0, 1000)))
+    assert(v2 > v1 && SnapshotTable.scan(spark, dir).count() == 59)
+  }
+
+  private def fsList(dir: String): Set[String] =
+    new java.io.File(dir, "data").list() match {
+      case null => Set.empty
+      case a => a.toSet
+    }
+
   test("delete rewrites only files containing matches; carries the rest") {
     val dir = freshDir()
     val base = spark.range(0, 8000)
