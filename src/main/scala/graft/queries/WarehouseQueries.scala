@@ -129,6 +129,45 @@ object WarehouseQueries {
         |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // CSV source/sink round-trip: write a typed subset as CSV (header,
+    // explicit null token), read it back with an explicit schema, and
+    // hash-match the original content — Java's double toString/parse
+    // is exact round-trip, so even c_acctbal survives bit-for-bit.
+    "q4L_csv_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val src = Tables.table(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        val path = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-fmt/${new java.io.File(dir).getName}/customer_csv").getAbsolutePath
+        src.write.mode("overwrite")
+          .option("header", "true").option("nullValue", "\\N")
+          .csv(path)
+        s.read.schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE")
+          .option("header", "true").option("nullValue", "\\N")
+          .csv(path)
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // JSON-lines round-trip (the interchange format LLM corpora
+    // actually ship as): write orders as JSONL, read back schema'd.
+    "q4M_jsonl_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val src = Tables.table(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val path = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-fmt/${new java.io.File(dir).getName}/orders_jsonl").getAbsolutePath
+        src.write.mode("overwrite").json(path)
+        s.read.schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+          .json(path)
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     // Ranking-window breadth (W-family completeness): ntile /
     // percent_rank / cume_dist / dense_rank over one partition spec —
     // one exchange, one sort, four codegen'd window functions.
