@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   * neighborhood turns the fuzzy predicate into a plain EQUI-join on a
   * variant key, so the plan is explode → hash join → exact-distance
   * filter: candidates are bounded by variant-bucket collisions and the
-  * corpus is NEVER all-pairs self-joined.
+  * corpus is NEVER all-pairs self-joined. Optional `blockCols` join
+  * equality keys alongside the variant (classic blocked record
+  * linkage): candidates must also agree on the block, which both
+  * shrinks buckets and composes entity resolution per domain.
   *
   * Shape at scale: each side shuffles |s|+1 slim (variant, id) rows
   * per string; the exact `levenshtein` re-check runs only on bucket
@@ -31,8 +34,9 @@ object FuzzyJoin {
           s.substr(k + 1, length(s) - k))))
 
   private def explodeSide(df: DataFrame, textCol: String, idCol: String,
-                          prefix: String): DataFrame =
-    df.select(col(idCol).as(s"${prefix}_id"), col(textCol).as(s"${prefix}_text"))
+                          prefix: String, blockCols: Seq[String]): DataFrame =
+    df.select((col(idCol).as(s"${prefix}_id") +: col(textCol).as(s"${prefix}_text") +:
+        blockCols.map(col)): _*)
       .withColumn("__v", explode(array_distinct(deletionVariants(col(s"${prefix}_text")))))
 
   /** All (left_id, right_id, dist) pairs whose texts are within
@@ -43,10 +47,11 @@ object FuzzyJoin {
     * triples instead of both text payloads — at corpus scale the
     * shuffle, not the comparison, is the cost. */
   def editDistance1Join(left: DataFrame, right: DataFrame,
-                        textCol: String, idCol: String): DataFrame = {
-    val lv = explodeSide(left, textCol, idCol, "left")
-    val rv = explodeSide(right, textCol, idCol, "right")
-    lv.join(rv, "__v")
+                        textCol: String, idCol: String,
+                        blockCols: Seq[String] = Nil): DataFrame = {
+    val lv = explodeSide(left, textCol, idCol, "left", blockCols)
+    val rv = explodeSide(right, textCol, idCol, "right", blockCols)
+    lv.join(rv, "__v" +: blockCols)
       .filter(levenshtein(col("left_text"), col("right_text")) <= 1)
       .select(col("left_id"), col("right_id"),
         levenshtein(col("left_text"), col("right_text")).cast("long").as("dist"))
@@ -57,10 +62,11 @@ object FuzzyJoin {
     * (each pair reported once, `left_id < right_id`). The asymmetric
     * filter halves the candidate stream BEFORE the exact check and the
     * dedup exchange. */
-  def selfPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val lv = explodeSide(df, textCol, idCol, "left")
-    val rv = explodeSide(df, textCol, idCol, "right")
-    lv.join(rv, "__v")
+  def selfPairs(df: DataFrame, textCol: String, idCol: String,
+                blockCols: Seq[String] = Nil): DataFrame = {
+    val lv = explodeSide(df, textCol, idCol, "left", blockCols)
+    val rv = explodeSide(df, textCol, idCol, "right", blockCols)
+    lv.join(rv, "__v" +: blockCols)
       .filter(col("left_id") < col("right_id"))
       .filter(levenshtein(col("left_text"), col("right_text")) <= 1)
       .select(col("left_id"), col("right_id"),

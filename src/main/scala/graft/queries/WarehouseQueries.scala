@@ -129,6 +129,45 @@ object WarehouseQueries {
         |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Entity resolution end-to-end: nation-blocked fuzzy name matching
+    // feeds connected components; every customer gets a canonical
+    // entity id (min member id of its match cluster, itself when
+    // unmatched). The pair graph is the blocked deletion-neighborhood
+    // join — never all-pairs — and the oracle closes the same graph
+    // with a recursive CTE.
+    "q4N_entity_resolution" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.computeTable(s, dir, "customer")
+        val pairs = FuzzyJoin.selfPairs(cust, textCol = "c_name",
+          idCol = "c_custkey", blockCols = Seq("c_nationkey"))
+        val clusters = graft.operators.DedupClusters.resolve(
+          pairs, "left_id", "right_id", maxIter = 50)
+        cust.select(col("c_custkey"), col("c_nationkey"))
+          .join(clusters.select(col("doc_id").as("c_custkey"),
+            col("cluster_keeper")), Seq("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_nationkey"),
+            coalesce(col("cluster_keeper"), col("c_custkey")).as("entity_id"))
+          .orderBy("c_custkey")
+      },
+      """WITH RECURSIVE g AS (
+        |  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND a.c_nationkey = b.c_nationkey
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
+        |edges AS (
+        |  SELECT pa AS src, pb AS dst FROM g
+        |  UNION ALL SELECT pb, pa FROM g),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+        |cl AS (SELECT node, min(r) AS k FROM reach GROUP BY node)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |       coalesce(cl.k, c.c_custkey) AS entity_id
+        |FROM customer c LEFT JOIN cl ON c.c_custkey = cl.node
+        |ORDER BY c.c_custkey""".stripMargin),
+
     // CSV source/sink round-trip: write a typed subset as CSV (header,
     // explicit null token), read it back with an explicit schema, and
     // hash-match the original content — Java's double toString/parse

@@ -71,6 +71,19 @@ class WarehouseSpec extends SparkTestBase {
       s"fuzzy join fell back to all-pairs:\n$plan")
   }
 
+  test("fuzzy join blocking keys restrict matches to the block") {
+    val rows = Seq((1L, "abc", "x"), (2L, "abd", "x"),
+      (3L, "abe", "y"), (4L, "abf", "y"), (5L, "abc", "y"))
+      .toDF("id", "name", "blk")
+    val blocked = FuzzyJoin.selfPairs(rows, "name", "id", blockCols = Seq("blk"))
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // within x: (1,2); within y: (3,4),(3,5),(4,5); never across blocks
+    assert(blocked == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    val unblocked = FuzzyJoin.selfPairs(rows, "name", "id")
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(unblocked.contains((1L, 5L)) && unblocked.size > blocked.size)
+  }
+
   test("expectations: single-pass report with known violation counts") {
     val df = Seq(
       (1L, Some(10.0), "O"), (2L, Some(-5.0), "F"), (3L, None, "O"),
