@@ -67,6 +67,13 @@ object DedupClusters {
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      // NOTE pointer doubling (joining `stepped` against itself to also
+      // adopt the label of one's label, for O(log diameter) rounds) was
+      // measured and REJECTED here: the un-checkpointed self-join makes
+      // the driver spin in Catalyst plan-statistics BigInteger
+      // arithmetic (jstack: main thread 600+ s inside
+      // BigInteger.multiplyToomCook3) — planning cost, not compute.
+      // See PLANS.md "Pointer doubling in CC".
       val (cp, s) = checkpointWithSum(
         labels.join(nmin, Seq("id"), "left")
           .select(col("id"),
