@@ -47,6 +47,49 @@ object WarehouseQueries {
         |FROM g WINDOW wk AS (PARTITION BY o_custkey ORDER BY version_seq)
         |ORDER BY o_custkey, version_seq""".stripMargin),
 
+    // Incremental SCD2 maintenance: build history on pre-cutoff orders,
+    // fold the post-cutoff batch in via weighted pseudo-rows (no
+    // original log needed). The oracle is the FULL-log rebuild — the
+    // hash match proves incremental == recompute.
+    "q4O_scd2_apply" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables.computeTable(s, dir, "orders")
+        val cutoff = lit("1997-01-01").cast("timestamp")
+        val hist = Scd2.history(orders.filter(col("o_orderdate") < cutoff),
+          keyCols = Seq("o_custkey"), orderCol = "o_orderdate",
+          tieCol = "o_orderkey", attrCols = Seq("o_orderstatus"))
+        Scd2.applyBatch(hist,
+            orders.filter(col("o_orderdate") >= cutoff)
+              .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+            keyCols = Seq("o_custkey"), orderCol = "o_orderdate",
+            tieCol = "o_orderkey", attrCols = Seq("o_orderstatus"))
+          .select("o_custkey", "version_seq", "valid_from", "valid_to",
+            "o_orderstatus", "n_rows", "is_current")
+          .orderBy("o_custkey", "version_seq")
+      },
+      """WITH m AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |r AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_seq
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, version_seq, min(o_orderdate) AS valid_from,
+        |         min(o_orderstatus) AS o_orderstatus, count(*) AS n_rows
+        |  FROM r GROUP BY 1, 2)
+        |SELECT o_custkey, version_seq, valid_from,
+        |       lead(valid_from) OVER wk AS valid_to,
+        |       o_orderstatus, n_rows,
+        |       lead(valid_from) OVER wk IS NULL AS is_current
+        |FROM g WINDOW wk AS (PARTITION BY o_custkey ORDER BY version_seq)
+        |ORDER BY o_custkey, version_seq""".stripMargin),
+
     // Fuzzy self-linkage on customer names: deletion-neighborhood
     // blocking turns Levenshtein<=1 into an equi-join; the oracle
     // brute-forces the same predicate (fine at oracle SF, quadratic —

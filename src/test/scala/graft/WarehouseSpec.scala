@@ -55,6 +55,41 @@ class WarehouseSpec extends SparkTestBase {
     }
   }
 
+  test("scd2 applyBatch: merges across the cutoff, handles new keys") {
+    val old = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (2L, 10L, 3L, "X")).toDF("k", "ord", "seq", "status")
+    val hist = Scd2.history(old, Seq("k"), "ord", "seq", Seq("status"))
+    val batch = Seq(
+      (1L, 30L, 4L, "B"), // same status as current -> absorbs into run
+      (1L, 40L, 5L, "C"), // change -> new interval
+      (3L, 30L, 6L, "Z")  // brand-new key
+    ).toDF("k", "ord", "seq", "status")
+    val out = Scd2.applyBatch(hist, batch, Seq("k"), "ord", "seq", Seq("status"))
+      .orderBy("k", "version_seq")
+      .select("k", "version_seq", "valid_from", "valid_to", "status",
+        "n_rows", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4),
+        r.getLong(5), r.getBoolean(6)))
+      .toSeq
+    // identical to a full rebuild over old ++ batch
+    val full = Scd2.history(old.unionByName(batch), Seq("k"), "ord", "seq",
+        Seq("status"))
+      .orderBy("k", "version_seq")
+      .select("k", "version_seq", "valid_from", "valid_to", "status",
+        "n_rows", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4),
+        r.getLong(5), r.getBoolean(6)))
+      .toSeq
+    assert(out == full)
+    // spot-check the absorbed run: B spans rows 2 (old) + 1 (batch)
+    assert(out.contains((1L, 2L, 20L, Some(40L), "B", 2L, false)))
+    assert(out.contains((3L, 1L, 30L, None, "Z", 1L, true)))
+  }
+
   test("fuzzy join finds exactly the distance<=1 pairs, no cartesian in plan") {
     val names = Seq((1L, "kitten"), (2L, "sitten"), // substitution
       (3L, "kitte"),  // deletion of #1
