@@ -60,4 +60,29 @@ object Profiler {
       .select("bin", "bin_lo", "n")
       .orderBy("bin")
   }
+
+  /** Z-score anomaly flags per group: rows whose value sits more than
+    * `sigma` standard deviations from their group's mean. Moments come
+    * from EXACT decimal sums (order-independent, so partial
+    * aggregation cannot perturb them) divided in doubles — var_samp's
+    * float partial sums would make flags depend on partitioning; this
+    * form is bit-reproducible on any engine. The per-group stats frame
+    * is tiny and broadcast back, so flagging is one scan, one
+    * aggregate, one map-side join.
+    * Output: (idCol, groupCols*, valueCol, z). */
+  def anomalyFlags(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   idCol: String, sigma: Double): DataFrame = {
+    val g = groupCols.map(col)
+    val stats = df.groupBy(g: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol).cast("decimal(38,12)")).cast("double").as("__s1"),
+      sum((col(valueCol) * col(valueCol)).cast("decimal(38,12)"))
+        .cast("double").as("__s2"))
+    val mean = col("__s1") / col("__n")
+    val z = (col(valueCol) - mean) /
+      sqrt(col("__s2") / col("__n") - mean * mean)
+    df.join(broadcast(stats), groupCols)
+      .filter(abs(z) > sigma)
+      .select((col(idCol) +: g) :+ col(valueCol) :+ round(z, 6).as("z"): _*)
+  }
 }

@@ -223,6 +223,26 @@ object EventQueries {
         |       MAX(CASE WHEN __vr = round(0.50*(__n-1)) + 1 THEN value END) AS q50,
         |       MAX(CASE WHEN __vr = round(0.75*(__n-1)) + 1 THEN value END) AS q75,
         |       MAX(CASE WHEN __vr = round(0.90*(__n-1)) + 1 THEN value END) AS q90
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Z-score anomaly flags: moments from exact decimal sums (a float
+    // var_samp would flag differently depending on partitioning),
+    // stats broadcast back, flags map-side.
+    "q4P_anomaly_flags" -> QueryDef(
+      (s, dir) => graft.operators.Profiler.anomalyFlags(
+          Tables.computeTable(s, dir, "events"),
+          groupCols = Seq("event_type"), valueCol = "value",
+          idCol = "event_id", sigma = 3.0)
+        .orderBy("event_id"),
+      """WITH stat AS (
+        |  SELECT event_type, COUNT(*) AS __n,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value*value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round((e.value - s1/__n) / sqrt(s2/__n - (s1/__n)*(s1/__n)), 6) AS z
+        |FROM events e JOIN stat USING (event_type)
+        |WHERE abs((e.value - s1/__n) / sqrt(s2/__n - (s1/__n)*(s1/__n))) > 3
+        |ORDER BY event_id""".stripMargin)
   )
 }

@@ -229,7 +229,8 @@ object SnapshotTable {
     * transaction instead of a filter bolted before a blind write. */
   def writeGated(spark: SparkSession, df: DataFrame, dir: String, mode: String,
                  checks: Seq[graft.operators.Expectations.Check],
-                 statsCols: Seq[String] = Nil): Long = {
+                 statsCols: Seq[String] = Nil,
+                 opTag: Option[String] = None): Long = {
     val fresh = stageFiles(spark, df, dir, statsCols)
     if (fresh.nonEmpty) {
       val staged = spark.read.parquet(fresh.map(fe => s"$dir/${fe.path}"): _*)
@@ -250,7 +251,7 @@ object SnapshotTable {
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    commit(spark, dir, s"gated-$mode", carried ++ fresh)
+    commit(spark, dir, opTag.getOrElse(s"gated-$mode"), carried ++ fresh)
   }
 
   /** The table as of `version` (default: newest). */

@@ -92,6 +92,42 @@ object StreamingFlows {
       }
       .start()
 
+  /** Gated transactional sink with a dead-letter table: each
+    * micro-batch must pass the declarative expectations to commit to
+    * `dir`; a failing batch lands — whole and queryable, with the
+    * failure reason — in the `quarantine` snapshot table instead of
+    * killing the stream (corrupt upstream data becomes an operational
+    * queue, not an outage). Same effectively-exactly-once batch-id
+    * replay guard as [[startSnapshotSink]], checked against BOTH
+    * tables so a replayed bad batch does not re-quarantine. */
+  def startGatedSnapshotSink(stream: DataFrame, dir: String, quarantine: String,
+                             checkpoint: String,
+                             checks: Seq[graft.operators.Expectations.Check],
+                             statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val tag = s"stream-batch-$batchId"
+        def seen(d: String) =
+          graft.sources.SnapshotTable.history(spark, d).exists(_._2 == tag)
+        if (!seen(dir) && !seen(quarantine)) {
+          val stamped = batch.withColumn("__batch_id", lit(batchId))
+          try graft.sources.SnapshotTable.writeGated(spark, stamped, dir,
+            "append", checks, statsCols, opTag = Some(tag))
+          catch {
+            case e: IllegalStateException =>
+              graft.sources.SnapshotTable.write(spark,
+                stamped.withColumn("__reason", lit(e.getMessage)),
+                quarantine, "append", Nil, opTag = Some(tag))
+          }
+        }
+        ()
+      }
+      .start()
+
   case class BandDoc(band: Int, bandval: Long, doc_id: Long, simhash: Long,
                      event_time: java.sql.Timestamp)
   case class DupHit(doc_id: Long, dup_of: Long, hamming: Int, band: Int)

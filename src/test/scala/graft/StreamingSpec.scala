@@ -90,6 +90,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("gated snapshot sink quarantines a bad batch, commits the good ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Expectations
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate-sink").toString
+    val quar = java.nio.file.Files.createTempDirectory("graft-gate-quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingFlows.startGatedSnapshotSink(
+      in.toDF().toDF("id", "value"), dir, quar, ckpt,
+      checks = Seq(Expectations.inRange("value", 0.0, 100.0)))
+    try {
+      in.addData((1L, 1.0), (2L, 2.0)) // good
+      q.processAllAvailable()
+      in.addData((3L, 9999.0), (4L, 4.0)) // batch poisoned by one row
+      q.processAllAvailable()
+      in.addData((5L, 5.0)) // good again — stream survived the bad batch
+      q.processAllAvailable()
+      assert(SnapshotTable.scan(spark, dir)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+      val quarantined = SnapshotTable.scan(spark, quar)
+      assert(quarantined.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+      assert(quarantined.select("__reason").distinct().as[String].head()
+        .contains("in_range:value"))
+      // the dead-letter rows carry their batch id for reprocessing
+      assert(quarantined.select("__batch_id").distinct().as[Long].head() == 1L)
+    } finally q.stop()
+  }
+
   test("simhashNearDups emits a near-dup pair once, skips distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
