@@ -293,7 +293,7 @@ object SnapshotTable {
     * back to the driver (bounded by #files). Update keys hitting no
     * existing file's range are inserts and land in the new files. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
-            statsCols: Seq[String] = Nil): Long = {
+            statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long = {
     import spark.implicits._
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot merge into empty table $dir"))
@@ -325,7 +325,7 @@ object SnapshotTable {
         when(col("__isu").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
     }
     val fresh = stageFiles(spark, merged, dir, statsCols)
-    commit(spark, dir, "merge", carry ++ fresh)
+    commit(spark, dir, opTag.getOrElse("merge"), carry ++ fresh)
   }
 
   /** DELETE WHERE: copy-on-write at FILE granularity. Touch detection

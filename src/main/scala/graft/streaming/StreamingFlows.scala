@@ -128,6 +128,37 @@ object StreamingFlows {
       }
       .start()
 
+  /** CDC-apply sink: upsert each micro-batch into a snapshot table by
+    * key (whole-row replace, file-granular copy-on-write MERGE). The
+    * batch first collapses to one row per key — newest by `orderCol`,
+    * `tieCol` breaking exact ties — because a CDC batch may carry
+    * several updates for the same key and MERGE semantics need the
+    * final image. First batch bootstraps the table. Same batch-id
+    * replay guard as the other snapshot sinks. */
+  def startMergeSink(stream: DataFrame, dir: String, keyCol: String,
+                     orderCol: String, tieCol: String, checkpoint: String,
+                     statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val tag = s"stream-batch-$batchId"
+        if (!graft.sources.SnapshotTable.history(spark, dir).exists(_._2 == tag)) {
+          val latest = graft.operators.Dedupe.keepLatest(batch, Seq(keyCol),
+            orderCol, tiebreakers = Seq(col(tieCol).desc))
+          if (graft.sources.SnapshotTable.latestVersion(spark, dir).isEmpty)
+            graft.sources.SnapshotTable.write(spark, latest, dir, "overwrite",
+              statsCols, opTag = Some(tag))
+          else
+            graft.sources.SnapshotTable.merge(spark, dir, latest, keyCol,
+              statsCols, opTag = Some(tag))
+        }
+        ()
+      }
+      .start()
+
   case class BandDoc(band: Int, bandval: Long, doc_id: Long, simhash: Long,
                      event_time: java.sql.Timestamp)
   case class DupHit(doc_id: Long, dup_of: Long, hamming: Int, band: Int)

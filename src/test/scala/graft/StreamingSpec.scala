@@ -119,6 +119,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("merge sink applies CDC batches: latest image per key wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.SnapshotTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val in = MemoryStream[(Long, Double, Long)]
+    val q = StreamingFlows.startMergeSink(
+      in.toDF().toDF("id", "value", "seq"), dir,
+      keyCol = "id", orderCol = "seq", tieCol = "id", ckpt, Seq("id"))
+    try {
+      in.addData((1L, 10.0, 1L), (2L, 20.0, 2L))
+      q.processAllAvailable()
+      // one batch carrying two updates for id=1: seq 4 must win
+      in.addData((1L, 11.0, 3L), (1L, 12.0, 4L), (3L, 30.0, 5L))
+      q.processAllAvailable()
+      val rows = SnapshotTable.scan(spark, dir)
+        .select("id", "value").as[(Long, Double)].collect().toMap
+      assert(rows == Map(1L -> 12.0, 2L -> 20.0, 3L -> 30.0))
+      val hist = SnapshotTable.history(spark, dir)
+      assert(hist.map(_._2) == Seq("stream-batch-0", "stream-batch-1"))
+      // time travel: before the CDC batch, id=1 still held 10.0
+      assert(SnapshotTable.scan(spark, dir, Some(1L))
+        .filter($"id" === 1L).select("value").as[Double].head() == 10.0)
+    } finally q.stop()
+  }
+
   test("simhashNearDups emits a near-dup pair once, skips distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

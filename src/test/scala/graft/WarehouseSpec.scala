@@ -90,6 +90,30 @@ class WarehouseSpec extends SparkTestBase {
     assert(out.contains((3L, 1L, 30L, None, "Z", 1L, true)))
   }
 
+  test("scd2 applyBatch == full rebuild on randomized logs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "version_seq", "valid_from", "valid_to", "status",
+          "n_rows", "is_current")
+        .orderBy("k", "version_seq").collect().toSeq
+    for (_ <- 1 to 10) {
+      val n = 5 + rnd.nextInt(20)
+      val rows = (1 to n).map { i =>
+        (rnd.nextInt(4).toLong, (1 + rnd.nextInt(15)).toLong, i.toLong,
+          s"S${rnd.nextInt(3)}")
+      }
+      val cutoff = 1 + rnd.nextInt(16)
+      val df = rows.toDF("k", "ord", "seq", "status")
+      val hist = Scd2.history(df.filter($"ord" < cutoff),
+        Seq("k"), "ord", "seq", Seq("status"))
+      val inc = Scd2.applyBatch(hist, df.filter($"ord" >= cutoff),
+        Seq("k"), "ord", "seq", Seq("status"))
+      val full = Scd2.history(df, Seq("k"), "ord", "seq", Seq("status"))
+      assert(collect(inc) == collect(full),
+        s"divergence at cutoff=$cutoff rows=$rows")
+    }
+  }
+
   test("fuzzy join finds exactly the distance<=1 pairs, no cartesian in plan") {
     val names = Seq((1L, "kitten"), (2L, "sitten"), // substitution
       (3L, "kitte"),  // deletion of #1
