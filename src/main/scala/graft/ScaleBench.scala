@@ -34,7 +34,7 @@ object ScaleBench {
   private val AnnQueries =
     Seq("q2B_ann_multitable", "q2C_ann_ivf", "q4I_pq_topk", "q4K_ann_ivfpq")
 
-  private val FuzzyQueries = Seq("q4E_fuzzy_join")
+  private val FuzzyQueries = Seq("q4E_fuzzy_join", "q4N_entity_resolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

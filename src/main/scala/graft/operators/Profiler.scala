@@ -61,6 +61,26 @@ object Profiler {
       .orderBy("bin")
   }
 
+  /** Join-key skew report: the `topK` heaviest keys with their share of
+    * all rows — the diagnosis that decides WHEN the salted join
+    * ([[SkewJoin]]) or AQE skew handling is worth its overhead. One
+    * partial+final count aggregate; the global top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * row total rides a broadcast scalar. Deterministic: ties rank by
+    * key. Output: (keyCols*, n, share). */
+  def skewReport(df: DataFrame, keyCols: Seq[String], topK: Int): DataFrame = {
+    val g = keyCols.map(col)
+    val counts = df.groupBy(g: _*).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts
+      .orderBy(col("n").desc +: g.map(_.asc): _*)
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      .select((g :+ col("n") :+
+        (col("n").cast("double") / col("__total")).as("share")): _*)
+      .orderBy(col("n").desc +: g.map(_.asc): _*)
+  }
+
   /** Z-score anomaly flags per group: rows whose value sits more than
     * `sigma` standard deviations from their group's mean. Moments come
     * from EXACT decimal sums (order-independent, so partial

@@ -742,6 +742,18 @@ object ParityQueries {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
 
+    // Join-key skew report: the 10 heaviest l_suppkey values and their
+    // row share — the diagnosis behind the q34 salted join. Global
+    // top-k is a TakeOrderedAndProject, never a full sort.
+    "q4Q_skew_report" -> QueryDef(
+      (s, dir) => graft.operators.Profiler.skewReport(
+          tc(s, dir, "lineitem"), Seq("l_suppkey"), topK = 10),
+      """WITH c AS (
+        |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM lineitem)
+        |SELECT l_suppkey, n, CAST(n AS DOUBLE) / total AS share
+        |FROM c, t ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin),
+
     // Equi-width histogram of order totals: 10 bins over [0, 600000),
     // out-of-range clamped to edge bins. The bin width and per-row
     // floor are plain IEEE arithmetic, identical in both engines.
