@@ -59,4 +59,34 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** Hourly resample with gap filling: build each group's complete
+    * hour grid between its first and last event (a distributed
+    * `sequence` explode — the grid is generated inside the plan, per
+    * group, never on the driver), left-join the observed aggregates,
+    * zero-fill the empty hours, and forward-fill the last observed
+    * sum (`last(..., ignoreNulls)` running window). Time-series
+    * feature pipelines need the dense grid; naive groupBy silently
+    * skips empty buckets. One shuffle keyed by the group serves the
+    * aggregate, the grid join, and the forward-fill window.
+    * Output: (groupCol, hour, n, sum_value, carried_sum). */
+  def gapFillHourly(events: DataFrame, groupCol: String,
+                    valueCol: String = "value", tsCol: String = "ts"): DataFrame = {
+    val hourly = events
+      .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("__sv"))
+    val grid = hourly.groupBy(col(groupCol))
+      .agg(min(col("hour")).as("__lo"), max(col("hour")).as("__hi"))
+      .select(col(groupCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 hour"))).as("hour"))
+    val wff = Window.partitionBy(col(groupCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(groupCol, "hour"), "left")
+      .select(col(groupCol), col("hour"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__sv"), lit(0.0)).as("sum_value"),
+        last(col("__sv"), ignoreNulls = true).over(wff).as("carried_sum"))
+  }
 }

@@ -225,6 +225,34 @@ object EventQueries {
         |       MAX(CASE WHEN __vr = round(0.90*(__n-1)) + 1 THEN value END) AS q90
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Hourly resample + gap fill: every hour between a type's first and
+    // last event exists in the output — empty hours zero-filled, the
+    // last observed hourly sum forward-filled. The grid is a
+    // distributed sequence explode, never driver-side.
+    "q4R_gap_fill" -> QueryDef(
+      (s, dir) => Sessionize.gapFillHourly(
+          Tables.computeTable(s, dir, "events"), groupCol = "event_type")
+        .orderBy("event_type", "hour"),
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(hour) AS lo, max(hour) AS hi
+        |  FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |j AS (
+        |  SELECT g.event_type, g.hour, h.n, h.sv
+        |  FROM grid g LEFT JOIN hourly h USING (event_type, hour))
+        |SELECT event_type, hour,
+        |       coalesce(n, 0) AS n, coalesce(sv, 0.0) AS sum_value,
+        |       last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type
+        |         ORDER BY hour ROWS UNBOUNDED PRECEDING) AS carried_sum
+        |FROM j ORDER BY event_type, hour""".stripMargin),
+
     // Z-score anomaly flags: moments from exact decimal sums (a float
     // var_samp would flag differently depending on partitioning),
     // stats broadcast back, flags map-side.
