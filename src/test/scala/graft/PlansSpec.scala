@@ -57,6 +57,21 @@ class PlansSpec extends SparkTestBase {
     }
   }
 
+  test("PQ paths score through codegen'd kernels, no interpreted HOFs") {
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q4I_pq_topk", "q4K_ann_ivfpq")) {
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      val plan = qe.optimizedPlan
+      val hofs = plan.collect { case p => p.expressions.flatMap(_.collect {
+        case h: HigherOrderFunction => h }) }.flatten
+      assert(hofs.isEmpty, s"$name evaluates interpreted HOFs: $hofs")
+      val s = plan.toString
+      assert(s.contains("graft_pq_lut") && s.contains("graft_pq_adc_sum"),
+        s"$name lost its PQ kernels:\n$s")
+    }
+  }
+
   test("q40 flagship plan shape: broadcast joins only, bounded exchanges") {
     // The 5-way synthesis join must stay broadcast (dims are small at
     // any SF because competitor frames derive from filtered slices) and
