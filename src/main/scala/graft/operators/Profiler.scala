@@ -99,10 +99,14 @@ object Profiler {
       sum((col(valueCol) * col(valueCol)).cast("decimal(38,12)"))
         .cast("double").as("__s2"))
     val mean = col("__s1") / col("__n")
-    val z = (col(valueCol) - mean) /
-      sqrt(col("__s2") / col("__n") - mean * mean)
+    val variance = col("__s2") / col("__n") - mean * mean
+    val z = (col(valueCol) - mean) / sqrt(variance)
+    // zero-variance groups flag nothing BY CONSTRUCTION (every value is
+    // the mean); without the guard Spark's x/0.0 = Infinity would flag
+    // every row while engines returning NULL on /0 (DuckDB) drop them —
+    // a cross-engine divergence on the degenerate edge.
     df.join(broadcast(stats), groupCols)
-      .filter(abs(z) > sigma)
+      .filter(variance > 0 && abs(z) > sigma)
       .select((col(idCol) +: g) :+ col(valueCol) :+ round(z, 6).as("z"): _*)
   }
 }
