@@ -34,6 +34,13 @@ object Expectations {
   def matches(c: String, regex: String): Check =
     Check(s"matches:$c", !col(c).rlike(regex) || col(c).isNull)
 
+  /** Row filter form: keep only rows violating NO check — the gate a
+    * pipeline applies inline when bad rows should drop rather than
+    * abort the load (the report/writeGated forms are for when they
+    * should). Pure map-side predicate, composes into any plan. */
+  def filterValid(df: DataFrame, checks: Seq[Check]): DataFrame =
+    df.filter(!checks.map(_.violated).reduce(_ || _))
+
   private def reportRows(df: DataFrame, pairs: Seq[(String, Column)]): DataFrame = {
     val aggs = count(lit(1)).as("__total") +:
       pairs.zipWithIndex.map { case ((_, v), i) => v.as(s"__v$i") }

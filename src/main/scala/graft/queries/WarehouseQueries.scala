@@ -172,6 +172,61 @@ object WarehouseQueries {
         |       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS k_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Warehouse flagship composite: DQ row gate -> SCD2 history ->
+    // current intervals -> broadcast dim join -> rollup, ONE lazy plan
+    // (the gate and join are map-side; the SCD2 exchange is the plan's
+    // only wide dependency).
+    "q4S_warehouse_pipeline" -> QueryDef(
+      (s, dir) => {
+        val orders = Tables.computeTable(s, dir, "orders")
+        val customer = Tables.computeTable(s, dir, "customer")
+        val clean = Expectations.filterValid(orders, Seq(
+          Expectations.inRange("o_totalprice", 0.0, 400000.0),
+          Expectations.inSet("o_orderstatus", Seq("O", "F"))))
+        Scd2.history(clean, keyCols = Seq("o_custkey"),
+            orderCol = "o_orderdate", tieCol = "o_orderkey",
+            attrCols = Seq("o_orderstatus"))
+          .filter(col("is_current"))
+          .join(broadcast(customer.select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment"))), "o_custkey")
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(count(lit(1)).as("n_customers"), sum("n_rows").as("n_orders"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      },
+      """WITH clean AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND o_totalprice BETWEEN 0 AND 400000
+        |    AND o_orderstatus IN ('O', 'F')),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |                   OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |                 THEN 1 ELSE 0 END AS nw
+        |  FROM clean
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |r AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_seq
+        |  FROM m),
+        |g AS (
+        |  SELECT o_custkey, version_seq,
+        |         min(o_orderdate) AS valid_from,
+        |         min(o_orderstatus) AS o_orderstatus, count(*) AS n_rows
+        |  FROM r GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT * FROM (
+        |    SELECT g.*, lead(valid_from) OVER (PARTITION BY o_custkey
+        |             ORDER BY version_seq) AS valid_to
+        |    FROM g) __t
+        |  WHERE valid_to IS NULL)
+        |SELECT c.c_mktsegment, cur.o_orderstatus,
+        |       count(*) AS n_customers,
+        |       CAST(SUM(cur.n_rows) AS BIGINT) AS n_orders
+        |FROM cur JOIN customer c ON cur.o_custkey = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderstatus""".stripMargin),
+
     // Entity resolution end-to-end: nation-blocked fuzzy name matching
     // feeds connected components; every customer gets a canonical
     // entity id (min member id of its match cluster, itself when
