@@ -271,6 +271,47 @@ object EventQueries {
         |       round((e.value - s1/__n) / sqrt(s2/__n - (s1/__n)*(s1/__n)), 6) AS z
         |FROM events e JOIN stat USING (event_type)
         |WHERE abs((e.value - s1/__n) / sqrt(s2/__n - (s1/__n)*(s1/__n))) > 3
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // Ordered funnel: per user, how far through view -> click ->
+    // purchase, each stage strictly after the earliest completion of
+    // the previous one. Single exchange, chained conditional-min
+    // windows; stage timestamps compared as epoch micros.
+    "q4W_funnel" -> QueryDef(
+      (s, dir) => graft.operators.Funnel.funnelStages(
+          Tables.computeTable(s, dir, "events"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          unix_micros(col("ts_view")).as("view_us"),
+          unix_micros(col("ts_click")).as("click_us"),
+          unix_micros(col("ts_purchase")).as("purchase_us"),
+          col("funnel_stage"))
+        .orderBy("user_id"),
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |              OVER (PARTITION BY user_id) AS view_us
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > view_us
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS click_us
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > click_us
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS purchase_us
+        |  FROM s2),
+        |f AS (
+        |  SELECT user_id, min(view_us) AS view_us, min(click_us) AS click_us,
+        |         min(purchase_us) AS purchase_us
+        |  FROM s3 GROUP BY user_id)
+        |SELECT user_id, view_us, click_us, purchase_us,
+        |       CAST(CASE WHEN view_us IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END
+        |            AS INTEGER) AS funnel_stage
+        |FROM f ORDER BY user_id""".stripMargin)
   )
 }

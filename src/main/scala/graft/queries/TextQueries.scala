@@ -766,6 +766,72 @@ object TextQueries {
          |SELECT lang, COUNT(*) AS n_rows_out,
          |       COUNT(DISTINCT doc_id) AS n_docs,
          |       CAST(SUM(doc_id * (copy_id + 1)) AS BIGINT) AS copy_checksum
-         |FROM x GROUP BY lang ORDER BY lang""".stripMargin)
+         |FROM x GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Vocabulary heavy hitters: exact counts of every bigram occurring
+    // >= 40 times, found via a count-min-sketch pre-filter so the
+    // exact groupBy only shuffles candidate terms (the CMS never
+    // under-counts, so the exact HAVING sees every true heavy hitter).
+    // The oracle is plain exact counting — the sketch must be
+    // semantically invisible.
+    "q4T_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        val pairs = graft.operators.NgramModel.bigramPairs(
+          Tables.computeTable(s, dir, "documents"), "text")
+          .select(concat_ws(" ", col("w1"), col("w2")).as("term"))
+        graft.operators.HeavyHitters.exactOverThreshold(pairs, "term",
+            threshold = 40)
+          .orderBy(col("n").desc, col("term"))
+      },
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT tk[i] || ' ' || tk[i + 1] AS term
+        |  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+        |  WHERE len(tk) >= 2)
+        |SELECT term, COUNT(*) AS n FROM pairs GROUP BY term
+        |HAVING COUNT(*) >= 40 ORDER BY n DESC, term""".stripMargin),
+
+    // Bigram language-model table: top-3 continuations per predecessor
+    // with exact counts and the continuation probability (a ratio of
+    // two exact integer counts — bit-exact in any engine).
+    "q4U_bigram_lm" -> QueryDef(
+      (s, dir) => graft.operators.NgramModel.bigramTopK(
+          Tables.computeTable(s, dir, "documents"), "text", k = 3)
+        .orderBy("w1", "rank"),
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+        |  WHERE len(tk) >= 2),
+        |counts AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT w1, w2, n,
+        |         CAST(n AS DOUBLE)
+        |           / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE) AS p,
+        |         row_number() OVER (PARTITION BY w1
+        |                            ORDER BY n DESC, w2) AS rank
+        |  FROM counts)
+        |SELECT w1, w2, n, p, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY w1, rank""".stripMargin),
+
+    // Inverted-index keyword search: documents containing ALL probe
+    // terms. Postings are filtered to the probe set before any shuffle;
+    // the AND is a count-distinct-equals-probes per doc.
+    "q4V_keyword_search" -> QueryDef(
+      (s, dir) => graft.operators.InvertedIndex.searchAll(
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text",
+          Seq("vector", "merge", "slow"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"),
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, string_split_regex(trim(text), '\s+') AS tk
+        |      FROM documents)
+        |WHERE list_contains(tk, 'vector') AND list_contains(tk, 'merge')
+        |  AND list_contains(tk, 'slow')
+        |ORDER BY doc_id""".stripMargin)
   )
 }

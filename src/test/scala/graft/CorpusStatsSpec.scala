@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Funnel, HeavyHitters, InvertedIndex, NgramModel}
+
+/** Round-6 corpus-statistics operators: CMS-prefiltered heavy hitters,
+  * bigram LM table, inverted-index search, event funnel. */
+class CorpusStatsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("heavy hitters exactly match a naive groupBy at any sketch width") {
+    // skewed universe: term t_i appears i times, i in 1..60
+    val occurrences = (1 to 60).flatMap(i => Seq.fill(i)(s"t$i")).toDF("term")
+    val naive = occurrences.groupBy("term").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 30).as[(String, Long)].collect().toSet
+    assert(naive.size == 31)
+    // generous width: the sketch prunes, the answer is exact
+    val wide = HeavyHitters.exactOverThreshold(occurrences, "term", 30)
+      .as[(String, Long)].collect().toSet
+    assert(wide == naive)
+    // adversarially tiny width: every cell collides, the sketch passes
+    // everything through — result must STILL be exact (CMS never
+    // under-counts, the exact recount trims the false positives)
+    val tiny = HeavyHitters.exactOverThreshold(occurrences, "term", 30,
+      depth = 2, width = 2)
+    assert(tiny.as[(String, Long)].collect().toSet == naive)
+  }
+
+  test("heavy hitters: result is partitioning-invariant") {
+    val occ = (1 to 40).flatMap(i => Seq.fill(i)(s"w$i")).toDF("term")
+    val a = HeavyHitters.exactOverThreshold(occ, "term", 20)
+    val b = HeavyHitters.exactOverThreshold(occ.repartition(7), "term", 20)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("bigram top-k: counts, probabilities, deterministic tie-break") {
+    val docs = Seq("a b a b a c", "a b x", "z z z").toDF("text")
+    // pairs: (a,b)x3? doc1: a-b, b-a, a-b, b-a, a-c => ab:2 ba:2 ac:1; doc2 ab:1 bx:1; doc3 zz:2
+    val top = NgramModel.bigramTopK(docs, "text", k = 2)
+      .as[(String, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(top(("a", "b")) == ((3L, 3.0 / 4.0, 1)))
+    assert(top(("a", "c")) == ((1L, 1.0 / 4.0, 2)))
+    assert(top(("b", "a")) == ((2L, 2.0 / 3.0, 1)))
+    // tie at n=1 between (b,x) nothing... b successors: a:2, x:1
+    assert(top(("b", "x")) == ((1L, 1.0 / 3.0, 2)))
+    assert(top(("z", "z")) == ((2L, 1.0, 1)))
+    // k bound respected
+    val k1 = NgramModel.bigramTopK(docs, "text", k = 1)
+    assert(k1.groupBy("w1").count().agg(max("count")).head().getLong(0) == 1L)
+    // alphabetical tie-break: successors of 'a' with equal counts rank by w2
+    val tie = Seq("p q", "p r").toDF("text")
+    val ranked = NgramModel.bigramTopK(tie, "text", k = 2)
+      .select("w2", "rank").as[(String, Int)].collect().toMap
+    assert(ranked("q") == 1 && ranked("r") == 2)
+  }
+
+  test("inverted-index searchAll requires every probe term") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta"),
+      (3L, "beta gamma alpha alpha"), // duplicates count once
+      (4L, ""),
+      (5L, "gamma")).toDF("doc_id", "text")
+    val hits = InvertedIndex.searchAll(docs, "doc_id", "text",
+      Seq("alpha", "gamma")).select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    // single-term search degenerates to contains
+    val one = InvertedIndex.searchAll(docs, "doc_id", "text", Seq("gamma"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(one == Set(1L, 3L, 5L))
+  }
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("funnel stages require strict event-time progression") {
+    val events = Seq(
+      // u1 completes the funnel
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // u2 clicked before viewing, then purchased after the (late) view:
+      // click must NOT count, so purchase can't either
+      (2L, ts(10), "click"), (2L, ts(20), "view"), (2L, ts(30), "purchase"),
+      // u3: click at the same instant as view — strictly-after fails
+      (3L, ts(10), "view"), (3L, ts(10), "click"),
+      // u4: view only
+      (4L, ts(5), "view"),
+      // u5: no funnel events at all
+      (5L, ts(5), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelStages(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "funnel_stage").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
+    // u2's second chance: a later click resurrects the chain
+    val extra = events.union(Seq((2L, ts(40), "click"),
+      (2L, ts(50), "purchase")).toDF("user_id", "ts", "event_type"))
+    val out2 = Funnel.funnelStages(extra, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "funnel_stage").as[(Long, Int)].collect().toMap
+    assert(out2(2L) == 3)
+  }
+}
