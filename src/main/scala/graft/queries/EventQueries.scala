@@ -312,6 +312,40 @@ object EventQueries {
         |          + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
         |          + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END
         |            AS INTEGER) AS funnel_stage
-        |FROM f ORDER BY user_id""".stripMargin)
+        |FROM f ORDER BY user_id""".stripMargin),
+
+    // Triangle counting on the co-order part-affinity graph (parts
+    // appearing together in >= 2 orders). Degree-ordered orientation
+    // ("compact-forward") caps wedge fan-out at O(sqrt(m)) per node —
+    // hub-proof — and the output triple is sorted by id, so the oracle
+    // can close triangles with the plain a<b ordering.
+    "q4X_triangles" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.computeTable(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+          .select("a", "b")
+        graft.operators.Graph.triangleCounts(edges)
+          .orderBy(col("n_tri").desc, col("node"))
+      },
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ew AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS w
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |                     AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM ew WHERE w >= 2),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM t)
+        |SELECT node, COUNT(*) AS n_tri FROM n GROUP BY node
+        |ORDER BY n_tri DESC, node""".stripMargin)
   )
 }

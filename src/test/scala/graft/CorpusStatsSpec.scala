@@ -75,6 +75,38 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(one == Set(1L, 3L, 5L))
   }
 
+  test("triangle counting: exact on a known graph, orientation-invariant") {
+    // K4 on {1,2,3,4} (4 triangles) plus a pendant 4-5 and an isolated
+    // edge 6-7; edges given in mixed orientation with a duplicate
+    val raw = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (4L, 3L), (5L, 4L), (6L, 7L)).toDF("u", "v")
+    val edges = graft.operators.Graph.canonicalEdges(raw, "u", "v")
+    assert(edges.count() == 8) // K4's 6 + pendant + isolated, dup collapsed
+    val tris = graft.operators.Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // per-node participation: each K4 vertex sits in exactly 3 triangles
+    val counts = graft.operators.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counting survives a hub: star + rim closes rim-only triangles") {
+    // hub 0 connected to 1..30, rim path i-(i+1) for 1..29: triangles
+    // are exactly (0, i, i+1) — 29 of them; the hub's raw degree is 30
+    // but its oriented OUT-degree must stay small (it orients last)
+    val star = (1 to 30).map(i => (0L, i.toLong))
+    val rim = (1 to 29).map(i => (i.toLong, (i + 1).toLong))
+    val edges = graft.operators.Graph.canonicalEdges(
+      (star ++ rim).toDF("u", "v"), "u", "v")
+    val tris = graft.operators.Graph.triangles(edges)
+    assert(tris.count() == 29)
+    // hub participates in all 29, each rim endpoint in 1 or 2
+    val counts = graft.operators.Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(counts(0L) == 29L && counts(1L) == 1L && counts(15L) == 2L)
+  }
+
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
   test("funnel stages require strict event-time progression") {
