@@ -36,6 +36,16 @@ object ScaleBench {
 
   private val FuzzyQueries = Seq("q4E_fuzzy_join", "q4N_entity_resolution")
 
+  /** Corpus-stats family. q4T/q4U run on the replica-prefixed documents
+    * (terms replica-local → heavy-hitter/bigram rows grow exactly
+    * linearly). q4X runs on a SEPARATE lineitem staging with
+    * replica-shifted order keys: shifting only dates would stack the
+    * same co-order pairs factor× deep, pushing every weight-1 pair over
+    * the w>=2 support and densifying the graph — a replication
+    * artifact, not scale. Disjoint order keys give factor disjoint
+    * copies of the base graph. */
+  private val StatsQueries = Seq("q4T_heavy_hitters", "q4U_bigram_lm")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -117,6 +127,17 @@ object ScaleBench {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(custPath.toString)
     }
+    val triDir = s"$scaleDir/tri"
+    val triPath = new Path(s"$triDir/lineitem.parquet")
+    if (!fs.exists(triPath)) {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * lit(1000000000L))
+        .withColumn("l_partkey", col("l_partkey") + col("rep") * lit(1000000000L))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(triPath.toString)
+    }
     val rowsIn = spark.read.parquet(liPath.toString).count()
     val docsIn = spark.read.parquet(docPath.toString).count()
     val vecsIn = spark.read.parquet(embPath.toString).count()
@@ -140,7 +161,7 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .repartition(2).count()
     val warmDir = "/root/testdata/sf0.001"
-    (DedupQueries ++ AnnQueries ++ FuzzyQueries)
+    (DedupQueries ++ AnnQueries ++ FuzzyQueries ++ StatsQueries :+ "q4X_triangles")
       .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
 
     def time(body: => Long): (Double, Long) = {
@@ -185,11 +206,24 @@ object ScaleBench {
     val fuzzyJson = fuzzy.map { case (q, s1, r1, sF, rF) =>
       s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
     }.mkString("{", ",", "}")
+    // corpus stats at 1× then factor×; triangles against the
+    // disjoint-replica staging
+    val stats = StatsQueries.map { q =>
+      val (s1, r1) = time(SparkEntry.queries(q)(spark, sfDir).count())
+      val (sF, rF) = time(SparkEntry.queries(q)(spark, scaleDir).count())
+      (q, s1, r1, sF, rF)
+    }
+    val (tri1s, tri1r) = time(SparkEntry.queries("q4X_triangles")(spark, sfDir).count())
+    val (triFs, triFr) = time(SparkEntry.queries("q4X_triangles")(spark, triDir).count())
+    val statsJson = (stats.map { case (q, s1, r1, sF, rF) =>
+      s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
+    } :+ s""""q4X_triangles":{"sec_1x":$tri1s,"rows_1x":$tri1r,"sec_${factor}x":$triFs,"rows_${factor}x":$triFr}""")
+      .mkString("{", ",", "}")
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     println(s"""{"metric":"scale_flight_pipeline","value":$flightSec,"unit":"sec",""" +
       s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
       s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
-      s""""loadavg":$load,"sf":"$sfDir"}""")
+      s""""stats":$statsJson,"loadavg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,4 +66,42 @@ object Graph {
     triangles(edges)
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** PageRank over the undirected graph of canonical `edges`, in
+    * SCALED-INTEGER arithmetic: ranks carry `scale` fixed-point units
+    * and every step is integer multiply / truncating divide, so the
+    * result is bit-exact in any engine with 64-bit integers (float
+    * PageRank is not — parallel sum order perturbs the low bits).
+    * Damping 17/20 (= 0.85) keeps the damping step integral.
+    *
+    * Scale shape: each of the `iters` rounds is one equi-join of the
+    * directed edge list against the rank table plus one groupBy —
+    * both hash-partitioned on the node key, no driver-side state but
+    * the single node count. The plan is built lazily across rounds;
+    * at production round counts, checkpoint every few rounds exactly
+    * as `DedupClusters.resolve` does (the CC operator documents the
+    * planning-cost cliff).
+    *
+    * Undirected edges mean every node has out-degree >= 1 — no
+    * dangling-mass correction needed. */
+  def pageRankScaled(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val g = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = g.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n = deg.count() // bounded driver scalar (node count)
+    val base = (3 * scale) / (20 * n) // 0.15 * scale / n, truncated
+    var ranks = deg.select(col("src").as("node"), col("outdeg"),
+      lit(scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = g.join(ranks, g("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = deg.join(contrib, deg("src") === contrib("dst"), "left")
+        .select(col("src").as("node"), col("outdeg"),
+          (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
 }

@@ -346,6 +346,55 @@ object EventQueries {
         |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
         |n AS (SELECT unnest([x, y, z]) AS node FROM t)
         |SELECT node, COUNT(*) AS n_tri FROM n GROUP BY node
-        |ORDER BY n_tri DESC, node""".stripMargin)
+        |ORDER BY n_tri DESC, node""".stripMargin),
+
+    // PageRank on the same co-order graph, in scaled-integer arithmetic
+    // (damping 17/20, truncating division) — bit-exact in any 64-bit
+    // engine, so the oracle unrolls the same 5 iterations as CTEs.
+    "q4Y_pagerank" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.computeTable(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+          .select("a", "b")
+        graft.operators.Graph.pageRankScaled(edges, iters = 5)
+          .orderBy(col("rank_scaled").desc, col("node"))
+      },
+      {
+        val head =
+          """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            |ew AS (
+            |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS w
+            |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+            |                     AND x.l_partkey < y.l_partkey
+            |  GROUP BY 1, 2),
+            |e AS (SELECT a, b FROM ew WHERE w >= 2),
+            |g AS (SELECT a AS src, b AS dst FROM e
+            |      UNION ALL SELECT b, a FROM e),
+            |d AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY 1),
+            |nn AS (SELECT COUNT(*) AS cnt FROM d),
+            |r0 AS (SELECT src AS node, outdeg,
+            |              1000000000000 // (SELECT cnt FROM nn) AS r
+            |       FROM d)""".stripMargin
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (
+             |  SELECT d.src AS node, d.outdeg,
+             |         (3 * 1000000000000) // (20 * (SELECT cnt FROM nn))
+             |           + (17 * COALESCE(c.s, 0)) // 20 AS r
+             |  FROM d LEFT JOIN (
+             |    SELECT g.dst AS dst, SUM(p.r // p.outdeg) AS s
+             |    FROM g JOIN r${k - 1} p ON g.src = p.node
+             |    GROUP BY g.dst) c
+             |  ON d.src = c.dst)""".stripMargin
+        }
+        head + ",\n" + iters.mkString(",\n") +
+          "\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r5" +
+          "\nORDER BY rank_scaled DESC, node"
+      })
   )
 }

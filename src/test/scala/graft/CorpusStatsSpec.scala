@@ -107,6 +107,31 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(counts(0L) == 29L && counts(1L) == 1L && counts(15L) == 2L)
   }
 
+  test("scaled-integer pagerank matches hand-computed fixed-point values") {
+    // path graph 1-2-3: degs (1,2,1), N=3; scale 1200 -> r0 = 400 each,
+    // base = 3*1200/(20*3) = 60. After one iteration:
+    //   node1 <- r(2) div 2 = 200 -> 60 + (17*200) div 20 = 230
+    //   node2 <- r(1) + r(3) = 800 -> 60 + (17*800) div 20 = 740
+    //   node3 -> 230
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r1 = graft.operators.Graph.pageRankScaled(path, iters = 1, scale = 1200L)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 230L, 2L -> 740L, 3L -> 230L))
+    // symmetry: a cycle keeps every node at the uniform rank forever
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val rc = graft.operators.Graph.pageRankScaled(cycle, iters = 5,
+      scale = 1000000L).as[(Long, Long)].collect().toMap
+    assert(rc.values.toSet.size == 1)
+    // star: hub outranks leaves, result partitioning-invariant
+    val star = (2L to 9L).map(i => (1L, i)).toDF("a", "b")
+    val rs = graft.operators.Graph.pageRankScaled(star, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rs(1L) > rs(2L) && (2L to 9L).map(rs).toSet.size == 1)
+    val rs2 = graft.operators.Graph.pageRankScaled(star.repartition(5), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rs == rs2)
+  }
+
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
   test("funnel stages require strict event-time progression") {
