@@ -87,8 +87,13 @@ object Graph {
   def pageRankScaled(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    // Materialize the directed edge list once: every iteration joins
+    // against it, and without the lineage cut Spark would recompute the
+    // upstream edge derivation (often itself a join) per round — the
+    // same plan-growth cliff DedupClusters.resolve documents.
     val g = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val deg = g.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val n = deg.count() // bounded driver scalar (node count)
     val base = (3 * scale) / (20 * n) // 0.15 * scale / n, truncated
