@@ -832,6 +832,34 @@ object TextQueries {
         |      FROM documents)
         |WHERE list_contains(tk, 'vector') AND list_contains(tk, 'merge')
         |  AND list_contains(tk, 'slow')
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Collocation mining: top-25 adjacent pairs by rational PMI
+    // (n_ab·N / (n_left·n_right) — monotone in PMI, exact-integer
+    // ratio). Marginals re-aggregate the pair-count table; the global
+    // top-k is TakeOrderedAndProject.
+    "q4Z_pmi_collocations" -> QueryDef(
+      (s, dir) => graft.operators.NgramModel.pmiTopK(
+        Tables.computeTable(s, dir, "documents"), "text", k = 25, minCount = 2),
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pairs AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+        |  WHERE len(tk) >= 2),
+        |counts AS (SELECT w1, w2, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_left
+        |      FROM counts GROUP BY 1),
+        |r AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_right
+        |      FROM counts GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM counts)
+        |SELECT c.w1, c.w2, c.n_ab, l.n_left, r.n_right,
+        |       CAST(c.n_ab AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |         / (CAST(l.n_left AS DOUBLE) * CAST(r.n_right AS DOUBLE))
+        |           AS pmi_ratio
+        |FROM counts c JOIN l USING (w1) JOIN r USING (w2), t
+        |WHERE c.n_ab >= 2
+        |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin)
   )
 }

@@ -59,6 +59,23 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(ranked("q") == 1 && ranked("r") == 2)
   }
 
+  test("pmi top-k ranks exclusive pairs above promiscuous ones") {
+    // "x y" always co-occur exclusively (ratio N/n_ab maximal); "a b"
+    // co-occurs but a and b also pair widely, diluting the ratio
+    val docs = Seq("x y", "x y", "a b", "a b", "a c", "d b", "a e", "f b")
+      .toDF("text")
+    val top = NgramModel.pmiTopK(docs, "text", k = 3, minCount = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(top.head._1 == "x" && top.head._2 == "y")
+    // x-y: n_ab=2, n_left=2, n_right=2, N=8 -> ratio 4.0
+    assert(top.head._6 == 4.0)
+    // a-b: n_ab=2, n_left(a)=4, n_right(b)=4, N=8 -> 16/16
+    val ab = top.find(t => t._1 == "a" && t._2 == "b").get
+    assert(ab._6 == 1.0)
+    // minCount prunes the hapax pairs entirely
+    assert(top.forall(_._3 >= 2))
+  }
+
   test("inverted-index searchAll requires every probe term") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
