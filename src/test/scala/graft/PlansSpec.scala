@@ -86,6 +86,36 @@ class PlansSpec extends SparkTestBase {
     assert(exchanges <= 3, s"flagship grew to $exchanges hash exchanges")
   }
 
+  test("corpus-stats plan shapes: sketch prune map-side, group limit, one funnel exchange") {
+    val dir = "/root/testdata/sf0.001"
+    // q4T: the CMS estimate filter must sit BELOW the exact count's
+    // exchange (map-side prune) — i.e. deeper in the printed tree than
+    // the last Exchange. If it migrates above, the exact groupBy
+    // shuffles the full term universe and the sketch is pointless.
+    val hh = SparkEntry.queries("q4T_heavy_hitters")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pruneAt = hh.indexOf("least(element_at")
+    assert(pruneAt >= 0, s"CMS prune filter disappeared:\n$hh")
+    assert(pruneAt > hh.lastIndexOf("Exchange"),
+      "CMS prune is no longer below the aggregation exchange (map-side)")
+    // q4U: per-predecessor top-k must keep its partial WindowGroupLimit
+    val lm = SparkEntry.queries("q4U_bigram_lm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(lm.contains("WindowGroupLimit"), s"q4U lost WindowGroupLimit:\n$lm")
+    // q4W: one data exchange serves all three stage windows
+    val fn = SparkEntry.queries("q4W_funnel")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(fn).size
+    assert(hashEx == 1, s"funnel grew to $hashEx hash exchanges:\n$fn")
+    // q4X: the wedge join must stay an equi-join — a nested-loop or
+    // cartesian here is quadratic in edges
+    val tri = SparkEntry.queries("q4X_triangles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!tri.contains("CartesianProduct") &&
+      !tri.contains("BroadcastNestedLoopJoin"),
+      s"triangle join degenerated:\n$tri")
+  }
+
   test("CollapseIdempotentNormalize removes double normalization") {
     // non-foldable input (range, not a literal) so constant folding
     // can't erase the calls before the rule is observable
