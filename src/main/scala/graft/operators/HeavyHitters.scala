@@ -42,6 +42,16 @@ object HeavyHitters {
   private def cell(term: Column, i: Int, width: Int): Column =
     pmod(TextFunctions.polyHash(term, Bases(i), Primes(i)), lit(width)).cast("int")
 
+  /** All `depth` cell indices of `term` as an array — the shared cell
+    * derivation for the batch build here and the streaming sketch in
+    * `StreamingFlows.cmsCells` (cell sums form a commutative monoid,
+    * so batch and stream materializations agree exactly). */
+  private[graft] def cells(term: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= Bases.length,
+      s"depth must be in [1, ${Bases.length}], got $depth")
+    array((0 until depth).map(i => cell(term, i, width)): _*)
+  }
+
   /** Exact counts (`term`, `n`) of the terms occurring at least
     * `threshold` times in `terms` (one row per occurrence of
     * `termCol`). Null terms are ignored. */
@@ -56,8 +66,8 @@ object HeavyHitters {
 
     // Sketch build: depth rows per occurrence, combined map-side down to
     // <= depth × width partials per partition before the exchange.
-    val counts = t.select(posexplode(array((0 until depth).map(i =>
-        cell(col("term"), i, width)): _*)).as(Seq("i", "cell")))
+    val counts = t.select(posexplode(cells(col("term"), depth, width))
+        .as(Seq("i", "cell")))
       .groupBy("i", "cell").count()
       .collect()
     val flat = Array.fill[Long](depth * width)(0L)

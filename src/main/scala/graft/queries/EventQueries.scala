@@ -395,6 +395,76 @@ object EventQueries {
         head + ",\n" + iters.mkString(",\n") +
           "\nSELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r5" +
           "\nORDER BY rank_scaled DESC, node"
+      }),
+
+    // Graph-feature composite: degree + triangle participation +
+    // PageRank per node of the co-order graph, one feature table —
+    // the operator-interop form (edge list checkpointed once, three
+    // consumers).
+    "q50_graph_features" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.computeTable(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+          .select("a", "b")
+          .localCheckpoint() // three consumers below; derive the join once
+        val deg = edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        val tri = graft.operators.Graph.triangleCounts(edges)
+        val pr = graft.operators.Graph.pageRankScaled(edges, iters = 5)
+        deg.join(tri, Seq("node"), "left")
+          .join(pr, Seq("node"))
+          .select(col("node"), col("degree"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"), col("rank_scaled"))
+          .orderBy(col("rank_scaled").desc, col("node"))
+      },
+      {
+        val head =
+          """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            |ew AS (
+            |  SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS w
+            |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+            |                     AND x.l_partkey < y.l_partkey
+            |  GROUP BY 1, 2),
+            |e AS (SELECT a, b FROM ew WHERE w >= 2),
+            |g AS (SELECT a AS src, b AS dst FROM e
+            |      UNION ALL SELECT b, a FROM e),
+            |d AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY 1),
+            |nn AS (SELECT COUNT(*) AS cnt FROM d),
+            |t AS (
+            |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            |            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            |tn AS (SELECT unnest([x, y, z]) AS node FROM t),
+            |tc AS (SELECT node, COUNT(*) AS n_tri FROM tn GROUP BY node),
+            |r0 AS (SELECT src AS node, outdeg,
+            |              1000000000000 // (SELECT cnt FROM nn) AS r
+            |       FROM d)""".stripMargin
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (
+             |  SELECT d.src AS node, d.outdeg,
+             |         (3 * 1000000000000) // (20 * (SELECT cnt FROM nn))
+             |           + (17 * COALESCE(c.s, 0)) // 20 AS r
+             |  FROM d LEFT JOIN (
+             |    SELECT g.dst AS dst, SUM(p.r // p.outdeg) AS s
+             |    FROM g JOIN r${k - 1} p ON g.src = p.node
+             |    GROUP BY g.dst) c
+             |  ON d.src = c.dst)""".stripMargin
+        }
+        head + ",\n" + iters.mkString(",\n") +
+          """
+            |SELECT d.src AS node, CAST(d.outdeg AS BIGINT) AS degree,
+            |       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+            |       CAST(r.r AS BIGINT) AS rank_scaled
+            |FROM d LEFT JOIN tc ON d.src = tc.node
+            |       JOIN r5 r ON d.src = r.node
+            |ORDER BY rank_scaled DESC, node""".stripMargin
       })
   )
 }

@@ -293,4 +293,20 @@ object StreamingFlows {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
+
+  /** Streaming count-min sketch over a term stream: running (i, cell)
+    * counts, the stream form of `HeavyHitters`' batch build. The
+    * aggregation state is bounded at depth × width rows FOREVER — an
+    * exact per-term streaming count grows state with the distinct-term
+    * universe, which at corpus scale is unbounded. Cell sums are a
+    * commutative monoid, so the stream materialization equals the
+    * batch sketch exactly after any prefix (StreamingSpec pins this),
+    * and the sketch answers the same no-false-negative heavy-hitter
+    * prefilter queries as the batch side. */
+  def cmsCells(terms: DataFrame, termCol: String,
+               depth: Int = 4, width: Int = 4096): DataFrame =
+    terms.select(posexplode(
+        graft.operators.HeavyHitters.cells(col(termCol).cast("string"), depth, width))
+        .as(Seq("i", "cell")))
+      .groupBy("i", "cell").agg(count(lit(1)).as("n"))
 }

@@ -55,6 +55,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming CMS cells equal the batch sketch after any prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingFlows.cmsCells(in.toDF().toDF("term"), "term",
+      depth = 3, width = 64)
+    val q = out.writeStream.format("memory").queryName("cms_cells")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1 to 40).map(i => s"t${i % 7}")
+      val batch2 = (1 to 25).map(i => s"u${i % 5}")
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      def batchCells(data: Seq[String]) =
+        StreamingFlows.cmsCells(data.toDF("term"), "term", depth = 3, width = 64)
+      // prefix parity after batch 1
+      assert(spark.table("cms_cells").exceptAll(batchCells(batch1)).isEmpty &&
+        batchCells(batch1).exceptAll(spark.table("cms_cells")).isEmpty)
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // monoid parity over the full stream
+      val full = batchCells(batch1 ++ batch2)
+      assert(spark.table("cms_cells").exceptAll(full).isEmpty &&
+        full.exceptAll(spark.table("cms_cells")).isEmpty)
+      // state is sketch-bounded: never more than depth x width rows
+      assert(spark.table("cms_cells").count() <= 3L * 64)
+    } finally q.stop()
+  }
+
   test("snapshotSink commits one version per batch; restart replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.SnapshotTable
