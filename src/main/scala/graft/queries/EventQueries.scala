@@ -397,6 +397,33 @@ object EventQueries {
           "\nORDER BY rank_scaled DESC, node"
       }),
 
+    // RANGE window frames (time-based, not row-count): trailing-1-hour
+    // sum/count per user over the event-time axis — the frame
+    // completeness piece q3G's ROWS frames don't cover. Epoch-second
+    // keys make the frame arithmetic integral on both engines.
+    "q52_range_frame" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("sec")
+          .rangeBetween(-3599, 0)
+        Tables.computeTable(s, dir, "events")
+          .filter(col("user_id") % 25 === 0)
+          .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+          .select(col("user_id"), col("event_id"), col("sec"),
+            sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+              .as("sum_1h"),
+            count(lit(1)).over(w).as("n_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      """SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |         AS sum_1h,
+        |       COUNT(*) OVER w AS n_1h
+        |FROM events WHERE user_id % 25 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin),
+
     // Graph-feature composite: degree + triangle participation +
     // PageRank per node of the co-order graph, one feature table —
     // the operator-interop form (edge list checkpointed once, three

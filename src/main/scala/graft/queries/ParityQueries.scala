@@ -522,6 +522,43 @@ object ParityQueries {
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
         |ORDER BY op, c_custkey""".stripMargin),
 
+    // Join-type completeness: FULL OUTER with both-side-only rows (the
+    // customer filter manufactures order-only keys) and null-safe
+    // feature columns. The aggregate side is pre-collapsed so the
+    // shuffle carries one slim row per key.
+    "q51_full_outer" -> QueryDef(
+      (s, dir) => {
+        val c = tc(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = tc(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("sum_price"),
+            (col("c_custkey").isNotNull && col("o_custkey").isNull).as("cust_only"),
+            col("c_custkey").isNull.as("order_only"))
+          .orderBy("custkey")
+      },
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_mktsegment,
+        |       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+        |       o.sum_price,
+        |       (c.c_custkey IS NOT NULL AND o.o_custkey IS NULL) AS cust_only,
+        |       (c.c_custkey IS NULL) AS order_only
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_custkey % 3 <> 0) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sum_price
+        |  FROM orders GROUP BY 1) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin),
+
     // P7 (`cola_transformer.py:170-201`): split composite flight+class
     // columns on the first space; covers the normal, double-space,
     // empty, null, and no-space shapes.
