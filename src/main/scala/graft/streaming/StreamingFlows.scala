@@ -294,6 +294,77 @@ object StreamingFlows {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fold)
   }
 
+  case class FunnelEvent(user_id: Long, event_time: java.sql.Timestamp,
+                         event_type: String)
+  case class FunnelLists(stages: Seq[Seq[Long]], lastMs: Long, updates: Long)
+  case class FunnelProgress(user_id: Long, funnel_stage: Int,
+                            stage_ts_us: Seq[Long], update_seq: Long)
+
+  /** Streaming form of `Funnel.funnelStages`: per-user progress through
+    * an ordered stage sequence, exact under ANY arrival order. State
+    * keeps the `maxPerStage` SMALLEST event timestamps per stage (late
+    * data can only lower a stage minimum, and a lower stage-i minimum
+    * can resurrect earlier stage-i+1 events — so the chain is
+    * recomputed from the kept lists on every update rather than folded
+    * monotonically). Within the cap this reproduces the batch operator
+    * bit-for-bit (StreamingSpec pins it); state per user is bounded at
+    * stages × maxPerStage longs and expires `horizonMinutes` past the
+    * user's last event. Output mode is Update — downstream takes the
+    * row with the highest `update_seq` per user. */
+  def funnelProgress(events: DataFrame, stages: Seq[String],
+                     lateness: String = "10 minutes",
+                     horizonMinutes: Int = 120,
+                     maxPerStage: Int = 64): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be non-empty and distinct: $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+
+    // stage i ts = min of kept list (i = 0) or min kept ts strictly
+    // after the previous stage's ts; -1 once the chain breaks
+    def chain(lists: Seq[Seq[Long]]): Seq[Long] =
+      lists.foldLeft((Vector.empty[Long], Long.MinValue)) {
+        case ((acc, prev), _) if prev == -1L => (acc :+ -1L, -1L)
+        case ((acc, prev), ts) =>
+          ts.find(_ > prev) match { // lists are ascending
+            case Some(t) => (acc :+ t, t)
+            case None => (acc :+ -1L, -1L)
+          }
+      }._1
+
+    def fold(userId: Long, evs: Iterator[FunnelEvent],
+             state: GroupState[FunnelLists]): Iterator[FunnelProgress] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val prev = state.getOption.getOrElse(
+        FunnelLists(stages.map(_ => Seq.empty[Long]), 0L, 0L))
+      var lists = prev.stages.toVector
+      var lastMs = prev.lastMs
+      evs.foreach { e =>
+        lastMs = math.max(lastMs, e.event_time.getTime)
+        stageIdx.get(e.event_type).foreach { i =>
+          val us = e.event_time.getTime * 1000L
+          if (!lists(i).contains(us))
+            lists = lists.updated(i, (lists(i) :+ us).sorted.take(maxPerStage))
+        }
+      }
+      val next = FunnelLists(lists, lastMs, prev.updates + 1)
+      state.update(next)
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(wm + 1, lastMs + horizonMinutes * 60000L))
+      val ts = chain(lists)
+      Iterator.single(FunnelProgress(userId, ts.count(_ != -1L), ts, next.updates))
+    }
+
+    events
+      .withWatermark("event_time", lateness)
+      .select(col("user_id").cast("long").as("user_id"), col("event_time"),
+        col("event_type").cast("string").as("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(fold)
+  }
+
   /** Streaming count-min sketch over a term stream: running (i, cell)
     * counts, the stream form of `HeavyHitters`' batch build. The
     * aggregation state is bounded at depth × width rows FOREVER — an

@@ -55,6 +55,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel equals the batch operator under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    // full event set; the stream delivers it ACROSS batches out of order
+    val all = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(3), "purchase"),
+      (3L, ts(4), "view"), (3L, ts(4), "click"),
+      (4L, ts(5), "view"), (4L, ts(6), "error"))
+    // batch 1 holds the LATER events; the early view/click arrive late
+    val (batch2, batch1) = all.partition(e => e._2.getTime <= ts(2).getTime)
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingFlows.funnelProgress(
+      in.toDF().toDF("user_id", "event_time", "event_type"), stages)
+    val q = out.writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+        .orderBy(col("update_seq").desc).collect()
+        .groupBy(_.getLong(0)).map { case (u, rows) =>
+          u -> (rows.head.getInt(1), rows.head.getSeq[Long](2)) }
+      val batch = graft.operators.Funnel.funnelStages(
+          all.toDF("user_id", "ts", "event_type"), "user_id", "ts",
+          "event_type", stages)
+        .collect().map { r =>
+          val ts3 = (1 to 3).map(i => Option(r.getTimestamp(i))
+            .map(_.getTime * 1000L).getOrElse(-1L))
+          r.getLong(0) -> (r.getInt(4), ts3)
+        }.toMap
+      assert(streamed.keySet == batch.keySet)
+      batch.foreach { case (u, (stage, ts3)) =>
+        assert(streamed(u)._1 == stage, s"user $u stage")
+        assert(streamed(u)._2 == ts3, s"user $u stage timestamps")
+      }
+      // the out-of-order view resurrected u1's full chain
+      assert(streamed(1L)._1 == 3)
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch after any prefix") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
