@@ -149,6 +149,102 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(rs == rs2)
   }
 
+  test("triangles match a brute-force reference on randomized graphs (seeded)") {
+    val rnd = new scala.util.Random(61)
+    for (_ <- 1 to 8) {
+      val n = 6 + rnd.nextInt(10)
+      val pairs = for {
+        a <- 1 to n; b <- (a + 1) to n; if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)
+      if (pairs.nonEmpty) {
+        val edgeSet = pairs.toSet
+        val expected = (for {
+          x <- 1 to n; y <- (x + 1) to n; z <- (y + 1) to n
+          if edgeSet((x.toLong, y.toLong)) && edgeSet((x.toLong, z.toLong)) &&
+            edgeSet((y.toLong, z.toLong))
+        } yield (x.toLong, y.toLong, z.toLong)).toSet
+        val got = graft.operators.Graph.triangles(pairs.toDF("a", "b"))
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got == expected, s"n=$n edges=${pairs.size}")
+      }
+    }
+  }
+
+  test("heavy hitters match naive counting on randomized skewed data (seeded)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      // zipf-ish: term t_i drawn with weight ~ 1/i
+      val terms = (1 to 300).map { _ =>
+        val i = math.max(1, (1.0 / (rnd.nextDouble() + 0.02)).toInt % 40)
+        s"t$i"
+      }
+      val threshold = 3 + rnd.nextInt(10)
+      val width = 1 << (2 + rnd.nextInt(6)) // 4..128, includes collision-heavy
+      val df = terms.toDF("term")
+      val naive = df.groupBy("term").agg(count(lit(1)).as("n"))
+        .where(col("n") >= threshold).as[(String, Long)].collect().toSet
+      val got = graft.operators.HeavyHitters
+        .exactOverThreshold(df, "term", threshold, depth = 3, width = width)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive, s"trial=$trial threshold=$threshold width=$width")
+    }
+  }
+
+  test("pagerank conserves scaled mass up to truncation loss (seeded)") {
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 5) {
+      val n = 5 + rnd.nextInt(8)
+      val pairs = (for {
+        a <- 1 to n; b <- (a + 1) to n; if rnd.nextDouble() < 0.5
+      } yield (a.toLong, b.toLong))
+      if (pairs.nonEmpty) {
+        val scale = 1000000000000L
+        val iters = 4
+        val ranks = graft.operators.Graph
+          .pageRankScaled(pairs.toDF("a", "b"), iters, scale)
+          .as[(Long, Long)].collect()
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.size
+        val total = ranks.map(_._2).sum
+        // every truncating div loses < 1 unit per node per round (plus
+        // the initial scale/n floor): mass stays within that envelope
+        assert(total <= scale)
+        val maxLoss = nodes.toLong * (2 * iters + 1) +
+          nodes.toLong * 20 * (iters + 1)
+        assert(total >= scale - maxLoss, s"total=$total scale=$scale n=$nodes")
+        assert(ranks.forall(_._2 > 0))
+      }
+    }
+  }
+
+  test("batch funnel matches a per-user brute-force reference (seeded)") {
+    val rnd = new scala.util.Random(83)
+    val types = Seq("view", "click", "purchase", "error")
+    for (trial <- 1 to 5) {
+      val events = (1 to 120).map { i =>
+        (rnd.nextInt(12).toLong, ts(rnd.nextInt(40).toLong),
+          types(rnd.nextInt(types.length)))
+      }
+      def brute(userEvents: Seq[(Timestamp, String)]): Int = {
+        var prev = Long.MinValue
+        var stage = 0
+        for (st <- Seq("view", "click", "purchase")) {
+          val eligible = userEvents.collect {
+            case (t, `st`) if t.getTime > prev => t.getTime }
+          if (prev != -1 && eligible.nonEmpty) { prev = eligible.min; stage += 1 }
+          else prev = -1
+        }
+        stage
+      }
+      val expected = events.groupBy(_._1).map { case (u, evs) =>
+        u -> brute(evs.map(e => (e._2, e._3))) }
+      val got = graft.operators.Funnel.funnelStages(
+          events.toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .select("user_id", "funnel_stage").as[(Long, Int)].collect().toMap
+      assert(got == expected, s"trial=$trial")
+    }
+  }
+
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
   test("funnel stages require strict event-time progression") {
