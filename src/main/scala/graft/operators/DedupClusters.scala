@@ -18,11 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * dst) plus one groupBy(src) min — both partition on node ids, no
   * all-pairs anything — and lineage is truncated per round with
   * `localCheckpoint` so the plan stays flat however many rounds run.
-  * Rounds needed = graph diameter; near-dup clusters are tiny
-  * near-cliques (diameter 1-3), so this converges in a handful of
-  * rounds even at corpus scale. (At extreme diameters the
-  * large-star/small-star variant halves the round count; not needed
-  * for dedup graphs.)
+  * Neighbor-min rounds needed = graph diameter; near-dup clusters are
+  * tiny near-cliques (diameter 1-3) so they converge in a handful of
+  * rounds, and entity-resolution name chains measured diameter ~31
+  * (q4N at sf0.1). Past `doublingAfter` rounds each round also adopts
+  * the label OF its label (pointer doubling), bounding any deeper
+  * graph at O(log diameter) further rounds — see `resolve` for the
+  * measured cost tradeoff that sets the switch point.
   *
   * Convergence is detected by the label sum (labels only ever
   * decrease, so an unchanged sum means a fixpoint) — one scalar per
@@ -53,8 +55,21 @@ object DedupClusters {
     (cp, s)
   }
 
+  /** `doublingAfter`: rounds of plain neighbor-min propagation before
+    * each round ALSO adopts the label of its label (pointer doubling).
+    * Measured tradeoff (PLANS.md "Pointer doubling in CC, round-6
+    * re-measurement"): a doubling round costs ~6x a neighbor-min round
+    * (a second materialization plus a sort-merge self-join), so for
+    * typical dedup/entity graphs (diameter <= ~32) doubling from round
+    * one is a net LOSS (q4N: 8.1 s -> 12.8 s), while past the switch
+    * point the round count is logarithmic and a 511-diameter chain
+    * finishes ~8x faster than neighbor-min would. The default switch
+    * point sits past every measured production graph's convergence
+    * (q4N converges at 31 — a switch at 32 made its LAST rounds pay
+    * the doubling premium for nothing, 8.1 s -> 11.1 s), so shallow
+    * graphs never leave the cheap path and deep ones stay bounded. */
   def resolve(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-              maxIter: Int = 20): DataFrame = {
+              maxIter: Int = 64, doublingAfter: Int = 48): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -67,18 +82,44 @@ object DedupClusters {
       val nmin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      // NOTE pointer doubling (joining `stepped` against itself to also
-      // adopt the label of one's label, for O(log diameter) rounds) was
-      // measured and REJECTED here: the un-checkpointed self-join makes
-      // the driver spin in Catalyst plan-statistics BigInteger
-      // arithmetic (jstack: main thread 600+ s inside
-      // BigInteger.multiplyToomCook3) — planning cost, not compute.
-      // See PLANS.md "Pointer doubling in CC".
-      val (cp, s) = checkpointWithSum(
+      // Neighbor-min step, then a pointer-doubling hop (adopt the label
+      // OF your label) for O(log diameter) rounds. The hop self-join
+      // MUST run against a checkpointed frame: the first, rejected
+      // attempt self-joined the un-checkpointed step and the driver
+      // spun 600+ s in Catalyst plan-statistics BigInteger arithmetic
+      // (PLANS.md "Pointer doubling in CC"). With the lineage cut the
+      // stats tree is flat and the hop costs one extra materialization
+      // per round — measured worth it once q4N's real name-chain graph
+      // turned out to have diameter 30+, not the near-clique 1-3 the
+      // dedup graphs have.
+      val stepped0 =
         labels.join(nmin, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
-      labels = cp
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next =
+        if (iter < doublingAfter) stepped0
+        else {
+          // Pointer-doubling hop: adopt the label OF your label. The
+          // self-join must run against a frame REBUILT from the
+          // checkpointed RDD — localCheckpoint PRESERVES source-plan
+          // statistics, and a self-join squares sizeInBytes every
+          // round, so the bit-length doubles per round and the driver
+          // spins in BigInteger ToomCook3 stats arithmetic (jstack-
+          // verified twice: round 6 original and the checkpoint-only
+          // retry). createDataFrame gives a fresh LogicalRDD with
+          // constant default stats.
+          val cp = stepped0.localCheckpoint()
+          val stepped = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+          stepped.alias("x")
+            .join(stepped.select(col("id").as("lid"), col("label").as("ll")),
+              col("x.label") === col("lid"), "left")
+            .select(col("x.id").as("id"),
+              least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
+        }
+      val (cp0, s) = checkpointWithSum(next)
+      labels =
+        if (iter < doublingAfter) cp0
+        else cp0.sparkSession.createDataFrame(cp0.rdd, cp0.schema)
       // compareTo, not equals: BigDecimal.equals is scale-sensitive, so a
       // change in either aggregation's result scale would make equal sums
       // compare unequal and the loop spin to maxIter. Null sums (empty
@@ -87,6 +128,9 @@ object DedupClusters {
         (s != null && prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[graft-cc] round=$iter sum=$s done=$done " +
+          s"t=${System.nanoTime() / 1000000}ms")
     }
     edges.unpersist()
     require(done, s"connected components did not converge in $maxIter rounds " +

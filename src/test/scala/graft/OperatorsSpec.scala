@@ -191,6 +191,17 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("DedupClusters.resolve closes deep chains via the doubling phase") {
+    // diameter 119 > maxIter 64: neighbor-min alone cannot converge
+    // inside the round budget — the pointer-doubling phase past
+    // doublingAfter must close it (48 cheap rounds + O(log) hops)
+    val chain = spark.range(1, 120)
+      .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    val out = DedupClusters.resolve(chain, maxIter = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 120 && out.forall(_._2 == 1L))
+  }
+
   test("contaminatedDocs flags benchmark copies and 13-gram overlaps only") {
     val bench13 = "one two three four five six seven eight nine ten eleven twelve thirteen"
     val corpus = Seq(
