@@ -20,7 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Expectations {
 
+  /** Thrown by gated commits (e.g. `SnapshotTable.writeGated`) when a
+    * batch violates its expectations. A DEDICATED type (subclassing
+    * IllegalStateException for compatibility) so callers routing bad
+    * batches to quarantine can't accidentally swallow infrastructure
+    * failures that also surface as IllegalStateException (version-claim
+    * exhaustion, empty-table reads). */
+  final class ExpectationsFailedException(msg: String)
+    extends IllegalStateException(msg)
+
   final case class Check(name: String, violated: Column)
+
+  /** A check's verdict per row, with NULL folded to "not violated" —
+    * the single definition both [[filterValid]] and [[report]] use, so
+    * a custom check whose `violated` column evaluates NULL behaves
+    * identically in the filter and report forms (kept, counted as
+    * passing) instead of silently diverging. */
+  private def isViolated(ch: Check): Column = coalesce(ch.violated, lit(false))
 
   def notNull(c: String): Check = Check(s"not_null:$c", col(c).isNull)
 
@@ -37,9 +53,11 @@ object Expectations {
   /** Row filter form: keep only rows violating NO check — the gate a
     * pipeline applies inline when bad rows should drop rather than
     * abort the load (the report/writeGated forms are for when they
-    * should). Pure map-side predicate, composes into any plan. */
+    * should). Pure map-side predicate, composes into any plan. No
+    * checks means nothing to violate: the frame passes through. */
   def filterValid(df: DataFrame, checks: Seq[Check]): DataFrame =
-    df.filter(!checks.map(_.violated).reduce(_ || _))
+    if (checks.isEmpty) df
+    else df.filter(!checks.map(isViolated).reduce(_ || _))
 
   private def reportRows(df: DataFrame, pairs: Seq[(String, Column)]): DataFrame = {
     val aggs = count(lit(1)).as("__total") +:
@@ -60,7 +78,7 @@ object Expectations {
   def report(df: DataFrame, checks: Seq[Check],
              uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
     val rowPairs = checks.map(ch =>
-      ch.name -> coalesce(sum(when(ch.violated, 1L).otherwise(0L)), lit(0L)))
+      ch.name -> coalesce(sum(when(isViolated(ch), 1L).otherwise(0L)), lit(0L)))
     val uniqPairs = uniqueKeys.map { ks =>
       s"unique:${ks.mkString(",")}" ->
         (count(lit(1)) - countDistinct(ks.head, ks.tail: _*))

@@ -30,17 +30,28 @@ import org.apache.spark.sql.functions._
   * half-finished write is invisible because its manifest doesn't
   * exist yet.
   *
-  * Commit protocol (optimistic, no coordinator):
-  *  1. pick `v` = newest manifest version + 1;
-  *  2. claim it by create-exclusive of `v<v>.lock` — the atomic
-  *     check-and-claim; a concurrent writer losing the race gets
-  *     FileAlreadyExists and retries with `v+1`;
-  *  3. write the manifest bytes to a temp name, then rename onto
-  *     `v<v>.json` — readers see the complete manifest or nothing.
-  * A writer crashing between claim and rename burns a version number
-  * (readers skip it; the next writer claims past it) but can never
-  * corrupt the table. On an object store without atomic
-  * create-exclusive, step 2 swaps for a DynamoDB/etcd conditional put
+  * Commit protocol (optimistic concurrency, no coordinator):
+  *  1. stage the txn's new data files (no manifest references them
+  *     yet, so they are invisible);
+  *  2. read the newest manifest `v`; REBASE the txn onto it — the
+  *     output file list is `v`'s files minus the files this txn
+  *     rewrites plus the staged files — and VALIDATE: every file the
+  *     txn rewrote must still be live in `v`. If a concurrent commit
+  *     already removed one (both txns rewrote the same file), the
+  *     write-write conflict throws [[CommitConflictException]] and the
+  *     operation recomputes from the new snapshot;
+  *  3. publish at `v+1` by writing the manifest bytes to a temp name
+  *     and atomically linking/renaming them onto `v<v+1>.json`
+  *     (create-exclusive — exactly one writer can own a version).
+  *     Losing the race loops back to 2 against the new snapshot.
+  * A writer crashing before step 3 leaves only unreferenced staged
+  * files (reclaimed by [[vacuum]]) and can never corrupt the table.
+  * Because the rebase recomputes the carried list each attempt, pure
+  * appends never conflict and never drop a concurrent commit's files;
+  * rewrites (merge/delete/compact) conflict exactly when their
+  * file-level read sets overlap — the same file-granular isolation
+  * Delta calls WriteSerializable. On an object store without atomic
+  * create-exclusive, step 3 swaps for a DynamoDB/etcd conditional put
   * — the file layout and reader are unchanged (same contract Delta
   * documents for S3).
   *
@@ -51,6 +62,14 @@ import org.apache.spark.sql.functions._
   * bounded by #files, the same budget every table format spends.
   */
 object SnapshotTable {
+
+  /** Write-write conflict: a concurrent commit removed a file this
+    * transaction had read and rewritten. The rewrite's output is based
+    * on stale content, so committing it would silently drop the
+    * concurrent commit's changes (a lost update). merge/delete/compact
+    * catch this and retry from the new snapshot. */
+  final class CommitConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
 
   /** One immutable data file: relative path, row count, and (min,max)
     * per stats column (integral columns only, stored as Long). */
@@ -125,45 +144,99 @@ object SnapshotTable {
     Manifest(root.get("version").asLong, root.get("op").asText, out.result())
   }
 
-  /** Atomic check-and-claim of one version slot. Hadoop's
-    * `create(path, overwrite=false)` is atomic on HDFS (server-side
-    * check) but NOT on the local filesystem — RawLocalFileSystem does
-    * a client-side exists() then create, so two racing writers can
-    * both "win". For `file:` URIs we go through NIO `Files.createFile`
-    * (O_CREAT|O_EXCL — a single atomic syscall) instead. */
-  private def tryClaim(f: FileSystem, lock: Path): Boolean =
-    if (f.getScheme == "file") {
-      try {
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(lock.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try { f.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    }
+  /** Atomically publish `m` at its version slot; false if the slot is
+    * already owned. Fully writes the bytes to a temp name first, then
+    * create-exclusive-links them onto the final name, so readers see a
+    * complete manifest or nothing and exactly one writer owns a
+    * version. Hadoop's rename is atomic-and-fails-if-present on HDFS
+    * (server-side) but NOT on the local filesystem — RawLocalFileSystem
+    * delegates to POSIX rename(2), which silently overwrites. For
+    * `file:` URIs we use NIO `Files.createLink` (link(2) fails EEXIST —
+    * a single atomic syscall) instead. */
+  private def tryPublish(f: FileSystem, ld: Path, m: Manifest): Boolean = {
+    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID}.json")
+    val out = f.create(tmp, true)
+    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    val target = new Path(ld, manifestName(m.version))
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try f.rename(tmp, target) catch { case _: java.io.IOException => false }
+      }
+    if (f.getScheme == "file" || !won) f.delete(tmp, false)
+    won
+  }
 
-  /** Claim-then-publish commit (see protocol in the object doc).
-    * Returns the committed version. */
+  /** Rebase-validate-publish commit (see protocol in the object doc).
+    * `added` are the txn's staged files; `removed` names the live
+    * files whose CONTENT the txn read and rewrote (its file-level read
+    * set — empty for appends); `carry` says whether the rest of the
+    * current snapshot flows into the new manifest (false for
+    * overwrite/restore, which replace the whole list). Each attempt
+    * rebases onto the CURRENT newest manifest, so concurrent commits
+    * to disjoint files interleave losslessly; a concurrent removal of
+    * anything in `removed` is a lost-update-in-waiting and throws
+    * [[CommitConflictException]]. Returns the committed version. */
   private def commit(spark: SparkSession, dir: String, op: String,
-                     files: Seq[FileEntry]): Long = {
+                     added: Seq[FileEntry], removed: Set[String] = Set.empty,
+                     carry: Boolean = false): Long = {
     val ld = logDir(dir)
     val f = fs(spark, ld)
     f.mkdirs(ld)
-    var v = latestVersion(spark, dir).getOrElse(0L) + 1
     var attempts = 0
-    while (!tryClaim(f, new Path(ld, f"v$v%010d.lock"))) {
-      attempts += 1
+    while (true) {
+      val latest = latestVersion(spark, dir)
+      val current: Seq[FileEntry] =
+        if (carry) latest.map(readManifest(spark, dir, _).files).getOrElse(Nil)
+        else Nil
+      if (removed.nonEmpty) {
+        val gone = removed -- current.map(_.path).toSet
+        if (gone.nonEmpty) throw new CommitConflictException(
+          s"write-write conflict under $dir: concurrent commit removed " +
+            s"${gone.mkString(", ")} after this $op read them")
+      }
+      val outFiles = current.filterNot(fe => removed.contains(fe.path)) ++ added
+      val v = latest.getOrElse(0L) + 1
+      if (tryPublish(f, ld, Manifest(v, op, outFiles))) return v
+      attempts += 1 // lost the slot race; rebase onto the winner and retry
       if (attempts > 10000) throw new IllegalStateException(
-        s"could not claim a version under $dir after $attempts attempts")
-      v += 1 // lost the race; try the next slot
+        s"could not publish a version under $dir after $attempts attempts")
     }
-    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID}.json")
-    val out = f.create(tmp, true)
-    try out.write(renderManifest(Manifest(v, op, files)).getBytes("UTF-8"))
-    finally out.close()
-    require(f.rename(tmp, new Path(ld, manifestName(v))),
-      s"manifest publish rename failed for version $v under $dir")
-    v
+    -1L // unreachable
+  }
+
+  /** Like [[commit]] but deletes the staged `added` files before
+    * rethrowing a conflict, so a retried operation leaves no orphans. */
+  private def commitStaged(spark: SparkSession, dir: String, op: String,
+                           added: Seq[FileEntry], removed: Set[String],
+                           carry: Boolean): Long =
+    try commit(spark, dir, op, added, removed, carry)
+    catch {
+      case e: CommitConflictException =>
+        val f = fs(spark, new Path(dir))
+        added.foreach(fe => f.delete(new Path(dir, fe.path), false))
+        throw e
+    }
+
+  /** Run a rewrite transaction body, recomputing it from the fresh
+    * snapshot on write-write conflict (bounded attempts). */
+  private def retryOnConflict[T](what: String, maxAttempts: Int = 5)(body: => T): T = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
   }
 
   /** Write `df` as new data files under `data/` and return their
@@ -203,19 +276,20 @@ object SnapshotTable {
   }
 
   /** Commit `df` as a new snapshot. `mode` "overwrite" starts the file
-    * list fresh; "append" carries the current version's files forward.
-    * Old files stay on disk for time travel until [[vacuum]]. */
+    * list fresh; "append" carries the current version's files forward
+    * — resolved INSIDE the commit's rebase loop, so concurrent
+    * appenders can never drop each other's files. Old files stay on
+    * disk for time travel until [[vacuum]]. */
   def write(spark: SparkSession, df: DataFrame, dir: String, mode: String,
             statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long = {
-    val fresh = stageFiles(spark, df, dir, statsCols)
-    val carried = mode match {
-      case "overwrite" => Nil
-      case "append" =>
-        latestVersion(spark, dir).map(readManifest(spark, dir, _).files).getOrElse(Nil)
+    val carry = mode match {
+      case "overwrite" => false
+      case "append" => true
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    commit(spark, dir, opTag.getOrElse(mode), carried ++ fresh)
+    val fresh = stageFiles(spark, df, dir, statsCols)
+    commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry)
   }
 
   /** Commit `df` only if it passes every declarative expectation
@@ -239,19 +313,19 @@ object SnapshotTable {
       if (failed.nonEmpty) {
         val f = fs(spark, new Path(dir))
         fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))
-        throw new IllegalStateException("expectations failed, commit aborted: " +
-          failed.map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
-            .mkString(", "))
+        throw new graft.operators.Expectations.ExpectationsFailedException(
+          "expectations failed, commit aborted: " +
+            failed.map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+              .mkString(", "))
       }
     }
-    val carried = mode match {
-      case "overwrite" => Nil
-      case "append" =>
-        latestVersion(spark, dir).map(readManifest(spark, dir, _).files).getOrElse(Nil)
+    val carry = mode match {
+      case "overwrite" => false
+      case "append" => true
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    commit(spark, dir, opTag.getOrElse(s"gated-$mode"), carried ++ fresh)
+    commit(spark, dir, opTag.getOrElse(s"gated-$mode"), fresh, carry = carry)
   }
 
   /** The table as of `version` (default: newest). */
@@ -291,9 +365,24 @@ object SnapshotTable {
     * exact and distributed — the (tiny) file-stats list broadcast-joins
     * against the update keys, and only the matched file names come
     * back to the driver (bounded by #files). Update keys hitting no
-    * existing file's range are inserts and land in the new files. */
+    * existing file's range are inserts and land in the new files.
+    *
+    * Concurrency: the files this merge rewrites are its file-level
+    * read set; a concurrent commit removing any of them aborts the
+    * publish ([[CommitConflictException]]) and the WHOLE merge —
+    * touch detection included — recomputes against the new snapshot,
+    * so two concurrent merges over the same keys serialize instead of
+    * silently losing the earlier one's rewrites. Commits to disjoint
+    * files rebase in and interleave losslessly. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
-            statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long = {
+            statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long =
+    retryOnConflict(s"merge into $dir") {
+      mergeOnce(spark, dir, updates, keyCol, statsCols, opTag)
+    }
+
+  private def mergeOnce(spark: SparkSession, dir: String, updates: DataFrame,
+                        keyCol: String, statsCols: Seq[String],
+                        opTag: Option[String]): Long = {
     import spark.implicits._
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot merge into empty table $dir"))
@@ -314,7 +403,7 @@ object SnapshotTable {
           .select("__path").distinct().as[String].collect().toSet
       }
     val touched = touchedWithStats ++ statless
-    val (rewrite, carry) = m.files.partition(fe => touched.contains(fe.path))
+    val rewrite = m.files.filter(fe => touched.contains(fe.path))
 
     val merged = if (rewrite.isEmpty) updates else {
       val base = spark.read.parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
@@ -325,7 +414,8 @@ object SnapshotTable {
         when(col("__isu").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
     }
     val fresh = stageFiles(spark, merged, dir, statsCols)
-    commit(spark, dir, opTag.getOrElse("merge"), carry ++ fresh)
+    commitStaged(spark, dir, opTag.getOrElse("merge"), fresh,
+      removed = rewrite.map(_.path).toSet, carry = true)
   }
 
   /** DELETE WHERE: copy-on-write at FILE granularity. Touch detection
@@ -334,10 +424,23 @@ object SnapshotTable {
     * driver, bounded by #files); those are rewritten without their
     * matching rows, every other file carries into the new manifest by
     * name. A predicate matching nothing commits nothing and returns
-    * the current version. */
+    * the current version. Exactly the rows where the predicate is TRUE
+    * are removed — a NULL-evaluating row (e.g. a pre-schema-evolution
+    * row whose appended column is null) is KEPT, matching SQL DELETE
+    * semantics; without the `coalesce` a null row would survive in
+    * untouched files but silently vanish from any rewritten one.
+    * Retries from the fresh snapshot on write-write conflict, like
+    * [[merge]]. */
   def delete(spark: SparkSession, dir: String,
              predicate: org.apache.spark.sql.Column,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil): Long =
+    retryOnConflict(s"delete from $dir") {
+      deleteOnce(spark, dir, predicate, statsCols)
+    }
+
+  private def deleteOnce(spark: SparkSession, dir: String,
+                         predicate: org.apache.spark.sql.Column,
+                         statsCols: Seq[String]): Long = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
@@ -348,18 +451,20 @@ object SnapshotTable {
       .map(r => "data/" + new Path(new java.net.URI(r.getString(0)).getPath).getName)
       .toSet
     if (touched.isEmpty) return v
-    val (rewrite, carry) = m.files.partition(fe => touched.contains(fe.path))
+    val rewrite = m.files.filter(fe => touched.contains(fe.path))
     val kept = spark.read.option("mergeSchema", "true")
       .parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
-      .filter(!predicate)
+      .filter(!coalesce(predicate, lit(false)))
     val fresh = stageFiles(spark, kept, dir, statsCols)
-    commit(spark, dir, "delete", carry ++ fresh)
+    commitStaged(spark, dir, "delete", fresh,
+      removed = rewrite.map(_.path).toSet, carry = true)
   }
 
   /** RESTORE: make `toVersion`'s file list the newest version (a
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
-    commit(spark, dir, "restore", readManifest(spark, dir, toVersion).files)
+    commit(spark, dir, "restore", readManifest(spark, dir, toVersion).files,
+      carry = false)
 
   /** Drop time travel older than the newest `keepVersions` versions:
     * deletes unreferenced data files and the expired manifests.
@@ -394,11 +499,18 @@ object SnapshotTable {
     * Content is bit-identical; only layout changes. */
   def compact(spark: SparkSession, dir: String, smallRows: Long, targetRows: Long,
               statsCols: Seq[String] = Nil,
-              zorderBy: Option[(String, String, Int)] = None): Long = {
+              zorderBy: Option[(String, String, Int)] = None): Long =
+    retryOnConflict(s"compact $dir") {
+      compactOnce(spark, dir, smallRows, targetRows, statsCols, zorderBy)
+    }
+
+  private def compactOnce(spark: SparkSession, dir: String, smallRows: Long,
+                          targetRows: Long, statsCols: Seq[String],
+                          zorderBy: Option[(String, String, Int)]): Long = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot compact empty table $dir"))
     val m = readManifest(spark, dir, v)
-    val (small, big) = m.files.partition(_.rows < smallRows)
+    val small = m.files.filter(_.rows < smallRows)
     if (small.size < 2) return v // nothing to gain
     val smallDf = spark.read.parquet(small.map(fe => s"$dir/${fe.path}"): _*)
     val nOut = math.max(1, math.ceil(small.map(_.rows).sum.toDouble / targetRows).toInt)
@@ -409,7 +521,8 @@ object SnapshotTable {
       case None => smallDf.repartition(nOut)
     }
     val fresh = stageFiles(spark, packed, dir, statsCols)
-    commit(spark, dir, "compact", big ++ fresh)
+    commitStaged(spark, dir, "compact", fresh,
+      removed = small.map(_.path).toSet, carry = true)
   }
 
   /** CDC: the row-level change feed between two versions, computed

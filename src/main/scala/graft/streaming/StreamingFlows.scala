@@ -115,10 +115,13 @@ object StreamingFlows {
           graft.sources.SnapshotTable.history(spark, d).exists(_._2 == tag)
         if (!seen(dir) && !seen(quarantine)) {
           val stamped = batch.withColumn("__batch_id", lit(batchId))
+          // catch ONLY the expectations verdict: an infrastructure
+          // IllegalStateException (publish exhaustion etc.) must kill
+          // the batch, not quarantine good data with a bogus reason
           try graft.sources.SnapshotTable.writeGated(spark, stamped, dir,
             "append", checks, statsCols, opTag = Some(tag))
           catch {
-            case e: IllegalStateException =>
+            case e: graft.operators.Expectations.ExpectationsFailedException =>
               graft.sources.SnapshotTable.write(spark,
                 stamped.withColumn("__reason", lit(e.getMessage)),
                 quarantine, "append", Nil, opTag = Some(tag))

@@ -49,13 +49,17 @@ class SnapshotSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     val vs = results.asScala.toSeq
     assert(vs.size == threads && vs.distinct.size == threads) // every commit a distinct version
-    // NOTE append's carry-forward reads latest at call time, so racing
-    // appends may drop each other's FILES (documented: concurrent
-    // appenders need the retry-on-conflict loop a full format adds).
-    // The commit protocol itself must never lose or corrupt a VERSION:
+    // the rebase loop resolves the carried file list INSIDE the
+    // publish race, so concurrent appenders never drop each other's
+    // files: every appended row is present in the final snapshot
     val hist = SnapshotTable.history(spark, dir)
     assert(hist.map(_._1) == hist.map(_._1).sorted)
-    assert(hist.last._3 >= 20) // base + at least the last winner's rows
+    assert(hist.last._3 == 10L + threads * 10L,
+      s"lost update: final snapshot has ${hist.last._3} rows")
+    val ids = SnapshotTable.scan(spark, dir).select("id").as[Long].collect().toSet
+    (1 to threads).foreach { i =>
+      assert(ids.contains(i * 1000L), s"appender $i's rows were dropped")
+    }
     // every committed manifest is complete, parseable, readable
     hist.foreach { case (v, _, _) =>
       SnapshotTable.scan(spark, dir, Some(v)).count()
@@ -248,6 +252,73 @@ class SnapshotSpec extends SparkTestBase {
     // no-match predicate is a no-op: no new version
     assert(SnapshotTable.delete(spark, dir, $"id" === 999999L) == v2)
     assert(SnapshotTable.versions(spark, dir) == Seq(v1, v2))
+  }
+
+  test("delete keeps NULL-evaluating rows (SQL semantics, evolution-safe)") {
+    val dir = freshDir()
+    // v1: two-column rows; v2 appends rows with a NEW column `score`.
+    // Old rows surface score as NULL. One file holds BOTH an old row
+    // and a match, so without the coalesce fix the NULL row would be
+    // silently dropped from the rewritten file (layout-dependent loss).
+    SnapshotTable.write(spark,
+      spark.range(0, 10).select($"id", lit("old").as("src")).coalesce(1),
+      dir, "overwrite")
+    SnapshotTable.write(spark,
+      spark.range(10, 20).select($"id", lit("new").as("src"), ($"id" % 3).as("score"))
+        .coalesce(1),
+      dir, "append")
+    // delete WHERE score = 1: TRUE only for some new rows; NULL for
+    // every old row (score doesn't exist there)
+    val matches = SnapshotTable.scan(spark, dir).filter($"score" === 1).count()
+    assert(matches > 0)
+    SnapshotTable.delete(spark, dir, $"score" === 1)
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.filter($"score" === 1).count() == 0)
+    assert(cur.filter($"src" === "old").count() == 10,
+      "NULL-evaluating rows must survive a delete (SQL DELETE removes TRUE rows only)")
+    assert(cur.count() == 20 - matches)
+  }
+
+  test("concurrent merges on overlapping keys: conflict detected, no lost update") {
+    val dir = freshDir()
+    // one file -> both merges MUST rewrite it -> write-write conflict;
+    // the loser retries from the winner's snapshot, so both updates land
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id", lit(0L).as("a"), lit(0L).as("b")).coalesce(1),
+      dir, "overwrite", Seq("id"))
+    val mA = spark.range(0, 50).select($"id", lit(1L).as("a"), lit(0L).as("b"))
+    val mB = spark.range(25, 75).select($"id", lit(0L).as("a"), lit(2L).as("b"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { barrier.await()
+          SnapshotTable.merge(spark, dir, mA, "id", Seq("id")) }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { barrier.await()
+          SnapshotTable.merge(spark, dir, mB, "id", Seq("id")) }
+      })
+      assert(Set(fa.get(), fb.get()).size == 2)
+    } finally pool.shutdown()
+    val out = SnapshotTable.scan(spark, dir)
+    assert(out.count() == 100)
+    // whichever merge committed second rewrote the winner's output, so
+    // the LAST writer's whole-row image wins on the overlap [25,50) —
+    // but neither merge's NON-overlapping range may be lost:
+    val hist = SnapshotTable.history(spark, dir)
+    val ops = hist.takeRight(2).map(_._2)
+    assert(ops == Seq("merge", "merge"), s"expected two merge commits, got $hist")
+    val aWins = out.filter($"a" === 1 && $"id" < 25).count()
+    val bWins = out.filter($"b" === 2 && $"id" >= 50 && $"id" < 75).count()
+    assert(aWins == 25, "merge A's non-overlapping updates were lost")
+    assert(bWins == 25, "merge B's non-overlapping updates were lost")
+    // overlap [25,50): exactly one merge's image, never a torn mix
+    val overlap = out.filter($"id".between(25, 49))
+      .select("a", "b").distinct().collect().toSet
+    assert(overlap == Set(org.apache.spark.sql.Row(1L, 0L)) ||
+           overlap == Set(org.apache.spark.sql.Row(0L, 2L)),
+      s"torn overlap images: $overlap")
   }
 
   test("schema evolution: appended columns surface as nulls in old rows") {
