@@ -137,4 +137,79 @@ object DedupClusters {
       "(graph diameter exceeds maxIter) — raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_keeper"))
   }
+
+  /** Block-local resolution: when every edge was generated WITHIN a
+    * blocking key (blocked record linkage, per-domain entity
+    * resolution — `FuzzyJoin.selfPairs` with `blockCols`), no component
+    * can span blocks, so the fixpoint needs no iteration at all: edges
+    * group by block and a union-find closes each block in one pass.
+    * ONE exchange replaces diameter-many join+agg rounds — on a real
+    * cluster the iterative path pays a scheduler round-trip PER ROUND
+    * (q4N's name chains: 31 rounds), which dominates long before data
+    * volume does.
+    *
+    * Skew safety: a block whose edge count exceeds `maxBlockEdges`
+    * (default 4M ≈ tens of MB of per-task state) is excluded from the
+    * local pass and falls back to the distributed hybrid [[resolve]] —
+    * correctness never depends on the bound, only the per-task memory
+    * budget. The count pre-pass reads the checkpointed slim edge
+    * triples once; only over-bound block KEYS reach the driver
+    * (≤ totalEdges / maxBlockEdges of them).
+    *
+    * The blocking columns are hashed to one 64-bit grouping key; a
+    * hash collision merely co-locates two unconnected blocks in one
+    * union-find, which yields identical components. */
+  def resolveBlocked(pairs: DataFrame, aCol: String = "doc_a",
+                     bCol: String = "doc_b",
+                     blockCols: Seq[String] = Nil,
+                     maxBlockEdges: Long = 4L * 1024 * 1024,
+                     maxIter: Int = 64): DataFrame = {
+    require(blockCols.nonEmpty, "resolveBlocked needs blocking columns; " +
+      "use resolve for unblocked pair graphs")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = pairs.select(xxhash64(blockCols.map(col): _*).as("bk"),
+        col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint() // edges are usually an expensive fuzzy join; read them once
+    val big = e.groupBy("bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockEdges).select("bk").as[Long].collect().toSet
+    val local = (if (big.isEmpty) e else e.filter(!col("bk").isin(big.toSeq: _*)))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups((_, it) => unionFindMin(it.map(t => (t._2, t._3))))
+      .toDF("doc_id", "cluster_keeper")
+    if (big.isEmpty) local
+    else local.unionAll(resolve(e.filter(col("bk").isin(big.toSeq: _*)),
+      "src", "dst", maxIter))
+  }
+
+  /** In-memory union-find over one block's edges: every node that
+    * appears gets (node, component-min). Union always attaches the
+    * larger root under the smaller, so a root IS its component's
+    * running minimum; path halving keeps finds near-constant. State is
+    * one long-to-long map over the block's nodes — bounded by the
+    * caller's `maxBlockEdges`. */
+  private[operators] def unionFindMin(edges: Iterator[(Long, Long)])
+      : Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(a: Long): Long = {
+      var x = a
+      while (parent(x) != x) {
+        val p = parent(x)
+        parent(x) = parent(p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (s, d) =>
+      if (!parent.contains(s)) parent.update(s, s)
+      if (!parent.contains(d)) parent.update(d, d)
+      val rs = find(s)
+      val rd = find(d)
+      if (rs < rd) parent.update(rd, rs)
+      else if (rd < rs) parent.update(rs, rd)
+    }
+    val nodes = parent.keys.toArray // snapshot: find() mutates the map
+    nodes.iterator.map(n => (n, find(n)))
+  }
 }

@@ -61,16 +61,22 @@ object FuzzyJoin {
   /** Self-linkage: unordered pairs of distinct rows within distance 1
     * (each pair reported once, `left_id < right_id`). The asymmetric
     * filter halves the candidate stream BEFORE the exact check and the
-    * dedup exchange. */
+    * dedup exchange. `keepBlockCols` carries the blocking columns into
+    * the output (both endpoints agree on them by construction) so a
+    * downstream block-aware consumer — `DedupClusters.resolveBlocked`
+    * — can exploit the confinement without re-joining the source. */
   def selfPairs(df: DataFrame, textCol: String, idCol: String,
-                blockCols: Seq[String] = Nil): DataFrame = {
+                blockCols: Seq[String] = Nil,
+                keepBlockCols: Boolean = false): DataFrame = {
     val lv = explodeSide(df, textCol, idCol, "left", blockCols)
     val rv = explodeSide(df, textCol, idCol, "right", blockCols)
+    val keep = if (keepBlockCols) blockCols else Nil
     lv.join(rv, "__v" +: blockCols)
       .filter(col("left_id") < col("right_id"))
       .filter(levenshtein(col("left_text"), col("right_text")) <= 1)
-      .select(col("left_id"), col("right_id"),
-        levenshtein(col("left_text"), col("right_text")).cast("long").as("dist"))
+      .select(col("left_id") +: col("right_id") +:
+        levenshtein(col("left_text"), col("right_text")).cast("long").as("dist") +:
+        keep.map(col): _*)
       .distinct()
   }
 }

@@ -191,6 +191,36 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("DedupClusters.resolveBlocked matches resolve on a seeded blocked graph") {
+    // three blocks with different shapes: a chain (diameter 7), a pair
+    // of separate clusters in one block, and a triangle + isolated edge;
+    // node ids are disjoint from block ids to catch key mix-ups
+    val pairs = (
+      (1L to 7L).map(i => (i, i + 1, "b1")) ++ // chain 1..8
+        Seq((100L, 101L, "b2"), (200L, 201L, "b2"), (201L, 202L, "b2")) ++
+        Seq((300L, 301L, "b3"), (301L, 302L, "b3"), (300L, 302L, "b3"),
+          (400L, 401L, "b3"))
+      ).toDF("doc_a", "doc_b", "blk")
+    val local = DedupClusters.resolveBlocked(pairs, blockCols = Seq("blk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = DedupClusters.resolve(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist)
+    assert(local.contains(8L -> 1L) && local.contains(202L -> 200L) &&
+      local.contains(401L -> 400L))
+    // skew fallback: a bound below every block's edge count routes ALL
+    // blocks through the distributed hybrid — same components
+    val fallback = DedupClusters.resolveBlocked(pairs, blockCols = Seq("blk"),
+        maxBlockEdges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fallback == dist)
+    // mixed: bound between block sizes -> b2/b3 local, b1 distributed
+    val mixed = DedupClusters.resolveBlocked(pairs, blockCols = Seq("blk"),
+        maxBlockEdges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == dist)
+  }
+
   test("DedupClusters.resolve closes deep chains via the doubling phase") {
     // diameter 119 > maxIter 64: neighbor-min alone cannot converge
     // inside the round budget — the pointer-doubling phase past
