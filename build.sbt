@@ -15,6 +15,11 @@ run / fork := true
 // Bench prints one machine-readable JSON line that the round driver
 // parses from stdout; the default logger prefix breaks that parse.
 run / outputStrategy := Some(StdoutOutput)
+// ... and the parse wants that JSON line as the process's FINAL stdout
+// output: sbt's "[success] Total time: ..." epilogue otherwise prints
+// after it and has masked the result every round so far.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -95,23 +95,44 @@ object Bench {
       samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
     val results = catalog.map { case (name, _) => name -> median(samples(name)) }
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (failed(k)) "null" else v.toString)
-    }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$load}"""
+    def envelope(qs: String, extra: String = "") =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$load$extra}"""
+    // Full-fidelity artifact: full query names, full precision, and the
+    // RAW per-rep samples — so a noise event (the round-5 "regression"
+    // took a rerun campaign to diagnose) is readable from the artifact
+    // alone: a one-bad-rep query shows one outlier sample, a truly slow
+    // query shows three consistent ones.
+    val fullQs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (failed(k)) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val samplesJson = catalog.map { case (name, _) =>
+      s"\"" + name + "\":" + samples(name).map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(line) finally w.close()
+      try w.println(envelope(fullQs, s""","samples":$samplesJson"""))
+      finally w.close()
     } catch { case t: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${t.getMessage}") }
+    // Stdout line for the round driver: it keeps only a 2000-char tail of
+    // the process output, so the line must FIT there or the driver records
+    // parsed:null (as it did rounds 1-6). Query keys compress to their
+    // catalog prefix ("q4N_entity_resolution" -> "q4N" — unique by
+    // construction, verified here) and values round to ms; full names and
+    // precision live in bench_out.json above.
+    val shortNames = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val compactKeys = shortNames.values.toSeq.distinct.size == results.size
+    val compactQs = results.map { case (k, v) =>
+      s"\"" + (if (compactKeys) shortNames(k) else k) + "\":" +
+        (if (failed(k)) "null" else f"$v%.3f")
+    }.mkString("{", ",", "}")
     // Stop Spark BEFORE printing the result line: executor/shutdown chatter
     // can otherwise land on stdout after it, and the driver's parser wants
     // the JSON as the app's final stdout output.
     spark.stop()
-    println(line)
+    println(envelope(compactQs))
     System.out.flush()
   }
 }

@@ -117,9 +117,12 @@ object ScaleBench {
       spark.read.parquet(s"$sfDir/customer.parquet")
         .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
         .withColumn("c_custkey", col("c_custkey") + col("rep") * lit(10000000L))
-        // replica prefix of >= 3 repeated digits: any two distinct
-        // replica prefixes differ in >= 3 positions, so cross-replica
-        // names can never be within Levenshtein 1 and the fuzzy-pair
+        // replica prefix of 3 repeated digits: two DISTINCT replica
+        // prefixes are at Levenshtein distance >= 2 (rotation-pattern
+        // reps like "121212"/"212121" achieve exactly 2, not 3 — same-
+        // length strings differing in every position still align
+        // pairwise), which is all the invariant needs: cross-replica
+        // names can never be within Levenshtein 1, so the fuzzy-pair
         // structure scales exactly linearly
         .withColumn("c_name",
           concat(repeat(col("rep").cast("string"), 3), lit("_"), col("c_name")))

@@ -77,16 +77,19 @@ object Graph {
     * Scale shape: each of the `iters` rounds is one equi-join of the
     * directed edge list against the rank table plus one groupBy —
     * both hash-partitioned on the node key, no driver-side state but
-    * the single node count. The plan is built lazily across rounds;
-    * at production round counts, checkpoint every few rounds exactly
-    * as `DedupClusters.resolve` does (the CC operator documents the
-    * planning-cost cliff).
+    * the single node count. The rank plan is truncated every
+    * `checkpointEvery` rounds: two joins per round COMPOUND the lazy
+    * plan (and Catalyst's sizeInBytes estimate multiplies per join, the
+    * exact BigInteger planning cliff `DedupClusters.resolve`
+    * documents), so the checkpoint is rebuilt into a fresh LogicalRDD
+    * with constant stats, exactly as the CC doubling phase does.
     *
     * Undirected edges mean every node has out-degree >= 1 — no
     * dangling-mass correction needed. */
   def pageRankScaled(edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
     // Materialize the directed edge list once: every iteration joins
     // against it, and without the lineage cut Spark would recompute the
     // upstream edge derivation (often itself a join) per round — the
@@ -99,13 +102,17 @@ object Graph {
     val base = (3 * scale) / (20 * n) // 0.15 * scale / n, truncated
     var ranks = deg.select(col("src").as("node"), col("outdeg"),
       lit(scale / n).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = g.join(ranks, g("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       ranks = deg.join(contrib, deg("src") === contrib("dst"), "left")
         .select(col("src").as("node"), col("outdeg"),
           (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("r"))
+      if (i % checkpointEvery == 0 && i < iters) {
+        val cp = ranks.localCheckpoint()
+        ranks = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      }
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }

@@ -105,6 +105,37 @@ object WarehouseQueries {
         | AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY left_id, right_id""".stripMargin),
 
+    // Two-sided fuzzy record linkage — the incremental-batch pattern
+    // (q3K) applied to fuzzy matching: an arriving batch of perturbed
+    // customer records (re-keyed, last name character dropped, both
+    // deterministic) links against the existing corpus within
+    // Levenshtein 1, nation-blocked. Exercises
+    // FuzzyJoin.editDistance1Join, selfPairs' two-sided sibling: only
+    // the BATCH explodes against the corpus variants — no corpus
+    // self-join, candidates bounded by variant-bucket collisions.
+    "q53_fuzzy_linkage" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.computeTable(s, dir, "customer")
+        val batch = cust.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+            expr("substring(c_name, 1, length(c_name) - 1)").as("c_name"),
+            col("c_nationkey"))
+        FuzzyJoin.editDistance1Join(batch, cust, textCol = "c_name",
+            idCol = "c_custkey", blockCols = Seq("c_nationkey"))
+          .orderBy("left_id", "right_id")
+      },
+      """WITH batch AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |         substr(c_name, 1, length(c_name) - 1) AS c_name,
+        |         c_nationkey
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT b.c_custkey AS left_id, c.c_custkey AS right_id,
+        |       levenshtein(b.c_name, c.c_name) AS dist
+        |FROM batch b JOIN customer c
+        |  ON b.c_nationkey = c.c_nationkey
+        | AND levenshtein(b.c_name, c.c_name) <= 1
+        |ORDER BY left_id, right_id""".stripMargin),
+
     // Declarative DQ report over orders: four row-level constraints and
     // a uniqueness key in ONE aggregate pass + an anti-join FK row.
     "q4F_dq_report" -> QueryDef(

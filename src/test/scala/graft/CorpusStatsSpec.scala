@@ -149,6 +149,38 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(rs == rs2)
   }
 
+  test("pagerank at max iters (20) completes and matches a reference unroll") {
+    // exercises the plan-growth guard: 20 rounds of 2 joins each would
+    // compound the lazy plan (and square Catalyst's size stats) without
+    // the periodic checkpoint; correctness is pinned against a local
+    // unroll of the same integer recurrence
+    def refRanks(edges: Seq[(Long, Long)], iters: Int, scale: Long): Map[Long, Long] = {
+      val g = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = g.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size
+      val base = (3 * scale) / (20 * n)
+      var r = deg.map { case (k, _) => k -> scale / n }
+      for (_ <- 1 to iters) {
+        val contrib = g.groupBy(_._2).view
+          .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+        r = deg.map { case (k, _) => k -> (base + (17 * contrib.getOrElse(k, 0L)) / 20) }
+      }
+      r
+    }
+    // asymmetric graph (path + star tail) so ranks genuinely move
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 6L), (3L, 7L), (7L, 8L))
+    val got = graft.operators.Graph
+      .pageRankScaled(edges.toDF("a", "b"), iters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refRanks(edges, 20, 1000000000000L))
+    // a non-default cadence changes nothing but the plan
+    val got2 = graft.operators.Graph
+      .pageRankScaled(edges.toDF("a", "b"), iters = 20, checkpointEvery = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+  }
+
   test("triangles match a brute-force reference on randomized graphs (seeded)") {
     val rnd = new scala.util.Random(61)
     for (_ <- 1 to 8) {
