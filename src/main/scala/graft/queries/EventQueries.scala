@@ -314,6 +314,86 @@ object EventQueries {
         |            AS INTEGER) AS funnel_stage
         |FROM f ORDER BY user_id""".stripMargin),
 
+    // The STREAMING funnel under the same oracle as the batch one
+    // (q4W): the events table replays through MemoryStream in two
+    // chronological chunks — cross-batch stateful updates, watermark
+    // advancing between chunks — and the Update-mode output compacts
+    // to each user's final row. Closes §2.10's "no oracle" column: the
+    // stateful flow itself is now hash-gated against DuckDB, not just
+    // spec-pinned against the batch operator. MemoryStream + collect
+    // is harness plumbing (a deployment reads Kafka); the operator
+    // under test is the flatMapGroupsWithState flow. Event times pass
+    // through the flow at millisecond grain (java.sql.Timestamp
+    // state), so the oracle truncates micros to ms. Chunks split on a
+    // fixed mid-January instant: chunk-2 events all sit AFTER the
+    // post-chunk-1 watermark, so nothing is ever late-dropped and
+    // exactness holds under any lateness setting.
+    "q54_stream_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val stages = Seq("view", "click", "purchase")
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("user_id").cast("long"), col("ts"), col("event_type"))
+          .as[(Long, java.sql.Timestamp, String)]
+          .collect()
+        val midMs = 1705363200000L // 2024-01-16 00:00 UTC (test data spans Jan 2024)
+        val (c1, c2) = ev.partition(_._2.getTime < midMs)
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, String)]
+        // horizon must cover the whole replayed span (the tables span
+        // Jan 2024): a mid-replay state expiry is correct STREAM
+        // behavior (bounded state) but the oracle compares against the
+        // full-history batch funnel, which never forgets
+        val out = graft.streaming.StreamingFlows.funnelProgress(
+          in.toDF().toDF("user_id", "event_time", "event_type"), stages,
+          horizonMinutes = 60 * 24 * 60)
+        val q = out.writeStream.format("memory").queryName("q54_funnel_sink")
+          .outputMode("update").start()
+        try {
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); q.processAllAvailable() }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); q.processAllAvailable() }
+        } finally q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("update_seq").desc)
+        def stageUs(i: Int, name: String) = {
+          val c = element_at(col("stage_ts_us"), i)
+          when(c =!= -1L, c).as(name)
+        }
+        s.table("q54_funnel_sink")
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), stageUs(1, "view_us"), stageUs(2, "click_us"),
+            stageUs(3, "purchase_us"), col("funnel_stage"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS us, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |              OVER (PARTITION BY user_id) AS view_us
+        |  FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND us > view_us
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS click_us
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > click_us
+        |                     THEN us END)
+        |              OVER (PARTITION BY user_id) AS purchase_us
+        |  FROM s2),
+        |f AS (
+        |  SELECT user_id, min(view_us) AS view_us, min(click_us) AS click_us,
+        |         min(purchase_us) AS purchase_us
+        |  FROM s3 GROUP BY user_id)
+        |SELECT user_id, view_us, click_us, purchase_us,
+        |       CAST(CASE WHEN view_us IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN click_us IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN purchase_us IS NULL THEN 0 ELSE 1 END
+        |            AS INTEGER) AS funnel_stage
+        |FROM f ORDER BY user_id""".stripMargin),
+
     // Triangle counting on the co-order part-affinity graph (parts
     // appearing together in >= 2 orders). Degree-ordered orientation
     // ("compact-forward") caps wedge fan-out at O(sqrt(m)) per node —
