@@ -793,6 +793,60 @@ object TextQueries {
         |SELECT term, COUNT(*) AS n FROM pairs GROUP BY term
         |HAVING COUNT(*) >= 40 ORDER BY n DESC, term""".stripMargin),
 
+    // The STREAMING count-min sketch under a DuckDB oracle (§2.10
+    // closure, like q54): document tokens replay through MemoryStream
+    // in two halves and the complete-mode cell table must equal the
+    // batch sketch — which the oracle recomputes from scratch with the
+    // same per-row polynomial hashes (duckPolyHash at each depth row's
+    // (base, prime), folded into the width). Cell sums are a
+    // commutative monoid, so the two-batch replay is exact, not
+    // approximate. MemoryStream + collect is harness plumbing; the
+    // operator under test is the unbounded-universe-safe streaming
+    // aggregation (state bounded at depth × width cells forever).
+    "q55_stream_cms" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.computeTable(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text").cast("string"))
+          .as[(Long, String)].collect()
+        val (c1, c2) = docs.partition(_._1 % 2 == 0)
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val terms = in.toDF().toDF("doc_id", "text")
+          .filter(length(trim(col("text"))) > 0)
+          .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        val out = graft.streaming.StreamingFlows.cmsCells(terms, "term",
+          depth = 3, width = 64)
+        val q = out.writeStream.format("memory").queryName("q55_cms_sink")
+          .outputMode("complete").start()
+        try {
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); q.processAllAvailable() }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); q.processAllAvailable() }
+        } finally q.stop()
+        s.table("q55_cms_sink").select("i", "cell", "n").orderBy("i", "cell")
+      },
+      s"""WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |terms AS (
+        |  SELECT tk[i] AS term
+        |  FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |cells AS (
+        |  SELECT CAST(0 AS INTEGER) AS i,
+        |         CAST(${duckPolyHash("term", 31, 1000000007L)} % 64 AS INTEGER) AS cell
+        |  FROM terms
+        |  UNION ALL
+        |  SELECT CAST(1 AS INTEGER),
+        |         CAST(${duckPolyHash("term", 37, 999999937L)} % 64 AS INTEGER)
+        |  FROM terms
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER),
+        |         CAST(${duckPolyHash("term", 41, 1000000021L)} % 64 AS INTEGER)
+        |  FROM terms)
+        |SELECT i, cell, COUNT(*) AS n FROM cells
+        |GROUP BY i, cell ORDER BY i, cell""".stripMargin),
+
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
     // two exact integer counts — bit-exact in any engine).
