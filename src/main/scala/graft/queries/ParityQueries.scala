@@ -943,7 +943,68 @@ object ParityQueries {
         |SELECT *, 'upsert' AS change_type FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
         |UNION ALL
         |SELECT *, 'delete' AS change_type FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
-        |ORDER BY change_type, o_orderkey""".stripMargin)
+        |ORDER BY change_type, o_orderkey""".stripMargin),
+
+    // Incremental materialized-view maintenance: a per-customer
+    // sum/count view built at v1 refreshes through a MERGE (updates +
+    // inserts) and a DELETE using ONLY the change feed — the base
+    // table is never rescanned — and must hash-equal the oracle's full
+    // recompute of the FINAL state. Decimal sums make incremental ==
+    // rebuild bit-exact; the manifest-diff feed makes the refresh
+    // O(changed files). This is the consumer the CDC leg (q4C) exists
+    // for.
+    "q56_incremental_view" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t56")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v1 = graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        val updates = ords.filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionAll(ords.filter(col("o_orderkey") % 3 === 1))
+        graft.sources.SnapshotTable.merge(s, base, updates, "o_orderkey",
+          Seq("o_orderkey"))
+        val v3 = graft.sources.SnapshotTable.delete(s, base,
+          col("o_totalprice") > 350000.0, Seq("o_orderkey"))
+        val view1 = graft.operators.IncrementalView.sumCountView(
+          graft.sources.SnapshotTable.scan(s, base, Some(v1)),
+          Seq("o_custkey"), "o_totalprice")
+        val cdc = graft.sources.SnapshotTable.changes(s, base, v1, v3)
+        graft.operators.IncrementalView.applyChanges(view1, cdc,
+            Seq("o_custkey"), "o_totalprice")
+          // exact decimals inside; DOUBLE at the comparison boundary
+          // (the repo-wide oracle convention; the cast is exact at
+          // these magnitudes)
+          .select(col("o_custkey"),
+            col("sum_o_totalprice").cast("double").as("sum_o_totalprice"),
+            col("n_rows"))
+          .orderBy("o_custkey")
+      },
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |v2 AS (
+        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |  FROM v1 t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE NOT COALESCE(o_totalprice > 350000.0, FALSE))
+        |SELECT o_custkey,
+        |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |            AS DOUBLE) AS sum_o_totalprice,
+        |       COUNT(*) AS n_rows
+        |FROM v3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   )
 
   /** Fresh per-SF scratch dir for snapshot-table queries — deleted on

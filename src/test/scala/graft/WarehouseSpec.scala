@@ -186,6 +186,33 @@ class WarehouseSpec extends SparkTestBase {
       again.orderBy("event_type").collect().toSeq)
   }
 
+  test("incremental view maintenance equals a full rebuild, groups can vanish") {
+    import graft.operators.IncrementalView
+    // v1: three groups; the feed updates one row (delete+upsert pair),
+    // inserts a row into a NEW group, deletes group 3 entirely, and
+    // carries a NULL-valued insert (counts in n_rows, adds 0 to sum)
+    val v1 = Seq((1L, 10L, Some(100.0)), (1L, 11L, Some(50.0)),
+      (2L, 20L, Some(7.5)), (3L, 30L, Some(1.0))).toDF("k", "id", "v")
+    val v2 = Seq((1L, 10L, Some(250.0)), (1L, 11L, Some(50.0)),
+      (2L, 20L, Some(7.5)), (2L, 21L, None: Option[Double]),
+      (4L, 40L, Some(9.0))).toDF("k", "id", "v")
+    val cdc = v2.exceptAll(v1).withColumn("change_type", lit("upsert"))
+      .unionAll(v1.exceptAll(v2).withColumn("change_type", lit("delete")))
+    val incremental = IncrementalView.applyChanges(
+      IncrementalView.sumCountView(v1, Seq("k"), "v"), cdc, Seq("k"), "v")
+    val rebuilt = IncrementalView.sumCountView(v2, Seq("k"), "v")
+    val inc = incremental.orderBy("k").collect().toSeq
+    assert(inc == rebuilt.orderBy("k").collect().toSeq)
+    assert(!inc.exists(_.getLong(0) == 3L), "vanished group must leave the view")
+    assert(inc.map(_.getLong(0)) == Seq(1L, 2L, 4L))
+    // an empty feed is an exact no-op
+    val noop = IncrementalView.applyChanges(
+      IncrementalView.sumCountView(v1, Seq("k"), "v"),
+      cdc.filter(lit(false)), Seq("k"), "v")
+    assert(noop.orderBy("k").collect().toSeq ==
+      IncrementalView.sumCountView(v1, Seq("k"), "v").orderBy("k").collect().toSeq)
+  }
+
   test("expectations: referential integrity via anti-join") {
     val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "pid")
     val parent = Seq(10L, 11L).toDF("p")
