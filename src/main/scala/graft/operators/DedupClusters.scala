@@ -189,7 +189,7 @@ object DedupClusters {
     * running minimum; path halving keeps finds near-constant. State is
     * one long-to-long map over the block's nodes — bounded by the
     * caller's `maxBlockEdges`. */
-  private[operators] def unionFindMin(edges: Iterator[(Long, Long)])
+  private[graft] def unionFindMin(edges: Iterator[(Long, Long)])
       : Iterator[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(a: Long): Long = {

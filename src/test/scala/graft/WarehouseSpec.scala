@@ -130,6 +130,51 @@ class WarehouseSpec extends SparkTestBase {
       s"fuzzy join fell back to all-pairs:\n$plan")
   }
 
+  test("two-sided fuzzy linkage matches brute force, no cartesian in plan") {
+    val corpus = Seq((1L, "kitten", "x"), (2L, "mitten", "x"),
+      (3L, "kitten", "y"), (4L, "bitten", "x")).toDF("id", "name", "blk")
+    val batch = Seq((101L, "kitte", "x"), (102L, "mitten", "y"))
+      .toDF("id", "name", "blk")
+    val got = FuzzyJoin.editDistance1Join(batch, corpus, "name", "id",
+        blockCols = Seq("blk"))
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // 101~kitten(x) by deletion; 102~kitten(y) by substitution; never
+    // across blocks: 102 vs 2 ("mitten") is an EXACT match but blk y!=x
+    assert(got == Set((101L, 1L), (102L, 3L)))
+    val plan = FuzzyJoin.editDistance1Join(batch, corpus, "name", "id",
+        blockCols = Seq("blk"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"fuzzy linkage fell back to all-pairs:\n$plan")
+  }
+
+  test("unionFindMin equals BFS components on seeded random graphs") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(30)
+      val edges = (1 to (1 + rnd.nextInt(40)))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // BFS reference over the undirected adjacency
+        val adj = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val nodes = adj.keySet
+        val expect = nodes.map { s =>
+          var seen = Set(s); var frontier = Set(s)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj(_)) -- seen
+            seen ++= frontier
+          }
+          s -> seen.min
+        }.toMap
+        val got = graft.operators.DedupClusters
+          .unionFindMin(edges.iterator).toMap
+        assert(got == expect, s"trial=$trial n=$n edges=$edges")
+      }
+    }
+  }
+
   test("fuzzy join blocking keys restrict matches to the block") {
     val rows = Seq((1L, "abc", "x"), (2L, "abd", "x"),
       (3L, "abe", "y"), (4L, "abf", "y"), (5L, "abc", "y"))
