@@ -290,6 +290,79 @@ object TextDedup {
             s => s.getField("chunk")), " ").as("text_dedup"))
   }
 
+  /** Span-level exact dedup, the ExactSubstr shape of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * every `w`-token SLIDING window is fingerprinted; a window
+    * occurring at more than one (doc, position) keeps only its
+    * corpus-wide FIRST occurrence (doc id, then position) and every
+    * other occurrence marks its `w` tokens for removal; documents are
+    * reassembled from the surviving tokens. Unlike [[chunkDedup]]'s
+    * disjoint chunks this catches repeated spans at ANY alignment —
+    * a repeated run of length L >= w is scrubbed in full from every
+    * non-first copy (each of its window starts has an earlier twin and
+    * their union covers the run), including INTRA-document repeats.
+    * Docs shorter than `w` tokens have no windows and pass through
+    * verbatim (the semantics only dedups spans >= w); every input doc
+    * gets an output row, empty-text docs included.
+    *
+    * Scale shape: L-w+1 slim (len, hash, hash2, doc, pos) rows per doc
+    * shuffle into the keep-first window (this one selects `rn > 1` —
+    * the removed occurrences — so unlike [[chunkDedup]] no
+    * WindowGroupLimit pre-prune applies; the shuffled rows stay slim
+    * fingerprints either way, never text); removed span starts join
+    * back against token positions as a hash join on the DOC id with a
+    * residual range predicate (never a cartesian); reassembly is
+    * [[chunkDedup]]'s per-doc groupBy. Nothing is quadratic in corpus
+    * size.
+    * Output: (doc_id, n_tokens, n_removed, text_scrubbed). */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 15): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens, got $w")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("__text"))
+    val toks = base
+      .filter(length(trim(col("__text"))) > 0)
+      .select(col("doc_id"), split(trim(col("__text")), "\\s+").as("tk"))
+    val pos = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("i"), col("tok"))
+    val win = toks
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), posexplode(
+          transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+            s => array_join(slice(col("tk"), s, lit(w)), " ")))
+        .as(Seq("s0", "wtext")))
+      .select(col("doc_id"), (col("s0") + 1).as("s"),
+        length(col("wtext")).as("__wl"),
+        TextFunctions.polyHash(col("wtext"), 31, 1000000007L).as("__h1"),
+        TextFunctions.polyHash(col("wtext"), 37, 999999937L).as("__h2"))
+    val keepFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("__wl", "__h1", "__h2").orderBy(col("doc_id"), col("s"))
+    val removed = win.withColumn("__rn", row_number().over(keepFirst))
+      .filter(col("__rn") > 1).select(col("doc_id"), col("s"))
+    // aliases: pos and removed share the toks lineage, so unqualified
+    // column references would be ambiguous in the self-join condition
+    val kept = pos.alias("p").join(removed.alias("r"),
+      col("p.doc_id") === col("r.doc_id") &&
+        col("r.s") <= col("p.i") && col("r.s") >= col("p.i") - (w - 1),
+      "left_anti")
+    val scrubbed = kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("tok")))),
+            s => s.getField("tok")), " ").as("__text_scrubbed"))
+    base
+      .select(col("doc_id"),
+        when(length(trim(col("__text"))) === 0, 0)
+          .otherwise(size(split(trim(col("__text")), "\\s+")))
+          .cast("int").as("n_tokens"))
+      .join(scrubbed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0))).cast("int")
+          .as("n_removed"),
+        coalesce(col("__text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** SimHash: 60-bit signature from two 30-bit polynomial token hashes.
     * Per bit: sum +1/-1 over distinct tokens by that bit of the token
     * hash; bit set when the sum is positive.

@@ -606,6 +606,67 @@ object TextQueries {
          |       string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup
          |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Span-level exact dedup (the Lee-et-al ExactSubstr shape): every
+    // 15-token SLIDING window kept only at its first corpus-wide
+    // occurrence; later occurrences scrub their covered tokens and
+    // docs reassemble from survivors. Catches repeats at ANY alignment
+    // (chunk dedup q3Y only catches aligned chunks) including
+    // intra-doc runs. Duplicates synthesized by self-union: every +1M
+    // copy long enough to have windows must scrub to (near) empty
+    // while first occurrences stay whole unless they share a >= 15
+    // token exact span with an earlier doc.
+    "q57_span_dedup" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.computeTable(s, dir, "documents").select("doc_id", "text")
+        val dup = d.withColumn("doc_id", col("doc_id") + 1000000)
+        TextDedup.spanScrub(d.unionAll(dup), "doc_id", "text", w = 15)
+          .orderBy("doc_id")
+      },
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN trim(text) = '' THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+'))
+         |              END AS INTEGER) AS n_tokens
+         |  FROM u),
+         |t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |  FROM u WHERE length(trim(text)) > 0),
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS i, tk[i] AS tok
+         |  FROM t, UNNEST(range(1, len(tk) + 1)) AS a(i)),
+         |win AS (
+         |  SELECT doc_id, CAST(s AS INTEGER) AS s,
+         |         array_to_string(tk[s : s + 14], ' ') AS wtext
+         |  FROM t, UNNEST(range(1, len(tk) - 13)) AS b(s)
+         |  WHERE len(tk) >= 15),
+         |fp AS (
+         |  SELECT doc_id, s, length(wtext) AS wl,
+         |         ${duckPolyHash("wtext")} AS h1,
+         |         ${duckPolyHash("wtext", 37, 999999937L)} AS h2
+         |  FROM win),
+         |rem AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, s, row_number() OVER (PARTITION BY wl, h1, h2
+         |                                         ORDER BY doc_id, s) AS rn
+         |    FROM fp) WHERE rn > 1),
+         |kept AS (
+         |  SELECT p.doc_id, p.i, p.tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+         |                    WHERE r.doc_id = p.doc_id
+         |                      AND r.s BETWEEN p.i - 14 AND p.i)),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS nk,
+         |         string_agg(tok, ' ' ORDER BY i) AS ts
+         |  FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |       b.n_tokens - COALESCE(a.nk, 0) AS n_removed,
+         |       COALESCE(a.ts, '') AS text_scrubbed
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin),
+
     // Flagship documents-to-training-shards pipeline: chunk-level exact
     // dedup -> benchmark-contamination gate on the DEDUPED text ->
     // per-source cap -> deterministic shard assignment, all one lazy

@@ -165,7 +165,12 @@ object SnapshotTable {
             java.nio.file.Paths.get(target.toUri.getPath),
             java.nio.file.Paths.get(tmp.toUri.getPath))
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // a concurrent vacuum may reclaim the temp between write and
+          // link; losing the slot (and retrying) is the safe reading
+          case _: java.nio.file.NoSuchFileException => false
+        }
       } else {
         try f.rename(tmp, target) catch { case _: java.io.IOException => false }
       }
@@ -482,8 +487,14 @@ object SnapshotTable {
     dead.foreach(n => f.delete(new Path(dd, n), false))
     expired.foreach { v =>
       f.delete(new Path(logDir(dir), manifestName(v)), false)
-      f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false)
+      f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false) // pre-OCC tables
     }
+    // reclaim publish temps left by crashed writers; an in-flight
+    // writer losing its temp just loses the slot race and retries
+    // (tryPublish treats the vanished temp as a lost slot)
+    f.listStatus(logDir(dir)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(".tmp-") && n.endsWith(".json"))
+      .foreach(n => f.delete(new Path(logDir(dir), n), false))
     dead.map(n => s"data/$n")
   }
 

@@ -191,6 +191,25 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("spanScrub removes repeated spans at any alignment, keeps first") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),             // first occurrence: untouched
+      (2L, "x x a b c d e f g h y"),       // embeds doc 1's run at offset 2
+      (3L, "p q r s p q r s"),             // INTRA-doc repeat of "p q r s"
+      (4L, "t u v"),                       // shorter than w: passes through
+      (5L, "")).toDF("doc_id", "text")     // empty: still gets a row
+    val out = graft.operators.TextDedup.spanScrub(docs, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == ((1L, 8, 0, "a b c d e f g h")))
+    // doc 2: window starts 3..7 duplicate doc 1's 1..5 -> tokens 3..10 go
+    assert(out(1) == ((2L, 11, 8, "x x y")))
+    // doc 3: window start 5 duplicates start 1 -> tokens 5..8 go
+    assert(out(2) == ((3L, 8, 4, "p q r s")))
+    assert(out(3) == ((4L, 3, 0, "t u v")))
+    assert(out(4) == ((5L, 0, 0, "")))
+  }
+
   test("DedupClusters.resolveBlocked matches resolve on a seeded blocked graph") {
     // three blocks with different shapes: a chain (diameter 7), a pair
     // of separate clusters in one block, and a triangle + isolated edge;
