@@ -29,7 +29,7 @@ object ScaleBench {
 
   private val DedupQueries = Seq(
     "q20_exact_dedup", "q25_ngram_jaccard", "q26_minhash_lsh", "q38_dup_clusters",
-    "q3Y_chunk_dedup", "q41_shard_pipeline")
+    "q3Y_chunk_dedup", "q41_shard_pipeline", "q57_span_dedup")
 
   private val AnnQueries =
     Seq("q2B_ann_multitable", "q2C_ann_ivf", "q4I_pq_topk", "q4K_ann_ivfpq")
