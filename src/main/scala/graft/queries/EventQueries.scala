@@ -314,6 +314,75 @@ object EventQueries {
         |            AS INTEGER) AS funnel_stage
         |FROM f ORDER BY user_id""".stripMargin),
 
+    // The STREAMING gap sessionizer under a DuckDB oracle — the third
+    // stateful flow hash-gated (with q54/q55). Two chronological
+    // chunks replay the events table; sessions close by the gap rule
+    // when a newer event arrives and by event-time TIMEOUT when the
+    // watermark passes the gap (the mid-replay timeout closure IS
+    // correct gap semantics here, unlike q54's never-forgetting
+    // funnel); a far-future sentinel event advances the final
+    // watermark so every remaining open session flushes. session_seq
+    // is recomputed in the sink compaction (a timeout removes per-user
+    // state, so the flow's own counter restarts — content, not
+    // numbering, is the flow's contract). Session sums left-fold in
+    // event-time order, which the oracle reproduces with an ORDER
+    // BY'd list_reduce (float addition is order-sensitive; the data
+    // has no (user, ms) timestamp ties, so the order is total).
+    "q58_stream_sessions" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("user_id").cast("long"), col("ts"),
+            col("value").cast("double"))
+          .as[(Long, java.sql.Timestamp, Double)].collect()
+        val midMs = 1705363200000L // 2024-01-16 00:00 UTC
+        val (c1, c2) = ev.partition(_._2.getTime < midMs)
+        val sentinel = (-1L, new java.sql.Timestamp(1709251200000L), 0.0) // 2024-03-01
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val out = graft.streaming.StreamingFlows.sessionize(
+          in.toDF().toDF("user_id", "event_time", "value"),
+          gapMinutes = 1440)
+        val q = out.writeStream.format("memory").queryName("q58_sess_sink")
+          .outputMode("append").start()
+        try {
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); q.processAllAvailable() }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); q.processAllAvailable() }
+          in.addData(sentinel); q.processAllAvailable()
+        } finally q.stop()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_start_us")
+        s.table("q58_sess_sink")
+          .filter(col("user_id") >= 0) // drop the sentinel's own state
+          .withColumn("session_seq", row_number().over(w).cast("long"))
+          .select("user_id", "session_seq", "session_start_us",
+            "session_end_us", "n_events", "sum_value")
+          .orderBy("user_id", "session_seq")
+      },
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS us, value
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000
+        |                 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |r AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, session_seq,
+        |         min(us) AS session_start_us, max(us) AS session_end_us,
+        |         count(*) AS n_events,
+        |         list_reduce(list(value ORDER BY us), (a, b) -> a + b)
+        |           AS sum_value
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, session_seq, session_start_us, session_end_us,
+        |       n_events, sum_value
+        |FROM g ORDER BY user_id, session_seq""".stripMargin),
+
     // The STREAMING funnel under the same oracle as the batch one
     // (q4W): the events table replays through MemoryStream in two
     // chronological chunks — cross-batch stateful updates, watermark
