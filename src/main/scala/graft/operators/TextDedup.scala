@@ -213,6 +213,56 @@ object TextDedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental MinHash-LSH near-dup: a NEW batch of documents checks
+    * against an existing corpus without the corpus EVER self-joining —
+    * [[incrementalDedup]]'s near-dup analogue, the shape an ingest
+    * pipeline runs per arrival. Both sides band their signatures; a
+    * (band, sig) bucket hotter than `maxBucket` across the union is
+    * dropped (a boilerplate bucket is boilerplate no matter which side
+    * probes it); candidates are batch bands ⋈ corpus bands on the
+    * bucket key and verify with exact shingle Jaccard over the
+    * union-df-capped index. In deployment the corpus band rows and
+    * shingle index are precomputed once and persisted, so only the
+    * batch side is fresh work — and the corpus appears on at most one
+    * side of every join, so cost scales with |batch| × collision rate,
+    * never |corpus|². IDs must be unique across batch and corpus.
+    * Output: (batch_id, corpus_id, jaccard >= threshold). */
+  def incrementalLshPairs(batch: DataFrame, corpus: DataFrame, idCol: String,
+                          textCol: String, k: Int, numHashes: Int,
+                          rowsPerBand: Int, threshold: Double,
+                          maxDf: Int, maxBucket: Int): DataFrame = {
+    require(numHashes == 32, "the single-pass signature kernel is a 32-hash family")
+    def sideBands(df: DataFrame) = bandSignatures(
+      minhashSignatureArray(df, idCol, textCol, k), numHashes, rowsPerBand)
+    val allBands = sideBands(batch).withColumn("__side", lit("b"))
+      .unionAll(sideBands(corpus).withColumn("__side", lit("c")))
+    val capped = capBandBuckets(allBands, maxBucket)
+    val cand = capped.filter(col("__side") === "b").as("x")
+      .join(capped.filter(col("__side") === "c").as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val sh = capShingleDf(
+      shingleIndex(batch, idCol, textCol, k)
+        .unionAll(shingleIndex(corpus, idCol, textCol, k)), maxDf)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "batch_id", "sh_hash" -> "s_a")),
+        "batch_id")
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "cid", "sh_hash" -> "s_b")),
+        col("corpus_id") === col("cid") && col("s_a") === col("s_b"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "batch_id", "n" -> "n_a")),
+        "batch_id")
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "corpus_id", "n" -> "n_b")),
+        "corpus_id")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   /** Benchmark decontamination (the standard shares-any-13-gram rule):
     * corpus documents sharing at least one k-gram with any benchmark
     * document. An inverted-index semi-join — corpus shingle hashes ⋉

@@ -606,6 +606,59 @@ object TextQueries {
          |       string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup
          |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Incremental near-dup: a batch of re-keyed document copies
+    // (doc_id % 7, +1M) checks against the existing corpus — batch
+    // bands join corpus bands only, the corpus never self-joins (the
+    // q3K incremental-ingest pattern at near-dup strength). Exact
+    // copies verify at jaccard 1.0 and planted near-dups surface
+    // across sides. The oracle replays the full pipeline over the
+    // union with batch ids distinguished by the +1M offset.
+    "q59_incremental_lsh" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.computeTable(s, dir, "documents").select("doc_id", "text")
+        val batch = d.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+        TextDedup.incrementalLshPairs(batch, d, "doc_id", "text",
+            k = 5, numHashes = 32, rowsPerBand = 4, threshold = 0.8,
+            maxDf = 20, maxBucket = 20)
+          .orderBy("batch_id", "corpus_id")
+      },
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+         |${shingleCte(20, "u")},
+         |mh AS (
+         |  SELECT doc_id, j, min(((2 * j + 1) * h + j * j + 7) % 1000000007) AS mh
+         |  FROM sh0, UNNEST(range(0, 32)) AS u2(j)
+         |  GROUP BY doc_id, j),
+         |bands0 AS (
+         |  SELECT doc_id, CAST(j // 4 AS INTEGER) AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |hotb AS (SELECT band, sig FROM bands0 GROUP BY band, sig HAVING COUNT(*) > 20),
+         |bands AS (SELECT * FROM bands0 b WHERE NOT EXISTS (
+         |  SELECT 1 FROM hotb h WHERE h.band = b.band AND h.sig = b.sig)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.sig = y.sig
+         |   AND x.doc_id >= 1000000 AND y.doc_id < 1000000),
+         |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.batch_id, c.corpus_id, COUNT(*) AS sh_n
+         |  FROM cand c
+         |  JOIN sh s1 ON s1.doc_id = c.batch_id
+         |  JOIN sh s2 ON s2.doc_id = c.corpus_id AND s2.h = s1.h
+         |  GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id,
+         |       CAST(sh_n AS DOUBLE) / (ca.n + cb.n - sh_n) AS jaccard
+         |FROM shared
+         |JOIN counts ca ON batch_id = ca.doc_id
+         |JOIN counts cb ON corpus_id = cb.doc_id
+         |WHERE CAST(sh_n AS DOUBLE) / (ca.n + cb.n - sh_n) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin),
+
     // Span-level exact dedup (the Lee-et-al ExactSubstr shape): every
     // 15-token SLIDING window kept only at its first corpus-wide
     // occurrence; later occurrences scrub their covered tokens and

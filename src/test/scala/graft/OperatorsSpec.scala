@@ -191,6 +191,40 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("incrementalLshPairs equals cross-side slice of the self-join variant") {
+    // corpus with a planted near-dup pair + batch containing an exact
+    // copy, a near-dup, and an unrelated doc
+    val mk = (n: Int, tail: String) =>
+      (1 to 12).map(i => s"w$i").mkString(" ") + " " + tail
+    val corpus = Seq(
+      (1L, mk(1, "alpha beta gamma delta")),
+      (2L, mk(2, "alpha beta gamma epsilon")),
+      (3L, "totally different content entirely " + (1 to 10).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, mk(1, "alpha beta gamma delta")),   // exact copy of 1
+      (102L, mk(2, "alpha beta gamma zeta")),    // near-dup of 2
+      (103L, (1 to 15).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val inc = graft.operators.TextDedup.incrementalLshPairs(batch, corpus,
+        "doc_id", "text", k = 5, numHashes = 32, rowsPerBand = 4,
+        threshold = 0.5, maxDf = 100, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the self-join variant over the union, sliced to cross-side pairs,
+    // must agree exactly (same caps over the same union)
+    val self = graft.operators.TextDedup.minhashLshPairs(
+        corpus.unionAll(batch), "doc_id", "text", k = 5, numHashes = 32,
+        rowsPerBand = 4, threshold = 0.5, maxDf = 100, maxBucket = 100)
+      .filter(col("doc_b") >= 100L && col("doc_a") < 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+    assert(inc.toSet == self.toSet)
+    val pairs = inc.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((101L, 1L)) && pairs.contains((102L, 2L)))
+    assert(inc.find(t => t._1 == 101L && t._2 == 1L).get._3 == 1.0)
+    assert(!pairs.exists(_._1 == 103L), "unrelated batch doc must not match")
+    assert(inc.forall(t => t._1 >= 100L && t._2 < 100L), "pairs must be cross-side only")
+  }
+
   test("spanScrub removes repeated spans at any alignment, keeps first") {
     val docs = Seq(
       (1L, "a b c d e f g h"),             // first occurrence: untouched
@@ -208,6 +242,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2) == ((3L, 8, 4, "p q r s")))
     assert(out(3) == ((4L, 3, 0, "t u v")))
     assert(out(4) == ((5L, 0, 0, "")))
+  }
+
+  test("spanScrub matches a brute-force reference on random small-vocab docs (seeded)") {
+    // tiny vocabulary + short window => dense repeated spans, heavy
+    // overlap, intra- and inter-doc duplication all exercised
+    def ref(docs: Seq[(Long, String)], w: Int): Map[Long, (Int, Int, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t.trim.isEmpty) Array.empty[String] else t.trim.split("\\s+"))
+      }
+      val wins = for {
+        (id, tk) <- toks if tk.length >= w
+        s <- 0 to tk.length - w
+      } yield ((id, s + 1), tk.slice(s, s + w).mkString(" "))
+      val firstOf = wins.groupBy(_._2).map { case (txt, occ) => txt -> occ.map(_._1).min }
+      val removed = wins.collect { case (loc, txt) if firstOf(txt) != loc => loc }.toSet
+      toks.map { case (id, tk) =>
+        val kept = tk.zipWithIndex.collect {
+          case (tok, i0) if !(math.max(1, i0 + 2 - w) to (i0 + 1))
+            .exists(s => removed((id, s))) => tok
+        }
+        id -> ((tk.length, tk.length - kept.length, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(71)
+    val vocab = Array("a", "b", "c")
+    for (trial <- 1 to 6) {
+      val docs = (1L to (3 + rnd.nextInt(6)).toLong).map { id =>
+        id -> Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val w = 2 + rnd.nextInt(3)
+      val got = graft.operators.TextDedup
+        .spanScrub(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      assert(got == ref(docs, w), s"trial=$trial w=$w docs=$docs")
+    }
+  }
+
+  test("spanScrub plan: no cartesian product, fingerprints shuffle not text") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val plan = graft.operators.TextDedup.spanScrub(docs, "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"coverage join fell back to all-pairs:\n$plan")
   }
 
   test("DedupClusters.resolveBlocked matches resolve on a seeded blocked graph") {
