@@ -63,6 +63,52 @@ object NgramModel {
       .limit(k)
   }
 
+  /** One row per adjacent token pair PER DOCUMENT (`doc_id`, `w1`,
+    * `w2`) — the doc-keyed sibling of [[bigramPairs]], for per-doc
+    * model-fit scoring. */
+  def docBigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+          struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+  }
+
+  /** Per-document model-fit score under the corpus's OWN bigram model —
+    * the perplexity-filter shape of CCNet-style curation with the
+    * transcendental log replaced by an integer-scaled mean continuation
+    * probability: score = (Σ over the doc's bigram occurrences of
+    * (n(w1,w2) · scale) div n(w1,·)) div n_bigrams, in [0, scale].
+    * Monotone in the mean continuation probability and DETERMINISTIC in
+    * any engine — truncating integer arithmetic only, no float
+    * summation order, no libm (two engines' `ln` may differ in ULPs;
+    * two engines' integer division cannot). Formulaic/boilerplate docs
+    * whose transitions the corpus has seen often score high;
+    * out-of-distribution or noisy docs score low — either tail is a
+    * curation signal. Docs with fewer than 2 tokens have no bigrams and
+    * no row.
+    *
+    * Scale shape: the model is two slim re-aggregations of the
+    * pair-count table (no second corpus scan); the doc side shuffles
+    * slim (doc, w1, w2) triples into a join keyed on the pair, with the
+    * model side AQE-decided (broadcast while the vocabulary is small,
+    * shuffled join at web scale — same policy as TfIdf's vocabulary
+    * join). Output: (doc_id, n_bigrams, lm_score). */
+  def lmFitScore(df: DataFrame, idCol: String, textCol: String,
+                 scale: Long = 1000000L): DataFrame = {
+    val dp = docBigramPairs(df, idCol, textCol)
+    val counts = dp.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    val left = counts.groupBy("w1").agg(sum("n_ab").as("n_w1"))
+    dp.join(counts, Seq("w1", "w2")).join(left, Seq("w1"))
+      .select(col("doc_id"), expr(s"(n_ab * ${scale}L) div n_w1").as("sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(sp) div count(1)").as("lm_score"))
+  }
+
   /** Bigram continuation table: for each predecessor `w1`, the top-k
     * successors by count with the continuation probability
     * n / total(w1). The probability is a ratio of two exact integer

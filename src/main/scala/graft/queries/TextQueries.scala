@@ -606,6 +606,33 @@ object TextQueries {
          |       string_agg(chunk, ' ' ORDER BY cpos) AS text_dedup
          |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Per-doc LM-fit score under the corpus's own bigram model: the
+    // perplexity-filter curation signal with log replaced by an
+    // integer-scaled mean continuation probability — truncating
+    // integer arithmetic end-to-end, so the score is bit-exact in any
+    // engine (two libms' ln may differ in ULPs; integer division
+    // cannot).
+    "q5A_lm_score" -> QueryDef(
+      (s, dir) => graft.operators.NgramModel.lmFitScore(
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dp AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM t, UNNEST(range(1, len(tk))) AS a(i)
+        |  WHERE len(tk) >= 2),
+        |counts AS (SELECT w1, w2, COUNT(*) AS n_ab FROM dp GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_w1
+        |        FROM counts GROUP BY 1),
+        |sc AS (
+        |  SELECT d.doc_id, (c.n_ab * 1000000) // l.n_w1 AS sp
+        |  FROM dp d JOIN counts c USING (w1, w2) JOIN lft l USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |       CAST(SUM(sp) // COUNT(*) AS BIGINT) AS lm_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Incremental near-dup: a batch of re-keyed document copies
     // (doc_id % 7, +1M) checks against the existing corpus — batch
     // bands join corpus bands only, the corpus never self-joins (the

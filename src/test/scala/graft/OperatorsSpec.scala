@@ -191,6 +191,29 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("lmFitScore: deterministic transitions score scale, rare ones score low") {
+    // doc 1 and 2: 'a' is ALWAYS followed by 'b' corpus-wide, so every
+    // (a,b) transition has probability 1 -> scaled 1,000,000; doc 3
+    // breaks 'c' into two successors (d here, e in doc 4) -> p = 1/2
+    val docs = Seq(
+      (1L, "a b a b a b"),  // 5 bigrams: ab, ba, ab, ba, ab
+      (2L, "a b"),
+      (3L, "c d"),
+      (4L, "c e"),
+      (5L, "x")).toDF("doc_id", "text") // single token: no bigrams, no row
+    val out = graft.operators.NgramModel.lmFitScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 2: one (a,b) bigram, p(b|a) = 4/4 -> exactly scale
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(1) == ((2L, 1L, 1000000L)))
+    // doc 3: one (c,d), p(d|c) = 1/2 -> exactly scale/2
+    assert(out(2) == ((3L, 1L, 500000L)))
+    // doc 1: 'a' only ever precedes 'b' and 'b' only ever precedes 'a'
+    // corpus-wide, so all 5 transitions are deterministic -> scale
+    assert(out(0) == ((1L, 5L, 1000000L)))
+  }
+
   test("incrementalLshPairs equals cross-side slice of the self-join variant") {
     // corpus with a planted near-dup pair + batch containing an exact
     // copy, a near-dup, and an unrelated doc
