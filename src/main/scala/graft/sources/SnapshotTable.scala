@@ -45,7 +45,10 @@ import org.apache.spark.sql.functions._
   *     (create-exclusive — exactly one writer can own a version).
   *     Losing the race loops back to 2 against the new snapshot.
   * A writer crashing before step 3 leaves only unreferenced staged
-  * files (reclaimed by [[vacuum]]) and can never corrupt the table.
+  * files — reclaimed by [[vacuum]] once older than its retention
+  * horizon (age is what distinguishes them from a LIVE txn's staged
+  * files, which are also unreferenced until publish) — and can never
+  * corrupt the table.
   * Because the rebase recomputes the carried list each attempt, pure
   * appends never conflict and never drop a concurrent commit's files;
   * rewrites (merge/delete/compact) conflict exactly when their
@@ -88,6 +91,10 @@ object SnapshotTable {
   private def manifestName(v: Long) = f"v$v%010d.json"
 
   private val ManifestRe = "v(\\d{10})\\.json".r
+
+  /** Schemes whose `rename` is known atomic-and-fails-if-present
+    * (the property [[tryPublish]]'s non-`file` branch depends on). */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
 
   /** Versions with a committed manifest, ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -172,7 +179,20 @@ object SnapshotTable {
           case _: java.nio.file.NoSuchFileException => false
         }
       } else {
-        try f.rename(tmp, target) catch { case _: java.io.IOException => false }
+        // rename-fails-if-present is an HDFS server-side guarantee, NOT
+        // part of the general FileSystem contract — on s3a/gs/abfs a
+        // rename may overwrite or be non-atomic, silently clobbering a
+        // committed manifest (a lost version). Refuse schemes we can't
+        // vouch for; the object-store path is the documented
+        // conditional-put escape hatch in the protocol doc above.
+        if (!AtomicRenameSchemes.contains(f.getScheme))
+          throw new UnsupportedOperationException(
+            s"scheme '${f.getScheme}' lacks an atomic fail-if-present " +
+              "rename; commit needs a conditional put (see protocol doc)")
+        // cheap pre-check: lose the slot without burning a server-side
+        // rename when the version is already visibly owned
+        if (f.exists(target)) false
+        else try f.rename(tmp, target) catch { case _: java.io.IOException => false }
       }
     if (f.getScheme == "file" || !won) f.delete(tmp, false)
     won
@@ -471,28 +491,55 @@ object SnapshotTable {
     commit(spark, dir, "restore", readManifest(spark, dir, toVersion).files,
       carry = false)
 
+  /** Data files younger than this survive [[vacuum]] even when no kept
+    * manifest references them (7 days — the same default Delta uses
+    * for `deletedFileRetentionDuration`, and for the same two races):
+    *  - an IN-FLIGHT commit's staged files live in `data/` unreferenced
+    *    by design until its manifest publishes; age is the only signal
+    *    that separates them from a crashed writer's orphans. Any sane
+    *    retention dwarfs a commit's stage-to-publish window.
+    *  - a long-running READER that planned against an old snapshot
+    *    still holds that version's file list; files it references stay
+    *    readable for the horizon even after their manifests expire.
+    * Tests (and operators that KNOW no writer/reader is live) pass
+    * `minAgeMs = 0` to reclaim immediately. */
+  val DefaultVacuumRetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Drop time travel older than the newest `keepVersions` versions:
-    * deletes unreferenced data files and the expired manifests.
-    * Returns the deleted data-file paths. */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Seq[String] = {
+    * deletes the expired manifests plus data files that are BOTH
+    * unreferenced by every kept manifest AND older than `minAgeMs`
+    * (see [[DefaultVacuumRetentionMs]] for why age-gating is load-
+    * bearing, not an optimization). Returns the deleted data-file
+    * paths. Young unreferenced files are left for a later vacuum —
+    * reclamation is eventually complete, never early. */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+             minAgeMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     require(keepVersions >= 1, "must keep at least the current version")
     val vs = versions(spark, dir)
+    if (vs.isEmpty) return Nil
     val (expired, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    if (expired.isEmpty) return Nil
+    // the sweep runs even with nothing expired: crashed writers' aged
+    // orphans get reclaimed on a table whose versions never turn over
     val referenced = kept.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
     val dd = dataDir(dir)
     val f = fs(spark, dd)
-    val dead = f.listStatus(dd).toSeq.map(_.getPath.getName)
+    val horizon = System.currentTimeMillis() - minAgeMs
+    val dead = f.listStatus(dd).toSeq
+      .filter(_.getModificationTime <= horizon)
+      .map(_.getPath.getName)
       .filterNot(n => referenced.contains(s"data/$n"))
     dead.foreach(n => f.delete(new Path(dd, n), false))
     expired.foreach { v =>
       f.delete(new Path(logDir(dir), manifestName(v)), false)
       f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false) // pre-OCC tables
     }
-    // reclaim publish temps left by crashed writers; an in-flight
-    // writer losing its temp just loses the slot race and retries
-    // (tryPublish treats the vanished temp as a lost slot)
-    f.listStatus(logDir(dir)).toSeq.map(_.getPath.getName)
+    // reclaim publish temps left by crashed writers — same age gate: a
+    // LIVE writer between write and link would otherwise lose its slot
+    // spuriously (tryPublish treats the vanished temp as a lost race,
+    // which is safe but needless churn)
+    f.listStatus(logDir(dir)).toSeq
+      .filter(_.getModificationTime <= horizon)
+      .map(_.getPath.getName)
       .filter(n => n.startsWith(".tmp-") && n.endsWith(".json"))
       .foreach(n => f.delete(new Path(logDir(dir), n), false))
     dead.map(n => s"data/$n")

@@ -353,12 +353,70 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.readManifest(spark, dir, v3).files ==
       SnapshotTable.readManifest(spark, dir, v1).files)
     // vacuum to the last 1 version: v2's files are unreferenced -> gone
-    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    // (minAgeMs = 0: this test KNOWS no writer/reader is live)
+    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
     assert(deleted.nonEmpty)
     assert(SnapshotTable.versions(spark, dir) == Seq(v3))
     assert(SnapshotTable.scan(spark, dir).count() == 100) // current still intact
     intercept[IllegalArgumentException] {
       SnapshotTable.readManifest(spark, dir, v1)
     }
+  }
+
+  test("vacuum retention: an in-flight commit's staged files survive") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 20).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(20, 40).toDF(), dir, "overwrite")
+    // simulate a commit mid-flight: a staged data file sits in data/
+    // unreferenced by any manifest (exactly what stageFiles leaves
+    // between stage and publish)
+    val staged = java.nio.file.Paths.get(dir, "data", "deadbeef-p00000.parquet")
+    Files.write(staged, Array[Byte](1, 2, 3))
+    // default retention: vacuum must NOT touch the young staged file,
+    // even while reclaiming expired versions
+    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(Files.exists(staged),
+      "vacuum deleted an in-flight commit's staged file inside the retention horizon")
+    assert(deleted.forall(_ != "data/deadbeef-p00000.parquet"))
+    assert(SnapshotTable.versions(spark, dir).size == 1) // manifests still expire
+    // past the horizon the same file is a crashed writer's orphan —
+    // reclaimed even though no further version expires
+    val later = SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(later.contains("data/deadbeef-p00000.parquet"))
+    assert(!Files.exists(staged))
+  }
+
+  test("vacuum retention: a reader planned on an old snapshot survives") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.write(spark, spark.range(0, 100).toDF(), dir, "overwrite")
+    val reader = SnapshotTable.scan(spark, dir, Some(v1)) // plans v1's file list
+    SnapshotTable.write(spark, spark.range(0, 5).toDF(), dir, "overwrite")
+    // vacuum expires v1's manifest, but v1's data files are inside the
+    // retention horizon -> the already-planned reader still works
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(SnapshotTable.versions(spark, dir).size == 1)
+    assert(reader.count() == 100,
+      "vacuum broke a concurrent reader inside the retention horizon")
+  }
+
+  test("commit refuses schemes without atomic fail-if-present rename") {
+    // `file:` takes the NIO hard-link path and HDFS renames are
+    // server-side atomic, but an object store's rename may overwrite —
+    // publish must REFUSE rather than risk clobbering a committed
+    // manifest. No s3a here, so masquerade a local FS as one:
+    val f = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getScheme: String = "s3a" // not in the whitelist
+    }
+    f.initialize(new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val m = SnapshotTable.getClass.getDeclaredMethods
+      .find(_.getName.endsWith("tryPublish")).get
+    m.setAccessible(true)
+    val manifest = SnapshotTable.Manifest(1L, "t", Nil)
+    val ld = new org.apache.hadoop.fs.Path(freshDir())
+    val ex = intercept[java.lang.reflect.InvocationTargetException] {
+      m.invoke(SnapshotTable, f, ld, manifest)
+    }
+    assert(ex.getCause.isInstanceOf[UnsupportedOperationException],
+      s"expected UnsupportedOperationException, got ${ex.getCause}")
   }
 }
