@@ -19,6 +19,17 @@ import org.apache.spark.sql.SparkSession
   *   - the 1-minute system load average is recorded alongside the numbers
   *     (this machine carries variable background load; numbers taken at
   *     loadavg 20+ are known to inflate 1.5-2x).
+  *
+  * Round-8 hardening (the r7 q4P/q4Q/q4R phantom regressions were a
+  * decaying load burst absorbed by 3-rep medians):
+  *   - sub-second queries run 2 EXTRA interleaved rounds (5 samples);
+  *   - per-round loadavg lands in bench_out.json ("round_loadavg");
+  *   - queries whose sample spread exceeds max(0.5 s, median) are
+  *     flagged "noisy" — cross-round diffs should discount them;
+  *   - streaming queries report micro-batch "compute" vs start/stop
+  *     "setup" (StreamMeter), so harness tax stops reading as plan cost;
+  *   - all formatted doubles pin Locale.ROOT (comma-decimal JVM locales
+  *     would otherwise emit unparseable JSON).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -77,6 +88,13 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // JSON must be machine-parseable on ANY JVM default locale: a
+    // comma-decimal locale (de_DE) would render f"%.3f" as "0,123" and
+    // corrupt both artifacts, so every formatted double pins Locale.ROOT.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     // A query that throws must not masquerade as a timing: its entry is
     // null in the queries map and its name lands in "failed", so a broken
     // query can never read as a speedup in a mechanical diff.
@@ -85,19 +103,45 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; (name, fn) <- catalog) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case t: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+    // Streaming queries report the spans spent INSIDE micro-batch
+    // execution (StreamMeter); wall minus that is start/stop harness
+    // tax, reported separately so these entries stop reading as the
+    // catalog's slowest plans.
+    val streamCompute = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    // 1-min loadavg at each interleave round's start: a background-load
+    // burst shows up as one hot round, making a phantom "regression"
+    // attributable from the artifact alone (the r7 q4P/q4Q/q4R case).
+    val roundLoads = scala.collection.mutable.ArrayBuffer[Double]()
+    def runRound(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
+      roundLoads += loadavg
+      for ((name, fn) <- qs) {
+        graft.streaming.StreamMeter.reset(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        graft.streaming.StreamMeter.computeSec(name)
+          .foreach(c => streamCompute(name) = streamCompute(name) :+ c)
       }
-      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
     }
+    for (_ <- 1 to reps) runRound(catalog)
+    // Burst-proofing: 3 interleaved reps are enough for multi-second
+    // queries (a burst lands on at most one rep) but a decaying burst
+    // can still shift the MEDIAN of a sub-second query by multiples of
+    // its true cost. Sub-second queries are cheap to re-run, so they
+    // get extra rounds — 5 samples instead of 3 — and the median hardens.
+    val extraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt.max(0)
+    val fast = catalog.filter { case (name, _) =>
+      !failed(name) && median(samples(name)) < 1.5 }
+    if (extraReps > 0 && fast.nonEmpty) for (_ <- 1 to extraReps) runRound(fast)
     val results = catalog.map { case (name, _) => name -> median(samples(name)) }
     val total = results.collect { case (k, v) if !failed(k) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load = loadavg
     def envelope(qs: String, extra: String = "") =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps,"stat":"median","loadavg":$load$extra}"""
     // Full-fidelity artifact: full query names, full precision, and the
@@ -109,11 +153,31 @@ object Bench {
       s"\"" + k + "\":" + (if (failed(k)) "null" else v.toString)
     }.mkString("{", ",", "}")
     val samplesJson = catalog.map { case (name, _) =>
-      s"\"" + name + "\":" + samples(name).map(s => f"$s%.3f").mkString("[", ",", "]")
+      s"\"" + name + "\":" + samples(name).map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val roundLoadsJson = roundLoads.map(f3).mkString("[", ",", "]")
+    // setup = wall minus micro-batch execution: the fixed start/stop tax
+    // a long-lived production stream pays once, not per query.
+    val streamingJson = catalog.collect {
+      case (name, _) if streamCompute(name).nonEmpty =>
+        val c = median(streamCompute(name))
+        s"\"" + name + "\":{\"compute\":" + f3(c) +
+          ",\"setup\":" + f3(math.max(0.0, median(samples(name)) - c)) + "}"
+    }.mkString("{", ",", "}")
+    // Queries whose sample spread exceeds their own median by > 0.5 s
+    // took a burst on some rep; their median survived it (that's the
+    // point), but flag them so a cross-round diff knows which deltas
+    // are suspect before blaming code.
+    val noisyJson = results.collect {
+      case (name, med) if !failed(name) && samples(name).size >= 2 &&
+        (samples(name).max - samples(name).min) > math.max(0.5, med) =>
+        s"\"" + name + "\""
+    }.mkString("[", ",", "]")
     try {
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(envelope(fullQs, s""","samples":$samplesJson"""))
+      try w.println(envelope(fullQs,
+        s""","samples":$samplesJson,"round_loadavg":$roundLoadsJson""" +
+          s""","streaming":$streamingJson,"noisy":$noisyJson"""))
       finally w.close()
     } catch { case t: Throwable => System.err.println(s"[bench] bench_out.json write failed: ${t.getMessage}") }
     // Stdout line for the round driver: it keeps only a 2000-char tail of
@@ -126,7 +190,7 @@ object Bench {
     val compactKeys = shortNames.values.toSeq.distinct.size == results.size
     val compactQs = results.map { case (k, v) =>
       s"\"" + (if (compactKeys) shortNames(k) else k) + "\":" +
-        (if (failed(k)) "null" else f"$v%.3f")
+        (if (failed(k)) "null" else f3(v))
     }.mkString("{", ",", "}")
     // Stop Spark BEFORE printing the result line: executor/shutdown chatter
     // can otherwise land on stdout after it, and the driver's parser wants

@@ -158,12 +158,26 @@ object DedupClusters {
     *
     * The blocking columns are hashed to one 64-bit grouping key; a
     * hash collision merely co-locates two unconnected blocks in one
-    * union-find, which yields identical components. */
+    * union-find, which yields identical components.
+    *
+    * CONTRACT (and its guard): correctness requires that no node's
+    * edges span two blocking keys — a cross-block node would get one
+    * label per block where [[resolve]] computes a single merged
+    * component, and nothing downstream would notice. With `validate`
+    * on (the default) the output plan carries a per-doc_id cardinality
+    * assertion: any doc_id labeled twice fails the job loudly instead
+    * of shipping silently-wrong clusters. The check is one extra
+    * hash exchange over the slim (doc_id, label) output — skip it via
+    * `validate = false` only when the edge generator structurally
+    * guarantees the contract (e.g. `FuzzyJoin.selfPairs`, whose block
+    * key is a FUNCTION of the node's own attributes, so a node's
+    * every edge shares its block). */
   def resolveBlocked(pairs: DataFrame, aCol: String = "doc_a",
                      bCol: String = "doc_b",
                      blockCols: Seq[String] = Nil,
                      maxBlockEdges: Long = 4L * 1024 * 1024,
-                     maxIter: Int = 64): DataFrame = {
+                     maxIter: Int = 64,
+                     validate: Boolean = true): DataFrame = {
     require(blockCols.nonEmpty, "resolveBlocked needs blocking columns; " +
       "use resolve for unblocked pair graphs")
     val spark = pairs.sparkSession
@@ -178,9 +192,24 @@ object DedupClusters {
       .groupByKey(_._1)
       .flatMapGroups((_, it) => unionFindMin(it.map(t => (t._2, t._3))))
       .toDF("doc_id", "cluster_keeper")
-    if (big.isEmpty) local
-    else local.unionAll(resolve(e.filter(col("bk").isin(big.toSeq: _*)),
-      "src", "dst", maxIter))
+    val out =
+      if (big.isEmpty) local
+      else local.unionAll(resolve(e.filter(col("bk").isin(big.toSeq: _*)),
+        "src", "dst", maxIter))
+    if (!validate) out
+    else {
+      // assert_true sits inside a filter so column pruning cannot drop
+      // it: a doc_id appearing under two blocks (contract violation)
+      // fails the job instead of emitting conflicting labels.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      out.withColumn("__n", count(lit(1)).over(w))
+        .filter(assert_true(col("__n") === 1,
+          concat(lit("resolveBlocked contract violated: doc_id "),
+            col("doc_id"),
+            lit(" has edges under multiple blocking keys; " +
+              "use resolve() for cross-block graphs"))).isNull)
+        .drop("__n")
+    }
   }
 
   /** In-memory union-find over one block's edges: every node that

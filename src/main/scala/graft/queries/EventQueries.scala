@@ -347,9 +347,10 @@ object EventQueries {
         val q = out.writeStream.format("memory").queryName("q58_sess_sink")
           .outputMode("append").start()
         try {
-          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); q.processAllAvailable() }
-          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); q.processAllAvailable() }
-          in.addData(sentinel); q.processAllAvailable()
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q58_stream_sessions")(q.processAllAvailable()) }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q58_stream_sessions")(q.processAllAvailable()) }
+          in.addData(sentinel); timed("q58_stream_sessions")(q.processAllAvailable())
         } finally q.stop()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy("session_start_us")
@@ -420,8 +421,9 @@ object EventQueries {
         val q = out.writeStream.format("memory").queryName("q54_funnel_sink")
           .outputMode("update").start()
         try {
-          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); q.processAllAvailable() }
-          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); q.processAllAvailable() }
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q54_stream_funnel")(q.processAllAvailable()) }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q54_stream_funnel")(q.processAllAvailable()) }
         } finally q.stop()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("user_id").orderBy(col("update_seq").desc)

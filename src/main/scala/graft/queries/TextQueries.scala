@@ -962,8 +962,9 @@ object TextQueries {
         val q = out.writeStream.format("memory").queryName("q55_cms_sink")
           .outputMode("complete").start()
         try {
-          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); q.processAllAvailable() }
-          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); q.processAllAvailable() }
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q55_stream_cms")(q.processAllAvailable()) }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q55_stream_cms")(q.processAllAvailable()) }
         } finally q.stop()
         s.table("q55_cms_sink").select("i", "cell", "n").orderBy("i", "cell")
       },

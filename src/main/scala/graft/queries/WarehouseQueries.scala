@@ -274,8 +274,12 @@ object WarehouseQueries {
         // block-local union-find closes the graph in ONE exchange
         // instead of diameter-many rounds (this name graph chains:
         // 31 neighbor-min rounds ≈ 31 scheduler round-trips)
+        // validate=false: selfPairs blocks on the node's OWN nation, so
+        // no customer's edges can span blocks — the contract holds
+        // structurally and the guard's extra exchange buys nothing here
         val clusters = graft.operators.DedupClusters.resolveBlocked(
-          pairs, "left_id", "right_id", blockCols = Seq("c_nationkey"))
+          pairs, "left_id", "right_id", blockCols = Seq("c_nationkey"),
+          validate = false)
         cust.select(col("c_custkey"), col("c_nationkey"))
           .join(clusters.select(col("doc_id").as("c_custkey"),
             col("cluster_keeper")), Seq("c_custkey"), "left")

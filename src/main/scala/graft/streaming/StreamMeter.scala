@@ -1,0 +1,29 @@
+package graft.streaming
+
+/** Per-query wall-clock meter for the COMPUTE portion of a streaming
+  * flow — the spans spent inside `processAllAvailable`, i.e. actual
+  * micro-batch execution. Everything else in a streaming query's wall
+  * (stream start, state-store init, stop, sink compaction planning) is
+  * fixed harness overhead that dominates at test scale but amortizes
+  * to nothing on a long-lived production stream. Bench reads this to
+  * report `setup`/`compute` separately, so the catalog's "slowest
+  * queries" list reflects plan cost, not start/stop tax.
+  *
+  * Accumulating and thread-safe: a query's replay loop may call
+  * [[timed]] several times (once per chunk); Bench [[reset]]s between
+  * reps. */
+object StreamMeter {
+  private val ns = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def timed[T](query: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally ns.merge(query, System.nanoTime() - t0, (a, b) => a + b)
+  }
+
+  def reset(query: String): Unit = ns.remove(query)
+
+  /** Accumulated compute seconds for `query`, if any span was timed. */
+  def computeSec(query: String): Option[Double] =
+    Option(ns.get(query)).map(_.toDouble / 1e9)
+}

@@ -341,6 +341,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(mixed == dist)
   }
 
+  test("DedupClusters.resolveBlocked fails loudly on a cross-block node") {
+    // node 50 has edges under blocks b1 AND b2 — the contract
+    // violation: block-local union-find would label it twice (resolve
+    // computes ONE merged component), so the guard must abort instead
+    // of shipping conflicting labels
+    val bad = Seq((50L, 51L, "b1"), (50L, 60L, "b2"), (60L, 61L, "b2"))
+      .toDF("doc_a", "doc_b", "blk")
+    val ex = intercept[Exception] {
+      DedupClusters.resolveBlocked(bad, blockCols = Seq("blk")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(
+        _.contains("resolveBlocked contract violated"))),
+      s"wrong failure: $ex")
+    // validate=false restores the raw (documented-unsafe) behavior for
+    // generators that guarantee the contract structurally
+    val raw = DedupClusters.resolveBlocked(bad, blockCols = Seq("blk"),
+      validate = false).collect()
+    assert(raw.count(_.getLong(0) == 50L) == 2) // the duplicate the guard exists to catch
+  }
+
   test("DedupClusters.resolve closes deep chains via the doubling phase") {
     // diameter 119 > maxIter 64: neighbor-min alone cannot converge
     // inside the round budget — the pointer-doubling phase past
