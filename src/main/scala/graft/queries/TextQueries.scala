@@ -989,6 +989,92 @@ object TextQueries {
         |SELECT i, cell, COUNT(*) AS n FROM cells
         |GROUP BY i, cell ORDER BY i, cell""".stripMargin),
 
+    // The STREAMING SimHash near-dup flow under a DuckDB oracle — the
+    // LAST stateful flow to graduate from spec-pinned to hash-gated
+    // (q54 funnel, q55 CMS, q58 sessions closed in r7). Documents
+    // replay through MemoryStream in two chronological chunks
+    // (event_time derived as base + doc_id seconds — the table has no
+    // timestamp — so chunk 2 sits entirely past chunk 1's watermark
+    // and nothing is late-dropped). With the horizon past the replayed
+    // span and an unbounded bucket cap, the flow's emission set is
+    // EXACTLY the batch simhashPairs semantics: every Hamming<=2 pair
+    // sharing a band, emitted once at the pair's FIRST matching band —
+    // which the oracle reproduces as MIN(band) over the banded
+    // self-join. MemoryStream + collect is harness plumbing (a
+    // deployment reads Kafka); the operator under test is the
+    // per-bucket stateful pair emission.
+    "q5B_stream_neardup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val docs = Tables.computeTable(s, dir, "documents")
+          .select(col("doc_id").cast("long"), col("text").cast("string"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        val baseMs = 1704067200000L // 2024-01-01 00:00 UTC
+        def ts(id: Long) = new java.sql.Timestamp(baseMs + id * 1000L)
+        val mid = if (docs.isEmpty) 0L else docs(docs.length / 2)._1
+        val (c1, c2) = docs.partition(_._1 < mid)
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, String)]
+        val out = graft.streaming.StreamingFlows.simhashNearDups(
+          in.toDF().toDF("doc_id", "event_time", "text"),
+          maxHamming = 2,
+          horizonMinutes = 60 * 24 * 60, // never forget within the replay
+          maxBucket = Int.MaxValue)      // exactness: no prospective cap
+        val q = out.writeStream.format("memory").queryName("q5B_neardup_sink")
+          .outputMode("append").start()
+        try {
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) {
+            in.addData(c1.map(d => (d._1, ts(d._1), d._2)).toSeq: _*)
+            timed("q5B_stream_neardup")(q.processAllAvailable())
+          }
+          if (c2.nonEmpty) {
+            in.addData(c2.map(d => (d._1, ts(d._1), d._2)).toSeq: _*)
+            timed("q5B_stream_neardup")(q.processAllAvailable())
+          }
+        } finally q.stop()
+        s.table("q5B_neardup_sink")
+          .select(col("doc_id"), col("dup_of"), col("hamming"), col("band"))
+          .orderBy("doc_id", "dup_of")
+      },
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents WHERE trim(text) <> '') t,
+         |       UNNEST(tk) AS u(tok)),
+         |hs AS (
+         |  SELECT doc_id, ${duckPolyHash("tok")} AS h1,
+         |         ${duckPolyHash("tok", 37, 999999937L)} AS h2
+         |  FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         SUM(CASE WHEN (CASE WHEN b < 30 THEN (h1 >> CAST(b AS INTEGER))
+         |                        ELSE (h2 >> CAST(b - 30 AS INTEGER)) END) % 2 = 1
+         |                  THEN 1 ELSE -1 END) AS sgn
+         |  FROM hs, UNNEST(range(0, 60)) AS u(b)
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |         SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+         |             ELSE CAST(0 AS BIGINT) END) AS simhash
+         |  FROM bits GROUP BY 1),
+         |banded AS (
+         |  SELECT doc_id, simhash, CAST(b AS INTEGER) AS band,
+         |         (simhash >> CAST(b * 15 AS INTEGER)) % 32768 AS bandval
+         |  FROM sig, UNNEST(range(0, 4)) AS u(b)),
+         |cand AS (
+         |  SELECT y.doc_id AS doc_id, x.doc_id AS dup_of,
+         |         x.simhash AS sh_a, y.simhash AS sh_b,
+         |         CAST(MIN(x.band) AS INTEGER) AS band
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bandval = y.bandval AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, dup_of,
+         |       CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming, band
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+         |ORDER BY doc_id, dup_of""".stripMargin),
+
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
     // two exact integer counts — bit-exact in any engine).
