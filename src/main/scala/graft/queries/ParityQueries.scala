@@ -1004,6 +1004,62 @@ object ParityQueries {
         |       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
         |            AS DOUBLE) AS sum_o_totalprice,
         |       COUNT(*) AS n_rows
+        |FROM v3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    // min/max across the invertibility boundary: unlike sum/count
+    // (a group — q56 refreshes from the feed alone), deleting a key's
+    // extremum can't be undone from the view, so applyChangesMinMax
+    // rebuilds EXACTLY the keys whose extremum the feed deleted (the
+    // 350k DELETE removes many customers' max) via a semi-join on the
+    // current snapshot; every other key refreshes feed-only through
+    // least/greatest. Must hash-equal the oracle's full recompute of
+    // the final state.
+    "q5C_incremental_minmax" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t5C")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v1 = graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 0)
+            .repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        val updates = ords.filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .unionAll(ords.filter(col("o_orderkey") % 3 === 1))
+        graft.sources.SnapshotTable.merge(s, base, updates, "o_orderkey",
+          Seq("o_orderkey"))
+        val v3 = graft.sources.SnapshotTable.delete(s, base,
+          col("o_totalprice") > 350000.0, Seq("o_orderkey"))
+        val view1 = graft.operators.IncrementalView.minMaxView(
+          graft.sources.SnapshotTable.scan(s, base, Some(v1)),
+          Seq("o_custkey"), "o_totalprice")
+        val cdc = graft.sources.SnapshotTable.changes(s, base, v1, v3)
+        graft.operators.IncrementalView.applyChangesMinMax(view1, cdc,
+            graft.sources.SnapshotTable.scan(s, base, Some(v3)),
+            Seq("o_custkey"), "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1),
+        |v2 AS (
+        |  SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |         CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |  FROM v1 t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey),
+        |v3 AS (
+        |  SELECT * FROM v2 WHERE NOT COALESCE(o_totalprice > 350000.0, FALSE))
+        |SELECT o_custkey,
+        |       CAST(MIN(o_totalprice) AS DOUBLE) AS min_o_totalprice,
+        |       CAST(MAX(o_totalprice) AS DOUBLE) AS max_o_totalprice,
+        |       COUNT(*) AS n_rows
         |FROM v3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   )
 

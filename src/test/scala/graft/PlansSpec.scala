@@ -116,6 +116,33 @@ class PlansSpec extends SparkTestBase {
       s"triangle join degenerated:\n$tri")
   }
 
+  test("lmFitScore model joins broadcast; per-occurrence side never SMJ on w1") {
+    // The bigram (w1,w2) and unigram (w1) model tables are slim
+    // re-aggregations (vocab-sized); the per-occurrence doc side is
+    // corpus-sized and Zipf-skewed on w1 ("the" is a hot key). The
+    // model sides must resolve to BROADCAST — a SortMergeJoin would
+    // shuffle every bigram occurrence on a skewed key, the exact
+    // hot-key exchange TfIdf's vocabulary join is pinned against.
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q5A_lm_score")(spark, dir)
+    df.count() // let AQE finalize its join strategy decisions
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"lmFitScore model join fell back to SortMergeJoin:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lmFitScore lost its broadcast model joins:\n$plan")
+
+    // Zipf fixture: one dominant predecessor (80% of bigrams share w1)
+    // — the broadcast decision must hold under maximal w1 skew too
+    val zipf = spark.range(0, 2000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 5 < 4 THEN 'the quick fox' ELSE 'a slow dog' END AS text")
+    val op = graft.operators.NgramModel.lmFitScore(zipf, "doc_id", "text")
+    op.count()
+    val opPlan = op.queryExecution.executedPlan.toString
+    assert(!opPlan.contains("SortMergeJoin"),
+      s"lmFitScore SMJ'd a Zipf-skewed corpus on w1:\n$opPlan")
+  }
+
   test("CollapseIdempotentNormalize removes double normalization") {
     // non-foldable input (range, not a literal) so constant folding
     // can't erase the calls before the rule is observable

@@ -258,6 +258,37 @@ class WarehouseSpec extends SparkTestBase {
       IncrementalView.sumCountView(v1, Seq("k"), "v").orderBy("k").collect().toSeq)
   }
 
+  test("min/max view: feed-only refresh unless an extremum was deleted") {
+    import graft.operators.IncrementalView
+    // k=1: interior delete (20) + upsert beyond max -> feed-only path
+    // k=2: deletes its MIN (1.0) -> per-key rebuild must find 2.0
+    // k=3: deleted entirely; k=4: brand-new; k=5: untouched;
+    // k=6: all-null values, one null row deleted (no extremum impact)
+    val v1 = Seq((1L, 10L, Some(10.0)), (1L, 11L, Some(20.0)), (1L, 12L, Some(30.0)),
+      (2L, 20L, Some(1.0)), (2L, 21L, Some(2.0)), (3L, 30L, Some(5.0)),
+      (5L, 50L, Some(7.0)), (6L, 60L, None: Option[Double]),
+      (6L, 61L, None: Option[Double])).toDF("k", "id", "v")
+    val v2 = Seq((1L, 10L, Some(10.0)), (1L, 12L, Some(30.0)), (1L, 13L, Some(99.0)),
+      (2L, 21L, Some(2.0)), (4L, 40L, Some(9.0)), (5L, 50L, Some(7.0)),
+      (6L, 61L, None: Option[Double])).toDF("k", "id", "v")
+    val cdc = v2.exceptAll(v1).withColumn("change_type", lit("upsert"))
+      .unionAll(v1.exceptAll(v2).withColumn("change_type", lit("delete")))
+    val out = IncrementalView.applyChangesMinMax(
+      IncrementalView.minMaxView(v1, Seq("k"), "v"), cdc, v2, Seq("k"), "v")
+    assert(out.orderBy("k").collect().toSeq ==
+      IncrementalView.minMaxView(v2, Seq("k"), "v").orderBy("k").collect().toSeq)
+    // the rebuild's base-table read is scoped: a LeftSemi on the
+    // triggered keys, never a full-view rebuild
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"rebuild lost its semi-join scope:\n$plan")
+    // empty feed is an exact no-op (and reads no base rows)
+    val noop = IncrementalView.applyChangesMinMax(
+      IncrementalView.minMaxView(v1, Seq("k"), "v"),
+      cdc.filter(lit(false)), v2, Seq("k"), "v")
+    assert(noop.orderBy("k").collect().toSeq ==
+      IncrementalView.minMaxView(v1, Seq("k"), "v").orderBy("k").collect().toSeq)
+  }
+
   test("expectations: referential integrity via anti-join") {
     val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "pid")
     val parent = Seq(10L, 11L).toDF("p")
