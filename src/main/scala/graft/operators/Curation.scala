@@ -136,4 +136,70 @@ object Curation {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** RAG/embedding-style document chunking: slide a `chunkTokens`-token
+    * window over each document's whitespace tokens with `overlap`
+    * tokens shared between consecutive chunks (stride = chunkTokens −
+    * overlap). Chunk starts are 0, stride, 2·stride, …, continuing
+    * while the start lands strictly before n − overlap (so no chunk is
+    * wholly contained in its predecessor); the final chunk may be
+    * short. Documents with no tokens emit no row.
+    *
+    * Scale shape: pure map-side array arithmetic — split, one
+    * `posexplode` of the start sequence, `slice` + `concat_ws`. No
+    * shuffle, no state; a 100 TB corpus chunks at scan speed and the
+    * fan-out is bounded by ~n/stride rows per document.
+    * Output: (doc_id, chunk_id, token_start, n_chunk_tokens,
+    * chunk_text). */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"), toks.as("__tk"))
+      .select(col("doc_id"), col("__tk"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__tk")) - overlap - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "token_start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("token_start").cast("long").as("token_start"),
+        least(lit(chunkTokens),
+          size(col("__tk")) - col("token_start")).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ",
+          slice(col("__tk"), col("token_start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Square-root temperature mixing (α = 0.5) for multilingual /
+    * multi-source corpus balancing: resample so the kept distribution
+    * follows n_s^α instead of the raw source sizes n_s — the standard
+    * re-balancing that keeps head sources from drowning tail sources
+    * without exploding tail duplication. Per-row keep probability is
+    * p_s = √(n_min / n_s) (the smallest source keeps everything,
+    * a 100× bigger source keeps 10%), decided per row by the
+    * [[Sampling.sampleHash]] draw u ∈ [0, P).
+    *
+    * INTEGER-EXACT despite the square root: u/P < √(n_min/n_s) is
+    * evaluated squared — u²·n_s < P²·n_min — in DECIMAL(38,0)
+    * arithmetic (u² ≈ 10^18 times a source count fits comfortably in
+    * decimal128), so no float, no libm, and any engine replays the
+    * exact row set. Scale shape: one count aggregation over the source
+    * column (tiny), broadcast back, then a map-side filter; the corpus
+    * never shuffles. Output: input columns, filtered. */
+  def sqrtTemperatureMix(df: DataFrame, srcCol: String, keyCol: String,
+                         salt: String): DataFrame = {
+    requireFresh(df, "__n_src", "__n_min")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n_src"))
+      .withColumn("__n_min", min(col("__n_src")).over(Window.partitionBy()))
+    val p = lit(Sampling.P).cast("decimal(38,0)")
+    val u = Sampling.sampleHash(col(keyCol), salt).cast("decimal(38,0)")
+    df.join(broadcast(counts), srcCol)
+      .filter(u * u * col("__n_src").cast("decimal(38,0)") <
+        p * p * col("__n_min").cast("decimal(38,0)"))
+      .drop("__n_src", "__n_min")
+  }
 }

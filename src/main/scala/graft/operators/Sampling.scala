@@ -21,7 +21,7 @@ import graft.functions.TextFunctions
   */
 object Sampling {
 
-  private val P = 1000000007L
+  private[graft] val P = 1000000007L
 
   /** Mixed per-row hash in [0, p): polyHash(key ":" salt) then two LCG
     * rounds. All exact integer Column arithmetic. */

@@ -1075,6 +1075,57 @@ object TextQueries {
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
          |ORDER BY doc_id, dup_of""".stripMargin),
 
+    // RAG-style chunking: 32-token windows, 8-token overlap (stride
+    // 24). Pure map-side array arithmetic — split, one posexplode of
+    // the start sequence, slice — no shuffle at any scale; fan-out is
+    // ~n/stride chunks per doc. The oracle replays the same window
+    // rule with range() + list_slice.
+    "q5D_chunk_overlap" -> QueryDef(
+      (s, dir) => graft.operators.Curation.chunkWithOverlap(
+          Tables.computeTable(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id"),
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |s AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+        |c AS (
+        |  SELECT doc_id, tk, n, CAST(k AS BIGINT) AS token_start,
+        |         CAST(k // 24 AS BIGINT) AS chunk_id
+        |  FROM s, UNNEST(range(0, greatest(n - 8 - 1, 0) + 1, 24)) AS u(k))
+        |SELECT doc_id, chunk_id, token_start,
+        |       CAST(least(32, n - token_start) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(tk, CAST(token_start + 1 AS INTEGER),
+        |         CAST(token_start + 32 AS INTEGER)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Square-root temperature mixing (alpha = 0.5): per-language keep
+    // probability sqrt(n_min/n_lang), drawn per row by the shared
+    // integer sample hash and compared SQUARED in decimal128 — no
+    // float, no libm, so DuckDB (HUGEINT) replays the exact row set.
+    // The head language keeps sqrt-proportionally less; the smallest
+    // keeps everything.
+    "q5E_temperature_mix" -> QueryDef(
+      (s, dir) => graft.operators.Curation.sqrtTemperatureMix(
+          Tables.computeTable(s, dir, "documents"), "lang", "doc_id",
+          salt = "mixT")
+        .groupBy("lang").agg(count(lit(1)).as("kept"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("lang"),
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |         (((${duckPolyHash("(CAST(doc_id AS VARCHAR) || ':mixT')")}
+         |            * 48271 + 11) % 1000000007) * 48271 + 11) % 1000000007 AS u
+         |  FROM documents),
+         |c AS (SELECT lang, COUNT(*) AS n_src FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(n_src) AS n_min FROM c)
+         |SELECT h.lang, COUNT(*) AS kept,
+         |       CAST(SUM(h.doc_id) AS BIGINT) AS id_checksum
+         |FROM h JOIN c ON h.lang = c.lang, m
+         |WHERE CAST(u AS HUGEINT) * u * n_src
+         |      < CAST(1000000007 AS HUGEINT) * 1000000007 * n_min
+         |GROUP BY h.lang ORDER BY h.lang""".stripMargin),
+
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
     // two exact integer counts — bit-exact in any engine).

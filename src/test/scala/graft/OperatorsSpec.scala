@@ -364,6 +364,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(raw.count(_.getLong(0) == 50L) == 2) // the duplicate the guard exists to catch
   }
 
+  test("chunkWithOverlap window rule: boundaries, short docs, empty docs") {
+    // reference implementation of the documented rule
+    def ref(n: Int, chunk: Int, ov: Int): Seq[(Long, Long, Long)] = {
+      val stride = chunk - ov
+      (0 to math.max(n - ov - 1, 0) by stride).zipWithIndex
+        .filter { case (s, _) => n > 0 }
+        .map { case (s, i) => (i.toLong, s.toLong, math.min(chunk, n - s).toLong) }
+    }
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // 80 toks: starts 0/24/48
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")), // exactly one window
+      (3L, (1 to 33).map(i => s"t$i").mkString(" ")), // one past: second (short) chunk
+      (4L, "only three tokens"),                      // n < overlap: single chunk
+      (5L, "   "),                                    // whitespace-only: no rows
+      (6L, (1 to 24).map(i => s"t$i").mkString(" "))  // n == stride: one chunk
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .chunkWithOverlap(docs, "doc_id", "text", chunkTokens = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val expected = Seq(1 -> 80, 2 -> 32, 3 -> 33, 4 -> 3, 6 -> 24).flatMap {
+      case (id, n) => ref(n, 32, 8).map(c => (id.toLong, c))
+    }
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+    // overlap is real: chunk k's last 8 tokens == chunk k+1's first 8
+    val texts = graft.operators.Curation
+      .chunkWithOverlap(docs.filter($"doc_id" === 1L), "doc_id", "text", 32, 8)
+      .orderBy("chunk_id").collect().map(_.getString(4))
+    texts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.split(" ").takeRight(8).toSeq == b.split(" ").take(8).toSeq)
+    case _ => }
+  }
+
   test("DedupClusters.resolve closes deep chains via the doubling phase") {
     // diameter 119 > maxIter 64: neighbor-min alone cannot converge
     // inside the round budget — the pointer-doubling phase past
