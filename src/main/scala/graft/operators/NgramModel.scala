@@ -109,6 +109,46 @@ object NgramModel {
         expr("sum(sp) div count(1)").as("lm_score"))
   }
 
+  /** DSIR-shaped importance score: rank corpus documents by how much
+    * they look like a TARGET domain, via hashed-unigram importance
+    * ratios — the data-selection move behind importance resampling
+    * (select pretraining data whose feature distribution matches the
+    * target domain's). Features are tokens hashed into `buckets`
+    * cells; each doc scores the mean over its token occurrences of
+    * (n_target(f)+1)·scale div (n_corpus(f)+1) — add-one smoothed,
+    * and in TRUNCATING INTEGER arithmetic like [[lmFitScore]]: a
+    * monotone proxy of the target/corpus likelihood ratio with no log,
+    * no float fold, bit-exact in any engine.
+    *
+    * Scale shape: the two feature tables are bounded by `buckets` rows
+    * (broadcast always, regardless of corpus size); everything else is
+    * one map-side explode + one groupBy(doc_id). The target side is
+    * typically a small curated slice — its count table costs one scan
+    * of the slice, not the corpus. Output: (doc_id, n_tokens,
+    * importance). Docs with no tokens have no row. */
+  def hashedImportanceScore(corpus: DataFrame, target: DataFrame,
+                            idCol: String, textCol: String,
+                            buckets: Int = 4096,
+                            scale: Long = 1000000L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    def feats(df: DataFrame) = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.TextFunctions.polyHash(col("tok")) % buckets).as("f"))
+    val corpusFeats = feats(corpus)
+    val nC = corpusFeats.groupBy("f").agg(count(lit(1)).as("n_c"))
+    val nT = feats(target).groupBy("f").agg(count(lit(1)).as("n_t"))
+    corpusFeats
+      .join(broadcast(nC.join(nT, Seq("f"), "left")), Seq("f"))
+      .select(col("doc_id"),
+        expr(s"((coalesce(n_t, 0L) + 1L) * ${scale}L) div (n_c + 1L)").as("sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(sp) div count(1)").as("importance"))
+  }
+
   /** Bigram continuation table: for each predecessor `w1`, the top-k
     * successors by count with the continuation probability
     * n / total(w1). The probability is a ratio of two exact integer

@@ -384,6 +384,67 @@ object EventQueries {
         |       n_events, sum_value
         |FROM g ORDER BY user_id, session_seq""".stripMargin),
 
+    // Stream-STREAM interval join under a DuckDB oracle: views and
+    // purchases replay as two MemoryStreams in chronological chunks;
+    // each purchase pairs with the same user's views from the
+    // preceding 60 minutes. Append-mode inner joins emit each match
+    // exactly once when the later side arrives, so the emission set
+    // equals the batch interval join REGARDLESS of chunking: a view
+    // evicted at watermark w has view_ts + 60min < w, and every
+    // later-chunk purchase has ts > w — eviction only discards state
+    // that could never match again (that inequality is the whole
+    // exactness argument). Timestamps flow through the join untouched
+    // (no ms-grain state re-encoding), so the oracle compares at full
+    // microsecond precision.
+    "q5G_stream_interval_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("user_id").cast("long"), col("ts"), col("event_type"))
+          .as[(Long, java.sql.Timestamp, String)].collect()
+        val midMs = 1705363200000L // 2024-01-16 00:00 UTC
+        val views = ev.filter(_._3 == "view").map(e => (e._1, e._2))
+        val purch = ev.filter(_._3 == "purchase").map(e => (e._1, e._2))
+        val inV = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp)]
+        val inP = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp)]
+        val out = graft.streaming.StreamingFlows.intervalJoin(
+            inV.toDF().toDF("user_id", "view_time"),
+            inP.toDF().toDF("user_id", "purchase_time"),
+            "user_id", "view_time", "purchase_time", windowMinutes = 60)
+          .select(col("l.user_id").as("user_id"),
+            expr("unix_micros(l.view_time)").as("view_us"),
+            expr("unix_micros(r.purchase_time)").as("purchase_us"))
+        val q = out.writeStream.format("memory").queryName("q5G_ij_sink")
+          .outputMode("append").start()
+        try {
+          import graft.streaming.StreamMeter.timed
+          def chunk(pred: Long => Boolean): Unit = {
+            val v = views.filter(e => pred(e._2.getTime))
+            val p = purch.filter(e => pred(e._2.getTime))
+            if (v.nonEmpty) inV.addData(v.toSeq: _*)
+            if (p.nonEmpty) inP.addData(p.toSeq: _*)
+            timed("q5G_stream_interval_join")(q.processAllAvailable())
+          }
+          chunk(_ < midMs)
+          chunk(_ >= midMs)
+        } finally q.stop()
+        s.table("q5G_ij_sink").orderBy("user_id", "view_us", "purchase_us")
+      },
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS view_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, view_us, purchase_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        | AND purchase_us >= view_us
+        | AND purchase_us <= view_us + 3600000000
+        |ORDER BY user_id, view_us, purchase_us""".stripMargin),
+
     // The STREAMING funnel under the same oracle as the batch one
     // (q4W): the events table replays through MemoryStream in two
     // chronological chunks — cross-batch stateful updates, watermark

@@ -1126,6 +1126,37 @@ object TextQueries {
          |      < CAST(1000000007 AS HUGEINT) * 1000000007 * n_min
          |GROUP BY h.lang ORDER BY h.lang""".stripMargin),
 
+    // DSIR-shaped data selection: score every corpus doc by a
+    // hashed-unigram importance ratio against a target domain (the
+    // 'en' slice) — add-one smoothed (n_t+1)·scale div (n_c+1), mean
+    // over token occurrences, all truncating integer arithmetic (the
+    // q5A trick: no log, no float fold, bit-exact anywhere). The
+    // feature tables are bucket-bounded (4096 rows) so the model join
+    // broadcasts at any corpus size.
+    "q5F_importance_score" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+        graft.operators.NgramModel.hashedImportanceScore(
+            docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents WHERE trim(text) <> '') t,
+         |       UNNEST(tk) AS u(tok)),
+         |fx AS (SELECT doc_id, ${duckPolyHash("tok")} % 4096 AS f FROM toks),
+         |nc AS (SELECT f, COUNT(*) AS n_c FROM fx GROUP BY f),
+         |nt AS (SELECT fx.f AS f, COUNT(*) AS n_t
+         |       FROM fx JOIN documents d ON fx.doc_id = d.doc_id
+         |       WHERE d.lang = 'en' GROUP BY 1),
+         |sc AS (SELECT fx.doc_id,
+         |              ((COALESCE(n_t, 0) + 1) * 1000000) // (n_c + 1) AS sp
+         |       FROM fx JOIN nc ON fx.f = nc.f LEFT JOIN nt ON fx.f = nt.f)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(sp) // COUNT(*) AS BIGINT) AS importance
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
     // two exact integer counts — bit-exact in any engine).

@@ -398,23 +398,38 @@ object SnapshotTable {
     * touch detection included — recomputes against the new snapshot,
     * so two concurrent merges over the same keys serialize instead of
     * silently losing the earlier one's rewrites. Commits to disjoint
-    * files rebase in and interleave losslessly. */
+    * files rebase in and interleave losslessly.
+    *
+    * Schema evolution (`allowSchemaEvolution = true`): columns only in
+    * `updates` WIDEN the table (carried files surface them as null via
+    * the reader's mergeSchema); columns the updates lack keep the
+    * target's value on matched rows — an update updates the columns it
+    * carries, the `UPDATE SET *` semantics Delta's autoMerge gives.
+    * Off by default: a misspelled column name should fail, not fork
+    * the schema. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame, keyCol: String,
-            statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long =
+            statsCols: Seq[String] = Nil, opTag: Option[String] = None,
+            allowSchemaEvolution: Boolean = false): Long =
     retryOnConflict(s"merge into $dir") {
-      mergeOnce(spark, dir, updates, keyCol, statsCols, opTag)
+      mergeOnce(spark, dir, updates, keyCol, statsCols, opTag,
+        allowSchemaEvolution)
     }
 
   private def mergeOnce(spark: SparkSession, dir: String, updates: DataFrame,
                         keyCol: String, statsCols: Seq[String],
-                        opTag: Option[String]): Long = {
+                        opTag: Option[String],
+                        allowSchemaEvolution: Boolean): Long = {
     import spark.implicits._
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot merge into empty table $dir"))
     val m = readManifest(spark, dir, v)
     val cols = scan(spark, dir, Some(v)).columns.toSeq
-    require(updates.columns.toSeq == cols,
-      s"updates schema ${updates.columns.toSeq} != table schema $cols")
+    if (!allowSchemaEvolution)
+      require(updates.columns.toSeq == cols,
+        s"updates schema ${updates.columns.toSeq} != table schema $cols " +
+          "(pass allowSchemaEvolution = true to widen the table)")
+    require(updates.columns.contains(keyCol),
+      s"updates lack merge key $keyCol")
 
     val statsList = m.files.flatMap(fe =>
       fe.stats.get(keyCol).map { case (mn, mx) => (fe.path, mn, mx) })
@@ -430,13 +445,41 @@ object SnapshotTable {
     val touched = touchedWithStats ++ statless
     val rewrite = m.files.filter(fe => touched.contains(fe.path))
 
-    val merged = if (rewrite.isEmpty) updates else {
-      val base = spark.read.parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
+    // Schema evolution (opt-in): columns only in `updates` widen the
+    // table — carried files surface them as null through the reader's
+    // mergeSchema; columns the updates LACK keep the target's value on
+    // matched rows (an update updates the columns it carries — the
+    // same semantics Delta's autoMerge gives UPDATE SET *).
+    val tSchema = scan(spark, dir, Some(v)).schema
+    val uCols = updates.columns.toSeq
+    val newCols = uCols.filterNot(cols.contains)
+    val outCols = cols ++ newCols
+    // type authority: the table's schema for existing columns, the
+    // updates' for columns this merge introduces
+    def typeOf(c: String) =
+      if (cols.contains(c)) tSchema(c).dataType else updates.schema(c).dataType
+    val merged = if (rewrite.isEmpty) {
+      if (outCols == uCols) updates
+      else updates.select(outCols.map { c =>
+        if (uCols.contains(c)) col(c)
+        else lit(null).cast(typeOf(c)).as(c)
+      }: _*)
+    } else {
+      val base = spark.read.option("mergeSchema", "true")
+        .parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
       val markedU = updates.withColumn("__isu", lit(true))
       val joined = base.alias("t").join(
         markedU.alias("u"), base(keyCol) === markedU(keyCol), "full_outer")
-      joined.select(cols.map(c =>
-        when(col("__isu").isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+      joined.select(outCols.map { c =>
+        val fromT = // a rewritten file may predate column c entirely
+          if (base.columns.contains(c)) col(s"t.$c")
+          else lit(null).cast(typeOf(c))
+        if (!uCols.contains(c)) fromT.as(c) // update doesn't carry it: keep target
+        else if (!cols.contains(c)) // brand-new column this merge introduces
+          when(col("__isu").isNotNull, col(s"u.$c"))
+            .otherwise(lit(null).cast(typeOf(c))).as(c)
+        else when(col("__isu").isNotNull, col(s"u.$c")).otherwise(fromT).as(c)
+      }: _*)
     }
     val fresh = stageFiles(spark, merged, dir, statsCols)
     commitStaged(spark, dir, opTag.getOrElse("merge"), fresh,

@@ -59,6 +59,33 @@ object StreamingFlows {
                           key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Stream-stream interval join: pair each `right` event with every
+    * `left` event of the same `key` whose timestamp precedes it by at
+    * most `windowMinutes` (attribution joins — purchase within an hour
+    * of a view — and feature joins against a recent-context stream).
+    * Both sides carry watermarks and the join condition carries the
+    * time range, which is exactly what Spark needs to BOUND the join
+    * state: a left row is evicted once the watermark passes
+    * `leftTs + window` (no future right row could match it), so state
+    * is the window's worth of each stream, not the stream's history.
+    * Emission is append-mode exact for an inner join: every matching
+    * pair is emitted exactly once, when the later side arrives.
+    * Columns stay alias-qualified (`l.*` / `r.*`); the caller selects.
+    *
+    * Scale shape: one hash exchange per side on `key` (the same
+    * partitioning both maintain for their state stores); no
+    * broadcast, no cartesian — the interval condition is evaluated
+    * inside the per-key state join. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, windowMinutes: Int,
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
+        s"AND r.$rightTs <= l.$leftTs + interval $windowMinutes minutes"))
+  }
+
   /** Transactional streaming sink: each micro-batch commits one
     * `append` version of a [[graft.sources.SnapshotTable]], stamped
     * with the batch id in an extra `__batch_id` column. Replayed

@@ -363,6 +363,45 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("merge schema evolution: new columns widen, absent columns keep target") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 40).select($"id", lit("keep").as("src")),
+      dir, "overwrite", Seq("id"))
+    // strict mode (default) still refuses a schema fork
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir,
+        spark.range(0, 5).select($"id", lit(9L).as("score")), "id", Seq("id"))
+    }
+    // evolution: updates carry a NEW column (score) and LACK src —
+    // matched rows must keep their src, gain score; inserts get null src
+    val updates = spark.range(30, 50).select($"id", ($"id" * 2).as("score"))
+    SnapshotTable.merge(spark, dir, updates, "id", Seq("id"),
+      allowSchemaEvolution = true)
+    val out = SnapshotTable.scan(spark, dir)
+    assert(out.columns.toSet == Set("id", "src", "score"))
+    assert(out.count() == 50)
+    // matched (30..39): src kept AND score set
+    assert(out.filter($"id".between(30, 39) &&
+      $"src" === "keep" && $"score" === $"id" * 2).count() == 10)
+    // untouched/carried rows (some of 0..29): score null, src kept
+    assert(out.filter($"id" < 30 && $"src" === "keep" && $"score".isNull)
+      .count() == 30)
+    // inserts (40..49): src null, score set
+    assert(out.filter($"id" >= 40 && $"src".isNull && $"score" === $"id" * 2)
+      .count() == 10)
+    // a SECOND evolved merge whose updates lack BOTH old columns:
+    // rewritten pre-evolution files must type the missing column from
+    // the TABLE schema, not the updates
+    SnapshotTable.merge(spark, dir,
+      spark.range(0, 3).select($"id", lit(5L).as("w")), "id", Seq("id"),
+      allowSchemaEvolution = true)
+    val out2 = SnapshotTable.scan(spark, dir)
+    assert(out2.columns.toSet == Set("id", "src", "score", "w"))
+    assert(out2.filter($"id" < 3 && $"src" === "keep" && $"w" === 5L).count() == 3)
+    assert(out2.filter($"w".isNotNull).count() == 3)
+  }
+
   test("vacuum retention: an in-flight commit's staged files survive") {
     val dir = freshDir()
     SnapshotTable.write(spark, spark.range(0, 20).toDF(), dir, "overwrite")
