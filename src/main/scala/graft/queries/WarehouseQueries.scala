@@ -367,6 +367,50 @@ object WarehouseQueries {
         |       CAST(dense_rank() OVER w AS BIGINT) AS drank
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-        |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin)
+        |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin),
+
+    // ROLLUP subtotals: per-(flag,status), per-flag, and grand-total
+    // rows from ONE pass — Spark plans rollup as a single Expand +
+    // aggregate, so the three grouping levels cost one shuffle, not
+    // three scans. Decimal sums keep every level bit-exact; the
+    // fixture's grouping columns are never null, so the 'ALL' sentinel
+    // is unambiguous.
+    "q5H_rollup" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin),
+
+    // PIVOT: per-user event counts fanned into one column per event
+    // type. The value list is EXPLICIT, so the plan is a single
+    // groupBy with conditional aggregates — no extra distinct-values
+    // job, no second shuffle (the implicit form pays a driver-side
+    // distinct scan first; never do that at 100 TB).
+    "q5I_pivot" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"))
+        .orderBy("user_id"),
+      """SELECT user_id,
+        |       COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |       COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 }
