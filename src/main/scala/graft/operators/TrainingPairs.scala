@@ -55,4 +55,40 @@ object TrainingPairs {
       .filter(col("negative").isNotNull)
       .select(col("id_a").as("anchor"), col("id_b").as("positive"), col("negative"))
   }
+
+  /** Hard-negative mining: for each anchor appearing in `pairs`, the
+    * `k` most cosine-similar corpus vectors that are NOT the anchor
+    * itself and NOT any of its positives — the negatives that actually
+    * move a contrastive model, versus [[contrastiveTriplets]]'s cheap
+    * random draws (easy negatives saturate the loss early; hard ones
+    * keep the gradient alive).
+    *
+    * Scale shape: the anchor side is a bounded training batch —
+    * broadcast with vectors attached — so the corpus streams ONCE
+    * through a map-side scoring pass (same shape as
+    * `Similarity.bruteForceTopK`); positives exclude via a left-anti
+    * join on the slim pair list; per-anchor top-k is a
+    * WindowGroupLimit, never a global sort. Cosine rounds to 6dp with
+    * id tie-breaks, the repo's cross-engine determinism convention.
+    * Output: (anchor, negative, cos, rank). */
+  def hardNegatives(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pos = pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val anchors = pos.select(col("id_a")).distinct()
+      .join(corpus, col("id_a") === col(idCol))
+      .select(col("id_a").as("qid"), col(vecCol).as("qv"))
+    val cand = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = broadcast(anchors).join(cand, col("qid") =!= col("cid"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      .join(pos.select(col("id_a").as("qid"), col("id_b").as("cid")),
+        Seq("qid", "cid"), "left_anti")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("anchor"), col("cid").as("negative"),
+        col("cos"), col("rank"))
+  }
 }

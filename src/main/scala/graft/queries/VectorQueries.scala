@@ -273,6 +273,45 @@ object VectorQueries {
          |SELECT anchor, positive, negative FROM t
          |WHERE negative IS NOT NULL ORDER BY anchor, positive""".stripMargin),
 
+    // Hard-negative mining: per anchor, the 2 most cosine-similar
+    // corpus vectors that are neither the anchor nor any of its
+    // positives — the negatives that keep a contrastive loss's
+    // gradient alive after easy random draws saturate. Anchor batch
+    // broadcasts with vectors; the corpus streams once; positives
+    // exclude via left-anti on the slim pair list.
+    "q5J_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3,
+          planes = Planes).select("id_a", "id_b")
+        graft.operators.TrainingPairs.hardNegatives(pairs, emb,
+            "vec_id", "embedding", k = 2)
+          .orderBy("anchor", "rank")
+      },
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |         ${DuckBucket8.replace("%s", "b0")} AS bucket
+         |  FROM embeddings b0),
+         |scored0 AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, $DuckCos AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id),
+         |pairs AS (SELECT id_a, id_b FROM scored0 WHERE cos >= 0.3),
+         |pos AS (SELECT id_a, id_b FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |anch AS (SELECT DISTINCT id_a FROM pos),
+         |hn AS (
+         |  SELECT q.vec_id AS anchor, c.vec_id AS negative, $DuckCos AS cos
+         |  FROM (SELECT e.* FROM embeddings e JOIN anch a ON e.vec_id = a.id_a) q
+         |  JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |                    WHERE p.id_a = q.vec_id AND p.id_b = c.vec_id)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+         |            ORDER BY cos DESC, negative) AS rank
+         |  FROM hn)
+         |SELECT anchor, negative, cos, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 2 ORDER BY anchor, rank""".stripMargin),
+
     // Product-quantization ADC top-k (Jégou et al.): per-subspace Lloyd
     // codebooks, 8-byte codes, per-query lookup tables. The oracle
     // replays the entire pipeline — subspace seeds, decimal means,
