@@ -1060,7 +1060,36 @@ object ParityQueries {
         |       CAST(MIN(o_totalprice) AS DOUBLE) AS min_o_totalprice,
         |       CAST(MAX(o_totalprice) AS DOUBLE) AS max_o_totalprice,
         |       COUNT(*) AS n_rows
-        |FROM v3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+        |FROM v3 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    // Bloom-pruned point lookup on a STRING key: the snapshot table
+    // writes a 1024-bit/4-probe bloom per (file, c_name) into the
+    // manifest; readEquals opens only files whose bloom might contain
+    // the probe value ((min,max) stats can't skip on strings). The
+    // oracle is the plain equality scan — skipping must be invisible
+    // in results, only in files opened (SnapshotSpec pins the pruning
+    // itself).
+    "q5K_bloom_point_read" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t5K")
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        graft.sources.SnapshotTable.write(s,
+          cust.repartitionByRange(8, col("c_custkey")),
+          base, "overwrite", Seq("c_custkey"), bloomCols = Seq("c_name"))
+        val probes = cust.filter(col("c_custkey").isin(7L, 42L))
+          .select("c_name").collect().map(_.getString(0)).toSeq.distinct.sorted
+        probes.map(n =>
+            graft.sources.SnapshotTable.readEquals(s, base, "c_name", n))
+          .reduce(_ unionAll _)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer
+        |WHERE c_name IN (SELECT c_name FROM customer
+        |                 WHERE c_custkey IN (7, 42))
+        |ORDER BY c_custkey""".stripMargin)
   )
 
   /** Fresh per-SF scratch dir for snapshot-table queries — deleted on

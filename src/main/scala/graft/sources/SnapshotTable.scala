@@ -74,14 +74,29 @@ object SnapshotTable {
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
-  /** One immutable data file: relative path, row count, and (min,max)
-    * per stats column (integral columns only, stored as Long). */
+  /** One immutable data file: relative path, row count, (min,max) per
+    * stats column (integral columns only, stored as Long), and an
+    * optional per-column bloom filter ([[BloomBits]] bits as longs)
+    * for point-lookup skipping on NON-integral keys — the skipping
+    * surface (min,max) stats cannot give a string column. */
   final case class FileEntry(path: String, rows: Long,
-                             stats: Map[String, (Long, Long)])
+                             stats: Map[String, (Long, Long)],
+                             bloom: Map[String, Seq[Long]] = Map.empty)
 
-  final case class Manifest(version: Long, op: String, files: Seq[FileEntry]) {
+  /** `ts` is the publish wall-clock in epoch millis (0 for manifests
+    * written before the field existed — they sort before any real
+    * timestamp, which is the conservative reading for [[scanAsOf]]). */
+  final case class Manifest(version: Long, op: String, files: Seq[FileEntry],
+                            ts: Long = 0L) {
     def totalRows: Long = files.map(_.rows).sum
   }
+
+  /** Per-file bloom geometry: 1024 bits / 4 probes ≈ 1% fpp at ~100
+    * distinct keys per file, 128 bytes per (file, column) in the
+    * manifest — data skipping priced in manifest bytes, like the
+    * (min,max) stats. */
+  val BloomBits = 1024
+  val BloomK = 4
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -114,7 +129,7 @@ object SnapshotTable {
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
-    sb.append(s"""{"version":${m.version},"op":"${m.op}","files":[""")
+    sb.append(s"""{"version":${m.version},"op":"${m.op}","ts":${m.ts},"files":[""")
     m.files.zipWithIndex.foreach { case (fe, i) =>
       if (i > 0) sb.append(',')
       sb.append(s"""{"path":"${fe.path}","rows":${fe.rows},"stats":{""")
@@ -122,7 +137,16 @@ object SnapshotTable {
         if (j > 0) sb.append(',')
         sb.append(s""""$c":[$lo,$hi]""")
       }
-      sb.append("}}")
+      sb.append("}")
+      if (fe.bloom.nonEmpty) {
+        sb.append(""","bloom":{""")
+        fe.bloom.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, ws), j) =>
+          if (j > 0) sb.append(',')
+          sb.append(s""""$c":[${ws.mkString(",")}]""")
+        }
+        sb.append("}")
+      }
+      sb.append("}")
     }
     sb.append("]}")
     sb.toString
@@ -146,9 +170,23 @@ object SnapshotTable {
         val e = it.next()
         stats += e.getKey -> (e.getValue.get(0).asLong, e.getValue.get(1).asLong)
       }
-      out += FileEntry(fe.get("path").asText, fe.get("rows").asLong, stats.result())
+      val bloom = Map.newBuilder[String, Seq[Long]]
+      val bn = fe.path("bloom") // absent on pre-bloom manifests
+      if (!bn.isMissingNode) {
+        val bit = bn.properties().iterator()
+        while (bit.hasNext) {
+          val e = bit.next()
+          val ws = Vector.newBuilder[Long]
+          val vs = e.getValue.elements()
+          while (vs.hasNext) ws += vs.next().asLong
+          bloom += e.getKey -> ws.result()
+        }
+      }
+      out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
+        stats.result(), bloom.result())
     }
-    Manifest(root.get("version").asLong, root.get("op").asText, out.result())
+    Manifest(root.get("version").asLong, root.get("op").asText, out.result(),
+      root.path("ts").asLong(0L)) // absent on pre-ts manifests
   }
 
   /** Atomically publish `m` at its version slot; false if the slot is
@@ -228,7 +266,8 @@ object SnapshotTable {
       }
       val outFiles = current.filterNot(fe => removed.contains(fe.path)) ++ added
       val v = latest.getOrElse(0L) + 1
-      if (tryPublish(f, ld, Manifest(v, op, outFiles))) return v
+      if (tryPublish(f, ld, Manifest(v, op, outFiles,
+        System.currentTimeMillis()))) return v
       attempts += 1 // lost the slot race; rebase onto the winner and retry
       if (attempts > 10000) throw new IllegalStateException(
         s"could not publish a version under $dir after $attempts attempts")
@@ -269,15 +308,19 @@ object SnapshotTable {
     * integral columns). One extra Spark job computes rows + min/max
     * per file — the cost real formats pay by scraping footers. */
   private def stageFiles(spark: SparkSession, df: DataFrame, dir: String,
-                         statsCols: Seq[String]): Seq[FileEntry] = {
+                         statsCols: Seq[String],
+                         bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val stage = new Path(dir, s".stage-$nonce")
     val f = fs(spark, stage)
     df.write.mode("overwrite").parquet(stage.toString)
     val aggs = count(lit(1)).as("__rows") +:
-      statsCols.flatMap(c => Seq(
+      (statsCols.flatMap(c => Seq(
         min(col(c)).cast("long").as(s"__min_$c"),
-        max(col(c)).cast("long").as(s"__max_$c")))
+        max(col(c)).cast("long").as(s"__max_$c"))) ++
+        bloomCols.map(c => graft.functions.cat.BloomAgg(
+          graft.functions.TextFunctions.polyHash(col(c).cast("string")),
+          BloomBits, BloomK).as(s"__bloom_$c")))
     val perFile = spark.read.parquet(stage.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -294,7 +337,10 @@ object SnapshotTable {
         if (lo == null || hi == null) None
         else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
       }.toMap
-      FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats)
+      val blooms = bloomCols.map { c =>
+        c -> r.getAs[scala.collection.Seq[Long]](s"__bloom_$c").toVector.asInstanceOf[Seq[Long]]
+      }.toMap
+      FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
@@ -306,14 +352,15 @@ object SnapshotTable {
     * appenders can never drop each other's files. Old files stay on
     * disk for time travel until [[vacuum]]. */
   def write(spark: SparkSession, df: DataFrame, dir: String, mode: String,
-            statsCols: Seq[String] = Nil, opTag: Option[String] = None): Long = {
+            statsCols: Seq[String] = Nil, opTag: Option[String] = None,
+            bloomCols: Seq[String] = Nil): Long = {
     val carry = mode match {
       case "overwrite" => false
       case "append" => true
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    val fresh = stageFiles(spark, df, dir, statsCols)
+    val fresh = stageFiles(spark, df, dir, statsCols, bloomCols)
     commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry)
   }
 
@@ -381,6 +428,56 @@ object SnapshotTable {
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
     spark.read.parquet(hit.map(fe => s"$dir/${fe.path}"): _*)
       .filter(col(keyCol).between(lo, hi))
+  }
+
+  /** The table AS OF a wall-clock instant: the newest version whose
+    * manifest was published at or before `tsMs` (publish stamps are
+    * monotone per table because versions publish serially). Manifests
+    * from before the `ts` field read as 0 — i.e. "older than any real
+    * instant", the conservative order. Errors when the table has no
+    * version that old. */
+  def scanAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val v = versions(spark, dir)
+      .filter(readManifest(spark, dir, _).ts <= tsMs)
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"no version of $dir existed at epoch-ms $tsMs"))
+    scan(spark, dir, Some(v))
+  }
+
+  /** Candidate files for `keyCol = value` under the per-file blooms:
+    * a file drops only when it CARRIES a bloom for `keyCol` and the
+    * bloom rejects the value (no bloom → conservative keep). */
+  private[graft] def pointCandidates(m: Manifest, keyCol: String,
+                                     value: String): Seq[FileEntry] = {
+    val h = graft.functions.cat.Kernels.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value),
+      31, 1000000007L)
+    m.files.filter(fe => fe.bloom.get(keyCol) match {
+      case Some(ws) =>
+        graft.functions.cat.Kernels.bloomMightContainWords(h, ws.toArray, BloomK)
+      case None => true
+    })
+  }
+
+  /** Point lookup with bloom-based data skipping on a string key:
+    * only files whose bloom might contain `value` are opened (files
+    * without a bloom are read conservatively — rewrites by
+    * merge/delete/compact do not rebuild blooms, so point-read
+    * pruning decays gracefully rather than ever being wrong). The
+    * residual equality filter still applies; skipping is a pure
+    * optimization, invisible in results — the string-key analogue of
+    * [[readRange]]'s (min,max) pruning. */
+  def readEquals(spark: SparkSession, dir: String, keyCol: String,
+                 value: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val m = readManifest(spark, dir, v)
+    val hit = pointCandidates(m, keyCol, value)
+    if (hit.isEmpty)
+      return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
+    spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(fe => s"$dir/${fe.path}"): _*)
+      .filter(col(keyCol).cast("string") === value)
   }
 
   /** Upsert `updates` by `keyCol` with whole-row-replace semantics,

@@ -402,6 +402,51 @@ class SnapshotSpec extends SparkTestBase {
     assert(out2.filter($"w".isNotNull).count() == 3)
   }
 
+  test("scanAsOf picks the newest manifest at or before the instant") {
+    val dir = freshDir()
+    val v1 = SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    Thread.sleep(15)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotTable.write(spark, spark.range(0, 99).toDF(), dir, "overwrite")
+    assert(SnapshotTable.scanAsOf(spark, dir, tMid).count() == 10)
+    assert(SnapshotTable.scanAsOf(spark, dir,
+      System.currentTimeMillis()).count() == 99)
+    val born = SnapshotTable.readManifest(spark, dir, v1).ts
+    assert(born > 0L)
+    intercept[IllegalStateException] {
+      SnapshotTable.scanAsOf(spark, dir, born - 1000L)
+    }
+  }
+
+  test("per-file blooms skip files on string point lookups") {
+    val dir = freshDir()
+    val df = spark.range(0, 400)
+      .select($"id", concat(lit("k"), $"id").as("name"))
+      .repartitionByRange(4, $"id")
+    SnapshotTable.write(spark, df, dir, "overwrite", Seq("id"),
+      bloomCols = Seq("name"))
+    val m = SnapshotTable.readManifest(spark, dir, 1)
+    assert(m.files.size == 4 && m.files.forall(_.bloom.contains("name")))
+    // pruning: ~1 true file + ~1% fpp over the other 3 — deterministic
+    // for fixed data, and never the full list
+    val cand = SnapshotTable.pointCandidates(m, "name", "k5")
+    assert(cand.nonEmpty && cand.size < m.files.size,
+      s"bloom pruned nothing: ${cand.size} of ${m.files.size}")
+    // correctness: skipping is invisible in results
+    assert(SnapshotTable.readEquals(spark, dir, "name", "k5").count() == 1)
+    assert(SnapshotTable.readEquals(spark, dir, "name", "k399")
+      .select("id").head().getLong(0) == 399L)
+    assert(SnapshotTable.readEquals(spark, dir, "name", "absent").count() == 0)
+    // a column without a bloom is read conservatively
+    assert(SnapshotTable.pointCandidates(m, "other", "x").size == m.files.size)
+    // blooms survive the manifest JSON round-trip verbatim (the
+    // readManifest above already parsed them; cross-check one word set
+    // against a fresh parse)
+    val m2 = SnapshotTable.readManifest(spark, dir, 1)
+    assert(m2.files.map(_.bloom) == m.files.map(_.bloom))
+  }
+
   test("vacuum retention: an in-flight commit's staged files survive") {
     val dir = freshDir()
     SnapshotTable.write(spark, spark.range(0, 20).toDF(), dir, "overwrite")
