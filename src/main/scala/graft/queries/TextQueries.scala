@@ -1157,6 +1157,24 @@ object TextQueries {
          |       CAST(SUM(sp) // COUNT(*) AS BIGINT) AS importance
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // BPE tokenizer training (Sennrich-style subword merges) on the
+    // corpus word-frequency table: 12 merge rounds, each ONE
+    // vocab-sized aggregation + a single-row argmax to the driver (the
+    // merge decision is inherently sequential), with declarative
+    // greedy re-segmentation (aggregate fold — no UDF). NO SQL oracle:
+    // the iterative argmax isn't ANSI-expressible; instead the learner
+    // is dual-implementation-pinned (CorpusStatsSpec) merge-for-merge
+    // against an independent single-threaded reference ON THIS SAME
+    // CORPUS SLICE — a gate on the full iterative trajectory, which a
+    // final-state hash could not give. Driver records rows>0.
+    "q5M_bpe_merges" -> QueryDef(
+      (s, dir) => {
+        val (merges, _) = graft.operators.Bpe.learnMerges(
+          Tables.computeTable(s, dir, "documents"), "text", numMerges = 12)
+        merges.orderBy("step")
+      },
+      None),
+
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
     // two exact integer counts — bit-exact in any engine).

@@ -328,6 +328,22 @@ object WarehouseQueries {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin),
 
+    // ORC round-trip: the other columnar warehouse format Spark ships
+    // a vectorized reader for — type-preserving, so no read schema is
+    // imposed (unlike CSV): the files carry it.
+    "q5L_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val src = Tables.table(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        val path = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-fmt/${new java.io.File(dir).getName}/supplier_orc").getAbsolutePath
+        src.write.mode("overwrite").orc(path)
+        s.read.orc(path).orderBy("s_suppkey")
+      },
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin),
+
     // JSON-lines round-trip (the interchange format LLM corpora
     // actually ship as): write orders as JSONL, read back schema'd.
     "q4M_jsonl_roundtrip" -> QueryDef(

@@ -305,4 +305,82 @@ class CorpusStatsSpec extends SparkTestBase {
       .select("user_id", "funnel_stage").as[(Long, Int)].collect().toMap
     assert(out2(2L) == 3)
   }
+
+  /** Single-threaded BPE reference with the exact documented tie-break
+    * and greedy application — the independent implementation the
+    * distributed learner is pinned against. */
+  private def refBpe(words: Map[String, Long], numMerges: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
+    var vocab: Map[String, (Vector[String], Long)] =
+      words.map { case (w, n) => w -> (w.map(_.toString).toVector, n) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= numMerges && !stop) {
+      val counts = vocab.values.toSeq
+        .flatMap { case (syms, n) =>
+          syms.sliding(2).collect { case Seq(a, b) => ((a, b), n) } }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((step, l, r, cnt))
+        vocab = vocab.map { case (w, (syms, n)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> (out.result(), n)
+        }
+        step += 1
+      }
+    }
+    (merges.result(), vocab.map { case (w, (syms, _)) => w -> syms })
+  }
+
+  test("BPE learner matches the single-threaded reference (fixture + corpus)") {
+    import graft.operators.Bpe
+    // fixture with known dynamics: "ab" dominates, then "abc"
+    val docs = Seq(
+      (1L, "abc abc abc abd"), (2L, "abc abd xy xy"), (3L, "abd zq")
+    ).toDF("doc_id", "text")
+    val (m, seg) = Bpe.learnMerges(docs, "text", numMerges = 4)
+    val got = m.orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wc = Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (refM, refSeg) = refBpe(wc, 4)
+    assert(got == refM, s"merge tables differ:\n got=$got\n ref=$refM")
+    val gotSeg = seg.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(gotSeg == refSeg)
+    // first merge must be the dominant pair with its exact count:
+    // "ab" appears in abc(x5) + abd(x3) weighted by word counts
+    assert(got.head._2 == "a" && got.head._3 == "b")
+
+    // encode: segmentation join + char fallback for OOV words
+    val enc = Bpe.encode(Seq((9L, "abc zq unseen")).toDF("doc_id", "text"),
+        "doc_id", "text", seg)
+      .orderBy("pos").select("token").collect().map(_.getString(0)).toSeq
+    assert(enc.take(refSeg("abc").size) == refSeg("abc"))
+    assert(enc.containsSlice(Seq("u", "n", "s", "e", "e", "n")), s"OOV fallback broke: $enc")
+
+    // the real corpus slice: the distributed learner and the reference
+    // agree merge-for-merge on sf0.001 documents
+    val corpus = graft.sources.Tables.computeTable(spark,
+      "/root/testdata/sf0.001", "documents")
+    val (cm, cseg) = Bpe.learnMerges(corpus, "text", numMerges = 6)
+    val cwc = Bpe.wordCounts(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (crefM, crefSeg) = refBpe(cwc, 6)
+    val cgot = cm.orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(cgot == crefM, s"corpus merge tables differ:\n got=$cgot\n ref=$crefM")
+    val csegGot = cseg.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(csegGot == crefSeg)
+  }
 }
