@@ -384,6 +384,118 @@ object EventQueries {
         |       n_events, sum_value
         |FROM g ORDER BY user_id, session_seq""".stripMargin),
 
+    // The streaming WINDOWED AGGREGATION under a DuckDB oracle: hourly
+    // tumbling windows with count / KMV-distinct / decimal sum,
+    // replayed in two chronological chunks; a far-future sentinel
+    // advances the watermark so every real window finalizes (append
+    // mode emits a window only when the watermark passes it — the
+    // sentinel's own window never finalizes and so never pollutes the
+    // sink). approx_count_distinct would be order-stable here but not
+    // reproducible outside Spark; the KMV sketch is both, so the
+    // oracle replays the same min-k arithmetic per window.
+    "q5O_stream_windows" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("user_id").cast("long"), col("ts"),
+            col("value").cast("double"))
+          .as[(Long, java.sql.Timestamp, Double)].collect()
+        val midMs = 1705363200000L // 2024-01-16 00:00 UTC
+        val (c1, c2) = ev.partition(_._2.getTime < midMs)
+        val sentinel = (-1L, new java.sql.Timestamp(1709251200000L), 0.0) // 2024-03-01
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val out = graft.streaming.StreamingFlows.tumblingCountsSketch(
+          in.toDF().toDF("user_id", "ts", "value"))
+        val q = out.writeStream.format("memory").queryName("q5O_win_sink")
+          .outputMode("append").start()
+        try {
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q5O_stream_windows")(q.processAllAvailable()) }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q5O_stream_windows")(q.processAllAvailable()) }
+          in.addData(sentinel); timed("q5O_stream_windows")(q.processAllAvailable())
+        } finally q.stop()
+        s.table("q5O_win_sink")
+          .select(expr("unix_micros(window_start)").as("window_start_us"),
+            col("n_events"), col("n_users_approx"), col("sum_value"))
+          .orderBy("window_start_us")
+      },
+      s"""WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+        |         value
+        |  FROM events),
+        |h0 AS (
+        |  SELECT DISTINCT ws, ${duckHash("CAST(user_id AS VARCHAR)")} AS h
+        |  FROM e),
+        |hv AS (
+        |  SELECT DISTINCT ws,
+        |         (((h * 48271 + 11) % 1000000007) * 48271 + 11) % 1000000007 AS h
+        |  FROM h0),
+        |rk AS (
+        |  SELECT ws, h,
+        |         row_number() OVER (PARTITION BY ws ORDER BY h) AS r,
+        |         COUNT(*) OVER (PARTITION BY ws) AS nd
+        |  FROM hv),
+        |agg AS (
+        |  SELECT ws, max(nd) AS nd, max(CASE WHEN r = 64 THEN h END) AS kth
+        |  FROM rk GROUP BY 1),
+        |base AS (
+        |  SELECT ws, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1)
+        |SELECT b.ws AS window_start_us, b.n_events,
+        |       CASE WHEN a.nd < 64 THEN CAST(a.nd AS DOUBLE)
+        |            ELSE 63 * 1000000007.0 / CAST(a.kth AS DOUBLE) END
+        |         AS n_users_approx,
+        |       b.sum_value
+        |FROM base b JOIN agg a USING (ws) ORDER BY window_start_us""".stripMargin),
+
+    // The PARITY streaming flow under a DuckDB oracle: the reference's
+    // filtered DISTINCT scan as a stream (S1/S2/D1 —
+    // StreamingFlows.watermarkDistinct), replayed in two chronological
+    // chunks. Dedup state lives under the watermark horizon; because
+    // chunk 2 sits entirely past chunk 1's watermark, nothing is
+    // late-dropped and every cross-chunk duplicate still finds its
+    // state row — so the emission set is exactly DISTINCT, which is
+    // the oracle. (The flow's bounded-state behavior — late drops and
+    // re-emission after eviction — is StreamingSpec territory; this
+    // gate pins the cross-batch dedup itself.)
+    "q5N_stream_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("user_id").cast("long"), col("ts"), col("event_type"))
+          .as[(Long, java.sql.Timestamp, String)].collect()
+        // plant exact duplicates so the dedup provably fires, both
+        // within and across chunks (the raw feed has none)
+        val dups = ev.filter(_._1 % 7 == 0)
+        val midMs = 1705363200000L // 2024-01-16 00:00 UTC
+        val all = ev ++ dups
+        val (c1, c2) = all.partition(_._2.getTime < midMs)
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp, String)]
+        val out = graft.streaming.StreamingFlows.watermarkDistinct(
+          in.toDF().toDF("user_id", "ts", "event_type"),
+          tsCol = "ts", lookback = "10 minutes",
+          keyCols = Seq("user_id", "event_type"))
+        val q = out.writeStream.format("memory").queryName("q5N_dist_sink")
+          .outputMode("append").start()
+        try {
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q5N_stream_distinct")(q.processAllAvailable()) }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q5N_stream_distinct")(q.processAllAvailable()) }
+        } finally q.stop()
+        s.table("q5N_dist_sink")
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+            col("event_type"))
+          .orderBy("user_id", "us", "event_type")
+      },
+      """SELECT DISTINCT user_id, epoch_us(ts) AS us, event_type
+        |FROM events
+        |ORDER BY user_id, us, event_type""".stripMargin),
+
     // Stream-STREAM interval join under a DuckDB oracle: views and
     // purchases replay as two MemoryStreams in chronological chunks;
     // each purchase pairs with the same user's views from the

@@ -47,6 +47,27 @@ object StreamingFlows {
       .select(col("w.start").as("window_start"), col("n_events"),
         col("n_users_approx"), col("sum_value"))
 
+  /** [[tumblingCounts]] with the KMV sketch in place of Spark's
+    * approx_count_distinct: same bounded per-window state (k hashes),
+    * but the estimate is DETERMINISTIC by construction (a min-k hash
+    * set is a commutative idempotent monoid — merge order, batch
+    * boundaries, and partitioning cannot change it), so the streaming
+    * window table can be hash-gated against an oracle that replays the
+    * same min-k arithmetic. HLL's estimate is also order-independent
+    * but not reproducible outside Spark; the KMV is both. */
+  def tumblingCountsSketch(events: DataFrame, tsCol: String = "ts",
+                           width: String = "1 hour",
+                           lateness: String = "2 hours",
+                           k: Int = 64): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.cat.KmvDistinct(col("user_id"), k).as("n_users_approx"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("n_users_approx"), col("sum_value"))
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension frame — the standard pattern for attaching dimension
     * attributes (customer tier, source metadata) to a high-volume
