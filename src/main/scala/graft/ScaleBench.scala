@@ -43,8 +43,13 @@ object ScaleBench {
     * same co-order pairs factor× deep, pushing every weight-1 pair over
     * the w>=2 support and densifying the graph — a replication
     * artifact, not scale. Disjoint order keys give factor disjoint
-    * copies of the base graph. */
-  private val StatsQueries = Seq("q4T_heavy_hitters", "q4U_bigram_lm")
+    * copies of the base graph.
+    * q5D/q5E/q5F (r8) join the family: chunking is map-side (rows
+    * exactly 10x — same tokens per doc, 10x docs), temperature mixing
+    * keeps per-language ratios (counts scale uniformly), and the
+    * importance score's feature tables stay bucket-bounded. */
+  private val StatsQueries = Seq("q4T_heavy_hitters", "q4U_bigram_lm",
+    "q5D_chunk_overlap", "q5E_temperature_mix", "q5F_importance_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
