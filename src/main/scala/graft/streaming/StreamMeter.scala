@@ -23,6 +23,20 @@ object StreamMeter {
 
   def reset(query: String): Unit = ns.remove(query)
 
+  /** Start a streaming query with `n` shuffle partitions (the setting
+    * binds into the query AT START and persists for its lifetime),
+    * restoring the session value immediately so batch plans are
+    * untouched. Stateful streams commit one state-store instance PER
+    * PARTITION per micro-batch — at test scale that fixed machinery
+    * dwarfs the data, so replays size partitions to key cardinality
+    * rather than cores (exactly what a deployment tunes). */
+  def startWithPartitions[T](spark: org.apache.spark.sql.SparkSession,
+                             n: Int)(start: => T): T = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Accumulated compute seconds for `query`, if any span was timed. */
   def computeSec(query: String): Option[Double] =
     Option(ns.get(query)).map(_.toDouble / 1e9)
