@@ -453,6 +453,49 @@ object EventQueries {
         |       b.sum_value
         |FROM base b JOIN agg a USING (ws) ORDER BY window_start_us""".stripMargin),
 
+    // The TRANSACTIONAL STREAMING SINK under a DuckDB oracle: events
+    // replay in two chunks through startSnapshotSink (foreachBatch →
+    // one SnapshotTable append per micro-batch, batch-id-tagged for
+    // replay detection). The gate is exactly-once-ness end to end: the
+    // final table content must equal the input stream EXACTLY — a
+    // duplicated batch (foreachBatch's documented at-least-once
+    // window) or a dropped one would break the per-type counts and
+    // id-checksums the oracle recomputes from the raw events.
+    "q5P_stream_snapshot_sink" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("event_type"))
+          .as[(Long, Long, String)].collect()
+        val (c1, c2) = ev.partition(_._1 % 2 == 0)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q5p")
+        val table = tmp.resolve("table").toString
+        val ckpt = tmp.resolve("ckpt").toString
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, String)]
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          graft.streaming.StreamingFlows.startSnapshotSink(
+            in.toDF().toDF("event_id", "user_id", "event_type"),
+            table, ckpt, statsCols = Seq("event_id")))
+        try {
+          import graft.streaming.StreamMeter.timed
+          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q5P_stream_snapshot_sink")(q.processAllAvailable()) }
+          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q5P_stream_snapshot_sink")(q.processAllAvailable()) }
+        } finally q.stop()
+        graft.sources.SnapshotTable.scan(s, table)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("event_id").as("id_checksum"),
+            countDistinct("event_id").as("n_distinct"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+        |       COUNT(DISTINCT event_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // The PARITY streaming flow under a DuckDB oracle: the reference's
     // filtered DISTINCT scan as a stream (S1/S2/D1 —
     // StreamingFlows.watermarkDistinct), replayed in two chronological

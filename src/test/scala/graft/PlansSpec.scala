@@ -143,6 +143,32 @@ class PlansSpec extends SparkTestBase {
       s"lmFitScore SMJ'd a Zipf-skewed corpus on w1:\n$opPlan")
   }
 
+  test("r8 curation ops: model/count joins broadcast, corpus never SMJs") {
+    val dir = "/root/testdata/sf0.001"
+    // q5E: the per-source count table (|sources| rows) must broadcast —
+    // SMJ'ing the corpus on the source column would shuffle everything
+    // to apply a per-row filter
+    val mix = SparkEntry.queries("q5E_temperature_mix")(spark, dir)
+    mix.count()
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("SortMergeJoin"),
+      s"temperature mix SMJ'd the corpus on the source key:\n$mixPlan")
+    // q5F: both feature tables are bucket-bounded (4096 rows) — the
+    // model join must broadcast at ANY corpus size
+    val imp = SparkEntry.queries("q5F_importance_score")(spark, dir)
+    imp.count()
+    val impPlan = imp.queryExecution.executedPlan.toString
+    assert(!impPlan.contains("SortMergeJoin"),
+      s"importance score SMJ'd the per-occurrence side:\n$impPlan")
+    assert(impPlan.contains("BroadcastHashJoin"),
+      s"importance score lost its broadcast model join:\n$impPlan")
+    // q5D: chunking must stay shuffle-free — pure map-side fan-out
+    val chunk = SparkEntry.queries("q5D_chunk_overlap")(spark, dir)
+    val chunkPlan = chunk.queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning".r.findFirstIn(chunkPlan).isDefined,
+      s"chunking grew a hash exchange:\n$chunkPlan")
+  }
+
   test("CollapseIdempotentNormalize removes double normalization") {
     // non-foldable input (range, not a literal) so constant folding
     // can't erase the calls before the rule is observable
