@@ -496,6 +496,64 @@ object EventQueries {
         |       COUNT(DISTINCT event_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // The GATED sink + dead-letter queue under a DuckDB oracle: chunk
+    // A is clean and commits to the main table; chunk B carries
+    // planted nulls, fails the not-null expectation, and must land —
+    // WHOLE and batch-atomic — in the quarantine table instead of
+    // killing the stream or leaking partial rows into main. The
+    // oracle recomputes both sides from the same chunk predicate: any
+    // row on the wrong side (a leaked bad row, a quarantined good
+    // batch, a replayed batch double-committing) breaks the counts
+    // and checksums.
+    "q5Q_stream_quarantine" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val ev = Tables.computeTable(s, dir, "events")
+          .select(col("event_id").cast("long"), col("user_id").cast("long"),
+            col("value").cast("double"))
+          .as[(Long, Long, Double)].collect()
+        val (clean, bad0) = ev.partition(_._1 % 2 == 0)
+        // plant the violation: bad chunk rows carry a null value
+        val bad = bad0.map(e => (e._1, e._2, None: Option[Double]))
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q5q")
+        val in = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Option[Double])]
+        val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
+          graft.streaming.StreamingFlows.startGatedSnapshotSink(
+            in.toDF().toDF("event_id", "user_id", "value"),
+            tmp.resolve("main").toString, tmp.resolve("quar").toString,
+            tmp.resolve("ckpt").toString,
+            checks = Seq(graft.operators.Expectations.notNull("value")),
+            statsCols = Seq("event_id")))
+        try {
+          import graft.streaming.StreamMeter.timed
+          if (clean.nonEmpty) {
+            in.addData(clean.map(e => (e._1, e._2, Some(e._3): Option[Double])).toSeq: _*)
+            timed("q5Q_stream_quarantine")(q.processAllAvailable())
+          }
+          if (bad.nonEmpty) {
+            in.addData(bad.toSeq: _*)
+            timed("q5Q_stream_quarantine")(q.processAllAvailable())
+          }
+        } finally q.stop()
+        def side(d: java.nio.file.Path, name: String) =
+          graft.sources.SnapshotTable.scan(s, d.toString)
+            .agg(count(lit(1)).as("n"), sum("event_id").as("id_checksum"))
+            .select(lit(name).as("side"), col("n"), col("id_checksum"))
+        side(tmp.resolve("main"), "main")
+          .unionAll(side(tmp.resolve("quar"), "quarantine"))
+          .orderBy("side")
+      },
+      """SELECT 'main' AS side, COUNT(*) AS n,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT 'quarantine', COUNT(*),
+        |       CAST(SUM(event_id) AS BIGINT)
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY side""".stripMargin),
+
     // The PARITY streaming flow under a DuckDB oracle: the reference's
     // filtered DISTINCT scan as a stream (S1/S2/D1 —
     // StreamingFlows.watermarkDistinct), replayed in two chronological
