@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -10,46 +12,34 @@ import org.apache.spark.sql.functions._
   * The classical algorithm looks corpus-sized but is not: merges are
   * learned from the WORD-FREQUENCY table (distinct words with counts),
   * which is vocabulary-sized — millions of rows for a 100 TB corpus,
-  * not trillions. The corpus is touched exactly once (one groupBy to
-  * build the table); each of the `numMerges` rounds then runs on the
-  * vocab table alone: explode adjacent symbol pairs weighted by word
-  * count, aggregate, take the argmax (ONE row to the driver — the
-  * merge decision is inherently sequential), and re-segment the
-  * symbol lists.
+  * not trillions. The split of labor here follows that shape:
   *
-  * Re-segmentation is a declarative `aggregate` fold (codegen'd, no
-  * UDF): state (out, carry); seeing `right` while carrying `left`
-  * emits the merged symbol — the standard greedy left-to-right,
-  * non-overlapping application ("a a a" + (a,a) → ["aa","a"]).
-  * Determinism: argmax ties break on (pair count desc, left, right) —
-  * a total order, so the learned table is a pure function of the data.
-  * The vocab frame is localCheckpointed (and plan-rebuilt) each round:
-  * iterative self-referencing lineage otherwise squares the plan.
+  *  - DATA PLANE (distributed): the corpus is touched exactly once —
+  *    one groupBy builds the word-frequency table ([[wordCounts]]);
+  *    [[encode]] later tokenizes any corpus size via a broadcast join
+  *    against the vocab-sized segmentation table. Both scale with the
+  *    cluster.
+  *  - CONTROL PLANE (driver-local): the merge loop itself is
+  *    inherently sequential — each argmax depends on the previous
+  *    re-segmentation — so running it as `numMerges` Spark jobs would
+  *    mean a 32k-deep scheduler round-trip chain (days of wall-clock
+  *    at ANY data size, all of it latency). Instead the vocab-sized
+  *    table is collected ONCE and the loop runs in-process with the
+  *    classical incremental algorithm: a lazy max-heap over pair
+  *    counts plus a pair→words inverted index, so each merge touches
+  *    only the words containing that pair. 32k merges over a
+  *    multi-million-word vocabulary is seconds of driver CPU and
+  *    zero additional jobs.
   *
-  * [[encode]] never re-runs merges over the corpus: the loop's final
-  * symbol lists ARE the segmentation of every distinct word, so
-  * encoding is a broadcast join of corpus words against the
-  * vocab-sized segmentation table — map-side at any corpus scale.
+  * Determinism: argmax ties break on (pair count desc, left, right)
+  * under UTF-8 binary string order — a total order, so the learned
+  * table is a pure function of the data. Greedy re-segmentation is
+  * left-to-right and non-overlapping ("a a a" + (a,a) → ["aa","a"]).
+  * The trajectory is pinned merge-for-merge against an independent
+  * recompute-from-scratch reference in CorpusStatsSpec, and q5M's
+  * DuckDB oracle replays the same loop as chained SQL CTEs.
   */
 object Bpe {
-
-  /** Greedy left-to-right application of one merge (l, r) to a symbol
-    * array, as a single `aggregate` fold. */
-  private[graft] def applyMerge(sym: Column, l: String, r: String): Column = {
-    val flush = (acc: Column) =>
-      when(acc.getField("carry").isNull, acc.getField("out"))
-        .otherwise(concat(acc.getField("out"), array(acc.getField("carry"))))
-    aggregate(
-      sym,
-      struct(array().cast("array<string>").as("out"),
-        lit(null).cast("string").as("carry")),
-      (acc, s) =>
-        when(acc.getField("carry") === l && s === r,
-          struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
-            lit(null).cast("string").as("carry")))
-          .otherwise(struct(flush(acc).as("out"), s.as("carry"))),
-      acc => flush(acc))
-  }
 
   /** Single-character symbols of a word. "(?!^)" splits at every
     * boundary except the start — but Java split also yields a trailing
@@ -68,47 +58,153 @@ object Bpe {
     * `merges` = (step, left, right, pair_count) in learned order;
     * `segmentation` = (word, symbols) — every distinct word in its
     * final subword split, the broadcast table [[encode]] joins on.
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains.
+    *
+    * One distributed job (the word count); the merge loop is local —
+    * see the class doc for why that is the scale-correct shape. */
   def learnMerges(df: DataFrame, textCol: String,
                   numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    var vocab = wordCounts(df, textCol)
-      .select(col("word"), charSymbols(col("word")).as("symbols"), col("n"))
-      .localCheckpoint()
+    val wc = wordCounts(df, textCol).as[(String, Long)].collect()
+    val (merges, seg) = learnMergesLocal(wc, numMerges)
+    (spark.createDataset(merges).toDF("step", "left", "right", "pair_count"),
+      spark.createDataset(seg).toDF("word", "symbols"))
+  }
+
+  /** UTF-8 binary string order (what Spark's UTF8String and DuckDB's
+    * default collation both use) — equivalent to code-point order,
+    * which Java's UTF-16 `compareTo` is NOT for supplementary chars. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Code-point symbols of a word (mirrors [[charSymbols]], which via
+    * Java regex never splits inside a surrogate pair). */
+  private def codePoints(w: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right, non-overlapping application of (l, r). */
+  private def applyMergeLocal(syms: Array[String], l: String,
+                              r: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** The classical incremental merge loop over a collected
+    * word-frequency table. Lazy-deletion max-heap for the argmax
+    * (stale entries are skipped on pop, the live count is always
+    * re-pushed on change) + pair→word-indices inverted index so a
+    * merge only touches the words that contain its pair. */
+  private[graft] def learnMergesLocal(
+      wc: Array[(String, Long)], numMerges: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(String, Seq[String])]) = {
+    val words = wc.map(_._1)
+    val freq = wc.map(_._2)
+    val syms: Array[Array[String]] = words.map(codePoints)
+
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // max-heap: higher count wins; ties prefer the UTF8-smaller (l, r)
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val cl = utf8Compare(y._2, x._2)
+          if (cl != 0) cl else utf8Compare(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    // every live value gets a heap entry (pushed on every change, up
+    // or down), so pops can simply discard entries that don't match
+    // the live count — the classical lazy-deletion heap invariant
+    def bump(p: (String, String), delta: Long): Unit = {
+      val v = pairCnt.getOrElse(p, 0L) + delta
+      if (v <= 0L) pairCnt.remove(p)
+      else {
+        pairCnt(p) = v
+        heap.enqueue((v, p._1, p._2))
+      }
+    }
+    def indexWord(i: Int, sign: Int): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        bump(p, sign * freq(i))
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        else pairWords.get(p).foreach { ws =>
+          ws -= i
+          if (ws.isEmpty) pairWords.remove(p)
+        }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { indexWord(i, 1); i += 1 }
+
+    def popBest(): Option[(String, String, Long)] = {
+      while (heap.nonEmpty) {
+        val (cnt, l, r) = heap.dequeue()
+        if (pairCnt.get((l, r)).contains(cnt)) return Some((l, r, cnt))
+      }
+      None
+    }
+
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      val pairs = vocab
-        // single-symbol words carry no pairs (and sequence(1, 0) would
-        // generate a DESCENDING index list — Spark's sequence walks
-        // backwards when start > stop)
-        .filter(size(col("symbols")) >= 2)
-        .select(col("n"), explode(
-          transform(sequence(lit(1), size(col("symbols")) - 1), j =>
-            struct(element_at(col("symbols"), j).as("l"),
-              element_at(col("symbols"), j + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("n").as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true
-      else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((step, l, r, cnt))
-        val next = vocab.withColumn("symbols",
-          applyMerge(col("symbols"), l, r)).localCheckpoint()
-        // rebuild from the checkpointed RDD so each round's plan is
-        // flat, not a numMerges-deep transform chain
-        vocab = spark.createDataFrame(next.rdd, next.schema)
-        step += 1
+      popBest() match {
+        case None => done = true
+        case Some((l, r, cnt)) =>
+          merges += ((step, l, r, cnt))
+          val affected = pairWords.get((l, r)).map(_.toArray)
+            .getOrElse(Array.empty[Int])
+          var k = 0
+          while (k < affected.length) {
+            val w = affected(k)
+            indexWord(w, -1)
+            syms(w) = applyMergeLocal(syms(w), l, r)
+            indexWord(w, 1)
+            k += 1
+          }
+          step += 1
       }
     }
-    (merges.result().toDF("step", "left", "right", "pair_count"),
-      vocab.select("word", "symbols"))
+    (merges.result(),
+      words.toSeq.zipWithIndex.map { case (w, j) => (w, syms(j).toSeq) })
   }
 
   /** Tokenize `df(textCol)` under a learned `segmentation`: words not
@@ -116,7 +212,16 @@ object Bpe {
     * matches how [[learnMerges]] would have segmented an unseen word
     * with zero applicable merges... conservatively: no merge counts
     * exist for it, so characters are the honest split). Output:
-    * (idCol, token, pos) — one row per subword token. */
+    * (idCol, token, pos) — one row per subword token.
+    *
+    * `pos` CONTRACT: `pos = wpos * 1_000_000 + spos` is a single
+    * sortable key encoding (word index, subword index). It is unique
+    * and order-correct only while every word splits into fewer than
+    * 1,000,000 subwords — trivially true for natural-language tokens
+    * (a word of N characters yields at most N subwords, and
+    * whitespace tokens are nowhere near 1M chars). Feeding
+    * megabyte-long unbroken blobs through this encoder would need a
+    * wider radix, not this function. */
   def encode(df: DataFrame, idCol: String, textCol: String,
              segmentation: DataFrame): DataFrame = df
     .filter(trim(col(textCol)) =!= "")
