@@ -30,6 +30,46 @@ object TextQueries {
   private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
     QueryDef.duckPolyHash(e, base, p)
 
+  /** The q5M oracle: the full BPE merge trajectory unrolled as chained
+    * DuckDB CTEs — see the q5M entry comment for the encoding and the
+    * MATERIALIZED rationale. Generated, because each merge round is
+    * the same three CTEs (pair counts → argmax → re-segmentation)
+    * parameterized only by round number. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val base = Seq(
+      """toks AS MATERIALIZED (
+        |  SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> '')""".stripMargin,
+      """wc AS MATERIALIZED (
+        |  SELECT tok AS word, COUNT(*) AS n
+        |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1)""".stripMargin,
+      """seg0 AS MATERIALIZED (
+        |  SELECT chr(1) || array_to_string(string_split_regex(word, ''), chr(1)) AS s, n
+        |  FROM wc)""".stripMargin)
+    val rounds = (1 to numMerges).flatMap { k =>
+      val seg =
+        if (k == numMerges) Nil
+        else Seq(
+          s"""seg$k AS MATERIALIZED (
+             |  SELECT replace(s, chr(1) || m.l || chr(1) || m.r,
+             |                 chr(1) || m.l || m.r) AS s, n
+             |  FROM seg${k - 1}, m$k m)""".stripMargin)
+      Seq(
+        s"""p$k AS MATERIALIZED (
+           |  SELECT sym[i] AS l, sym[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(s[2:], chr(1)) AS sym, n FROM seg${k - 1}) t,
+           |       UNNEST(range(1, len(sym))) AS u(i)
+           |  GROUP BY 1, 2)""".stripMargin,
+        s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"
+      ) ++ seg
+    }
+    val unions = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS step, l AS "left", r AS "right",
+         |       cnt AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (base ++ rounds).mkString(",\n") + "\n" + unions + "\nORDER BY step"
+  }
+
   val all: Map[String, QueryDef] = Map(
 
     // Exact dedup (content-fingerprint groupBy); duplicates synthesized
@@ -1160,22 +1200,30 @@ object TextQueries {
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // BPE tokenizer training (Sennrich-style subword merges) on the
-    // corpus word-frequency table: 12 merge rounds, each ONE
-    // vocab-sized aggregation + a single-row argmax to the driver (the
-    // merge decision is inherently sequential), with declarative
-    // greedy re-segmentation (aggregate fold — no UDF). NO SQL oracle:
-    // the iterative argmax isn't ANSI-expressible; instead the learner
-    // is dual-implementation-pinned (CorpusStatsSpec) merge-for-merge
-    // against an independent single-threaded reference ON THIS SAME
-    // CORPUS SLICE — a gate on the full iterative trajectory, which a
-    // final-state hash could not give. Driver records rows>0.
+    // corpus word-frequency table: corpus touched once (wordCounts),
+    // then the inherently-sequential merge loop runs driver-locally
+    // over the collected vocab-sized table (Bpe.learnMergesLocal).
+    // The oracle unrolls the full 12-merge trajectory as chained
+    // DuckDB CTEs: each round one pair-count aggregation over the
+    // current segmentation, a deterministic argmax (ORDER BY cnt
+    // DESC, l, r — DuckDB's binary collation ≡ Spark's UTF8String
+    // order), and a greedy left-to-right re-segmentation. The
+    // re-segmentation trick: a segmentation is rendered as
+    // chr(1)-PREFIXED symbols ("\x01a\x01b\x01c"), so replacing
+    // "\x01l\x01r" with "\x01lr" is exactly the greedy non-overlapping
+    // left-to-right merge (the leading separator blocks intra-symbol
+    // false matches; consuming only the left boundary keeps "a a a a"
+    // → ["aa","aa"] chainable). CTEs are MATERIALIZED: seg(k) is read
+    // by both p(k+1) and seg(k+1), and inlining would re-evaluate the
+    // whole prefix 2^12 times. The same trajectory is additionally
+    // dual-implementation-pinned merge-for-merge in CorpusStatsSpec.
     "q5M_bpe_merges" -> QueryDef(
       (s, dir) => {
         val (merges, _) = graft.operators.Bpe.learnMerges(
           Tables.computeTable(s, dir, "documents"), "text", numMerges = 12)
         merges.orderBy("step")
       },
-      None),
+      bpeOracleSql(numMerges = 12)),
 
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
