@@ -63,6 +63,23 @@ import org.apache.spark.sql.functions._
   * (copy-on-write at file granularity) and let point/range reads skip
   * files entirely. The one driver-side structure is the file list —
   * bounded by #files, the same budget every table format spends.
+  *
+  * Delta log: a commit file is either a FULL entry (the complete file
+  * list — an anchor) or a DELTA entry (`add` + `remove` relative to
+  * the previous version). Overwrite/restore are naturally full;
+  * appends/merges/deletes/compacts write deltas, so the per-commit
+  * write cost is O(changed files), not O(#files) — at 100 TB a
+  * streaming sink's per-micro-batch append serializes a handful of
+  * entries, not millions. Every [[CheckpointInterval]]-th version
+  * commits full regardless, bounding a reader's backward fold; a
+  * bounded cache of resolved manifests (validated against the commit
+  * file's (mtime, len), so a recreated table at the same path misses)
+  * makes warm resolution O(changed) too. [[vacuum]] first promotes the
+  * retention boundary to a side checkpoint (`v*.ckpt.json`, written
+  * temp-then-rename and verified before anything is deleted), then
+  * drops the expired commit files — so expired versions disappear
+  * exactly as before while every surviving version stays resolvable.
+  * Pre-delta-log manifests carry no `kind` field and read as full.
   */
 object SnapshotTable {
 
@@ -104,8 +121,15 @@ object SnapshotTable {
   private def logDir(dir: String) = new Path(dir, "_log")
   private def dataDir(dir: String) = new Path(dir, "data")
   private def manifestName(v: Long) = f"v$v%010d.json"
+  private def ckptName(v: Long) = f"v$v%010d.ckpt.json"
 
   private val ManifestRe = "v(\\d{10})\\.json".r
+
+  /** Every this-many versions a commit writes a full entry even when a
+    * delta would do — the anchor that bounds a cold reader's backward
+    * fold (Delta Lake's checkpoint interval default, for the same
+    * reason). */
+  val CheckpointInterval = 10
 
   /** Schemes whose `rename` is known atomic-and-fails-if-present
     * (the property [[tryPublish]]'s non-`file` branch depends on). */
@@ -124,13 +148,20 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  // --- manifest ser/de (schema is ours, so a hand-written emitter +
+  // --- log entry ser/de (schema is ours, so a hand-written emitter +
   // --- jackson tree reader keeps it dependency-light and explicit) ---
 
-  private def renderManifest(m: Manifest): String = {
-    val sb = new StringBuilder
-    sb.append(s"""{"version":${m.version},"op":"${m.op}","ts":${m.ts},"files":[""")
-    m.files.zipWithIndex.foreach { case (fe, i) =>
+  /** One commit file. `kind` "full": `files` IS the table. `kind`
+    * "delta": the table is the previous version's list minus `remove`
+    * plus `files`. Pre-delta-log manifests carry no kind and parse as
+    * full. */
+  private[graft] final case class LogEntry(version: Long, op: String, ts: Long,
+                                           kind: String, files: Seq[FileEntry],
+                                           remove: Seq[String])
+
+  private def renderFiles(sb: StringBuilder, files: Seq[FileEntry]): Unit = {
+    sb.append('[')
+    files.zipWithIndex.foreach { case (fe, i) =>
       if (i > 0) sb.append(',')
       sb.append(s"""{"path":"${fe.path}","rows":${fe.rows},"stats":{""")
       fe.stats.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (lo, hi)), j) =>
@@ -148,19 +179,26 @@ object SnapshotTable {
       }
       sb.append("}")
     }
-    sb.append("]}")
+    sb.append(']')
+  }
+
+  private def renderEntry(e: LogEntry): String = {
+    val sb = new StringBuilder
+    sb.append(s"""{"version":${e.version},"op":"${e.op}","ts":${e.ts},""")
+    sb.append(s""""kind":"${e.kind}",""")
+    if (e.kind == "delta") {
+      sb.append(""""remove":[""")
+      sb.append(e.remove.map(p => s""""$p"""").mkString(","))
+      sb.append("],")
+    }
+    sb.append(""""files":""")
+    renderFiles(sb, e.files)
+    sb.append('}')
     sb.toString
   }
 
-  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
-    val p = new Path(logDir(dir), manifestName(version))
-    val f = fs(spark, p)
-    require(f.exists(p), s"no version $version under $dir")
-    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-    val in = f.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    val root = new ObjectMapper().readTree(bytes)
-    val files = root.get("files").elements()
+  private def parseFiles(node: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
+    val files = node.elements()
     val out = Seq.newBuilder[FileEntry]
     while (files.hasNext) {
       val fe = files.next()
@@ -185,8 +223,92 @@ object SnapshotTable {
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
         stats.result(), bloom.result())
     }
-    Manifest(root.get("version").asLong, root.get("op").asText, out.result(),
-      root.path("ts").asLong(0L)) // absent on pre-ts manifests
+    out.result()
+  }
+
+  private def readBytes(f: FileSystem, p: Path): Array[Byte] = {
+    val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    bytes
+  }
+
+  private def parseEntry(bytes: Array[Byte]): LogEntry = {
+    val root = new ObjectMapper().readTree(bytes)
+    val remove = Seq.newBuilder[String]
+    val rn = root.path("remove")
+    if (!rn.isMissingNode) {
+      val it = rn.elements()
+      while (it.hasNext) remove += it.next().asText
+    }
+    LogEntry(root.get("version").asLong, root.get("op").asText,
+      root.path("ts").asLong(0L), // absent on pre-ts manifests
+      root.path("kind").asText("full"), // absent on pre-delta-log manifests
+      parseFiles(root.get("files")), remove.result())
+  }
+
+  // --- manifest resolution: fold the delta log into the file list ---
+
+  /** Bounded LRU of resolved manifests keyed by (table dir, version),
+    * validated against the commit file's (mtime, len): a version's
+    * resolved content is immutable once published, but a table dir
+    * deleted and recreated at the same path (tests) restarts the log —
+    * the fresh commit file's stamp misses and the entry recomputes.
+    * Accessed under its own lock; values are immutable. */
+  private val resolveCacheMax = 64
+  private val resolveCache =
+    new java.util.LinkedHashMap[(String, Long), (Long, Long, Manifest)](
+      resolveCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Long, Long, Manifest)]): Boolean =
+        size > resolveCacheMax
+    }
+
+  /** Test hook: force the next resolutions cold (the cache is
+    * otherwise correct by construction — commit files are immutable —
+    * so production code never needs this). */
+  private[graft] def invalidateResolveCache(): Unit =
+    resolveCache.synchronized(resolveCache.clear())
+
+  /** The resolved manifest of `version`: walks backward through delta
+    * entries to the nearest full anchor (a full commit, or a vacuum
+    * checkpoint at this version) and folds forward. Warm calls are
+    * O(1) via the cache; cold calls read at most
+    * [[CheckpointInterval]] delta entries plus one anchor. */
+  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val p = new Path(logDir(dir), manifestName(version))
+    val f = fs(spark, p)
+    require(f.exists(p), s"no version $version under $dir")
+    val st = f.getFileStatus(p)
+    val key = (dir, version)
+    resolveCache.synchronized {
+      val hit = resolveCache.get(key)
+      if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+        return hit._3
+    }
+    val entry = parseEntry(readBytes(f, p))
+    val m: Manifest = entry.kind match {
+      case "full" => Manifest(entry.version, entry.op, entry.files, entry.ts)
+      case "delta" =>
+        val ckpt = new Path(logDir(dir), ckptName(version))
+        if (f.exists(ckpt)) { // vacuum promoted this version to an anchor
+          val full = parseEntry(readBytes(f, ckpt))
+          Manifest(entry.version, entry.op, full.files, entry.ts)
+        } else {
+          val base: Seq[FileEntry] =
+            if (version <= 1) Nil // delta against an empty table
+            else readManifest(spark, dir, version - 1).files
+          val gone = entry.remove.toSet
+          Manifest(entry.version, entry.op,
+            base.filterNot(fe => gone.contains(fe.path)) ++ entry.files, entry.ts)
+        }
+      case other => throw new IllegalStateException(
+        s"unknown log entry kind '$other' at version $version of $dir")
+    }
+    resolveCache.synchronized {
+      resolveCache.put(key, (st.getModificationTime, st.getLen, m))
+    }
+    m
   }
 
   /** Atomically publish `m` at its version slot; false if the slot is
@@ -198,10 +320,10 @@ object SnapshotTable {
     * delegates to POSIX rename(2), which silently overwrites. For
     * `file:` URIs we use NIO `Files.createLink` (link(2) fails EEXIST —
     * a single atomic syscall) instead. */
-  private def tryPublish(f: FileSystem, ld: Path, m: Manifest): Boolean = {
+  private def tryPublish(f: FileSystem, ld: Path, m: LogEntry): Boolean = {
     val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID}.json")
     val out = f.create(tmp, true)
-    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    try out.write(renderEntry(m).getBytes("UTF-8")) finally out.close()
     val target = new Path(ld, manifestName(m.version))
     val won =
       if (f.getScheme == "file") {
@@ -264,10 +386,19 @@ object SnapshotTable {
           s"write-write conflict under $dir: concurrent commit removed " +
             s"${gone.mkString(", ")} after this $op read them")
       }
-      val outFiles = current.filterNot(fe => removed.contains(fe.path)) ++ added
       val v = latest.getOrElse(0L) + 1
-      if (tryPublish(f, ld, Manifest(v, op, outFiles,
-        System.currentTimeMillis()))) return v
+      // overwrite/restore replace the whole list (naturally full), and
+      // every CheckpointInterval-th version anchors the log so a cold
+      // reader's backward fold is bounded; everything else commits the
+      // O(changed-files) delta.
+      val entry =
+        if (!carry || v % CheckpointInterval == 0) {
+          val outFiles = current.filterNot(fe => removed.contains(fe.path)) ++ added
+          LogEntry(v, op, System.currentTimeMillis(), "full", outFiles, Nil)
+        } else
+          LogEntry(v, op, System.currentTimeMillis(), "delta", added,
+            removed.toSeq.sorted)
+      if (tryPublish(f, ld, entry)) return v
       attempts += 1 // lost the slot race; rebase onto the winner and retry
       if (attempts > 10000) throw new IllegalStateException(
         s"could not publish a version under $dir after $attempts attempts")
@@ -669,9 +800,36 @@ object SnapshotTable {
       .map(_.getPath.getName)
       .filterNot(n => referenced.contains(s"data/$n"))
     dead.foreach(n => f.delete(new Path(dd, n), false))
-    expired.foreach { v =>
-      f.delete(new Path(logDir(dir), manifestName(v)), false)
-      f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false) // pre-OCC tables
+    if (expired.nonEmpty) {
+      // Promote the retention boundary BEFORE deleting anything below
+      // it: if the oldest kept version is a delta, its resolution
+      // walks into the log we are about to drop, so materialize it as
+      // a side checkpoint first (temp write + rename, existence-
+      // verified — a crash in between leaves the log intact and the
+      // next vacuum retries). Content is deterministic, so a
+      // concurrent vacuum writing the same checkpoint is benign.
+      val boundary = kept.head
+      val bPath = new Path(logDir(dir), manifestName(boundary))
+      val bEntry = parseEntry(readBytes(f, bPath))
+      val ckpt = new Path(logDir(dir), ckptName(boundary))
+      if (bEntry.kind == "delta" && !f.exists(ckpt)) {
+        val m = readManifest(spark, dir, boundary)
+        val tmp = new Path(logDir(dir), s".ckpt-${java.util.UUID.randomUUID}.json")
+        val out = f.create(tmp, true)
+        try out.write(renderEntry(
+          LogEntry(m.version, m.op, m.ts, "full", m.files, Nil)).getBytes("UTF-8"))
+        finally out.close()
+        if (!f.rename(tmp, ckpt) && !f.exists(ckpt))
+          throw new IllegalStateException(
+            s"could not publish vacuum checkpoint for version $boundary of $dir")
+        f.delete(tmp, false) // no-op when rename consumed it
+        require(f.exists(ckpt), s"vacuum checkpoint vanished under $dir")
+      }
+      expired.foreach { v =>
+        f.delete(new Path(logDir(dir), manifestName(v)), false)
+        f.delete(new Path(logDir(dir), ckptName(v)), false) // below the boundary
+        f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false) // pre-OCC tables
+      }
     }
     // reclaim publish temps left by crashed writers — same age gate: a
     // LIVE writer between write and link would otherwise lose its slot

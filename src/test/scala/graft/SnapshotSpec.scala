@@ -495,12 +495,102 @@ class SnapshotSpec extends SparkTestBase {
     val m = SnapshotTable.getClass.getDeclaredMethods
       .find(_.getName.endsWith("tryPublish")).get
     m.setAccessible(true)
-    val manifest = SnapshotTable.Manifest(1L, "t", Nil)
+    val entry = SnapshotTable.LogEntry(1L, "t", 0L, "full", Nil, Nil)
     val ld = new org.apache.hadoop.fs.Path(freshDir())
     val ex = intercept[java.lang.reflect.InvocationTargetException] {
-      m.invoke(SnapshotTable, f, ld, manifest)
+      m.invoke(SnapshotTable, f, ld, entry)
     }
     assert(ex.getCause.isInstanceOf[UnsupportedOperationException],
       s"expected UnsupportedOperationException, got ${ex.getCause}")
+  }
+
+  // --- delta log ---
+
+  private def logFile(dir: String, v: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "_log", f"v$v%010d.json")
+
+  private def logJson(dir: String, v: Long): String =
+    new String(Files.readAllBytes(logFile(dir, v)), "UTF-8")
+
+  test("delta log: appends write O(changed) entries, anchors every " +
+    "CheckpointInterval, and every version resolves across the boundary") {
+    val dir = freshDir()
+    // v1 overwrite (full), v2..v13 appends — v10 must anchor (full),
+    // the rest must be deltas carrying ONLY the appended file(s)
+    SnapshotTable.write(spark,
+      spark.range(0, 100).toDF().coalesce(1), dir, "overwrite", Seq("id"))
+    (2 to 13).foreach { v =>
+      SnapshotTable.write(spark,
+        spark.range(v * 1000L, v * 1000L + 10).toDF().coalesce(1),
+        dir, "append", Seq("id"))
+    }
+    (2 to 13).foreach { v =>
+      val kind = if (v % SnapshotTable.CheckpointInterval == 0) "full" else "delta"
+      assert(logJson(dir, v).contains(s""""kind":"$kind""""),
+        s"version $v should be $kind")
+    }
+    // a delta entry is O(changed files): it names 1 added file, never
+    // the whole (growing) list — its byte size must not grow with
+    // version count (v13 carries 13 files; its entry carries 1)
+    val d2 = Files.size(logFile(dir, 2))
+    val d13 = Files.size(logFile(dir, 13))
+    assert(math.abs(d13 - d2) < 64,
+      s"delta entry grew with table size: v2=$d2 bytes, v13=$d13 bytes")
+    assert(Files.size(logFile(dir, 10)) > 4 * d13, // the anchor holds all 10
+      "anchor entry should carry the full file list")
+    // every version resolves to the right row count — including the
+    // pre-anchor tail (fold from v1), the anchor itself, and the
+    // post-anchor tail (fold from v10)
+    (1 to 13).foreach { v =>
+      val expect = 100L + (v - 1) * 10L
+      assert(SnapshotTable.scan(spark, dir, Some(v)).count() == expect,
+        s"version $v resolved wrong")
+      assert(SnapshotTable.readManifest(spark, dir, v).files.size == v)
+    }
+    // copy-on-write ops across the boundary: merge rewrites + carries
+    // through delta entries losslessly
+    val v14 = SnapshotTable.merge(spark, dir,
+      spark.range(0, 5).toDF(), "id", Seq("id"))
+    assert(SnapshotTable.scan(spark, dir, Some(v14)).count() == 220)
+    assert(logJson(dir, v14).contains(""""kind":"delta""""))
+    assert(logJson(dir, v14).contains(""""remove":["""))
+  }
+
+  test("vacuum across a delta tail: boundary promoted to a checkpoint, " +
+    "expired versions dropped, kept versions resolvable") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 50).toDF(), dir, "overwrite", Seq("id"))
+    (2 to 7).foreach { v =>
+      SnapshotTable.write(spark,
+        spark.range(v * 100L, v * 100L + 10).toDF().coalesce(1),
+        dir, "append", Seq("id"))
+    }
+    // keep 5..7 — all deltas; resolution of 5 would walk into 1..4,
+    // so vacuum must materialize version 5 as a checkpoint first
+    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 3, minAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(5L, 6L, 7L))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_log", f"v${5L}%010d.ckpt.json")))
+    assert(deleted.isEmpty, // every data file is still referenced by v5..v7
+      s"vacuum deleted referenced files: $deleted")
+    // cold resolution: without this, the resolve cache (stamped against
+    // the untouched commit files) would mask a broken checkpoint path
+    SnapshotTable.invalidateResolveCache()
+    (5 to 7).foreach { v =>
+      assert(SnapshotTable.scan(spark, dir, Some(v)).count() == 50L + (v - 1) * 10L,
+        s"kept version $v must stay resolvable after log truncation")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readManifest(spark, dir, 4L)
+    }
+    // a later vacuum that expires the checkpointed version drops its
+    // ckpt file too and promotes the new boundary
+    SnapshotTable.write(spark,
+      spark.range(9000, 9010).toDF().coalesce(1), dir, "append", Seq("id"))
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(7L, 8L))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_log", f"v${5L}%010d.ckpt.json")))
+    SnapshotTable.invalidateResolveCache()
+    assert(SnapshotTable.scan(spark, dir, Some(7)).count() == 110)
+    assert(SnapshotTable.scan(spark, dir, Some(8)).count() == 120)
   }
 }
