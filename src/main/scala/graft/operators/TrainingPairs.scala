@@ -91,4 +91,56 @@ object TrainingPairs {
       .select(col("qid").as("anchor"), col("cid").as("negative"),
         col("cos"), col("rank"))
   }
+
+  /** [[hardNegatives]] at index speed: instead of scoring every anchor
+    * against the WHOLE corpus (a full rescan per training batch), each
+    * anchor probes the IVF+PQ index ([[ProductQuantizer.ivfPqTopK]] —
+    * coarse cells bound the candidate set, 8-byte codes bound the
+    * scanned bytes) for `kCand` approximate candidates, positives and
+    * self drop out, and the survivors are re-ranked by EXACT cosine —
+    * the standard ANN retrieve-then-refine shape. `kCand > k` is the
+    * fetch headroom that keeps k negatives available after the
+    * anchor's positives are excluded.
+    *
+    * Scale shape: the corpus is touched twice, both times map-side and
+    * un-shuffled — once streaming through the index probe (cell +
+    * code kernels in the scan stage), once streaming past the
+    * BROADCAST candidate list to attach exact vectors for the
+    * refinement (candidates are anchors × kCand rows — a bounded
+    * training batch, never corpus-sized). Recall vs the brute-force
+    * rescan is a measured floor in TrainingPairsSpec, not a hope.
+    * Output: (anchor, negative, cos, rank) — same contract as
+    * [[hardNegatives]]. */
+  def hardNegativesAnn(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, k: Int, kCand: Int,
+                       centroids: DataFrame, nprobe: Int,
+                       m: Int, ks: Int, iters: Int, dim: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kCand >= k, s"kCand=$kCand must be >= k=$k (fetch headroom)")
+    val pos = pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val anchorIds = pos.select(col("id_a")).distinct()
+    val queries = corpus.join(broadcast(anchorIds), col(idCol) === col("id_a"))
+      .select(corpus.columns.map(col): _*)
+    val cand = ProductQuantizer.ivfPqTopK(corpus, queries, kCand,
+        centroids, nprobe, m, ks, iters, dim, idCol, vecCol)
+      .join(pos.select(col("id_a").as("qid"), col("id_b").as("cid")),
+        Seq("qid", "cid"), "left_anti")
+      .select(col("qid"), col("cid"))
+    // refinement: corpus streams past the broadcast candidate list —
+    // exact vectors attach to candidate rows only, nothing
+    // corpus-sized ever shuffles
+    val anchorsV = broadcast(queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val refined = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .join(broadcast(cand), Seq("cid"))
+      .join(anchorsV, Seq("qid"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    refined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("anchor"), col("cid").as("negative"),
+        col("cos"), col("rank"))
+  }
 }

@@ -372,7 +372,88 @@ object VectorQueries {
          |    ORDER BY adist, cid) AS rank
          |  FROM kscored)
          |SELECT qid, cid, adist, CAST(rank AS INTEGER) AS rank
-         |FROM kranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+         |FROM kranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
+    // Hard-negative mining at INDEX speed: anchors probe the IVF+PQ
+    // index (q4K's coarse cells + codebooks) for kCand approximate
+    // candidates, positives/self drop, survivors re-rank by EXACT
+    // cosine — the ANN retrieve-then-refine shape that replaces q5J's
+    // per-batch full-corpus rescan. The oracle composes q5J's pair
+    // CTEs with q4K's PQ chain, then replays candidate selection
+    // (rounded adist, cid ties), the anti-join, and the exact re-rank.
+    // Correctness gate only — the recall-vs-brute-force floor (>= 0.9
+    // at wider probe/headroom settings) is SimilaritySpec's job.
+    "q5R_ann_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3,
+          planes = Planes).select("id_a", "id_b")
+        graft.operators.TrainingPairs.hardNegativesAnn(pairs, emb,
+            "vec_id", "embedding", k = 2, kCand = 16,
+            centroids = emb.filter(col("vec_id") % 64 === 0), nprobe = 2,
+            m = PqM, ks = PqKs, iters = PqIters, dim = 64)
+          .orderBy("anchor", "rank")
+      },
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |         ${DuckBucket8.replace("%s", "b0")} AS bucket
+         |  FROM embeddings b0),
+         |scored0 AS (
+         |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, $DuckCos AS cos
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id),
+         |pairs AS (SELECT id_a, id_b FROM scored0 WHERE cos >= 0.3),
+         |pos AS (SELECT id_a, id_b FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |anch AS (SELECT DISTINCT id_a FROM pos),
+         |$duckPqCtes,
+         |kcen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id % 64 = 0),
+         |kca AS (
+         |  SELECT cid, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM embeddings e, kcen c) __t
+         |  WHERE rn = 1),
+         |aqa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM (SELECT e.* FROM embeddings e JOIN anch a ON e.vec_id = a.id_a) q,
+         |         kcen c) __t
+         |  WHERE rn <= 2),
+         |apairs AS (
+         |  SELECT x.qid, ca.cid, a.sub,
+         |         ${duckSubL2("x.qv", "a.sub", "c.cen")} AS dm
+         |  FROM aqa x JOIN kca ca ON x.cell = ca.cell
+         |       JOIN paf a ON a.vec_id = ca.cid
+         |       JOIN pcb$PqIters c ON a.sub = c.sub AND a.code = c.code
+         |  WHERE ca.cid <> x.qid),
+         |ascored AS (
+         |  SELECT qid, cid, round(list_sum(list(dm ORDER BY sub)), 6) AS adist
+         |  FROM apairs GROUP BY qid, cid),
+         |acand AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adist, cid) AS rank
+         |    FROM ascored) __r
+         |  WHERE rank <= 16),
+         |aneg AS (
+         |  SELECT qid, cid FROM acand
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |                    WHERE p.id_a = acand.qid AND p.id_b = acand.cid)),
+         |rer AS (
+         |  SELECT n.qid AS anchor, n.cid AS negative, $DuckCos AS cos
+         |  FROM aneg n JOIN embeddings q ON q.vec_id = n.qid
+         |       JOIN embeddings c ON c.vec_id = n.cid),
+         |rr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor
+         |    ORDER BY cos DESC, negative) AS rank
+         |  FROM rer)
+         |SELECT anchor, negative, cos, CAST(rank AS INTEGER) AS rank
+         |FROM rr WHERE rank <= 2 ORDER BY anchor, rank""".stripMargin)
   )
 
   /** Squared L2 between embedding subspace `sub` (1-based dims) and a

@@ -170,6 +170,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ANN hard negatives: >= 0.9 overlap with the brute-force rescan, " +
+    "deterministic under repartitioning") {
+    val planes = Similarity.randomHyperplanes(dim = 64, bits = 8)
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3,
+      planes = planes).select("id_a", "id_b")
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("anchor", "negative").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = toSet(graft.operators.TrainingPairs.hardNegatives(
+      pairs, emb, "vec_id", "embedding", k = 2))
+    // index-speed variant: near-uniform random unit vectors are the
+    // WORST case for IVF (cells carry no structure) and for PQ
+    // (distortion comparable to the cosine spread), so the honest
+    // levers here are wide probing (6 of 8 cells), fine subspaces
+    // (m=16, ks=64), and 32x fetch headroom for the exact re-rank.
+    // Measured 0.956 at these settings; 0.9 is the asserted floor.
+    // On real (clustered) embeddings the same shape holds at far
+    // lower nprobe/kCand — the fixture is the adversarial bound.
+    def ann() = graft.operators.TrainingPairs.hardNegativesAnn(
+      pairs, emb, "vec_id", "embedding", k = 2, kCand = 64,
+      centroids = emb.filter(col("vec_id") % 64 === 0), nprobe = 6,
+      m = 16, ks = 64, iters = 2, dim = 64)
+    val a1 = ann()
+    val overlap = (brute & toSet(a1)).size.toDouble / brute.size
+    info(f"ANN hard-negative overlap@2 vs brute force: $overlap%.3f")
+    assert(overlap >= 0.9, f"ANN hard-negative overlap $overlap%.3f < 0.9")
+    // pure function of the data: identical under input repartitioning
+    val a2 = graft.operators.TrainingPairs.hardNegativesAnn(
+      pairs.repartition(7), emb.repartition(5), "vec_id", "embedding",
+      k = 2, kCand = 64,
+      centroids = emb.filter(col("vec_id") % 64 === 0), nprobe = 6,
+      m = 16, ks = 64, iters = 2, dim = 64)
+    assert(a1.except(a2).isEmpty && a2.except(a1).isEmpty)
+  }
+
   test("contrastiveTriplets: negatives never collide, draw is deterministic") {
     import spark.implicits._
     val corpus = (1L to 200L).toDF("vec_id")
