@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Sessionize
 import graft.sources.Tables
+import graft.streaming.Replay.BoundedReplay
 
 /** Event-stream batch analytics: gap sessionization (single shuffle,
   * two stacked windows) and tumbling-window aggregation.
@@ -335,7 +336,7 @@ object EventQueries {
         val ev = Tables.computeTable(s, dir, "events")
           .select(col("user_id").cast("long"), col("ts"),
             col("value").cast("double"))
-          .as[(Long, java.sql.Timestamp, Double)].collect()
+          .as[(Long, java.sql.Timestamp, Double)].boundedCollect()
         val midMs = 1705363200000L // 2024-01-16 00:00 UTC
         val (c1, c2) = ev.partition(_._2.getTime < midMs)
         val sentinel = (-1L, new java.sql.Timestamp(1709251200000L), 0.0) // 2024-03-01
@@ -401,7 +402,7 @@ object EventQueries {
         val ev = Tables.computeTable(s, dir, "events")
           .select(col("user_id").cast("long"), col("ts"),
             col("value").cast("double"))
-          .as[(Long, java.sql.Timestamp, Double)].collect()
+          .as[(Long, java.sql.Timestamp, Double)].boundedCollect()
         val midMs = 1705363200000L // 2024-01-16 00:00 UTC
         val (c1, c2) = ev.partition(_._2.getTime < midMs)
         val sentinel = (-1L, new java.sql.Timestamp(1709251200000L), 0.0) // 2024-03-01
@@ -468,7 +469,7 @@ object EventQueries {
         val ev = Tables.computeTable(s, dir, "events")
           .select(col("event_id").cast("long"), col("user_id").cast("long"),
             col("event_type"))
-          .as[(Long, Long, String)].collect()
+          .as[(Long, Long, String)].boundedCollect()
         val (c1, c2) = ev.partition(_._1 % 2 == 0)
         val tmp = java.nio.file.Files.createTempDirectory("graft-q5p")
         val table = tmp.resolve("table").toString
@@ -512,7 +513,7 @@ object EventQueries {
         val ev = Tables.computeTable(s, dir, "events")
           .select(col("event_id").cast("long"), col("user_id").cast("long"),
             col("value").cast("double"))
-          .as[(Long, Long, Double)].collect()
+          .as[(Long, Long, Double)].boundedCollect()
         val (clean, bad0) = ev.partition(_._1 % 2 == 0)
         // plant the violation: bad chunk rows carry a null value
         val bad = bad0.map(e => (e._1, e._2, None: Option[Double]))
@@ -570,7 +571,7 @@ object EventQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val ev = Tables.computeTable(s, dir, "events")
           .select(col("user_id").cast("long"), col("ts"), col("event_type"))
-          .as[(Long, java.sql.Timestamp, String)].collect()
+          .as[(Long, java.sql.Timestamp, String)].boundedCollect()
         // plant exact duplicates so the dedup provably fires, both
         // within and across chunks (the raw feed has none)
         val dups = ev.filter(_._1 % 7 == 0)
@@ -623,7 +624,7 @@ object EventQueries {
         val ev = Tables.computeTable(s, dir, "events")
           .filter(col("user_id") % 3 === 0)
           .select(col("user_id").cast("long"), col("ts"), col("event_type"))
-          .as[(Long, java.sql.Timestamp, String)].collect()
+          .as[(Long, java.sql.Timestamp, String)].boundedCollect()
         val midMs = 1705363200000L // 2024-01-16 00:00 UTC
         val views = ev.filter(_._3 == "view").map(e => (e._1, e._2))
         val purch = ev.filter(_._3 == "purchase").map(e => (e._1, e._2))
@@ -693,7 +694,7 @@ object EventQueries {
         val ev = Tables.computeTable(s, dir, "events")
           .select(col("user_id").cast("long"), col("ts"), col("event_type"))
           .as[(Long, java.sql.Timestamp, String)]
-          .collect()
+          .boundedCollect()
         val midMs = 1705363200000L // 2024-01-16 00:00 UTC (test data spans Jan 2024)
         val (c1, c2) = ev.partition(_._2.getTime < midMs)
         val in = org.apache.spark.sql.execution.streaming.runtime

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{DedupClusters, TextDedup}
 import graft.sources.Tables
+import graft.streaming.Replay.BoundedReplay
 
 /** Training-data text operators over the `documents` table: exact and
   * near-duplicate detection (n-gram Jaccard, MinHash+LSH, SimHash),
@@ -990,7 +991,7 @@ object TextQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val docs = Tables.computeTable(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text").cast("string"))
-          .as[(Long, String)].collect()
+          .as[(Long, String)].boundedCollect()
         val (c1, c2) = docs.partition(_._1 % 2 == 0)
         val in = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, String)]
@@ -1050,7 +1051,7 @@ object TextQueries {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val docs = Tables.computeTable(s, dir, "documents")
           .select(col("doc_id").cast("long"), col("text").cast("string"))
-          .as[(Long, String)].collect().sortBy(_._1)
+          .as[(Long, String)].boundedCollect().sortBy(_._1)
         val baseMs = 1704067200000L // 2024-01-01 00:00 UTC
         def ts(id: Long) = new java.sql.Timestamp(baseMs + id * 1000L)
         val mid = if (docs.isEmpty) 0L else docs(docs.length / 2)._1
