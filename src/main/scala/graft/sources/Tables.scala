@@ -14,12 +14,24 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong) — convert to a microsecond
-    // timestamp by floor division, matching DuckDB's ns->us truncation.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        // events.ts as parquet TIMESTAMP(NANOS): Spark reads long nanos
+        // (spark.sql.legacy.parquet.nanosAsLong) — floor-divide to a
+        // microsecond timestamp, matching DuckDB's ns->us truncation.
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // Naive parquet timestamps (isAdjustedToUTC=false) infer as
+        // TIMESTAMP_NTZ under Spark 4. Every downstream operator and
+        // every DuckDB oracle treats wall-clock == UTC instant (all
+        // sessions pin spark.sql.session.timeZone=UTC), so normalize
+        // to the instant type here rather than forking each query on
+        // the writer's annotation.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name,
+            col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
     }
   }
 
