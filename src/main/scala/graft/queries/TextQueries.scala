@@ -36,7 +36,7 @@ object TextQueries {
     * MATERIALIZED rationale. Generated, because each merge round is
     * the same three CTEs (pair counts → argmax → re-segmentation)
     * parameterized only by round number. */
-  private def bpeOracleSql(numMerges: Int): String = {
+  private def bpeChainCtes(numMerges: Int): Seq[String] = {
     val base = Seq(
       """toks AS MATERIALIZED (
         |  SELECT string_split_regex(trim(text), '\s+') AS tk
@@ -45,31 +45,55 @@ object TextQueries {
         |  SELECT tok AS word, COUNT(*) AS n
         |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1)""".stripMargin,
       """seg0 AS MATERIALIZED (
-        |  SELECT chr(1) || array_to_string(string_split_regex(word, ''), chr(1)) AS s, n
+        |  SELECT word, chr(1) || array_to_string(string_split_regex(word, ''), chr(1)) AS s, n
         |  FROM wc)""".stripMargin)
     val rounds = (1 to numMerges).flatMap { k =>
-      val seg =
-        if (k == numMerges) Nil
-        else Seq(
-          s"""seg$k AS MATERIALIZED (
-             |  SELECT replace(s, chr(1) || m.l || chr(1) || m.r,
-             |                 chr(1) || m.l || m.r) AS s, n
-             |  FROM seg${k - 1}, m$k m)""".stripMargin)
       Seq(
         s"""p$k AS MATERIALIZED (
            |  SELECT sym[i] AS l, sym[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
            |  FROM (SELECT string_split(s[2:], chr(1)) AS sym, n FROM seg${k - 1}) t,
            |       UNNEST(range(1, len(sym))) AS u(i)
            |  GROUP BY 1, 2)""".stripMargin,
-        s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"
-      ) ++ seg
+        s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)",
+        s"""seg$k AS MATERIALIZED (
+           |  SELECT word, replace(s, chr(1) || m.l || chr(1) || m.r,
+           |                 chr(1) || m.l || m.r) AS s, n
+           |  FROM seg${k - 1}, m$k m)""".stripMargin)
     }
+    base ++ rounds
+  }
+
+  private def bpeOracleSql(numMerges: Int): String = {
     val unions = (1 to numMerges).map { k =>
       s"""SELECT CAST($k AS INTEGER) AS step, l AS "left", r AS "right",
          |       cnt AS pair_count FROM m$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    "WITH " + (base ++ rounds).mkString(",\n") + "\n" + unions + "\nORDER BY step"
+    "WITH " + bpeChainCtes(numMerges).mkString(",\n") + "\n" + unions + "\nORDER BY step"
   }
+
+  /** The q5S oracle: tokenize `documents` under the learned
+    * segmentation (the same CTE chain as q5M, which carries each word
+    * through every re-segmentation round) — one output row per subword
+    * with [[graft.operators.Bpe.encode]]'s `pos = wpos * 1e6 + spos`
+    * packing. Every corpus word is in the vocab by construction, so
+    * the Spark side's char-fallback OOV branch stays cold here (it is
+    * spec-pinned in CorpusStatsSpec instead). */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    "WITH " + (bpeChainCtes(numMerges) ++ Seq(
+      """docw AS MATERIALIZED (
+        |  SELECT doc_id, tk[i] AS word, CAST(i - 1 AS BIGINT) AS wpos
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents WHERE trim(text) <> '') t,
+        |       UNNEST(range(1, len(tk) + 1)) AS u(i))""".stripMargin,
+      s"""segf AS MATERIALIZED (
+         |  SELECT word, string_split(s[2:], chr(1)) AS sym FROM seg$numMerges)""".stripMargin
+    )).mkString(",\n") +
+      """
+        |SELECT d.doc_id, sg.sym[j] AS token,
+        |       CAST(d.wpos * 1000000 + (j - 1) AS BIGINT) AS pos
+        |FROM docw d, segf sg, UNNEST(range(1, len(sg.sym) + 1)) AS v(j)
+        |WHERE d.word = sg.word
+        |ORDER BY doc_id, pos""".stripMargin
 
   val all: Map[String, QueryDef] = Map(
 
@@ -1225,6 +1249,20 @@ object TextQueries {
         merges.orderBy("step")
       },
       bpeOracleSql(numMerges = 12)),
+
+    // BPE tokenization under the learned vocab: the distributed encode
+    // path (two broadcast-joined posexplodes, corpus never shuffles)
+    // against the same trajectory unrolled in DuckDB. Gates both the
+    // segmentation transfer (learn → encode) and the pos packing.
+    "q5S_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+        val (_, seg) = graft.operators.Bpe.learnMerges(
+          docs, "text", numMerges = 12)
+        graft.operators.Bpe.encode(docs, "doc_id", "text", seg)
+          .orderBy("doc_id", "pos")
+      },
+      bpeEncodeOracleSql(numMerges = 12)),
 
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of
