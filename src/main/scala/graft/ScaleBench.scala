@@ -32,7 +32,16 @@ object ScaleBench {
     "q3Y_chunk_dedup", "q41_shard_pipeline", "q57_span_dedup")
 
   private val AnnQueries =
-    Seq("q2B_ann_multitable", "q2C_ann_ivf", "q4I_pq_topk", "q4K_ann_ivfpq")
+    Seq("q2B_ann_multitable", "q2C_ann_ivf", "q4I_pq_topk", "q4K_ann_ivfpq",
+      "q5R_ann_hard_negatives")
+
+  /** Tokenizer family (r10). q5M's output is FIXED (12 merge rows) at
+    * any corpus size — the scale signal is wall: one corpus scan into
+    * a vocab-sized table + a driver-local loop, so 10× data must not
+    * cost 10× wall. q5S re-tokenizes the corpus under the learned
+    * vocab: rows grow ~linearly (10× words; subwords-per-word shifts
+    * only as far as the 10× vocab changes the learned merges). */
+  private val TokQueries = Seq("q5M_bpe_merges", "q5S_bpe_encode")
 
   private val FuzzyQueries = Seq("q4E_fuzzy_join", "q4N_entity_resolution")
 
@@ -169,7 +178,8 @@ object ScaleBench {
     spark.range(1000000).selectExpr("sum(id) s", "count(distinct id % 7) c")
       .repartition(2).count()
     val warmDir = "/root/testdata/sf0.001"
-    (DedupQueries ++ AnnQueries ++ FuzzyQueries ++ StatsQueries :+ "q4X_triangles")
+    (DedupQueries ++ AnnQueries ++ FuzzyQueries ++ StatsQueries ++
+      TokQueries :+ "q4X_triangles")
       .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
 
     def time(body: => Long): (Double, Long) = {
@@ -223,6 +233,14 @@ object ScaleBench {
     }
     val (tri1s, tri1r) = time(SparkEntry.queries("q4X_triangles")(spark, sfDir).count())
     val (triFs, triFr) = time(SparkEntry.queries("q4X_triangles")(spark, triDir).count())
+    val tok = TokQueries.map { q =>
+      val (s1, r1) = time(SparkEntry.queries(q)(spark, sfDir).count())
+      val (sF, rF) = time(SparkEntry.queries(q)(spark, scaleDir).count())
+      (q, s1, r1, sF, rF)
+    }
+    val tokJson = tok.map { case (q, s1, r1, sF, rF) =>
+      s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
+    }.mkString("{", ",", "}")
     val statsJson = (stats.map { case (q, s1, r1, sF, rF) =>
       s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
     } :+ s""""q4X_triangles":{"sec_1x":$tri1s,"rows_1x":$tri1r,"sec_${factor}x":$triFs,"rows_${factor}x":$triFr}""")
@@ -232,7 +250,7 @@ object ScaleBench {
       s"""{"metric":"scale_flight_pipeline","value":$flightSec,"unit":"sec",""" +
         s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
         s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
-        s""""stats":$statsJson,"loadavg":$load,"sf":"$sfDir"}"""
+        s""""stats":$statsJson,"tok":$tokJson,"loadavg":$load,"sf":"$sfDir"}"""
     // versioned artifact (like Bench's bench_out.json): the per-family
     // 1x/10x walls and row counts are the 100 TB evidence — they must
     // survive the sandbox, not live in /tmp logs a judge can't diff
