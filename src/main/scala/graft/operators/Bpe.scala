@@ -207,6 +207,81 @@ object Bpe {
       words.toSeq.zipWithIndex.map { case (w, j) => (w, syms(j).toSeq) })
   }
 
+  /** Segment ARBITRARY words under a frozen merge table by replaying
+    * the merges in rank order — the production tokenizer-application
+    * case: the vocab is learned once, then corpora the trainer never
+    * saw get tokenized under it, and unseen words must still merge as
+    * far as the learned pairs reach (char-fallback, [[encode]]'s OOV
+    * rule, under-merges them).
+    *
+    * Rank-ORDER replay, not rank-greedy ("repeatedly merge the
+    * lowest-ranked pair present"): the two differ when a later merge
+    * manufactures a symbol string that collides with an element of an
+    * earlier pair (distinct derivations can yield equal strings —
+    * (ab,c) and (a,bc) both mint "abc"), and training segmentation is
+    * DEFINED by in-order application, so in-order is what reproduces
+    * it exactly on trained words. Matches the DuckDB oracle's chained
+    * replace CTEs constructively.
+    *
+    * Scale shape: runs over DISTINCT words (vocab-sized, the same
+    * cardinality class as [[wordCounts]]); merges broadcast; per
+    * partition a pair→words inverted index makes the replay cost
+    * O(applied merges), not O(words × numMerges) — the per-partition
+    * twin of [[learnMergesLocal]]'s data structure, minus the heap.
+    * Output: (word, symbols), [[encode]]'s segmentation contract. */
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    words.select(col("word")).distinct().as[String].mapPartitions { it =>
+      val ws = it.toArray
+      val syms = ws.map(codePoints)
+      val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+      def indexWord(i: Int, add: Boolean): Unit = {
+        val s = syms(i)
+        var j = 0
+        while (j + 1 < s.length) {
+          val p = (s(j), s(j + 1))
+          if (add) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+          else pairWords.get(p).foreach { set =>
+            set -= i
+            if (set.isEmpty) pairWords.remove(p)
+          }
+          j += 1
+        }
+      }
+      ws.indices.foreach(indexWord(_, add = true))
+      for ((l, r) <- bc.value) {
+        val affected = pairWords.get((l, r)).map(_.toArray)
+          .getOrElse(Array.empty[Int])
+        var k = 0
+        while (k < affected.length) {
+          val i = affected(k)
+          indexWord(i, add = false)
+          syms(i) = applyMergeLocal(syms(i), l, r)
+          indexWord(i, add = true)
+          k += 1
+        }
+      }
+      ws.iterator.zipWithIndex.map { case (w, i) => (w, syms(i).toSeq) }
+    }.toDF("word", "symbols")
+  }
+
+  /** Tokenize `df(textCol)` under a FROZEN merge table (rank-ordered
+    * (left, right) pairs): distinct words are segmented by merge
+    * replay ([[segmentWords]]) — covering words the vocab's training
+    * corpus never contained — then the corpus streams past the
+    * broadcast segmentation exactly as [[encode]] does. Same output
+    * contract: (idCol, token, pos). */
+  def encodeFrozen(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .filter(trim(col(textCol)) =!= "")
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("word"))
+    encode(df, idCol, textCol, segmentWords(words, merges))
+  }
+
   /** Tokenize `df(textCol)` under a learned `segmentation`: words not
     * in the table fall back to character symbols (the OOV rule that
     * matches how [[learnMerges]] would have segmented an unseen word

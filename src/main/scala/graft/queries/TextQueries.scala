@@ -36,11 +36,12 @@ object TextQueries {
     * MATERIALIZED rationale. Generated, because each merge round is
     * the same three CTEs (pair counts → argmax → re-segmentation)
     * parameterized only by round number. */
-  private def bpeChainCtes(numMerges: Int): Seq[String] = {
+  private def bpeChainCtes(numMerges: Int,
+                           trainPred: String = ""): Seq[String] = {
     val base = Seq(
-      """toks AS MATERIALIZED (
-        |  SELECT string_split_regex(trim(text), '\s+') AS tk
-        |  FROM documents WHERE trim(text) <> '')""".stripMargin,
+      s"""toks AS MATERIALIZED (
+        |  SELECT string_split_regex(trim(text), '\\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''$trainPred)""".stripMargin,
       """wc AS MATERIALIZED (
         |  SELECT tok AS word, COUNT(*) AS n
         |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1)""".stripMargin,
@@ -94,6 +95,41 @@ object TextQueries {
         |FROM docw d, segf sg, UNNEST(range(1, len(sg.sym) + 1)) AS v(j)
         |WHERE d.word = sg.word
         |ORDER BY doc_id, pos""".stripMargin
+
+  /** The q5T oracle: learn the merge chain on HALF the corpus
+    * (doc_id % 2 = 0), then tokenize ALL documents by replaying the
+    * frozen merges in rank order over every distinct word — odd docs
+    * contain words the trainer never saw, so the replay (not a
+    * training-segmentation lookup) is what's being gated. The replay
+    * chain (e0..eN) is the same chained-replace fold as the training
+    * chain, applied to the full-corpus word set. */
+  private def bpeFrozenOracleSql(numMerges: Int): String = {
+    val replay = (1 to numMerges).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT word, replace(s, chr(1) || m.l || chr(1) || m.r,
+         |                 chr(1) || m.l || m.r) AS s
+         |  FROM e${k - 1}, m$k m)""".stripMargin
+    }
+    "WITH " + (bpeChainCtes(numMerges, " AND doc_id % 2 = 0") ++ Seq(
+      """docw AS MATERIALIZED (
+        |  SELECT doc_id, tk[i] AS word, CAST(i - 1 AS BIGINT) AS wpos
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents WHERE trim(text) <> '') t,
+        |       UNNEST(range(1, len(tk) + 1)) AS u(i))""".stripMargin,
+      """e0 AS MATERIALIZED (
+        |  SELECT word, chr(1) || array_to_string(string_split_regex(word, ''), chr(1)) AS s
+        |  FROM (SELECT DISTINCT word FROM docw))""".stripMargin
+    ) ++ replay ++ Seq(
+      s"""segf AS MATERIALIZED (
+         |  SELECT word, string_split(s[2:], chr(1)) AS sym FROM e$numMerges)""".stripMargin
+    )).mkString(",\n") +
+      """
+        |SELECT d.doc_id, sg.sym[j] AS token,
+        |       CAST(d.wpos * 1000000 + (j - 1) AS BIGINT) AS pos
+        |FROM docw d, segf sg, UNNEST(range(1, len(sg.sym) + 1)) AS v(j)
+        |WHERE d.word = sg.word
+        |ORDER BY doc_id, pos""".stripMargin
+  }
 
   val all: Map[String, QueryDef] = Map(
 
@@ -1263,6 +1299,23 @@ object TextQueries {
           .orderBy("doc_id", "pos")
       },
       bpeEncodeOracleSql(numMerges = 12)),
+
+    // Frozen-vocab tokenization: merges learned on half the corpus,
+    // applied to all of it — unseen words merge as far as the frozen
+    // pairs reach (rank-order replay, not char fallback). THE
+    // production shape: learn once, encode any amount of new data.
+    "q5T_bpe_frozen_vocab" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+        val (merges, _) = graft.operators.Bpe.learnMerges(
+          docs.filter(col("doc_id") % 2 === 0), "text", numMerges = 12)
+        val ranked = merges.orderBy("step")
+          .select("left", "right").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.operators.Bpe.encodeFrozen(docs, "doc_id", "text", ranked)
+          .orderBy("doc_id", "pos")
+      },
+      bpeFrozenOracleSql(numMerges = 12)),
 
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of

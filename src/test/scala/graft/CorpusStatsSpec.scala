@@ -383,4 +383,43 @@ class CorpusStatsSpec extends SparkTestBase {
       r.getString(0) -> r.getSeq[String](1).toVector).toMap
     assert(csegGot == crefSeg)
   }
+
+  test("frozen-vocab replay: training words re-segment identically, OOV merges partially") {
+    import graft.operators.Bpe
+    val docs = Seq(
+      (1L, "abc abc abc abd"), (2L, "abc abd xy xy"), (3L, "abd zq")
+    ).toDF("doc_id", "text")
+    val (m, seg) = Bpe.learnMerges(docs, "text", numMerges = 4)
+    val ranked = m.orderBy("step").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    // invariant: replaying the frozen merges over the training words
+    // reproduces the training segmentation EXACTLY (rank-order replay
+    // is how the segmentation is defined)
+    val trainWords = Bpe.wordCounts(docs, "text").select("word")
+    val replayed = Bpe.segmentWords(trainWords, ranked)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    val trained = seg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(replayed == trained,
+      s"replay diverged from training segmentation:\n $replayed\n vs $trained")
+
+    // OOV: "abcab" was never a training word, but the frozen pairs
+    // ((a,b) first, then whatever follows) still apply — it must NOT
+    // fall back to bare characters
+    val oov = Bpe.segmentWords(Seq("abcab").toDF("word"), ranked)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(oov("abcab").contains("ab"),
+      s"frozen merges did not reach the unseen word: ${oov("abcab")}")
+    assert(oov("abcab") != Vector("a", "b", "c", "a", "b"),
+      "unseen word degraded to char fallback under frozen-vocab replay")
+
+    // encodeFrozen end-to-end: unseen text tokenizes under the frozen
+    // pairs with the standard (id, token, pos) contract
+    val enc = Bpe.encodeFrozen(Seq((9L, "abd abcab")).toDF("doc_id", "text"),
+        "doc_id", "text", ranked)
+      .orderBy("pos").select("token").collect().map(_.getString(0)).toSeq
+    assert(enc.take(trained("abd").size) == trained("abd"))
+    assert(enc.drop(trained("abd").size) == oov("abcab"))
+  }
 }
