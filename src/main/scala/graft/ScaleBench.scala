@@ -41,7 +41,8 @@ object ScaleBench {
     * cost 10× wall. q5S re-tokenizes the corpus under the learned
     * vocab: rows grow ~linearly (10× words; subwords-per-word shifts
     * only as far as the 10× vocab changes the learned merges). */
-  private val TokQueries = Seq("q5M_bpe_merges", "q5S_bpe_encode")
+  private val TokQueries =
+    Seq("q5M_bpe_merges", "q5S_bpe_encode", "q5T_bpe_frozen_vocab")
 
   private val FuzzyQueries = Seq("q4E_fuzzy_join", "q4N_entity_resolution")
 
