@@ -108,7 +108,7 @@ object TrainingPairs {
     * BROADCAST candidate list to attach exact vectors for the
     * refinement (candidates are anchors × kCand rows — a bounded
     * training batch, never corpus-sized). Recall vs the brute-force
-    * rescan is a measured floor in TrainingPairsSpec, not a hope.
+    * rescan is a measured floor in SimilaritySpec, not a hope.
     * Output: (anchor, negative, cos, rank) — same contract as
     * [[hardNegatives]]. */
   def hardNegativesAnn(pairs: DataFrame, corpus: DataFrame, idCol: String,

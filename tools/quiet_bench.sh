@@ -2,11 +2,16 @@
 # Run graft.Bench only when the box is actually quiet; retry until a
 # run lands with zero noisy flags (or attempts are exhausted). Keeps
 # the best attempt (fewest noisy, then lowest total) in bench_out.json.
+# An attempt is scored ONLY if sbt exits 0 AND bench_out.json was
+# rewritten by that attempt (mtime check) — a failed run can never
+# re-score a stale artifact. Exits non-zero if no attempt produced a
+# valid result.
 set -u
 cd /root/repo
 BEST_NOISY=999
 BEST_TOTAL=999999
 ATTEMPTS=${1:-4}
+rm -f /tmp/bench_best.json
 for i in $(seq 1 "$ATTEMPTS"); do
   # wait for a quiet window: 1-min loadavg < 0.8 on two checks 60s apart
   while true; do
@@ -19,10 +24,20 @@ for i in $(seq 1 "$ATTEMPTS"); do
     sleep 45
   done
   echo "[quiet_bench] attempt $i starting (loadavg $(cut -d' ' -f1-3 /proc/loadavg))"
+  touch /tmp/bench_stamp_$$
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" > "/tmp/bench_attempt_$i.log" 2>&1
-  N=$(python3 -c "import json; d=json.load(open('bench_out.json')); print(len(d['noisy']))")
-  T=$(python3 -c "import json; d=json.load(open('bench_out.json')); print(d['value'])")
+  RC=$?
+  if [ "$RC" != "0" ]; then
+    echo "[quiet_bench] attempt $i: sbt exited $RC — not scored (log: /tmp/bench_attempt_$i.log)"
+    continue
+  fi
+  if [ ! bench_out.json -nt /tmp/bench_stamp_$$ ]; then
+    echo "[quiet_bench] attempt $i: bench_out.json not rewritten — not scored"
+    continue
+  fi
+  N=$(python3 -c "import json; d=json.load(open('bench_out.json')); print(len(d['noisy']))") || continue
+  T=$(python3 -c "import json; d=json.load(open('bench_out.json')); print(d['value'])") || continue
   echo "[quiet_bench] attempt $i: total=$T noisy=$N"
   KEEP=$(python3 -c "
 n, t = $N, $T
@@ -34,5 +49,10 @@ print(1 if (n, t) < (bn, bt) else 0)")
   fi
   if [ "$N" = "0" ]; then echo "[quiet_bench] clean run on attempt $i"; break; fi
 done
+rm -f /tmp/bench_stamp_$$
+if [ ! -f /tmp/bench_best.json ]; then
+  echo "[quiet_bench] FAILED: no attempt produced a valid bench_out.json" >&2
+  exit 1
+fi
 cp /tmp/bench_best.json bench_out.json
 echo "[quiet_bench] final: noisy=$BEST_NOISY total=$BEST_TOTAL"
