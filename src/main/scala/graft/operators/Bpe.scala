@@ -41,34 +41,93 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** What a word's ATOMIC symbols are before any merge. */
+  sealed trait SymbolMode
+
+  /** Code-point symbols — Sennrich et al.'s subword BPE. */
+  case object CharLevel extends SymbolMode
+
+  /** UTF-8 byte symbols rendered in the GPT-2 byte→unicode alphabet
+    * (every byte maps to a distinct printable code point, so merges
+    * and learned tokens stay plain strings). Byte-level is what
+    * production tokenizers (GPT-2 family) train: multi-byte
+    * characters start split across symbols and merges may cross
+    * character boundaries. */
+  case object ByteLevel extends SymbolMode
+
+  /** GPT-2's byte→unicode bijection: bytes that are printable latin-1
+    * (33–126, 161–172, 174–255) map to their own code point; the 68
+    * remaining bytes map to 256+k in first-seen order. Public shape —
+    * any byte-level BPE implementation ships this exact table. */
+  private[graft] val byteToUnicode: Array[String] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (printable(b)) b.toChar.toString
+      else { val s = (256 + n).toChar.toString; n += 1; s }
+    }.toArray
+  }
+
+  /** Hard ceiling on word-frequency rows [[learnMerges]] may collect
+    * to the driver (same contract as `Replay.boundedCollect`): fail
+    * loudly, never OOM silently. 20M (word, count) tuples is a few
+    * GB of driver heap — far beyond any curated corpus vocabulary,
+    * but well below what a raw 100 TB web crawl's distinct-token
+    * count (typos, URLs, unicode junk — billions) would reach.
+    * The release valve for such corpora is `minCount`: a frequency
+    * cutoff (standard in BPE training — merges over hapax junk are
+    * never wanted) collapses the collected table back to true
+    * vocabulary size BEFORE it moves, applied map-side under the
+    * word-count aggregation. */
+  val MaxVocabRows: Int = 20000000
+
   /** Single-character symbols of a word. "(?!^)" splits at every
     * boundary except the start — but Java split also yields a trailing
     * "" for the end-of-string boundary, hence the remove. */
   private def charSymbols(word: Column): Column =
     array_remove(split(word, "(?!^)"), "")
 
-  /** The word-frequency table: (word, n) over whitespace tokens. */
-  def wordCounts(df: DataFrame, textCol: String): DataFrame = df
+  /** The word-frequency table: (word, n) over whitespace tokens,
+    * keeping words seen at least `minCount` times. The cutoff runs
+    * INSIDE the distributed aggregation — rare-word rows never reach
+    * the driver. */
+  def wordCounts(df: DataFrame, textCol: String,
+                 minCount: Long = 1L): DataFrame = df
     .filter(trim(col(textCol)) =!= "")
     .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
       .as("word"))
     .groupBy("word").agg(count(lit(1)).as("n"))
+    .filter(col("n") >= minCount)
 
   /** Learn `numMerges` merges. Returns (merges, segmentation):
     * `merges` = (step, left, right, pair_count) in learned order;
-    * `segmentation` = (word, symbols) — every distinct word in its
-    * final subword split, the broadcast table [[encode]] joins on.
-    * Stops early when no adjacent pair remains.
+    * `segmentation` = (word, symbols) — every distinct word that
+    * survived `minCount` in its final subword split, the broadcast
+    * table [[encode]] joins on (words under the cutoff hit
+    * [[encode]]'s documented OOV fallback). Stops early when no
+    * adjacent pair remains.
     *
     * One distributed job (the word count); the merge loop is local —
-    * see the class doc for why that is the scale-correct shape. */
-  def learnMerges(df: DataFrame, textCol: String,
-                  numMerges: Int): (DataFrame, DataFrame) = {
+    * see the class doc for why that is the scale-correct shape. The
+    * collect is bounded by `maxVocabRows` ([[MaxVocabRows]]) and
+    * refuses loudly past it; `minCount` is the documented lever that
+    * keeps raw-crawl vocabularies under the bound. */
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  minCount: Long = 1L,
+                  maxVocabRows: Int = MaxVocabRows,
+                  mode: SymbolMode = CharLevel): (DataFrame, DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     val spark = df.sparkSession
     import spark.implicits._
-    val wc = wordCounts(df, textCol).as[(String, Long)].collect()
-    val (merges, seg) = learnMergesLocal(wc, numMerges)
+    val wc = wordCounts(df, textCol, minCount).as[(String, Long)]
+      .limit(maxVocabRows + 1).collect()
+    require(wc.length <= maxVocabRows,
+      s"BPE word-frequency table exceeds the $maxVocabRows-row driver " +
+        s"bound (minCount=$minCount); raise minCount — hapax/rare " +
+        "words never shape merges you want to learn")
+    val (merges, seg) = learnMergesLocal(wc, numMerges, mode)
     (spark.createDataset(merges).toDF("step", "left", "right", "pair_count"),
       spark.createDataset(seg).toDF("word", "symbols"))
   }
@@ -102,6 +161,17 @@ object Bpe {
     out.toArray
   }
 
+  /** UTF-8 byte symbols of a word in the GPT-2 alphabet. */
+  private def byteSymbols(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => byteToUnicode(b & 0xff))
+
+  private def atomSymbols(w: String, mode: SymbolMode): Array[String] =
+    mode match {
+      case CharLevel => codePoints(w)
+      case ByteLevel => byteSymbols(w)
+    }
+
   /** One greedy left-to-right, non-overlapping application of (l, r). */
   private def applyMergeLocal(syms: Array[String], l: String,
                               r: String): Array[String] = {
@@ -125,11 +195,12 @@ object Bpe {
     * re-pushed on change) + pair→word-indices inverted index so a
     * merge only touches the words that contain its pair. */
   private[graft] def learnMergesLocal(
-      wc: Array[(String, Long)], numMerges: Int)
+      wc: Array[(String, Long)], numMerges: Int,
+      mode: SymbolMode = CharLevel)
       : (Seq[(Int, String, String, Long)], Seq[(String, Seq[String])]) = {
     val words = wc.map(_._1)
     val freq = wc.map(_._2)
-    val syms: Array[Array[String]] = words.map(codePoints)
+    val syms: Array[Array[String]] = words.map(atomSymbols(_, mode))
 
     val pairCnt = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
@@ -229,13 +300,14 @@ object Bpe {
     * O(applied merges), not O(words × numMerges) — the per-partition
     * twin of [[learnMergesLocal]]'s data structure, minus the heap.
     * Output: (word, symbols), [[encode]]'s segmentation contract. */
-  def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)],
+                   mode: SymbolMode = CharLevel): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toArray)
     words.select(col("word")).distinct().as[String].mapPartitions { it =>
       val ws = it.toArray
-      val syms = ws.map(codePoints)
+      val syms = ws.map(atomSymbols(_, mode))
       val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
       def indexWord(i: Int, add: Boolean): Unit = {
         val s = syms(i)
@@ -274,20 +346,27 @@ object Bpe {
     * broadcast segmentation exactly as [[encode]] does. Same output
     * contract: (idCol, token, pos). */
   def encodeFrozen(df: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   mode: SymbolMode = CharLevel): DataFrame = {
     val words = df
       .filter(trim(col(textCol)) =!= "")
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as("word"))
-    encode(df, idCol, textCol, segmentWords(words, merges))
+    // the segmentation is built over THIS corpus's own words, so
+    // encode's char-shaped OOV fallback never fires — which is what
+    // keeps byte mode exact here without a byte-level Column kernel
+    encode(df, idCol, textCol, segmentWords(words, merges, mode))
   }
 
   /** Tokenize `df(textCol)` under a learned `segmentation`: words not
     * in the table fall back to character symbols (the OOV rule that
     * matches how [[learnMerges]] would have segmented an unseen word
     * with zero applicable merges... conservatively: no merge counts
-    * exist for it, so characters are the honest split). Output:
-    * (idCol, token, pos) — one row per subword token.
+    * exist for it, so characters are the honest split). The fallback
+    * is char-shaped, so for [[ByteLevel]] vocabularies tokenize via
+    * [[encodeFrozen]] (whose segmentation covers every corpus word,
+    * keeping this branch cold) rather than calling this directly.
+    * Output: (idCol, token, pos) — one row per subword token.
     *
     * `pos` CONTRACT: `pos = wpos * 1_000_000 + spos` is a single
     * sortable key encoding (word index, subword index). It is unique

@@ -35,34 +35,114 @@ object TextQueries {
     * DuckDB CTEs — see the q5M entry comment for the encoding and the
     * MATERIALIZED rationale. Generated, because each merge round is
     * the same three CTEs (pair counts → argmax → re-segmentation)
-    * parameterized only by round number. */
+    * parameterized only by round number.
+    *
+    * Sentinel encoding is BRACKETED — every symbol is stored as
+    * `chr(1) || sym || chr(2)` — so the per-round `replace` is
+    * boundary-exact: the search pattern ends in chr(2), hence `r`
+    * can never match a strict prefix of a longer symbol (symbols
+    * [a, bc] with merge (a, b) stay unmerged), and because each
+    * symbol carries its OWN closing sentinel, adjacent occurrences
+    * share no delimiter and left-to-right non-overlapping `replace`
+    * reproduces greedy merge semantics exactly ([a,b,a,b] + (a,b) →
+    * [ab, ab]). Assumes corpus words contain neither U+0001 nor
+    * U+0002 (true of the fixtures; the Spark side uses real arrays,
+    * so a violation would surface as a loud hash mismatch, never a
+    * silent agreement). */
   private def bpeChainCtes(numMerges: Int,
-                           trainPred: String = ""): Seq[String] = {
+                           trainPred: String = "",
+                           byteLevel: Boolean = false,
+                           textExpr: String = "text"): Seq[String] = {
+    val seg0 =
+      if (!byteLevel)
+        Seq(s"""seg0 AS MATERIALIZED (
+          |  SELECT word, $symEncode AS s, n
+          |  FROM wc)""".stripMargin)
+      else Seq(
+        // byte-level seg0: per char the code point, per code point its
+        // UTF-8 bytes (pure arithmetic), per byte its GPT-2-alphabet
+        // character — then reassembled in (char, byte) order into the
+        // same bracketed sentinel string the merge rounds consume.
+        """cps AS MATERIALIZED (
+          |  SELECT word, i, unicode(cs[i]) AS cp
+          |  FROM (SELECT word, string_split_regex(word, '') AS cs FROM wc) t,
+          |       UNNEST(range(1, len(cs) + 1)) AS u(i))""".stripMargin,
+        """bts AS MATERIALIZED (
+          |  SELECT word, i, j, bs[j] AS b
+          |  FROM (SELECT word, i,
+          |          CASE WHEN cp < 128 THEN [cp]
+          |               WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+          |               WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+          |               ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+          |          END AS bs
+          |        FROM cps) t, UNNEST(range(1, len(bs) + 1)) AS v(j))""".stripMargin,
+        s"""seg0 AS MATERIALIZED (
+          |  SELECT w.word,
+          |         chr(1) || string_agg($gpt2Sym, chr(2) || chr(1) ORDER BY m.i, m.j) || chr(2) AS s,
+          |         w.n AS n
+          |  FROM bts m JOIN wc w USING (word)
+          |  GROUP BY w.word, w.n)""".stripMargin)
     val base = Seq(
       s"""toks AS MATERIALIZED (
-        |  SELECT string_split_regex(trim(text), '\\s+') AS tk
-        |  FROM documents WHERE trim(text) <> ''$trainPred)""".stripMargin,
+        |  SELECT string_split_regex(trim($textExpr), '\\s+') AS tk
+        |  FROM documents WHERE trim($textExpr) <> ''$trainPred)""".stripMargin,
       """wc AS MATERIALIZED (
         |  SELECT tok AS word, COUNT(*) AS n
-        |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1)""".stripMargin,
-      """seg0 AS MATERIALIZED (
-        |  SELECT word, chr(1) || array_to_string(string_split_regex(word, ''), chr(1)) AS s, n
-        |  FROM wc)""".stripMargin)
+        |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1)""".stripMargin) ++ seg0
     val rounds = (1 to numMerges).flatMap { k =>
       Seq(
         s"""p$k AS MATERIALIZED (
            |  SELECT sym[i] AS l, sym[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
-           |  FROM (SELECT string_split(s[2:], chr(1)) AS sym, n FROM seg${k - 1}) t,
+           |  FROM (SELECT $symDecode AS sym, n FROM seg${k - 1}) t,
            |       UNNEST(range(1, len(sym))) AS u(i)
            |  GROUP BY 1, 2)""".stripMargin,
         s"m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)",
         s"""seg$k AS MATERIALIZED (
-           |  SELECT word, replace(s, chr(1) || m.l || chr(1) || m.r,
-           |                 chr(1) || m.l || m.r) AS s, n
+           |  SELECT word, $symMergeReplace AS s, n
            |  FROM seg${k - 1}, m$k m)""".stripMargin)
     }
     base ++ rounds
   }
+
+  /** GPT-2 byte→unicode alphabet as SQL arithmetic over byte `m.b`:
+    * printable latin-1 bytes (33–126, 161–172, 174–255) keep their
+    * own code point; the k-th excluded byte (k 0-based, by byte
+    * order) maps to chr(256 + k), where k = (bytes ≤ b) − (printable
+    * bytes ≤ b) − 1. Mirrors `Bpe.byteToUnicode` exactly. */
+  private val gpt2Sym =
+    """CASE WHEN (m.b BETWEEN 33 AND 126) OR (m.b BETWEEN 161 AND 172)
+      |            OR (m.b BETWEEN 174 AND 255) THEN chr(CAST(m.b AS INTEGER))
+      |       ELSE chr(CAST(255 + (m.b + 1) - (GREATEST(0, LEAST(m.b, 126) - 32)
+      |            + GREATEST(0, LEAST(m.b, 172) - 160)
+      |            + GREATEST(0, LEAST(m.b, 255) - 173)) AS INTEGER)) END""".stripMargin
+
+  /** The q5U oracle: the byte-level merge trajectory (GPT-2 alphabet)
+    * over the accent-injected corpus — `replace(text, 'a', chr(228))`
+    * plants the 2-byte UTF-8 char 'ä' so byte-level genuinely
+    * diverges from char-level (its two bytes start as separate
+    * symbols and must be merged back by frequency). */
+  private def bpeByteOracleSql(numMerges: Int): String = {
+    val unions = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS step, l AS "left", r AS "right",
+         |       cnt AS pair_count FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + bpeChainCtes(numMerges, byteLevel = true,
+      textExpr = "replace(text, 'a', chr(228))").mkString(",\n") +
+      "\n" + unions + "\nORDER BY step"
+  }
+
+  /** `^sym1$^sym2$...` where ^=chr(1), $=chr(2): symbol list → the
+    * bracketed sentinel string (see [[bpeChainCtes]]). */
+  private val symEncode =
+    "chr(1) || array_to_string(string_split_regex(word, ''), chr(2) || chr(1)) || chr(2)"
+
+  /** Bracketed sentinel string `s` → symbol list. */
+  private val symDecode = "string_split(s[2:-2], chr(2) || chr(1))"
+
+  /** One boundary-exact greedy merge of (m.l, m.r) over `s`. */
+  private val symMergeReplace =
+    """replace(s, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+      |                 chr(1) || m.l || m.r || chr(2))""".stripMargin
 
   private def bpeOracleSql(numMerges: Int): String = {
     val unions = (1 to numMerges).map { k =>
@@ -87,7 +167,7 @@ object TextQueries {
         |        FROM documents WHERE trim(text) <> '') t,
         |       UNNEST(range(1, len(tk) + 1)) AS u(i))""".stripMargin,
       s"""segf AS MATERIALIZED (
-         |  SELECT word, string_split(s[2:], chr(1)) AS sym FROM seg$numMerges)""".stripMargin
+         |  SELECT word, $symDecode AS sym FROM seg$numMerges)""".stripMargin
     )).mkString(",\n") +
       """
         |SELECT d.doc_id, sg.sym[j] AS token,
@@ -106,8 +186,7 @@ object TextQueries {
   private def bpeFrozenOracleSql(numMerges: Int): String = {
     val replay = (1 to numMerges).map { k =>
       s"""e$k AS MATERIALIZED (
-         |  SELECT word, replace(s, chr(1) || m.l || chr(1) || m.r,
-         |                 chr(1) || m.l || m.r) AS s
+         |  SELECT word, $symMergeReplace AS s
          |  FROM e${k - 1}, m$k m)""".stripMargin
     }
     "WITH " + (bpeChainCtes(numMerges, " AND doc_id % 2 = 0") ++ Seq(
@@ -116,12 +195,12 @@ object TextQueries {
         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |        FROM documents WHERE trim(text) <> '') t,
         |       UNNEST(range(1, len(tk) + 1)) AS u(i))""".stripMargin,
-      """e0 AS MATERIALIZED (
-        |  SELECT word, chr(1) || array_to_string(string_split_regex(word, ''), chr(1)) AS s
+      s"""e0 AS MATERIALIZED (
+        |  SELECT word, $symEncode AS s
         |  FROM (SELECT DISTINCT word FROM docw))""".stripMargin
     ) ++ replay ++ Seq(
       s"""segf AS MATERIALIZED (
-         |  SELECT word, string_split(s[2:], chr(1)) AS sym FROM e$numMerges)""".stripMargin
+         |  SELECT word, $symDecode AS sym FROM e$numMerges)""".stripMargin
     )).mkString(",\n") +
       """
         |SELECT d.doc_id, sg.sym[j] AS token,
@@ -1269,12 +1348,14 @@ object TextQueries {
     // current segmentation, a deterministic argmax (ORDER BY cnt
     // DESC, l, r — DuckDB's binary collation ≡ Spark's UTF8String
     // order), and a greedy left-to-right re-segmentation. The
-    // re-segmentation trick: a segmentation is rendered as
-    // chr(1)-PREFIXED symbols ("\x01a\x01b\x01c"), so replacing
-    // "\x01l\x01r" with "\x01lr" is exactly the greedy non-overlapping
-    // left-to-right merge (the leading separator blocks intra-symbol
-    // false matches; consuming only the left boundary keeps "a a a a"
-    // → ["aa","aa"] chainable). CTEs are MATERIALIZED: seg(k) is read
+    // re-segmentation trick: a segmentation is rendered as BRACKETED
+    // symbols ("\x01a\x02\x01b\x02"), so replacing "\x01l\x02\x01r\x02"
+    // with "\x01lr\x02" is exactly the greedy non-overlapping
+    // left-to-right merge — boundary-exact on BOTH sides (r cannot
+    // match a prefix of a longer symbol), and since each symbol
+    // carries its own closing sentinel, adjacent occurrences share
+    // no delimiter ("a a a a" → ["aa","aa"]). CTEs are MATERIALIZED:
+    // seg(k) is read
     // by both p(k+1) and seg(k+1), and inlining would re-evaluate the
     // whole prefix 2^12 times. The same trajectory is additionally
     // dual-implementation-pinned merge-for-merge in CorpusStatsSpec.
@@ -1316,6 +1397,24 @@ object TextQueries {
           .orderBy("doc_id", "pos")
       },
       bpeFrozenOracleSql(numMerges = 12)),
+
+    // Byte-level BPE (GPT-2 shape): symbols are UTF-8 BYTES in the
+    // GPT-2 byte->unicode alphabet, so multi-byte characters start
+    // split and merges may cross character boundaries. The fixture is
+    // pure ASCII (where byte-level degenerates to char-level), so both
+    // sides deterministically inject the 2-byte char U+00E4 before
+    // learning — the trajectory then genuinely exercises byte
+    // semantics: 0xC3/0xA4 begin as separate symbols and only a
+    // frequency-won merge rejoins them.
+    "q5U_bpe_bytes" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+          .withColumn("text", translate(col("text"), "a", "\u00e4"))
+        val (merges, _) = graft.operators.Bpe.learnMerges(
+          docs, "text", numMerges = 12, mode = graft.operators.Bpe.ByteLevel)
+        merges.orderBy("step")
+      },
+      bpeByteOracleSql(numMerges = 12)),
 
     // Bigram language-model table: top-3 continuations per predecessor
     // with exact counts and the continuation probability (a ratio of

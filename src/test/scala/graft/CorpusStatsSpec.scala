@@ -422,4 +422,121 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(enc.take(trained("abd").size) == trained("abd"))
     assert(enc.drop(trained("abd").size) == oov("abcab"))
   }
+
+  test("BPE minCount cutoff: trajectory preserved, rare words dropped, collect bounded") {
+    import graft.operators.Bpe
+    def traj(m: org.apache.spark.sql.DataFrame) = m.orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // the real fixture: every word appears >= 29 times, so any cutoff
+    // up to that leaves the learned trajectory byte-identical — the
+    // cutoff is a driver-memory bound, not a semantics change
+    val corpus = graft.sources.Tables.computeTable(spark,
+      "/root/testdata/sf0.001", "documents")
+    val (m1, _) = Bpe.learnMerges(corpus, "text", numMerges = 6)
+    val (m2, seg2) = Bpe.learnMerges(corpus, "text", numMerges = 6, minCount = 2L)
+    assert(traj(m1) == traj(m2),
+      "minCount=2 changed the fixture trajectory despite zero dropped words")
+
+    // synthetic hapax: "zq" (n=1) is dropped at minCount=2; the
+    // dominant ab-family merges are untouched, and the rare word
+    // leaves the returned segmentation (encode's OOV fallback takes it)
+    val docs = Seq(
+      (1L, "abc abc abc abd"), (2L, "abc abd xy xy"), (3L, "abd zq")
+    ).toDF("doc_id", "text")
+    val (mAll, segAll) = Bpe.learnMerges(docs, "text", numMerges = 4)
+    val (mCut, segCut) = Bpe.learnMerges(docs, "text", numMerges = 4, minCount = 2L)
+    assert(traj(mAll) == traj(mCut),
+      "dropping the hapax word changed merges it never participated in")
+    val cutWords = segCut.select("word").collect().map(_.getString(0)).toSet
+    assert(segAll.select("word").collect().map(_.getString(0)).toSet.contains("zq"))
+    assert(!cutWords.contains("zq"), "hapax word survived the cutoff")
+
+    // the driver bound fails loudly, never truncates silently
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learnMerges(docs, "text", numMerges = 2, maxVocabRows = 2)
+    }
+    assert(e.getMessage.contains("driver bound"), e.getMessage)
+    assert(e.getMessage.contains("minCount"), e.getMessage)
+  }
+
+  test("byte-level BPE: GPT-2 alphabet pins; multi-byte chars split and re-merge") {
+    import graft.operators.Bpe
+    // the GPT-2 byte->unicode table: a bijection with the published
+    // anchor points (0 -> U+0100, \n -> U+010A, space -> U+0120,
+    // printable ASCII maps to itself)
+    val b2u = Bpe.byteToUnicode
+    assert(b2u.length == 256 && b2u.toSet.size == 256, "not a bijection")
+    assert(b2u(0) == "\u0100" && b2u(10) == "\u010A" && b2u(32) == "\u0120")
+    assert(b2u('A'.toInt) == "A" && b2u('z'.toInt) == "z")
+    assert(b2u(0xC3) == 0xC3.toChar.toString && b2u(0xA4) == 0xA4.toChar.toString)
+
+    // U+00E4 is 0xC3 0xA4 in UTF-8: at byte level the two bytes start
+    // as SEPARATE symbols and only a frequency-won merge rejoins them
+    def byteAtoms(w: String): Vector[String] =
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => b2u(b & 0xff)).toVector
+    val docs = Seq(
+      (1L, "\u00e4b \u00e4b \u00e4b \u00e4c"), (2L, "\u00e4b xy")
+    ).toDF("doc_id", "text")
+    val (m, seg) = Bpe.learnMerges(docs, "text", numMerges = 3,
+      mode = Bpe.ByteLevel)
+    val got = m.orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // independent reference: the same single-threaded loop over byte atoms
+    val wc = Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (refM, refSeg) = refBpeWith(wc, 3, byteAtoms)
+    assert(got == refM, s"byte-level merge tables differ:\n got=$got\n ref=$refM")
+    assert(seg.collect().map(r =>
+      r.getString(0) -> r.getSeq[String](1).toVector).toMap == refSeg)
+    // first merge must be the intra-character byte pair (0xC3, 0xA4),
+    // present in every one of the 5 accented words
+    assert(got.head._2 == 0xC3.toChar.toString &&
+      got.head._3 == 0xA4.toChar.toString && got.head._4 == 5L,
+      s"first byte merge was not the split character: ${got.head}")
+
+    // frozen replay carries the mode: an unseen accented word still
+    // re-joins its character bytes under the frozen pairs
+    val ranked = got.map(t => (t._2, t._3))
+    val oov = Bpe.segmentWords(Seq("\u00e4z").toDF("word"), ranked,
+        mode = Bpe.ByteLevel)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(oov("\u00e4z").head == 0xC3.toChar.toString + 0xA4.toChar.toString,
+      s"frozen byte merge missed the unseen word: ${oov("\u00e4z")}")
+  }
+
+  /** [[refBpe]] generalized over the atomization (char vs byte). */
+  private def refBpeWith(words: Map[String, Long], numMerges: Int,
+                         atoms: String => Vector[String])
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
+    var vocab: Map[String, (Vector[String], Long)] =
+      words.map { case (w, n) => w -> (atoms(w), n) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= numMerges && !stop) {
+      val counts = vocab.values.toSeq
+        .flatMap { case (syms, n) =>
+          syms.sliding(2).collect { case Seq(a, b) => ((a, b), n) } }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((step, l, r, cnt))
+        vocab = vocab.map { case (w, (syms, n)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> (out.result(), n)
+        }
+        step += 1
+      }
+    }
+    (merges.result(), vocab.map { case (w, (syms, _)) => w -> syms })
+  }
 }

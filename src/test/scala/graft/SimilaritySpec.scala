@@ -205,6 +205,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(a1.except(a2).isEmpty && a2.except(a1).isEmpty)
   }
 
+  test("ANN hard negatives on CLUSTERED embeddings: production-small " +
+    "nprobe/kCand keep the brute-force overlap") {
+    import spark.implicits._
+    // The isotropic fixture above is the adversarial bound and needs
+    // wide settings (nprobe 6/8, kCand 32x) to clear 0.9. Real
+    // embedding spaces CLUSTER, and neighbors sit at GRADED distances
+    // (not pure-noise-equidistant) — this fixture is that production
+    // shape: 16 well-separated unit centroids, 64 members each laid
+    // out along a per-cluster direction at increasing offsets, so
+    // cells carry real structure, ranking margins are real, and the
+    // small settings a 100 TB deployment actually runs at
+    // (nprobe 1/16, kCand 4x) must hold the same floor.
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val centers: Array[Array[Float]] = Array.tabulate(16) { c =>
+      val v = Array.fill(dim)(0f); v(c * 4) = 1f; v
+    }
+    val rows = for { c <- 0 until 16 } yield {
+      val dir = Array.fill(dim)(rnd.nextGaussian())
+      val dn = math.sqrt(dir.map(x => x * x).sum)
+      (0 until 64).map { i =>
+        val t = 0.8 * i / 64
+        val v = Array.tabulate(dim) { d =>
+          (centers(c)(d) + t * dir(d) / dn + rnd.nextGaussian() * 0.01).toFloat
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        ((c * 64 + i).toLong, v.map(_ / n).toSeq)
+      }
+    }
+    val cemb = rows.flatten.toDF("vec_id", "embedding")
+    val centDf = centers.zipWithIndex
+      .map { case (v, c) => ((c * 64).toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "embedding")
+    // one anchor pair per cluster: the first two members
+    val pairs = (0 until 16)
+      .map(c => ((c * 64).toLong, (c * 64 + 1).toLong)).toDF("id_a", "id_b")
+    def toSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("anchor", "negative").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = toSet(graft.operators.TrainingPairs.hardNegatives(
+      pairs, cemb, "vec_id", "embedding", k = 2))
+    val ann = toSet(graft.operators.TrainingPairs.hardNegativesAnn(
+      pairs, cemb, "vec_id", "embedding", k = 2, kCand = 8,
+      centroids = centDf, nprobe = 1, m = 16, ks = 64, iters = 2,
+      dim = dim))
+    val overlap = (brute & ann).size.toDouble / brute.size
+    info(f"CLUSTERED ANN hard-negative overlap@2 at nprobe=1/16, " +
+      f"kCand=4x: $overlap%.3f (isotropic needed nprobe=6/8, kCand=32x)")
+    assert(brute.size == 64,
+      s"expected 16 pairs x 2 anchors x k=2, got ${brute.size}")
+    assert(overlap >= 0.9,
+      f"clustered-fixture ANN overlap $overlap%.3f < 0.9 at small settings")
+  }
+
   test("contrastiveTriplets: negatives never collide, draw is deterministic") {
     import spark.implicits._
     val corpus = (1L to 200L).toDF("vec_id")
