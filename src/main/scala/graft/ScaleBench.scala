@@ -61,6 +61,92 @@ object ScaleBench {
   private val StatsQueries = Seq("q4T_heavy_hitters", "q4U_bigram_lm",
     "q5D_chunk_overlap", "q5E_temperature_mix", "q5F_importance_score")
 
+  /** Snapshot-log DEPTH family (r11): the metadata plane at a depth the
+    * other families never reach — ≥1k versions / ≥10k live files.
+    *
+    * The discriminating experiment is two tables with the SAME live
+    * file count (so the anchor parse costs the same) but 10× different
+    * version depth:
+    *   - `deep`:    depth appends × 10 files  (default 1000 × 10)
+    *   - `shallow`: depth/10 appends × 100 files (default 100 × 100)
+    * Cold resolution walks back to the nearest anchor (≤9 delta folds)
+    * and parses it — O(anchor files + interval), NOT O(versions) — so
+    * cold(deep) ≈ cold(shallow) is the claim, and a version-bound
+    * resolver would show a ~10× split. Also measured: a delta commit
+    * at full depth (bytes + wall — must match the 120-append numbers
+    * from PLANS round 10), the warm cache hit, and a vacuum crossing
+    * ~9 anchor boundaries on a fresh side table.
+    *
+    * Staging is cached under /tmp like the other families; the depth
+    * appends are the one-time cost (~minutes of scheduler latency,
+    * zero data volume). */
+  private def snapshotLogDepth(spark: SparkSession): String = {
+    import graft.sources.SnapshotTable
+    val depth = sys.env.getOrElse("SPARK_GRAFT_LOG_DEPTH", "1000").toInt
+    val base = "/tmp/graft-scale/logdepth"
+    val deepDir = s"$base/deep"
+    val shallowDir = s"$base/shallow"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def build(dir: String, commits: Int, filesPer: Int): Unit =
+      if (!fs.exists(new Path(dir, "_log"))) {
+        (1 to commits).foreach { i =>
+          val df = spark.range((i - 1) * filesPer * 10L, i.toLong * filesPer * 10L)
+            .toDF("id").withColumn("batch", lit(i))
+            .repartition(filesPer)
+          SnapshotTable.write(spark, df, dir, "append")
+        }
+      }
+    def timeSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    build(deepDir, depth, 10)
+    build(shallowDir, depth / 10, 100)
+
+    // one delta commit at full depth: wall + manifest bytes
+    val commitSec = timeSec {
+      SnapshotTable.write(spark,
+        spark.range(10).toDF("id").withColumn("batch", lit(-1)).coalesce(1),
+        deepDir, "append")
+    }
+    val vDeep = SnapshotTable.latestVersion(spark, deepDir).get
+    val deltaBytes = fs.getFileStatus(
+      new Path(s"$deepDir/_log", f"v$vDeep%010d.json")).getLen
+    val filesDeep = SnapshotTable.readManifest(spark, deepDir, vDeep).files.size
+
+    val vShallow = SnapshotTable.latestVersion(spark, shallowDir).get
+    val filesShallow = SnapshotTable.readManifest(spark, shallowDir, vShallow).files.size
+
+    // cold vs warm resolution; deep vs shallow at equal file count
+    SnapshotTable.invalidateResolveCache()
+    val coldDeep = timeSec(SnapshotTable.readManifest(spark, deepDir, vDeep))
+    SnapshotTable.invalidateResolveCache()
+    val coldShallow = timeSec(SnapshotTable.readManifest(spark, shallowDir, vShallow))
+    val warmDeep = timeSec(SnapshotTable.readManifest(spark, deepDir, vDeep))
+
+    // vacuum across ~9 anchor boundaries (fresh side table per run:
+    // vacuum truncates the log, so the deep staging must stay pristine)
+    val vacDir = s"$base/vac-${System.currentTimeMillis()}"
+    (1 to 120).foreach { i =>
+      SnapshotTable.write(spark,
+        spark.range(i * 10L, i * 10L + 10L).toDF("id").coalesce(1),
+        vacDir, "append")
+    }
+    val vacuumSec = timeSec(
+      SnapshotTable.vacuum(spark, vacDir, keepVersions = 25, minAgeMs = 0L))
+    val vacLeft = SnapshotTable.versions(spark, vacDir).size
+    fs.delete(new Path(vacDir), true)
+
+    s"""{"deep":{"versions":$vDeep,"files":$filesDeep,"commit_sec":$commitSec,""" +
+      s""""delta_bytes":$deltaBytes,"cold_resolve_sec":$coldDeep,""" +
+      s""""warm_resolve_sec":$warmDeep},""" +
+      s""""shallow_same_files":{"versions":$vShallow,"files":$filesShallow,""" +
+      s""""cold_resolve_sec":$coldShallow},""" +
+      s""""vacuum":{"versions_before":120,"keep":25,"sec":$vacuumSec,""" +
+      s""""versions_after":$vacLeft}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -246,12 +332,15 @@ object ScaleBench {
       s""""$q":{"sec_1x":$s1,"rows_1x":$r1,"sec_${factor}x":$sF,"rows_${factor}x":$rF}"""
     } :+ s""""q4X_triangles":{"sec_1x":$tri1s,"rows_1x":$tri1r,"sec_${factor}x":$triFs,"rows_${factor}x":$triFr}""")
       .mkString("{", ",", "}")
+    val snapJson = snapshotLogDepth(spark)
+
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
       s"""{"metric":"scale_flight_pipeline","value":$flightSec,"unit":"sec",""" +
         s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
         s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
-        s""""stats":$statsJson,"tok":$tokJson,"loadavg":$load,"sf":"$sfDir"}"""
+        s""""stats":$statsJson,"tok":$tokJson,"snapshot":$snapJson,""" +
+        s""""loadavg":$load,"sf":"$sfDir"}"""
     // versioned artifact (like Bench's bench_out.json): the per-family
     // 1x/10x walls and row counts are the 100 TB evidence — they must
     // survive the sandbox, not live in /tmp logs a judge can't diff

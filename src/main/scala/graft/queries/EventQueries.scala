@@ -558,39 +558,44 @@ object EventQueries {
     // The PARITY streaming flow under a DuckDB oracle: the reference's
     // filtered DISTINCT scan as a stream (S1/S2/D1 —
     // StreamingFlows.watermarkDistinct), replayed in two chronological
-    // chunks. Dedup state lives under the watermark horizon; because
-    // chunk 2 sits entirely past chunk 1's watermark, nothing is
-    // late-dropped and every cross-chunk duplicate still finds its
-    // state row — so the emission set is exactly DISTINCT, which is
-    // the oracle. (The flow's bounded-state behavior — late drops and
-    // re-emission after eviction — is StreamingSpec territory; this
-    // gate pins the cross-batch dedup itself.)
+    // chunks through a FILE SOURCE — the production ingestion shape
+    // (a directory the stream tails), with no driver-side collect at
+    // all: each chunk is written distributed as parquet, and
+    // processAllAvailable() between writes makes "one chunk = one
+    // micro-batch round" deterministic. Dedup state lives under the
+    // watermark horizon; because chunk 2 sits entirely past chunk 1's
+    // watermark, nothing is late-dropped and every cross-chunk
+    // duplicate still finds its state row — so the emission set is
+    // exactly DISTINCT, which is the oracle. (The flow's
+    // bounded-state behavior — late drops and re-emission after
+    // eviction — is StreamingSpec territory, as is file-replay ≡
+    // MemoryStream-replay parity; this gate pins the cross-batch
+    // dedup itself.)
     "q5N_stream_distinct" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val ev = Tables.computeTable(s, dir, "events")
-          .select(col("user_id").cast("long"), col("ts"), col("event_type"))
-          .as[(Long, java.sql.Timestamp, String)].boundedCollect()
+          .select(col("user_id").cast("long").as("user_id"), col("ts"),
+            col("event_type"))
         // plant exact duplicates so the dedup provably fires, both
         // within and across chunks (the raw feed has none)
-        val dups = ev.filter(_._1 % 7 == 0)
+        val all = ev.unionAll(ev.filter(col("user_id") % 7 === 0))
         val midMs = 1705363200000L // 2024-01-16 00:00 UTC
-        val all = ev ++ dups
-        val (c1, c2) = all.partition(_._2.getTime < midMs)
-        val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, String)]
+        val cut = lit(midMs / 1000).cast("timestamp")
+        val feed = java.nio.file.Files
+          .createTempDirectory("q5N_feed").toString
+        all.filter(col("ts") < cut).write.mode("overwrite").parquet(feed)
+        val in = s.readStream.schema(all.schema).parquet(feed)
         val out = graft.streaming.StreamingFlows.watermarkDistinct(
-          in.toDF().toDF("user_id", "ts", "event_type"),
-          tsCol = "ts", lookback = "10 minutes",
+          in, tsCol = "ts", lookback = "10 minutes",
           keyCols = Seq("user_id", "event_type"))
         val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
           out.writeStream.format("memory").queryName("q5N_dist_sink")
           .outputMode("append").start())
         try {
           import graft.streaming.StreamMeter.timed
-          if (c1.nonEmpty) { in.addData(c1.toSeq: _*); timed("q5N_stream_distinct")(q.processAllAvailable()) }
-          if (c2.nonEmpty) { in.addData(c2.toSeq: _*); timed("q5N_stream_distinct")(q.processAllAvailable()) }
+          timed("q5N_stream_distinct")(q.processAllAvailable())
+          all.filter(col("ts") >= cut).write.mode("append").parquet(feed)
+          timed("q5N_stream_distinct")(q.processAllAvailable())
         } finally q.stop()
         s.table("q5N_dist_sink")
           .select(col("user_id"), expr("unix_micros(ts)").as("us"),

@@ -31,6 +31,59 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("watermarkDistinct: file-source replay emits exactly the MemoryStream emission") {
+    // q5N runs through a file stream (the production ingestion shape);
+    // this pins that chunked file replay and chunked MemoryStream
+    // replay are the SAME flow — same per-chunk micro-batch rounds,
+    // same cross-chunk dedup state, same emission set.
+    implicit val sqlCtx = spark.sqlContext
+    // duplicates within chunk 1 (u1), across chunks (u2), and a
+    // distinct singleton per chunk; chunk 2 sits past chunk 1's times
+    val c1 = Seq((1L, ts(10), "view"), (1L, ts(10), "view"),
+      (2L, ts(12), "click"), (3L, ts(14), "view"))
+    val c2 = Seq((2L, ts(12), "click"), (4L, ts(40), "view"),
+      (4L, ts(40), "view"))
+
+    def emission(rows: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+      rows.select(col("user_id"), expr("unix_micros(ts)"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // MemoryStream replay
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val mem = StreamingFlows.watermarkDistinct(
+      in.toDF().toDF("user_id", "ts", "event_type"), "ts", "1 hour",
+      Seq("user_id", "event_type"))
+    val qm = mem.writeStream.format("memory").queryName("wmd_mem")
+      .outputMode("append").start()
+    try {
+      in.addData(c1: _*); qm.processAllAvailable()
+      in.addData(c2: _*); qm.processAllAvailable()
+    } finally qm.stop()
+
+    // file-source replay: one chunk written per micro-batch round
+    val feed = java.nio.file.Files.createTempDirectory("wmd_feed").toString
+    val df1 = c1.toDF("user_id", "ts", "event_type")
+    df1.write.mode("overwrite").parquet(feed)
+    val fin = spark.readStream.schema(df1.schema).parquet(feed)
+    val fil = StreamingFlows.watermarkDistinct(
+      fin, "ts", "1 hour", Seq("user_id", "event_type"))
+    val qf = fil.writeStream.format("memory").queryName("wmd_file")
+      .outputMode("append").start()
+    try {
+      qf.processAllAvailable()
+      c2.toDF("user_id", "ts", "event_type").write.mode("append").parquet(feed)
+      qf.processAllAvailable()
+    } finally qf.stop()
+
+    val memOut = emission(spark.table("wmd_mem"))
+    val fileOut = emission(spark.table("wmd_file"))
+    assert(memOut == fileOut,
+      s"file replay diverged from MemoryStream replay:\n $fileOut\n vs $memOut")
+    // and both are exactly DISTINCT over the feed: u1's in-chunk dup,
+    // u2's cross-chunk dup, and u4's in-chunk dup all collapse
+    assert(memOut.size == 4)
+  }
+
   test("tumblingCounts aggregates closed event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Double)]
