@@ -147,6 +147,47 @@ object ScaleBench {
       s""""versions_after":$vacLeft}}"""
   }
 
+  /** Anchor-format family (r11): cold manifest resolution from a
+    * parquet anchor vs the JSON entry at file counts real local
+    * staging can't reach (default 10k and 200k synthetic entries,
+    * each with one stats column). The claim behind
+    * [[graft.sources.SnapshotTable.parquetAnchorMinFiles]]: below
+    * ~10^4 files the Spark-job round trip of the parquet read costs
+    * more than the jackson parse it saves; in the 10^5+ range —
+    * where a 100 TB table's anchors live — the columnar decode wins
+    * and keeps winning as the count grows. Bytes for both formats
+    * land in the artifact too (anchor size is commit-path I/O). */
+  private def manifestFormat(spark: SparkSession): String = {
+    import graft.sources.SnapshotTable
+    def timeSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_FILES", "10000,200000")
+      .split(",").map(_.trim.toInt).toSeq
+    val out = sizes.map { n =>
+      val dir = s"/tmp/graft-scale/anchorfmt-$n-${System.currentTimeMillis()}"
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = (0 until n).map(i => SnapshotTable.FileEntry(
+        f"data/$i%08d-p00000.parquet", 1000L,
+        Map("id" -> (i * 1000L, i * 1000L + 999L))))
+      val v = SnapshotTable.debugPublishFull(spark, dir, files,
+        withParquetAnchor = true)
+      val pqPath = SnapshotTable.parquetAnchorPath(dir, v)
+      val pqBytes = fs.getFileStatus(pqPath).getLen
+      SnapshotTable.invalidateResolveCache()
+      val pqSec = timeSec(SnapshotTable.readManifest(spark, dir, v))
+      fs.delete(pqPath, false) // force the JSON fallback
+      val jsonPath = new Path(s"$dir/_log", f"v$v%010d.json")
+      val jsonBytes = fs.getFileStatus(jsonPath).getLen
+      SnapshotTable.invalidateResolveCache()
+      val jsonSec = timeSec(SnapshotTable.readManifest(spark, dir, v))
+      fs.delete(new Path(dir), true)
+      s""""files_$n":{"parquet_sec":$pqSec,"json_sec":$jsonSec,""" +
+        s""""parquet_bytes":$pqBytes,"json_bytes":$jsonBytes}"""
+    }
+    out.mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -333,6 +374,7 @@ object ScaleBench {
     } :+ s""""q4X_triangles":{"sec_1x":$tri1s,"rows_1x":$tri1r,"sec_${factor}x":$triFs,"rows_${factor}x":$triFr}""")
       .mkString("{", ",", "}")
     val snapJson = snapshotLogDepth(spark)
+    val anchorJson = manifestFormat(spark)
 
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
@@ -340,6 +382,7 @@ object ScaleBench {
         s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
         s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
         s""""stats":$statsJson,"tok":$tokJson,"snapshot":$snapJson,""" +
+        s""""anchor_format":$anchorJson,""" +
         s""""loadavg":$load,"sf":"$sfDir"}"""
     // versioned artifact (like Bench's bench_out.json): the per-family
     // 1x/10x walls and row counts are the 100 TB evidence — they must

@@ -122,6 +122,7 @@ object SnapshotTable {
   private def dataDir(dir: String) = new Path(dir, "data")
   private def manifestName(v: Long) = f"v$v%010d.json"
   private def ckptName(v: Long) = f"v$v%010d.ckpt.json"
+  private def parquetAnchorName(v: Long) = f"v$v%010d.ckpt.parquet"
 
   private val ManifestRe = "v(\\d{10})\\.json".r
 
@@ -134,6 +135,101 @@ object SnapshotTable {
   /** Schemes whose `rename` is known atomic-and-fails-if-present
     * (the property [[tryPublish]]'s non-`file` branch depends on). */
   private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs")
+
+  /** Above this live-file count, a full anchor ALSO materializes as a
+    * parquet checkpoint (`v*.ckpt.parquet`) that readers prefer over
+    * the JSON entry — Delta's checkpoint.parquet move, for Delta's
+    * reason: at millions of files a JSON anchor is hundreds of MB of
+    * single-threaded jackson parse on the driver's cold path, while
+    * the same rows decode as a columnar read. The JSON commit file
+    * remains the commit-protocol source of truth (atomic publish,
+    * OCC); the parquet anchor is DERIVED, written best-effort after
+    * the version wins its slot, and a reader that doesn't find one
+    * falls back to the JSON — so a crash between publish and anchor
+    * write costs speed, never correctness. Below the threshold the
+    * ~100 ms Spark-job round trip exceeds the jackson parse it
+    * saves, so small tables skip it (measured: the crossover sits
+    * around 10^4-10^5 entries; see ScaleBench's manifest-format
+    * family). Tunable for tests/benches via the system property. */
+  def parquetAnchorMinFiles: Int =
+    sys.props.get("graft.snapshot.parquetAnchorMinFiles")
+      .map(_.toInt).getOrElse(100000)
+
+  /** Row shape of a parquet anchor: one row per live file; `stats`
+    * values are [min,max]; `op`/`ts` repeat the version's metadata on
+    * every row (RLE/dictionary encoding makes the repetition free,
+    * and it lets a reader skip the JSON entry entirely). Explicit
+    * schema + Row (not a case-class encoder): the class would be
+    * private to this object, which knocks the deserializer out of
+    * codegen with a noisy Janino access error on every read. */
+  private val AnchorSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("stats",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("bloom",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Best-effort derived parquet anchor for a just-published full
+    * version: single-file write (temp dir + rename of the part file),
+    * so readers see a complete anchor or nothing. Failures log and
+    * fall through — the JSON entry stays authoritative. */
+  private def writeParquetAnchor(spark: SparkSession, dir: String,
+                                 e: LogEntry): Unit =
+    try {
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(e.files.map(fe => org.apache.spark.sql.Row(
+          fe.path, fe.rows,
+          fe.stats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) },
+          fe.bloom.map { case (c, ws) => c -> ws },
+          e.op, e.ts)): _*)
+      val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
+      val f = fs(spark, tmp)
+      spark.createDataFrame(rows, AnchorSchema).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = f.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("no part file written"))
+      val target = new Path(logDir(dir), parquetAnchorName(e.version))
+      f.delete(target, false) // concurrent re-write: content deterministic
+      if (!f.rename(part, target) && !f.exists(target))
+        throw new IllegalStateException(s"could not publish $target")
+      f.delete(tmp, true)
+    } catch {
+      case t: Throwable => // derived artifact: never fail the commit
+        System.err.println(s"[snapshot] parquet anchor for v${e.version} " +
+          s"of $dir not written (reader falls back to JSON): ${t.getMessage}")
+    }
+
+  /** Read a parquet anchor back as a resolved [[Manifest]]. */
+  private def readParquetAnchor(spark: SparkSession, dir: String,
+                                version: Long): Manifest = {
+    val p = new Path(logDir(dir), parquetAnchorName(version))
+    val rows = spark.read.schema(AnchorSchema).parquet(p.toString).collect()
+    val files = rows.toSeq.map { r =>
+      val stats = r.getMap[String, scala.collection.Seq[Long]](2)
+      val bloom = r.getMap[String, scala.collection.Seq[Long]](3)
+      FileEntry(r.getString(0), r.getLong(1),
+        stats.map { case (c, a) => c -> (a(0), a(1)) }.toMap,
+        bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap)
+    }
+    Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
+      files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
+  }
 
   /** Versions with a committed manifest, ascending. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -270,6 +366,29 @@ object SnapshotTable {
   private[graft] def invalidateResolveCache(): Unit =
     resolveCache.synchronized(resolveCache.clear())
 
+  /** Bench hook: publish a synthetic FULL version (entries reference
+    * no real data files) with or without its parquet anchor — lets
+    * ScaleBench measure cold anchor-parse cost at file counts (10^5+)
+    * no local staging could create for real. Metadata-plane only;
+    * scanning such a version would fail, by design. */
+  private[graft] def debugPublishFull(spark: SparkSession, dir: String,
+                                      files: Seq[FileEntry],
+                                      withParquetAnchor: Boolean): Long = {
+    val ld = logDir(dir)
+    val f = fs(spark, ld)
+    f.mkdirs(ld)
+    val v = latestVersion(spark, dir).getOrElse(0L) + 1
+    val e = LogEntry(v, "bench", System.currentTimeMillis(), "full", files, Nil)
+    require(tryPublish(f, ld, e), s"bench publish lost the v$v slot under $dir")
+    if (withParquetAnchor) writeParquetAnchor(spark, dir, e)
+    v
+  }
+
+  /** Bench/test hook: the derived parquet anchor's path (delete it to
+    * force the JSON fallback). */
+  private[graft] def parquetAnchorPath(dir: String, v: Long): Path =
+    new Path(logDir(dir), parquetAnchorName(v))
+
   /** The resolved manifest of `version`: walks backward through delta
     * entries to the nearest full anchor (a full commit, or a vacuum
     * checkpoint at this version) and folds forward. Warm calls are
@@ -286,25 +405,30 @@ object SnapshotTable {
       if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
         return hit._3
     }
-    val entry = parseEntry(readBytes(f, p))
-    val m: Manifest = entry.kind match {
-      case "full" => Manifest(entry.version, entry.op, entry.files, entry.ts)
-      case "delta" =>
-        val ckpt = new Path(logDir(dir), ckptName(version))
-        if (f.exists(ckpt)) { // vacuum promoted this version to an anchor
-          val full = parseEntry(readBytes(f, ckpt))
-          Manifest(entry.version, entry.op, full.files, entry.ts)
-        } else {
-          val base: Seq[FileEntry] =
-            if (version <= 1) Nil // delta against an empty table
-            else readManifest(spark, dir, version - 1).files
-          val gone = entry.remove.toSet
-          Manifest(entry.version, entry.op,
-            base.filterNot(fe => gone.contains(fe.path)) ++ entry.files, entry.ts)
-        }
-      case other => throw new IllegalStateException(
-        s"unknown log entry kind '$other' at version $version of $dir")
-    }
+    // a parquet anchor (commit-time or vacuum-promoted) IS the resolved
+    // list — prefer it and skip the JSON entry parse entirely
+    val pqa = new Path(logDir(dir), parquetAnchorName(version))
+    val m: Manifest =
+      if (f.exists(pqa)) readParquetAnchor(spark, dir, version)
+      else parseEntry(readBytes(f, p)) match {
+        case entry if entry.kind == "full" =>
+          Manifest(entry.version, entry.op, entry.files, entry.ts)
+        case entry if entry.kind == "delta" =>
+          val ckpt = new Path(logDir(dir), ckptName(version))
+          if (f.exists(ckpt)) { // vacuum promoted this version to an anchor
+            val full = parseEntry(readBytes(f, ckpt))
+            Manifest(entry.version, entry.op, full.files, entry.ts)
+          } else {
+            val base: Seq[FileEntry] =
+              if (version <= 1) Nil // delta against an empty table
+              else readManifest(spark, dir, version - 1).files
+            val gone = entry.remove.toSet
+            Manifest(entry.version, entry.op,
+              base.filterNot(fe => gone.contains(fe.path)) ++ entry.files, entry.ts)
+          }
+        case entry => throw new IllegalStateException(
+          s"unknown log entry kind '${entry.kind}' at version $version of $dir")
+      }
     resolveCache.synchronized {
       resolveCache.put(key, (st.getModificationTime, st.getLen, m))
     }
@@ -398,7 +522,11 @@ object SnapshotTable {
         } else
           LogEntry(v, op, System.currentTimeMillis(), "delta", added,
             removed.toSeq.sorted)
-      if (tryPublish(f, ld, entry)) return v
+      if (tryPublish(f, ld, entry)) {
+        if (entry.kind == "full" && entry.files.size >= parquetAnchorMinFiles)
+          writeParquetAnchor(spark, dir, entry)
+        return v
+      }
       attempts += 1 // lost the slot race; rebase onto the winner and retry
       if (attempts > 10000) throw new IllegalStateException(
         s"could not publish a version under $dir after $attempts attempts")
@@ -824,10 +952,14 @@ object SnapshotTable {
             s"could not publish vacuum checkpoint for version $boundary of $dir")
         f.delete(tmp, false) // no-op when rename consumed it
         require(f.exists(ckpt), s"vacuum checkpoint vanished under $dir")
+        if (m.files.size >= parquetAnchorMinFiles)
+          writeParquetAnchor(spark, dir,
+            LogEntry(m.version, m.op, m.ts, "full", m.files, Nil))
       }
       expired.foreach { v =>
         f.delete(new Path(logDir(dir), manifestName(v)), false)
         f.delete(new Path(logDir(dir), ckptName(v)), false) // below the boundary
+        f.delete(new Path(logDir(dir), parquetAnchorName(v)), false)
         f.delete(new Path(logDir(dir), f"v$v%010d.lock"), false) // pre-OCC tables
       }
     }
@@ -838,8 +970,9 @@ object SnapshotTable {
     f.listStatus(logDir(dir)).toSeq
       .filter(_.getModificationTime <= horizon)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith(".tmp-") && n.endsWith(".json"))
-      .foreach(n => f.delete(new Path(logDir(dir), n), false))
+      .filter(n => (n.startsWith(".tmp-") && n.endsWith(".json")) ||
+        n.startsWith(".ckpt-pq-")) // crashed parquet-anchor temp dirs
+      .foreach(n => f.delete(new Path(logDir(dir), n), true))
     dead.map(n => s"data/$n")
   }
 

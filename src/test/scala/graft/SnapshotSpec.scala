@@ -593,4 +593,64 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, dir, Some(7)).count() == 110)
     assert(SnapshotTable.scan(spark, dir, Some(8)).count() == 120)
   }
+
+  test("parquet anchors: written above the threshold, preferred by the " +
+    "reader, byte-equivalent to the JSON entry, fallback intact") {
+    val dir = freshDir()
+    val prop = "graft.snapshot.parquetAnchorMinFiles"
+    val prev = sys.props.get(prop)
+    sys.props(prop) = "1"
+    try {
+      def anchor(v: Long) =
+        java.nio.file.Paths.get(dir, "_log", f"v$v%010d.ckpt.parquet")
+      // v1 overwrite = full anchor with stats + blooms in the entries
+      SnapshotTable.write(spark,
+        spark.range(0, 100).select($"id", concat(lit("k"), $"id").as("key"))
+          .repartition(2),
+        dir, "overwrite", statsCols = Seq("id"), bloomCols = Seq("key"))
+      assert(Files.exists(anchor(1)), "full commit above threshold must " +
+        "materialize a parquet anchor")
+      (2 to 10).foreach { i =>
+        SnapshotTable.write(spark,
+          spark.range(i * 100L, i * 100L + 10)
+            .select($"id", concat(lit("k"), $"id").as("key")).coalesce(1),
+          dir, "append", statsCols = Seq("id"), bloomCols = Seq("key"))
+      }
+      // deltas never anchor; the CheckpointInterval-th version does
+      assert(!Files.exists(anchor(5)))
+      assert(Files.exists(anchor(10)))
+      // the parquet anchor resolves IDENTICALLY to the JSON entry —
+      // stats tuples, bloom words, op and ts all survive the round trip
+      SnapshotTable.invalidateResolveCache()
+      val viaPq = SnapshotTable.readManifest(spark, dir, 10)
+      Files.delete(anchor(10))
+      SnapshotTable.invalidateResolveCache()
+      val viaJson = SnapshotTable.readManifest(spark, dir, 10)
+      assert(viaPq == viaJson,
+        "parquet anchor and JSON entry must resolve to the same manifest")
+      assert(viaPq.files.forall(_.bloom.nonEmpty), "blooms lost in anchor")
+      // a delta above the anchor folds from the parquet anchor (v1's)
+      SnapshotTable.invalidateResolveCache()
+      assert(SnapshotTable.scan(spark, dir, Some(9)).count() == 180)
+      assert(SnapshotTable.scan(spark, dir).count() == 190)
+      // point-skipping still prunes through an anchor-resolved manifest
+      val m = SnapshotTable.readManifest(spark, dir, 10)
+      assert(SnapshotTable.pointCandidates(m, "key", "k105").size < m.files.size)
+      // vacuum: boundary promotion writes ckpt.json AND ckpt.parquet;
+      // expiry deletes the anchors of dropped versions
+      SnapshotTable.vacuum(spark, dir, keepVersions = 4, minAgeMs = 0L)
+      assert(!Files.exists(anchor(1)), "expired version's anchor must go")
+      assert(Files.exists(java.nio.file.Paths.get(
+        dir, "_log", f"v${7L}%010d.ckpt.json")))
+      assert(Files.exists(anchor(7)),
+        "vacuum promotion above threshold must write a parquet anchor too")
+      SnapshotTable.invalidateResolveCache()
+      (7 to 10).foreach { v =>
+        assert(SnapshotTable.scan(spark, dir, Some(v)).count() == 100L + (v - 1) * 10L)
+      }
+    } finally prev match {
+      case Some(p) => sys.props(prop) = p
+      case None => sys.props -= prop
+    }
+  }
 }
