@@ -150,14 +150,15 @@ object ScaleBench {
   /** Anchor-format family (r11): cold manifest resolution from a
     * parquet anchor vs the JSON entry at file counts real local
     * staging can't reach (default 10k and 200k synthetic entries,
-    * each with one stats column). The claim behind
-    * [[graft.sources.SnapshotTable.parquetAnchorMinFiles]]: below
-    * ~10^4 files the Spark-job round trip of the parquet read costs
-    * more than the jackson parse it saves; in the 10^5+ range —
-    * where a 100 TB table's anchors live — the columnar decode wins
-    * and keeps winning as the count grows. Bytes for both formats
-    * land in the artifact too (anchor size is commit-path I/O). */
-  private def manifestFormat(spark: SparkSession): String = {
+    * each with one stats column; AnchorFormatProbe extends to 2M).
+    * Measured result — the honest version of the claim behind
+    * [[graft.sources.SnapshotTable.parquetAnchorMinFiles]]: the
+    * parquet anchor is 6.2-6.4× smaller at every size, which is the
+    * decisive number on object-store storage where the cold path is
+    * anchor-fetch-bound; on local warm-cache disk the jackson parse
+    * stays competitive with the parquet job + collect even at 2M
+    * entries, which is why small tables skip the anchor entirely. */
+  private[graft] def manifestFormat(spark: SparkSession): String = {
     import graft.sources.SnapshotTable
     def timeSec(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9

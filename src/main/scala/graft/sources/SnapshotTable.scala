@@ -138,19 +138,27 @@ object SnapshotTable {
 
   /** Above this live-file count, a full anchor ALSO materializes as a
     * parquet checkpoint (`v*.ckpt.parquet`) that readers prefer over
-    * the JSON entry — Delta's checkpoint.parquet move, for Delta's
-    * reason: at millions of files a JSON anchor is hundreds of MB of
-    * single-threaded jackson parse on the driver's cold path, while
-    * the same rows decode as a columnar read. The JSON commit file
-    * remains the commit-protocol source of truth (atomic publish,
+    * the JSON entry — Delta's checkpoint.parquet move. The JSON commit
+    * file remains the commit-protocol source of truth (atomic publish,
     * OCC); the parquet anchor is DERIVED, written best-effort after
     * the version wins its slot, and a reader that doesn't find one
     * falls back to the JSON — so a crash between publish and anchor
-    * write costs speed, never correctness. Below the threshold the
-    * ~100 ms Spark-job round trip exceeds the jackson parse it
-    * saves, so small tables skip it (measured: the crossover sits
-    * around 10^4-10^5 entries; see ScaleBench's manifest-format
-    * family). Tunable for tests/benches via the system property. */
+    * write costs speed, never correctness.
+    *
+    * What the format buys, per the measured anchor-format family
+    * (ScaleBench / AnchorFormatProbe, local NVMe): BYTES — 6.2-6.4×
+    * smaller at every size (2M entries: 28 MB vs 180 MB). On the
+    * object stores where 10^5+-file tables actually live, the cold
+    * path is dominated by fetching the anchor, so the byte reduction
+    * is the win; reading 180 MB of JSON through ~100 MB/s of S3
+    * bandwidth costs more than everything else combined. On LOCAL
+    * warm-cache disk the single-threaded jackson parse is actually
+    * competitive at every measured size (2M entries: 8.5 s JSON vs
+    * 10.1 s for the parquet job + collect), which is why the
+    * threshold stays high instead of "always": below it the ~0.1 s
+    * Spark-job round trip is pure overhead on the small tables local
+    * deployments have. Tunable for tests/benches via the system
+    * property. */
   def parquetAnchorMinFiles: Int =
     sys.props.get("graft.snapshot.parquetAnchorMinFiles")
       .map(_.toInt).getOrElse(100000)
