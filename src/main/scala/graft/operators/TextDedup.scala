@@ -107,6 +107,67 @@ object TextDedup {
     * Jaccard on shared-shingle counts over the df-capped index (Jaccard
     * is over each doc's non-boilerplate shingles — the CCNet semantic).
     * Returns (doc_a, doc_b, shared, n_a, n_b, jaccard >= threshold). */
+  /** EXACT-threshold word-level Jaccard self-join via PREFIX FILTERING
+    * (the AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08) — the exact counterpart to the approximate LSH paths:
+    * every pair with Jaccard ≥ `threshold` over distinct whitespace
+    * tokens is returned, none missed, no df caps needed.
+    *
+    * Why it scales without caps: records are sorted by ONE global
+    * token order (document frequency ascending, token as tiebreak) and
+    * only each record's PREFIX — its `n - ceil(t·n) + 1` RAREST tokens
+    * — enters the inverted index. Correctness of the prune: J(A,B) ≥ t
+    * implies |A∩B| ≥ t·|A| (since J = o/(|A|+|B|-o) ≥ t and |B| ≥ o),
+    * so if A shared nothing in its prefix, all ≥ ceil(t·|A|) shared
+    * tokens would sit in its last ceil(t·|A|) - 1 positions —
+    * impossible. The index thus holds only the (1-t) rarest fraction
+    * of each record, and candidate volume follows the squared df of
+    * RARE tokens (a pair of 95%-similar records is found via a token
+    * few others carry). A record-length filter (t·n_a ≤ n_b ≤ n_a/t)
+    * prunes inside the join condition. Degenerate worst case — a
+    * corpus of near-identical records — generates candidates
+    * proportional to the true result size, which is the output anyway.
+    *
+    * Plan shape: one token-shuffle for df, one groupBy to sort each
+    * record map-side, an equi-join on prefix tokens (never all-pairs),
+    * and verification joins keyed by doc id, bounded by the candidate
+    * count. Output matches [[ngramJaccardPairs]]: (doc_a, doc_b,
+    * shared, n_a, n_b, jaccard). */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
+    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("tdf"))
+    val docs = tok.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tdf"), col("token")))).as("ts"))
+      .select(col("doc_id"),
+        transform(col("ts"), x => x.getField("token")).as("toks"),
+        size(col("ts")).as("n"))
+    val pref = docs.select(col("doc_id"), col("n"),
+      explode(slice(col("toks"), lit(1),
+        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))).as("token"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= col("a.n") * lit(threshold) &&
+          col("a.n") >= col("b.n") * lit(threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double, maxDf: Int): DataFrame = {
     val sh = capShingleDf(shingleIndex(df, idCol, textCol, k), maxDf)

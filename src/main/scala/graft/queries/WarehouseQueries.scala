@@ -427,6 +427,84 @@ object WarehouseQueries {
         |       COUNT(*) FILTER (event_type = 'view') AS n_view,
         |       COUNT(*) FILTER (event_type = 'click') AS n_click,
         |       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // HyperLogLog distinct-count sketch (functions/cat/HllSketch):
+    // per-flag + global distinct order keys in ONE pass with m=256
+    // one-byte registers per group — the fixed-memory "distinct per
+    // key over 100 TB" shape (KMV's state grows with k; HLL's never).
+    // The rollup row doubles as the mergeability gate: its registers
+    // are the elementwise max of the per-flag sketches, and the
+    // oracle recomputes the same max from scratch. countDistinct
+    // rides along as displayed ground truth (a production plan would
+    // drop it and keep only the one HLL exchange). est_raw is the
+    // raw HLL estimator in IEEE +,*,/ only — bit-identical in any
+    // engine; the linear-counting branch derives from v_zero.
+    "q5V_hll_distinct" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "lineitem")
+        .rollup(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          graft.functions.cat.HllAgg(col("l_orderkey"), 256).as("hll"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("src"),
+          col("n_exact"), col("hll.v_zero").as("v_zero"),
+          col("hll.s_scaled").as("s_scaled"),
+          col("hll.est_raw").as("est_raw"))
+        .orderBy("src"),
+      {
+        // The HllAgg.hash48 mirror: CRT pair of the two polyhashes,
+        // splitmix64 finalizer in UHUGEINT (the wraparound multiplies
+        // the JVM gets free from Long overflow), truncated mod 2^48.
+        val key = "CAST(l_orderkey AS VARCHAR)"
+        val h1 = QueryDef.duckPolyHash(key)
+        val h2 = QueryDef.duckPolyHash(key, 131, 998244353L)
+        val w64 = "18446744073709551616" // 2^64
+        s"""WITH z0 AS (
+           |  SELECT l_returnflag, l_orderkey,
+           |         CAST($h1 AS UHUGEINT) * 998244353
+           |           + CAST($h2 AS UHUGEINT) AS z
+           |  FROM lineitem),
+           |z2 AS (
+           |  SELECT l_returnflag, l_orderkey,
+           |         (xor(z, z >> 27) * CAST(10723151780598845931 AS UHUGEINT))
+           |           % CAST($w64 AS UHUGEINT) AS z
+           |  FROM (SELECT l_returnflag, l_orderkey,
+           |               (xor(z, z >> 30)
+           |                 * CAST(13787848793156543929 AS UHUGEINT))
+           |                 % CAST($w64 AS UHUGEINT) AS z
+           |        FROM z0)),
+           |b AS (
+           |  SELECT l_returnflag, l_orderkey,
+           |         h % 256 AS j,
+           |         CASE WHEN h // 256 = 0 THEN 41
+           |              ELSE 41 - length(printf('%b', h // 256)) END AS rho
+           |  FROM (SELECT l_returnflag, l_orderkey,
+           |               CAST(xor(z, z >> 31)
+           |                 % CAST(281474976710656 AS UHUGEINT) AS BIGINT) AS h
+           |        FROM z2)),
+           |regs AS (
+           |  SELECT CAST(l_returnflag AS VARCHAR) AS src, j, MAX(rho) AS r
+           |  FROM b GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT 'ALL' AS src, j, MAX(rho) AS r FROM b GROUP BY 2),
+           |sums AS (
+           |  SELECT src,
+           |         CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+           |         CAST(SUM(CAST(1 AS BIGINT) << (41 - r))
+           |              + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 41)
+           |              AS BIGINT) AS s_scaled
+           |  FROM regs GROUP BY 1),
+           |ex AS (
+           |  SELECT CAST(l_returnflag AS VARCHAR) AS src,
+           |         COUNT(DISTINCT l_orderkey) AS n_exact
+           |  FROM lineitem GROUP BY 1
+           |  UNION ALL
+           |  SELECT 'ALL', COUNT(DISTINCT l_orderkey) FROM lineitem)
+           |SELECT s.src, ex.n_exact, s.v_zero, s.s_scaled,
+           |       (CAST(0.7213 AS DOUBLE) / (1.0 + 1.079 / 256.0))
+           |         * 256.0 * 256.0 * 2199023255552.0
+           |         / CAST(s.s_scaled AS DOUBLE) AS est_raw
+           |FROM sums s JOIN ex ON s.src = ex.src
+           |ORDER BY 1""".stripMargin
+      })
   )
 }

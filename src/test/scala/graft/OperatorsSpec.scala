@@ -490,6 +490,92 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(e1 - 5000) / 5000.0 < 0.5) // coarse sketch, sane estimate
   }
 
+  test("HllAgg: registers match a scalar reference, partition-independent, " +
+    "rollup row merges the group sketches, estimate within error bound") {
+    import graft.functions.cat.HllAgg
+    val n = 5000
+    val df = spark.range(n).select(
+      (col("id") % 2).cast("string").as("g"), col("id").cast("string").as("v"))
+    // scalar reference registers over the same values
+    def refSketch(vals: Iterator[String]): Array[Byte] = {
+      val regs = new Array[Byte](256)
+      vals.foreach { s =>
+        val h = HllAgg.hash48(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        val j = (h % 256).toInt
+        val r = HllAgg.rho(h / 256)
+        if (r > regs(j)) regs(j) = r.toByte
+      }
+      regs
+    }
+    def summary(regs: Array[Byte]): (Long, Long) =
+      (regs.count(_ == 0).toLong, regs.map(r => 1L << (41 - r)).sum)
+    val (refV, refS) = summary(refSketch((0 until n).iterator.map(_.toString)))
+    def run(parts: Int) = df.repartition(parts)
+      .agg(HllAgg(col("v"), 256).as("h"))
+      .select(col("h.v_zero"), col("h.s_scaled"), col("h.est_raw"))
+      .collect()(0)
+    val r1 = run(1)
+    assert((r1.getLong(0), r1.getLong(1)) == ((refV, refS)),
+      "DF registers must equal the scalar reference")
+    val r32 = run(32)
+    assert(r1 == r32, "sketch must be partition-count independent")
+    assert(math.abs(r1.getDouble(2) - n) / n < 0.2, // 1.04/sqrt(256) = 6.5% sigma
+      s"estimate ${r1.getDouble(2)} too far from $n")
+    // mergeability: the rollup's ALL row IS the elementwise max of the
+    // per-group sketches — must equal sketching the whole input at once
+    val all = df.rollup(col("g")).agg(HllAgg(col("v"), 256).as("h"))
+      .filter(col("g").isNull)
+      .select(col("h.v_zero"), col("h.s_scaled")).collect()(0)
+    assert((all.getLong(0), all.getLong(1)) == ((refV, refS)),
+      "rollup-merged sketch must equal the whole-input sketch")
+  }
+
+  test("jaccardPrefixJoin is EXACT: equals brute force with stopwords, " +
+    "identical docs, and boundary-threshold pairs present") {
+    // 40 distinct docs sharing a super-common stopword (the prefix
+    // index must survive hot tokens without caps), 3 identical docs,
+    // one near-dup pair, one pair exactly AT the threshold
+    val docs =
+      (1 to 40).map(i => (i.toLong,
+        s"the unique$i word$i only$i here$i body$i tail$i")) ++
+      Seq(200L, 201L, 202L).map(i => (i, "identical repeated corpus entry verbatim")) ++
+      Seq((300L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (301L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        // |A|=|B|=10, overlap 7 -> J = 7/13 ≈ 0.538
+        (400L, "one two three four five six seven aaa bbb ccc"),
+        (401L, "one two three four five six seven xxx yyy zzz"))
+    val df = docs.toDF("doc_id", "text")
+    def pairsAt(t: Double): Set[(Long, Long)] =
+      graft.operators.TextDedup.jaccardPrefixJoin(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force via an uncapped token self-join (the oracle shape)
+    val tok = df.select(col("doc_id"), explode(array_distinct(
+      graft.functions.TextFunctions.tokens(col("text")))).as("token"))
+    val cnt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    def brute(t: Double): Set[(Long, Long)] = tok.as("a")
+      .join(tok.as("b"), col("a.token") === col("b.token") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("sh"))
+      .join(cnt.withColumnsRenamed(Map("doc_id" -> "da", "n" -> "na")), "da")
+      .join(cnt.withColumnsRenamed(Map("doc_id" -> "db", "n" -> "nb")), "db")
+      .filter(col("sh").cast("double") / (col("na") + col("nb") - col("sh")) >= t)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0.9, 0.7, 0.5).foreach { t =>
+      assert(pairsAt(t) == brute(t), s"prefix join must equal brute force at t=$t")
+    }
+    // the identical triple survives at 0.9; the J=7/13 pair appears
+    // exactly when t crosses its value (>= semantics, no epsilon slop)
+    assert(pairsAt(0.9).contains((200L, 201L)))
+    assert(!pairsAt(0.55).contains((400L, 401L)))
+    assert(pairsAt(7.0 / 13.0).contains((400L, 401L)))
+    // never a cartesian product, even with the hot stopword
+    val plan = graft.operators.TextDedup
+      .jaccardPrefixJoin(df, "doc_id", "text", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+  }
+
   test("text kernels match combinator forms on 500 seeded random docs") {
     val rnd = new scala.util.Random(20260812L)
     val wsChars = " \t\n\r\f"
