@@ -134,34 +134,55 @@ object TextDedup {
     * count. Output matches [[ngramJaccardPairs]]: (doc_a, doc_b,
     * shared, n_a, n_b, jaccard). */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double): DataFrame =
+    setJaccardPrefixJoin(
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("elem")),
+      threshold)
+
+  /** [[jaccardPrefixJoin]] over k-gram SHINGLE sets — the granularity
+    * that stays discriminative on corpora with tiny vocabularies
+    * (word-level sets degenerate there: the local fixture's documents
+    * draw from ~31 distinct words, making most doc PAIRS high-Jaccard
+    * at word level while their shingle sets still separate cleanly —
+    * and with millions of truly-similar pairs the exact result itself
+    * is the blowup, no algorithm fixes that). Same contract as q25's
+    * capped index join but EXACT: no df cap, no missed pairs. */
+  def shingleJaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, threshold: Double): DataFrame =
+    setJaccardPrefixJoin(
+      shingleIndex(df, idCol, textCol, k).distinct()
+        .withColumnRenamed("sh_hash", "elem"),
+      threshold)
+
+  /** Core of the prefix-filtered exact join: `elems` is the DISTINCT
+    * set representation, one (doc_id, elem) row per member. */
+  def setJaccardPrefixJoin(elems: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
-    val tok = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
-    val dfreq = tok.groupBy("token").agg(count(lit(1)).as("tdf"))
-    val docs = tok.join(dfreq, "token")
+    val dfreq = elems.groupBy("elem").agg(count(lit(1)).as("edf"))
+    val docs = elems.join(dfreq, "elem")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("tdf"), col("token")))).as("ts"))
+      .agg(sort_array(collect_list(struct(col("edf"), col("elem")))).as("ts"))
       .select(col("doc_id"),
-        transform(col("ts"), x => x.getField("token")).as("toks"),
+        transform(col("ts"), x => x.getField("elem")).as("es"),
         size(col("ts")).as("n"))
     val pref = docs.select(col("doc_id"), col("n"),
-      explode(slice(col("toks"), lit(1),
-        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))).as("token"))
+      explode(slice(col("es"), lit(1),
+        (col("n") - ceil(col("n") * lit(threshold)) + 1).cast("int"))).as("elem"))
     val cand = pref.as("a")
       .join(pref.as("b"),
-        col("a.token") === col("b.token") &&
+        col("a.elem") === col("b.elem") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= col("a.n") * lit(threshold) &&
           col("a.n") >= col("b.n") * lit(threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      .join(docs.select(col("doc_id").as("doc_a"), col("es").as("es_a"),
         col("n").as("n_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      .join(docs.select(col("doc_id").as("doc_b"), col("es").as("es_b"),
         col("n").as("n_b")), "doc_b")
-      .withColumn("shared", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("shared", size(array_intersect(col("es_a"), col("es_b"))))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)

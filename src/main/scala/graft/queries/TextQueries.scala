@@ -331,24 +331,28 @@ object TextQueries {
          |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
-    // EXACT-threshold word-level Jaccard join via prefix filtering
-    // (AllPairs/PPJoin): every qualifying pair, no caps, no misses —
-    // the exact complement to q25/q26's capped/approximate paths. The
-    // oracle is the uncapped brute force; the Spark side must find
-    // exactly those pairs through the rarest-prefix inverted index.
+    // EXACT-threshold Jaccard join over 5-gram shingle sets via prefix
+    // filtering (AllPairs/PPJoin): every qualifying pair, no df caps,
+    // no misses — the exact complement to q25/q26's capped/approximate
+    // paths, at the same shingle granularity as q25. The oracle is the
+    // UNCAPPED brute force; the Spark side must find exactly those
+    // pairs through the rarest-prefix inverted index.
     "q5W_jaccard_prefix_join" -> QueryDef(
-      (s, dir) => TextDedup.jaccardPrefixJoin(
+      (s, dir) => TextDedup.shingleJaccardPrefixJoin(
           Tables.computeTable(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.7)
+          k = 5, threshold = 0.8)
         .orderBy("doc_a", "doc_b"),
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, t AS token
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
-        |        FROM documents WHERE length(trim(text)) > 0)),
-        |counts AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+      s"""WITH sh1 AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |        FROM documents) t,
+        |       UNNEST(range(1, len(tk) - 3)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, ${duckPolyHash("s")} AS h FROM sh1),
+        |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, CAST(shared AS INT) AS shared,
         |       CAST(ca.n AS INT) AS n_a, CAST(cb.n AS INT) AS n_b,
@@ -356,7 +360,7 @@ object TextQueries {
         |FROM pairs
         |JOIN counts ca ON doc_a = ca.doc_id
         |JOIN counts cb ON doc_b = cb.doc_id
-        |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.7
+        |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
 
     // MinHash + LSH banding, df- and bucket-capped, exact-verified.

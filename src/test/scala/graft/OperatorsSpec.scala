@@ -574,6 +574,26 @@ class OperatorsSpec extends SparkTestBase {
       .jaccardPrefixJoin(df, "doc_id", "text", 0.7)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+    // shingle-set variant: equals the uncapped shingle brute force
+    // (q5W's oracle shape) on the same corpus
+    val sh = graft.operators.TextDedup
+      .shingleIndex(df, "doc_id", "text", 5).distinct()
+    val shCnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shBrute = sh.as("a")
+      .join(sh.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("sh"))
+      .join(shCnt.withColumnsRenamed(Map("doc_id" -> "da", "n" -> "na")), "da")
+      .join(shCnt.withColumnsRenamed(Map("doc_id" -> "db", "n" -> "nb")), "db")
+      .filter(col("sh").cast("double") / (col("na") + col("nb") - col("sh")) >= 0.6)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shPrefix = graft.operators.TextDedup
+      .shingleJaccardPrefixJoin(df, "doc_id", "text", 5, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shPrefix == shBrute,
+      "shingle prefix join must equal the uncapped shingle brute force")
+    assert(shPrefix.contains((200L, 201L))) // identical docs, J = 1
   }
 
   test("text kernels match combinator forms on 500 seeded random docs") {
