@@ -31,6 +31,10 @@ object TextQueries {
   private def duckPolyHash(e: String, base: Int = 31, p: Long = 1000000007L): String =
     QueryDef.duckPolyHash(e, base, p)
 
+  /** q5X sketch size: 256 bottom hashes per corpus ≈ 6% relative
+    * error on the union estimate. */
+  private val KmvK = 256
+
   /** The q5M oracle: the full BPE merge trajectory unrolled as chained
     * DuckDB CTEs — see the q5M entry comment for the encoding and the
     * MATERIALIZED rationale. Generated, because each merge round is
@@ -362,6 +366,88 @@ object TextQueries {
         |JOIN counts cb ON doc_b = cb.doc_id
         |WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // KMV sketch SET ALGEBRA (operators/SketchOps): union /
+    // intersection / Jaccard estimates between two corpora's shingle
+    // sets from bottom-k hash sketches (k = KmvK, ~1/√k relative
+    // error on the union) — each corpus scanned once,
+    // the overlap then arithmetic on 2k longs (the "contamination
+    // matrix across N sources" shape: N scans, not N² joins; the
+    // exact counterpart q3D pays a full shuffle-join per pair). The
+    // exact overlap rides along as displayed ground truth, and every
+    // estimate is a single IEEE op on exact integers, so the whole
+    // row hash-gates bit-for-bit.
+    "q5X_kmv_overlap" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.computeTable(s, dir, "documents")
+        val m = TextDedup.shingleIndex(docs, "doc_id", "text", k = 5)
+          .select((col("doc_id") % 2).as("corpus"),
+            graft.operators.SketchOps.mixHash(col("sh_hash")).as("h"))
+          .distinct()
+        val est = graft.operators.SketchOps.kmvOverlap(m, "corpus", "h", k = KmvK)
+        // exact ground truth from the same distinct (corpus, h) rows:
+        // each h appears in 1 or 2 corpora, so rows - distinct = |A∩B|
+        val ex = m.agg(
+          count(when(col("corpus") === 0, 1)).as("n_a_exact"),
+          count(when(col("corpus") === 1, 1)).as("n_b_exact"),
+          countDistinct(col("h")).as("n_union_exact"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_inter_exact"))
+        est.crossJoin(ex).select(
+          col("k"), col("kth"), col("common"),
+          col("union_est"), col("jaccard_est"), col("inter_est"),
+          col("n_a_exact"), col("n_b_exact"),
+          col("n_union_exact"), col("n_inter_exact"),
+          (col("n_inter_exact").cast("double")
+            / col("n_union_exact").cast("double")).as("jaccard_exact"))
+      },
+      s"""WITH sh1 AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+        |        FROM documents) t,
+        |       UNNEST(range(1, len(tk) - 3)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        |m AS (
+        |  SELECT DISTINCT doc_id % 2 AS corpus,
+        |         ((${duckPolyHash("s")} * 48271 + 11) % 1000000007
+        |           * 48271 + 11) % 1000000007 AS h
+        |  FROM sh1),
+        |mk AS (
+        |  SELECT corpus, h FROM (
+        |    SELECT corpus, h,
+        |           row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+        |    FROM m) WHERE rn <= $KmvK),
+        |u AS (SELECT h FROM (SELECT DISTINCT h FROM mk) ORDER BY h LIMIT $KmvK),
+        |uk AS (SELECT COUNT(*) AS usz, MAX(h) AS kth FROM u),
+        |cm AS (
+        |  SELECT COUNT(*) AS common
+        |  FROM (SELECT h FROM mk WHERE corpus = 0) a
+        |  JOIN (SELECT h FROM mk WHERE corpus = 1) b USING (h)
+        |  CROSS JOIN uk WHERE a.h <= uk.kth),
+        |ex AS (
+        |  SELECT COUNT(*) FILTER (corpus = 0) AS n_a_exact,
+        |         COUNT(*) FILTER (corpus = 1) AS n_b_exact,
+        |         COUNT(DISTINCT h) AS n_union_exact,
+        |         COUNT(*) - COUNT(DISTINCT h) AS n_inter_exact
+        |  FROM m)
+        |SELECT CAST($KmvK AS INT) AS k, uk.kth,
+        |       CAST(cm.common AS INT) AS common,
+        |       CASE WHEN uk.usz >= $KmvK
+        |            THEN CAST(${KmvK - 1} AS DOUBLE) * 1000000007 / CAST(uk.kth AS DOUBLE)
+        |            ELSE CAST(uk.usz AS DOUBLE) END AS union_est,
+        |       CASE WHEN uk.usz >= $KmvK
+        |            THEN CAST(cm.common AS DOUBLE) / $KmvK.0
+        |            ELSE CAST(cm.common AS DOUBLE) / CAST(uk.usz AS DOUBLE)
+        |            END AS jaccard_est,
+        |       (CASE WHEN uk.usz >= $KmvK
+        |             THEN CAST(cm.common AS DOUBLE) / $KmvK.0
+        |             ELSE CAST(cm.common AS DOUBLE) / CAST(uk.usz AS DOUBLE) END)
+        |       * (CASE WHEN uk.usz >= $KmvK
+        |               THEN CAST(${KmvK - 1} AS DOUBLE) * 1000000007 / CAST(uk.kth AS DOUBLE)
+        |               ELSE CAST(uk.usz AS DOUBLE) END) AS inter_est,
+        |       ex.n_a_exact, ex.n_b_exact, ex.n_union_exact, ex.n_inter_exact,
+        |       CAST(ex.n_inter_exact AS DOUBLE)
+        |         / CAST(ex.n_union_exact AS DOUBLE) AS jaccard_exact
+        |FROM uk CROSS JOIN cm CROSS JOIN ex""".stripMargin),
 
     // MinHash + LSH banding, df- and bucket-capped, exact-verified.
     "q26_minhash_lsh" -> QueryDef(
