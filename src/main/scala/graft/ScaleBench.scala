@@ -189,6 +189,82 @@ object ScaleBench {
     out.mkString("{", ",", "}")
   }
 
+  /** Deletion-vector family (r11): the cost class of a SMALL
+    * scattered delete — the discriminating case for merge-on-read.
+    * Two identical tables (default 2M rows × ~100-byte payload in 16
+    * range-partitioned files), one predicate matching ~0.01% of rows
+    * spread over EVERY file:
+    *   - copy-on-write [[graft.sources.SnapshotTable.delete]] must
+    *     rewrite all 16 files — bytes written ≈ the whole table;
+    *   - [[graft.sources.SnapshotTable.deleteVectors]] writes one
+    *     (file, pos) sidecar — bytes written ≈ KBs — and leaves every
+    *     data file untouched.
+    * Also timed: the masked scan vs the plain scan (the broadcast
+    * anti-join's read-side toll), and the purge that folds the
+    * vector in. At 100 TB the bytes column is the whole story: a
+    * GDPR-style removal of a few thousand rows must not rewrite
+    * terabytes. */
+  private def deletionVectorFamily(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotTable
+    val rows = sys.env.getOrElse("SPARK_GRAFT_DV_ROWS", "2000000").toLong
+    val nFiles = 16
+    val every = rows / 200 // ~200 deleted rows scattered across all files
+    def timeSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def build(tag: String): String = {
+      val dir = s"/tmp/graft-scale/dv-$tag-${System.currentTimeMillis()}"
+      val payload = concat(lit("p"),
+        lpad(col("id").cast("string"), 18, "0"), lit("x" * 80))
+      SnapshotTable.write(spark,
+        spark.range(rows).select(col("id"), payload.as("payload"))
+          .repartitionByRange(nFiles, col("id")),
+        dir, "overwrite", Seq("id"))
+      dir
+    }
+    def newBytes(dir: String, vFrom: Long, vTo: Long): Long = {
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = SnapshotTable.readManifest(spark, dir, vFrom).files
+        .map(_.path).toSet
+      val m = SnapshotTable.readManifest(spark, dir, vTo)
+      val dataNew = m.files.filterNot(fe => before.contains(fe.path))
+        .map(fe => fs.getFileStatus(new Path(dir, fe.path)).getLen).sum
+      val dvNew = m.files.flatMap(_.dv.map(_._1)).distinct
+        .map(p => fs.getFileStatus(new Path(dir, p)).getLen).sum
+      dataNew + dvNew
+    }
+    val pred = col("id") % every === 7L
+
+    val cowDir = build("cow")
+    val cowSec = timeSec(SnapshotTable.delete(spark, cowDir, pred, Seq("id")))
+    val vCow = SnapshotTable.latestVersion(spark, cowDir).get
+    val cowBytes = newBytes(cowDir, vCow - 1, vCow)
+    val cowRewrites = SnapshotTable.readManifest(spark, cowDir, vCow).files
+      .map(_.path).toSet
+      .diff(SnapshotTable.readManifest(spark, cowDir, vCow - 1).files.map(_.path).toSet)
+      .size
+
+    val dvDir = build("dv")
+    val plainScanSec = timeSec(SnapshotTable.scan(spark, dvDir).count())
+    val dvSec = timeSec(SnapshotTable.deleteVectors(spark, dvDir, pred))
+    val vDv = SnapshotTable.latestVersion(spark, dvDir).get
+    val dvBytes = newBytes(dvDir, vDv - 1, vDv)
+    val deleted = SnapshotTable.readManifest(spark, dvDir, vDv).files
+      .flatMap(_.dv.map(_._2)).sum
+    val maskedScanSec = timeSec(SnapshotTable.scan(spark, dvDir).count())
+    val purgeSec = timeSec(SnapshotTable.purgeDeletes(spark, dvDir, Seq("id")))
+
+    val fs = new Path(cowDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(cowDir), true)
+    fs.delete(new Path(dvDir), true)
+    s"""{"rows":$rows,"files":$nFiles,"deleted_rows":$deleted,""" +
+      s""""cow":{"sec":$cowSec,"files_rewritten":$cowRewrites,"bytes_written":$cowBytes},""" +
+      s""""dv":{"sec":$dvSec,"files_rewritten":0,"bytes_written":$dvBytes},""" +
+      s""""scan":{"plain_sec":$plainScanSec,"masked_sec":$maskedScanSec},""" +
+      s""""purge_sec":$purgeSec}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -376,6 +452,7 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val snapJson = snapshotLogDepth(spark)
     val anchorJson = manifestFormat(spark)
+    val dvJson = deletionVectorFamily(spark)
 
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
@@ -383,7 +460,7 @@ object ScaleBench {
         s""""factor":$factor,"rows_in":$rowsIn,"rows_out":$rowsOut,"docs_in":$docsIn,""" +
         s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
         s""""stats":$statsJson,"tok":$tokJson,"snapshot":$snapJson,""" +
-        s""""anchor_format":$anchorJson,""" +
+        s""""anchor_format":$anchorJson,"deletion_vectors":$dvJson,""" +
         s""""loadavg":$load,"sf":"$sfDir"}"""
     // versioned artifact (like Bench's bench_out.json): the per-family
     // 1x/10x walls and row counts are the 100 TB evidence — they must

@@ -902,6 +902,45 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Snapshot table, DELETION-VECTOR leg (merge-on-read DELETE):
+    // two stacked dv-deletes commit tiny (file, pos) sidecars instead
+    // of rewriting any data file — the cost class a 100 TB table
+    // needs for scattered small deletes (GDPR removals, retractions)
+    // — then purgeDeletes folds the vectors into rewritten files.
+    // The same rows must come back from BOTH read paths: the masked
+    // merge-on-read scan ('mor') and the post-purge materialized scan
+    // ('purged'). SnapshotSpec asserts the layout effects (data files
+    // byte-untouched, one consolidated sidecar, vacuum behavior);
+    // this query hash-gates the semantics against SQL DELETE.
+    "q5Y_snapshot_dv_delete" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t5Y")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        graft.sources.SnapshotTable.write(s,
+          ords.repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        graft.sources.SnapshotTable.deleteVectors(s, base,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0)
+        graft.sources.SnapshotTable.deleteVectors(s, base,
+          col("o_custkey") % 11 === 4)
+        val mor = graft.sources.SnapshotTable.scan(s, base)
+          .withColumn("phase", lit("mor"))
+        graft.sources.SnapshotTable.purgeDeletes(s, base, Seq("o_orderkey"))
+        val purged = graft.sources.SnapshotTable.scan(s, base)
+          .withColumn("phase", lit("purged"))
+        mor.unionAll(purged).orderBy("phase", "o_orderkey")
+      },
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+        |    AND NOT (o_custkey % 11 = 4))
+        |SELECT *, 'mor' AS phase FROM live
+        |UNION ALL
+        |SELECT *, 'purged' AS phase FROM live
+        |ORDER BY phase, o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

@@ -91,21 +91,33 @@ object SnapshotTable {
   final class CommitConflictException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
-  /** One immutable data file: relative path, row count, (min,max) per
-    * stats column (integral columns only, stored as Long), and an
-    * optional per-column bloom filter ([[BloomBits]] bits as longs)
-    * for point-lookup skipping on NON-integral keys — the skipping
-    * surface (min,max) stats cannot give a string column. */
+  /** One immutable data file: relative path, PHYSICAL row count,
+    * (min,max) per stats column (integral columns only, stored as
+    * Long), an optional per-column bloom filter ([[BloomBits]] bits
+    * as longs) for point-lookup skipping on NON-integral keys — the
+    * skipping surface (min,max) stats cannot give a string column —
+    * and an optional DELETION VECTOR reference `dv`: (relative path
+    * of a sidecar parquet of (file, pos) deleted row positions,
+    * number of this file's rows it deletes). A file with a dv is
+    * read merge-on-read: its physical bytes are untouched, readers
+    * subtract the dv positions ([[deleteVectors]]). Stats and blooms
+    * stay those of the PHYSICAL file — a superset of the live rows,
+    * so data skipping stays conservative-correct. */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
-                             bloom: Map[String, Seq[Long]] = Map.empty)
+                             bloom: Map[String, Seq[Long]] = Map.empty,
+                             dv: Option[(String, Long)] = None) {
+    /** Logical (post-deletion-vector) row count. */
+    def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
+  }
 
   /** `ts` is the publish wall-clock in epoch millis (0 for manifests
     * written before the field existed — they sort before any real
     * timestamp, which is the conservative reading for [[scanAsOf]]). */
   final case class Manifest(version: Long, op: String, files: Seq[FileEntry],
                             ts: Long = 0L) {
-    def totalRows: Long = files.map(_.rows).sum
+    /** Logical row count: physical rows minus deletion-vector rows. */
+    def totalRows: Long = files.map(_.liveRows).sum
   }
 
   /** Per-file bloom geometry: 1024 bits / 4 probes ≈ 1% fpp at ~100
@@ -190,7 +202,13 @@ object SnapshotTable {
     org.apache.spark.sql.types.StructField("op",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("ts",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+      org.apache.spark.sql.types.LongType, nullable = false),
+    // deletion-vector ref; nulls on dv-less entries AND on anchors
+    // written before the field existed (schema merge reads them null)
+    org.apache.spark.sql.types.StructField("dv_path",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("dv_rows",
+      org.apache.spark.sql.types.LongType, nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
     * version: single-file write (temp dir + rename of the part file),
@@ -204,7 +222,9 @@ object SnapshotTable {
           fe.path, fe.rows,
           fe.stats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) },
           fe.bloom.map { case (c, ws) => c -> ws },
-          e.op, e.ts)): _*)
+          e.op, e.ts,
+          fe.dv.map(_._1).orNull,
+          fe.dv.map(d => java.lang.Long.valueOf(d._2)).orNull)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -231,9 +251,13 @@ object SnapshotTable {
     val files = rows.toSeq.map { r =>
       val stats = r.getMap[String, scala.collection.Seq[Long]](2)
       val bloom = r.getMap[String, scala.collection.Seq[Long]](3)
+      val dv =
+        if (r.isNullAt(6) || r.isNullAt(7)) None
+        else Some((r.getString(6), r.getLong(7)))
       FileEntry(r.getString(0), r.getLong(1),
         stats.map { case (c, a) => c -> (a(0), a(1)) }.toMap,
-        bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap)
+        bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap,
+        dv)
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -281,6 +305,9 @@ object SnapshotTable {
         }
         sb.append("}")
       }
+      fe.dv.foreach { case (p, n) =>
+        sb.append(s""","dv":{"path":"$p","n":$n}""")
+      }
       sb.append("}")
     }
     sb.append(']')
@@ -324,8 +351,12 @@ object SnapshotTable {
           bloom += e.getKey -> ws.result()
         }
       }
+      val dvn = fe.path("dv") // absent on pre-deletion-vector manifests
+      val dv =
+        if (dvn.isMissingNode) None
+        else Some((dvn.get("path").asText, dvn.get("n").asLong))
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
-        stats.result(), bloom.result())
+        stats.result(), bloom.result(), dv)
     }
     out.result()
   }
@@ -667,6 +698,49 @@ object SnapshotTable {
     commit(spark, dir, opTag.getOrElse(s"gated-$mode"), fresh, carry = carry)
   }
 
+  /** The file NAME a deletion vector keys a row by (staged names are
+    * nonce-unique within a table, so the basename is a stable id that
+    * survives path prefixing). */
+  private def fileKey(path: String): String = new Path(path).getName
+
+  /** Read `files` with deletion vectors applied (merge-on-read) and,
+    * when `keepPos`, the per-row provenance columns `__graft_file`
+    * (data file basename) and `__graft_pos` (row position within it)
+    * retained for callers that build NEW deletion vectors.
+    *
+    * Shape at scale: the dv sidecars are tiny relative to data (they
+    * hold positions of DELETED rows only), so the mask is a broadcast
+    * anti-join on (file, pos) — the corpus never shuffles, and files
+    * without a dv in a dv-free read skip the join entirely (the
+    * common case pays nothing; the plan is the plain parquet scan
+    * with its pushdown/pruning intact). `_metadata.row_index` gives
+    * the in-file position without any row-number window. */
+  private def readFiles(spark: SparkSession, dir: String, files: Seq[FileEntry],
+                        keepPos: Boolean = false): DataFrame = {
+    val paths = files.map(fe => s"$dir/${fe.path}")
+    val plain = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val dvPaths = files.flatMap(_.dv.map(_._1)).distinct
+    if (dvPaths.isEmpty && !keepPos) return plain
+    val withPos = plain
+      .withColumn("__graft_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val masked =
+      if (dvPaths.isEmpty) withPos
+      else {
+        // a shared dv sidecar may carry positions for files outside
+        // this read set (or since rewritten under a new name); the
+        // anti-join ignores them by construction
+        val dv = spark.read.parquet(dvPaths.map(p => s"$dir/$p"): _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+        withPos.join(broadcast(dv),
+          withPos("__graft_file") === dv("__dv_file") &&
+            withPos("__graft_pos") === dv("__dv_pos"),
+          "left_anti")
+      }
+    if (keepPos) masked else masked.drop("__graft_file", "__graft_pos")
+  }
+
   /** The table as of `version` (default: newest). */
   def scan(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
@@ -676,8 +750,7 @@ object SnapshotTable {
       throw new IllegalStateException(s"version $v of $dir is empty; cannot infer schema")
     // mergeSchema: appends may add columns over the table's life
     // (schema evolution); older files surface the new columns as null.
-    spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*)
+    readFiles(spark, dir, m.files)
   }
 
   /** Range read with stats-based data skipping: only files whose
@@ -693,7 +766,7 @@ object SnapshotTable {
       fe.stats.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    spark.read.parquet(hit.map(fe => s"$dir/${fe.path}"): _*)
+    readFiles(spark, dir, hit)
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -742,8 +815,7 @@ object SnapshotTable {
     val hit = pointCandidates(m, keyCol, value)
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(fe => s"$dir/${fe.path}"): _*)
+    readFiles(spark, dir, hit)
       .filter(col(keyCol).cast("string") === value)
   }
 
@@ -829,8 +901,9 @@ object SnapshotTable {
         else lit(null).cast(typeOf(c)).as(c)
       }: _*)
     } else {
-      val base = spark.read.option("mergeSchema", "true")
-        .parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
+      // dv-masked read: a merge rewrite must not resurrect rows a
+      // deletion vector already removed (the rewrite purges the dv)
+      val base = readFiles(spark, dir, rewrite)
       val markedU = updates.withColumn("__isu", lit(true))
       val joined = base.alias("t").join(
         markedU.alias("u"), base(keyCol) === markedU(keyCol), "full_outer")
@@ -876,21 +949,141 @@ object SnapshotTable {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
-    val touched = scan(spark, dir, Some(v))
+    val touched = readFiles(spark, dir, m.files, keepPos = true)
       .filter(predicate)
-      .select(input_file_name().as("__f"))
+      .select(col("__graft_file"))
       .distinct().collect()
-      .map(r => "data/" + new Path(new java.net.URI(r.getString(0)).getPath).getName)
-      .toSet
+      .map(r => r.getString(0)).toSet
     if (touched.isEmpty) return v
-    val rewrite = m.files.filter(fe => touched.contains(fe.path))
-    val kept = spark.read.option("mergeSchema", "true")
-      .parquet(rewrite.map(fe => s"$dir/${fe.path}"): _*)
+    val rewrite = m.files.filter(fe => touched.contains(fileKey(fe.path)))
+    val kept = readFiles(spark, dir, rewrite)
       .filter(!coalesce(predicate, lit(false)))
     val fresh = stageFiles(spark, kept, dir, statsCols)
     commitStaged(spark, dir, "delete", fresh,
       removed = rewrite.map(_.path).toSet, carry = true)
   }
+
+  /** Publish `df` as ONE parquet file at `dir/relPath` (temp dir +
+    * rename of the sole part file, so readers see a complete file or
+    * nothing). Unlike the parquet-anchor writer this THROWS on
+    * failure — a deletion vector is load-bearing, not derived. */
+  private def writeSingleParquet(spark: SparkSession, dir: String,
+                                 df: DataFrame, relPath: String): Unit = {
+    val tmp = new Path(dir, s".dv-${java.util.UUID.randomUUID}")
+    val f = fs(spark, tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = f.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val target = new Path(dir, relPath)
+    if (!f.rename(part, target) && !f.exists(target))
+      throw new IllegalStateException(s"could not publish $target")
+    f.delete(tmp, true)
+  }
+
+  /** DELETE WHERE via DELETION VECTORS (merge-on-read): instead of
+    * rewriting every file that contains a matching row ([[delete]]'s
+    * copy-on-write), commit a tiny sidecar parquet of (file, pos)
+    * row positions and leave the data files untouched. Readers
+    * subtract the positions with a broadcast anti-join
+    * ([[readFiles]]). This is the Delta/Iceberg deletion-vector /
+    * positional-delete design, and it changes the cost class of
+    * small deletes at scale: removing 0.01% of rows scattered over a
+    * 100 TB table costs O(matched rows) bytes written instead of
+    * rewriting every touched multi-GB file (GDPR-style row removal,
+    * late-arriving retractions, per-document takedowns).
+    *
+    * Semantics match [[delete]] exactly: rows where the predicate is
+    * TRUE are removed; NULL-evaluating rows are kept. The commit is
+    * the same OCC transaction as any rewrite — the touched files are
+    * its read set, so a concurrent rewrite of one of them aborts and
+    * retries from the fresh snapshot.
+    *
+    * Each dv commit CONSOLIDATES all live deletion vectors into one
+    * new sidecar (prior vectors' rows are carried over), so a
+    * version references at most one dv file and read-side masking is
+    * a single tiny scan. Consolidation prices the commit at
+    * O(total deleted rows); when that stops being small relative to
+    * the data — the read-side anti-join degrades with it — run
+    * [[purgeDeletes]] (or [[compact]], which purges as it packs) to
+    * fold the vectors into the files. */
+  def deleteVectors(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column): Long =
+    retryOnConflict(s"dv-delete from $dir") {
+      deleteVectorsOnce(spark, dir, predicate)
+    }
+
+  private def deleteVectorsOnce(spark: SparkSession, dir: String,
+                                predicate: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot delete from empty table $dir"))
+    val m = readManifest(spark, dir, v)
+    // the masked read makes `matched` disjoint from already-deleted
+    // positions by construction
+    val matched = readFiles(spark, dir, m.files, keepPos = true)
+      .filter(predicate)
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+    val oldDvPaths = m.files.flatMap(_.dv.map(_._1)).distinct
+    val liveNames = m.files.map(fe => fileKey(fe.path))
+    val prior =
+      if (oldDvPaths.isEmpty) matched.limit(0)
+      else {
+        // prior sidecars may carry rows for files rewritten since
+        // (their names are no longer live) — drop those here so the
+        // consolidated vector never grows dead weight
+        val live = liveNames.toDF("file")
+        spark.read.parquet(oldDvPaths.map(p => s"$dir/$p"): _*)
+          .select(col("file"), col("pos"))
+          .join(broadcast(live), Seq("file"), "left_semi")
+      }
+    val name = s"data/dv-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
+    writeSingleParquet(spark, dir, matched.unionByName(prior), name)
+    val f = fs(spark, new Path(dir))
+    // per-file deleted counts from the (tiny) published sidecar — the
+    // corpus is scanned exactly once, by the write above
+    val counts: Map[String, Long] =
+      spark.read.parquet(s"$dir/$name").groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oldTotal = m.files.flatMap(_.dv.map(_._2)).sum
+    if (counts.values.sum == oldTotal) { // nothing newly matched
+      f.delete(new Path(dir, name), false)
+      return v
+    }
+    val touched = m.files.filter(fe => counts.contains(fileKey(fe.path)))
+    val entries = touched.map { fe =>
+      val n = counts(fileKey(fe.path))
+      require(n <= fe.rows, s"dv rows $n exceed file rows ${fe.rows} (${fe.path})")
+      fe.copy(dv = Some((name, n)))
+    }
+    try commit(spark, dir, "delete-dv", entries,
+      removed = touched.map(_.path).toSet, carry = true)
+    catch {
+      case e: CommitConflictException =>
+        f.delete(new Path(dir, name), false)
+        throw e
+    }
+  }
+
+  /** Fold every live deletion vector into its files: dv-carrying
+    * files are rewritten with only their live rows, the new entries
+    * reference no vector, and the sidecar becomes vacuum-reclaimable.
+    * Delta's `REORG TABLE ... APPLY (PURGE)`. A no-op (no version
+    * burned) when nothing carries a vector. */
+  def purgeDeletes(spark: SparkSession, dir: String,
+                   statsCols: Seq[String] = Nil): Long =
+    retryOnConflict(s"purge deletes of $dir") {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"cannot purge empty table $dir"))
+      val m = readManifest(spark, dir, v)
+      val dvd = m.files.filter(_.dv.isDefined)
+      if (dvd.isEmpty) v
+      else {
+        val fresh = stageFiles(spark, readFiles(spark, dir, dvd), dir, statsCols)
+        commitStaged(spark, dir, "purge", fresh,
+          removed = dvd.map(_.path).toSet, carry = true)
+      }
+    }
 
   /** RESTORE: make `toVersion`'s file list the newest version (a
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
@@ -926,8 +1119,10 @@ object SnapshotTable {
     if (vs.isEmpty) return Nil
     val (expired, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
     // the sweep runs even with nothing expired: crashed writers' aged
-    // orphans get reclaimed on a table whose versions never turn over
-    val referenced = kept.flatMap(readManifest(spark, dir, _).files.map(_.path)).toSet
+    // orphans get reclaimed on a table whose versions never turn over.
+    // Deletion-vector sidecars are referenced data like any file.
+    val referenced = kept.flatMap(readManifest(spark, dir, _).files
+      .flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)).toSet
     val dd = dataDir(dir)
     val f = fs(spark, dd)
     val horizon = System.currentTimeMillis() - minAgeMs
@@ -981,6 +1176,12 @@ object SnapshotTable {
       .filter(n => (n.startsWith(".tmp-") && n.endsWith(".json")) ||
         n.startsWith(".ckpt-pq-")) // crashed parquet-anchor temp dirs
       .foreach(n => f.delete(new Path(logDir(dir), n), true))
+    // crashed stage/dv-sidecar temp dirs live under the table root
+    f.listStatus(new Path(dir)).toSeq
+      .filter(_.getModificationTime <= horizon)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(".stage-") || n.startsWith(".dv-"))
+      .foreach(n => f.delete(new Path(dir, n), true))
     dead.map(n => s"data/$n")
   }
 
@@ -1007,10 +1208,12 @@ object SnapshotTable {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot compact empty table $dir"))
     val m = readManifest(spark, dir, v)
-    val small = m.files.filter(_.rows < smallRows)
+    val small = m.files.filter(_.liveRows < smallRows)
     if (small.size < 2) return v // nothing to gain
-    val smallDf = spark.read.parquet(small.map(fe => s"$dir/${fe.path}"): _*)
-    val nOut = math.max(1, math.ceil(small.map(_.rows).sum.toDouble / targetRows).toInt)
+    // dv-masked: compacting a dv-carrying file PURGES its deletion
+    // vector (the rewrite materializes only live rows)
+    val smallDf = readFiles(spark, dir, small)
+    val nOut = math.max(1, math.ceil(small.map(_.liveRows).sum.toDouble / targetRows).toInt)
     val packed = zorderBy match {
       case Some((c1, c2, bits)) =>
         smallDf.repartitionByRange(nOut,
@@ -1034,17 +1237,22 @@ object SnapshotTable {
   def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     val from = readManifest(spark, dir, fromV)
     val to = readManifest(spark, dir, toV)
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    val removed = from.files.filterNot(fe => toPaths.contains(fe.path))
-    val added = to.files.filterNot(fe => fromPaths.contains(fe.path))
+    // identity includes the deletion-vector ref: a dv-only commit
+    // keeps the file's path but CHANGES its logical content, so the
+    // entry must diff as removed(old dv) + added(new dv) — the diff
+    // then reads both sides masked and the newly-deleted rows surface
+    // as 'delete' pre-images
+    def key(fe: FileEntry) = (fe.path, fe.dv.map(_._1))
+    val fromKeys = from.files.map(key).toSet
+    val toKeys = to.files.map(key).toSet
+    val removed = from.files.filterNot(fe => toKeys.contains(key(fe)))
+    val added = to.files.filterNot(fe => fromKeys.contains(key(fe)))
     if (removed.isEmpty && added.isEmpty)
       return scan(spark, dir, Some(toV)).filter(lit(false))
         .withColumn("change_type", lit(""))
     def readOr(files: Seq[FileEntry], other: Seq[FileEntry]): DataFrame = {
       val use = if (files.nonEmpty) files else other
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(use.map(fe => s"$dir/${fe.path}"): _*)
+      val df = readFiles(spark, dir, use)
       if (files.nonEmpty) df else df.filter(lit(false))
     }
     val pre0 = readOr(removed, added)

@@ -653,4 +653,145 @@ class SnapshotSpec extends SparkTestBase {
       case None => sys.props -= prop
     }
   }
+
+  test("deletion vectors: dv-delete removes rows without touching data files") {
+    val dir = freshDir()
+    val base = spark.range(0, 8000)
+      .select($"id", ($"id" % 13).as("x"))
+      .repartitionByRange(8, $"id")
+    val v1 = SnapshotTable.write(spark, base, dir, "overwrite", Seq("id"))
+    val dataBefore = fsList(dir)
+    val v2 = SnapshotTable.deleteVectors(spark, dir, $"id".between(100, 180))
+    assert(v2 == v1 + 1)
+    // every pre-existing data file is still on disk, byte-untouched;
+    // exactly one dv sidecar appeared
+    val dataAfter = fsList(dir)
+    assert(dataBefore.subsetOf(dataAfter))
+    val sidecars = (dataAfter -- dataBefore).filter(_.startsWith("dv-"))
+    assert(sidecars.size == 1, s"expected one dv sidecar, got $sidecars")
+    // scan semantics identical to a COW delete
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 8000 - 81)
+    assert(cur.filter($"id".between(100, 180)).count() == 0)
+    // manifest: same paths as before, touched entries carry (dv, n)
+    val m = SnapshotTable.readManifest(spark, dir, v2)
+    assert(m.files.map(_.path).toSet ==
+      SnapshotTable.readManifest(spark, dir, v1).files.map(_.path).toSet)
+    assert(m.files.flatMap(_.dv.map(_._2)).sum == 81)
+    assert(m.totalRows == 8000 - 81)
+    // time travel unaffected; no-match dv-delete burns no version
+    assert(SnapshotTable.scan(spark, dir, Some(v1)).count() == 8000)
+    assert(SnapshotTable.deleteVectors(spark, dir, $"id" === 999999L) == v2)
+    // point/range readers mask through the vector too: ids 90..110
+    // minus the deleted 100..110 leaves the 10 below the cut
+    assert(SnapshotTable.readRange(spark, dir, "id", 90, 110).count() == 10)
+  }
+
+  test("deletion vectors: stacked deletes consolidate into one sidecar") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 4000).select($"id", ($"id" % 7).as("x"))
+        .repartitionByRange(4, $"id"),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.deleteVectors(spark, dir, $"x" === 3)
+    val v3 = SnapshotTable.deleteVectors(spark, dir, $"x" === 5)
+    val m = SnapshotTable.readManifest(spark, dir, v3)
+    val dvPaths = m.files.flatMap(_.dv.map(_._1)).distinct
+    assert(dvPaths.size == 1, s"stacked dvs must consolidate, got $dvPaths")
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.filter($"x" === 3 || $"x" === 5).count() == 0)
+    assert(cur.count() ==
+      4000 - spark.range(0, 4000).filter($"id" % 7 === 3 || $"id" % 7 === 5).count())
+    // merge on dv-carrying files must not resurrect deleted rows
+    val updates = spark.range(0, 40).select($"id", lit(-1L).as("x"))
+    SnapshotTable.merge(spark, dir, updates, "id", Seq("id"))
+    val afterMerge = SnapshotTable.scan(spark, dir)
+    assert(afterMerge.filter($"id" >= 40 && ($"x" === 3 || $"x" === 5)).count() == 0,
+      "merge rewrite resurrected dv-deleted rows")
+    assert(afterMerge.filter($"x" === -1).count() == 40)
+  }
+
+  test("deletion vectors: purge folds vectors in; vacuum reclaims the sidecar") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 2000).select($"id", ($"id" % 5).as("x"))
+        .repartitionByRange(2, $"id"),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.deleteVectors(spark, dir, $"x" === 2)
+    assert(fsList(dir).exists(_.startsWith("dv-")))
+    val vPurge = SnapshotTable.purgeDeletes(spark, dir, Seq("id"))
+    val m = SnapshotTable.readManifest(spark, dir, vPurge)
+    assert(m.files.forall(_.dv.isEmpty), "purge must clear every dv ref")
+    assert(SnapshotTable.scan(spark, dir).count() == 2000 - 400)
+    // purge again: no-op, no version burned
+    assert(SnapshotTable.purgeDeletes(spark, dir) == vPurge)
+    // once no kept version references the sidecar, vacuum reclaims it
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(!fsList(dir).exists(_.startsWith("dv-")),
+      "unreferenced dv sidecar must be vacuumed")
+    assert(SnapshotTable.scan(spark, dir).count() == 1600)
+  }
+
+  test("deletion vectors: vacuum keeps a sidecar that kept versions reference") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select($"id", ($"id" % 3).as("x")).coalesce(1),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.deleteVectors(spark, dir, $"x" === 1)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(fsList(dir).exists(_.startsWith("dv-")),
+      "vacuum reclaimed a live deletion vector")
+    assert(SnapshotTable.scan(spark, dir).filter($"x" === 1).count() == 0)
+  }
+
+  test("deletion vectors: dv-delete keeps NULL-evaluating rows") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 10).select($"id", lit("old").as("src")).coalesce(1),
+      dir, "overwrite")
+    SnapshotTable.write(spark,
+      spark.range(10, 20).select($"id", lit("new").as("src"), ($"id" % 3).as("score"))
+        .coalesce(1),
+      dir, "append")
+    val matches = SnapshotTable.scan(spark, dir).filter($"score" === 1).count()
+    assert(matches > 0)
+    SnapshotTable.deleteVectors(spark, dir, $"score" === 1)
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.filter($"score" === 1).count() == 0)
+    assert(cur.filter($"src" === "old").count() == 10)
+    assert(cur.count() == 20 - matches)
+  }
+
+  test("deletion vectors: changes() surfaces dv-deleted rows as pre-images") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id", ($"id" % 10).as("x")).coalesce(1),
+      dir, "overwrite", Seq("id"))
+    val v2 = SnapshotTable.deleteVectors(spark, dir, $"x" === 4)
+    val ch = SnapshotTable.changes(spark, dir, v2 - 1, v2)
+    val byType = ch.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("delete", 0L) == 10, s"got $byType")
+    // survivors are in both sides' masked reads and cancel in the
+    // multiset diff: a dv commit's change feed is EXACTLY the deletes
+    assert(byType.getOrElse("upsert", 0L) == 0, s"got $byType")
+    val deleted = ch.filter($"change_type" === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(deleted == (0L until 100L).filter(_ % 10 == 4).toSet)
+  }
+
+  test("deletion vectors: compact purges vectors while packing") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 600).select($"id", ($"id" % 2).as("x"))
+        .repartition(6),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.deleteVectors(spark, dir, $"x" === 1)
+    val vc = SnapshotTable.compact(spark, dir, smallRows = 1000, targetRows = 1000,
+      statsCols = Seq("id"))
+    val m = SnapshotTable.readManifest(spark, dir, vc)
+    assert(m.files.forall(_.dv.isEmpty))
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 300 && cur.filter($"x" === 1).count() == 0)
+  }
 }
