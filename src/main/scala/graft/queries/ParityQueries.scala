@@ -941,6 +941,39 @@ object ParityQueries {
         |SELECT *, 'purged' AS phase FROM live
         |ORDER BY phase, o_orderkey""".stripMargin),
 
+    // Snapshot table, DV-UPDATE leg (merge-on-read UPDATE): matched
+    // rows' positions join the deletion vector and their transformed
+    // images append as fresh files — one commit, zero data files
+    // rewritten — then a dv-DELETE stacks on top (the two vector ops
+    // consolidate into one sidecar). The oracle is the plain SQL
+    // UPDATE-then-DELETE read. SnapshotSpec asserts the layout
+    // effects (original files byte-untouched, updates appended).
+    "q5Z_snapshot_dv_update" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t5Z")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.write(s,
+          ords.repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        graft.sources.SnapshotTable.updateVectors(s, base,
+          col("o_orderkey") % 9 === 2,
+          Seq("o_totalprice" -> (col("o_totalprice") * 2),
+            "o_orderpriority" -> lit("9-UPDATED")),
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.deleteVectors(s, base,
+          col("o_custkey") % 13 === 6)
+        graft.sources.SnapshotTable.scan(s, base).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 9 = 2 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderkey % 9 = 2 THEN '9-UPDATED'
+        |            ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_custkey % 13 = 6)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

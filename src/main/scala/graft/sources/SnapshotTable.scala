@@ -1013,26 +1013,28 @@ object SnapshotTable {
       deleteVectorsOnce(spark, dir, predicate)
     }
 
-  private def deleteVectorsOnce(spark: SparkSession, dir: String,
-                                predicate: org.apache.spark.sql.Column): Long = {
+  /** Stage the consolidated deletion-vector sidecar for `predicate`'s
+    * matches against snapshot `m`: publishes a new sidecar holding the
+    * matched positions plus every prior vector's still-live rows, and
+    * returns (sidecar path, dv-carrying replacement entries). None —
+    * with the sidecar already cleaned up — when nothing new matched.
+    * The masked read makes the matches disjoint from already-deleted
+    * positions by construction. */
+  private def stageDvSidecar(spark: SparkSession, dir: String, m: Manifest,
+                             predicate: org.apache.spark.sql.Column):
+      Option[(String, Seq[FileEntry])] = {
     import spark.implicits._
-    val v = latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"cannot delete from empty table $dir"))
-    val m = readManifest(spark, dir, v)
-    // the masked read makes `matched` disjoint from already-deleted
-    // positions by construction
     val matched = readFiles(spark, dir, m.files, keepPos = true)
       .filter(predicate)
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
     val oldDvPaths = m.files.flatMap(_.dv.map(_._1)).distinct
-    val liveNames = m.files.map(fe => fileKey(fe.path))
     val prior =
       if (oldDvPaths.isEmpty) matched.limit(0)
       else {
         // prior sidecars may carry rows for files rewritten since
         // (their names are no longer live) — drop those here so the
         // consolidated vector never grows dead weight
-        val live = liveNames.toDF("file")
+        val live = m.files.map(fe => fileKey(fe.path)).toDF("file")
         spark.read.parquet(oldDvPaths.map(p => s"$dir/$p"): _*)
           .select(col("file"), col("pos"))
           .join(broadcast(live), Seq("file"), "left_semi")
@@ -1048,7 +1050,7 @@ object SnapshotTable {
     val oldTotal = m.files.flatMap(_.dv.map(_._2)).sum
     if (counts.values.sum == oldTotal) { // nothing newly matched
       f.delete(new Path(dir, name), false)
-      return v
+      return None
     }
     val touched = m.files.filter(fe => counts.contains(fileKey(fe.path)))
     val entries = touched.map { fe =>
@@ -1056,14 +1058,73 @@ object SnapshotTable {
       require(n <= fe.rows, s"dv rows $n exceed file rows ${fe.rows} (${fe.path})")
       fe.copy(dv = Some((name, n)))
     }
-    try commit(spark, dir, "delete-dv", entries,
-      removed = touched.map(_.path).toSet, carry = true)
-    catch {
-      case e: CommitConflictException =>
-        f.delete(new Path(dir, name), false)
-        throw e
+    Some((name, entries))
+  }
+
+  private def deleteVectorsOnce(spark: SparkSession, dir: String,
+                                predicate: org.apache.spark.sql.Column): Long = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot delete from empty table $dir"))
+    val m = readManifest(spark, dir, v)
+    stageDvSidecar(spark, dir, m, predicate) match {
+      case None => v
+      case Some((name, entries)) =>
+        try commit(spark, dir, "delete-dv", entries,
+          removed = entries.map(_.path).toSet, carry = true)
+        catch {
+          case e: CommitConflictException =>
+            fs(spark, new Path(dir)).delete(new Path(dir, name), false)
+            throw e
+        }
     }
   }
+
+  /** UPDATE WHERE via deletion vectors (merge-on-read): matched rows'
+    * positions join the consolidated vector and their TRANSFORMED
+    * images land in freshly appended files — one commit, no data file
+    * rewritten. `assignments` maps column name → new-value expression
+    * (evaluated against the matched rows; unlisted columns carry
+    * over), the SQL `UPDATE SET c = expr WHERE p` shape. Same cost
+    * class as [[deleteVectors]]: O(matched rows) bytes for a
+    * scattered small update instead of rewriting every touched file.
+    * NULL-evaluating rows are untouched, matching SQL semantics. */
+  def updateVectors(spark: SparkSession, dir: String,
+                    predicate: org.apache.spark.sql.Column,
+                    assignments: Seq[(String, org.apache.spark.sql.Column)],
+                    statsCols: Seq[String] = Nil): Long =
+    retryOnConflict(s"dv-update of $dir") {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"cannot update empty table $dir"))
+      val m = readManifest(spark, dir, v)
+      val cols = scan(spark, dir, Some(v)).columns.toSeq
+      val assign = assignments.toMap
+      val unknown = assign.keySet -- cols.toSet
+      require(unknown.isEmpty, s"assignments for missing columns $unknown")
+      stageDvSidecar(spark, dir, m, predicate) match {
+        case None => v
+        case Some((name, entries)) =>
+          val f = fs(spark, new Path(dir))
+          try {
+            // second predicate-pruned pass stages the post-images
+            val updated = readFiles(spark, dir, m.files)
+              .filter(predicate)
+              .select(cols.map(c =>
+                assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+            val fresh = stageFiles(spark, updated, dir, statsCols)
+            try commit(spark, dir, "update-dv", entries ++ fresh,
+              removed = entries.map(_.path).toSet, carry = true)
+            catch {
+              case e: CommitConflictException =>
+                fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))
+                throw e
+            }
+          } catch {
+            case t: Throwable =>
+              f.delete(new Path(dir, name), false)
+              throw t
+          }
+      }
+    }
 
   /** Fold every live deletion vector into its files: dv-carrying
     * files are rewritten with only their live rows, the new entries

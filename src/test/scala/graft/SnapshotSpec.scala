@@ -780,6 +780,39 @@ class SnapshotSpec extends SparkTestBase {
     assert(deleted == (0L until 100L).filter(_ % 10 == 4).toSet)
   }
 
+  test("deletion vectors: dv-update transforms rows without rewriting files") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 5000).select($"id", ($"id" % 10).as("x"))
+        .repartitionByRange(5, $"id"),
+      dir, "overwrite", Seq("id"))
+    val dataBefore = fsList(dir)
+    val v2 = SnapshotTable.updateVectors(spark, dir, $"x" === 7,
+      Seq("x" -> lit(-7L)), Seq("id"))
+    // every original data file still on disk; updates appended as new
+    // files plus one dv sidecar — nothing rewritten
+    assert(dataBefore.subsetOf(fsList(dir)))
+    val m = SnapshotTable.readManifest(spark, dir, v2)
+    assert(m.files.flatMap(_.dv.map(_._2)).sum == 500)
+    assert(m.files.count(_.dv.isEmpty) >= 1, "appended post-image files expected")
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 5000)
+    assert(cur.filter($"x" === 7).count() == 0)
+    assert(cur.filter($"x" === -7).count() == 500)
+    // update matching nothing burns no version
+    assert(SnapshotTable.updateVectors(spark, dir, $"x" === 99L,
+      Seq("x" -> lit(0L))) == v2)
+    // a dv-delete can then hit BOTH original and appended rows
+    SnapshotTable.deleteVectors(spark, dir, $"x" === -7 || $"x" === 2)
+    val after = SnapshotTable.scan(spark, dir)
+    assert(after.count() == 5000 - 500 - 500)
+    assert(after.filter($"x" === -7 || $"x" === 2).count() == 0)
+    // unknown assignment column fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateVectors(spark, dir, $"x" === 1, Seq("nope" -> lit(1)))
+    }
+  }
+
   test("deletion vectors: compact purges vectors while packing") {
     val dir = freshDir()
     SnapshotTable.write(spark,
