@@ -75,4 +75,47 @@ object AsOfJoin {
     }.withColumn(refTs, when(fresh, col(refTs)))
     out.select((keyCols ++ leftPayload ++ (refTs +: refCols)).map(col): _*)
   }
+
+  /** FORWARD as-of join: attach the single right row with the same key
+    * and the SMALLEST right timestamp `>=` the left row's timestamp —
+    * pandas `merge_asof(direction='forward')`, the "next event after"
+    * shape (next maintenance window after an alert, next price tick
+    * after an order). Mirror of [[asOf]]: one union-tagged window, no
+    * join; left rows sort BEFORE right rows at equal timestamps so the
+    * frame [current, following] sees the equal-instant right row and
+    * the match is inclusive. `toleranceUs` bounds how far AHEAD the
+    * match may be. Same right-side uniqueness precondition. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  tsCol: String, rightValueCols: Seq[String],
+                  refPrefix: String = "ref_",
+                  toleranceUs: Long = Long.MaxValue): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val refTs = s"$refPrefix${tsCol}_us"
+    val refCols = rightValueCols.map(refPrefix + _)
+    val leftPayload = leftCols.filterNot(keyCols.contains)
+    val l = left
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__side", lit(0))
+    val r = right
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__side", lit(1))
+      .select((keyCols :+ "__us" :+ "__side").map(col) ++
+        (col("__us").as(refTs) +:
+          rightValueCols.map(c => col(c).as(refPrefix + c))): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__us"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = (refTs +: refCols).foldLeft(
+      l.unionByName(r, allowMissingColumns = true)) {
+      (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+
+    val fresh = col(refTs).isNotNull &&
+      (col(refTs) - col("__us") <= toleranceUs)
+    val out = refCols.foldLeft(carried.filter(col("__side") === 0)) {
+      (df, c) => df.withColumn(c, when(fresh, col(c)))
+    }.withColumn(refTs, when(fresh, col(refTs)))
+    out.select((keyCols ++ leftPayload ++ (refTs +: refCols)).map(col): _*)
+  }
 }

@@ -42,6 +42,36 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** INTERVAL-OVERLAP join: every (a, b) pair with equal `keyCols`
+    * and `a.start <= b.end AND b.start <= a.end` — the genomics /
+    * temporal-overlap workhorse (sessions × promo windows, downtime ×
+    * on-call shifts). Same equi-binning as [[pointInInterval]], but a
+    * pair of overlapping intervals meets in EVERY bin their spans
+    * share — so each surviving pair is counted only in the bin that
+    * contains the overlap's START, `max(a.start, b.start)`. That bin
+    * is covered by both intervals by definition, making the output
+    * exactly-once with no dedup (no distinct, no shuffle beyond the
+    * one hash join). Inner join; output = a columns ++ b columns
+    * (callers rename upstream on collision). Fan-out per interval is
+    * span/binWidth + 1 — pick `binWidth` near the typical span. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ab = a.withColumn("__bin",
+      explode(sequence(
+        floorDiv(col(aStart), binWidth), floorDiv(col(aEnd), binWidth))))
+    val bb = b.withColumn("__bin",
+      explode(sequence(
+        floorDiv(col(bStart), binWidth), floorDiv(col(bEnd), binWidth))))
+    ab.join(bb, keyCols :+ "__bin")
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("__bin") ===
+        floorDiv(greatest(col(aStart), col(bStart)), binWidth))
+      .drop("__bin")
+  }
+
   /** Exact floored integer division: subtracting the nonnegative
     * `pmod` makes the numerator an exact multiple of `w`, so the
     * double divide is exact (no truncate-vs-round edge at bin

@@ -193,6 +193,88 @@ object EventQueries {
         |              AND e.us BETWEEN s.session_start_us AND s.session_end_us
         |ORDER BY e.event_id""".stripMargin),
 
+    // FORWARD as-of join (pandas merge_asof direction='forward'):
+    // every non-signup event picks up its user's NEXT (or
+    // same-instant) signup. Same single-shuffle union+window form as
+    // q3L, frame flipped to [current, following]. Oracle is DuckDB's
+    // native ASOF LEFT JOIN with the inequality reversed.
+    "q6B_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.computeTable(s, dir, "events")
+        val left = ev.filter(col("event_type") =!= "signup")
+          .select("event_id", "user_id", "event_type", "ts")
+        val right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("signup_event"), col("value").as("signup_value"))
+        graft.operators.AsOfJoin.asOfForward(left, right, Seq("user_id"), "ts",
+            Seq("signup_event", "signup_value"))
+          .select("event_id", "user_id", "event_type",
+            "ref_ts_us", "ref_signup_event", "ref_signup_value")
+          .orderBy("event_id")
+      },
+      """WITH l AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type <> 'signup'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         event_id AS signup_event, value AS signup_value
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT l.event_id, l.user_id, l.event_type,
+        |       r.us AS ref_ts_us,
+        |       r.signup_event AS ref_signup_event,
+        |       r.signup_value AS ref_signup_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us <= r.us
+        |ORDER BY l.event_id""".stripMargin),
+
+    // INTERVAL-OVERLAP join: gap sessions × ±10-minute promo windows
+    // around purchases. The equi-binned index turns the double
+    // inequality into a hash join; each overlapping pair is emitted
+    // only from the bin holding the overlap's START, so the rows are
+    // exactly-once with no dedup (PlansSpec pins no cartesian).
+    // Oracle runs the plain double-inequality join over the same
+    // session CTE as q3M.
+    "q6A_interval_overlap" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.computeTable(s, dir, "events")
+        val sessions = Sessionize.sessions(ev, gapMinutes = 30)
+          .select("user_id", "session_seq", "session_start_us", "session_end_us")
+        val promos = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("promo_event"),
+            (unix_micros(col("ts")) - 600L * 1000000L).as("promo_start_us"),
+            (unix_micros(col("ts")) + 600L * 1000000L).as("promo_end_us"))
+        graft.operators.RangeJoin.intervalOverlap(sessions, promos,
+            Seq("user_id"), "session_start_us", "session_end_us",
+            "promo_start_us", "promo_end_us", binWidth = 3600L * 1000000L)
+          .select("user_id", "session_seq", "promo_event",
+            "session_start_us", "promo_start_us")
+          .orderBy("user_id", "session_seq", "promo_event")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (
+        |  SELECT *, CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM m),
+        |s AS (
+        |  SELECT user_id, session_seq, min(us) AS session_start_us,
+        |         max(us) AS session_end_us
+        |  FROM x GROUP BY user_id, session_seq),
+        |p AS (
+        |  SELECT user_id, event_id AS promo_event,
+        |         us - 600000000 AS promo_start_us,
+        |         us + 600000000 AS promo_end_us
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.session_seq, p.promo_event,
+        |       s.session_start_us, p.promo_start_us
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |              AND s.session_start_us <= p.promo_end_us
+        |              AND p.promo_start_us <= s.session_end_us
+        |ORDER BY s.user_id, s.session_seq, p.promo_event""".stripMargin),
+
     // Bottom-k quantile sketch: the scale path for exact quantiles
     // (q3R). Min-k-by-hash is the same mergeable monoid as the KMV
     // sketch; WindowGroupLimit prunes to the local min-k before the

@@ -70,6 +70,69 @@ class TemporalJoinsSpec extends SparkTestBase {
     assert(out == Set(-25L, -5L))
   }
 
+  test("asOfForward picks earliest right >= left, inclusive, null after last") {
+    val left = Seq(
+      (1L, 100L, ts(50)),  // before r10 -> r10
+      (1L, 101L, ts(100)), // equal ts -> inclusive match r10
+      (1L, 102L, ts(250)), // between -> r20
+      (1L, 103L, ts(300)), // equal ts r20 -> r20
+      (1L, 104L, ts(350)), // after every right row -> null refs
+      (2L, 200L, ts(500))  // key with no right rows at all
+    ).toDF("k", "id", "t")
+    val right = Seq(
+      (1L, ts(100), 10L),
+      (1L, ts(300), 20L)
+    ).toDF("k", "t", "rv")
+    val out = AsOfJoin.asOfForward(left, right, Seq("k"), "t", Seq("rv"))
+      .orderBy("id")
+      .select("id", "ref_rv").as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq(
+      100L -> Some(10L), 101L -> Some(10L), 102L -> Some(20L),
+      103L -> Some(20L), 104L -> None, 200L -> None))
+    // tolerance bounds how far AHEAD the match may be
+    val tol = AsOfJoin.asOfForward(left, right, Seq("k"), "t", Seq("rv"),
+        toleranceUs = 40L * 1000000L)
+      .orderBy("id").select("id", "ref_rv").as[(Long, Option[Long])].collect()
+    assert(tol.toSeq == Seq(
+      100L -> None /* 50 s ahead */, 101L -> Some(10L), 102L -> None,
+      103L -> Some(20L), 104L -> None, 200L -> None))
+  }
+
+  test("intervalOverlap finds each overlapping pair exactly once across bins") {
+    // width-10 bins; overlaps spanning multiple shared bins must not dup
+    val aa = Seq((1L, 0L, 35L, "a1"), (1L, 50L, 55L, "a2"),
+      (2L, 0L, 5L, "a3")).toDF("k", "alo", "ahi", "atag")
+    val bb = Seq((1L, 5L, 60L, "b1"), (1L, 36L, 49L, "b2"),
+      (2L, 6L, 9L, "b3"), (3L, 0L, 9L, "b4")).toDF("k", "blo", "bhi", "btag")
+    val out = RangeJoin.intervalOverlap(aa, bb, Seq("k"),
+        "alo", "ahi", "blo", "bhi", binWidth = 10L)
+      .select("atag", "btag").as[(String, String)].collect().toSeq
+    // a1×b1 share bins 0..3 — exactly once; touching endpoints are
+    // inclusive (a2 [50,55] × b1 [5,60]); disjoint/cross-key drop
+    assert(out.sorted == Seq("a1" -> "b1", "a2" -> "b1").sorted)
+    assert(out.size == 2, "multi-bin overlap must emit exactly once")
+  }
+
+  test("intervalOverlap matches a brute-force double-inequality join (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val mk = (n: Int) => Seq.tabulate(n) { i =>
+      val lo = rnd.nextInt(1000).toLong - 500L
+      (rnd.nextInt(4).toLong, lo, lo + rnd.nextInt(60))
+    }
+    val aa = mk(300).zipWithIndex.map { case ((k, lo, hi), i) => (k, lo, hi, i.toLong) }
+      .toDF("k", "alo", "ahi", "aid")
+    val bb = mk(300).zipWithIndex.map { case ((k, lo, hi), i) => (k, lo, hi, i.toLong) }
+      .toDF("k", "blo", "bhi", "bid")
+    val fast = RangeJoin.intervalOverlap(aa, bb, Seq("k"),
+        "alo", "ahi", "blo", "bhi", binWidth = 25L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    val brute = aa.join(bb, aa("k") === bb("k") &&
+        aa("alo") <= bb("bhi") && bb("blo") <= aa("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(fast.sorted == brute.sorted)
+    assert(fast.size == fast.toSet.size, "no pair may be emitted twice")
+  }
+
   test("asOf plan contains no join operator, one exchange") {
     val left = spark.range(10).select(col("id").as("k"), col("id").as("lid"),
       timestamp_seconds(col("id") * 100).as("t"))
