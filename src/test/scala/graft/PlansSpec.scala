@@ -116,6 +116,28 @@ class PlansSpec extends SparkTestBase {
       s"triangle join degenerated:\n$tri")
   }
 
+  test("temporal join plan shapes: equi-bin joins, never nested-loop") {
+    val dir = "/root/testdata/sf0.001"
+    // q6A: the double inequality must ride the equi-bin hash join —
+    // a BroadcastNestedLoopJoin/Cartesian here is O(|A|·|B|) per key
+    val ov = SparkEntry.queries("q6A_interval_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!ov.contains("CartesianProduct") &&
+      !ov.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degenerated to a nested loop:\n$ov")
+    // q6B: forward as-of stays join-free (one window, no join operator)
+    val fwd = SparkEntry.queries("q6B_asof_forward")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!fwd.contains("Join"), s"forward as-of grew a join:\n$fwd")
+    // q5X: the KMV overlap never joins the element sets — the only
+    // join is the 1×1 sketch cross (broadcast); the exact ground truth
+    // is a plain aggregate
+    val kmv = SparkEntry.queries("q5X_kmv_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!kmv.contains("SortMergeJoin") && !kmv.contains("CartesianProduct"),
+      s"KMV overlap joined the full sets:\n$kmv")
+  }
+
   test("lmFitScore model joins broadcast; per-occurrence side never SMJ on w1") {
     // The bigram (w1,w2) and unigram (w1) model tables are slim
     // re-aggregations (vocab-sized); the per-occurrence doc side is
