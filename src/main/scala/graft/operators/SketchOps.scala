@@ -63,18 +63,22 @@ object SketchOps {
     * (k, kth, common, union_est, jaccard_est, inter_est) where `kth`
     * is the union sketch's threshold and `common` the number of
     * sampled hashes present in both sets — the exact-integer state
-    * the three estimates derive from. `setCol` values must sort the
-    * two sets deterministically (the smaller one becomes side a). */
+    * the three estimates derive from. Side a/b assignment follows
+    * the set ids' string sort order (deterministic; the estimates
+    * are symmetric anyway). */
   def kmvOverlap(elems: DataFrame, setCol: String, hashCol: String,
                  k: Int): DataFrame = {
     val mink = bottomK(elems, setCol, hashCol, k)
+    // ONE pass: both sketches fold into a single 2-element struct
+    // array (sorted by the set id's string form), so the element
+    // scan runs once — no per-side limit(1) branches recomputing it
     val perSet = mink.groupBy(col(setCol).as("__set"))
       .agg(sort_array(collect_list(col(hashCol))).as("hs"))
-      .orderBy("__set")
-    val a = perSet.limit(1).select(col("hs").as("hs_a"))
-    val b = perSet.orderBy(col("__set").desc).limit(1)
-      .select(col("hs").as("hs_b"))
-    val sized = a.crossJoin(b) // 1×1, broadcast by construction
+    val sized = perSet
+      .agg(sort_array(collect_list(struct(
+        col("__set").cast("string").as("s"), col("hs")))).as("ps"))
+      .select(element_at(col("ps"), 1).getField("hs").as("hs_a"),
+        element_at(col("ps"), 2).getField("hs").as("hs_b"))
       .withColumn("u", slice(sort_array(array_union(col("hs_a"), col("hs_b"))),
         1, k))
       .withColumn("kth", element_at(col("u"), size(col("u"))))
