@@ -522,17 +522,24 @@ object SnapshotTable {
   }
 
   /** Rebase-validate-publish commit (see protocol in the object doc).
-    * `added` are the txn's staged files; `removed` names the live
-    * files whose CONTENT the txn read and rewrote (its file-level read
-    * set — empty for appends); `carry` says whether the rest of the
-    * current snapshot flows into the new manifest (false for
-    * overwrite/restore, which replace the whole list). Each attempt
-    * rebases onto the CURRENT newest manifest, so concurrent commits
-    * to disjoint files interleave losslessly; a concurrent removal of
-    * anything in `removed` is a lost-update-in-waiting and throws
-    * [[CommitConflictException]]. Returns the committed version. */
+    * `added` are the txn's staged files; `removed` is the txn's
+    * file-level READ SET — each live file whose content the txn read
+    * and replaced, mapped to the deletion-vector ref the txn SAW on
+    * it (None = no vector; empty map for appends); `carry` says
+    * whether the rest of the current snapshot flows into the new
+    * manifest (false for overwrite/restore, which replace the whole
+    * list). Each attempt rebases onto the CURRENT newest manifest, so
+    * concurrent commits to disjoint files interleave losslessly. A
+    * conflict is a read-set entry whose file is now GONE from the
+    * snapshot **or carries a different dv ref** than the txn read —
+    * the dv check matters because a deletion-vector commit changes a
+    * file's logical content while keeping its path, so a path-only
+    * check would let a concurrent rewrite/dv-commit silently drop
+    * those deletions (a lost update). Throws
+    * [[CommitConflictException]]; returns the committed version. */
   private def commit(spark: SparkSession, dir: String, op: String,
-                     added: Seq[FileEntry], removed: Set[String] = Set.empty,
+                     added: Seq[FileEntry],
+                     removed: Map[String, Option[String]] = Map.empty,
                      carry: Boolean = false): Long = {
     val ld = logDir(dir)
     val f = fs(spark, ld)
@@ -544,9 +551,12 @@ object SnapshotTable {
         if (carry) latest.map(readManifest(spark, dir, _).files).getOrElse(Nil)
         else Nil
       if (removed.nonEmpty) {
-        val gone = removed -- current.map(_.path).toSet
+        val currentDv = current.map(fe => fe.path -> fe.dv.map(_._1)).toMap
+        val gone = removed.filter { case (p, sawDv) =>
+          !currentDv.get(p).contains(sawDv)
+        }.keys
         if (gone.nonEmpty) throw new CommitConflictException(
-          s"write-write conflict under $dir: concurrent commit removed " +
+          s"write-write conflict under $dir: concurrent commit changed " +
             s"${gone.mkString(", ")} after this $op read them")
       }
       val v = latest.getOrElse(0L) + 1
@@ -560,7 +570,7 @@ object SnapshotTable {
           LogEntry(v, op, System.currentTimeMillis(), "full", outFiles, Nil)
         } else
           LogEntry(v, op, System.currentTimeMillis(), "delta", added,
-            removed.toSeq.sorted)
+            removed.keys.toSeq.sorted)
       if (tryPublish(f, ld, entry)) {
         if (entry.kind == "full" && entry.files.size >= parquetAnchorMinFiles)
           writeParquetAnchor(spark, dir, entry)
@@ -576,7 +586,8 @@ object SnapshotTable {
   /** Like [[commit]] but deletes the staged `added` files before
     * rethrowing a conflict, so a retried operation leaves no orphans. */
   private def commitStaged(spark: SparkSession, dir: String, op: String,
-                           added: Seq[FileEntry], removed: Set[String],
+                           added: Seq[FileEntry],
+                           removed: Map[String, Option[String]],
                            carry: Boolean): Long =
     try commit(spark, dir, op, added, removed, carry)
     catch {
@@ -702,6 +713,12 @@ object SnapshotTable {
     * nonce-unique within a table, so the basename is a stable id that
     * survives path prefixing). */
   private def fileKey(path: String): String = new Path(path).getName
+
+  /** A rewrite transaction's file-level read set: each file it read,
+    * with the deletion-vector ref seen at read time ([[commit]]'s
+    * conflict unit). */
+  private def readSetOf(files: Seq[FileEntry]): Map[String, Option[String]] =
+    files.map(fe => fe.path -> fe.dv.map(_._1)).toMap
 
   /** Read `files` with deletion vectors applied (merge-on-read) and,
     * when `keepPos`, the per-row provenance columns `__graft_file`
@@ -920,7 +937,7 @@ object SnapshotTable {
     }
     val fresh = stageFiles(spark, merged, dir, statsCols)
     commitStaged(spark, dir, opTag.getOrElse("merge"), fresh,
-      removed = rewrite.map(_.path).toSet, carry = true)
+      removed = readSetOf(rewrite), carry = true)
   }
 
   /** DELETE WHERE: copy-on-write at FILE granularity. Touch detection
@@ -960,7 +977,7 @@ object SnapshotTable {
       .filter(!coalesce(predicate, lit(false)))
     val fresh = stageFiles(spark, kept, dir, statsCols)
     commitStaged(spark, dir, "delete", fresh,
-      removed = rewrite.map(_.path).toSet, carry = true)
+      removed = readSetOf(rewrite), carry = true)
   }
 
   /** Publish `df` as ONE parquet file at `dir/relPath` (temp dir +
@@ -1069,8 +1086,10 @@ object SnapshotTable {
     stageDvSidecar(spark, dir, m, predicate) match {
       case None => v
       case Some((name, entries)) =>
+        val newPaths = entries.map(_.path).toSet
         try commit(spark, dir, "delete-dv", entries,
-          removed = entries.map(_.path).toSet, carry = true)
+          removed = readSetOf(m.files.filter(fe => newPaths.contains(fe.path))),
+          carry = true)
         catch {
           case e: CommitConflictException =>
             fs(spark, new Path(dir)).delete(new Path(dir, name), false)
@@ -1111,8 +1130,10 @@ object SnapshotTable {
               .select(cols.map(c =>
                 assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)
             val fresh = stageFiles(spark, updated, dir, statsCols)
+            val newPaths = entries.map(_.path).toSet
             try commit(spark, dir, "update-dv", entries ++ fresh,
-              removed = entries.map(_.path).toSet, carry = true)
+              removed = readSetOf(m.files.filter(fe => newPaths.contains(fe.path))),
+              carry = true)
             catch {
               case e: CommitConflictException =>
                 fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))
@@ -1142,7 +1163,7 @@ object SnapshotTable {
       else {
         val fresh = stageFiles(spark, readFiles(spark, dir, dvd), dir, statsCols)
         commitStaged(spark, dir, "purge", fresh,
-          removed = dvd.map(_.path).toSet, carry = true)
+          removed = readSetOf(dvd), carry = true)
       }
     }
 
@@ -1283,7 +1304,7 @@ object SnapshotTable {
     }
     val fresh = stageFiles(spark, packed, dir, statsCols)
     commitStaged(spark, dir, "compact", fresh,
-      removed = small.map(_.path).toSet, carry = true)
+      removed = readSetOf(small), carry = true)
   }
 
   /** CDC: the row-level change feed between two versions, computed

@@ -813,6 +813,56 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("deletion vectors: incremental view over a dv change feed == rebuild") {
+    import graft.operators.IncrementalView
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 2000).select(($"id" % 8).as("k"), $"id", ($"id" % 97).cast("double").as("v"))
+        .repartitionByRange(4, $"id"),
+      dir, "overwrite", Seq("id"))
+    val v1 = SnapshotTable.latestVersion(spark, dir).get
+    val view1 = IncrementalView.sumCountView(
+      SnapshotTable.scan(spark, dir, Some(v1)), Seq("k"), "v")
+    val v2 = SnapshotTable.deleteVectors(spark, dir, $"id" % 5 === 0)
+    // the dv-aware change feed drives the refresh — no rescan of
+    // carried data, and the result must equal a from-scratch rebuild
+    val cdc = SnapshotTable.changes(spark, dir, v1, v2)
+    val refreshed = IncrementalView.applyChanges(view1, cdc, Seq("k"), "v")
+    val rebuilt = IncrementalView.sumCountView(
+      SnapshotTable.scan(spark, dir, Some(v2)), Seq("k"), "v")
+    assert(refreshed.orderBy("k").collect().toSeq ==
+      rebuilt.orderBy("k").collect().toSeq)
+  }
+
+  test("deletion vectors: concurrent dv-deletes serialize, none lost") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 3000).select($"id", ($"id" % 10).as("x"))
+        .repartitionByRange(3, $"id"),
+      dir, "overwrite", Seq("id"))
+    // both predicates touch every file -> guaranteed write-write
+    // conflict; the loser must retry from the winner's snapshot so
+    // BOTH deletions land
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = SnapshotTable.deleteVectors(spark, dir, $"x" === 3)
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = SnapshotTable.deleteVectors(spark, dir, $"x" === 7)
+      })
+      assert(Set(f1.get(), f2.get()) == Set(2L, 3L))
+    } finally pool.shutdown()
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 3000 - 300 - 300)
+    assert(cur.filter($"x" === 3 || $"x" === 7).count() == 0)
+    // the later commit consolidated both deletions into one sidecar
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.flatMap(_.dv.map(_._1)).distinct.size == 1)
+    assert(m.files.flatMap(_.dv.map(_._2)).sum == 600)
+  }
+
   test("deletion vectors: compact purges vectors while packing") {
     val dir = freshDir()
     SnapshotTable.write(spark,
