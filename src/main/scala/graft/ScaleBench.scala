@@ -255,13 +255,23 @@ object ScaleBench {
     val maskedScanSec = timeSec(SnapshotTable.scan(spark, dvDir).count())
     val purgeSec = timeSec(SnapshotTable.purgeDeletes(spark, dvDir, Seq("id")))
 
+    // the common production shape: ONE of the files carries a vector
+    // — the split read masks only that file, every other file stays
+    // on the plain scan path, so the toll is ~1/nFiles of the data
+    val oneDir = build("dv1")
+    SnapshotTable.deleteVectors(spark, oneDir,
+      col("id") < rows / nFiles && col("id") % every === 7L)
+    val singleDvScanSec = timeSec(SnapshotTable.scan(spark, oneDir).count())
+
     val fs = new Path(cowDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(cowDir), true)
     fs.delete(new Path(dvDir), true)
+    fs.delete(new Path(oneDir), true)
     s"""{"rows":$rows,"files":$nFiles,"deleted_rows":$deleted,""" +
       s""""cow":{"sec":$cowSec,"files_rewritten":$cowRewrites,"bytes_written":$cowBytes},""" +
       s""""dv":{"sec":$dvSec,"files_rewritten":0,"bytes_written":$dvBytes},""" +
-      s""""scan":{"plain_sec":$plainScanSec,"masked_sec":$maskedScanSec},""" +
+      s""""scan":{"plain_sec":$plainScanSec,"masked_sec":$maskedScanSec,""" +
+      s""""masked_single_file_sec":$singleDvScanSec},""" +
       s""""purge_sec":$purgeSec}"""
   }
 

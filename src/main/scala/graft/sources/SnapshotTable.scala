@@ -727,35 +727,54 @@ object SnapshotTable {
     *
     * Shape at scale: the dv sidecars are tiny relative to data (they
     * hold positions of DELETED rows only), so the mask is a broadcast
-    * anti-join on (file, pos) — the corpus never shuffles, and files
-    * without a dv in a dv-free read skip the join entirely (the
-    * common case pays nothing; the plan is the plain parquet scan
-    * with its pushdown/pruning intact). `_metadata.row_index` gives
-    * the in-file position without any row-number window. */
+    * anti-join on (file, pos) — the corpus never shuffles. The
+    * per-row cost of materializing `_metadata` + probing the join is
+    * paid ONLY by the files that actually carry a vector: the read
+    * splits into a plain scan of vector-free files unioned with the
+    * masked scan of the dv-carrying subset (both against the same
+    * merged schema, so schema evolution behaves exactly like the
+    * single mergeSchema read). A dv-free read (the common case) is
+    * the untouched plain scan with its pushdown/pruning intact.
+    * `_metadata.row_index` gives the in-file position without any
+    * row-number window (Spark keeps it file-absolute under row-group
+    * pruning). */
   private def readFiles(spark: SparkSession, dir: String, files: Seq[FileEntry],
                         keepPos: Boolean = false): DataFrame = {
-    val paths = files.map(fe => s"$dir/${fe.path}")
-    val plain = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-    val dvPaths = files.flatMap(_.dv.map(_._1)).distinct
-    if (dvPaths.isEmpty && !keepPos) return plain
-    val withPos = plain
+    def read(fs: Seq[FileEntry], schema: Option[org.apache.spark.sql.types.StructType]) = {
+      val r = schema.map(spark.read.schema)
+        .getOrElse(spark.read.option("mergeSchema", "true"))
+      r.parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+    }
+    def withPos(df: DataFrame) = df
       .withColumn("__graft_file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-    val masked =
-      if (dvPaths.isEmpty) withPos
-      else {
-        // a shared dv sidecar may carry positions for files outside
-        // this read set (or since rewritten under a new name); the
-        // anti-join ignores them by construction
-        val dv = spark.read.parquet(dvPaths.map(p => s"$dir/$p"): _*)
-          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-        withPos.join(broadcast(dv),
-          withPos("__graft_file") === dv("__dv_file") &&
-            withPos("__graft_pos") === dv("__dv_pos"),
-          "left_anti")
-      }
-    if (keepPos) masked else masked.drop("__graft_file", "__graft_pos")
+    val (dvd, plainFiles) = files.partition(_.dv.isDefined)
+    if (dvd.isEmpty)
+      return if (!keepPos) read(files, None) else withPos(read(files, None))
+    // one driver-side footer pass fixes the merged schema both legs
+    // share (the price any format pays to plan a mixed read)
+    val schema = read(files, None).schema
+    val dvPaths = dvd.flatMap(_.dv.map(_._1)).distinct
+    // a shared dv sidecar may carry positions for files outside this
+    // read set (or since rewritten under a new name); the anti-join
+    // ignores them by construction
+    val dv = spark.read.parquet(dvPaths.map(p => s"$dir/$p"): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val maskedDvd = {
+      val wp = withPos(read(dvd, Some(schema)))
+      wp.join(broadcast(dv),
+        wp("__graft_file") === dv("__dv_file") &&
+          wp("__graft_pos") === dv("__dv_pos"),
+        "left_anti")
+    }
+    val out =
+      if (plainFiles.isEmpty) maskedDvd
+      else if (keepPos) withPos(read(plainFiles, Some(schema)))
+        .unionByName(maskedDvd)
+      else read(plainFiles, Some(schema))
+        .unionByName(maskedDvd.drop("__graft_file", "__graft_pos"))
+    if (keepPos) out else out.drop("__graft_file", "__graft_pos")
   }
 
   /** The table as of `version` (default: newest). */
