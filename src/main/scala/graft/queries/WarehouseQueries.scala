@@ -408,6 +408,28 @@ object WarehouseQueries {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin),
 
+    // CUBE completes the grouping-sets surface (ROLLUP = q5H, PIVOT =
+    // q5I): all four grouping levels — (flag,status), flag-only,
+    // status-only, grand total — from the same single Expand +
+    // aggregate plan, one shuffle. Same decimal-exact sums and 'ALL'
+    // sentinel discipline as the rollup.
+    "q6C_cube" -> QueryDef(
+      (s, dir) => Tables.computeTable(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls"),
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin),
+
     // PIVOT: per-user event counts fanned into one column per event
     // type. The value list is EXPLICIT, so the plan is a single
     // groupBy with conditional aggregates — no extra distinct-values
