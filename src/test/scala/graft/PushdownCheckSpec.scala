@@ -14,4 +14,24 @@ class PushdownCheckSpec extends SparkTestBase {
     assert(pushed.contains("GreaterThan(ts"),
       s"ts filter not pushed to scan:\n$scan")
   }
+
+  test("predicates push into BOTH legs of a deletion-vector-masked scan") {
+    import graft.sources.SnapshotTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dvpush").toString
+    SnapshotTable.write(spark,
+      spark.range(0, 2000).select($"id", ($"id" % 7).as("x"))
+        .repartitionByRange(4, $"id"),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.deleteVectors(spark, dir, $"id" < 500 && $"x" === 3)
+    // one file carries the vector, three stay plain; a residual filter
+    // over the whole scan must reach the parquet scans of BOTH legs —
+    // losing pushdown on the masked leg is a full file read at scale
+    val plan = SnapshotTable.scan(spark, dir).filter($"id" > 1500)
+      .queryExecution.executedPlan.toString
+    val pushedLines = plan.split("\n").filter(_.contains("PushedFilters: ["))
+      .filterNot(_.contains("PushedFilters: []"))
+    assert(pushedLines.count(_.contains("GreaterThan(id,1500)")) >= 2,
+      s"id filter must push into both scan legs:\n$plan")
+  }
 }
