@@ -902,6 +902,50 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey % 10 IN (0, 1, 2, 3)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Snapshot table, DV-MERGE leg (merge-on-read upsert): the same
+    // upsert as q49 — same updates, same whole-row-replace oracle —
+    // but through mergeVectors: matched target rows join the deletion
+    // vector, every update row appends, zero data files rewritten.
+    // The COW merge (q49) and the dv merge (this) must be
+    // semantically indistinguishable; only the layout differs
+    // (SnapshotSpec asserts the layout side).
+    "q6D_snapshot_dv_merge" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6D")
+        val tgt = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.write(s, tgt.repartitionByRange(8,
+          col("o_orderkey")), base, "overwrite", Seq("o_orderkey"))
+        val updates = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"),
+            lit("0-RUSH").as("o_orderpriority"))
+          .unionAll(t(s, dir, "orders")
+            .filter(col("o_orderkey") % 7 === 3)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"))
+        graft.sources.SnapshotTable.mergeVectors(s, base, updates, "o_orderkey",
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.scan(s, base).orderBy("o_orderkey")
+      },
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |         '0-RUSH' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 14 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 3)
+        |SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM tgt t FULL OUTER JOIN upd u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Snapshot table, DELETION-VECTOR leg (merge-on-read DELETE):
     // two stacked dv-deletes commit tiny (file, pos) sidecars instead
     // of rewriting any data file — the cost class a 100 TB table

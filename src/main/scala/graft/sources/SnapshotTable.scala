@@ -1050,19 +1050,27 @@ object SnapshotTable {
     }
 
   /** Stage the consolidated deletion-vector sidecar for `predicate`'s
-    * matches against snapshot `m`: publishes a new sidecar holding the
-    * matched positions plus every prior vector's still-live rows, and
-    * returns (sidecar path, dv-carrying replacement entries). None —
-    * with the sidecar already cleaned up — when nothing new matched.
-    * The masked read makes the matches disjoint from already-deleted
-    * positions by construction. */
+    * matches against snapshot `m` (see [[stageDvSidecarFrom]]). */
   private def stageDvSidecar(spark: SparkSession, dir: String, m: Manifest,
                              predicate: org.apache.spark.sql.Column):
+      Option[(String, Seq[FileEntry])] =
+    stageDvSidecarFrom(spark, dir, m,
+      readFiles(spark, dir, m.files, keepPos = true)
+        .filter(predicate)
+        .select(col("__graft_file").as("file"), col("__graft_pos").as("pos")))
+
+  /** Stage the consolidated deletion-vector sidecar for the given
+    * `matched` (file, pos) position rows against snapshot `m`:
+    * publishes a new sidecar holding the matched positions plus every
+    * prior vector's still-live rows, and returns (sidecar path,
+    * dv-carrying replacement entries). None — with the sidecar
+    * already cleaned up — when nothing new matched. `matched` must be
+    * derived from a keepPos masked read of `m`, which makes it
+    * disjoint from already-deleted positions by construction. */
+  private def stageDvSidecarFrom(spark: SparkSession, dir: String, m: Manifest,
+                                 matched: DataFrame):
       Option[(String, Seq[FileEntry])] = {
     import spark.implicits._
-    val matched = readFiles(spark, dir, m.files, keepPos = true)
-      .filter(predicate)
-      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
     val oldDvPaths = m.files.flatMap(_.dv.map(_._1)).distinct
     val prior =
       if (oldDvPaths.isEmpty) matched.limit(0)
@@ -1163,6 +1171,59 @@ object SnapshotTable {
               f.delete(new Path(dir, name), false)
               throw t
           }
+      }
+    }
+
+  /** MERGE (upsert by key) via DELETION VECTORS — the merge-on-read
+    * form of [[merge]], completing the DML triad next to
+    * [[deleteVectors]]/[[updateVectors]]: matched target rows'
+    * positions join the consolidated vector and EVERY update row
+    * (replacements and brand-new keys alike) lands in freshly
+    * appended files — one commit, zero data files rewritten.
+    * Whole-row-replace semantics identical to [[merge]] without
+    * schema evolution. Cost class: O(|updates| + matched positions)
+    * bytes, vs the COW merge's rewrite of every file whose key range
+    * an update touches — the shape of trickle upserts against a
+    * 100 TB table. Read amplification accrues like any vector;
+    * [[purgeDeletes]]/[[compact]] are the maintenance valve. */
+  def mergeVectors(spark: SparkSession, dir: String, updates: DataFrame,
+                   keyCol: String, statsCols: Seq[String] = Nil): Long =
+    retryOnConflict(s"dv-merge into $dir") {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"cannot merge into empty table $dir"))
+      val m = readManifest(spark, dir, v)
+      val cols = scan(spark, dir, Some(v)).columns.toSeq
+      require(updates.columns.toSeq == cols,
+        s"updates schema ${updates.columns.toSeq} != table schema $cols")
+      require(updates.columns.contains(keyCol), s"updates lack merge key $keyCol")
+      val keys = updates.select(col(keyCol)).distinct()
+      val matched = readFiles(spark, dir, m.files, keepPos = true)
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      val staged = stageDvSidecarFrom(spark, dir, m, matched)
+      val f = fs(spark, new Path(dir))
+      try {
+        val fresh = stageFiles(spark, updates.select(cols.map(col): _*),
+          dir, statsCols)
+        staged match {
+          case None => // pure insert: nothing matched, plain append
+            if (fresh.isEmpty) v
+            else commit(spark, dir, "merge-dv", fresh, carry = true)
+          case Some((name, entries)) =>
+            val newPaths = entries.map(_.path).toSet
+            try commit(spark, dir, "merge-dv", entries ++ fresh,
+              removed = readSetOf(m.files.filter(fe => newPaths.contains(fe.path))),
+              carry = true)
+            catch {
+              case e: CommitConflictException =>
+                fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))
+                throw e
+            }
+        }
+      } catch {
+        case t: Throwable =>
+          staged.foreach { case (name, _) => f.delete(new Path(dir, name), false) }
+          throw t
       }
     }
 

@@ -863,6 +863,47 @@ class SnapshotSpec extends SparkTestBase {
     assert(m.files.flatMap(_.dv.map(_._2)).sum == 600)
   }
 
+  test("deletion vectors: dv-merge upserts without rewriting files") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 4000).select($"id", ($"id" % 10).as("x"))
+        .repartitionByRange(4, $"id"),
+      dir, "overwrite", Seq("id"))
+    val dataBefore = fsList(dir)
+    // 200 replacements (every 20th id) + 100 brand-new keys
+    val updates = spark.range(0, 4000).filter($"id" % 20 === 0)
+      .select($"id", lit(-1L).as("x"))
+      .unionAll(spark.range(4000, 4100).select($"id", lit(-2L).as("x")))
+    val v2 = SnapshotTable.mergeVectors(spark, dir, updates, "id", Seq("id"))
+    // originals untouched; updates appended; one dv sidecar
+    assert(dataBefore.subsetOf(fsList(dir)))
+    val m = SnapshotTable.readManifest(spark, dir, v2)
+    assert(m.files.flatMap(_.dv.map(_._2)).sum == 200)
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 4100)
+    assert(cur.filter($"x" === -1).count() == 200)
+    assert(cur.filter($"x" === -2).count() == 100)
+    assert(cur.filter($"id" % 20 === 0 && $"id" < 4000 && $"x" =!= -1).count() == 0,
+      "matched rows must be superseded, not duplicated")
+    assert(cur.groupBy("id").count().filter($"count" > 1).count() == 0)
+    // semantic equivalence with the COW merge on a twin table
+    val twin = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 4000).select($"id", ($"id" % 10).as("x"))
+        .repartitionByRange(4, $"id"),
+      twin, "overwrite", Seq("id"))
+    SnapshotTable.merge(spark, twin, updates, "id", Seq("id"))
+    assert(SnapshotTable.scan(spark, dir).orderBy("id").collect().toSeq ==
+      SnapshotTable.scan(spark, twin).orderBy("id").collect().toSeq)
+    // a pure insert (no matched keys) is a plain append commit
+    val v3 = SnapshotTable.mergeVectors(spark, dir,
+      spark.range(5000, 5010).select($"id", lit(-3L).as("x")), "id", Seq("id"))
+    assert(v3 == v2 + 1)
+    assert(SnapshotTable.readManifest(spark, dir, v3)
+      .files.flatMap(_.dv.map(_._2)).sum == 200, "pure insert must not grow the vector")
+    assert(SnapshotTable.scan(spark, dir).count() == 4110)
+  }
+
   test("deletion vectors: compact purges vectors while packing") {
     val dir = freshDir()
     SnapshotTable.write(spark,
