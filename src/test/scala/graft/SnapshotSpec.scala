@@ -904,6 +904,26 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, dir).count() == 4110)
   }
 
+  test("deletion vectors: restore to a dv version revives the mask") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select($"id", ($"id" % 4).as("x")).coalesce(1),
+      dir, "overwrite", Seq("id"))
+    val vDv = SnapshotTable.deleteVectors(spark, dir, $"x" === 1)
+    SnapshotTable.purgeDeletes(spark, dir, Seq("id"))
+    // restore: the dv manifest (entries + sidecar ref) becomes newest
+    SnapshotTable.restore(spark, dir, vDv)
+    val cur = SnapshotTable.scan(spark, dir)
+    assert(cur.count() == 750 && cur.filter($"x" === 1).count() == 0)
+    assert(SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.exists(_.dv.isDefined))
+    // vacuum to just the restored version: its sidecar is referenced
+    // and must survive; the scan stays masked
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(fsList(dir).exists(_.startsWith("dv-")))
+    assert(SnapshotTable.scan(spark, dir).count() == 750)
+  }
+
   test("deletion vectors: compact purges vectors while packing") {
     val dir = freshDir()
     SnapshotTable.write(spark,
