@@ -824,16 +824,23 @@ object SnapshotTable {
     * a file drops only when it CARRIES a bloom for `keyCol` and the
     * bloom rejects the value (no bloom → conservative keep). */
   private[graft] def pointCandidates(m: Manifest, keyCol: String,
-                                     value: String): Seq[FileEntry] = {
-    val h = graft.functions.cat.Kernels.polyHash(
-      org.apache.spark.unsafe.types.UTF8String.fromString(value),
-      31, 1000000007L)
-    m.files.filter(fe => fe.bloom.get(keyCol) match {
+                                     value: String): Seq[FileEntry] =
+    m.files.filter(fileMayContain(_, keyCol, value))
+
+  /** Per-file bloom verdict for `keyCol = value`: false only when the
+    * file CARRIES a bloom for `keyCol` and the bloom rejects the value
+    * (no bloom → conservative keep). Shared by [[readEquals]] and the
+    * V2 connector's file skipping. */
+  private[graft] def fileMayContain(fe: FileEntry, keyCol: String,
+                                    value: String): Boolean =
+    fe.bloom.get(keyCol) match {
       case Some(ws) =>
+        val h = graft.functions.cat.Kernels.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(value),
+          31, 1000000007L)
         graft.functions.cat.Kernels.bloomMightContainWords(h, ws.toArray, BloomK)
       case None => true
-    })
-  }
+    }
 
   /** Point lookup with bloom-based data skipping on a string key:
     * only files whose bloom might contain `value` are opened (files

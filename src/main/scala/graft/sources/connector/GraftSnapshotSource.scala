@@ -1,0 +1,347 @@
+package graft.sources.connector
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.{FileEntry, Manifest}
+
+/** DataSource V2 connector for [[graft.sources.SnapshotTable]]:
+  * `spark.read.format("graft_snapshot").load(tableRoot)` (and
+  * `readStream` — see [[SnapshotMicroBatchStream]]) instead of the
+  * programmatic `SnapshotTable.scan`. What the V2 integration buys at
+  * 100 TB, beyond API convenience:
+  *
+  *  - '''File skipping from pushed filters''' — Catalyst hands the
+  *    scan its predicates ([[SupportsPushDownFilters]]); files whose
+  *    manifest (min,max) stats or per-column blooms refute them are
+  *    never opened. Every pushed filter is ALSO re-evaluated by Spark
+  *    post-scan (we return them all as residual), so skipping is
+  *    conservative-correct by construction — the same contract as
+  *    `readRange`/`readEquals`, but driven by the query instead of a
+  *    bespoke call.
+  *  - '''Metadata-only aggregates''' ([[SupportsPushDownAggregates]])
+  *    — un-filtered, un-grouped `COUNT(*)`/`MIN`/`MAX` over stats
+  *    columns are answered straight from the manifest: zero data files
+  *    opened, one one-row partition. COUNT is deletion-vector-exact
+  *    (`liveRows`); MIN/MAX push only when no file carries a dv (a dv
+  *    could have deleted the extremum) and every file has stats for
+  *    the column. Anything else falls back to a normal scan.
+  *  - '''Statistics for the optimizer'''
+  *    ([[SupportsReportStatistics]]) — post-skipping row counts from
+  *    the manifest, so a small snapshot dimension joins broadcast
+  *    without hints.
+  *  - '''Time travel''' via `.option("versionAsOf", v)`.
+  *  - '''Streaming tail''' of the commit log
+  *    (`TableCapability.MICRO_BATCH_READ`): each micro-batch is the
+  *    set of files a range of versions APPENDED — the Delta-style
+  *    "table as an exactly-once stream source".
+  *
+  * The row readers ([[SnapshotPartitions]]) are self-contained
+  * parquet-hadoop readers (no nested Spark jobs), apply deletion
+  * vectors, and prune columns at the parquet projection level. They
+  * support primitive column types only; `SnapshotTable.scan` remains
+  * the full-fidelity (and vectorized) path — the connector is the
+  * declarative surface, with planning-time pruning the programmatic
+  * path cannot get from Catalyst.
+  */
+class GraftSnapshotSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft_snapshot"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = GraftSnapshotSource.tableDir(options)
+    val m = GraftSnapshotSource.resolveManifest(spark, dir, options)
+    require(m.files.nonEmpty,
+      s"version ${m.version} of $dir is empty; cannot infer schema")
+    // one driver-side footer pass, same as SnapshotTable.scan's
+    // mergeSchema read (appends may have widened the schema)
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new SnapshotV2Table(schema,
+      GraftSnapshotSource.tableDir(new CaseInsensitiveStringMap(properties)))
+}
+
+object GraftSnapshotSource {
+  private[connector] def tableDir(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft_snapshot requires a path: spark.read.format(\"graft_snapshot\").load(tableRoot)"))
+
+  /** The manifest a read resolves against: `versionAsOf` or newest. */
+  private[connector] def resolveManifest(spark: SparkSession, dir: String,
+                                         options: CaseInsensitiveStringMap): Manifest = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(SnapshotTable.latestVersion(spark, dir))
+      .getOrElse(throw new IllegalStateException(s"no committed version under $dir"))
+    SnapshotTable.readManifest(spark, dir, v)
+  }
+
+  /** Column types the connector's row readers materialize. Everything
+    * else (nested, decimal, interval) reads via `SnapshotTable.scan`. */
+  private[connector] def validateReadable(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | StringType | BinaryType | DateType |
+             TimestampType | TimestampNTZType => ()
+        case dt => throw new UnsupportedOperationException(
+          s"graft_snapshot reads primitive columns only; column '${f.name}' " +
+            s"has type ${dt.simpleString} — select it away, or read via " +
+            "SnapshotTable.scan for full-fidelity types")
+      }
+    }
+}
+
+/** One snapshot table root exposed to the V2 catalog plumbing. */
+final class SnapshotV2Table(schema: StructType, dir: String)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft_snapshot($dir)"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(schema, dir, options)
+}
+
+/** Catalyst calls, in order: `pushFilters` → (if no residual Filter
+  * node remains above the scan, which for us means the query had no
+  * filters at all) `pushAggregation` → `pruneColumns` → `build`. */
+final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
+                                options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private def spark = SparkSession.active
+  private lazy val manifest: Manifest =
+    GraftSnapshotSource.resolveManifest(spark, dir, options)
+
+  private var required: StructType = tableSchema
+  private var skipping: Array[Filter] = Array.empty
+  private var agg: Option[(StructType, Array[Any])] = None
+
+  /** ALL filters come back as residual — Spark re-evaluates every one
+    * post-scan, so manifest-level skipping only ever has to be
+    * conservative (never exact). The skippable subset is retained for
+    * file pruning and surfaces in `pushedFilters`/explain. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipping = filters.flatMap(SnapshotScan.atoms)
+      .filter(SnapshotScan.usableForSkipping)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = skipping
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    planMetadataAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // partial pushdown (false from supportCompletePushDown) is never
+    // worth it here: a partial scan would still open every file
+    agg = planMetadataAgg(aggregation)
+    agg.isDefined
+  }
+
+  /** COUNT(*)/MIN/MAX answered from the manifest alone, or None.
+    * COUNT is dv-exact (liveRows). MIN/MAX require: single-name
+    * column with (min,max) stats in EVERY file, an integral column
+    * type (stats are stored as Long), at least one live row, and NO
+    * deletion vectors anywhere (a dv may have deleted the extremum;
+    * stats describe the physical file). */
+  private def planMetadataAgg(a: Aggregation): Option[(StructType, Array[Any])] = {
+    if (a.groupByExpressions.nonEmpty) return None
+    val m = manifest
+    val anyDv = m.files.exists(_.dv.isDefined)
+    def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          val name = r.fieldNames.head
+          val integral = tableSchema.fields.find(_.name == name).map(_.dataType)
+            .exists { case ByteType | ShortType | IntegerType | LongType => true; case _ => false }
+          if (integral && !anyDv && m.totalRows > 0 &&
+              m.files.forall(_.stats.contains(name))) Some(name) else None
+        case _ => None
+      }
+    def fieldType(name: String): DataType =
+      tableSchema.fields.find(_.name == name).get.dataType
+    def internal(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    val planned: Array[Option[(StructField, Any)]] = a.aggregateExpressions.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false), m.totalRows))
+      case f: Min =>
+        statsCol(f.column).map { c =>
+          val dt = fieldType(c)
+          (StructField(s"min($c)", dt), internal(m.files.map(_.stats(c)._1).min, dt))
+        }
+      case f: Max =>
+        statsCol(f.column).map { c =>
+          val dt = fieldType(c)
+          (StructField(s"max($c)", dt), internal(m.files.map(_.stats(c)._2).max, dt))
+        }
+      case _: AggregateFunc => None
+    }
+    if (planned.isEmpty || planned.exists(_.isEmpty)) None
+    else Some((StructType(planned.map(_.get._1)), planned.map(_.get._2)))
+  }
+
+  override def build(): Scan = {
+    if (agg.isEmpty) GraftSnapshotSource.validateReadable(required)
+    new SnapshotScan(dir, () => manifest, required, skipping, agg, options)
+  }
+}
+
+/** Batch scan: manifest files surviving stats/bloom skipping, one
+  * input partition per file. Doubles as the streaming scan factory. */
+final class SnapshotScan(dir: String, manifestF: () => Manifest,
+                         required: StructType, skipping: Array[Filter],
+                         agg: Option[(StructType, Array[Any])],
+                         options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val manifest = manifestF()
+
+  private lazy val prunedFiles: Seq[FileEntry] =
+    manifest.files.filter(fe => skipping.forall(SnapshotScan.keeps(fe, _)))
+
+  override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
+
+  override def description(): String = agg match {
+    case Some((schema, _)) =>
+      s"graft_snapshot $dir v=${manifest.version} metadata-only " +
+        s"agg=[${schema.fieldNames.mkString(", ")}]"
+    case None =>
+      s"graft_snapshot $dir v=${manifest.version} " +
+        s"files=${prunedFiles.size}/${manifest.files.size} after skipping, " +
+        s"skippingFilters=[${skipping.mkString(", ")}]"
+  }
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    GraftSnapshotSource.validateReadable(required)
+    new SnapshotMicroBatchStream(dir, required, options)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some((schema, values)) =>
+      Array(MetadataAggPartition(schema.json, values.map {
+        case b: Byte => b.toLong; case s: Short => s.toLong
+        case i: Int => i.toLong; case l: Long => l
+      }))
+    case None =>
+      prunedFiles.map(fe => SnapshotPartitions.partitionFor(dir, fe)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(readSchema())
+
+  /** Post-skipping logical rows from the manifest; size is rows ×
+    * the read schema's fixed-width estimate (the manifest stores row
+    * counts, not byte sizes — this is the estimate Spark itself uses
+    * for in-memory width). Feeds broadcast-join selection. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows =
+      if (agg.isDefined) 1L else prunedFiles.map(_.liveRows).sum
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(rows * readSchema().defaultSize, 1L))
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+}
+
+object SnapshotScan {
+
+  /** Flatten conjunctions: each conjunct can skip files independently. */
+  private[connector] def atoms(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => atoms(l) ++ atoms(r)
+    case other => Seq(other)
+  }
+
+  private def longable(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Shapes the manifest can refute: integral comparisons against
+    * (min,max) stats, string equality against per-file blooms. */
+  private[connector] def usableForSkipping(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => longable(v).isDefined || v.isInstanceOf[String]
+    case GreaterThan(_, v) => longable(v).isDefined
+    case GreaterThanOrEqual(_, v) => longable(v).isDefined
+    case LessThan(_, v) => longable(v).isDefined
+    case LessThanOrEqual(_, v) => longable(v).isDefined
+    case In(_, vs) => vs.nonEmpty && vs.forall(v =>
+      longable(v).isDefined || v.isInstanceOf[String])
+    case _ => false
+  }
+
+  /** Conservative per-file verdict: false ONLY when the manifest
+    * proves no row of `fe` can satisfy `f` (missing stats/bloom →
+    * keep). Rows are still filtered post-scan regardless. */
+  private[connector] def keeps(fe: FileEntry, f: Filter): Boolean = f match {
+    case EqualTo(c, v) =>
+      val statOk = (longable(v), fe.stats.get(c)) match {
+        case (Some(l), Some((mn, mx))) => l >= mn && l <= mx
+        case _ => true
+      }
+      val bloomOk = v match {
+        case s: String => SnapshotTable.fileMayContain(fe, c, s)
+        case _ => true
+      }
+      statOk && bloomOk
+    case GreaterThan(c, v) =>
+      (longable(v), fe.stats.get(c)) match {
+        case (Some(l), Some((_, mx))) => mx > l
+        case _ => true
+      }
+    case GreaterThanOrEqual(c, v) =>
+      (longable(v), fe.stats.get(c)) match {
+        case (Some(l), Some((_, mx))) => mx >= l
+        case _ => true
+      }
+    case LessThan(c, v) =>
+      (longable(v), fe.stats.get(c)) match {
+        case (Some(l), Some((mn, _))) => mn < l
+        case _ => true
+      }
+    case LessThanOrEqual(c, v) =>
+      (longable(v), fe.stats.get(c)) match {
+        case (Some(l), Some((mn, _))) => mn <= l
+        case _ => true
+      }
+    case In(c, vs) => vs.exists(v => keeps(fe, EqualTo(c, v)))
+    case _ => true
+  }
+}

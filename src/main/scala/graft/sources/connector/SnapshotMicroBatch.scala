@@ -1,0 +1,110 @@
+package graft.sources.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** Stream offset = snapshot-table version: "every commit up to and
+  * including `v` has been emitted". */
+final case class VersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** The snapshot table's commit log as a Structured Streaming source —
+  * the Delta-style "table is also a stream": each micro-batch reads
+  * exactly the data files a range of versions APPENDED, so a
+  * downstream flow tails the table with exactly-once semantics (the
+  * offset range is in the streaming checkpoint WAL; replaying a batch
+  * replans the same manifest diff — manifests are immutable).
+  *
+  * Append-only contract: a batch whose version range REMOVES a file
+  * or changes a deletion vector (overwrite, merge, delete, compact,
+  * purge) fails loudly instead of silently re-emitting or dropping
+  * rows — the same default Delta ships; changed-data consumption is
+  * `SnapshotTable.changes`' job. Files that arrive WITH a dv (e.g.
+  * `updateVectors` post-images) read masked like any other.
+  *
+  * Scale shape: planning a batch is two manifest resolutions and a
+  * set diff — O(changed files) with the delta log, zero data I/O on
+  * the driver. `startingVersion` bounds history replay; the default
+  * replays from the earliest un-vacuumed version (initial load = the
+  * whole table, then the tail).
+  */
+final class SnapshotMicroBatchStream(dir: String, schema: StructType,
+                                     options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+
+  /** Trigger.AvailableNow pins the end offset at prepare time so the
+    * run is finite even while writers keep committing. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def latestVersion: Long =
+    SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+
+  override def initialOffset(): Offset = {
+    val vs = SnapshotTable.versions(spark, dir)
+    require(vs.nonEmpty, s"no committed version under $dir")
+    val from = Option(options.get("startingVersion")).map(_.toLong)
+      .getOrElse(vs.head)
+    require(from >= vs.head,
+      s"startingVersion $from predates the earliest available version ${vs.head} of $dir (vacuumed?)")
+    VersionOffset(from - 1)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionOffset(availableNowTarget.getOrElse(latestVersion))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[VersionOffset].v
+    val b = end.asInstanceOf[VersionOffset].v
+    if (b <= a) return Array.empty
+    val after = SnapshotTable.readManifest(spark, dir, b)
+    val earliest = SnapshotTable.versions(spark, dir).head
+    val base: Map[String, Option[String]] =
+      if (a < earliest) Map.empty
+      else SnapshotTable.readManifest(spark, dir, a).files
+        .map(fe => fe.path -> fe.dv.map(_._1)).toMap
+    val afterByPath = after.files.map(fe => fe.path -> fe).toMap
+    val removed = base.keysIterator.filterNot(afterByPath.contains).toSeq
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"versions ($a, $b] of $dir removed ${removed.size} data file(s) " +
+        s"(e.g. ${removed.head}); the stream source is append-only — " +
+        "restart from a fresh checkpoint or consume SnapshotTable.changes")
+    val dvChanged = base.collect {
+      case (path, dv) if afterByPath(path).dv.map(_._1) != dv => path
+    }
+    if (dvChanged.nonEmpty) throw new IllegalStateException(
+      s"versions ($a, $b] of $dir changed deletion vectors on " +
+        s"${dvChanged.size} file(s) (e.g. ${dvChanged.head}); the stream " +
+        "source is append-only — consume SnapshotTable.changes for DML feeds")
+    after.files.filterNot(fe => base.contains(fe.path))
+      .map(fe => SnapshotPartitions.partitionFor(dir, fe): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(schema)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

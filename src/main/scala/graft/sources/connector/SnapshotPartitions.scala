@@ -1,0 +1,242 @@
+package graft.sources.connector
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder.LITTLE_ENDIAN
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable.FileEntry
+
+/** Executor-side row production for the V2 connector: one partition
+  * per manifest file, each read with a self-contained parquet-hadoop
+  * reader (record-assembly API — no nested Spark job, no driver
+  * round-trip). Column pruning reaches the parquet layer as a
+  * projection `MessageType`, so unrequested columns are never
+  * decoded; columns a file predates (schema evolution) surface as
+  * null; deletion-vector positions are subtracted row-by-row exactly
+  * as `SnapshotTable.scan`'s anti-join does.
+  *
+  * The readers deliberately trade the vectorized reader's throughput
+  * for zero dependence on Spark's internal parquet classes — the
+  * connector is the declarative/planning surface; bulk reads go
+  * through `SnapshotTable.scan`. Scale shape is unchanged either way:
+  * partitions = files, no shuffle, dv sidecars are tiny and loaded
+  * per-file (positions of DELETED rows only).
+  */
+final case class SnapshotFilePartition(fileUri: String, baseName: String,
+                                       rows: Long, dvUri: Option[String])
+  extends InputPartition
+
+/** A completed metadata-only aggregate: values computed on the driver
+  * from the manifest, replayed as one row ([[SnapshotScanBuilder]]
+  * guarantees every value is integral — count/min/max over stats). */
+final case class MetadataAggPartition(schemaJson: String, values: Seq[Long])
+  extends InputPartition
+
+final class SnapshotReaderFactory(schema: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case m: MetadataAggPartition => new MetadataAggReader(m)
+      case f: SnapshotFilePartition => new SnapshotFileReader(f, schema)
+    }
+}
+
+private final class MetadataAggReader(p: MetadataAggPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private var emitted = false
+
+  override def next(): Boolean = !emitted && { emitted = true; true }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(schema.fields.zip(p.values).map[Any] {
+      case (f, v) => f.dataType match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType => v.toInt
+        case _ => v
+      }
+    })
+
+  override def close(): Unit = ()
+}
+
+private object SnapshotFileReader {
+  /** Julian day of the unix epoch (INT96 timestamps are
+    * (nanos-of-day, julian-day) pairs — the legacy parquet encoding
+    * some writers still emit). */
+  val JulianEpochDay = 2440588L
+}
+
+private final class SnapshotFileReader(p: SnapshotFilePartition,
+                                       schema: StructType)
+  extends PartitionReader[InternalRow] {
+
+  // file:// and hdfs:// resolve from classpath defaults; a deployment
+  // with non-default fs conf would broadcast the session's hadoop conf
+  // here (the standard SerializableConfiguration pattern)
+  private val conf = new Configuration()
+  private val path = new Path(p.fileUri)
+
+  /** Deleted row positions of THIS file (dv sidecars may be shared
+    * across files — filter on the file's basename). */
+  private val deleted: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    p.dvUri.foreach { dv =>
+      val r = openProjected(new Path(dv), Seq("file", "pos"))
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getBinary("file", 0).toStringUsingUTF8 == p.baseName)
+            set.add(g.getLong("pos", 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+  private val liveRows = p.rows - deleted.size
+
+  /** (projection index or -1, converter) per requested field, bound
+    * against this file's actual schema — -1 (column added after this
+    * file was written) reads as null. */
+  private val (reader: Option[ParquetReader[Group]],
+               fields: Array[(Int, (Group, Int) => Any)]) = {
+    if (schema.isEmpty)
+      (None, Array.empty[(Int, (Group, Int) => Any)])
+    else {
+      val fileSchema = footerSchema(path)
+      val present = schema.fields.filter(f => fileSchema.containsField(f.name))
+      val projection: Option[MessageType] =
+        if (present.isEmpty) None // no requested column predates this file
+        else Some(buildProjection(fileSchema, present.map(_.name).toSeq))
+      val r = projection.map(openWith(path, _))
+      val fs: Array[(Int, (Group, Int) => Any)] = schema.fields.map { f =>
+        projection match {
+          case Some(proj) if proj.containsField(f.name) =>
+            val idx = proj.getFieldIndex(f.name)
+            (idx, converter(f.dataType, proj.getType(idx).asPrimitiveType(),
+              f.name))
+          case _ => (-1, null)
+        }
+      }
+      (r, fs)
+    }
+  }
+
+  private var pos = -1L // physical row index, dv positions' coordinate
+  private var emitted = 0L
+  private var current: Group = _
+
+  override def next(): Boolean = reader match {
+    case None => // nothing to decode; emit liveRows empty/null rows
+      if (emitted >= liveRows) false
+      else { emitted += 1; true }
+    case Some(r) =>
+      var g = r.read()
+      pos += 1
+      while (g != null && deleted.contains(pos)) { g = r.read(); pos += 1 }
+      current = g
+      g != null
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(fields.map { case (idx, conv) =>
+      if (idx < 0 || current == null ||
+          current.getFieldRepetitionCount(idx) == 0) null
+      else conv(current, idx)
+    })
+
+  override def close(): Unit = reader.foreach(_.close())
+
+  private def footerSchema(f: Path): MessageType = {
+    val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+    try pfr.getFileMetaData.getSchema finally pfr.close()
+  }
+
+  private def buildProjection(fileSchema: MessageType,
+                              cols: Seq[String]): MessageType = {
+    val types: java.util.List[org.apache.parquet.schema.Type] =
+      cols.filter(fileSchema.containsField)
+        .map(c => fileSchema.getType(fileSchema.getFieldIndex(c)))
+        .toList.asJava
+    new MessageType(fileSchema.getName, types)
+  }
+
+  private def openWith(f: Path, projection: MessageType): ParquetReader[Group] = {
+    val c = new Configuration(conf)
+    c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), f).withConf(c).build()
+  }
+
+  private def openProjected(f: Path, cols: Seq[String]): ParquetReader[Group] =
+    openWith(f, buildProjection(footerSchema(f), cols))
+
+  /** Physical parquet value → Spark internal value for one primitive
+    * column. Bound once per file, so the per-row path is a direct
+    * accessor call. */
+  private def converter(dt: DataType, pt: PrimitiveType,
+                        name: String): (Group, Int) => Any = {
+    import PrimitiveType.PrimitiveTypeName._
+    def tsUnitToMicros(raw: Long): Long =
+      pt.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+            case LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+          }
+        case _ => raw // bare INT64 written as micros
+      }
+    (dt, pt.getPrimitiveTypeName) match {
+      case (BooleanType, BOOLEAN) => (g, i) => g.getBoolean(i, 0)
+      case (ByteType, INT32) => (g, i) => g.getInteger(i, 0).toByte
+      case (ShortType, INT32) => (g, i) => g.getInteger(i, 0).toShort
+      case (IntegerType, INT32) => (g, i) => g.getInteger(i, 0)
+      case (LongType, INT64) => (g, i) => g.getLong(i, 0)
+      case (FloatType, FLOAT) => (g, i) => g.getFloat(i, 0)
+      case (DoubleType, DOUBLE) => (g, i) => g.getDouble(i, 0)
+      case (StringType, BINARY) =>
+        (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BinaryType, BINARY) => (g, i) => g.getBinary(i, 0).getBytes
+      case (DateType, INT32) => (g, i) => g.getInteger(i, 0)
+      case (TimestampType | TimestampNTZType, INT64) =>
+        (g, i) => tsUnitToMicros(g.getLong(i, 0))
+      case (TimestampType | TimestampNTZType, INT96) =>
+        (g, i) => {
+          val buf = ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+            .order(LITTLE_ENDIAN)
+          val nanosOfDay = buf.getLong
+          val julianDay = buf.getInt
+          (julianDay - SnapshotFileReader.JulianEpochDay) * 86400L * 1000000L +
+            nanosOfDay / 1000L
+        }
+      case (d, phys) => throw new UnsupportedOperationException(
+        s"graft_snapshot: column '$name' ${d.simpleString} stored as $phys " +
+          "is outside the connector's type surface; read via SnapshotTable.scan")
+    }
+  }
+}
+
+private[connector] object SnapshotPartitions {
+  def partitionFor(dir: String, fe: FileEntry): SnapshotFilePartition =
+    SnapshotFilePartition(s"$dir/${fe.path}",
+      new Path(fe.path).getName, fe.rows, fe.dv.map(d => s"$dir/${d._1}"))
+}

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.SnapshotTable
+import graft.sources.connector.SnapshotScan
+
+/** The DataSource V2 surface over the snapshot table: planning-time
+  * file skipping from pushed filters, metadata-only aggregates,
+  * optimizer statistics, deletion-vector masking through the
+  * connector's own readers, time travel by option, and the
+  * append-only streaming tail of the commit log. */
+class ConnectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-conn").toString
+
+  private def load(dir: String): DataFrame =
+    spark.read.format("graft_snapshot").load(dir)
+
+  /** The (single) V2 scan of a query's optimized plan (the logical
+    * level survives AQE wrapping, which hides BatchScanExec from the
+    * pre-execution physical plan). */
+  private def scanOf(df: DataFrame): SnapshotScan = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.size == 1, s"expected one V2 scan, got ${scans.size}")
+    scans.head.asInstanceOf[SnapshotScan]
+  }
+
+  /** An 8-file table range-partitioned on id with stats + a bloom'd
+    * string key, ids [0, 800). */
+  private def buildRanged(dir: String): Unit = {
+    val df = spark.range(0, 800)
+      .select($"id", concat(lit("k"), $"id").as("key"),
+        ($"id" % 10).cast("int").as("bucket"))
+      .repartitionByRange(8, $"id")
+    SnapshotTable.write(spark, df, dir, "overwrite", Seq("id"),
+      bloomCols = Seq("key"))
+  }
+
+  test("connector scan == SnapshotTable.scan, including dv masking") {
+    val dir = freshDir()
+    buildRanged(dir)
+    SnapshotTable.deleteVectors(spark, dir, $"id" % 7 === 3)
+    val viaConnector = load(dir).collect().map(_.toSeq).toSet
+    val viaScan = SnapshotTable.scan(spark, dir).collect().map(_.toSeq).toSet
+    assert(viaConnector == viaScan)
+    // ids ≡ 3 (mod 7) in [0, 800): 3, 10, …, 798 — 114 of them
+    assert(viaConnector.size == 800 - 114)
+  }
+
+  test("schema evolution: pre-widening files surface nulls") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark,
+      spark.range(10, 20).select($"id", lit("new").as("extra")), dir, "append")
+    val rows = load(dir).orderBy("id").collect()
+    assert(rows.length == 20)
+    assert(rows.take(10).forall(_.isNullAt(1)))
+    assert(rows.drop(10).forall(_.getString(1) == "new"))
+  }
+
+  test("versionAsOf option time-travels") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(10, 30).toDF(), dir, "append")
+    assert(spark.read.format("graft_snapshot").option("versionAsOf", 1)
+      .load(dir).count() == 10)
+    assert(load(dir).count() == 30)
+  }
+
+  test("pushed range filter skips files via manifest stats") {
+    val dir = freshDir()
+    buildRanged(dir)
+    val total = SnapshotTable.readManifest(spark, dir, 1).files.size
+    assert(total == 8)
+    val q = load(dir).filter($"id" >= 200 && $"id" < 300).select("id", "bucket")
+    val planned = scanOf(q).planInputPartitions().length
+    assert(planned < total, s"range filter planned $planned/$total files")
+    assert(q.count() == 100)
+    assert(scanOf(q).description().contains("after skipping"))
+  }
+
+  test("pushed string equality skips files via manifest blooms") {
+    val dir = freshDir()
+    buildRanged(dir)
+    val q = load(dir).filter($"key" === "k355")
+    val planned = scanOf(q).planInputPartitions().length
+    assert(planned < 8, s"bloom skipping planned $planned/8 files")
+    assert(q.select("id").as[Long].collect().toSeq == Seq(355L))
+    // a value no bloom can contain plans zero files and returns nothing
+    val none = load(dir).filter($"key" === "definitely-absent")
+    assert(scanOf(none).planInputPartitions().isEmpty)
+    assert(none.count() == 0)
+  }
+
+  test("unfiltered COUNT/MIN/MAX answer from the manifest alone") {
+    val dir = freshDir()
+    buildRanged(dir)
+    val q = load(dir).agg(count(lit(1)).as("n"),
+      min("id").as("mn"), max("id").as("mx"))
+    val scan = scanOf(q)
+    assert(scan.description().contains("metadata-only"))
+    assert(scan.planInputPartitions().length == 1)
+    assert(q.as[(Long, Long, Long)].collect().head == ((800L, 0L, 799L)))
+    // a filter forces the normal scan path (conservative skipping only)
+    val filtered = load(dir).filter($"id" >= 100)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"))
+    assert(!scanOf(filtered).description().contains("metadata-only"))
+    assert(filtered.as[(Long, Long)].collect().head == ((700L, 100L)))
+  }
+
+  test("deletion vectors: COUNT stays metadata-exact, MIN/MAX fall back") {
+    val dir = freshDir()
+    buildRanged(dir)
+    SnapshotTable.deleteVectors(spark, dir, $"id" < 5 || $"id" >= 795)
+    val cnt = load(dir).agg(count(lit(1)).as("n"))
+    assert(scanOf(cnt).description().contains("metadata-only"))
+    assert(cnt.as[Long].collect().head == 790L)
+    // stats describe the physical file; the extremum may be deleted,
+    // so min/max must read data — and get the post-dv answer
+    val mm = load(dir).agg(min("id").as("mn"), max("id").as("mx"))
+    assert(!scanOf(mm).description().contains("metadata-only"))
+    assert(mm.as[(Long, Long)].collect().head == ((5L, 794L)))
+  }
+
+  test("reported statistics drive an un-hinted broadcast join") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 50).select($"id", concat(lit("n"), $"id").as("name")),
+      dir, "overwrite", Seq("id"))
+    val dim = load(dir)
+    val stats = dim.filter($"id" >= 0).queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 64 * 1024,
+      s"manifest-derived size should be tiny, got ${stats.sizeInBytes}")
+    val fact = spark.range(0, 200000).select(($"id" % 50).as("fk"))
+    val joined = fact.join(dim, $"fk" === dim("id"))
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "tiny snapshot dim should broadcast without hints")
+    assert(joined.count() == 200000)
+  }
+
+  test("projection prunes away columns the readers cannot materialize") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 10).select($"id", array($"id", $"id" + 1).as("arr")),
+      dir, "overwrite")
+    // full read trips the type whitelist...
+    val e = intercept[UnsupportedOperationException](load(dir).collect())
+    assert(e.getMessage.contains("arr"))
+    // ...but pruning to primitive columns never touches the array
+    assert(load(dir).select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 10L))
+    // empty projection still counts rows (per-partition liveRows replay)
+    assert(load(dir).select(lit(1).as("one")).agg(sum("one")).as[Long]
+      .collect().head == 10L)
+  }
+
+  test("streaming tail: exactly-once across AvailableNow restarts") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-ckpt").toString
+    val out = Files.createTempDirectory("graft-conn-out").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(10, 25).toDF(), dir, "append")
+    // file sink (the memory sink cannot recover from a checkpoint)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(out).as[Long].collect().sorted
+    assert(first.toSeq == (0L until 25L))
+    SnapshotTable.write(spark, spark.range(25, 30).toDF(), dir, "append")
+    runOnce() // resumes from the checkpointed version offset
+    val second = spark.read.parquet(out).as[Long].collect().sorted
+    assert(second.toSeq == (0L until 30L), "restart must emit ONLY the new version")
+  }
+
+  test("streaming tail: startingVersion skips history") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-ckpt2").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(100, 105).toDF(), dir, "append")
+    val q = spark.readStream.format("graft_snapshot")
+      .option("startingVersion", 2).load(dir)
+      .writeStream.format("memory").queryName("conn_stream_sv")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("conn_stream_sv").as[Long].collect().sorted.toSeq ==
+      (100L until 105L))
+  }
+
+  test("streaming tail: non-append commits fail loudly") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-ckpt3").toString
+    val out = Files.createTempDirectory("graft-conn-out3").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    SnapshotTable.write(spark, spark.range(50, 55).toDF(), dir, "overwrite")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("append-only")))
+  }
+}
