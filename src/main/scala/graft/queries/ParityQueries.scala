@@ -1018,6 +1018,112 @@ object ParityQueries {
         |WHERE NOT (o_custkey % 13 = 6)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Snapshot table through the DataSource V2 CONNECTOR
+    // (spark.read.format("graft_snapshot")): Catalyst pushes the range
+    // filter into the scan, where manifest (min,max) stats skip whole
+    // files at planning time, and the connector's own row readers
+    // apply the deletion vector — this gate hash-checks that the
+    // declarative path returns exactly what SQL says (ConnectorSpec
+    // asserts the skipping/planning effects).
+    "q6E_connector_scan" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6E")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.write(s,
+          ords.repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        graft.sources.SnapshotTable.deleteVectors(s, base,
+          col("o_custkey") % 5 === 2)
+        s.read.format("graft_snapshot").load(base)
+          .filter(col("o_orderkey").between(128, 4096))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 128 AND 4096
+        |  AND NOT (o_custkey % 5 = 2)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Connector metadata-only aggregates + versionAsOf time travel:
+    // un-filtered COUNT/MIN/MAX push down completely and answer from
+    // the manifest (zero data files opened — ConnectorSpec asserts the
+    // plan), per version. The append doubles every tenth order, so v1
+    // and v2 differ in count but not extrema.
+    "q6F_connector_meta_agg" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6F")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val v1 = graft.sources.SnapshotTable.write(s,
+          ords.repartitionByRange(4, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey"))
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 10 === 0), base, "append",
+          Seq("o_orderkey"))
+        def aggOf(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n"), min("o_orderkey").as("mn"),
+            max("o_orderkey").as("mx")).withColumn("as_of", lit(tag))
+        aggOf(s.read.format("graft_snapshot").option("versionAsOf", v1)
+          .load(base), "v1")
+          .unionAll(aggOf(s.read.format("graft_snapshot").load(base), "v2"))
+          .orderBy("as_of")
+      },
+      """SELECT COUNT(*) AS n, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+        |       'v1' AS as_of
+        |FROM orders
+        |UNION ALL
+        |SELECT (SELECT COUNT(*) FROM orders)
+        |         + COUNT(*) FILTER (WHERE o_orderkey % 10 = 0) AS n,
+        |       MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx, 'v2' AS as_of
+        |FROM orders
+        |ORDER BY as_of""".stripMargin),
+
+    // Connector STREAMING tail of the commit log, exactly-once across
+    // a restart: two AvailableNow runs over the same checkpoint — the
+    // first drains versions 1-2, an append lands, the second resumes
+    // from the checkpointed version offset and emits ONLY the new
+    // files. If the restart re-emitted (or skipped) anything, the
+    // grouped totals hash-mismatch the plain batch oracle.
+    "q6G_connector_stream" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6G")
+        val ckpt = snapDir(s, dir, "t6G_ckpt")
+        val out = snapDir(s, dir, "t6G_out")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 0), base, "overwrite",
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 1), base, "append",
+          Seq("o_orderkey"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft_snapshot").load(base)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          graft.streaming.StreamMeter.timed("q6G_connector_stream")(
+            q.awaitTermination())
+        }
+        drain()
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 2), base, "append",
+          Seq("o_orderkey"))
+        drain()
+        s.read.parquet(out)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the
