@@ -189,6 +189,67 @@ object ScaleBench {
     out.mkString("{", ",", "}")
   }
 
+  /** Connector family (r11 wave 3): the V2 scan's planning-time file
+    * skipping and join-driven dynamic file pruning at a file count the
+    * small fixtures never reach (default 2,048 files / 2M rows).
+    * Measured:
+    *   - metadata-only COUNT(*): zero files opened, milliseconds
+    *     regardless of table size;
+    *   - a narrow range filter (1/128 of the key domain): planned
+    *     files must be O(selectivity), and the filtered read must
+    *     beat the full read by roughly the prune ratio;
+    *   - a 4-key broadcast join with dynamic file pruning on vs off:
+    *     the runtime In-filter must execution-plan only the candidate
+    *     files;
+    *   - HONESTY ROW: the same full read through `SnapshotTable.scan`
+    *     (Spark's vectorized parquet path) vs the connector's
+    *     record-assembly readers — the connector is the
+    *     planning/declarative surface, not the bulk-throughput path. */
+  private def connectorFamily(spark: SparkSession): String = {
+    import graft.sources.SnapshotTable
+    import graft.sources.connector.ScanTelemetry
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_CONN_FILES", "2048").toInt
+    val rows = nFiles * 1000L
+    val dir = s"/tmp/graft-scale/connector-$nFiles"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def timeSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    if (!fs.exists(new Path(dir, "_log")))
+      SnapshotTable.write(spark,
+        spark.range(0, rows).toDF("id").withColumn("v", col("id") % 97)
+          .repartitionByRange(nFiles, col("id")),
+        dir, "overwrite", Seq("id"))
+    def conn = spark.read.format("graft_snapshot").load(dir)
+
+    val metaCountSec = timeSec(assert(conn.count() == rows))
+    val fullSec = timeSec(conn.agg(sum("v")).collect())
+    val (fullPlanned, total) = ScanTelemetry.lastPlanned(dir).get
+    val narrowSec = timeSec(
+      conn.filter(col("id").between(0, rows / 128 - 1)).agg(sum("v")).collect())
+    val (narrowPlanned, _) = ScanTelemetry.lastPlanned(dir).get
+
+    def dim = spark.range(4).select((col("id") * (rows / 4) + 7).as("k"))
+    val dppSec = timeSec(
+      assert(conn.join(dim, col("id") === col("k")).count() == 4))
+    val (dppPlanned, _) = ScanTelemetry.lastPlanned(dir).get
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    val noDppSec = timeSec(
+      assert(conn.join(dim, col("id") === col("k")).count() == 4))
+    val (noDppPlanned, _) = ScanTelemetry.lastPlanned(dir).get
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+
+    val vectorizedFullSec = timeSec(
+      SnapshotTable.scan(spark, dir).agg(sum("v")).collect())
+
+    s"""{"files":$total,"rows":$rows,"meta_count_sec":$metaCountSec,""" +
+      s""""full":{"sec":$fullSec,"planned":$fullPlanned},""" +
+      s""""narrow_1_128":{"sec":$narrowSec,"planned":$narrowPlanned},""" +
+      s""""dpp_join":{"sec":$dppSec,"planned":$dppPlanned},""" +
+      s""""nodpp_join":{"sec":$noDppSec,"planned":$noDppPlanned},""" +
+      s""""vectorized_full_sec":$vectorizedFullSec}"""
+  }
+
   /** Deletion-vector family (r11): the cost class of a SMALL
     * scattered delete — the discriminating case for merge-on-read.
     * Two identical tables (default 2M rows × ~100-byte payload in 16
@@ -468,6 +529,7 @@ object ScaleBench {
     val snapJson = snapshotLogDepth(spark)
     val anchorJson = manifestFormat(spark)
     val dvJson = deletionVectorFamily(spark)
+    val connJson = connectorFamily(spark)
 
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
@@ -476,6 +538,7 @@ object ScaleBench {
         s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
         s""""stats":$statsJson,"tok":$tokJson,"snapshot":$snapJson,""" +
         s""""anchor_format":$anchorJson,"deletion_vectors":$dvJson,""" +
+        s""""connector":$connJson,""" +
         s""""loadavg":$load,"sf":"$sfDir"}"""
     // versioned artifact (like Bench's bench_out.json): the per-family
     // 1x/10x walls and row counts are the 100 TB evidence — they must

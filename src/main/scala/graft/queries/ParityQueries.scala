@@ -1124,6 +1124,34 @@ object ParityQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
 
+    // OPTIMIZE ZORDER through the connector: the table is rewritten
+    // clustered on the Morton curve of (o_orderkey, o_custkey), then
+    // read back via the V2 scan filtering on the TRAILING dimension —
+    // the case a single-column sort cannot skip on. This gate
+    // hash-checks that the re-layout is content-identical and the
+    // skipped read is lossless; ConnectorSpec measures the actual
+    // file-prune ratio on a grid fixture (4/16 vs 16/16 files).
+    "q6H_connector_zorder" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6H")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.SnapshotTable.write(s,
+          ords.repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", Seq("o_orderkey", "o_custkey"))
+        graft.sources.SnapshotTable.compact(s, base,
+          smallRows = Long.MaxValue, targetRows = 20000L,
+          statsCols = Seq("o_orderkey", "o_custkey"),
+          zorderBy = Some(("o_orderkey", "o_custkey", 24)))
+        s.read.format("graft_snapshot").load(base)
+          .filter(col("o_custkey").between(100, 300))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

@@ -221,17 +221,51 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
 }
 
 /** Batch scan: manifest files surviving stats/bloom skipping, one
-  * input partition per file. Doubles as the streaming scan factory. */
-final class SnapshotScan(dir: String, manifestF: () => Manifest,
-                         required: StructType, skipping: Array[Filter],
-                         agg: Option[(StructType, Array[Any])],
+  * input partition per file. Doubles as the streaming scan factory.
+  *
+  * Also a [[SupportsRuntimeFiltering]] target: when this table is the
+  * probe side of a join whose build side is small, Spark materializes
+  * the build-side join keys first and hands them here as an `In`
+  * filter — dynamic file pruning, the join-driven analogue of the
+  * static skipping above (at 100 TB this is the difference between
+  * scanning the fact table and scanning the handful of files whose
+  * key ranges the dimension actually hits). Runtime filters prune
+  * through the same conservative stats/bloom verdicts and, like every
+  * pushed filter, are re-evaluated by Spark post-scan. */
+final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
+                         private val required: StructType,
+                         private val skipping: Array[Filter],
+                         private val agg: Option[(StructType, Array[Any])],
                          options: CaseInsensitiveStringMap)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private lazy val manifest = manifestF()
 
-  private lazy val prunedFiles: Seq[FileEntry] =
-    manifest.files.filter(fe => skipping.forall(SnapshotScan.keeps(fe, _)))
+  @volatile private var runtimeSkipping: Array[Filter] = Array.empty
+
+  /** Columns the manifest can skip on: any file carries stats or a
+    * bloom for them — restricted to the scan's (pruned) output, which
+    * is what the planner resolves these references against. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = required.fieldNames.toSet
+    val cols = manifest.files
+      .flatMap(fe => fe.stats.keysIterator ++ fe.bloom.keysIterator)
+      .distinct.filter(out.contains)
+    cols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeSkipping = filters.flatMap(SnapshotScan.atoms)
+      .filter(SnapshotScan.usableForSkipping)
+
+  /** Recomputed on demand: runtime filters may arrive between the
+    * first planning pass and execution. */
+  private def prunedFiles: Seq[FileEntry] = {
+    val all = skipping ++ runtimeSkipping
+    manifest.files.filter(fe => all.forall(SnapshotScan.keeps(fe, _)))
+  }
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
 
@@ -242,7 +276,9 @@ final class SnapshotScan(dir: String, manifestF: () => Manifest,
     case None =>
       s"graft_snapshot $dir v=${manifest.version} " +
         s"files=${prunedFiles.size}/${manifest.files.size} after skipping, " +
-        s"skippingFilters=[${skipping.mkString(", ")}]"
+        s"skippingFilters=[${skipping.mkString(", ")}]" +
+        (if (runtimeSkipping.isEmpty) ""
+         else s", runtimeFilters=[${runtimeSkipping.mkString(", ")}]")
   }
 
   override def toBatch: Batch = this
@@ -259,7 +295,9 @@ final class SnapshotScan(dir: String, manifestF: () => Manifest,
         case i: Int => i.toLong; case l: Long => l
       }))
     case None =>
-      prunedFiles.map(fe => SnapshotPartitions.partitionFor(dir, fe)).toArray
+      val planned = prunedFiles
+      ScanTelemetry.record(dir, planned.size, manifest.files.size)
+      planned.map(fe => SnapshotPartitions.partitionFor(dir, fe)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -276,6 +314,36 @@ final class SnapshotScan(dir: String, manifestF: () => Manifest,
       OptionalLong.of(math.max(rows * readSchema().defaultSize, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
   }
+
+  /** Identity EXCLUDES runtime filters: the planner must recognize the
+    * runtime-filtered scan as "the same scan" for exchange reuse (the
+    * SupportsRuntimeFiltering contract). */
+  override def equals(other: Any): Boolean = other match {
+    case o: SnapshotScan =>
+      dir == o.dir && manifest.version == o.manifest.version &&
+        required == o.required && skipping.toSeq == o.skipping.toSeq &&
+        agg.map { case (s, v) => (s, v.toSeq) } ==
+          o.agg.map { case (s, v) => (s, v.toSeq) }
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (dir, manifest.version, required, skipping.toSeq).hashCode()
+}
+
+/** Driver-side planning telemetry: the (planned, total) file counts of
+  * the LAST partition planning per table root. Runtime-filtered scans
+  * plan twice (statically at planning, again at execution once the
+  * build-side keys arrive) — the last record is the execution-time
+  * verdict, which is what specs assert dynamic file pruning against
+  * (the executed BatchScanExec instance is not reachable through a
+  * re-collected plan, so the scan records its own planning). */
+private[graft] object ScanTelemetry {
+  private val last =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  def record(dir: String, planned: Int, total: Int): Unit =
+    last.put(dir, (planned, total))
+  def lastPlanned(dir: String): Option[(Int, Int)] = Option(last.get(dir))
 }
 
 object SnapshotScan {

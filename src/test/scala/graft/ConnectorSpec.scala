@@ -165,6 +165,73 @@ class ConnectorSpec extends SparkTestBase {
       .collect().head == 10L)
   }
 
+  test("runtime In-filters prune files like static filters") {
+    val dir = freshDir()
+    buildRanged(dir)
+    val scan = scanOf(load(dir).select("id", "key"))
+    assert(scan.filterAttributes().map(_.fieldNames.head).toSet ==
+      Set("id", "key"))
+    assert(scan.planInputPartitions().length == 8)
+    // the join-driven shape: build side materialized a handful of keys
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 700L))))
+    val afterRuntime = scan.planInputPartitions().length
+    assert(afterRuntime == 2, s"two point keys should hit 2/8 files, got $afterRuntime")
+    assert(scan.description().contains("runtimeFilters"))
+    // bloom'd string keys prune the same way
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("key", Array("k5": Any))))
+    assert(scan.planInputPartitions().length <= 2)
+  }
+
+  test("join-driven dynamic file pruning end-to-end") {
+    val dir = freshDir()
+    buildRanged(dir)
+    val fact = load(dir)
+    // two surviving dim keys, 400 apart → exactly 2 of the 8
+    // range-partitioned files can contain them
+    val dim = spark.range(0, 800).select($"id".as("k"))
+      .filter($"k" % 400 === 5)
+    val joined = fact.join(dim, fact("id") === dim("k"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"), "planner should inject a runtime filter")
+    assert(joined.count() == 2)
+    // the scan's execution-time planning (post-runtime-filter) must
+    // have pruned to the 2 candidate files
+    assert(graft.sources.connector.ScanTelemetry.lastPlanned(dir)
+      .contains((2, 8)))
+  }
+
+  test("z-order re-layout makes the trailing dimension skippable") {
+    // a 64×64 grid: linear layout sorts by x only, so every file spans
+    // the full y domain and a y-filter prunes nothing; the z-layout
+    // bounds each file in BOTH dimensions
+    val grid = spark.range(0, 4096)
+      .select(($"id" / 64).cast("long").as("x"), ($"id" % 64).as("y"))
+    val linear = freshDir()
+    SnapshotTable.write(spark, grid.repartitionByRange(16, $"x", $"y"),
+      linear, "overwrite", Seq("x", "y"))
+    val zed = freshDir()
+    SnapshotTable.write(spark, grid.repartitionByRange(16, $"x", $"y"),
+      zed, "overwrite", Seq("x", "y"))
+    SnapshotTable.compact(spark, zed, smallRows = Long.MaxValue,
+      targetRows = 256, statsCols = Seq("x", "y"),
+      zorderBy = Some(("x", "y", 6)))
+    def planned(dir: String) = {
+      val q = load(dir).filter($"y" >= 8 && $"y" < 16)
+      val m = SnapshotTable.readManifest(spark, dir,
+        SnapshotTable.latestVersion(spark, dir).get)
+      (scanOf(q).planInputPartitions().length, m.files.size, q.count())
+    }
+    val (linHit, linTotal, linRows) = planned(linear)
+    val (zHit, zTotal, zRows) = planned(zed)
+    assert(linRows == 512 && zRows == 512) // identical content
+    assert(linHit == linTotal, "y-filter cannot prune a pure x-sort")
+    assert(zHit * 2 <= zTotal,
+      s"z-layout should prune at least half the files on y, got $zHit/$zTotal")
+    info(s"y-range skip: linear $linHit/$linTotal, z-order $zHit/$zTotal")
+  }
+
   test("streaming tail: exactly-once across AvailableNow restarts") {
     val dir = freshDir()
     val ckpt = Files.createTempDirectory("graft-conn-ckpt").toString
