@@ -1152,6 +1152,40 @@ object ParityQueries {
         |WHERE o_custkey BETWEEN 100 AND 300
         |ORDER BY o_orderkey""".stripMargin),
 
+    // The V2 WRITE path: the table is created and appended through
+    // Spark's own write API (df.write.format("graft_snapshot")) — the
+    // executor-side writers stream rows into new data files and
+    // compute the manifest stats/blooms IN-FLIGHT (no post-hoc stats
+    // job), the driver commit is the same OCC publish. Read back via
+    // the connector with a pushed range filter (skipping on the
+    // written stats) plus a bloom point lookup.
+    "q6I_connector_write" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6I")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        ords.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.format("graft_snapshot")
+          .option("statsCols", "o_orderkey")
+          .option("bloomCols", "o_orderpriority")
+          .mode("overwrite").save(base)
+        ords.filter(col("o_orderkey") % 2 === 1)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("graft_snapshot")
+          .option("statsCols", "o_orderkey")
+          .mode("append").save(base)
+        s.read.format("graft_snapshot").load(base)
+          .filter(col("o_orderkey").between(64, 2048) &&
+            col("o_orderpriority") === "1-URGENT")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 64 AND 2048
+        |  AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

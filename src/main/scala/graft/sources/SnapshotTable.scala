@@ -583,6 +583,14 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** V2 connector write hook: commit externally-staged file entries
+    * whose stats the connector's executor-side writers computed WHILE
+    * writing (no post-hoc stats job — the one cost [[stageFiles]]
+    * pays). Appends carry and never conflict; overwrite replaces. */
+  private[graft] def commitAdded(spark: SparkSession, dir: String, op: String,
+                                 added: Seq[FileEntry], carry: Boolean): Long =
+    commit(spark, dir, op, added, carry = carry)
+
   /** Like [[commit]] but deletes the staged `added` files before
     * rethrowing a conflict, so a retried operation leaves no orphans. */
   private def commitStaged(spark: SparkSession, dir: String, op: String,

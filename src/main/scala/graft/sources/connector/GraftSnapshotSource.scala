@@ -65,9 +65,14 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = GraftSnapshotSource.tableDir(options)
+    // a not-yet-existing (or empty) table infers an EMPTY schema: the
+    // write path creates version 1 from the query schema
+    // (ACCEPT_ANY_SCHEMA); the read path rejects an empty schema with
+    // a precise error in newScanBuilder
+    if (SnapshotTable.latestVersion(spark, dir).isEmpty &&
+        options.get("versionAsOf") == null) return new StructType()
     val m = GraftSnapshotSource.resolveManifest(spark, dir, options)
-    require(m.files.nonEmpty,
-      s"version ${m.version} of $dir is empty; cannot infer schema")
+    if (m.files.isEmpty) return new StructType()
     // one driver-side footer pass, same as SnapshotTable.scan's
     // mergeSchema read (appends may have widened the schema)
     spark.read.option("mergeSchema", "true")
@@ -110,9 +115,14 @@ object GraftSnapshotSource {
     }
 }
 
-/** One snapshot table root exposed to the V2 catalog plumbing. */
+/** One snapshot table root exposed to the V2 catalog plumbing.
+  * ACCEPT_ANY_SCHEMA: appends may widen the schema (snapshot reads
+  * are mergeSchema — older files surface new columns as null), so
+  * Spark's output resolution is skipped and the table's own write
+  * path validates. */
 final class SnapshotV2Table(schema: StructType, dir: String)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft_snapshot($dir)"
 
@@ -120,10 +130,21 @@ final class SnapshotV2Table(schema: StructType, dir: String)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (schema.isEmpty) throw new IllegalStateException(
+      s"no committed version under $dir (or the version is empty); " +
+        "nothing to read")
     new SnapshotScanBuilder(schema, dir, options)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(dir, info)
 }
 
 /** Catalyst calls, in order: `pushFilters` → (if no residual Filter

@@ -1,0 +1,338 @@
+package graft.sources.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, MessageType, Types}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.FileEntry
+
+/** The V2 WRITE path: `df.write.format("graft_snapshot")
+  * .option("path", tableRoot).mode("append"|"overwrite").save()` —
+  * the snapshot table's OCC commit protocol behind Spark's own write
+  * API.
+  *
+  * Each task streams its rows straight into a new parquet file under
+  * `data/` (invisible until a manifest references it — a failed or
+  * speculative task leaves only an unreferenced file for [[
+  * graft.sources.SnapshotTable.vacuum]], exactly like a crashed
+  * `stageFiles` writer) and computes the manifest metadata WHILE
+  * writing: row count, per-column (min,max) for `statsCols`, and a
+  * bloom filter for `bloomCols` — so the commit needs NO second pass
+  * over the data, the one extra job the programmatic
+  * `SnapshotTable.write` pays. The driver-side commit folds the
+  * writers' entries into one atomic manifest publish; appends rebase
+  * inside the OCC loop and never conflict.
+  *
+  * Options: `statsCols` (comma-separated integral columns → (min,max)
+  * skipping stats), `bloomCols` (comma-separated string columns →
+  * point-lookup blooms).
+  *
+  * The table reports `ACCEPT_ANY_SCHEMA`: appends may widen the
+  * schema (the snapshot reader's mergeSchema surfaces missing columns
+  * as null — same contract as the programmatic path), and writes to a
+  * not-yet-existing table root create version 1.
+  */
+final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  private def cols(key: String): Seq[String] =
+    Option(info.options.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new SnapshotBatchWrite(dir, info.schema(), overwrite,
+        cols("statsCols"), cols("bloomCols"))
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        "graft_snapshot streaming sink is append-only (outputMode append)")
+      new SnapshotStreamingWrite(dir, info.schema(),
+        cols("statsCols"), cols("bloomCols"))
+    }
+  }
+}
+
+/** Native streaming sink: each micro-batch commits one `append`
+  * version tagged with its epoch. A replayed epoch (restart between
+  * sink commit and checkpoint advance — the documented at-least-once
+  * window of every streaming sink) is detected by tag in the commit
+  * history and skipped, the same idempotence upgrade the Delta sink
+  * and [[graft.streaming.StreamingFlows.startSnapshotSink]] make —
+  * but here it is the FORMAT's own sink: `df.writeStream
+  * .format("graft_snapshot")`, no foreachBatch glue. Combined with
+  * the micro-batch source this closes the loop: a table-to-table
+  * streaming pipeline runs entirely inside the format with
+  * exactly-once semantics end to end. Replayed epochs' staged files
+  * are deleted like an abort. */
+final class SnapshotStreamingWrite(dir: String, schema: StructType,
+                                   statsCols: Seq[String],
+                                   bloomCols: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  SnapshotWriteSupport.validate(schema, statsCols, bloomCols)
+
+  private def epochTag(epochId: Long) = s"stream-epoch-$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new SnapshotStreamingWriterFactory(dir, schema, statsCols, bloomCols,
+      java.util.UUID.randomUUID.toString.take(8))
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val entries = messages.collect {
+      case w: WrittenFile if w.path.nonEmpty =>
+        FileEntry(w.path, w.rows, w.stats, w.bloom)
+    }.toSeq
+    // replay guard is metadata-only: one commit-history walk
+    val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
+      SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
+    if (replayed) abort(epochId, messages)
+    else SnapshotTable.commitAdded(spark, dir, epochTag(epochId), entries,
+      carry = true)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case w: WrittenFile if w.path.nonEmpty =>
+      fs.delete(new Path(root, w.path), false)
+    }
+  }
+}
+
+final class SnapshotStreamingWriterFactory(dir: String, schema: StructType,
+                                           statsCols: Seq[String],
+                                           bloomCols: Seq[String], nonce: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
+      f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId.parquet")
+}
+
+final class SnapshotBatchWrite(dir: String, schema: StructType,
+                               overwrite: Boolean, statsCols: Seq[String],
+                               bloomCols: Seq[String])
+  extends BatchWrite {
+
+  // fail at planning, not mid-write: every column writable, every
+  // stats column integral, every bloom column a string
+  SnapshotWriteSupport.validate(schema, statsCols, bloomCols)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SnapshotWriterFactory(dir, schema, statsCols, bloomCols,
+      java.util.UUID.randomUUID.toString.take(8))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect {
+      case w: WrittenFile if w.path.nonEmpty => // empty partitions write nothing
+        FileEntry(w.path, w.rows, w.stats, w.bloom)
+    }.toSeq
+    SnapshotTable.commitAdded(SparkSession.active, dir,
+      if (overwrite) "overwrite" else "append", entries, carry = !overwrite)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case w: WrittenFile =>
+      fs.delete(new Path(root, w.path), false)
+    }
+  }
+}
+
+/** One committed data file, as reported by the task that wrote it. */
+final case class WrittenFile(path: String, rows: Long,
+                             stats: Map[String, (Long, Long)],
+                             bloom: Map[String, Seq[Long]])
+  extends WriterCommitMessage
+
+final class SnapshotWriterFactory(dir: String, schema: StructType,
+                                  statsCols: Seq[String],
+                                  bloomCols: Seq[String], nonce: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
+      // taskId is unique per attempt: a speculative/retried attempt
+      // writes a distinct file; only the committed attempt's message
+      // reaches the manifest
+      f"data/$nonce-p$partitionId%05d-t$taskId.parquet")
+}
+
+private object SnapshotWriteSupport {
+
+  def validate(schema: StructType, statsCols: Seq[String],
+               bloomCols: Seq[String]): Unit = {
+    GraftSnapshotSource.validateReadable(schema)
+    statsCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"statsCols column '$c' is not in the written schema"))
+      require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
+        s"statsCols column '$c' must be integral, got ${dt.simpleString}")
+    }
+    bloomCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"bloomCols column '$c' is not in the written schema"))
+      require(dt == StringType,
+        s"bloomCols column '$c' must be a string, got ${dt.simpleString}")
+    }
+  }
+
+  /** Spark schema → parquet message type (primitive surface, all
+    * fields optional — the reader's null contract). */
+  def messageTypeFor(schema: StructType): MessageType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val fb = f.dataType match {
+        case BooleanType => Types.optional(BOOLEAN)
+        case ByteType => Types.optional(INT32).as(LTA.intType(8, true))
+        case ShortType => Types.optional(INT32).as(LTA.intType(16, true))
+        case IntegerType => Types.optional(INT32)
+        case LongType => Types.optional(INT64)
+        case FloatType => Types.optional(FLOAT)
+        case DoubleType => Types.optional(DOUBLE)
+        case StringType => Types.optional(BINARY).as(LTA.stringType())
+        case BinaryType => Types.optional(BINARY)
+        case DateType => Types.optional(INT32).as(LTA.dateType())
+        case TimestampType =>
+          Types.optional(INT64).as(LTA.timestampType(true, LTA.TimeUnit.MICROS))
+        case TimestampNTZType =>
+          Types.optional(INT64).as(LTA.timestampType(false, LTA.TimeUnit.MICROS))
+        case dt => throw new UnsupportedOperationException(
+          s"graft_snapshot writes primitive columns only; column '${f.name}' " +
+            s"has type ${dt.simpleString}")
+      }
+      b.addField(fb.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+}
+
+private final class SnapshotDataWriter(dir: String, schema: StructType,
+                                       statsCols: Seq[String],
+                                       bloomCols: Seq[String],
+                                       relPath: String)
+  extends DataWriter[InternalRow] {
+
+  private val messageType = SnapshotWriteSupport.messageTypeFor(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private val absPath = new Path(s"$dir/$relPath")
+
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private var rows = 0L
+
+  private val statIdx = statsCols.map(c => c -> schema.fieldIndex(c))
+  private val statMin = scala.collection.mutable.Map(statsCols.map(_ -> Long.MaxValue): _*)
+  private val statMax = scala.collection.mutable.Map(statsCols.map(_ -> Long.MinValue): _*)
+  private val bloomIdx = bloomCols.map(c => c -> schema.fieldIndex(c))
+  private val bloomBits = bloomCols.map(_ ->
+    new Array[Long](SnapshotTable.BloomBits / 64)).toMap
+
+  /** Lazy: an empty partition writes no file at all. */
+  private def openedWriter() = {
+    if (writer == null) {
+      val conf = new Configuration()
+      GroupWriteSupport.setSchema(messageType, conf)
+      writer = ExampleParquetWriter.builder(absPath)
+        .withConf(conf)
+        .withType(messageType)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    }
+    writer
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        schema.fields(i).dataType match {
+          case BooleanType => g.add(i, row.getBoolean(i))
+          case ByteType => g.add(i, row.getByte(i).toInt)
+          case ShortType => g.add(i, row.getShort(i).toInt)
+          case IntegerType | DateType => g.add(i, row.getInt(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            g.add(i, row.getLong(i))
+          case FloatType => g.add(i, row.getFloat(i))
+          case DoubleType => g.add(i, row.getDouble(i))
+          case StringType =>
+            g.add(i, Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType =>
+            g.add(i, Binary.fromReusedByteArray(row.getBinary(i)))
+          case dt => throw new IllegalStateException(s"unreachable: $dt")
+        }
+      }
+      i += 1
+    }
+    openedWriter().write(g)
+    rows += 1
+    statIdx.foreach { case (c, idx) =>
+      if (!row.isNullAt(idx)) {
+        val v = schema.fields(idx).dataType match {
+          case ByteType => row.getByte(idx).toLong
+          case ShortType => row.getShort(idx).toLong
+          case IntegerType => row.getInt(idx).toLong
+          case _ => row.getLong(idx)
+        }
+        if (v < statMin(c)) statMin(c) = v
+        if (v > statMax(c)) statMax(c) = v
+      }
+    }
+    bloomIdx.foreach { case (c, idx) =>
+      if (!row.isNullAt(idx)) {
+        val h = graft.functions.cat.Kernels.polyHash(
+          row.getUTF8String(idx), 31, 1000000007L)
+        graft.functions.cat.Kernels.bloomSet(bloomBits(c), h,
+          SnapshotTable.BloomK)
+      }
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer == null) return WrittenFile("", 0L, Map.empty, Map.empty)
+    writer.close()
+    writer = null
+    val stats = statsCols.flatMap { c =>
+      if (statMin(c) > statMax(c)) None // all-null column in this file
+      else Some(c -> (statMin(c), statMax(c)))
+    }.toMap
+    WrittenFile(relPath, rows, stats,
+      bloomCols.map(c => c -> bloomBits(c).toVector.asInstanceOf[Seq[Long]]).toMap)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = if (writer != null) {
+    writer.close()
+    writer = null
+    val fs = absPath.getFileSystem(new Configuration())
+    fs.delete(absPath, false)
+  }
+}

@@ -232,6 +232,75 @@ class ConnectorSpec extends SparkTestBase {
     info(s"y-range skip: linear $linHit/$linTotal, z-order $zHit/$zTotal")
   }
 
+  test("V2 write: creates the table, appends carry, overwrite truncates") {
+    val dir = freshDir()
+    val a = spark.range(0, 100).select($"id", concat(lit("k"), $"id").as("key"))
+    // fresh root: the write creates version 1
+    a.write.format("graft_snapshot").option("statsCols", "id")
+      .option("bloomCols", "key").mode("overwrite").save(dir)
+    assert(load(dir).collect().map(_.toSeq).toSet ==
+      a.collect().map(_.toSeq).toSet)
+    spark.range(100, 130).select($"id", concat(lit("k"), $"id").as("key"))
+      .write.format("graft_snapshot").option("statsCols", "id")
+      .mode("append").save(dir)
+    assert(load(dir).count() == 130)
+    assert(SnapshotTable.scan(spark, dir).count() == 130) // programmatic parity
+    spark.range(0, 7).select($"id", lit("z").as("key"))
+      .write.format("graft_snapshot").mode("overwrite").save(dir)
+    assert(load(dir).count() == 7)
+    assert(SnapshotTable.scan(spark, dir, Some(2)).count() == 130) // time travel survives
+  }
+
+  test("V2 write collects stats and blooms in-flight: skipping works") {
+    val dir = freshDir()
+    spark.range(0, 800).select($"id", concat(lit("k"), $"id").as("key"))
+      .repartitionByRange(8, $"id")
+      .write.format("graft_snapshot").option("statsCols", "id")
+      .option("bloomCols", "key").mode("overwrite").save(dir)
+    val m = SnapshotTable.readManifest(spark, dir, 1)
+    assert(m.files.size == 8)
+    assert(m.files.forall(fe => fe.stats.contains("id") && fe.bloom.contains("key")))
+    // (min,max) written by the tasks must be exact per range partition
+    assert(m.files.map(_.stats("id")).sortBy(_._1).head._1 == 0L)
+    assert(m.files.map(_.stats("id")).map(_._2).max == 799L)
+    val ranged = load(dir).filter($"id" >= 200 && $"id" < 300)
+    assert(scanOf(ranged).planInputPartitions().length < 8)
+    assert(ranged.count() == 100)
+    val pointed = load(dir).filter($"key" === "k355")
+    assert(scanOf(pointed).planInputPartitions().length < 8)
+    assert(pointed.count() == 1)
+    // the connector-written table reads identically through the
+    // programmatic path (readEquals uses the same blooms)
+    assert(SnapshotTable.readEquals(spark, dir, "key", "k355").count() == 1)
+  }
+
+  test("V2 write: empty partitions produce no files; evolution widens") {
+    val dir = freshDir()
+    spark.range(0, 3).toDF().repartition(8)
+      .write.format("graft_snapshot").mode("overwrite").save(dir)
+    val m = SnapshotTable.readManifest(spark, dir, 1)
+    assert(m.files.nonEmpty && m.files.forall(_.rows > 0))
+    assert(load(dir).count() == 3)
+    // ACCEPT_ANY_SCHEMA: an append may add a column; old files read null
+    spark.range(3, 5).select($"id", lit("w").as("extra"))
+      .write.format("graft_snapshot").mode("append").save(dir)
+    val rows = load(dir).orderBy("id").collect()
+    assert(rows.length == 5)
+    assert(rows.take(3).forall(_.isNullAt(1)))
+    assert(rows.drop(3).forall(_.getString(1) == "w"))
+  }
+
+  test("V2 write: misdeclared stats/bloom columns fail at planning") {
+    val dir = freshDir()
+    val df = spark.range(0, 5).select($"id", concat(lit("k"), $"id").as("key"))
+    intercept[Exception](df.write.format("graft_snapshot")
+      .option("statsCols", "key").mode("overwrite").save(dir)) // non-integral
+    intercept[Exception](df.write.format("graft_snapshot")
+      .option("bloomCols", "id").mode("overwrite").save(dir)) // non-string
+    intercept[Exception](df.write.format("graft_snapshot")
+      .option("statsCols", "nope").mode("overwrite").save(dir)) // absent
+  }
+
   test("streaming tail: exactly-once across AvailableNow restarts") {
     val dir = freshDir()
     val ckpt = Files.createTempDirectory("graft-conn-ckpt").toString
@@ -268,6 +337,53 @@ class ConnectorSpec extends SparkTestBase {
     q.awaitTermination()
     assert(spark.table("conn_stream_sv").as[Long].collect().sorted.toSeq ==
       (100L until 105L))
+  }
+
+  test("SQL surface: USING temp view reads, INSERT INTO appends") {
+    val dir = freshDir()
+    spark.range(0, 20).select($"id", ($"id" % 3).as("m"))
+      .write.format("graft_snapshot").option("statsCols", "id")
+      .mode("overwrite").save(dir)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW snap_sql " +
+      s"USING graft_snapshot OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_sql").as[Long]
+      .collect().head == 20L)
+    assert(spark.sql("SELECT sum(m) AS s FROM snap_sql WHERE id < 10")
+      .as[Long].collect().head == (0 until 10).map(_ % 3).sum)
+    spark.sql("INSERT INTO snap_sql SELECT id, id % 3 AS m FROM range(20, 25)")
+    assert(spark.sql("SELECT count(*) AS n FROM snap_sql").as[Long]
+      .collect().head == 25L)
+    assert(SnapshotTable.scan(spark, dir).count() == 25) // same table underneath
+  }
+
+  test("native streaming sink: epoch-idempotent appends") {
+    val src = freshDir()
+    val tgt = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-wckpt").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), src, "overwrite")
+    // table-to-table: the format is both the source and the sink
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(src)
+        .select($"id", ($"id" * 2).as("dbl"))
+        .writeStream.format("graft_snapshot")
+        .option("path", tgt).option("statsCols", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(load(tgt).as[(Long, Long)].collect().sorted.toSeq ==
+      (0L until 10L).map(i => (i, i * 2)))
+    SnapshotTable.write(spark, spark.range(10, 14).toDF(), src, "append")
+    runOnce()
+    assert(load(tgt).as[(Long, Long)].collect().sorted.toSeq ==
+      (0L until 14L).map(i => (i, i * 2)),
+      "restart must append ONLY the new source version, exactly once")
+    // sink commits are tagged per epoch; stats flowed through in-flight
+    val hist = SnapshotTable.history(spark, tgt)
+    assert(hist.forall(_._2.startsWith("stream-epoch-")))
+    val m = SnapshotTable.readManifest(spark, tgt, hist.last._1)
+    assert(m.files.forall(_.stats.contains("id")))
   }
 
   test("streaming tail: non-append commits fail loudly") {
