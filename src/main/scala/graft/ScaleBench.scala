@@ -210,7 +210,9 @@ object ScaleBench {
     import graft.sources.connector.ScanTelemetry
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_CONN_FILES", "2048").toInt
     val rows = nFiles * 1000L
-    val dir = s"/tmp/graft-scale/connector-$nFiles"
+    // v2 staging: the table records its schema in the log (a pre-schema
+    // staging would mask the planning-cost fix with the footer fallback)
+    val dir = s"/tmp/graft-scale/connector2-$nFiles"
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def timeSec(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -222,6 +224,16 @@ object ScaleBench {
         dir, "overwrite", Seq("id"))
     def conn = spark.read.format("graft_snapshot").load(dir)
 
+    // planning cost: the log-recorded schema vs the footer pass a
+    // schema-less log would force on every planned query
+    val planSec = timeSec(conn.schema)
+    val footerPassSec = timeSec {
+      val m = SnapshotTable.readManifest(spark, dir,
+        SnapshotTable.latestVersion(spark, dir).get)
+      spark.read.option("mergeSchema", "true")
+        .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+    }
+
     val metaCountSec = timeSec(assert(conn.count() == rows))
     val fullSec = timeSec(conn.agg(sum("v")).collect())
     val (fullPlanned, total) = ScanTelemetry.lastPlanned(dir).get
@@ -229,7 +241,12 @@ object ScaleBench {
       conn.filter(col("id").between(0, rows / 128 - 1)).agg(sum("v")).collect())
     val (narrowPlanned, _) = ScanTelemetry.lastPlanned(dir).get
 
-    def dim = spark.range(4).select((col("id") * (rows / 4) + 7).as("k"))
+    // the build side needs a SELECTIVE FILTER for the planner to
+    // justify injecting the runtime filter (PartitionPruning's
+    // hasSelectivePredicate) — the realistic shape anyway: a
+    // dimension filtered to a handful of keys
+    def dim = spark.range(0, rows).select(col("id").as("k"))
+      .filter(col("k") % (rows / 4) === 7)
     val dppSec = timeSec(
       assert(conn.join(dim, col("id") === col("k")).count() == 4))
     val (dppPlanned, _) = ScanTelemetry.lastPlanned(dir).get
@@ -242,7 +259,8 @@ object ScaleBench {
     val vectorizedFullSec = timeSec(
       SnapshotTable.scan(spark, dir).agg(sum("v")).collect())
 
-    s"""{"files":$total,"rows":$rows,"meta_count_sec":$metaCountSec,""" +
+    s"""{"files":$total,"rows":$rows,"plan_sec":$planSec,""" +
+      s""""legacy_footer_plan_sec":$footerPassSec,"meta_count_sec":$metaCountSec,""" +
       s""""full":{"sec":$fullSec,"planned":$fullPlanned},""" +
       s""""narrow_1_128":{"sec":$narrowSec,"planned":$narrowPlanned},""" +
       s""""dpp_join":{"sec":$dppSec,"planned":$dppPlanned},""" +

@@ -283,9 +283,19 @@ object SnapshotTable {
     * "delta": the table is the previous version's list minus `remove`
     * plus `files`. Pre-delta-log manifests carry no kind and parse as
     * full. */
+  /** `schema` is the TABLE's logical schema (Spark StructType JSON)
+    * as of this version — stored on every commit like Delta's
+    * metaData action, so readers plan without a footer pass over the
+    * file list (at 2k files that pass costs seconds of driver time
+    * PER QUERY; at 100 TB it is a non-starter). Append commits store
+    * the union of the previous schema and the batch's (evolution);
+    * absent on pre-schema manifests and on any union conflict, where
+    * readers fall back to the mergeSchema footer pass — the fallback
+    * is never wrong, only slower. */
   private[graft] final case class LogEntry(version: Long, op: String, ts: Long,
                                            kind: String, files: Seq[FileEntry],
-                                           remove: Seq[String])
+                                           remove: Seq[String],
+                                           schema: Option[String] = None)
 
   private def renderFiles(sb: StringBuilder, files: Seq[FileEntry]): Unit = {
     sb.append('[')
@@ -322,6 +332,8 @@ object SnapshotTable {
       sb.append(e.remove.map(p => s""""$p"""").mkString(","))
       sb.append("],")
     }
+    // StructType.json is itself valid JSON — embedded raw
+    e.schema.foreach(s => sb.append(s""""schema":$s,"""))
     sb.append(""""files":""")
     renderFiles(sb, e.files)
     sb.append('}')
@@ -376,10 +388,12 @@ object SnapshotTable {
       val it = rn.elements()
       while (it.hasNext) remove += it.next().asText
     }
+    val sn = root.path("schema") // absent on pre-schema manifests
     LogEntry(root.get("version").asLong, root.get("op").asText,
       root.path("ts").asLong(0L), // absent on pre-ts manifests
       root.path("kind").asText("full"), // absent on pre-delta-log manifests
-      parseFiles(root.get("files")), remove.result())
+      parseFiles(root.get("files")), remove.result(),
+      if (sn.isMissingNode) None else Some(sn.toString))
   }
 
   // --- manifest resolution: fold the delta log into the file list ---
@@ -537,10 +551,49 @@ object SnapshotTable {
     * check would let a concurrent rewrite/dv-commit silently drop
     * those deletions (a lost update). Throws
     * [[CommitConflictException]]; returns the committed version. */
+  /** The table schema recorded in `version`'s commit entry, if that
+    * commit (and its union chain) recorded one. One small-file read —
+    * NO footer pass, no manifest resolution. */
+  private[graft] def tableSchemaJson(spark: SparkSession, dir: String,
+                                     version: Long): Option[String] = {
+    val p = new Path(logDir(dir), manifestName(version))
+    val f = fs(spark, p)
+    if (!f.exists(p)) None else parseEntry(readBytes(f, p)).schema
+  }
+
+  /** [[tableSchemaJson]] as a StructType, every field forced nullable
+    * (schema evolution surfaces missing columns as null, and reads
+    * must never promise more than the files deliver). */
+  private[graft] def tableSchema(spark: SparkSession, dir: String,
+                                 version: Long): Option[org.apache.spark.sql.types.StructType] =
+    tableSchemaJson(spark, dir, version).map { j =>
+      val st = org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true)))
+    }
+
+  /** Union-by-name for append-time schema evolution: previous fields
+    * keep their order (they are the files read first), new-only
+    * fields append — the same order mergeSchema produces. A same-name
+    * type conflict returns None: the entry stores no schema and
+    * readers take the footer-pass fallback, which is authoritative. */
+  private def unionSchemaJson(prevJson: String, newJson: String): Option[String] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]
+    val next = DataType.fromJson(newJson).asInstanceOf[StructType]
+    val prevByName = prev.fields.map(f => f.name -> f.dataType).toMap
+    val conflict = next.fields.exists(f =>
+      prevByName.get(f.name).exists(_ != f.dataType))
+    if (conflict) None
+    else Some(StructType(prev.fields ++
+      next.fields.filterNot(f => prevByName.contains(f.name))).json)
+  }
+
   private def commit(spark: SparkSession, dir: String, op: String,
                      added: Seq[FileEntry],
                      removed: Map[String, Option[String]] = Map.empty,
-                     carry: Boolean = false): Long = {
+                     carry: Boolean = false,
+                     schemaJson: Option[String] = None): Long = {
     val ld = logDir(dir)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -560,6 +613,19 @@ object SnapshotTable {
             s"${gone.mkString(", ")} after this $op read them")
       }
       val v = latest.getOrElse(0L) + 1
+      // schema chain: a fresh/overwritten table records the writer's
+      // schema; a carrying commit unions it with (or just carries) the
+      // previous version's. A legacy previous entry (no schema) keeps
+      // the chain legacy — a stored schema must describe EVERY file.
+      val entrySchema: Option[String] =
+        if (!carry || latest.isEmpty) schemaJson
+        else latest.flatMap(tableSchemaJson(spark, dir, _)) match {
+          case None => None
+          case prev @ Some(p) => schemaJson match {
+            case None => prev
+            case Some(n) => unionSchemaJson(p, n)
+          }
+        }
       // overwrite/restore replace the whole list (naturally full), and
       // every CheckpointInterval-th version anchors the log so a cold
       // reader's backward fold is bounded; everything else commits the
@@ -567,10 +633,11 @@ object SnapshotTable {
       val entry =
         if (!carry || v % CheckpointInterval == 0) {
           val outFiles = current.filterNot(fe => removed.contains(fe.path)) ++ added
-          LogEntry(v, op, System.currentTimeMillis(), "full", outFiles, Nil)
+          LogEntry(v, op, System.currentTimeMillis(), "full", outFiles, Nil,
+            entrySchema)
         } else
           LogEntry(v, op, System.currentTimeMillis(), "delta", added,
-            removed.keys.toSeq.sorted)
+            removed.keys.toSeq.sorted, entrySchema)
       if (tryPublish(f, ld, entry)) {
         if (entry.kind == "full" && entry.files.size >= parquetAnchorMinFiles)
           writeParquetAnchor(spark, dir, entry)
@@ -588,16 +655,18 @@ object SnapshotTable {
     * writing (no post-hoc stats job — the one cost [[stageFiles]]
     * pays). Appends carry and never conflict; overwrite replaces. */
   private[graft] def commitAdded(spark: SparkSession, dir: String, op: String,
-                                 added: Seq[FileEntry], carry: Boolean): Long =
-    commit(spark, dir, op, added, carry = carry)
+                                 added: Seq[FileEntry], carry: Boolean,
+                                 schemaJson: Option[String] = None): Long =
+    commit(spark, dir, op, added, carry = carry, schemaJson = schemaJson)
 
   /** Like [[commit]] but deletes the staged `added` files before
     * rethrowing a conflict, so a retried operation leaves no orphans. */
   private def commitStaged(spark: SparkSession, dir: String, op: String,
                            added: Seq[FileEntry],
                            removed: Map[String, Option[String]],
-                           carry: Boolean): Long =
-    try commit(spark, dir, op, added, removed, carry)
+                           carry: Boolean,
+                           schemaJson: Option[String] = None): Long =
+    try commit(spark, dir, op, added, removed, carry, schemaJson)
     catch {
       case e: CommitConflictException =>
         val f = fs(spark, new Path(dir))
@@ -678,7 +747,8 @@ object SnapshotTable {
         s"mode must be overwrite|append, got $other")
     }
     val fresh = stageFiles(spark, df, dir, statsCols, bloomCols)
-    commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry)
+    commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry,
+      schemaJson = Some(df.schema.json))
   }
 
   /** Commit `df` only if it passes every declarative expectation
@@ -714,7 +784,8 @@ object SnapshotTable {
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    commit(spark, dir, opTag.getOrElse(s"gated-$mode"), fresh, carry = carry)
+    commit(spark, dir, opTag.getOrElse(s"gated-$mode"), fresh, carry = carry,
+      schemaJson = Some(df.schema.json))
   }
 
   /** The file NAME a deletion vector keys a row by (staged names are
@@ -747,7 +818,9 @@ object SnapshotTable {
     * row-number window (Spark keeps it file-absolute under row-group
     * pruning). */
   private def readFiles(spark: SparkSession, dir: String, files: Seq[FileEntry],
-                        keepPos: Boolean = false): DataFrame = {
+                        keepPos: Boolean = false,
+                        knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     def read(fs: Seq[FileEntry], schema: Option[org.apache.spark.sql.types.StructType]) = {
       val r = schema.map(spark.read.schema)
         .getOrElse(spark.read.option("mergeSchema", "true"))
@@ -759,10 +832,12 @@ object SnapshotTable {
       .withColumn("__graft_pos", col("_metadata.row_index"))
     val (dvd, plainFiles) = files.partition(_.dv.isDefined)
     if (dvd.isEmpty)
-      return if (!keepPos) read(files, None) else withPos(read(files, None))
-    // one driver-side footer pass fixes the merged schema both legs
-    // share (the price any format pays to plan a mixed read)
-    val schema = read(files, None).schema
+      return if (!keepPos) read(files, knownSchema)
+      else withPos(read(files, knownSchema))
+    // the log-recorded schema plans the mixed read directly; absent
+    // (legacy / union conflict), one driver-side footer pass fixes the
+    // merged schema both legs share
+    val schema = knownSchema.getOrElse(read(files, None).schema)
     val dvPaths = dvd.flatMap(_.dv.map(_._1)).distinct
     // a shared dv sidecar may carry positions for files outside this
     // read set (or since rewritten under a new name); the anti-join
@@ -785,16 +860,23 @@ object SnapshotTable {
     if (keepPos) out else out.drop("__graft_file", "__graft_pos")
   }
 
-  /** The table as of `version` (default: newest). */
+  /** The table as of `version` (default: newest). Plans from the
+    * log-recorded schema when the commit chain carries one (no footer
+    * pass); an EMPTY version with a recorded schema reads as an empty
+    * typed DataFrame instead of erroring. */
   def scan(spark: SparkSession, dir: String, version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val m = readManifest(spark, dir, v)
+    val known = tableSchema(spark, dir, v)
     if (m.files.isEmpty)
-      throw new IllegalStateException(s"version $v of $dir is empty; cannot infer schema")
+      return known.map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $dir is empty and records no schema; cannot infer"))
     // mergeSchema: appends may add columns over the table's life
     // (schema evolution); older files surface the new columns as null.
-    readFiles(spark, dir, m.files)
+    readFiles(spark, dir, m.files, knownSchema = known)
   }
 
   /** Range read with stats-based data skipping: only files whose
@@ -810,7 +892,7 @@ object SnapshotTable {
       fe.stats.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    readFiles(spark, dir, hit)
+    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v))
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -866,7 +948,7 @@ object SnapshotTable {
     val hit = pointCandidates(m, keyCol, value)
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    readFiles(spark, dir, hit)
+    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v))
       .filter(col(keyCol).cast("string") === value)
   }
 
@@ -971,7 +1053,9 @@ object SnapshotTable {
     }
     val fresh = stageFiles(spark, merged, dir, statsCols)
     commitStaged(spark, dir, opTag.getOrElse("merge"), fresh,
-      removed = readSetOf(rewrite), carry = true)
+      removed = readSetOf(rewrite), carry = true,
+      // evolution: union the new columns into the recorded schema
+      schemaJson = Some(merged.schema.json))
   }
 
   /** DELETE WHERE: copy-on-write at FILE granularity. Touch detection
@@ -1266,6 +1350,7 @@ object SnapshotTable {
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
     commit(spark, dir, "restore", readManifest(spark, dir, toVersion).files,
+      schemaJson = tableSchemaJson(spark, dir, toVersion),
       carry = false)
 
   /** Data files younger than this survive [[vacuum]] even when no kept

@@ -71,12 +71,17 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
     // a precise error in newScanBuilder
     if (SnapshotTable.latestVersion(spark, dir).isEmpty &&
         options.get("versionAsOf") == null) return new StructType()
-    val m = GraftSnapshotSource.resolveManifest(spark, dir, options)
-    if (m.files.isEmpty) return new StructType()
-    // one driver-side footer pass, same as SnapshotTable.scan's
-    // mergeSchema read (appends may have widened the schema)
-    spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(SnapshotTable.latestVersion(spark, dir)).get
+    // the log-recorded schema is one small-file read — the footer
+    // pass below is the legacy fallback only (at 2k files it costs
+    // seconds of driver time per planned query)
+    SnapshotTable.tableSchema(spark, dir, v).getOrElse {
+      val m = SnapshotTable.readManifest(spark, dir, v)
+      if (m.files.isEmpty) new StructType()
+      else spark.read.option("mergeSchema", "true")
+        .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

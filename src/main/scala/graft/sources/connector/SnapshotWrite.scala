@@ -107,7 +107,7 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
     if (replayed) abort(epochId, messages)
     else SnapshotTable.commitAdded(spark, dir, epochTag(epochId), entries,
-      carry = true)
+      carry = true, schemaJson = Some(schema.json))
   }
 
   override def abort(epochId: Long,
@@ -151,7 +151,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
         FileEntry(w.path, w.rows, w.stats, w.bloom)
     }.toSeq
     SnapshotTable.commitAdded(SparkSession.active, dir,
-      if (overwrite) "overwrite" else "append", entries, carry = !overwrite)
+      if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
+      schemaJson = Some(schema.json))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -339,6 +339,65 @@ class ConnectorSpec extends SparkTestBase {
       (100L until 105L))
   }
 
+  test("schema rides the log: planning needs no footer pass, unions on evolution") {
+    val dir = freshDir()
+    spark.range(0, 10).select($"id", lit("a").as("s"))
+      .write.format("graft_snapshot").mode("overwrite").save(dir)
+    assert(SnapshotTable.tableSchema(spark, dir, 1).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "s")))
+    // evolution append: recorded schema unions (old fields first)
+    SnapshotTable.write(spark,
+      spark.range(10, 12).select($"id", lit("b").as("s"), lit(1.5).as("w")),
+      dir, "append")
+    assert(SnapshotTable.tableSchema(spark, dir, 2).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "s", "w")))
+    // a dv commit carries the chain
+    SnapshotTable.deleteVectors(spark, dir, $"id" === 3)
+    assert(SnapshotTable.tableSchema(spark, dir, 3).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "s", "w")))
+    assert(load(dir).count() == 11)
+    // restore records the restored version's schema
+    SnapshotTable.restore(spark, dir, 1)
+    assert(SnapshotTable.tableSchema(spark, dir, 4).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "s")))
+  }
+
+  test("legacy entries without a recorded schema fall back to the footer pass") {
+    val dir = freshDir()
+    spark.range(0, 10).select($"id", lit("a").as("s"))
+      .write.format("graft_snapshot").mode("overwrite").save(dir)
+    // strip the schema field from the commit entry (a pre-schema log)
+    val entry = java.nio.file.Paths.get(dir, "_log", "v0000000001.json")
+    val json = new String(java.nio.file.Files.readAllBytes(entry), "UTF-8")
+    assert(json.contains("\"schema\""))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("schema")
+    java.nio.file.Files.write(entry, mapper.writeValueAsBytes(node))
+    SnapshotTable.invalidateResolveCache()
+    assert(SnapshotTable.tableSchema(spark, dir, 1).isEmpty)
+    assert(load(dir).count() == 10) // connector footer-pass fallback
+    assert(SnapshotTable.scan(spark, dir).count() == 10)
+    // an append onto a legacy chain stays legacy (a recorded schema
+    // must describe every file, including the schema-less history)
+    SnapshotTable.write(spark, spark.range(10, 12).toDF()
+      .select($"id", lit("b").as("s")), dir, "append")
+    assert(SnapshotTable.tableSchema(spark, dir, 2).isEmpty)
+    assert(load(dir).count() == 12)
+  }
+
+  test("an empty version with a recorded schema reads as an empty typed frame") {
+    val dir = freshDir()
+    spark.range(0, 5).select($"id", lit("x").as("s"))
+      .filter(lit(false)) // zero rows
+      .write.format("graft_snapshot").mode("overwrite").save(dir)
+    val viaScan = SnapshotTable.scan(spark, dir)
+    assert(viaScan.schema.fieldNames.toSeq == Seq("id", "s") && viaScan.count() == 0)
+    val viaConn = load(dir)
+    assert(viaConn.schema.fieldNames.toSeq == Seq("id", "s") && viaConn.count() == 0)
+  }
+
   test("SQL surface: USING temp view reads, INSERT INTO appends") {
     val dir = freshDir()
     spark.range(0, 20).select($"id", ($"id" % 3).as("m"))

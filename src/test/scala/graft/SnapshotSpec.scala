@@ -536,7 +536,10 @@ class SnapshotSpec extends SparkTestBase {
     val d13 = Files.size(logFile(dir, 13))
     assert(math.abs(d13 - d2) < 64,
       s"delta entry grew with table size: v2=$d2 bytes, v13=$d13 bytes")
-    assert(Files.size(logFile(dir, 10)) > 4 * d13, // the anchor holds all 10
+    // the anchor holds all 10 file entries where the delta holds 1;
+    // both carry the same constant-size schema record, so the
+    // difference must be ≥ the 9 extra entries' bytes
+    assert(Files.size(logFile(dir, 10)) - d13 > 9 * 40,
       "anchor entry should carry the full file list")
     // every version resolves to the right row count — including the
     // pre-anchor tail (fold from v1), the anchor itself, and the
