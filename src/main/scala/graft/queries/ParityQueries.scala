@@ -1186,6 +1186,40 @@ object ParityQueries {
         |  AND o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin),
 
+    // The SQL CATALOG over the table format: CTAS creates the table
+    // from an orders slice, INSERT INTO appends, and the read unions
+    // the time-traveled first version (VERSION AS OF) with the latest
+    // — pure SQL against `graft_cat.*` identifiers, no paths in the
+    // query text. The catalog is directories + the commit log; the
+    // oracle recomputes both snapshots from the source table.
+    "q6J_catalog_sql" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6J")
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6J_orders")
+        s.sql("""CREATE TABLE graft_cat.sales AS
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM t6J_orders WHERE o_orderkey % 4 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.sales
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM t6J_orders WHERE o_orderkey % 4 = 1""".stripMargin)
+        s.sql("""SELECT *, 'v2' AS as_of FROM graft_cat.sales VERSION AS OF 2
+                |UNION ALL
+                |SELECT *, 'latest' AS as_of FROM graft_cat.sales
+                |ORDER BY as_of, o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice, 'latest' AS as_of
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'v2' AS as_of
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |ORDER BY as_of, o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

@@ -1,0 +1,226 @@
+package graft.sources.connector
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotTable
+
+/** A Spark `TableCatalog` over snapshot tables: full SQL DDL/DML on
+  * the table format with zero services — the catalog IS the
+  * filesystem layout.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.connector.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/warehouse")
+  *
+  *   CREATE NAMESPACE graft.ml
+  *   CREATE TABLE graft.ml.docs (doc_id BIGINT, text STRING)
+  *   CREATE TABLE graft.ml.sample AS SELECT * FROM src LIMIT 100
+  *   INSERT INTO graft.ml.docs SELECT ...
+  *   INSERT OVERWRITE graft.ml.docs SELECT ...
+  *   SELECT * FROM graft.ml.docs VERSION AS OF 3       -- time travel
+  *   SELECT * FROM graft.ml.docs TIMESTAMP AS OF '...' -- as-of instant
+  *   SHOW TABLES IN graft.ml; DROP TABLE graft.ml.docs
+  * }}}
+  *
+  * Identifier → directory: `<root>/<namespace…>/<name>`; a table is a
+  * directory with a `_log`; a namespace is any other directory.
+  * `CREATE TABLE` commits an EMPTY version 1 carrying the declared
+  * schema in the log entry (readable immediately as an empty typed
+  * frame); CTAS is create + the connector's V2 append. `VERSION AS
+  * OF` pins the manifest; `TIMESTAMP AS OF` resolves the newest
+  * version published at or before the instant — the SQL form of
+  * `scanAsOf`. Everything else (reads with skipping, metadata-only
+  * aggregates, the OCC write path, streaming) is [[SnapshotV2Table]]
+  * unchanged. At 100 TB the load-bearing property is what this
+  * catalog does NOT do: no central metastore round-trips — resolving
+  * a table is one directory check, the log stays the source of truth.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark = SparkSession.active
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"catalog '$name' needs a root directory: spark.sql.catalog.$name.root=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ns: Seq[String], leaf: String): String =
+    (root +: ns :+ leaf).mkString("/")
+  private def dirOf(ident: Identifier): String =
+    dirOf(ident.namespace.toSeq, ident.name)
+
+  private def isTableDir(p: Path): Boolean = {
+    val fs = p.getFileSystem(hconf)
+    fs.exists(new Path(p, "_log"))
+  }
+
+  private def tableExistsAt(dir: String): Boolean =
+    SnapshotTable.latestVersion(spark, dir).isDefined
+
+  /** Latest (or pinned) schema — the log-recorded one, footer-pass
+    * fallback for legacy chains. */
+  private def schemaOf(dir: String, version: Option[Long]): StructType = {
+    val v = version.orElse(SnapshotTable.latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    SnapshotTable.tableSchema(spark, dir, v).getOrElse {
+      val m = SnapshotTable.readManifest(spark, dir, v)
+      if (m.files.isEmpty) new StructType()
+      else spark.read.option("mergeSchema", "true")
+        .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+    }
+  }
+
+  // --- tables ---
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = new Path((root +: namespace).mkString("/"))
+    val fs = nsPath.getFileSystem(hconf)
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath).filter(_.isDirectory)
+      .filter(st => isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    tableExistsAt(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
+    new SnapshotV2Table(schemaOf(dir, None), dir)
+  }
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft version identifiers are commit numbers, got '$version'")
+    }
+    new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF t` (micros since epoch): the newest version
+    * published at or before the instant — [[SnapshotTable.scanAsOf]]
+    * as DDL. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    val v = SnapshotTable.versions(spark, dir)
+      .filter(SnapshotTable.readManifest(spark, dir, _).ts <= tsMs)
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"no version of ${ident.toString} existed at epoch-ms $tsMs"))
+    new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are unpartitioned (layout is z-order/compact territory)")
+    val dir = dirOf(ident)
+    if (tableExistsAt(dir)) throw new TableAlreadyExistsException(ident)
+    // an EMPTY version 1 carrying the declared schema: immediately
+    // readable as an empty typed frame, appendable by INSERT/CTAS
+    SnapshotTable.commitAdded(spark, dir, "create", Nil, carry = false,
+      schemaJson = Some(schema.json))
+    new SnapshotV2Table(schema, dir)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolves through appends " +
+        "(ACCEPT_ANY_SCHEMA unions new columns into the log)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!tableExistsAt(dir)) return false
+    val p = new Path(dir)
+    p.getFileSystem(hconf).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(dirOf(oldIdent))
+    val to = new Path(dirOf(newIdent))
+    val fs = from.getFileSystem(hconf)
+    if (!tableExistsAt(dirOf(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+    SnapshotTable.invalidateResolveCache() // cache keys are path-based
+  }
+
+  // --- namespaces (directories without a _log) ---
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val nsPath = new Path((root +: namespace).mkString("/"))
+    val fs = nsPath.getFileSystem(hconf)
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath).filter(_.isDirectory)
+      .filterNot(st => isTableDir(st.getPath))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    if (namespace.isEmpty) return true
+    val p = new Path((root +: namespace).mkString("/"))
+    val fs = p.getFileSystem(hconf)
+    fs.exists(p) && !isTableDir(p)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> (root +: namespace).mkString("/")).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    val p = new Path((root +: namespace).mkString("/"))
+    p.getFileSystem(hconf).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = new Path((root +: namespace).mkString("/"))
+    val fs = p.getFileSystem(hconf)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(p, true)
+  }
+}

@@ -125,7 +125,8 @@ object GraftSnapshotSource {
   * are mergeSchema — older files surface new columns as null), so
   * Spark's output resolution is skipped and the table's own write
   * path validates. */
-final class SnapshotV2Table(schema: StructType, dir: String)
+final class SnapshotV2Table(schema: StructType, dir: String,
+                            pinnedVersion: Option[Long] = None)
   extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -143,7 +144,16 @@ final class SnapshotV2Table(schema: StructType, dir: String)
     if (schema.isEmpty) throw new IllegalStateException(
       s"no committed version under $dir (or the version is empty); " +
         "nothing to read")
-    new SnapshotScanBuilder(schema, dir, options)
+    // catalog time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) pins
+    // the version at table-resolution time; a per-read option wins
+    val opts = pinnedVersion match {
+      case Some(v) if options.get("versionAsOf") == null =>
+        val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("versionAsOf", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case _ => options
+    }
+    new SnapshotScanBuilder(schema, dir, opts)
   }
 
   override def newWriteBuilder(

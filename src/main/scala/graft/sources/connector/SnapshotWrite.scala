@@ -55,15 +55,20 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       .getOrElse(Nil)
 
   override def build(): Write = new Write {
+    // ACCEPT_ANY_SCHEMA means Spark hands us the query schema raw —
+    // the builder aligns it against the table (by name, or by
+    // position for SQL INSERT) before any row is written
+    private val aligned = SnapshotWriteSupport.align(dir, info.schema())
+
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(dir, info.schema(), overwrite,
+      new SnapshotBatchWrite(dir, aligned, overwrite,
         cols("statsCols"), cols("bloomCols"))
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "graft_snapshot streaming sink is append-only (outputMode append)")
-      new SnapshotStreamingWrite(dir, info.schema(),
+      new SnapshotStreamingWrite(dir, aligned,
         cols("statsCols"), cols("bloomCols"))
     }
   }
@@ -185,6 +190,46 @@ final class SnapshotWriterFactory(dir: String, schema: StructType,
 }
 
 private object SnapshotWriteSupport {
+
+  /** Schema alignment under ACCEPT_ANY_SCHEMA (which disables Spark's
+    * own output resolution): write columns by NAME when the incoming
+    * names correspond to the table's — exact sets, a subset (absent
+    * columns read as null), or a superset (evolution widens the
+    * table); otherwise, if the arity matches and the types agree
+    * positionally, RENAME to the table's column names — SQL `INSERT
+    * INTO t SELECT expr1, expr2` semantics, where the query's
+    * auto-generated names are meaningless. Anything else (arity
+    * mismatch with unrecognized names, positional type conflict)
+    * fails before a row is written. Note the one documented
+    * ambiguity: a same-arity same-types write whose names are ALL new
+    * is read as positional (SQL wins); a deliberate whole-table
+    * rename goes through `SnapshotTable.write`. */
+  def align(dir: String, incoming: StructType): StructType = {
+    val spark = SparkSession.active
+    val table = SnapshotTable.latestVersion(spark, dir)
+      .flatMap(v => SnapshotTable.tableSchema(spark, dir, v))
+    table match {
+      case None => incoming // fresh root or legacy chain: as declared
+      case Some(t) =>
+        val tNames = t.fieldNames.toSet
+        val inNames = incoming.fieldNames.toSet
+        if (inNames.subsetOf(tNames) || tNames.subsetOf(inNames)) incoming
+        else if (incoming.length == t.length) {
+          incoming.fields.zip(t.fields).foreach { case (in, tf) =>
+            require(in.dataType == tf.dataType,
+              s"positional INSERT type mismatch at column '${tf.name}': " +
+                s"table ${tf.dataType.simpleString}, query " +
+                s"${in.dataType.simpleString} — add an explicit CAST")
+          }
+          StructType(incoming.fields.zip(t.fields).map {
+            case (in, tf) => in.copy(name = tf.name)
+          })
+        } else throw new IllegalArgumentException(
+          s"cannot align write schema ${incoming.fieldNames.mkString("(", ",", ")")} " +
+            s"to table schema ${t.fieldNames.mkString("(", ",", ")")}: names do " +
+            "not correspond and the column counts differ")
+    }
+  }
 
   def validate(schema: StructType, statsCols: Seq[String],
                bloomCols: Seq[String]): Unit = {

@@ -415,6 +415,50 @@ class ConnectorSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, dir).count() == 25) // same table underneath
   }
 
+  test("SQL catalog: CREATE/CTAS/INSERT/time-travel/SHOW/DROP end-to-end") {
+    val root = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat.root", root)
+    spark.sql("CREATE NAMESPACE graftcat.ml")
+    spark.sql("CREATE TABLE graftcat.ml.docs (doc_id BIGINT, txt STRING)")
+    assert(spark.sql("SELECT * FROM graftcat.ml.docs").count() == 0)
+    spark.sql("INSERT INTO graftcat.ml.docs " +
+      "SELECT id, concat('d', id) FROM range(0, 10)")
+    spark.sql("INSERT INTO graftcat.ml.docs " +
+      "SELECT id, concat('d', id) FROM range(10, 15)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat.ml.docs")
+      .as[Long].head == 15L)
+    // version time travel: v2 is the first INSERT (v1 = CREATE)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftcat.ml.docs VERSION AS OF 2")
+      .as[Long].head == 10L)
+    // timestamp time travel: the instant v2 published
+    val tsMs = SnapshotTable.readManifest(spark, s"$root/ml/docs", 2).ts
+    val lit = java.time.Instant.ofEpochMilli(tsMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graftcat.ml.docs TIMESTAMP AS OF '$lit'")
+      .as[Long].head == 10L)
+    // INSERT OVERWRITE truncates
+    spark.sql("INSERT OVERWRITE graftcat.ml.docs " +
+      "SELECT id, 'x' FROM range(0, 3)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat.ml.docs")
+      .as[Long].head == 3L)
+    // CTAS
+    spark.sql("CREATE TABLE graftcat.ml.copy AS " +
+      "SELECT * FROM graftcat.ml.docs WHERE doc_id < 2")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat.ml.copy")
+      .as[Long].head == 2L)
+    assert(spark.sql("SHOW TABLES IN graftcat.ml").collect()
+      .map(_.getString(1)).toSet == Set("docs", "copy"))
+    // the catalog is the same table format underneath
+    assert(SnapshotTable.scan(spark, s"$root/ml/docs").count() == 3)
+    spark.sql("DROP TABLE graftcat.ml.copy")
+    assert(spark.sql("SHOW TABLES IN graftcat.ml").count() == 1)
+    intercept[Exception](
+      spark.sql("CREATE TABLE graftcat.ml.docs (x INT)")) // already exists
+  }
+
   test("native streaming sink: epoch-idempotent appends") {
     val src = freshDir()
     val tgt = freshDir()
