@@ -1220,6 +1220,46 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey % 4 = 0
         |ORDER BY as_of, o_orderkey""".stripMargin),
 
+    // SQL DML over the catalog: DELETE FROM (landing as deletion
+    // vectors — the condition carries arithmetic, exercising the V2
+    // predicate translator; zero data files rewritten), ALTER TABLE
+    // ADD COLUMNS (metadata-only commit; old rows read null), and a
+    // positional INSERT carrying the new column. The oracle recomputes
+    // the final state in plain SQL.
+    "q6K_catalog_dml" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6K")
+        s.conf.set("spark.sql.catalog.graft_dml",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_dml.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6K_orders")
+        s.sql("""CREATE TABLE graft_dml.t AS
+                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |FROM t6K_orders""".stripMargin)
+        s.sql("DELETE FROM graft_dml.t " +
+          "WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0")
+        s.sql("DELETE FROM graft_dml.t WHERE o_custkey % 11 = 4")
+        s.sql("ALTER TABLE graft_dml.t ADD COLUMNS (src STRING)")
+        s.sql("""INSERT INTO graft_dml.t
+                |SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+                |       o_orderstatus, 'ins'
+                |FROM t6K_orders WHERE o_orderkey % 100 = 1""".stripMargin)
+        s.sql("SELECT * FROM graft_dml.t ORDER BY o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |       NULL AS src
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+        |  AND NOT (o_custkey % 11 = 4)
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_totalprice,
+        |       o_orderstatus, 'ins'
+        |FROM orders WHERE o_orderkey % 100 = 1
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

@@ -153,10 +153,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
       partitions, properties)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolves through appends " +
-        "(ACCEPT_ANY_SCHEMA unions new columns into the log)")
+  /** `ALTER TABLE … ADD COLUMNS` only: a metadata-only commit whose
+    * recorded schema unions in the new fields — no data file is
+    * touched, existing rows read the new columns as null (the same
+    * mergeSchema contract as append-time evolution). Other changes
+    * (renames, drops, type changes) would need column-id indirection
+    * the format deliberately does not have. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
+    require(SnapshotTable.latestVersion(spark, dir)
+      .flatMap(v => SnapshotTable.tableSchemaJson(spark, dir, v)).isDefined,
+      "ALTER TABLE needs a schema-recording log (legacy chain: rewrite via overwrite first)")
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"only ADD COLUMNS is supported, got ${other.getClass.getSimpleName}")
+    }
+    val existing = schemaOf(dir, None).fieldNames.toSet
+    adds.foreach(f => require(!existing.contains(f.name),
+      s"column '${f.name}' already exists"))
+    SnapshotTable.commitAdded(spark, dir, "add-columns", Nil, carry = true,
+      schemaJson = Some(StructType(adds.toArray).json))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

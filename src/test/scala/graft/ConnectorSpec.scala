@@ -459,6 +459,46 @@ class ConnectorSpec extends SparkTestBase {
       spark.sql("CREATE TABLE graftcat.ml.docs (x INT)")) // already exists
   }
 
+  test("SQL DELETE lands as deletion vectors; TRUNCATE and ALTER ADD COLUMNS") {
+    val root = Files.createTempDirectory("graft-cat2").toString
+    spark.conf.set("spark.sql.catalog.graftcat2",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat2.root", root)
+    spark.sql("CREATE TABLE graftcat2.t AS " +
+      "SELECT id, concat('k', id) AS key FROM range(0, 100)")
+    val dir = s"$root/t"
+    val filesBefore = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+    spark.sql("DELETE FROM graftcat2.t WHERE id % 2 = 0 OR key = 'k1'")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat2.t")
+      .as[Long].head == 49L)
+    // merge-on-read: the delete touched no data file
+    val mAfter = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(mAfter.files.map(_.path).toSet == filesBefore)
+    assert(mAfter.files.exists(_.dv.isDefined))
+    // ALTER TABLE ADD COLUMNS: metadata-only, old rows read null
+    spark.sql("ALTER TABLE graftcat2.t ADD COLUMNS (score DOUBLE)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat2.t WHERE score IS NULL")
+      .as[Long].head == 49L)
+    // positional alignment is type-exact by design: 0.5 is decimal(1,1),
+    // the column is DOUBLE — the aligner demands the explicit cast
+    intercept[Exception](spark.sql(
+      "INSERT INTO graftcat2.t SELECT id, concat('k', id), 0.5 FROM range(100, 103)"))
+    spark.sql("INSERT INTO graftcat2.t " +
+      "SELECT id, concat('k', id), CAST(0.5 AS DOUBLE) FROM range(100, 103)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftcat2.t WHERE score = 0.5")
+      .as[Long].head == 3L)
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftcat2.t ADD COLUMNS (key STRING)"))
+    // TRUNCATE: one empty overwrite commit; history stays readable
+    val preTruncate = SnapshotTable.latestVersion(spark, dir).get
+    spark.sql("TRUNCATE TABLE graftcat2.t")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat2.t").as[Long].head == 0L)
+    assert(SnapshotTable.scan(spark, dir, Some(preTruncate)).count() == 52)
+  }
+
   test("native streaming sink: epoch-idempotent appends") {
     val src = freshDir()
     val tgt = freshDir()
