@@ -1260,6 +1260,38 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Policy-driven table maintenance ("table services"): per-batch
+    // appends fragment the table and a dv-delete stacks read debt;
+    // one maintain() pass purges the vectors, compacts the small
+    // files (z-ordered), and vacuums history — and the content must
+    // be bit-identical to never having maintained at all, which is
+    // exactly what this gate hashes. ConnectorSpec asserts the layout
+    // effects and the healthy-table no-op.
+    "q6L_table_maintain" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6L")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        (0 to 4).foreach { i =>
+          graft.sources.SnapshotTable.write(s,
+            ords.filter(col("o_orderkey") % 5 === i), base,
+            if (i == 0) "overwrite" else "append", Seq("o_orderkey"))
+        }
+        graft.sources.SnapshotTable.deleteVectors(s, base,
+          col("o_custkey") % 4 === 1)
+        graft.sources.SnapshotTable.maintain(s, base,
+          graft.sources.SnapshotTable.MaintenancePolicy(
+            smallFileRows = Long.MaxValue, targetRows = 50000L,
+            maxSmallFiles = 2, maxDeletedRatio = 0.05, keepVersions = 2,
+            vacuumMinAgeMs = 0L, statsCols = Seq("o_orderkey"),
+            zorderBy = Some(("o_orderkey", "o_custkey", 24))))
+        graft.sources.SnapshotTable.scan(s, base).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey % 4 = 1)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Snapshot table, CDC leg: the row-level change feed between the
     // pre-merge and post-merge versions — updated rows contribute a
     // 'delete' pre-image and an 'upsert' post-image, inserts only the

@@ -1541,4 +1541,60 @@ object SnapshotTable {
       val m = readManifest(spark, dir, v)
       (v, m.op, m.totalRows)
     }
+
+  /** Maintenance thresholds — see [[maintain]]. */
+  final case class MaintenancePolicy(
+      smallFileRows: Long = 100000L,
+      targetRows: Long = 1000000L,
+      maxSmallFiles: Int = 8,
+      maxDeletedRatio: Double = 0.2,
+      keepVersions: Int = 100,
+      vacuumMinAgeMs: Long = DefaultVacuumRetentionMs,
+      statsCols: Seq[String] = Nil,
+      zorderBy: Option[(String, String, Int)] = None)
+
+  /** What one [[maintain]] pass actually did (all content-neutral). */
+  final case class MaintenanceReport(purged: Boolean, compacted: Boolean,
+                                     vacuumedFiles: Int,
+                                     filesBefore: Int, filesAfter: Int)
+
+  /** One policy-driven maintenance pass — the "table services" sweep a
+    * 100 TB deployment runs on a schedule instead of hand-sequencing
+    * purge/compact/vacuum per table:
+    *
+    *  1. PURGE when deletion vectors mask more than `maxDeletedRatio`
+    *     of the physical rows (the read-side anti-join toll and the
+    *     dead bytes both grow with the ratio);
+    *  2. COMPACT (optionally z-ordered) when at least `maxSmallFiles`
+    *     files are under `smallFileRows` — the small-file decay every
+    *     per-batch append sink produces;
+    *  3. VACUUM expired versions and aged orphans, always.
+    *
+    * Every step is content-neutral (the catalog gate hashes the scan
+    * before/after) and each is its own commit, so a maintenance crash
+    * mid-pass leaves a consistent table. A second pass on a healthy
+    * table is a no-op that burns no version. Thresholds trade write
+    * amplification against read cost: purge/compact REWRITE data, so
+    * they must fire on accumulated debt, never per commit. */
+  def maintain(spark: SparkSession, dir: String,
+               policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val v0 = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot maintain empty table $dir"))
+    val m0 = readManifest(spark, dir, v0)
+    val physical = m0.files.map(_.rows).sum
+    val deleted = m0.files.flatMap(_.dv.map(_._2)).sum
+    val purged = physical > 0 &&
+      deleted.toDouble / physical > policy.maxDeletedRatio
+    if (purged) purgeDeletes(spark, dir, policy.statsCols)
+    val m1 = readManifest(spark, dir, latestVersion(spark, dir).get)
+    val small = m1.files.count(_.liveRows < policy.smallFileRows)
+    val compacted = small >= policy.maxSmallFiles
+    if (compacted)
+      compact(spark, dir, policy.smallFileRows, policy.targetRows,
+        policy.statsCols, policy.zorderBy)
+    val swept = vacuum(spark, dir, policy.keepVersions, policy.vacuumMinAgeMs)
+    val mEnd = readManifest(spark, dir, latestVersion(spark, dir).get)
+    MaintenanceReport(purged, compacted, swept.size,
+      filesBefore = m0.files.size, filesAfter = mEnd.files.size)
+  }
 }

@@ -44,6 +44,18 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
     * run is finite even while writers keep committing. */
   @volatile private var availableNowTarget: Option[Long] = None
 
+  /** Admission control: at most this many commits per micro-batch.
+    * A backfill over thousands of versions must not plan one giant
+    * batch — bounded batches bound state, retry cost, and the sink's
+    * per-commit size. Composes with AvailableNow: the run drains to
+    * the pinned target in capped steps. */
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
+
   private def latestVersion: Long =
     SnapshotTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -63,8 +75,12 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    VersionOffset(availableNowTarget.getOrElse(latestVersion))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(latestVersion)
+    val from = start.asInstanceOf[VersionOffset].v
+    VersionOffset(maxVersionsPerTrigger
+      .fold(target)(n => math.min(target, from + n)))
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

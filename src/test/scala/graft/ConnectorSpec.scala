@@ -529,6 +529,59 @@ class ConnectorSpec extends SparkTestBase {
     assert(m.files.forall(_.stats.contains("id")))
   }
 
+  test("policy maintenance: purge + compact + vacuum fire on debt, no-op when healthy") {
+    val dir = freshDir()
+    // fragment: 6 small appends, then dv-delete a third of the rows
+    (0 until 6).foreach { i =>
+      SnapshotTable.write(spark, spark.range(i * 100L, i * 100L + 100L).toDF(),
+        dir, if (i == 0) "overwrite" else "append", Seq("id"))
+    }
+    SnapshotTable.deleteVectors(spark, dir, $"id" % 3 === 0)
+    val before = SnapshotTable.scan(spark, dir).as[Long].collect().sorted
+    val report = SnapshotTable.maintain(spark, dir,
+      SnapshotTable.MaintenancePolicy(smallFileRows = 1000L, targetRows = 1000L,
+        maxSmallFiles = 4, maxDeletedRatio = 0.2, keepVersions = 3,
+        vacuumMinAgeMs = 0L, statsCols = Seq("id")))
+    assert(report.purged && report.compacted)
+    assert(report.filesAfter < report.filesBefore)
+    // vacuum truncated history (kept manifests may still reference
+    // the pre-rewrite files, so data-file deletion is not guaranteed)
+    assert(SnapshotTable.versions(spark, dir).size <= 3)
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.forall(_.dv.isEmpty), "purge must fold every vector in")
+    // content-neutral
+    assert(SnapshotTable.scan(spark, dir).as[Long].collect().sorted.toSeq ==
+      before.toSeq)
+    // healthy table: second pass burns no version
+    val v = SnapshotTable.latestVersion(spark, dir).get
+    val second = SnapshotTable.maintain(spark, dir,
+      SnapshotTable.MaintenancePolicy(smallFileRows = 1000L, targetRows = 1000L,
+        maxSmallFiles = 4, maxDeletedRatio = 0.2, keepVersions = 3,
+        vacuumMinAgeMs = 0L))
+    assert(!second.purged && !second.compacted)
+    assert(SnapshotTable.latestVersion(spark, dir).get == v)
+  }
+
+  test("streaming tail: maxVersionsPerTrigger bounds each batch") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-rl").toString
+    (0 until 4).foreach { i =>
+      SnapshotTable.write(spark, spark.range(i * 10L, i * 10L + 10L).toDF(),
+        dir, if (i == 0) "overwrite" else "append")
+    }
+    val q = spark.readStream.format("graft_snapshot")
+      .option("maxVersionsPerTrigger", 1).load(dir)
+      .writeStream.format("memory").queryName("conn_rl_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("conn_rl_sink").as[Long].collect().sorted.toSeq ==
+      (0L until 40L))
+    // one commit per micro-batch: 4 data-carrying batches, not 1
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+  }
+
   test("streaming tail: non-append commits fail loudly") {
     val dir = freshDir()
     val ckpt = Files.createTempDirectory("graft-conn-ckpt3").toString
