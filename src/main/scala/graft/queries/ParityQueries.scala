@@ -1202,6 +1202,11 @@ object ParityQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t6J_orders")
+        // the catalog instance (and its root) is cached per session by
+        // name — a prior run in the same session (bench warmup runs
+        // every query against the warm SF first) may have left the
+        // table behind at the cached root
+        s.sql("DROP TABLE IF EXISTS graft_cat.sales")
         s.sql("""CREATE TABLE graft_cat.sales AS
                 |SELECT o_orderkey, o_custkey, o_totalprice
                 |FROM t6J_orders WHERE o_orderkey % 4 = 0""".stripMargin)
@@ -1236,6 +1241,7 @@ object ParityQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t6K_orders")
+        s.sql("DROP TABLE IF EXISTS graft_dml.t") // same-session rerun
         s.sql("""CREATE TABLE graft_dml.t AS
                 |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
                 |FROM t6K_orders""".stripMargin)
