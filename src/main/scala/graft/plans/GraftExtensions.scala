@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(sqlName), info, builder))
     }
     ext.injectOptimizerRule(_ => CollapseIdempotentNormalize)
+    // SQL UPDATE / MERGE INTO for snapshot-catalog tables, lowered onto
+    // the deletion-vector row-level ops (fires before CheckAnalysis
+    // would reject the commands for a non-SupportsRowLevelOperations
+    // table).
+    ext.injectPostHocResolutionRule(s => SnapshotRowLevelSql(s))
   }
 }
 

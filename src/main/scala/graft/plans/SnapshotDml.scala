@@ -1,0 +1,315 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.sources.SnapshotTable
+import graft.sources.connector.SnapshotV2Table
+
+/** SQL `UPDATE` and `MERGE INTO` for snapshot-catalog tables.
+  *
+  * Spark only analyzes these statements for V2 tables implementing
+  * `SupportsRowLevelOperations` (the Iceberg copy-on-write /
+  * write-delta protocol, which forces the whole touched-file rewrite
+  * through Spark's ReplaceData/WriteDelta plans). The snapshot table
+  * already owns a cheaper physical strategy — deletion vectors, one
+  * sidecar commit, zero data files rewritten — so instead of adopting
+  * the heavyweight protocol this post-hoc resolution rule translates
+  * the logical command onto the existing merge-on-read ops
+  * ([[SnapshotTable.updateVectors]] / [[SnapshotTable.mergeVectors]]),
+  * the same route Delta takes with its PreprocessTableUpdate /
+  * PreprocessTableMerge analyzer rules. The rule fires after
+  * resolution and before CheckAnalysis (which would otherwise reject
+  * the commands as unsupported for this table).
+  *
+  * MERGE arrives UNRESOLVED by design: the table advertises
+  * ACCEPT_ANY_SCHEMA (the capability that lets the write builder own
+  * INSERT resolution — PLANS.md round-11 wave 3), and for such tables
+  * Spark's ResolveReferences deliberately skips the whole statement
+  * (`NamedRelation.skipSchemaResolution`), leaving the ON condition,
+  * assignments, and `*` actions untouched. So this rule carries its
+  * own small resolver: names bind via `LogicalPlan.resolve` against
+  * the target/source subtrees (alias qualifiers intact), `SET *` /
+  * `INSERT *` expand to by-name target←source assignments, and value
+  * types may only differ from the column by a LOSSLESS upcast
+  * (`Cast.canUpCast`) — anything lossy demands the explicit cast, the
+  * same type-exactness the positional INSERT path pins.
+  *
+  * Scope is the DV-expressible subset, enforced LOUDLY at analysis
+  * time (a silently narrowed DML is a wrong answer, not a missed
+  * optimization — same contract as the connector's `canDeleteWhere`):
+  *
+  *  - `UPDATE t SET c = expr, … [WHERE p]` — any deterministic,
+  *    subquery-free assignments/predicate over the table's columns.
+  *  - `MERGE INTO t USING s ON t.k = <src expr> WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
+  *    whole-row upsert (explicit column lists are accepted when they
+  *    assign every column and the UPDATE and INSERT images agree,
+  *    which is what `*` expands to). Anything else — partial-row
+  *    MATCHED updates, extra WHEN clauses, MATCHED DELETE,
+  *    NOT MATCHED BY SOURCE — raises UnsupportedOperationException
+  *    naming the unsupported clause.
+  *
+  * Reference behavior this extends: the reference's loader only ever
+  * truncate-and-loads (etl/loader.py); row-level SQL DML is part of
+  * the engine-grade table surface built on top (SURVEY §2.1+).
+  */
+case class SnapshotRowLevelSql(session: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  import SnapshotDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(table, assignments, condition) if u.resolved =>
+        snapshotDir(table) match {
+          case None => u
+          case Some(dir) =>
+            UpdateSnapshotCommand(dir, translateAssignments(assignments),
+              condition.map(requireTranslatable(_, "UPDATE WHERE")))
+        }
+      case m: MergeIntoTable
+          if m.targetTable.resolved && m.sourceTable.resolved =>
+        snapshotDir(m.targetTable) match {
+          case None => m
+          case Some(dir) => translateMerge(dir, m)
+        }
+    }
+
+  /** The table directory, when (and only when) the DML target is a
+    * non-time-traveled snapshot-catalog table. */
+  private def snapshotDir(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => snapshotDir(child)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: SnapshotV2Table if t.pinned.isEmpty => Some(t.tableDir)
+        case t: SnapshotV2Table =>
+          throw new UnsupportedOperationException(
+            s"cannot run DML against time-traveled table ${t.name()}")
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def translateAssignments(
+      assignments: Seq[Assignment]): Seq[(String, Expression)] =
+    assignments.map { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case other => throw new UnsupportedOperationException(
+          s"only top-level columns can be assigned (got ${other.sql})")
+      }
+      name -> requireTranslatable(a.value, s"assignment to $name")
+    }
+
+  /** Bind the unresolved names in `e` against the given subtrees (the
+    * statement's own alias qualifiers apply). Spark never resolved
+    * them — ACCEPT_ANY_SCHEMA opts the statement out — so this is the
+    * rule's own name resolution, not a re-resolution. */
+  private def bind(e: Expression, plans: Seq[LogicalPlan],
+                   where: String): Expression = {
+    val resolver = session.sessionState.conf.resolver
+    val bound = e.transformUp {
+      case u: UnresolvedAttribute =>
+        val hits: Seq[NamedExpression] =
+          plans.flatMap(_.resolve(u.nameParts, resolver))
+        hits match {
+          case Seq(one) => one
+          case Seq() => throw new UnsupportedOperationException(
+            s"MERGE INTO snapshot table: cannot resolve ${u.sql} in $where")
+          case _ => throw new UnsupportedOperationException(
+            s"MERGE INTO snapshot table: ${u.sql} is ambiguous in $where " +
+              "(qualify it with the target/source alias)")
+        }
+    }
+    requireTranslatable(bound, where)
+  }
+
+  private def translateMerge(dir: String, m: MergeIntoTable): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO snapshot table: $what is outside the deletion-vector " +
+          "upsert shape (WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *)")
+    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    val target = m.targetTable
+    val source = m.sourceTable
+    val both = Seq(target, source)
+    val targetCols: Seq[Attribute] = {
+      def out(p: LogicalPlan): Seq[Attribute] = p match {
+        case SubqueryAlias(_, c) => out(c)
+        case other => other.output
+      }
+      out(target)
+    }
+
+    /** `SET *` / `INSERT *`: target column ← same-named source column. */
+    def starAssignments(what: String): Seq[(String, Expression)] = {
+      val resolver = session.sessionState.conf.resolver
+      targetCols.map { c =>
+        val hit = source.output.filter(a => resolver(a.name, c.name))
+        if (hit.length != 1)
+          unsupported(s"$what * with no unambiguous source column " +
+            s"named ${c.name}")
+        c.name -> hit.head
+      }
+    }
+    def explicitAssignments(as: Seq[Assignment],
+                            what: String): Seq[(String, Expression)] =
+      as.map { a =>
+        val name = bind(a.key, Seq(target), s"$what assignment key") match {
+          case ar: AttributeReference => ar.name
+          case other => unsupported(
+            s"assignment to a non-column (${other.sql})")
+        }
+        name -> bind(a.value, both, s"$what assignment to $name")
+      }
+
+    val updAssigns = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => starAssignments("UPDATE SET")
+      case Seq(UpdateStarAction(Some(_))) =>
+        unsupported("a conditional WHEN MATCHED clause")
+      case Seq(UpdateAction(None, as, _)) => explicitAssignments(as, "UPDATE")
+      case Seq(UpdateAction(Some(_), _, _)) =>
+        unsupported("a conditional WHEN MATCHED clause")
+      case other =>
+        unsupported(s"matched actions ${other.map(_.getClass.getSimpleName)}")
+    }
+    val insAssigns = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => starAssignments("INSERT")
+      case Seq(InsertStarAction(Some(_))) =>
+        unsupported("a conditional WHEN NOT MATCHED clause")
+      case Seq(InsertAction(None, as)) => explicitAssignments(as, "INSERT")
+      case Seq(InsertAction(Some(_), _)) =>
+        unsupported("a conditional WHEN NOT MATCHED clause")
+      case other =>
+        unsupported(s"not-matched actions ${other.map(_.getClass.getSimpleName)}")
+    }
+    def byName(named: Seq[(String, Expression)],
+               what: String): Map[String, Expression] = {
+      val map = named.toMap
+      val missing = targetCols.map(_.name).filterNot(map.contains)
+      if (missing.nonEmpty)
+        unsupported(s"$what assigning only a subset of columns " +
+          s"(missing ${missing.mkString(", ")})")
+      map
+    }
+    val ins = byName(insAssigns, "INSERT")
+    val upd = byName(updAssigns, "UPDATE")
+    targetCols.foreach { c =>
+      if (!upd(c.name).semanticEquals(ins(c.name)))
+        unsupported(s"UPDATE and INSERT images differing on ${c.name} " +
+          "(deletion-vector merge replaces whole rows)")
+    }
+    val sourceRefs = source.outputSet
+    ins.valuesIterator.foreach { e =>
+      if (!e.references.subsetOf(sourceRefs))
+        unsupported(s"an insert value referencing target columns (${e.sql})")
+    }
+    val targetRefs = target.outputSet
+    val (keyCol, srcKey) =
+      bind(m.mergeCondition, both, "ON condition") match {
+        case EqualTo(l: AttributeReference, r)
+            if targetRefs.contains(l) && r.references.subsetOf(sourceRefs) =>
+          (l.name, r)
+        case EqualTo(l, r: AttributeReference)
+            if targetRefs.contains(r) && l.references.subsetOf(sourceRefs) =>
+          (r.name, l)
+        case other =>
+          unsupported(s"merge condition ${other.sql} (need target.key = " +
+            "<source expression>)")
+      }
+    if (!srcKey.semanticEquals(ins(keyCol)))
+      unsupported(s"merge key $keyCol whose inserted value differs from " +
+        "the ON condition's source side (matching would diverge from " +
+        "insertion)")
+    // table-schema order; value types must match the column, modulo a
+    // lossless upcast (lossy casts must be written explicitly — the
+    // same type-exactness the positional INSERT path pins)
+    val columns = targetCols.map { c =>
+      val e = ins(c.name)
+      val v =
+        if (e.dataType == c.dataType) e
+        else if (Cast.canUpCast(e.dataType, c.dataType)) Cast(e, c.dataType)
+        else unsupported(s"assigning ${e.dataType.simpleString} to " +
+          s"${c.name}: ${c.dataType.simpleString} (write the cast " +
+          "explicitly)")
+      c.name -> v
+    }
+    MergeSnapshotCommand(dir, source, columns, keyCol)
+  }
+}
+
+private[plans] object SnapshotDml {
+  /** Loud gate: DV translation evaluates expressions over a fresh scan,
+    * so correlated/scalar subqueries and nondeterminism can't ride. */
+  def requireTranslatable(e: Expression, where: String): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"$where: subqueries are not supported in snapshot-table DML")
+    if (e.resolved && !e.deterministic)
+      throw new UnsupportedOperationException(
+        s"$where: nondeterministic expressions are not supported in " +
+          "snapshot-table DML")
+    e
+  }
+
+  /** Re-bind a resolved expression by NAME: the row-level ops evaluate
+    * it against their own scan of the table, whose attribute ids are
+    * fresh. Table columns are unique by construction, so name-based
+    * re-resolution is lossless. */
+  def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+}
+
+/** `UPDATE table SET … WHERE …` → [[SnapshotTable.updateVectors]]: the
+  * matched rows' positions land in a deletion vector and their
+  * transformed images in fresh files — one commit, no rewrite. */
+case class UpdateSnapshotCommand(dir: String,
+                                 assignments: Seq[(String, Expression)],
+                                 condition: Option[Expression])
+  extends LeafRunnableCommand {
+  import SnapshotDml._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cond = condition
+      .map(c => Bridge.column(unresolve(c)))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotTable.updateVectors(spark, dir, cond,
+      assignments.map { case (n, e) =>
+        n -> Bridge.column(unresolve(e))
+      })
+    Seq.empty
+  }
+}
+
+/** Whole-row upsert `MERGE INTO` → [[SnapshotTable.mergeVectors]]:
+  * matched target positions join the deletion vector, every source row
+  * lands in fresh files — O(|source| + matched) bytes, zero data files
+  * rewritten; the 100 TB trickle-upsert cost class. */
+case class MergeSnapshotCommand(dir: String, source: LogicalPlan,
+                                columns: Seq[(String, Expression)],
+                                keyCol: String)
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the column expressions were bound against `source` itself, so
+    // wrapping that plan keeps every reference valid — no re-resolution
+    val src = Bridge.ofRows(spark, source)
+    val updates = src.select(columns.map { case (n, e) =>
+      Bridge.column(e).as(n)
+    }: _*)
+    SnapshotTable.mergeVectors(spark, dir, updates, keyCol)
+    Seq.empty
+  }
+}

@@ -1266,6 +1266,56 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin),
 
+    // SQL row-level DML over the catalog: UPDATE lands as a deletion
+    // vector + fresh post-image files (updateVectors), MERGE INTO as
+    // the dv upsert (mergeVectors) — both one-commit, zero data files
+    // rewritten, via the post-hoc translation rule in SnapshotDml
+    // (Spark itself would reject both statements for a table without
+    // SupportsRowLevelOperations). The oracle replays the image
+    // algebra: update rewrites matched rows in place; merge replaces
+    // matched rows with the source image and inserts the rest.
+    "q6M_catalog_rowlevel" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6M")
+        s.conf.set("spark.sql.catalog.graft_rl",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_rl.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6M_orders")
+        s.sql("DROP TABLE IF EXISTS graft_rl.t") // same-session rerun
+        s.sql("""CREATE TABLE graft_rl.t AS
+                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |FROM t6M_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""UPDATE graft_rl.t
+                |SET o_totalprice = o_totalprice * 2, o_orderstatus = 'U'
+                |WHERE o_custkey % 7 = 3""".stripMargin)
+        s.sql("""MERGE INTO graft_rl.t AS tgt
+                |USING (SELECT o_orderkey, o_custkey,
+                |              o_totalprice * 2 AS o_totalprice,
+                |              'M' AS o_orderstatus
+                |       FROM t6M_orders WHERE o_orderkey % 3 = 0) AS src
+                |ON tgt.o_orderkey = src.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("SELECT * FROM graft_rl.t ORDER BY o_orderkey")
+      },
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_custkey % 7 = 3 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_custkey % 7 = 3 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |       'M' AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM upd WHERE o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Policy-driven table maintenance ("table services"): per-batch
     // appends fragment the table and a dv-delete stacks read debt;
     // one maintain() pass purges the vectors, compacts the small

@@ -134,6 +134,11 @@ final class SnapshotV2Table(schema: StructType, dir: String,
 
   override def name(): String = s"graft_snapshot($dir)"
 
+  /** For the DML translation rule ([[graft.plans.SnapshotRowLevelSql]]):
+    * where the table lives, and whether it is time-travel-pinned. */
+  private[graft] def tableDir: String = dir
+  private[graft] def pinned: Option[Long] = pinnedVersion
+
   /** SQL `DELETE FROM … WHERE …` lands as deletion vectors: a tiny
     * (file, pos) sidecar commit, zero data files rewritten — the
     * merge-on-read cost class every 100 TB GDPR/retraction delete

@@ -16,6 +16,15 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed LogicalPlan as a DataFrame (classic
+    * `Dataset.ofRows` is `private[sql]`) — the DML translation rule
+    * re-wraps a MERGE statement's resolved source plan this way. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
     * `private[sql]`; the public `get` blocks indefinitely, which a
     * fallback-on-missing caller cannot risk). */

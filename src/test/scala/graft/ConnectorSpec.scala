@@ -602,4 +602,113 @@ class ConnectorSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("append-only")))
   }
+
+  test("SQL UPDATE lands as a dv + post-image commit, no file rewritten") {
+    val root = Files.createTempDirectory("graft-cat3").toString
+    spark.conf.set("spark.sql.catalog.graftcat3",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat3.root", root)
+    spark.sql("CREATE TABLE graftcat3.u AS " +
+      "SELECT id, id % 5 AS grp, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
+    val dir = s"$root/u"
+    val filesBefore = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+    spark.sql("UPDATE graftcat3.u SET v = v * 10 WHERE grp = 2")
+    // merge-on-read: every pre-update data file is still in the
+    // manifest (matched rows masked by dv, post-images appended)
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.op == "update-dv")
+    assert(filesBefore.subsetOf(m.files.map(_.path).toSet))
+    assert(m.files.exists(_.dv.isDefined))
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat3.u")
+      .as[Long].head == 100L)
+    val expect = (0L until 100L).map(i => if (i % 5 == 2) i * 10.0 else i.toDouble).sum
+    assert(spark.sql("SELECT sum(v) AS s FROM graftcat3.u")
+      .as[Double].head == expect)
+    // unassigned columns carry over
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftcat3.u WHERE grp = 2 AND v = id * 10")
+      .as[Long].head == 20L)
+  }
+
+  test("SQL MERGE INTO upserts through the deletion-vector merge") {
+    val root = Files.createTempDirectory("graft-cat4").toString
+    spark.conf.set("spark.sql.catalog.graftcat4",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat4.root", root)
+    spark.sql("CREATE TABLE graftcat4.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 50) WHERE id % 2 = 0")
+    val dir = s"$root/t"
+    val filesBefore = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+    spark.sql("""MERGE INTO graftcat4.t AS tgt
+                |USING (SELECT id, CAST(id * 100 AS DOUBLE) AS v
+                |       FROM range(0, 50) WHERE id % 3 = 0) AS src
+                |ON tgt.id = src.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.op == "merge-dv")
+    assert(filesBefore.subsetOf(m.files.map(_.path).toSet))
+    val got = spark.sql("SELECT id, v FROM graftcat4.t")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val want = ((0L until 50L).filter(_ % 2 == 0) ++
+      (0L until 50L).filter(i => i % 2 != 0 && i % 3 == 0)).sorted
+      .map(i => (i, if (i % 3 == 0) i * 100.0 else i.toDouble))
+    assert(got == want)
+    // explicit column lists equivalent to * are accepted too
+    spark.sql("""MERGE INTO graftcat4.t AS tgt
+                |USING (SELECT id, CAST(0 AS DOUBLE) AS v
+                |       FROM range(100, 102)) AS src
+                |ON tgt.id = src.id
+                |WHEN MATCHED THEN UPDATE SET id = src.id, v = src.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)
+                |""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat4.t WHERE id >= 100")
+      .as[Long].head == 2L)
+  }
+
+  test("unsupported DML shapes fail loudly at analysis time") {
+    val root = Files.createTempDirectory("graft-cat5").toString
+    spark.conf.set("spark.sql.catalog.graftcat5",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat5.root", root)
+    spark.sql("CREATE TABLE graftcat5.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 10)")
+    def msgOf(t: Throwable): String = {
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
+      all(t).mkString("\n")
+    }
+    // conditional WHEN MATCHED — dv merge replaces whole rows only
+    val e1 = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat5.t AS tgt
+        |USING (SELECT id, CAST(1 AS DOUBLE) AS v FROM range(0, 5)) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED AND src.v > 0 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(msgOf(e1).contains("conditional WHEN MATCHED"))
+    // partial-row MATCHED update
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat5.t AS tgt
+        |USING (SELECT id, CAST(1 AS DOUBLE) AS v FROM range(0, 5)) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET v = src.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(msgOf(e2).contains("subset of columns") ||
+      msgOf(e2).contains("differing"))
+    // subquery in UPDATE
+    val e3 = intercept[Exception](spark.sql(
+      "UPDATE graftcat5.t SET v = 0 " +
+        "WHERE id IN (SELECT id FROM graftcat5.t WHERE v > 5)"))
+    assert(msgOf(e3).contains("subqueries are not supported"))
+    // the rule leaves non-snapshot tables to Spark's own (rejecting)
+    // analysis — UPDATE on a temp view still fails, with Spark's error
+    spark.range(5).toDF("id").createOrReplaceTempView("plain_view")
+    val e4 = intercept[Exception](
+      spark.sql("UPDATE plain_view SET id = 0 WHERE id = 1"))
+    assert(!msgOf(e4).contains("snapshot-table DML"))
+  }
 }
