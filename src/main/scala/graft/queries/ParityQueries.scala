@@ -1316,6 +1316,30 @@ object ParityQueries {
         |FROM upd WHERE o_orderkey % 3 <> 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Clustered V2 write + stats-pruned range read: the write asks the
+    // planner for a range distribution on o_orderkey
+    // (RequiresDistributionAndOrdering), so each file covers a narrow
+    // disjoint key range and the BETWEEN read plans only the files
+    // whose (min,max) intersect it — write-side layout turning file
+    // stats into real skipping (ConnectorSpec pins the disjointness
+    // and the 1-file point plan; here the content is hash-gated).
+    "q6N_clustered_write" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6N")
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.format("graft_snapshot").option("path", base)
+          .option("statsCols", "o_orderkey")
+          .option("clusterBy", "o_orderkey")
+          .option("clusterPartitions", "16")
+          .mode("overwrite").save()
+        s.read.format("graft_snapshot").load(base)
+          .filter(col("o_orderkey").between(1000, 5000))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Policy-driven table maintenance ("table services"): per-batch
     // appends fragment the table and a dv-delete stacks read debt;
     // one maintain() pass purges the vectors, compacts the small

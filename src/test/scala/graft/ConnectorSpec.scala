@@ -603,6 +603,44 @@ class ConnectorSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("append-only")))
   }
 
+  test("clusterBy write: disjoint per-file ranges, point reads plan one file") {
+    def ranges(dir: String): Seq[(Long, Long)] =
+      SnapshotTable.readManifest(spark, dir,
+        SnapshotTable.latestVersion(spark, dir).get)
+        .files.flatMap(_.stats.get("id")).sortBy(_._1)
+    def straddling(dir: String, v: Long): Int =
+      ranges(dir).count { case (mn, mx) => mn <= v && v <= mx }
+    // adversarial layout: round-robin shuffle interleaves the key
+    // space, so every file's (min,max) covers nearly everything
+    val df = spark.range(0, 100000).toDF("id")
+      .withColumn("v", $"id" * 2).repartition(8)
+    val plain = freshDir()
+    df.write.format("graft_snapshot").option("path", plain)
+      .option("statsCols", "id").mode("overwrite").save()
+    assert(straddling(plain, 54321L) == 8) // stats present but useless
+    // clustered write: the WRITE requests a range distribution + sort
+    // (RequiresDistributionAndOrdering), Spark inserts the exchange
+    val clustered = freshDir()
+    df.write.format("graft_snapshot").option("path", clustered)
+      .option("statsCols", "id").option("clusterBy", "id")
+      .option("clusterPartitions", "8").mode("overwrite").save()
+    val rs = ranges(clustered)
+    assert(rs.length == 8)
+    rs.sliding(2).foreach {
+      case Seq((_, prevMax), (mn, _)) => assert(mn > prevMax)
+      case _ =>
+    }
+    assert(straddling(clustered, 54321L) == 1) // point read: one file
+    // identical content either way
+    assert(load(clustered).agg(org.apache.spark.sql.functions.sum("v"))
+      .head.getLong(0) == load(plain).agg(
+      org.apache.spark.sql.functions.sum("v")).head.getLong(0))
+    // misdeclared cluster column fails at planning
+    intercept[Exception](df.write.format("graft_snapshot")
+      .option("path", freshDir()).option("clusterBy", "nope")
+      .mode("overwrite").save())
+  }
+
   test("SQL UPDATE lands as a dv + post-image commit, no file rewritten") {
     val root = Files.createTempDirectory("graft-cat3").toString
     spark.conf.set("spark.sql.catalog.graftcat3",
