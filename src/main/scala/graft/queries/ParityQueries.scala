@@ -1124,6 +1124,53 @@ object ParityQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
 
+    // Streaming UPSERT sink: table-to-table CDC inside the format —
+    // the source tails the commit log, the sink merges each epoch by
+    // key through a deletion vector (mergeStaged: the epoch's task
+    // files ARE the post-image, no second write job). Epoch 2 carries
+    // updated totals for existing keys plus brand-new keys; the final
+    // table must equal the batch-computed upsert, hash-gated.
+    "q6O_stream_upsert" -> QueryDef(
+      (s, dir) => {
+        val src = snapDir(s, dir, "t6O_src")
+        val tgt = snapDir(s, dir, "t6O_tgt")
+        val ckpt = snapDir(s, dir, "t6O_ckpt")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        graft.sources.SnapshotTable.write(s, ords, src, "overwrite",
+          Seq("o_orderkey"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft_snapshot").load(src)
+            .writeStream.format("graft_snapshot").option("path", tgt)
+            .option("mergeKey", "o_orderkey")
+            .option("statsCols", "o_orderkey")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          graft.streaming.StreamMeter.timed("q6O_stream_upsert")(
+            q.awaitTermination())
+        }
+        drain()
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              (col("o_totalprice") * 2).as("o_totalprice"))
+            .unionAll(ords.filter(col("o_orderkey") % 5 === 1)
+              .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+                col("o_custkey"), col("o_totalprice"))),
+          src, "append", Seq("o_orderkey"))
+        drain()
+        s.read.format("graft_snapshot").load(tgt).orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 5 = 1
+        |ORDER BY o_orderkey""".stripMargin),
+
     // OPTIMIZE ZORDER through the connector: the table is rewritten
     // clustered on the Morton curve of (o_orderkey, o_custkey), then
     // read back via the V2 scan filtering on the TRAILING dimension —

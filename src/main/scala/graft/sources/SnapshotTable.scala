@@ -1326,6 +1326,55 @@ object SnapshotTable {
       }
     }
 
+  /** [[mergeVectors]] for rows ALREADY staged as data files under the
+    * table — the V2 streaming sink's upsert path: its tasks streamed
+    * the epoch's rows into `staged` while computing stats/blooms, so
+    * the merge costs no second write job. Same dv algebra: matched
+    * target positions join the consolidated vector, `staged` commits
+    * as the post-image, one version, zero data files rewritten. On an
+    * OCC conflict only the sidecar is discarded — the staged files
+    * are the caller's (the sink deletes them via abort) and the retry
+    * recomputes the vector against the new snapshot and recommits the
+    * same files. An empty table commits `staged` as the first version
+    * (pure insert). */
+  private[graft] def mergeStaged(spark: SparkSession, dir: String,
+                                 staged: Seq[FileEntry], keyCol: String,
+                                 opTag: String,
+                                 schemaJson: Option[String]): Long =
+    retryOnConflict(s"staged dv-merge into $dir") {
+      latestVersion(spark, dir) match {
+        case None =>
+          commit(spark, dir, opTag, staged, carry = false,
+            schemaJson = schemaJson)
+        case Some(v) =>
+          val m = readManifest(spark, dir, v)
+          val cols = scan(spark, dir, Some(v)).columns.toSeq
+          require(cols.contains(keyCol),
+            s"table $dir lacks merge key $keyCol")
+          val keys = readFiles(spark, dir, staged)
+            .select(col(keyCol)).distinct()
+          val matched = readFiles(spark, dir, m.files, keepPos = true)
+            .join(keys, Seq(keyCol), "left_semi")
+            .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+          stageDvSidecarFrom(spark, dir, m, matched) match {
+            case None => // pure insert epoch
+              commit(spark, dir, opTag, staged, carry = true,
+                schemaJson = schemaJson)
+            case Some((name, entries)) =>
+              val newPaths = entries.map(_.path).toSet
+              try commit(spark, dir, opTag, entries ++ staged,
+                removed = readSetOf(
+                  m.files.filter(fe => newPaths.contains(fe.path))),
+                carry = true, schemaJson = schemaJson)
+              catch {
+                case t: Throwable =>
+                  fs(spark, new Path(dir)).delete(new Path(dir, name), false)
+                  throw t
+              }
+          }
+      }
+    }
+
   /** Fold every live deletion vector into its files: dv-carrying
     * files are rewritten with only their live rows, the new entries
     * reference no vector, and the sidecar becomes vacuum-reclaimable.

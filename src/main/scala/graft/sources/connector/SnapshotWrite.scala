@@ -103,8 +103,13 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!overwrite,
         "graft_snapshot streaming sink is append-only (outputMode append)")
+      val mergeKey = Option(info.options.get("mergeKey")).map(_.trim)
+        .filter(_.nonEmpty)
+      mergeKey.foreach(k => require(aligned.fieldNames.contains(k),
+        s"mergeKey column $k is not in the write schema " +
+          aligned.fieldNames.mkString("[", ", ", "]")))
       new SnapshotStreamingWrite(dir, aligned,
-        cols("statsCols"), cols("bloomCols"))
+        cols("statsCols"), cols("bloomCols"), mergeKey)
     }
   }
 }
@@ -123,7 +128,8 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
   * are deleted like an abort. */
 final class SnapshotStreamingWrite(dir: String, schema: StructType,
                                    statsCols: Seq[String],
-                                   bloomCols: Seq[String])
+                                   bloomCols: Seq[String],
+                                   mergeKey: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   SnapshotWriteSupport.validate(schema, statsCols, bloomCols)
@@ -146,8 +152,20 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
     val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
     if (replayed) abort(epochId, messages)
-    else SnapshotTable.commitAdded(spark, dir, epochTag(epochId), entries,
-      carry = true, schemaJson = Some(schema.json))
+    else mergeKey match {
+      case None =>
+        SnapshotTable.commitAdded(spark, dir, epochTag(epochId), entries,
+          carry = true, schemaJson = Some(schema.json))
+      case Some(k) =>
+        // streaming UPSERT: the epoch's staged files are the merge's
+        // post-image — matched target positions land in a deletion
+        // vector, one commit, zero data files rewritten (the CDC
+        // trickle-upsert cost class). Exactly-once rides the same
+        // epoch tag: a replayed epoch is detected above and its
+        // staged files are deleted like an abort.
+        SnapshotTable.mergeStaged(spark, dir, entries, k,
+          epochTag(epochId), Some(schema.json))
+    }
   }
 
   override def abort(epochId: Long,

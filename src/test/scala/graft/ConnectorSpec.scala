@@ -603,6 +603,55 @@ class ConnectorSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("append-only")))
   }
 
+  test("streaming upsert sink: per-epoch dv merge, idempotent re-drains") {
+    val src = freshDir()
+    val tgt = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-upsert").toString
+    SnapshotTable.write(spark,
+      spark.range(0, 10).toDF("id").withColumn("v", $"id"), src, "overwrite")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(src)
+        .writeStream.format("graft_snapshot")
+        .option("path", tgt).option("mergeKey", "id")
+        .option("statsCols", "id")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(load(tgt).as[(Long, Long)].collect().sorted.toSeq ==
+      (0L until 10L).map(i => (i, i)))
+    // epoch 2: replace 5-9, insert 10-14
+    SnapshotTable.write(spark,
+      spark.range(5, 15).toDF("id").withColumn("v", $"id" * 10), src, "append")
+    runOnce()
+    assert(load(tgt).as[(Long, Long)].collect().sorted.toSeq ==
+      (0L until 5L).map(i => (i, i)) ++ (5L until 15L).map(i => (i, i * 10)))
+    // the upsert was merge-on-read: dv over the matched file, the
+    // original data files all still referenced
+    val m = SnapshotTable.readManifest(spark, tgt,
+      SnapshotTable.latestVersion(spark, tgt).get)
+    assert(m.op.startsWith("stream-epoch-"))
+    assert(m.files.exists(_.dv.isDefined))
+    // nothing new to drain: no version burned
+    val vBefore = SnapshotTable.latestVersion(spark, tgt).get
+    runOnce()
+    assert(SnapshotTable.latestVersion(spark, tgt).get == vBefore)
+    // misdeclared merge key fails at planning
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft_snapshot").load(src)
+        .writeStream.format("graft_snapshot")
+        .option("path", freshDir()).option("mergeKey", "nope")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-conn-upsert2").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("mergeKey column nope")))
+  }
+
   test("clusterBy write: disjoint per-file ranges, point reads plan one file") {
     def ranges(dir: String): Seq[(Long, Long)] =
       SnapshotTable.readManifest(spark, dir,
