@@ -359,6 +359,65 @@ object ScaleBench {
       s""""purge_sec":$purgeSec}"""
   }
 
+  /** Upsert family (r11 wave 4): a CDC epoch's cost against a GROWING
+    * clustered table — the number that decides whether trickle
+    * upserts survive 100 TB. Target tables: `rows` (default 2M) in 16
+    * range-partitioned files, and 4× that in 64 files; the epoch is
+    * fixed (2k updates confined to one file's key range + 2k inserts
+    * past the max key — the recent-keys CDC shape). With the
+    * stats-candidate pruning in [[graft.sources.SnapshotTable
+    * .mergeVectors]], the matched-position scan opens ONE file at
+    * either size, so epoch wall must stay ~flat as the table grows
+    * 4×. The scattered case (keys in every file) is reported too —
+    * that one is O(table) by design, and the gap between the two
+    * columns is the pruning's contribution. */
+  private def upsertFamily(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotTable
+    val rows = sys.env.getOrElse("SPARK_GRAFT_UPSERT_ROWS", "2000000").toLong
+    val epochN = 2000L
+    def timeSec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def build(n: Long, nFiles: Int, tag: String): String = {
+      val dir = s"/tmp/graft-scale/upsert-$tag-${System.currentTimeMillis()}"
+      val payload = concat(lit("p"),
+        lpad(col("id").cast("string"), 18, "0"), lit("x" * 80))
+      SnapshotTable.write(spark,
+        spark.range(n).select(col("id"), payload.as("payload"))
+          .repartitionByRange(nFiles, col("id")),
+        dir, "overwrite", Seq("id"))
+      dir
+    }
+    def pay(c: org.apache.spark.sql.Column) =
+      concat(lit("U"), c.cast("string"))
+    def confinedEpoch(dir: String, n: Long): Double = timeSec {
+      SnapshotTable.mergeVectors(spark,
+        dir,
+        spark.range(0, epochN)
+          .select(col("id"), pay(col("id")).as("payload"))
+          .unionAll(spark.range(n, n + epochN)
+            .select(col("id"), pay(col("id")).as("payload"))),
+        "id", Seq("id"))
+    }
+    val small = build(rows, 16, "1x")
+    val smallSec = confinedEpoch(small, rows)
+    val large = build(rows * 4, 64, "4x")
+    val largeSec = confinedEpoch(large, rows * 4)
+    val scatteredSec = timeSec {
+      SnapshotTable.mergeVectors(spark, large,
+        spark.range(0, rows * 4).filter(col("id") % ((rows * 4) / epochN) === 7)
+          .select(col("id"), pay(col("id")).as("payload")),
+        "id", Seq("id"))
+    }
+    val fs = new Path(small).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(small), true)
+    fs.delete(new Path(large), true)
+    s"""{"rows_1x":$rows,"rows_4x":${rows * 4},"epoch_rows":${2 * epochN},""" +
+      s""""confined_sec_1x":$smallSec,"confined_sec_4x":$largeSec,""" +
+      s""""scattered_sec_4x":$scatteredSec}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -548,6 +607,7 @@ object ScaleBench {
     val anchorJson = manifestFormat(spark)
     val dvJson = deletionVectorFamily(spark)
     val connJson = connectorFamily(spark)
+    val upsertJson = upsertFamily(spark)
 
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val line =
@@ -556,7 +616,7 @@ object ScaleBench {
         s""""vecs_in":$vecsIn,"dedup":$dedupJson,"ann":$annJson,"fuzzy":$fuzzyJson,""" +
         s""""stats":$statsJson,"tok":$tokJson,"snapshot":$snapJson,""" +
         s""""anchor_format":$anchorJson,"deletion_vectors":$dvJson,""" +
-        s""""connector":$connJson,""" +
+        s""""connector":$connJson,"upsert":$upsertJson,""" +
         s""""loadavg":$load,"sf":"$sfDir"}"""
     // versioned artifact (like Bench's bench_out.json): the per-family
     // 1x/10x walls and row counts are the 100 TB evidence — they must

@@ -1387,6 +1387,51 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Metadata tables through pure SQL: `t.history` (one row per
+    // committed version, from the log) and `t.files` (current layout,
+    // dv attribution included) — the audit/inspection surface table
+    // formats expose as SELECT-able tables. The oracle recomputes the
+    // deterministic columns (version numbers, ops, live/masked row
+    // counts) from the orders table; timestamps and file counts are
+    // layout-dependent and deliberately not selected.
+    "q6P_metadata_tables" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6P")
+        s.conf.set("spark.sql.catalog.graft_meta",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_meta.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6P_orders")
+        s.sql("DROP TABLE IF EXISTS graft_meta.t") // same-session rerun
+        s.sql("""CREATE TABLE graft_meta.t AS
+                |SELECT o_orderkey, o_custkey FROM t6P_orders""".stripMargin)
+        s.sql("DELETE FROM graft_meta.t WHERE o_orderkey % 3 = 0")
+        s.sql("""SELECT version, op, row_count, dv_rows
+                |FROM graft_meta.t.history
+                |UNION ALL
+                |SELECT -1 AS version, 'files' AS op,
+                |       SUM(live_rows) AS row_count, SUM(dv_rows) AS dv_rows
+                |FROM graft_meta.t.files
+                |ORDER BY version, op""".stripMargin)
+      },
+      """WITH n AS (SELECT COUNT(*) AS c FROM orders),
+        |     d AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+        |         CAST(0 AS BIGINT) AS row_count, CAST(0 AS BIGINT) AS dv_rows
+        |  UNION ALL
+        |  SELECT 2, 'append', (SELECT c FROM n), 0
+        |  UNION ALL
+        |  SELECT 3, 'delete-dv', (SELECT c FROM n) - (SELECT c FROM d),
+        |         (SELECT c FROM d)
+        |  UNION ALL
+        |  SELECT -1, 'files', (SELECT c FROM n) - (SELECT c FROM d),
+        |         (SELECT c FROM d)
+        |)
+        |ORDER BY version, op""".stripMargin),
+
     // Policy-driven table maintenance ("table services"): per-batch
     // appends fragment the table and a dv-delete stacks read debt;
     // one maintain() pass purges the vectors, compacts the small

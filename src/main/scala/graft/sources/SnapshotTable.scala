@@ -1285,6 +1285,46 @@ object SnapshotTable {
     * an update touches — the shape of trickle upserts against a
     * 100 TB table. Read amplification accrues like any vector;
     * [[purgeDeletes]]/[[compact]] are the maintenance valve. */
+  /** Files whose rows could match any of `keys` on `keyCol`, by the
+    * manifest's per-file (min,max): the matched-position scan of a dv
+    * merge reads ONLY these. Files without stats for `keyCol` are
+    * conservatively kept. On a [[SnapshotWriteBuilder clusterBy]]-
+    * clustered (or range-partitioned) table this is what makes a CDC
+    * epoch's cost O(files the keys land in), not O(table) — without
+    * it every trickle upsert re-scans 100 TB to find its matches.
+    * Stats describe the physical file (dv-deleted rows included), so
+    * the verdict is conservative; the join against the masked read
+    * still decides true matches. */
+  private def candidateFiles(spark: SparkSession, m: Manifest,
+                             keyCol: String, keys: DataFrame): Seq[FileEntry] = {
+    import spark.implicits._
+    val statsList = m.files.flatMap(fe =>
+      fe.stats.get(keyCol).map { case (mn, mx) => (fe.path, mn, mx) })
+    if (statsList.isEmpty) m.files
+    else {
+      val statsDf = statsList.toDF("__path", "__min", "__max")
+      val touched = keys.select(col(keyCol).cast("long").as("__k")).distinct()
+        .join(broadcast(statsDf), $"__k".between($"__min", $"__max"))
+        .select("__path").distinct().as[String].collect().toSet
+      m.files.filter(fe =>
+        touched.contains(fe.path) || !fe.stats.contains(keyCol))
+    }
+  }
+
+  /** (file, pos) of the live rows of `m` whose `keyCol` is in `keys`,
+    * reading only the stats-candidate files (an empty candidate set —
+    * every key outside every file's range — short-circuits to an
+    * empty frame: nothing to mask). */
+  private def matchedPositions(spark: SparkSession, dir: String, m: Manifest,
+                               keyCol: String, keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cand = candidateFiles(spark, m, keyCol, keys)
+    if (cand.isEmpty) Seq.empty[(String, Long)].toDF("file", "pos")
+    else readFiles(spark, dir, cand, keepPos = true)
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+  }
+
   def mergeVectors(spark: SparkSession, dir: String, updates: DataFrame,
                    keyCol: String, statsCols: Seq[String] = Nil): Long =
     retryOnConflict(s"dv-merge into $dir") {
@@ -1296,9 +1336,7 @@ object SnapshotTable {
         s"updates schema ${updates.columns.toSeq} != table schema $cols")
       require(updates.columns.contains(keyCol), s"updates lack merge key $keyCol")
       val keys = updates.select(col(keyCol)).distinct()
-      val matched = readFiles(spark, dir, m.files, keepPos = true)
-        .join(keys, Seq(keyCol), "left_semi")
-        .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      val matched = matchedPositions(spark, dir, m, keyCol, keys)
       val staged = stageDvSidecarFrom(spark, dir, m, matched)
       val f = fs(spark, new Path(dir))
       try {
@@ -1353,9 +1391,7 @@ object SnapshotTable {
             s"table $dir lacks merge key $keyCol")
           val keys = readFiles(spark, dir, staged)
             .select(col(keyCol)).distinct()
-          val matched = readFiles(spark, dir, m.files, keepPos = true)
-            .join(keys, Seq(keyCol), "left_semi")
-            .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+          val matched = matchedPositions(spark, dir, m, keyCol, keys)
           stageDvSidecarFrom(spark, dir, m, matched) match {
             case None => // pure insert epoch
               commit(spark, dir, opTag, staged, carry = true,

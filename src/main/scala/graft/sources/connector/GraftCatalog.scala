@@ -102,8 +102,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
-    new SnapshotV2Table(schemaOf(dir, None), dir)
+    if (tableExistsAt(dir)) new SnapshotV2Table(schemaOf(dir, None), dir)
+    else {
+      // metadata tables: `SELECT * FROM cat.ns.t.history` parses as
+      // Identifier(["ns","t"], "history") — when the namespace tail
+      // is itself a table, serve its metadata surface
+      val meta = for {
+        _ <- Some(()).filter(_ => ident.namespace.nonEmpty &&
+          MetadataTables.Names.contains(ident.name.toLowerCase))
+        parentDir = dirOf(ident.namespace.init.toSeq, ident.namespace.last)
+        if tableExistsAt(parentDir)
+        t <- MetadataTables.resolve(spark, parentDir, ident.name)
+      } yield t
+      meta.getOrElse(throw new NoSuchTableException(ident))
+    }
   }
 
   /** SQL `VERSION AS OF v`. */

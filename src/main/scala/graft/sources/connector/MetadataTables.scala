@@ -1,0 +1,132 @@
+package graft.sources.connector
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+
+/** Iceberg-style METADATA TABLES for the SQL catalog: every snapshot
+  * table `cat.ns.t` exposes
+  *
+  *  - `cat.ns.t.history` — one row per committed version (version,
+  *    op, ts, row_count, file_count, dv_rows): the SQL face of
+  *    [[SnapshotTable.history]], the audit/debugging surface every
+  *    table format grows;
+  *  - `cat.ns.t.files` — one row per live data file of the CURRENT
+  *    version (path, rows, live_rows, dv_path, dv_rows, stats,
+  *    bloom_cols): the layout-inspection surface behind maintenance
+  *    decisions (which files are small? which carry vectors? what do
+  *    the ranges look like?).
+  *
+  * Spark parses `SELECT * FROM cat.ns.t.history` as the identifier
+  * `Identifier(["ns","t"], "history")`; [[GraftCatalog.loadTable]]
+  * falls through to here when the namespace tail is itself a table
+  * directory. The rows are computed DRIVER-SIDE from the commit log —
+  * metadata-only, O(#versions) / O(#files), no data file opened — and
+  * served through a single-partition V2 scan. That bound is the same
+  * one every manifest read already accepts (and the parquet-anchor
+  * path keeps it cheap at depth); a metadata table is by definition
+  * manifest-sized, not data-sized. */
+object MetadataTables {
+
+  val Names: Set[String] = Set("history", "files")
+
+  def resolve(spark: SparkSession, tableDir: String,
+              metaName: String): Option[Table] =
+    metaName.toLowerCase match {
+      case "history" => Some(historyTable(spark, tableDir))
+      case "files" => Some(filesTable(spark, tableDir))
+      case _ => None
+    }
+
+  private def historyTable(spark: SparkSession, dir: String): Table = {
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("file_count", IntegerType, nullable = false),
+      StructField("dv_rows", LongType, nullable = false)))
+    val rows = SnapshotTable.versions(spark, dir).map { v =>
+      val m = SnapshotTable.readManifest(spark, dir, v)
+      new GenericInternalRow(Array[Any](
+        v, UTF8String.fromString(m.op), m.ts * 1000L, m.totalRows,
+        m.files.length, m.files.flatMap(_.dv.map(_._2)).sum))
+        : InternalRow
+    }
+    new SnapshotMetaTable(s"graft_snapshot($dir).history", schema, rows)
+  }
+
+  private def filesTable(spark: SparkSession, dir: String): Table = {
+    val statsType = MapType(StringType, ArrayType(LongType, false), false)
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("live_rows", LongType, nullable = false),
+      StructField("dv_path", StringType, nullable = true),
+      StructField("dv_rows", LongType, nullable = false),
+      StructField("stats", statsType, nullable = false),
+      StructField("bloom_cols", ArrayType(StringType, false), nullable = false)))
+    val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val rows = SnapshotTable.readManifest(spark, dir, v).files.map { fe =>
+      val statKeys = fe.stats.keys.toSeq.sorted
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(fe.path), fe.rows, fe.liveRows,
+        fe.dv.map(d => UTF8String.fromString(d._1)).orNull,
+        fe.dv.map(_._2).getOrElse(0L),
+        new ArrayBasedMapData(
+          new GenericArrayData(statKeys.map(UTF8String.fromString).toArray[Any]),
+          new GenericArrayData(statKeys.map(k => new GenericArrayData(
+            Array[Any](fe.stats(k)._1, fe.stats(k)._2))).toArray[Any])),
+        new GenericArrayData(
+          fe.bloom.keys.toSeq.sorted.map(UTF8String.fromString).toArray[Any])))
+        : InternalRow
+    }
+    new SnapshotMetaTable(s"graft_snapshot($dir).files", schema, rows)
+  }
+}
+
+/** A read-only V2 table serving driver-computed metadata rows through
+  * one partition. */
+final class SnapshotMetaTable(name0: String, schema0: StructType,
+                              rows: Seq[InternalRow])
+  extends Table with SupportsRead {
+
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema0
+      override def description(): String = name0
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(MetaRowsPartition(rows.toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val it = p.asInstanceOf[MetaRowsPartition].rows.iterator
+              private var cur: InternalRow = _
+              override def next(): Boolean =
+                if (it.hasNext) { cur = it.next(); true } else false
+              override def get(): InternalRow = cur
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+private final case class MetaRowsPartition(rows: Array[InternalRow])
+  extends InputPartition

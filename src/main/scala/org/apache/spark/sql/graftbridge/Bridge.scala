@@ -25,6 +25,12 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Block until every queued listener event is delivered
+    * (`listenerBus` is `private[spark]`) — lets specs assert on task
+    * metrics immediately after an action. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
     * `private[sql]`; the public `get` blocks indefinitely, which a
     * fallback-on-missing caller cannot risk). */

@@ -603,6 +603,45 @@ class ConnectorSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("append-only")))
   }
 
+  test("metadata tables: t.history and t.files answer from the log") {
+    val root = Files.createTempDirectory("graft-cat6").toString
+    spark.conf.set("spark.sql.catalog.graftcat6",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat6.root", root)
+    spark.sql("CREATE TABLE graftcat6.t AS " +
+      "SELECT id, concat('k', id) AS key FROM range(0, 100)")
+    spark.sql("DELETE FROM graftcat6.t WHERE id % 4 = 0")
+    val hist = spark.sql(
+      "SELECT version, op, row_count, dv_rows FROM graftcat6.t.history " +
+        "ORDER BY version").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, "create", 0L, 0L), (2L, "append", 100L, 0L),
+        (3L, "delete-dv", 75L, 25L)))
+    // files reflects the CURRENT version's layout, dv attribution incl.
+    val files = spark.sql(
+      "SELECT path, rows, live_rows, dv_rows FROM graftcat6.t.files").collect()
+    assert(files.map(_.getLong(1)).sum == 100L)
+    assert(files.map(_.getLong(2)).sum == 75L)
+    assert(files.map(_.getLong(3)).sum == 25L)
+    val m = SnapshotTable.readManifest(spark, s"$root/t",
+      SnapshotTable.latestVersion(spark, s"$root/t").get)
+    assert(files.map(_.getString(0)).toSet == m.files.map(_.path).toSet)
+    // stats surface: a stats-carrying table exposes per-column ranges
+    val dir2 = s"$root/t2"
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).toDF("id").repartitionByRange(4, $"id"),
+      dir2, "overwrite", Seq("id"))
+    val stats = spark.sql(
+      "SELECT stats['id'][0] AS mn, stats['id'][1] AS mx " +
+        "FROM graftcat6.t2.files ORDER BY mn").collect()
+    assert(stats.length == 4)
+    assert(stats.head.getLong(0) == 0L && stats.last.getLong(1) == 999L)
+    // unknown metadata name / missing parent still NoSuchTable
+    intercept[Exception](spark.sql("SELECT * FROM graftcat6.t.nope"))
+    intercept[Exception](spark.sql("SELECT * FROM graftcat6.missing.history"))
+  }
+
   test("streaming upsert sink: per-epoch dv merge, idempotent re-drains") {
     val src = freshDir()
     val tgt = freshDir()

@@ -907,6 +907,52 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, dir).count() == 4110)
   }
 
+  test("dv-merge match scan reads only stats-candidate files") {
+    // the matched-position scan must plan O(files the keys land in),
+    // not O(table): keys confined to one of 4 range-partitioned files
+    // must read ~1 file's rows, measured via task input metrics (an
+    // unpruned scan reads all 4000)
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 4000).select($"id", ($"id" % 10).as("x"))
+        .repartitionByRange(4, $"id"),
+      dir, "overwrite", Seq("id"))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    val updates = spark.range(3000, 3010).select($"id", lit(-1L).as("x"))
+      .unionAll(spark.range(9000, 9005).select($"id", lit(-2L).as("x")))
+      .cache()
+    updates.count() // materialize outside the measured window
+    spark.sparkContext.addSparkListener(listener)
+    val v2 =
+      try {
+        val v = SnapshotTable.mergeVectors(spark, dir, updates, "id", Seq("id"))
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+          spark.sparkContext)
+        v
+      } finally spark.sparkContext.removeSparkListener(listener)
+    updates.unpersist()
+    val m2 = SnapshotTable.readManifest(spark, dir, v2)
+    assert(m2.files.flatMap(_.dv.map(_._2)).sum == 10)
+    assert(SnapshotTable.scan(spark, dir).count() == 4005)
+    // one candidate file (1000 rows) + the staged write-back of the
+    // 15 update rows; an unpruned scan would be ≥ 4000
+    assert(recordsRead.get() < 2500,
+      s"match scan read ${recordsRead.get()} records — candidate " +
+        "pruning is not limiting the scan")
+    // and keys matching nothing at all commit as a plain append
+    val v3 = SnapshotTable.mergeVectors(spark, dir,
+      spark.range(20000, 20005).select($"id", lit(-3L).as("x")),
+      "id", Seq("id"))
+    assert(SnapshotTable.readManifest(spark, dir, v3)
+      .files.flatMap(_.dv.map(_._2)).sum == 10)
+  }
+
   test("deletion vectors: restore to a dv version revives the mask") {
     val dir = freshDir()
     SnapshotTable.write(spark,
