@@ -1387,6 +1387,39 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Table services through SQL CALL (ProcedureCatalog): per-slice
+    // INSERTs fragment the table, a DELETE stacks dv debt, and one
+    // `CALL cat.system.maintain('t')` purges + compacts + vacuums —
+    // and the content must hash-equal never having maintained at all
+    // (the same neutrality gate as q6L, now reached through Spark's
+    // stored-procedure surface instead of the programmatic API).
+    "q6Q_call_procedures" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6Q")
+        s.conf.set("spark.sql.catalog.graft_svc",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_svc.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6Q_orders")
+        s.sql("DROP TABLE IF EXISTS graft_svc.t") // same-session rerun
+        s.sql("""CREATE TABLE graft_svc.t AS
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM t6Q_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+        (1 to 4).foreach(i => s.sql(
+          s"""INSERT INTO graft_svc.t
+             |SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM t6Q_orders WHERE o_orderkey % 5 = $i""".stripMargin))
+        s.sql("DELETE FROM graft_svc.t WHERE o_custkey % 4 = 1")
+        s.sql("CALL graft_svc.system.maintain('t')")
+        s.sql("SELECT * FROM graft_svc.t ORDER BY o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE NOT (o_custkey % 4 = 1)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Metadata tables through pure SQL: `t.history` (one row per
     // committed version, from the log) and `t.files` (current layout,
     // dv attribution included) — the audit/inspection surface table

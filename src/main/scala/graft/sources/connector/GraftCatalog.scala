@@ -44,7 +44,8 @@ import graft.sources.SnapshotTable
   * catalog does NOT do: no central metastore round-trips — resolving
   * a table is one directory check, the log stays the source of truth.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -193,6 +194,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schemaJson = Some(StructType(adds.toArray).json))
     loadTable(ident)
   }
+
+  // --- procedures: SQL-invocable table services ---
+
+  /** `CALL cat.system.<proc>('ns.table', …)` — see
+    * [[GraftProcedures]]. The table argument is a dot-separated
+    * identifier resolved against this catalog's root. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.toSeq == Seq("system"),
+      s"procedures live in the 'system' namespace, got ${ident.toString}")
+    GraftProcedures.load(ident.name, tbl => {
+      val parts = tbl.split("\\.").toSeq
+      val dir = dirOf(parts.init, parts.last)
+      require(tableExistsAt(dir), s"no such table '$tbl' in catalog $catalogName")
+      dir
+    }).getOrElse(throw new IllegalArgumentException(
+      s"no such procedure ${ident.name} " +
+        "(have: restore, vacuum, compact, purge_deletes, maintain)"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array("restore", "vacuum", "compact", "purge_deletes", "maintain")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

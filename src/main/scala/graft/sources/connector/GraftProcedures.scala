@@ -1,0 +1,119 @@
+package graft.sources.connector
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+
+import graft.sources.SnapshotTable
+
+/** SQL-invocable TABLE SERVICES: `CALL cat.system.<proc>(…)` — the
+  * stored-procedure face of the maintenance/versioning ops, through
+  * Spark's own ProcedureCatalog protocol (the same surface Iceberg
+  * exposes its services on). Each procedure resolves its `table`
+  * argument against the catalog root, runs the programmatic op, and
+  * returns a one-row result set (served by [[MetaRowsScan]]):
+  *
+  *  - `restore(table, version)` — roll the table back to a version
+  *    (new commit; history intact).
+  *  - `vacuum(table, keep_versions, min_age_ms)` — expire time
+  *    travel + aged orphans; returns the reclaimed file count.
+  *  - `compact(table, small_rows, target_rows)` — bin-pack small
+  *    files (content-neutral).
+  *  - `purge_deletes(table)` — fold deletion vectors into files.
+  *  - `maintain(table)` — the policy-driven sweep (default
+  *    [[SnapshotTable.MaintenancePolicy]]); returns what fired.
+  *
+  * A procedure that mutates data is `isDeterministic = false`; every
+  * argument is a required IN parameter (explicit beats defaulted for
+  * operations that rewrite data or drop history). */
+object GraftProcedures {
+
+  /** All procedures, by lower-case name. */
+  def load(name: String, dirOfTable: String => String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "restore" => Some(proc("restore",
+        Array(in("table", StringType), in("version", LongType)),
+        StructType(Seq(StructField("restored_to", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val target = args.getLong(1)
+          val v = SnapshotTable.restore(spark, dir, target)
+          Seq(new GenericInternalRow(Array[Any](target, v)))
+      })
+      case "vacuum" => Some(proc("vacuum",
+        Array(in("table", StringType), in("keep_versions", IntegerType),
+          in("min_age_ms", LongType)),
+        StructType(Seq(
+          StructField("files_deleted", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val deleted = SnapshotTable.vacuum(spark, dir, args.getInt(1),
+            args.getLong(2))
+          Seq(new GenericInternalRow(Array[Any](deleted.length)))
+      })
+      case "compact" => Some(proc("compact",
+        Array(in("table", StringType), in("small_rows", LongType),
+          in("target_rows", LongType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val v = SnapshotTable.compact(spark, dir, args.getLong(1),
+            args.getLong(2))
+          Seq(new GenericInternalRow(Array[Any](v)))
+      })
+      case "purge_deletes" => Some(proc("purge_deletes",
+        Array(in("table", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val v = SnapshotTable.purgeDeletes(spark, dir)
+          Seq(new GenericInternalRow(Array[Any](v)))
+      })
+      case "maintain" => Some(proc("maintain",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("purged", BooleanType, nullable = false),
+          StructField("compacted", BooleanType, nullable = false),
+          StructField("files_vacuumed", IntegerType, nullable = false),
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val r = SnapshotTable.maintain(spark, dir)
+          Seq(new GenericInternalRow(Array[Any](r.purged, r.compacted,
+            r.vacuumedFiles, r.filesBefore, r.filesAfter)))
+      })
+      case _ => None
+    }
+
+  private def in(name: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, t).build()
+
+  private def proc(name0: String, params: Array[ProcedureParameter],
+                   resultSchema: StructType)(
+      body: (SparkSession, InternalRow) => Seq[InternalRow])
+      : UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = name0
+      override def description(): String = s"graft table service $name0"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val result = body(SparkSession.active, input).toArray
+        // procedure output must be a LocalScan (driver-side rows)
+        val scan: Scan = new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[InternalRow] = result
+          override def readSchema(): StructType = resultSchema
+          override def description(): String = s"call $name0"
+        }
+        Collections.singletonList(scan).iterator()
+      }
+    }
+}

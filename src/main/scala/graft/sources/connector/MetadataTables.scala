@@ -106,24 +106,30 @@ final class SnapshotMetaTable(name0: String, schema0: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = schema0
-      override def description(): String = name0
-      override def toBatch: Batch = this
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(MetaRowsPartition(rows.toArray))
-      override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-            new PartitionReader[InternalRow] {
-              private val it = p.asInstanceOf[MetaRowsPartition].rows.iterator
-              private var cur: InternalRow = _
-              override def next(): Boolean =
-                if (it.hasNext) { cur = it.next(); true } else false
-              override def get(): InternalRow = cur
-              override def close(): Unit = ()
-            }
+    new MetaRowsScan(name0, schema0, rows)
+}
+
+/** A V2 scan serving pre-computed rows from one partition — shared by
+  * the metadata tables and the procedure result sets. */
+final class MetaRowsScan(name0: String, schema0: StructType,
+                         rows: Seq[InternalRow])
+  extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = schema0
+  override def description(): String = name0
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaRowsPartition(rows.toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = p.asInstanceOf[MetaRowsPartition].rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { cur = it.next(); true } else false
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
         }
     }
 }

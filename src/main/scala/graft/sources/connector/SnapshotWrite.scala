@@ -266,7 +266,14 @@ private object SnapshotWriteSupport {
       case Some(t) =>
         val tNames = t.fieldNames.toSet
         val inNames = incoming.fieldNames.toSet
-        if (inNames.subsetOf(tNames) || tNames.subsetOf(inNames)) incoming
+        // duplicate incoming names (e.g. `INSERT … SELECT id, CAST(id
+        // AS DOUBLE)` — Cast keeps the child's name, so both columns
+        // arrive as "id") can never be a by-name write: sets would
+        // hide the collision and a two-"id" parquet schema is garbage
+        // — force the positional path
+        val dupNames = incoming.fieldNames.length != inNames.size
+        if (!dupNames &&
+          (inNames.subsetOf(tNames) || tNames.subsetOf(inNames))) incoming
         else if (incoming.length == t.length) {
           incoming.fields.zip(t.fields).foreach { case (in, tf) =>
             require(in.dataType == tf.dataType,

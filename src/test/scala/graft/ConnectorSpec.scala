@@ -603,6 +603,60 @@ class ConnectorSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("append-only")))
   }
 
+  test("CALL procedures: purge/compact/restore/vacuum/maintain via SQL") {
+    val root = Files.createTempDirectory("graft-cat7").toString
+    spark.conf.set("spark.sql.catalog.graftcat7",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat7.root", root)
+    spark.sql("CREATE TABLE graftcat7.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 100)")
+    spark.sql("INSERT INTO graftcat7.t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(100, 200)")
+    spark.sql("DELETE FROM graftcat7.t WHERE id % 2 = 0")
+    val dir = s"$root/t"
+    def m() = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m().files.exists(_.dv.isDefined))
+    // purge folds the vectors in and reports the new version
+    val purgedV = spark.sql(
+      "CALL graftcat7.system.purge_deletes('t')").collect()
+    assert(purgedV.head.getLong(0) ==
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m().files.forall(_.dv.isEmpty))
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
+      .as[Long].head == 100L)
+    // compact bin-packs the small files
+    val nBefore = m().files.length
+    spark.sql("CALL graftcat7.system.compact('t', 1000000, 1000000)")
+    assert(m().files.length < nBefore)
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
+      .as[Long].head == 100L)
+    // restore rolls back to the 200-row version (2 = CTAS+INSERT)
+    val restored = spark.sql(
+      "CALL graftcat7.system.restore('t', 3)").collect()
+    assert(restored.head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
+      .as[Long].head == 200L)
+    // vacuum with keep 1 / age 0 reclaims the dead layout
+    val swept = spark.sql(
+      "CALL graftcat7.system.vacuum('t', 1, 0)").collect()
+    assert(swept.head.getInt(0) > 0)
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
+      .as[Long].head == 200L)
+    // maintain: first pass may compact the restored small files;
+    // the second pass must be a reported no-op
+    spark.sql("CALL graftcat7.system.maintain('t')").collect()
+    val rep = spark.sql("CALL graftcat7.system.maintain('t')").collect()
+    assert(!rep.head.getBoolean(0) && !rep.head.getBoolean(1))
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
+      .as[Long].head == 200L)
+    // unknown procedure fails loudly
+    val e = intercept[Exception](
+      spark.sql("CALL graftcat7.system.nope('t')"))
+    assert(e.getMessage.contains("no such procedure") ||
+      Option(e.getCause).exists(_.getMessage.contains("no such procedure")))
+  }
+
   test("metadata tables: t.history and t.files answer from the log") {
     val root = Files.createTempDirectory("graft-cat6").toString
     spark.conf.set("spark.sql.catalog.graftcat6",
