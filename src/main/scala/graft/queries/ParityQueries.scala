@@ -1420,6 +1420,41 @@ object ParityQueries {
         |WHERE NOT (o_custkey % 4 = 1)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Layout as TBLPROPERTIES: a pure-SQL pipeline where the CREATE
+    // declares clusterBy/statsCols ONCE and the INSERT (which has no
+    // writer options) inherits them — files land range-clustered with
+    // stats, and the BETWEEN read is planned off those stats. The
+    // SQL-surface twin of q6N (ConnectorSpec pins inheritance,
+    // SHOW TBLPROPERTIES, ALTER SET/UNSET, and option-over-property
+    // precedence).
+    "q6R_tblproperties_layout" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6R")
+        s.conf.set("spark.sql.catalog.graft_props",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_props.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6R_orders")
+        s.sql("DROP TABLE IF EXISTS graft_props.t") // same-session rerun
+        s.sql("""CREATE TABLE graft_props.t
+                |  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+                |TBLPROPERTIES('statsCols'='o_orderkey',
+                |              'clusterBy'='o_orderkey',
+                |              'clusterPartitions'='16')""".stripMargin)
+        s.sql("""INSERT INTO graft_props.t
+                |SELECT o_orderkey, o_custkey,
+                |       CAST(o_totalprice AS DOUBLE)
+                |FROM t6R_orders""".stripMargin)
+        s.sql("""SELECT * FROM graft_props.t
+                |WHERE o_orderkey BETWEEN 2000 AND 6000
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Metadata tables through pure SQL: `t.history` (one row per
     // committed version, from the log) and `t.files` (current layout,
     // dv attribution included) — the audit/inspection surface table

@@ -103,7 +103,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (tableExistsAt(dir)) new SnapshotV2Table(schemaOf(dir, None), dir)
+    if (tableExistsAt(dir))
+      new SnapshotV2Table(schemaOf(dir, None), dir,
+        tableProps = readProps(dir))
     else {
       // metadata tables: `SELECT * FROM cat.ns.t.history` parses as
       // Identifier(["ns","t"], "history") — when the namespace tail
@@ -155,7 +157,54 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // readable as an empty typed frame, appendable by INSERT/CTAS
     SnapshotTable.commitAdded(spark, dir, "create", Nil, carry = false,
       schemaJson = Some(schema.json))
-    new SnapshotV2Table(schema, dir)
+    val props = userProps(properties)
+    if (props.nonEmpty) writeProps(dir, props)
+    new SnapshotV2Table(schema, dir, tableProps = props)
+  }
+
+  // --- table properties: persisted layout defaults ---
+
+  /** Reserved keys Spark injects into CREATE TABLE properties. */
+  private val ReservedProps =
+    Set("provider", "location", "comment", "owner", "external",
+      "is_managed_location")
+
+  private def userProps(properties: java.util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.filter { case (k, _) =>
+      !ReservedProps.contains(k.toLowerCase) && !k.startsWith("option.")
+    }
+
+  private def propsPath(dir: String) = new Path(dir, "_props.json")
+
+  /** TBLPROPERTIES live in one small `_props.json` next to the log —
+    * layout DEFAULTS (statsCols/bloomCols/clusterBy), not data: they
+    * affect future writes only, so they are deliberately outside the
+    * versioned commit history (like Delta's table config, unlike its
+    * schema). */
+  private def readProps(dir: String): Map[String, String] = {
+    val p = propsPath(dir)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        val it = node.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      } finally in.close()
+    }
+  }
+
+  private def writeProps(dir: String, props: Map[String, String]): Unit = {
+    val p = propsPath(dir)
+    val fs = p.getFileSystem(hconf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
   }
 
   override def createTable(ident: Identifier, columns: Array[Column],
@@ -175,23 +224,43 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
-    require(SnapshotTable.latestVersion(spark, dir)
-      .flatMap(v => SnapshotTable.tableSchemaJson(spark, dir, v)).isDefined,
-      "ALTER TABLE needs a schema-recording log (legacy chain: rewrite via overwrite first)")
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, a.isNullable)
-      case other => throw new UnsupportedOperationException(
-        s"only ADD COLUMNS is supported, got ${other.getClass.getSimpleName}")
+    val (propChanges, rest) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
     }
-    val existing = schemaOf(dir, None).fieldNames.toSet
-    adds.foreach(f => require(!existing.contains(f.name),
-      s"column '${f.name}' already exists"))
-    SnapshotTable.commitAdded(spark, dir, "add-columns", Nil, carry = true,
-      schemaJson = Some(StructType(adds.toArray).json))
+    // SET/UNSET TBLPROPERTIES: rewrite the sidecar (layout defaults,
+    // not data — outside the versioned history on purpose)
+    if (propChanges.nonEmpty) {
+      val updated = propChanges.foldLeft(readProps(dir)) {
+        case (acc, s: TableChange.SetProperty) =>
+          require(!ReservedProps.contains(s.property.toLowerCase),
+            s"property '${s.property}' is reserved")
+          acc + (s.property -> s.value)
+        case (acc, r: TableChange.RemoveProperty) => acc - r.property
+        case (acc, _) => acc
+      }
+      writeProps(dir, updated)
+    }
+    if (rest.nonEmpty) {
+      require(SnapshotTable.latestVersion(spark, dir)
+        .flatMap(v => SnapshotTable.tableSchemaJson(spark, dir, v)).isDefined,
+        "ALTER TABLE needs a schema-recording log (legacy chain: rewrite via overwrite first)")
+      val adds = rest.map {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1,
+            s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, a.isNullable)
+        case other => throw new UnsupportedOperationException(
+          s"only ADD COLUMNS and SET/UNSET TBLPROPERTIES are supported, " +
+            s"got ${other.getClass.getSimpleName}")
+      }
+      val existing = schemaOf(dir, None).fieldNames.toSet
+      adds.foreach(f => require(!existing.contains(f.name),
+        s"column '${f.name}' already exists"))
+      SnapshotTable.commitAdded(spark, dir, "add-columns", Nil, carry = true,
+        schemaJson = Some(StructType(adds.toArray).json))
+    }
     loadTable(ident)
   }
 

@@ -127,12 +127,24 @@ object GraftSnapshotSource {
   * Spark's output resolution is skipped and the table's own write
   * path validates. */
 final class SnapshotV2Table(schema: StructType, dir: String,
-                            pinnedVersion: Option[Long] = None)
+                            pinnedVersion: Option[Long] = None,
+                            tableProps: Map[String, String] = Map.empty)
   extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft_snapshot($dir)"
+
+  /** Catalog-persisted layout defaults (`statsCols`, `bloomCols`,
+    * `clusterBy`, `clusterPartitions`): SQL `INSERT INTO` has no
+    * writer options, so tables declare their layout ONCE as
+    * TBLPROPERTIES and every write inherits it — explicit writer
+    * options still win. Surfaced by SHOW TBLPROPERTIES. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** For the DML translation rule ([[graft.plans.SnapshotRowLevelSql]]):
     * where the table lives, and whether it is time-travel-pinned. */
@@ -222,11 +234,33 @@ final class SnapshotV2Table(schema: StructType, dir: String,
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SnapshotWriteBuilder(dir, info)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // layout TBLPROPERTIES act as write-option DEFAULTS (a SQL INSERT
+    // carries no writer options); an explicit option always wins
+    val layout = SnapshotV2Table.LayoutProps
+      .flatMap(k => tableProps.get(k).map(k -> _)).toMap
+    val merged =
+      if (layout.isEmpty) info
+      else {
+        val m = new java.util.HashMap[String, String]()
+        layout.foreach { case (k, v) => m.put(k, v) }
+        m.putAll(info.options.asCaseSensitiveMap())
+        val opts = new CaseInsensitiveStringMap(m)
+        new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+          override def options(): CaseInsensitiveStringMap = opts
+          override def queryId(): String = info.queryId()
+          override def schema(): StructType = info.schema()
+        }
+      }
+    new SnapshotWriteBuilder(dir, merged)
+  }
 }
 
 object SnapshotV2Table {
+  /** Table properties that act as write-layout defaults. */
+  val LayoutProps: Seq[String] =
+    Seq("statsCols", "bloomCols", "clusterBy", "clusterPartitions")
+
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{abs, col, lit}
   import org.apache.spark.sql.connector.expressions.{Cast => V2Cast, Expression => V2Expr, GeneralScalarExpression, Literal => V2Literal}

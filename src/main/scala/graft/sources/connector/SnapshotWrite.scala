@@ -93,7 +93,12 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def requiredOrdering(): Array[SortOrder] = sortOrders
 
     override def requiredNumPartitions(): Int =
-      Option(info.options.get("clusterPartitions")).map(_.toInt).getOrElse(0)
+      // only meaningful under an ordered distribution — Spark rejects
+      // a partition count with an unspecified one (and a table may
+      // carry clusterPartitions as a property after UNSETting clusterBy)
+      if (clusterCols.isEmpty) 0
+      else Option(info.options.get("clusterPartitions"))
+        .map(_.toInt).getOrElse(0)
 
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(dir, aligned, overwrite,

@@ -657,6 +657,52 @@ class ConnectorSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("no such procedure")))
   }
 
+  test("TBLPROPERTIES persist layout defaults; SQL INSERT inherits them") {
+    val root = Files.createTempDirectory("graft-cat8").toString
+    spark.conf.set("spark.sql.catalog.graftcat8",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat8.root", root)
+    spark.sql("""CREATE TABLE graftcat8.t (id BIGINT, v DOUBLE)
+                |TBLPROPERTIES('statsCols'='id', 'clusterBy'='id',
+                |              'clusterPartitions'='4')""".stripMargin)
+    spark.sql("INSERT INTO graftcat8.t " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 10000)")
+    val dir = s"$root/t"
+    def ranges() = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+      .files.flatMap(_.stats.get("id")).sortBy(_._1)
+    // SQL INSERT carried no writer options, yet the files have stats
+    // AND disjoint clustered ranges — the properties did it
+    val rs = ranges()
+    assert(rs.length == 4)
+    rs.sliding(2).foreach {
+      case Seq((_, prevMax), (mn, _)) => assert(mn > prevMax)
+      case _ =>
+    }
+    // visible to SHOW TBLPROPERTIES; survives catalog re-resolution
+    val shown = spark.sql("SHOW TBLPROPERTIES graftcat8.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("statsCols").contains("id"))
+    assert(shown.get("clusterBy").contains("id"))
+    // ALTER SET/UNSET rewires future writes
+    spark.sql("ALTER TABLE graftcat8.t SET TBLPROPERTIES('clusterPartitions'='2')")
+    spark.sql("ALTER TABLE graftcat8.t UNSET TBLPROPERTIES('clusterBy')")
+    spark.sql("INSERT INTO graftcat8.t " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(10000, 20000)")
+    val rs2 = ranges()
+    assert(rs2.length > 4, "second insert adds unclustered files")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat8.t")
+      .as[Long].head == 20000L)
+    // explicit writer option still wins over the property
+    spark.range(20000, 20100).toDF("id")
+      .withColumn("v", $"id".cast("double"))
+      .write.format("graft_snapshot").option("path", dir)
+      .option("statsCols", "").mode("append").save()
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.exists(_.stats.isEmpty), "override suppressed stats")
+  }
+
   test("metadata tables: t.history and t.files answer from the log") {
     val root = Files.createTempDirectory("graft-cat6").toString
     spark.conf.set("spark.sql.catalog.graftcat6",
