@@ -1335,6 +1335,18 @@ object SnapshotTable {
       require(updates.columns.toSeq == cols,
         s"updates schema ${updates.columns.toSeq} != table schema $cols")
       require(updates.columns.contains(keyCol), s"updates lack merge key $keyCol")
+      // standard MERGE cardinality rule: a matched target row must have
+      // exactly one source image. Two source rows sharing a key would
+      // dv-delete the target once and insert BOTH images — silent
+      // duplicate-key rows. Delta and ANSI MERGE raise here; so do we.
+      val Array(total, distinct) = updates
+        .agg(count(col(keyCol)), count_distinct(col(keyCol)))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      if (total != distinct) throw new IllegalArgumentException(
+        s"MERGE cardinality violation: ${total - distinct} duplicate " +
+          s"source row(s) share a $keyCol value; a matched target row " +
+          "must have exactly one source image — deduplicate the source " +
+          "(e.g. keep-latest by a version column) before merging")
       val keys = updates.select(col(keyCol)).distinct()
       val matched = matchedPositions(spark, dir, m, keyCol, keys)
       val staged = stageDvSidecarFrom(spark, dir, m, matched)

@@ -92,6 +92,17 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
     if (b <= a) return Array.empty
     val after = SnapshotTable.readManifest(spark, dir, b)
     val earliest = SnapshotTable.versions(spark, dir).head
+    // a == earliest - 1 is the legitimate initial batch ("nothing
+    // emitted yet, start from the earliest retained version"). A
+    // checkpointed offset BELOW that means vacuum expired versions the
+    // stream never read — treating it as "base empty" would re-emit
+    // the whole table as duplicates. Fail like a vacuumed
+    // startingVersion does in initialOffset (Delta's contract).
+    if (a >= 0 && a < earliest - 1) throw new IllegalStateException(
+      s"stream checkpoint offset $a predates the earliest retained " +
+        s"version $earliest of $dir (vacuumed past the checkpoint); " +
+        "exactly-once resume is impossible — restart from a fresh " +
+        "checkpoint or consume SnapshotTable.changes")
     val base: Map[String, Option[String]] =
       if (a < earliest) Map.empty
       else SnapshotTable.readManifest(spark, dir, a).files

@@ -222,7 +222,10 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
     val spark = SparkSession.active
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case w: WrittenFile =>
+    // empty-partition messages carry "" — new Path(root, "") throws,
+    // masking the original failure and orphaning the remaining staged
+    // files (same guard as the streaming abort)
+    messages.collect { case w: WrittenFile if w.path.nonEmpty =>
       fs.delete(new Path(root, w.path), false)
     }
   }
@@ -278,8 +281,22 @@ private object SnapshotWriteSupport {
         // — force the positional path
         val dupNames = incoming.fieldNames.length != inNames.size
         if (!dupNames &&
-          (inNames.subsetOf(tNames) || tNames.subsetOf(inNames))) incoming
-        else if (incoming.length == t.length) {
+          (inNames.subsetOf(tNames) || tNames.subsetOf(inNames))) {
+          // by-name writes get the SAME type gate as positional ones:
+          // an int written over a same-named long would commit, make
+          // the schema union conflict, and break every later read —
+          // an accepted write must never poison the chain
+          val byName = t.fields.map(f => f.name -> f.dataType).toMap
+          incoming.fields.foreach { in =>
+            byName.get(in.name).foreach { tdt =>
+              require(in.dataType == tdt,
+                s"write type mismatch at column '${in.name}': table " +
+                  s"${tdt.simpleString}, query ${in.dataType.simpleString} " +
+                  "— add an explicit CAST")
+            }
+          }
+          incoming
+        } else if (incoming.length == t.length) {
           incoming.fields.zip(t.fields).foreach { case (in, tf) =>
             require(in.dataType == tf.dataType,
               s"positional INSERT type mismatch at column '${tf.name}': " +

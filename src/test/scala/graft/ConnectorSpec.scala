@@ -896,6 +896,89 @@ class ConnectorSpec extends SparkTestBase {
       .as[Long].head == 2L)
   }
 
+  test("streaming tail: vacuum past the checkpoint fails the restart loudly") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-ckpt4").toString
+    val out = Files.createTempDirectory("graft-conn-out4").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(10, 20).toDF(), dir, "append")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // checkpoint now holds offset v2
+    SnapshotTable.write(spark, spark.range(20, 30).toDF(), dir, "append")
+    SnapshotTable.write(spark, spark.range(30, 40).toDF(), dir, "append")
+    // vacuum keeps only v4: versions (2, 3] the stream never read are gone
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("predates the earliest retained")),
+      "silently re-emitting the whole table would duplicate rows")
+  }
+
+  test("MERGE with duplicate source keys raises the cardinality error") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 10).toDF("id").withColumn("v", $"id"), dir, "overwrite")
+    val dupes = Seq((3L, 30L), (3L, 31L), (7L, 70L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.mergeVectors(spark, dir, dupes, "id"))
+    assert(e.getMessage.contains("cardinality"))
+    // nothing committed, table untouched
+    assert(SnapshotTable.latestVersion(spark, dir).contains(1L))
+    assert(SnapshotTable.scan(spark, dir).count() == 10)
+    // unique keys still merge fine
+    SnapshotTable.mergeVectors(spark, dir,
+      Seq((3L, 30L), (7L, 70L)).toDF("id", "v"), "id")
+    assert(SnapshotTable.scan(spark, dir).filter($"v" >= 30).count() == 2)
+  }
+
+  test("by-name writes get the same type gate as positional ones") {
+    val dir = freshDir()
+    spark.range(0, 5).select($"id", $"id".cast("double").as("v"))
+      .write.format("graft_snapshot").mode("overwrite").save(dir)
+    // same names, int over double: must fail at planning, not poison reads
+    val e = intercept[Exception](
+      spark.range(5, 8).select($"id", $"id".cast("int").as("v"))
+        .write.format("graft_snapshot").mode("append").save(dir))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("type mismatch at column 'v'")))
+    // table still fully readable
+    assert(load(dir).count() == 5)
+    // matching types append fine by name, in any column order
+    spark.range(5, 8).select($"id".cast("double").as("v"), $"id")
+      .write.format("graft_snapshot").mode("append").save(dir)
+    assert(load(dir).count() == 8)
+  }
+
+  test("batch abort tolerates empty-partition messages and cleans staged files") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 5).toDF(), dir, "overwrite")
+    // stage a real orphan file the way a task would
+    val staged = "data/abort-test-p00000-t99.parquet"
+    spark.range(0, 3).toDF().coalesce(1).write.parquet(s"$dir/.abort_tmp")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/.abort_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$staged"))
+    val write = new graft.sources.connector.SnapshotBatchWrite(
+      dir, spark.range(1).toDF().schema, overwrite = false, Nil, Nil)
+    // an empty-partition message ('' path) must not mask the cleanup
+    write.abort(Array(
+      graft.sources.connector.WrittenFile("", 0L, Map.empty, Map.empty),
+      graft.sources.connector.WrittenFile(staged, 3L, Map.empty, Map.empty)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$staged")),
+      "abort must delete the staged file listed after the empty message")
+  }
+
   test("unsupported DML shapes fail loudly at analysis time") {
     val root = Files.createTempDirectory("graft-cat5").toString
     spark.conf.set("spark.sql.catalog.graftcat5",
