@@ -205,7 +205,7 @@ object ScaleBench {
     *     (Spark's vectorized parquet path) vs the connector's
     *     record-assembly readers — the connector is the
     *     planning/declarative surface, not the bulk-throughput path. */
-  private def connectorFamily(spark: SparkSession): String = {
+  private[graft] def connectorFamily(spark: SparkSession): String = {
     import graft.sources.SnapshotTable
     import graft.sources.connector.ScanTelemetry
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_CONN_FILES", "2048").toInt
@@ -283,7 +283,7 @@ object ScaleBench {
     * vector in. At 100 TB the bytes column is the whole story: a
     * GDPR-style removal of a few thousand rows must not rewrite
     * terabytes. */
-  private def deletionVectorFamily(spark: SparkSession): String = {
+  private[graft] def deletionVectorFamily(spark: SparkSession): String = {
     import org.apache.spark.sql.functions._
     import graft.sources.SnapshotTable
     val rows = sys.env.getOrElse("SPARK_GRAFT_DV_ROWS", "2000000").toLong

@@ -819,7 +819,8 @@ object SnapshotTable {
     * pruning). */
   private def readFiles(spark: SparkSession, dir: String, files: Seq[FileEntry],
                         keepPos: Boolean = false,
-                        knownSchema: Option[org.apache.spark.sql.types.StructType] = None)
+                        knownSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                        version: Option[Long] = None)
       : DataFrame = {
     def read(fs: Seq[FileEntry], schema: Option[org.apache.spark.sql.types.StructType]) = {
       val r = schema.map(spark.read.schema)
@@ -838,6 +839,25 @@ object SnapshotTable {
     // (legacy / union conflict), one driver-side footer pass fixes the
     // merged schema both legs share
     val schema = knownSchema.getOrElse(read(files, None).schema)
+    // dv-carrying files: preferred path is the V2 connector's
+    // vectorized readers, which apply the vector IN-READER as a
+    // per-batch position mask — no broadcast build, no per-row
+    // `_metadata` materialization, the real-format bitmap-skip shape.
+    // Requires a pinned version (manifest-immutable file subset), a
+    // log-recorded schema, and the connector's primitive type surface;
+    // position-keeping callers (DML staging) and legacy chains stay on
+    // the anti-join below.
+    if (!keepPos && version.isDefined && knownSchema.isDefined &&
+        graft.sources.connector.GraftSnapshotSource.isReadable(schema)) {
+      val dvLeg = spark.read.format("graft_snapshot")
+        .option("versionAsOf", version.get)
+        .option("graft.fileSubset",
+          dvd.map(fe => fileKey(fe.path)).mkString(","))
+        .load(dir)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      return if (plainFiles.isEmpty) dvLeg
+      else read(plainFiles, Some(schema)).unionByName(dvLeg)
+    }
     val dvPaths = dvd.flatMap(_.dv.map(_._1)).distinct
     // a shared dv sidecar may carry positions for files outside this
     // read set (or since rewritten under a new name); the anti-join
@@ -876,7 +896,7 @@ object SnapshotTable {
           s"version $v of $dir is empty and records no schema; cannot infer"))
     // mergeSchema: appends may add columns over the table's life
     // (schema evolution); older files surface the new columns as null.
-    readFiles(spark, dir, m.files, knownSchema = known)
+    readFiles(spark, dir, m.files, knownSchema = known, version = Some(v))
   }
 
   /** Range read with stats-based data skipping: only files whose
@@ -892,7 +912,8 @@ object SnapshotTable {
       fe.stats.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v))
+    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v),
+      version = Some(v))
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -948,7 +969,8 @@ object SnapshotTable {
     val hit = pointCandidates(m, keyCol, value)
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v))
+    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v),
+      version = Some(v))
       .filter(col(keyCol).cast("string") === value)
   }
 

@@ -96,28 +96,49 @@ object GraftSnapshotSource {
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft_snapshot requires a path: spark.read.format(\"graft_snapshot\").load(tableRoot)"))
 
-  /** The manifest a read resolves against: `versionAsOf` or newest. */
+  /** The manifest a read resolves against: `versionAsOf` or newest.
+    * The INTERNAL `graft.fileSubset` option (comma-separated data-file
+    * basenames) restricts the read to a subset of the version's files
+    * — [[SnapshotTable]]'s own split read uses it to route the
+    * dv-carrying leg through the connector's vectorized in-reader
+    * masking; manifests are immutable, so a (version, subset) read is
+    * exactly as well-defined as the whole version. */
   private[connector] def resolveManifest(spark: SparkSession, dir: String,
                                          options: CaseInsensitiveStringMap): Manifest = {
     val v = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(SnapshotTable.latestVersion(spark, dir))
       .getOrElse(throw new IllegalStateException(s"no committed version under $dir"))
-    SnapshotTable.readManifest(spark, dir, v)
+    val m = SnapshotTable.readManifest(spark, dir, v)
+    Option(options.get("graft.fileSubset")) match {
+      case None => m
+      case Some(s) =>
+        val keep = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val hit = m.files.filter(fe =>
+          keep.contains(new org.apache.hadoop.fs.Path(fe.path).getName))
+        require(hit.size == keep.size,
+          s"graft.fileSubset names ${keep.size} file(s) but version $v of " +
+            s"$dir contains ${hit.size} of them")
+        m.copy(files = hit)
+    }
   }
 
-  /** Column types the connector's row readers materialize. Everything
+  /** Column types the connector's readers materialize. Everything
     * else (nested, decimal, interval) reads via `SnapshotTable.scan`. */
+  private[sources] def isReadable(schema: StructType): Boolean =
+    schema.fields.forall(_.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    })
+
   private[connector] def validateReadable(schema: StructType): Unit =
     schema.fields.foreach { f =>
-      f.dataType match {
-        case BooleanType | ByteType | ShortType | IntegerType | LongType |
-             FloatType | DoubleType | StringType | BinaryType | DateType |
-             TimestampType | TimestampNTZType => ()
-        case dt => throw new UnsupportedOperationException(
+      if (!isReadable(StructType(Seq(f))))
+        throw new UnsupportedOperationException(
           s"graft_snapshot reads primitive columns only; column '${f.name}' " +
-            s"has type ${dt.simpleString} — select it away, or read via " +
-            "SnapshotTable.scan for full-fidelity types")
-      }
+            s"has type ${f.dataType.simpleString} — select it away, or read " +
+            "via SnapshotTable.scan for full-fidelity types")
     }
 }
 

@@ -1,0 +1,140 @@
+package graft.sources.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vectorized (ColumnarBatch-emitting) read path for the V2 connector:
+  * one [[VectorizedParquetRecordReader]] — Spark's own whole-stage-
+  * codegen-feeding parquet machinery — per manifest file, with the
+  * file's deletion vector applied IN-READER as a per-batch position
+  * mask. This retires the two measured tolls of round 11:
+  *
+  *  - the record-assembly row readers paid 1.31× over the vectorized
+  *    `SnapshotTable.scan` on a full read (SCALE_r11 "connector");
+  *    batches + codegen close that gap — the connector becomes the
+  *    full-fidelity-speed path, not just the planning surface.
+  *  - dv masking cost O(batch) bookkeeping inside the reader instead
+  *    of a per-query broadcast anti-join build — the real-format
+  *    "position bitmap skip" shape (cf. Delta deletion vectors,
+  *    Iceberg positional deletes, both of which filter inside the
+  *    vectorized batch).
+  *
+  * Schema evolution rides Spark's own clipping: the requested Spark
+  * schema goes in via `ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA`,
+  * and columns a file predates surface as constant-null vectors —
+  * identical semantics to the row readers and to `mergeSchema`.
+  *
+  * Masking strategy per batch of `n` rows starting at file position
+  * `p`: if no deleted position falls in `[p, p+n)` the batch is
+  * returned UNTOUCHED (zero copy, the overwhelmingly common case —
+  * dv sidecars are tiny relative to data); otherwise the live row
+  * indices become an `int[]` map and each column is wrapped in a
+  * delegating [[ColumnVector]] that redirects `get*(i)` through the
+  * map — still zero data copied, O(deleted-in-batch) extra work.
+  * Positions are file-absolute and sequential because the reader
+  * pushes no row-group filters (skipping happens at manifest level,
+  * whole files at a time), so a running counter is exact.
+  */
+private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
+                                               schema: StructType,
+                                               sessionConf: Map[String, String])
+  extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
+
+  private val conf = new Configuration()
+  sessionConf.foreach { case (k, v) => conf.set(k, v) }
+  private val path = new Path(p.fileUri)
+
+  /** Deleted row positions of THIS file (shared-sidecar entries for
+    * other files are filtered out) — same loading as the row reader. */
+  private val deleted = SnapshotPartitions.deletedPositions(conf, p)
+
+  private val reader: VectorizedParquetRecordReader = {
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    val len = path.getFileSystem(conf).getFileStatus(path).getLen
+    // rebase CORRECTED on both calendars: every snapshot-table file is
+    // written by this engine (Spark 3+ proleptic Gregorian); convertTz
+    // null = no session-local shifting, matching the row readers
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    try {
+      r.initialize(
+        new org.apache.hadoop.mapred.FileSplit(path, 0, len, Array.empty[String]),
+        new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+      r.initBatch(new StructType(),
+        org.apache.spark.sql.catalyst.InternalRow.empty)
+      r.enableReturningBatches()
+    } catch { case t: Throwable => r.close(); throw t }
+    r
+  }
+
+  private var startPos = 0L
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!reader.nextBatch()) return false
+    val raw = reader.resultBatch()
+    val n = raw.numRows()
+    current = if (deleted.isEmpty) raw else mask(raw, n)
+    startPos += n
+    true
+  }
+
+  private def mask(raw: ColumnarBatch, n: Int): ColumnarBatch = {
+    var live = 0
+    val map = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (!deleted.contains(startPos + i)) { map(live) = i; live += 1 }
+      i += 1
+    }
+    if (live == n) return raw // nothing deleted in this batch's range
+    val vecs = Array.tabulate[ColumnVector](raw.numCols())(c =>
+      new PositionMaskedColumnVector(raw.column(c), map))
+    // a fully-deleted batch legally emits 0 rows; consumers skip it
+    new ColumnarBatch(vecs, live)
+  }
+
+  override def get(): ColumnarBatch = current
+
+  override def close(): Unit = reader.close()
+}
+
+/** A [[ColumnVector]] view that redirects row ids through a live-index
+  * map — the deletion-vector mask. No data is copied; the delegate
+  * stays owned (and eventually closed) by the parquet reader, so
+  * `close()` is a no-op. `hasNull`/`numNulls` delegate conservatively
+  * (a superset verdict is always safe for null-check elision). */
+private final class PositionMaskedColumnVector(d: ColumnVector, map: Array[Int])
+  extends ColumnVector(d.dataType()) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = d.hasNull
+  override def numNulls(): Int = d.numNulls()
+  override def isNullAt(i: Int): Boolean = d.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = d.getBoolean(map(i))
+  override def getByte(i: Int): Byte = d.getByte(map(i))
+  override def getShort(i: Int): Short = d.getShort(map(i))
+  override def getInt(i: Int): Int = d.getInt(map(i))
+  override def getLong(i: Int): Long = d.getLong(map(i))
+  override def getFloat(i: Int): Float = d.getFloat(map(i))
+  override def getDouble(i: Int): Double = d.getDouble(map(i))
+  override def getArray(i: Int): ColumnarArray = d.getArray(map(i))
+  override def getMap(i: Int): ColumnarMap = d.getMap(map(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    d.getDecimal(map(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = d.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = d.getBinary(map(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    d.getInterval(map(i))
+  // struct children share the parent's row ids, so the mask carries
+  override def getChild(ordinal: Int): ColumnVector =
+    new PositionMaskedColumnVector(d.getChild(ordinal), map)
+}

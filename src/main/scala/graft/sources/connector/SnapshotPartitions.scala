@@ -50,10 +50,38 @@ final case class MetadataAggPartition(schemaJson: String, values: Seq[Long])
 final class SnapshotReaderFactory(schema: StructType)
   extends PartitionReaderFactory {
 
+  /** SQLConf-derived parquet settings, captured on the DRIVER (the
+    * factory is built in createReaderFactory) — the executor's bare
+    * `Configuration()` has no session, and Spark's vectorized stack
+    * reads these keys without defaults. */
+  private val sessionConf: Map[String, String] =
+    SnapshotPartitions.sessionParquetConf()
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case m: MetadataAggPartition => new MetadataAggReader(m)
       case f: SnapshotFilePartition => new SnapshotFileReader(f, schema)
+    }
+
+  /** File partitions with a non-empty projection read VECTORIZED
+    * ([[SnapshotColumnarFileReader]]): batches feed whole-stage
+    * codegen directly and dv masking is an in-batch position map.
+    * An empty projection (pure row counting) stays on the row reader,
+    * which replays `liveRows` without opening the file at all — and a
+    * metadata-agg scan plans exactly one [[MetadataAggPartition]], so
+    * the all-or-nothing columnar contract holds per scan. */
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: SnapshotFilePartition => schema.nonEmpty
+    case _ => false
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match {
+      case f: SnapshotFilePartition =>
+        new SnapshotColumnarFileReader(f, schema, sessionConf)
+      case other => throw new IllegalStateException(
+        s"no columnar reader for $other")
     }
 }
 
@@ -97,21 +125,8 @@ private final class SnapshotFileReader(p: SnapshotFilePartition,
 
   /** Deleted row positions of THIS file (dv sidecars may be shared
     * across files — filter on the file's basename). */
-  private val deleted: java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    p.dvUri.foreach { dv =>
-      val r = openProjected(new Path(dv), Seq("file", "pos"))
-      try {
-        var g = r.read()
-        while (g != null) {
-          if (g.getBinary("file", 0).toStringUsingUTF8 == p.baseName)
-            set.add(g.getLong("pos", 0))
-          g = r.read()
-        }
-      } finally r.close()
-    }
-    set
-  }
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    SnapshotPartitions.deletedPositions(conf, p)
   private val liveRows = p.rows - deleted.size
 
   /** (projection index or -1, converter) per requested field, bound
@@ -236,7 +251,60 @@ private final class SnapshotFileReader(p: SnapshotFilePartition,
 }
 
 private[connector] object SnapshotPartitions {
+
+  /** The SQLConf entries Spark's vectorized parquet machinery
+    * (ParquetToSparkSchemaConverter, ParquetReadSupport,
+    * VectorizedParquetRecordReader) reads off the hadoop conf. In
+    * Spark's own scan path ParquetFileFormat copies them from the
+    * session; the connector factory does the same at driver time. */
+  def sessionParquetConf(): Map[String, String] = {
+    import org.apache.spark.sql.internal.SQLConf
+    val c = SQLConf.get
+    Seq(SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_BINARY_AS_STRING,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+      SQLConf.PARQUET_FIELD_ID_READ_ENABLED,
+      SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID,
+      SQLConf.NESTED_SCHEMA_PRUNING_ENABLED,
+      SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION,
+      SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION,
+      SQLConf.VARIANT_ALLOW_READING_SHREDDED,
+      SQLConf.LEGACY_PARQUET_RETURN_NULL_STRUCT_IF_ALL_FIELDS_MISSING)
+      .map(e => e.key -> c.getConf(e).toString).toMap
+  }
+
   def partitionFor(dir: String, fe: FileEntry): SnapshotFilePartition =
     SnapshotFilePartition(s"$dir/${fe.path}",
       new Path(fe.path).getName, fe.rows, fe.dv.map(d => s"$dir/${d._1}"))
+
+  /** The deleted row positions of the partition's file, loaded from its
+    * dv sidecar (shared sidecars carry other files' rows — filter on
+    * the basename). Shared by the row and columnar readers. */
+  def deletedPositions(conf: Configuration,
+                       p: SnapshotFilePartition): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    p.dvUri.foreach { dv =>
+      val path = new Path(dv)
+      val fileSchema = {
+        val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+        try pfr.getFileMetaData.getSchema finally pfr.close()
+      }
+      val projection = new MessageType(fileSchema.getName,
+        Seq("file", "pos").map(c =>
+          fileSchema.getType(fileSchema.getFieldIndex(c))).toList.asJava)
+      val c = new Configuration(conf)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+      val r = ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getBinary("file", 0).toStringUsingUTF8 == p.baseName)
+            set.add(g.getLong("pos", 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
 }

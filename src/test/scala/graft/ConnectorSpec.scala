@@ -57,6 +57,31 @@ class ConnectorSpec extends SparkTestBase {
     assert(viaConnector.size == 800 - 114)
   }
 
+  test("columnar read: vectorized batches, dv mask exact across batch boundaries") {
+    val dir = freshDir()
+    // 20k rows in 2 files: multiple 4096-row batches per file
+    SnapshotTable.write(spark,
+      spark.range(0, 20000)
+        .select($"id", ($"id" * 3).as("v"), concat(lit("s"), $"id").as("s"))
+        .repartitionByRange(2, $"id"),
+      dir, "overwrite", Seq("id"))
+    // deletions straddling batch boundaries + one fully-deleted batch
+    // range [4096, 8192) in file 0 + scattered rows everywhere
+    SnapshotTable.deleteVectors(spark, dir,
+      ($"id" >= 4096 && $"id" < 8192) || $"id" % 997 === 1)
+    val expected = (0L until 20000L)
+      .filterNot(i => (i >= 4096 && i < 8192) || i % 997 == 1)
+    val q = load(dir)
+    // the scan IS columnar: batches flow into whole-stage codegen
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "file partitions must read vectorized")
+    assert(q.select("id").as[Long].collect().sorted.toSeq == expected)
+    // values stay row-aligned through the mask
+    assert(q.filter($"id" === 8192).select("v", "s").as[(Long, String)]
+      .collect().toSeq == Seq((24576L, "s8192")))
+    assert(q.count() == expected.size)
+  }
+
   test("schema evolution: pre-widening files surface nulls") {
     val dir = freshDir()
     SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")

@@ -25,13 +25,30 @@ class PushdownCheckSpec extends SparkTestBase {
       dir, "overwrite", Seq("id"))
     SnapshotTable.deleteVectors(spark, dir, $"id" < 500 && $"x" === 3)
     // one file carries the vector, three stay plain; a residual filter
-    // over the whole scan must reach the parquet scans of BOTH legs —
-    // losing pushdown on the masked leg is a full file read at scale
-    val plan = SnapshotTable.scan(spark, dir).filter($"id" > 1500)
-      .queryExecution.executedPlan.toString
+    // over the whole scan must reach BOTH legs — the parquet leg as
+    // row-group PushedFilters, the connector dv leg (the vectorized
+    // in-reader mask, round 12) as manifest skippingFilters. Losing
+    // either is a full file read at scale.
+    val q = SnapshotTable.scan(spark, dir).filter($"id" > 1500)
+    val plan = q.queryExecution.executedPlan.toString
     val pushedLines = plan.split("\n").filter(_.contains("PushedFilters: ["))
       .filterNot(_.contains("PushedFilters: []"))
-    assert(pushedLines.count(_.contains("GreaterThan(id,1500)")) >= 2,
-      s"id filter must push into both scan legs:\n$plan")
+    assert(pushedLines.count(_.contains("GreaterThan(id,1500)")) >= 1,
+      s"id filter must push into the plain parquet leg:\n$plan")
+    val connScans = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.description()
+    }
+    assert(connScans.exists(_.contains("GreaterThan(id,1500)")),
+      s"id filter must reach the connector dv leg's file skipping:\n$plan")
+    // and the skip is real: the dv file's ids are all < 500, so the
+    // connector leg plans ZERO of its files under this filter
+    val dvLegScan = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.connector.SnapshotScan]
+    }
+    assert(dvLegScan.exists(_.planInputPartitions().isEmpty),
+      "stats must refute id>1500 for the dv-carrying file")
+    assert(q.count() == 499)
   }
 }
