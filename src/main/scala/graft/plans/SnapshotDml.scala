@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualTo, Expression, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.Bridge
@@ -46,14 +46,19 @@ import graft.sources.connector.SnapshotV2Table
   *
   *  - `UPDATE t SET c = expr, … [WHERE p]` — any deterministic,
   *    subquery-free assignments/predicate over the table's columns.
-  *  - `MERGE INTO t USING s ON t.k = <src expr> WHEN MATCHED THEN
-  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
-  *    whole-row upsert (explicit column lists are accepted when they
-  *    assign every column and the UPDATE and INSERT images agree,
-  *    which is what `*` expands to). Anything else — partial-row
-  *    MATCHED updates, extra WHEN clauses, MATCHED DELETE,
-  *    NOT MATCHED BY SOURCE — raises UnsupportedOperationException
-  *    naming the unsupported clause.
+  *  - `MERGE INTO t USING s ON t.k = <src expr>` with the FULL
+  *    clause surface: multiple conditional WHEN MATCHED clauses
+  *    (partial-row UPDATE or DELETE), multiple conditional WHEN NOT
+  *    MATCHED INSERT clauses (unassigned columns insert NULL, Delta
+  *    semantics), and WHEN NOT MATCHED BY SOURCE (UPDATE/DELETE over
+  *    target columns only). The canonical whole-row upsert
+  *    (`UPDATE SET * … INSERT *`, unconditional) keeps its dedicated
+  *    fast path ([[SnapshotTable.mergeVectors]]: the source IS the
+  *    post-image, no outer join); every other shape lowers onto
+  *    [[SnapshotTable.mergeClauses]] (one stats-pruned outer join →
+  *    O(affected)-row effect frame → one dv commit). Still outside
+  *    the surface, loudly: non-equi ON conditions, WITH SCHEMA
+  *    EVOLUTION, subqueries, nondeterminism.
   *
   * Reference behavior this extends: the reference's loader only ever
   * truncate-and-loads (etl/loader.py); row-level SQL DML is part of
@@ -77,7 +82,17 @@ case class SnapshotRowLevelSql(session: SparkSession)
           if m.targetTable.resolved && m.sourceTable.resolved =>
         snapshotDir(m.targetTable) match {
           case None => m
-          case Some(dir) => translateMerge(dir, m)
+          case Some(dir) =>
+            // canonical whole-row upsert keeps its dedicated physical
+            // path; any other supported shape lowers onto the general
+            // clause merge (which throws its own loud errors for the
+            // genuinely inexpressible remainder)
+            try translateMerge(dir, m)
+            catch {
+              case _: UnsupportedOperationException
+                  if !m.withSchemaEvolution =>
+                translateMergeGeneral(dir, m)
+            }
         }
     }
 
@@ -245,6 +260,144 @@ case class SnapshotRowLevelSql(session: SparkSession)
     }
     MergeSnapshotCommand(dir, source, columns, keyCol)
   }
+
+  /** The general clause surface: lowers onto
+    * [[SnapshotTable.mergeClauses]]'s outer-join + effect-frame dv
+    * path. Names bind here exactly as in the canonical translator
+    * (ACCEPT_ANY_SCHEMA leaves the statement unresolved); bound
+    * target references rewrite to their table column names and bound
+    * source references to positional `__merge_src_<i>` aliases — the
+    * joined frame the command builds at run time carries both
+    * namespaces disjointly, so re-resolution is lossless. */
+  private def translateMergeGeneral(dir: String,
+                                    m: MergeIntoTable): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO snapshot table: $what")
+    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    val target = m.targetTable
+    val source = m.sourceTable
+    val both = Seq(target, source)
+    val targetCols: Seq[Attribute] = {
+      def out(p: LogicalPlan): Seq[Attribute] = p match {
+        case SubqueryAlias(_, c) => out(c)
+        case other => other.output
+      }
+      out(target)
+    }
+    val targetByName = targetCols.map(a => a.name -> a).toMap
+    val srcNames: Seq[String] =
+      source.output.indices.map(i => s"__merge_src_$i")
+    val srcRename: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
+      source.output.map(_.exprId).zip(srcNames).toMap
+
+    /** Bound expression → joined-frame Column: source attrs take
+      * their positional alias, target attrs their table name. Stored
+      * as a Column (not an Expression) so the command's held clauses
+      * are opaque to CheckAnalysis — they re-resolve against the
+      * JOINED frame at run time, which the analyzer never sees. */
+    def toJoined(e: Expression): org.apache.spark.sql.Column =
+      Bridge.column(e.transform {
+        case a: AttributeReference =>
+          srcRename.get(a.exprId) match {
+            case Some(n) => UnresolvedAttribute.quoted(n)
+            case None => UnresolvedAttribute.quoted(a.name)
+          }
+      })
+    /** Lossless-upcast-only typing, the same gate as the canonical
+      * path (the physical layer casts to the column type regardless —
+      * this check is what makes a LOSSY implicit cast loud). */
+    def typed(e: Expression, colName: String, what: String): Expression = {
+      val c = targetByName.getOrElse(colName,
+        unsupported(s"$what assigns unknown column $colName"))
+      if (e.dataType == c.dataType) e
+      else if (Cast.canUpCast(e.dataType, c.dataType)) Cast(e, c.dataType)
+      else unsupported(s"assigning ${e.dataType.simpleString} to " +
+        s"${c.name}: ${c.dataType.simpleString} (write the cast explicitly)")
+    }
+    import SnapshotTable.{MergeInsertClause, MergeRowAction, MergeWhenClause}
+    val resolver = session.sessionState.conf.resolver
+    def starAssignments(what: String): Seq[(String, org.apache.spark.sql.Column)] =
+      targetCols.map { c =>
+        val hit = source.output.filter(a => resolver(a.name, c.name))
+        if (hit.length != 1)
+          unsupported(s"$what * with no unambiguous source column " +
+            s"named ${c.name}")
+        c.name -> toJoined(typed(hit.head, c.name, what))
+      }
+    def explicitAssignments(as: Seq[Assignment], scope: Seq[LogicalPlan],
+                            what: String): Seq[(String, org.apache.spark.sql.Column)] =
+      as.map { a =>
+        val name = bind(a.key, Seq(target), s"$what assignment key") match {
+          case ar: AttributeReference => ar.name
+          case other => unsupported(
+            s"assignment to a non-column (${other.sql})")
+        }
+        name -> toJoined(typed(
+          bind(a.value, scope, s"$what assignment to $name"), name, what))
+      }
+    def cond(c: Option[Expression], scope: Seq[LogicalPlan],
+             what: String): Option[org.apache.spark.sql.Column] =
+      c.map(e => toJoined(bind(e, scope, what)))
+
+    // WHEN MATCHED: conditions and update values see both sides
+    val matched = m.matchedActions.map {
+      case DeleteAction(c) =>
+        MergeWhenClause(cond(c, both, "WHEN MATCHED DELETE condition"),
+          MergeRowAction.Delete)
+      case UpdateStarAction(c) =>
+        MergeWhenClause(cond(c, both, "WHEN MATCHED condition"),
+          MergeRowAction.Update(starAssignments("UPDATE SET")))
+      case UpdateAction(c, as, _) =>
+        MergeWhenClause(cond(c, both, "WHEN MATCHED condition"),
+          MergeRowAction.Update(explicitAssignments(as, both, "UPDATE")))
+      case other =>
+        unsupported(s"matched action ${other.getClass.getSimpleName}")
+    }
+    // WHEN NOT MATCHED: no target row exists — conditions and values
+    // bind against the SOURCE alone (a target reference fails loudly)
+    val notMatched = m.notMatchedActions.map {
+      case InsertStarAction(c) =>
+        MergeInsertClause(cond(c, Seq(source), "WHEN NOT MATCHED condition"),
+          starAssignments("INSERT"))
+      case InsertAction(c, as) =>
+        MergeInsertClause(cond(c, Seq(source), "WHEN NOT MATCHED condition"),
+          explicitAssignments(as, Seq(source), "INSERT"))
+      case other =>
+        unsupported(s"not-matched action ${other.getClass.getSimpleName}")
+    }
+    // WHEN NOT MATCHED BY SOURCE: no source row — target columns only
+    val bySource = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) =>
+        MergeWhenClause(
+          cond(c, Seq(target), "WHEN NOT MATCHED BY SOURCE DELETE condition"),
+          MergeRowAction.Delete)
+      case UpdateAction(c, as, _) =>
+        MergeWhenClause(
+          cond(c, Seq(target), "WHEN NOT MATCHED BY SOURCE condition"),
+          MergeRowAction.Update(explicitAssignments(as, Seq(target),
+            "NOT MATCHED BY SOURCE UPDATE")))
+      case other =>
+        unsupported(s"not-matched-by-source action " +
+          other.getClass.getSimpleName)
+    }
+    val targetRefs = target.outputSet
+    val sourceRefs = source.outputSet
+    val (keyCol, srcKey) =
+      bind(m.mergeCondition, both, "ON condition") match {
+        case EqualTo(l: AttributeReference, r)
+            if targetRefs.contains(l) && r.references.subsetOf(sourceRefs) =>
+          (l.name, toJoined(r))
+        case EqualTo(l, r: AttributeReference)
+            if targetRefs.contains(r) && l.references.subsetOf(sourceRefs) =>
+          (r.name, toJoined(l))
+        case other =>
+          unsupported(s"merge condition ${other.sql} (need target.key = " +
+            "<source expression>)")
+      }
+    MergeClausesCommand(dir, source, srcNames, keyCol, srcKey,
+      matched, notMatched, bySource)
+  }
 }
 
 private[plans] object SnapshotDml {
@@ -310,6 +463,32 @@ case class MergeSnapshotCommand(dir: String, source: LogicalPlan,
       Bridge.column(e).as(n)
     }: _*)
     SnapshotTable.mergeVectors(spark, dir, updates, keyCol)
+    Seq.empty
+  }
+}
+
+/** General MERGE (conditional / partial / DELETE / BY SOURCE clauses)
+  * → [[SnapshotTable.mergeClauses]]: one stats-pruned outer join of
+  * target and source, an O(affected)-row effect frame, one dv commit.
+  * Clause expressions are stored REWRITTEN to joined-frame names
+  * (target columns by table name, source columns by `srcNames`'
+  * positional aliases), held as Columns — opaque to CheckAnalysis —
+  * and re-resolved against the join at run time, the same name-based
+  * re-binding the UPDATE command uses. */
+case class MergeClausesCommand(
+    dir: String, source: LogicalPlan, srcNames: Seq[String],
+    keyCol: String, srcKey: org.apache.spark.sql.Column,
+    matched: Seq[SnapshotTable.MergeWhenClause],
+    notMatched: Seq[SnapshotTable.MergeInsertClause],
+    notMatchedBySource: Seq[SnapshotTable.MergeWhenClause])
+  extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = Bridge.ofRows(spark, source).toDF(srcNames: _*)
+    SnapshotTable.mergeClauses(spark, dir, src, keyCol, srcKey,
+      matched, notMatched, notMatchedBySource)
     Seq.empty
   }
 }

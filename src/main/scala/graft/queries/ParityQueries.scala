@@ -1363,6 +1363,66 @@ object ParityQueries {
         |FROM upd WHERE o_orderkey % 3 <> 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // The FULL MERGE clause surface (round-13): conditional MATCHED
+    // DELETE, partial-row MATCHED UPDATE (unassigned columns carry),
+    // conditional NOT MATCHED INSERT with a column subset (unassigned
+    // columns land NULL), and NOT MATCHED BY SOURCE UPDATE — all in
+    // one statement, lowered onto mergeClauses' outer-join →
+    // O(affected)-row effect frame → single dv commit (zero data
+    // files rewritten; ConnectorSpec pins the manifest shape). The
+    // oracle replays the clause algebra as a LEFT JOIN + CASE for
+    // surviving target rows plus a NOT EXISTS leg for the inserts.
+    "q6S_merge_clauses" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6S")
+        s.conf.set("spark.sql.catalog.graft_mc",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_mc.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6S_orders")
+        s.sql("DROP TABLE IF EXISTS graft_mc.t") // same-session rerun
+        s.sql("""CREATE TABLE graft_mc.t AS
+                |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                |FROM t6S_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""MERGE INTO graft_mc.t AS tgt
+                |USING (SELECT o_orderkey AS k, o_totalprice AS p
+                |       FROM t6S_orders WHERE o_orderkey % 3 = 0) AS src
+                |ON tgt.o_orderkey = src.k
+                |WHEN MATCHED AND tgt.o_custkey % 2 = 1 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET o_totalprice = src.p * 2,
+                |                             o_orderstatus = 'M'
+                |WHEN NOT MATCHED AND src.k % 5 = 0 THEN
+                |  INSERT (o_orderkey, o_totalprice, o_orderstatus)
+                |  VALUES (src.k, src.p, 'I')
+                |WHEN NOT MATCHED BY SOURCE AND tgt.o_custkey % 10 = 0 THEN
+                |  UPDATE SET o_orderstatus = 'S'""".stripMargin)
+        s.sql("SELECT * FROM graft_mc.t ORDER BY o_orderkey")
+      },
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |src AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT b.o_orderkey, b.o_custkey,
+        |       CASE WHEN s.k IS NOT NULL THEN s.p * 2
+        |            ELSE b.o_totalprice END AS o_totalprice,
+        |       CASE WHEN s.k IS NOT NULL THEN 'M'
+        |            WHEN b.o_custkey % 10 = 0 THEN 'S'
+        |            ELSE b.o_orderstatus END AS o_orderstatus
+        |FROM base b LEFT JOIN src s ON b.o_orderkey = s.k
+        |WHERE NOT (s.k IS NOT NULL AND b.o_custkey % 2 = 1)
+        |UNION ALL
+        |SELECT s.k AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+        |       s.p AS o_totalprice, 'I' AS o_orderstatus
+        |FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM orders b
+        |                  WHERE b.o_orderkey % 2 = 0 AND b.o_orderkey = s.k)
+        |  AND s.k % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow

@@ -572,11 +572,47 @@ object SnapshotTable {
       org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true)))
     }
 
+  /** Column mapping (RENAME COLUMN support): a renamed column's
+    * StructField carries its PHYSICAL (as-written) name in metadata
+    * under this key. Data files and the manifest's per-file
+    * stats/bloom keys always use physical names, which are FROZEN at
+    * first write — a rename is then a metadata-only schema commit
+    * (Delta's column-mapping `name` mode, minus the UUIDs: the
+    * physical name is simply the column's original name). Absent
+    * metadata ⇒ physical = logical, the overwhelmingly common case,
+    * and every mapping-aware path below degenerates to the identity. */
+  private[graft] val PhysicalNameKey = "graft.physical"
+
+  private[graft] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private[graft] def hasMapping(s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => physicalName(f) != f.name)
+
+  /** logical → physical column name per `schema` (identity when the
+    * column is unmapped or the schema unknown). */
+  private[graft] def physicalFor(schema: Option[org.apache.spark.sql.types.StructType],
+                                 colName: String): String =
+    schema.flatMap(_.fields.find(_.name == colName)).map(physicalName)
+      .getOrElse(colName)
+
+  /** The schema with every field renamed to its physical name — what
+    * the data files actually contain. */
+  private[graft] def toPhysical(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = physicalName(f))))
+
   /** Union-by-name for append-time schema evolution: previous fields
     * keep their order (they are the files read first), new-only
     * fields append — the same order mergeSchema produces. A same-name
     * type conflict returns None: the entry stores no schema and
-    * readers take the footer-pass fallback, which is authoritative. */
+    * readers take the footer-pass fallback, which is authoritative.
+    * A new field whose name collides with a RENAMED column's physical
+    * name throws instead: files still carry data under that physical
+    * name, so the "new" column would silently resurrect the renamed
+    * column's old values in every pre-rename file. */
   private def unionSchemaJson(prevJson: String, newJson: String): Option[String] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]
@@ -585,8 +621,17 @@ object SnapshotTable {
     val conflict = next.fields.exists(f =>
       prevByName.get(f.name).exists(_ != f.dataType))
     if (conflict) None
-    else Some(StructType(prev.fields ++
-      next.fields.filterNot(f => prevByName.contains(f.name))).json)
+    else {
+      val newFields = next.fields.filterNot(f => prevByName.contains(f.name))
+      val prevPhysical = prev.fields.map(physicalName).toSet -- prevByName.keySet
+      val clash = newFields.map(_.name).filter(prevPhysical.contains)
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"cannot add column(s) ${clash.mkString(", ")}: the name is the " +
+          "PHYSICAL name of a renamed column and existing files still " +
+          "carry its data — pick a different name (or add it via ALTER " +
+          "TABLE, which assigns a fresh physical name)")
+      Some(StructType(prev.fields ++ newFields).json)
+    }
   }
 
   private def commit(spark: SparkSession, dir: String, op: String,
@@ -851,10 +896,11 @@ object SnapshotTable {
         graft.sources.connector.GraftSnapshotSource.isReadable(schema)) {
       val dvLeg = spark.read.format("graft_snapshot")
         .option("versionAsOf", version.get)
-        .option("graft.fileSubset",
-          dvd.map(fe => fileKey(fe.path)).mkString(","))
+        .option("graft.fileSubset", dvd.map(_.path).mkString(","))
         .load(dir)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        // literal name references: col() would parse a dotted column
+        // name as a nested field path
+        .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
       return if (plainFiles.isEmpty) dvLeg
       else read(plainFiles, Some(schema)).unionByName(dvLeg)
     }
@@ -1128,7 +1174,17 @@ object SnapshotTable {
                                  df: DataFrame, relPath: String): Unit = {
     val tmp = new Path(dir, s".dv-${java.util.UUID.randomUUID}")
     val f = fs(spark, tmp)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // ~128 KB row groups (vs the 128 MB default — roughly 40k encoded
+    // (file, pos) rows each): the dv sidecar is read by per-FILE
+    // maskers with a pushed `file = basename` predicate, and row-group
+    // stats can only prune what row-group boundaries expose — a single
+    // monolithic group would make the sorted layout unprunable. The
+    // per-group footer overhead is trivial against the sidecar's size,
+    // and data files are untouched (this writer publishes sidecars
+    // only).
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (1 << 17).toString)
+      .parquet(tmp.toString)
     val part = f.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
@@ -1205,7 +1261,15 @@ object SnapshotTable {
           .join(broadcast(live), Seq("file"), "left_semi")
       }
     val name = s"data/dv-${java.util.UUID.randomUUID.toString.take(8)}.parquet"
-    writeSingleParquet(spark, dir, matched.unionByName(prior), name)
+    // sorted by (file, pos) into small row groups: a reader masking ONE
+    // file pushes `file = <basename>` and parquet's row-group stats +
+    // dictionary filters prune the shared sidecar to that file's run —
+    // per-task sidecar decode stays O(own positions), not O(all
+    // deleted positions) (the K×D amplification a consolidated sidecar
+    // would otherwise cost across K dv-carrying files)
+    writeSingleParquet(spark, dir,
+      matched.unionByName(prior)
+        .repartition(1).sortWithinPartitions("file", "pos"), name)
     val f = fs(spark, new Path(dir))
     // per-file deleted counts from the (tiny) published sidecar — the
     // corpus is scanned exactly once, by the write above
@@ -1396,6 +1460,217 @@ object SnapshotTable {
           staged.foreach { case (name, _) => f.delete(new Path(dir, name), false) }
           throw t
       }
+    }
+
+  /** What a matched (or not-matched-by-source) MERGE clause does to
+    * the target row it selected. */
+  sealed trait MergeRowAction
+  object MergeRowAction {
+    /** Partial-row update: listed columns take their expression's
+      * value, unlisted columns carry the target row's value. */
+    final case class Update(
+        assignments: Seq[(String, org.apache.spark.sql.Column)])
+      extends MergeRowAction
+    case object Delete extends MergeRowAction
+  }
+  /** One WHEN MATCHED / WHEN NOT MATCHED BY SOURCE clause: the first
+    * clause (in statement order) whose condition holds applies; a
+    * None condition always holds. */
+  final case class MergeWhenClause(condition: Option[org.apache.spark.sql.Column],
+                                   action: MergeRowAction)
+  /** One WHEN NOT MATCHED THEN INSERT clause; target columns absent
+    * from `values` insert as NULL (Delta semantics). */
+  final case class MergeInsertClause(condition: Option[org.apache.spark.sql.Column],
+                                     values: Seq[(String, org.apache.spark.sql.Column)])
+
+  /** The FULL MERGE clause surface over deletion vectors — multiple
+    * conditional WHEN clauses, partial-row MATCHED updates, MATCHED
+    * DELETE, and NOT MATCHED BY SOURCE — generalizing the whole-row
+    * upsert of [[mergeVectors]]. Every touched target row's position
+    * joins the consolidated vector; every surviving post-image
+    * (updated rows + inserts) lands in freshly appended files — one
+    * commit, zero data files rewritten, O(affected rows) bytes.
+    *
+    * Contract: `source`'s column names must be disjoint from the
+    * target's (the SQL layer renames them `__merge_src_<i>`); clause
+    * conditions and assignment values are Columns over the JOINED
+    * row — target columns by their table names, source columns by
+    * `source`'s names. Matched/insert clauses may reference both
+    * sides; notMatchedBySource clauses see NULL source columns (no
+    * source row matched) so they should reference target columns
+    * only — the SQL layer enforces that. `sourceKey` is the ON
+    * condition's source-side expression; a target row matches a
+    * source row when `target.keyCol = sourceKey` (null keys never
+    * match, standard equality).
+    *
+    * Cardinality follows Delta/ANSI: a target row that MORE THAN ONE
+    * source row would modify raises; duplicate source rows that only
+    * insert are legal (each inserts). Values are cast to the target
+    * column's type (the SQL layer has already gated lossy casts).
+    *
+    * Scale shape: when no NOT MATCHED BY SOURCE clause is present the
+    * target scan is stats-pruned to the files whose key range any
+    * source key touches ([[candidateFiles]] — the trickle-upsert
+    * O(files touched) property); by-source clauses must see every
+    * live row, so they read the full file list by nature. The join
+    * output is projected to an O(affected)-row effect frame
+    * (position, op kind, post-image) and persisted, so the join runs
+    * once; the corpus itself never shuffles when the source
+    * broadcasts (the common CDC shape). */
+  def mergeClauses(spark: SparkSession, dir: String, source: DataFrame,
+                   keyCol: String,
+                   sourceKey: org.apache.spark.sql.Column,
+                   matched: Seq[MergeWhenClause],
+                   notMatched: Seq[MergeInsertClause],
+                   notMatchedBySource: Seq[MergeWhenClause] = Nil,
+                   statsCols: Seq[String] = Nil): Long =
+    retryOnConflict(s"dv-merge-clauses into $dir") {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      require(matched.nonEmpty || notMatched.nonEmpty ||
+        notMatchedBySource.nonEmpty, "MERGE needs at least one clause")
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"cannot merge into empty table $dir"))
+      val m = readManifest(spark, dir, v)
+      val tableSchema = scan(spark, dir, Some(v)).schema
+      val cols = tableSchema.fieldNames.toSeq
+      require(cols.contains(keyCol), s"table $dir lacks merge key $keyCol")
+      val reserved = cols.toSet ++ Seq("__graft_file", "__graft_pos",
+        "__src_present", "__m", "__n", "__i", "__kind")
+      val clash = source.columns.filter(reserved.contains)
+      require(clash.isEmpty,
+        s"source columns ${clash.mkString(", ")} collide with the " +
+          "target/marker namespace; rename them before merging")
+
+      // target leg: stats-pruned to the source keys' candidate files
+      // unless a by-source clause must observe every live row
+      val candidates =
+        if (notMatchedBySource.nonEmpty) m.files
+        else candidateFiles(spark, m, keyCol,
+          source.select(sourceKey.as(keyCol)))
+      val posSchema = StructType(
+        tableSchema.fields.map(_.copy(nullable = true)) ++
+          Seq(StructField("__graft_file", StringType),
+            StructField("__graft_pos", LongType)))
+      val tgt =
+        if (candidates.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
+        else readFiles(spark, dir, candidates, keepPos = true)
+      val srcMarked = source.withColumn("__src_present", lit(true))
+      val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
+      val joined = tgt.join(srcMarked, tgt(keyCol) === sourceKey, joinType)
+
+      // first-applicable-clause index (1-based; 0 = no clause fires;
+      // an unconditioned clause makes later clauses dead, as in SQL)
+      def firstIdxChain(conds: Seq[Option[Column]]): Column = {
+        var e: Column = null
+        conds.zipWithIndex.foreach { case (c, i) =>
+          val cond = c.getOrElse(lit(true))
+          e = if (e == null) when(cond, lit(i + 1)) else e.when(cond, lit(i + 1))
+        }
+        if (e == null) lit(0) else e.otherwise(lit(0))
+      }
+
+      val isMatched = col("__graft_pos").isNotNull &&
+        col("__src_present").isNotNull
+      val isTgtOnly = col("__graft_pos").isNotNull && col("__src_present").isNull
+      val classified = joined
+        .withColumn("__m", when(isMatched,
+          firstIdxChain(matched.map(_.condition))).otherwise(lit(0)))
+        .withColumn("__n", when(isTgtOnly,
+          firstIdxChain(notMatchedBySource.map(_.condition))).otherwise(lit(0)))
+        .withColumn("__i", when(col("__graft_pos").isNull,
+          firstIdxChain(notMatched.map(_.condition))).otherwise(lit(0)))
+
+      // op kind: 0 untouched, 1 dv-delete only, 2 dv + post-image
+      // (update), 3 insert image
+      def kindOf(idxCol: String, clauses: Seq[MergeWhenClause]): Column =
+        clauses.zipWithIndex.foldLeft(lit(0)) { case (acc, (cl, i)) =>
+          val k = cl.action match {
+            case MergeRowAction.Delete => 1
+            case _: MergeRowAction.Update => 2
+          }
+          when(col(idxCol) === (i + 1), lit(k)).otherwise(acc)
+        }
+      val kind = when(col("__m") > 0, kindOf("__m", matched))
+        .when(col("__n") > 0, kindOf("__n", notMatchedBySource))
+        .when(col("__i") > 0, lit(3))
+        .otherwise(lit(0))
+
+      // post-image per table column: first-matching clause's value
+      // (update carries unlisted columns from the target; insert
+      // fills unlisted columns with NULL), cast to the column's type
+      val images: Seq[Column] = tableSchema.fields.toSeq.map { f =>
+        var e: Column = null
+        def add(cond: Column, value: Column): Unit =
+          e = if (e == null) when(cond, value) else e.when(cond, value)
+        matched.zipWithIndex.foreach {
+          case (MergeWhenClause(_, MergeRowAction.Update(as)), i) =>
+            add(col("__m") === (i + 1),
+              as.toMap.getOrElse(f.name, col(f.name)))
+          case _ => ()
+        }
+        notMatchedBySource.zipWithIndex.foreach {
+          case (MergeWhenClause(_, MergeRowAction.Update(as)), i) =>
+            add(col("__n") === (i + 1),
+              as.toMap.getOrElse(f.name, col(f.name)))
+          case _ => ()
+        }
+        notMatched.zipWithIndex.foreach { case (MergeInsertClause(_, vals), i) =>
+          add(col("__i") === (i + 1),
+            vals.toMap.getOrElse(f.name, lit(null)))
+        }
+        (if (e == null) lit(null) else e).cast(f.dataType).as(f.name)
+      }
+
+      val effect = classified
+        .withColumn("__kind", kind)
+        .filter(col("__kind") =!= 0)
+        .select((Seq(col("__graft_file").as("__e_file"),
+          col("__graft_pos").as("__e_pos"), col("__kind")) ++ images): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val positions = effect.filter(col("__kind") < 3)
+          .select(col("__e_file").as("file"), col("__e_pos").as("pos"))
+        // Delta/ANSI cardinality: >1 source row modifying one target
+        // row is ambiguous (which image wins?) — raise, don't guess
+        if (matched.nonEmpty &&
+            positions.groupBy("file", "pos").count()
+              .filter(col("count") > 1).limit(1).count() > 0)
+          throw new IllegalArgumentException(
+            "MERGE cardinality violation: a matched target row has more " +
+              "than one source image; deduplicate the source (e.g. " +
+              "keep-latest by a version column) before merging")
+        val staged = stageDvSidecarFrom(spark, dir, m, positions)
+        val f = fs(spark, new Path(dir))
+        try {
+          val post = effect.filter(col("__kind") >= 2).select(cols.map(col): _*)
+          val fresh = stageFiles(spark, post, dir, statsCols)
+          staged match {
+            case None =>
+              if (fresh.isEmpty) v
+              else commit(spark, dir, "merge-dv", fresh, carry = true)
+            case Some((name, entries)) =>
+              val newPaths = entries.map(_.path).toSet
+              try commit(spark, dir, "merge-dv", entries ++ fresh,
+                removed = readSetOf(
+                  m.files.filter(fe => newPaths.contains(fe.path))),
+                carry = true)
+              catch {
+                case e: CommitConflictException =>
+                  fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))
+                  throw e
+              }
+          }
+        } catch {
+          case t: Throwable =>
+            staged.foreach { case (name, _) =>
+              f.delete(new Path(dir, name), false)
+            }
+            throw t
+        }
+      } finally effect.unpersist()
     }
 
   /** [[mergeVectors]] for rows ALREADY staged as data files under the

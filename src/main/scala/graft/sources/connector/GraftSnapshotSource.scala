@@ -97,12 +97,16 @@ object GraftSnapshotSource {
       "graft_snapshot requires a path: spark.read.format(\"graft_snapshot\").load(tableRoot)"))
 
   /** The manifest a read resolves against: `versionAsOf` or newest.
-    * The INTERNAL `graft.fileSubset` option (comma-separated data-file
-    * basenames) restricts the read to a subset of the version's files
-    * — [[SnapshotTable]]'s own split read uses it to route the
-    * dv-carrying leg through the connector's vectorized in-reader
-    * masking; manifests are immutable, so a (version, subset) read is
-    * exactly as well-defined as the whole version. */
+    * The INTERNAL `graft.fileSubset` option (comma-separated
+    * manifest-relative data-file PATHS — full paths, not basenames:
+    * two manifest entries in distinct subdirectories could share a
+    * basename, and a basename match would then fail a legitimate
+    * subset read or silently include the twin) restricts the read to
+    * a subset of the version's files — [[SnapshotTable]]'s own split
+    * read uses it to route the dv-carrying leg through the
+    * connector's vectorized in-reader masking; manifests are
+    * immutable, so a (version, subset) read is exactly as
+    * well-defined as the whole version. */
   private[connector] def resolveManifest(spark: SparkSession, dir: String,
                                          options: CaseInsensitiveStringMap): Manifest = {
     val v = Option(options.get("versionAsOf")).map(_.toLong)
@@ -113,8 +117,7 @@ object GraftSnapshotSource {
       case None => m
       case Some(s) =>
         val keep = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val hit = m.files.filter(fe =>
-          keep.contains(new org.apache.hadoop.fs.Path(fe.path).getName))
+        val hit = m.files.filter(fe => keep.contains(fe.path))
         require(hit.size == keep.size,
           s"graft.fileSubset names ${keep.size} file(s) but version $v of " +
             s"$dir contains ${hit.size} of them")

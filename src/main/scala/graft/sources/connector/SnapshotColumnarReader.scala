@@ -97,7 +97,7 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     }
     if (live == n) return raw // nothing deleted in this batch's range
     val vecs = Array.tabulate[ColumnVector](raw.numCols())(c =>
-      new PositionMaskedColumnVector(raw.column(c), map))
+      new PositionMaskedColumnVector(raw.column(c), map, live))
     // a fully-deleted batch legally emits 0 rows; consumers skip it
     new ColumnarBatch(vecs, live)
   }
@@ -108,16 +108,30 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
 }
 
 /** A [[ColumnVector]] view that redirects row ids through a live-index
-  * map — the deletion-vector mask. No data is copied; the delegate
-  * stays owned (and eventually closed) by the parquet reader, so
-  * `close()` is a no-op. `hasNull`/`numNulls` delegate conservatively
-  * (a superset verdict is always safe for null-check elision). */
-private final class PositionMaskedColumnVector(d: ColumnVector, map: Array[Int])
+  * map (valid entries `[0, live)`) — the deletion-vector mask. No data
+  * is copied; the delegate stays owned (and eventually closed) by the
+  * parquet reader, so `close()` is a no-op. `hasNull` delegates
+  * conservatively (a superset verdict is safe for null-check elision);
+  * `numNulls` is a COUNT, not a bound — a consumer summing it would
+  * get a wrong number from delegation, so it counts the masked rows
+  * exactly (lazily, O(live) once per batch, only if anyone asks). */
+private[graft] final class PositionMaskedColumnVector(
+    d: ColumnVector, map: Array[Int], live: Int)
   extends ColumnVector(d.dataType()) {
+
+  private var nullCount = -1 // lazy: -1 = not yet counted
 
   override def close(): Unit = ()
   override def hasNull: Boolean = d.hasNull
-  override def numNulls(): Int = d.numNulls()
+  override def numNulls(): Int = {
+    if (nullCount < 0) {
+      var n = 0
+      var i = 0
+      while (i < live) { if (d.isNullAt(map(i))) n += 1; i += 1 }
+      nullCount = n
+    }
+    nullCount
+  }
   override def isNullAt(i: Int): Boolean = d.isNullAt(map(i))
   override def getBoolean(i: Int): Boolean = d.getBoolean(map(i))
   override def getByte(i: Int): Byte = d.getByte(map(i))
@@ -136,5 +150,5 @@ private final class PositionMaskedColumnVector(d: ColumnVector, map: Array[Int])
     d.getInterval(map(i))
   // struct children share the parent's row ids, so the mask carries
   override def getChild(ordinal: Int): ColumnVector =
-    new PositionMaskedColumnVector(d.getChild(ordinal), map)
+    new PositionMaskedColumnVector(d.getChild(ordinal), map, live)
 }

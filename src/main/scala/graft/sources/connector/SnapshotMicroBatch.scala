@@ -9,9 +9,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.SnapshotTable
 
 /** Stream offset = snapshot-table version: "every commit up to and
-  * including `v` has been emitted". */
-final case class VersionOffset(v: Long) extends Offset {
-  override def json: String = v.toString
+  * including `v` has been emitted". `initial` records whether this is
+  * the stream's STARTING offset (nothing emitted yet) — without it a
+  * resumed offset equal to earliest-1 is ambiguous: it could be a
+  * fresh start (base legitimately empty) or a real checkpoint whose
+  * base manifest vacuum just expired, where treating the base as
+  * empty re-emits every surviving file as duplicates (Delta records
+  * `isStartingVersion` in its offset for exactly this reason).
+  * `None` = a legacy bare-long checkpoint predating the flag, which
+  * keeps the old lenient reading (earliest-1 treated as initial). */
+final case class VersionOffset(v: Long, initial: Option[Boolean])
+  extends Offset {
+  override def json: String = initial match {
+    case None => v.toString // legacy shape, kept round-trippable
+    case Some(i) => s"""{"v":$v,"initial":$i}"""
+  }
+}
+
+object VersionOffset {
+  def parse(json: String): VersionOffset = {
+    val t = json.trim
+    if (!t.startsWith("{")) VersionOffset(t.toLong, None)
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      VersionOffset(node.get("v").asLong(),
+        Some(node.get("initial").asBoolean()))
+    }
+  }
 }
 
 /** The snapshot table's commit log as a Structured Streaming source —
@@ -67,7 +91,7 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
       .getOrElse(vs.head)
     require(from >= vs.head,
       s"startingVersion $from predates the earliest available version ${vs.head} of $dir (vacuumed?)")
-    VersionOffset(from - 1)
+    VersionOffset(from - 1, Some(true))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -77,9 +101,14 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget.getOrElse(latestVersion)
-    val from = start.asInstanceOf[VersionOffset].v
-    VersionOffset(maxVersionsPerTrigger
-      .fold(target)(n => math.min(target, from + n)))
+    val from = start.asInstanceOf[VersionOffset]
+    val end = maxVersionsPerTrigger
+      .fold(target)(n => math.min(target, from.v + n))
+    // a batch that ADVANCES yields a progress offset; an empty trigger
+    // must keep the start's initial marker — overwriting it with
+    // "progress" would make a still-unstarted stream unresumable after
+    // a vacuum to exactly its version+1
+    VersionOffset(end, if (end == from.v) from.initial else Some(false))
   }
 
   override def latestOffset(): Offset =
@@ -87,22 +116,28 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
       "latestOffset(start, limit) is the admission-control entry point")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[VersionOffset].v
+    val off = start.asInstanceOf[VersionOffset]
+    val a = off.v
     val b = end.asInstanceOf[VersionOffset].v
     if (b <= a) return Array.empty
     val after = SnapshotTable.readManifest(spark, dir, b)
     val earliest = SnapshotTable.versions(spark, dir).head
-    // a == earliest - 1 is the legitimate initial batch ("nothing
-    // emitted yet, start from the earliest retained version"). A
-    // checkpointed offset BELOW that means vacuum expired versions the
-    // stream never read — treating it as "base empty" would re-emit
-    // the whole table as duplicates. Fail like a vacuumed
-    // startingVersion does in initialOffset (Delta's contract).
-    if (a >= 0 && a < earliest - 1) throw new IllegalStateException(
-      s"stream checkpoint offset $a predates the earliest retained " +
-        s"version $earliest of $dir (vacuumed past the checkpoint); " +
-        "exactly-once resume is impossible — restart from a fresh " +
-        "checkpoint or consume SnapshotTable.changes")
+    // a == earliest - 1 is legitimate ONLY as the stream's initial
+    // offset ("nothing emitted yet, start from the earliest retained
+    // version") — the offset's own marker says which it is. A progress
+    // offset at (or below) earliest-1 means vacuum expired the base
+    // manifest the diff needs; treating the base as empty would
+    // re-emit every surviving file as duplicates. Fail like a
+    // vacuumed startingVersion does in initialOffset (Delta's
+    // contract; legacy bare-long checkpoints keep the lenient
+    // earliest-1-is-initial reading, the pre-marker behavior).
+    val startIsInitial = off.initial.getOrElse(a == earliest - 1)
+    if (a >= 0 && (a < earliest - 1 || (a == earliest - 1 && !startIsInitial)))
+      throw new IllegalStateException(
+        s"stream checkpoint offset $a predates the earliest retained " +
+          s"version $earliest of $dir (vacuumed past the checkpoint); " +
+          "exactly-once resume is impossible — restart from a fresh " +
+          "checkpoint or consume SnapshotTable.changes")
     val base: Map[String, Option[String]] =
       if (a < earliest) Map.empty
       else SnapshotTable.readManifest(spark, dir, a).files
@@ -129,7 +164,7 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
     new SnapshotReaderFactory(schema)
 
   override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toLong)
+    VersionOffset.parse(json)
 
   override def commit(end: Offset): Unit = ()
 

@@ -8,7 +8,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.FilterApi
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.io.api.Binary
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -250,7 +253,7 @@ private final class SnapshotFileReader(p: SnapshotFilePartition,
   }
 }
 
-private[connector] object SnapshotPartitions {
+private[graft] object SnapshotPartitions {
 
   /** The SQLConf entries Spark's vectorized parquet machinery
     * (ParquetToSparkSchemaConverter, ParquetReadSupport,
@@ -278,9 +281,26 @@ private[connector] object SnapshotPartitions {
     SnapshotFilePartition(s"$dir/${fe.path}",
       new Path(fe.path).getName, fe.rows, fe.dv.map(d => s"$dir/${d._1}"))
 
+  /** Sidecar rows DECODED by [[deletedPositions]] since the last
+    * reset — single-JVM telemetry for specs/probes pinning that a
+    * shared sidecar prunes to ~each task's own positions (local[n]
+    * runs executors in-process, so the adder sees every task). */
+  private[graft] val sidecarRowsDecoded = new java.util.concurrent.atomic.LongAdder
+  private[graft] def resetSidecarTelemetry(): Unit = sidecarRowsDecoded.reset()
+
   /** The deleted row positions of the partition's file, loaded from its
-    * dv sidecar (shared sidecars carry other files' rows — filter on
-    * the basename). Shared by the row and columnar readers. */
+    * dv sidecar. Sidecars are SHARED across a version's files (one
+    * consolidated vector per commit), so the reader pushes a
+    * `file = <basename>` parquet predicate: the stage-time (file, pos)
+    * sort + ~1 MB row groups let row-group stats and dictionary
+    * filters prune the shared sidecar to this file's run, keeping the
+    * per-task decode O(own positions) instead of O(all deleted
+    * positions) — across K dv-carrying files that is the difference
+    * between O(D) and O(K×D) total sidecar work. Record-level
+    * filtering drops any residual same-row-group strangers; the
+    * basename check in the loop stays as a cheap invariant (legacy
+    * pre-sort sidecars prune nothing and still read correctly).
+    * Shared by the row and columnar readers. */
   def deletedPositions(conf: Configuration,
                        p: SnapshotFilePartition): java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
@@ -295,10 +315,14 @@ private[connector] object SnapshotPartitions {
           fileSchema.getType(fileSchema.getFieldIndex(c))).toList.asJava)
       val c = new Configuration(conf)
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-      val r = ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+      val onlyThisFile = FilterCompat.get(FilterApi.eq(
+        FilterApi.binaryColumn("file"), Binary.fromString(p.baseName)))
+      val r = ParquetReader.builder(new GroupReadSupport(), path)
+        .withConf(c).withFilter(onlyThisFile).build()
       try {
         var g = r.read()
         while (g != null) {
+          sidecarRowsDecoded.increment()
           if (g.getBinary("file", 0).toStringUsingUTF8 == p.baseName)
             set.add(g.getLong("pos", 0))
           g = r.read()

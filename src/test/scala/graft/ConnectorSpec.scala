@@ -921,6 +921,152 @@ class ConnectorSpec extends SparkTestBase {
       .as[Long].head == 2L)
   }
 
+  test("general MERGE: conditional, partial, DELETE, NOT MATCHED BY SOURCE") {
+    val root = Files.createTempDirectory("graft-cat9").toString
+    spark.conf.set("spark.sql.catalog.graftcat9",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcat9.root", root)
+    spark.sql("CREATE TABLE graftcat9.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v, 'keep' AS s FROM range(0, 20)")
+    val dir = s"$root/t"
+    val filesBefore = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+    spark.sql(
+      """MERGE INTO graftcat9.t AS tgt
+        |USING (SELECT id AS k, CAST(id * 10 AS DOUBLE) AS nv
+        |       FROM range(10, 30)) AS src
+        |ON tgt.id = src.k
+        |WHEN MATCHED AND src.k % 2 = 0 THEN UPDATE SET v = src.nv
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND src.k < 25
+        |  THEN INSERT (id, v) VALUES (src.k, src.nv)
+        |WHEN NOT MATCHED BY SOURCE AND tgt.id < 3 THEN UPDATE SET s = 'old'
+        |WHEN NOT MATCHED BY SOURCE AND tgt.id = 5 THEN DELETE
+        |""".stripMargin)
+    // merge-on-read: zero data files rewritten
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.op == "merge-dv")
+    assert(filesBefore.subsetOf(m.files.map(_.path).toSet))
+    val got = spark.sql("SELECT id, v, s FROM graftcat9.t ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.getString(2)))).toSeq
+    val want: Seq[(Long, Option[Double], Option[String])] =
+      // unmatched target [0,10): 0-2 flagged 'old', 5 deleted
+      ((0L until 10L).filterNot(_ == 5L).map(i =>
+        (i, Some(i.toDouble), Some(if (i < 3) "old" else "keep"))) ++
+        // matched [10,20): even keep v=id*10 + carried s, odd deleted
+        (10L until 20L).filter(_ % 2 == 0).map(i =>
+          (i, Some(i * 10.0), Some("keep"))) ++
+        // inserts [20,25): unassigned s is NULL
+        (20L until 25L).map(i => (i, Some(i * 10.0), None))).sortBy(_._1)
+    assert(got == want)
+    // duplicate source rows that MODIFY one target row: cardinality
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graftcat9.t AS tgt
+        |USING (SELECT CAST(id AS BIGINT) AS k FROM VALUES 3, 3, 4 AS x(id)) AS src
+        |ON tgt.id = src.k
+        |WHEN MATCHED THEN UPDATE SET s = 'dup'
+        |""".stripMargin))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cardinality")))
+    // ...but duplicate source rows that only INSERT are legal (each
+    // inserts — Delta semantics), and an insert-only merge works
+    spark.sql(
+      """MERGE INTO graftcat9.t AS tgt
+        |USING (SELECT CAST(id AS BIGINT) AS k FROM VALUES 100, 100 AS x(id)) AS src
+        |ON tgt.id = src.k
+        |WHEN NOT MATCHED THEN INSERT (id) VALUES (src.k)
+        |""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graftcat9.t WHERE id = 100")
+      .as[Long].head == 2L)
+  }
+
+  test("shared dv sidecar prunes to each task's own positions") {
+    import graft.sources.connector.SnapshotPartitions
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 400000).toDF("id").withColumn("v", $"id" % 1000)
+        .repartitionByRange(16, $"id"),
+      dir, "overwrite", Seq("id"))
+    // one commit, one CONSOLIDATED sidecar carrying positions for all
+    // 16 files — the shape where per-task full-sidecar decode was K×D
+    SnapshotTable.deleteVectors(spark, dir, $"id" % 100 === 7)
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.count(_.dv.isDefined) == 16)
+    val deleted = m.files.flatMap(_.dv.map(_._2)).sum
+    assert(deleted == 4000L)
+    SnapshotPartitions.resetSidecarTelemetry()
+    // a residual filter defeats the metadata-only count, so the scan
+    // actually opens the 16 dv-masking readers
+    assert(load(dir).filter($"v" >= 0).count() == 400000 - deleted)
+    // the pushed `file = basename` predicate hands each task ONLY its
+    // own run: total decoded ≈ D, where the unfiltered loop decoded
+    // K×D (16× here) — the scale cliff the predicate retires
+    val decoded = SnapshotPartitions.sidecarRowsDecoded.sum()
+    assert(decoded == deleted, s"decoded $decoded sidecar rows for $deleted")
+
+    // a big consolidated sidecar lands in many ~1 MB row groups and
+    // the (file, pos) sort gives them disjoint file runs — row-group
+    // stats exclude most groups for any one basename
+    SnapshotTable.deleteVectors(spark, dir, $"id" % 2 === 0)
+    val m2 = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    val sidecars = m2.files.flatMap(_.dv.map(_._1)).distinct
+    assert(sidecars.size == 1, "dv commits consolidate to one sidecar")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/${sidecars.head}"), conf))
+    try {
+      val blocks = pfr.getFooter.getBlocks
+      assert(blocks.size() > 1,
+        s"expected multiple ~1MB row groups, got ${blocks.size()}")
+      import scala.jdk.CollectionConverters._
+      val cmp = org.apache.parquet.schema.PrimitiveComparator
+        .UNSIGNED_LEXICOGRAPHICAL_BINARY_COMPARATOR
+      def admits(base: String): Int = blocks.asScala.count { b =>
+        val st = b.getColumns.asScala
+          .find(_.getPath.toDotString == "file").get.getStatistics
+        val bin = org.apache.parquet.io.api.Binary.fromString(base)
+        val mn = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+        val mx = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+        cmp.compare(mn, bin) <= 0 && cmp.compare(mx, bin) >= 0
+      }
+      val bases = m2.files.flatMap(fe =>
+        fe.dv.map(_ => new org.apache.hadoop.fs.Path(fe.path).getName))
+      val admitted = bases.map(admits).sum
+      assert(admitted < bases.size * blocks.size(),
+        s"sorted layout should exclude some (file, row-group) pairs: " +
+          s"$admitted of ${bases.size * blocks.size()}")
+    } finally pfr.close()
+    // content unchanged by the layout work
+    assert(load(dir).count() ==
+      spark.range(0, 400000).filter($"id" % 100 =!= 7 && $"id" % 2 =!= 0)
+        .count())
+  }
+
+  test("masked vector: numNulls is exact, not the delegate's superset") {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types.IntegerType
+    val raw = new OnHeapColumnVector(5, IntegerType)
+    // [null, 1, null, 3, null] — delete row 2 (a null), keeping nulls
+    // on both sides of the deleted position
+    raw.putNull(0); raw.putInt(1, 1); raw.putNull(2)
+    raw.putInt(3, 3); raw.putNull(4)
+    val masked = new graft.sources.connector.PositionMaskedColumnVector(
+      raw, Array(0, 1, 3, 4, -1 /* slack beyond live, never read */), 4)
+    assert(masked.numNulls() == 2, "count the MASKED rows, not the raw batch")
+    assert(raw.numNulls() == 3)
+    assert(masked.isNullAt(0) && !masked.isNullAt(1) &&
+      !masked.isNullAt(2) && masked.isNullAt(3))
+    assert(masked.getInt(1) == 1 && masked.getInt(2) == 3)
+    raw.close()
+  }
+
   test("streaming tail: vacuum past the checkpoint fails the restart loudly") {
     val dir = freshDir()
     val ckpt = Files.createTempDirectory("graft-conn-ckpt4").toString
@@ -945,6 +1091,46 @@ class ConnectorSpec extends SparkTestBase {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("predates the earliest retained")),
       "silently re-emitting the whole table would duplicate rows")
+  }
+
+  test("vacuum to exactly checkpoint+1 fails the restart (offset marker)") {
+    // the boundary the bare-long offset could not express: versions
+    // 1..3, stream checkpointed through v2, vacuum retains only v3 —
+    // the resumed offset equals earliest-1, which is ALSO what a fresh
+    // initial offset looks like. The offset's initial marker breaks
+    // the tie; without it the base is treated as empty and every file
+    // surviving into v3 re-emits as a duplicate.
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-ckpt5").toString
+    val out = Files.createTempDirectory("graft-conn-out5").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(10, 20).toDF(), dir, "append")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce() // checkpoint now holds offset v2
+    SnapshotTable.write(spark, spark.range(20, 30).toDF(), dir, "append")
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(3L)) // earliest = 3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("predates the earliest retained")))
+    // and a FRESH stream of the same table (offset genuinely initial,
+    // same numeric value) still starts fine
+    val ckpt2 = Files.createTempDirectory("graft-conn-ckpt6").toString
+    val out2 = Files.createTempDirectory("graft-conn-out6").toString
+    val q2 = spark.readStream.format("graft_snapshot").load(dir)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() == 30)
   }
 
   test("MERGE with duplicate source keys raises the cardinality error") {
@@ -1016,23 +1202,23 @@ class ConnectorSpec extends SparkTestBase {
         if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
       all(t).mkString("\n")
     }
-    // conditional WHEN MATCHED — dv merge replaces whole rows only
+    // non-equi ON condition — outside both merge paths
     val e1 = intercept[Exception](spark.sql(
       """MERGE INTO graftcat5.t AS tgt
         |USING (SELECT id, CAST(1 AS DOUBLE) AS v FROM range(0, 5)) AS src
-        |ON tgt.id = src.id
-        |WHEN MATCHED AND src.v > 0 THEN UPDATE SET *
+        |ON tgt.id > src.id
+        |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(msgOf(e1).contains("conditional WHEN MATCHED"))
-    // partial-row MATCHED update
+    assert(msgOf(e1).contains("merge condition"))
+    // an insert value referencing target columns — no target row
+    // exists for a NOT MATCHED source row, so resolution fails loudly
     val e2 = intercept[Exception](spark.sql(
       """MERGE INTO graftcat5.t AS tgt
-        |USING (SELECT id, CAST(1 AS DOUBLE) AS v FROM range(0, 5)) AS src
-        |ON tgt.id = src.id
-        |WHEN MATCHED THEN UPDATE SET v = src.v
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(msgOf(e2).contains("subset of columns") ||
-      msgOf(e2).contains("differing"))
+        |USING (SELECT id AS k, CAST(1 AS DOUBLE) AS w FROM range(0, 5)) AS src
+        |ON tgt.id = src.k
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (tgt.id, src.w)
+        |""".stripMargin))
+    assert(msgOf(e2).contains("cannot resolve"))
     // subquery in UPDATE
     val e3 = intercept[Exception](spark.sql(
       "UPDATE graftcat5.t SET v = 0 " +
