@@ -1423,6 +1423,47 @@ object ParityQueries {
         |  AND s.k % 5 = 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Schema-evolution DDL (round-13): RENAME COLUMN is a Delta-style
+    // column-mapping metadata commit (files keep the frozen physical
+    // name; readers alias, writers keep writing it), DROP COLUMN
+    // shrinks the recorded schema without touching a file, and
+    // re-ADDing a dropped name gets a FRESH physical name so the old
+    // bytes can't resurrect — the post-DDL inserts prove the write
+    // path maps correctly in both directions. Oracle replays the
+    // surviving-column algebra.
+    "q6T_schema_evolution_ddl" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6T")
+        s.conf.set("spark.sql.catalog.graft_ddl",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ddl.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6T_orders")
+        s.sql("DROP TABLE IF EXISTS graft_ddl.t") // same-session rerun
+        s.sql("""CREATE TABLE graft_ddl.t AS
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM t6T_orders WHERE o_orderkey % 4 = 0""".stripMargin)
+        s.sql("ALTER TABLE graft_ddl.t RENAME COLUMN o_totalprice TO price")
+        s.sql("""INSERT INTO graft_ddl.t
+                |SELECT o_orderkey, o_custkey, o_totalprice AS price
+                |FROM t6T_orders WHERE o_orderkey % 4 = 1""".stripMargin)
+        s.sql("ALTER TABLE graft_ddl.t DROP COLUMN o_custkey")
+        s.sql("ALTER TABLE graft_ddl.t ADD COLUMNS (o_custkey BIGINT)")
+        s.sql("""INSERT INTO graft_ddl.t
+                |SELECT o_orderkey, o_totalprice, o_custkey
+                |FROM t6T_orders WHERE o_orderkey % 4 = 2""".stripMargin)
+        s.sql("SELECT * FROM graft_ddl.t ORDER BY o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice AS price,
+        |       CAST(NULL AS BIGINT) AS o_custkey
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice AS price, o_custkey
+        |FROM orders WHERE o_orderkey % 4 = 2
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow

@@ -638,7 +638,8 @@ object SnapshotTable {
                      added: Seq[FileEntry],
                      removed: Map[String, Option[String]] = Map.empty,
                      carry: Boolean = false,
-                     schemaJson: Option[String] = None): Long = {
+                     schemaJson: Option[String] = None,
+                     replaceSchema: Boolean = false): Long = {
     val ld = logDir(dir)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -660,10 +661,18 @@ object SnapshotTable {
       val v = latest.getOrElse(0L) + 1
       // schema chain: a fresh/overwritten table records the writer's
       // schema; a carrying commit unions it with (or just carries) the
-      // previous version's. A legacy previous entry (no schema) keeps
-      // the chain legacy — a stored schema must describe EVERY file.
+      // previous version's — except replaceSchema commits (ALTER
+      // DROP/RENAME COLUMN), whose schema REPLACES the chain's (a
+      // union can only widen). A legacy previous entry (no schema)
+      // keeps the chain legacy — a stored schema must describe EVERY
+      // file.
       val entrySchema: Option[String] =
-        if (!carry || latest.isEmpty) schemaJson
+        if (replaceSchema) {
+          require(carry && schemaJson.isDefined &&
+            latest.flatMap(tableSchemaJson(spark, dir, _)).isDefined,
+            "replaceSchema needs a carrying commit over a schema-recording chain")
+          schemaJson
+        } else if (!carry || latest.isEmpty) schemaJson
         else latest.flatMap(tableSchemaJson(spark, dir, _)) match {
           case None => None
           case prev @ Some(p) => schemaJson match {
@@ -701,8 +710,10 @@ object SnapshotTable {
     * pays). Appends carry and never conflict; overwrite replaces. */
   private[graft] def commitAdded(spark: SparkSession, dir: String, op: String,
                                  added: Seq[FileEntry], carry: Boolean,
-                                 schemaJson: Option[String] = None): Long =
-    commit(spark, dir, op, added, carry = carry, schemaJson = schemaJson)
+                                 schemaJson: Option[String] = None,
+                                 replaceSchema: Boolean = false): Long =
+    commit(spark, dir, op, added, carry = carry, schemaJson = schemaJson,
+      replaceSchema = replaceSchema)
 
   /** Like [[commit]] but deletes the staged `added` files before
     * rethrowing a conflict, so a retried operation leaves no orphans. */
@@ -737,10 +748,33 @@ object SnapshotTable {
   /** Write `df` as new data files under `data/` and return their
     * entries (with per-file stats for `statsCols`, which must be
     * integral columns). One extra Spark job computes rows + min/max
-    * per file — the cost real formats pay by scraping footers. */
-  private def stageFiles(spark: SparkSession, df: DataFrame, dir: String,
-                         statsCols: Seq[String],
-                         bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+    * per file — the cost real formats pay by scraping footers.
+    *
+    * Column mapping: when the table's recorded schema carries renamed
+    * columns, `df`'s (logical) columns are written under their FROZEN
+    * physical names, and stats/bloom manifest keys are physical too —
+    * uniform with every pre-rename file, so readers and skipping
+    * resolve one canonical key. `applyMapping = false` is for
+    * overwrite-shaped writes, whose commit replaces the schema (and
+    * with it any mapping). One extra small log read per stage,
+    * nothing when the table has no mapping. */
+  private def stageFiles(spark: SparkSession, df0: DataFrame, dir: String,
+                         statsCols0: Seq[String],
+                         bloomCols0: Seq[String] = Nil,
+                         applyMapping: Boolean = true): Seq[FileEntry] = {
+    val mapping: Map[String, String] =
+      if (!applyMapping) Map.empty
+      else latestVersion(spark, dir).flatMap(v => tableSchema(spark, dir, v))
+        .filter(hasMapping)
+        .map(_.fields.map(f => f.name -> physicalName(f)).toMap
+          .filter { case (l, p) => l != p })
+        .getOrElse(Map.empty)
+    val (df, statsCols, bloomCols) =
+      if (mapping.isEmpty) (df0, statsCols0, bloomCols0)
+      else (df0.select(df0.columns.map(c =>
+          col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*),
+        statsCols0.map(c => mapping.getOrElse(c, c)),
+        bloomCols0.map(c => mapping.getOrElse(c, c)))
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val stage = new Path(dir, s".stage-$nonce")
     val f = fs(spark, stage)
@@ -791,7 +825,10 @@ object SnapshotTable {
       case other => throw new IllegalArgumentException(
         s"mode must be overwrite|append, got $other")
     }
-    val fresh = stageFiles(spark, df, dir, statsCols, bloomCols)
+    // overwrite replaces the schema (and any rename mapping with it):
+    // its files are written under the writer's own names
+    val fresh = stageFiles(spark, df, dir, statsCols, bloomCols,
+      applyMapping = carry)
     commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry,
       schemaJson = Some(df.schema.json))
   }
@@ -809,9 +846,22 @@ object SnapshotTable {
                  checks: Seq[graft.operators.Expectations.Check],
                  statsCols: Seq[String] = Nil,
                  opTag: Option[String] = None): Long = {
-    val fresh = stageFiles(spark, df, dir, statsCols)
+    val fresh = stageFiles(spark, df, dir, statsCols,
+      applyMapping = mode == "append")
     if (fresh.nonEmpty) {
-      val staged = spark.read.parquet(fresh.map(fe => s"$dir/${fe.path}"): _*)
+      // staged files carry PHYSICAL names on a mapped table; the
+      // declarative checks are written over logical names
+      val raw = spark.read.parquet(fresh.map(fe => s"$dir/${fe.path}"): _*)
+      val staged =
+        if (mode != "append") raw
+        else latestVersion(spark, dir).flatMap(v => tableSchema(spark, dir, v))
+          .filter(hasMapping)
+          .map(s => raw.select(raw.columns.map { c =>
+            val logical = s.fields.find(f => physicalName(f) == c)
+              .map(_.name).getOrElse(c)
+            col(s"`$c`").as(logical)
+          }.toIndexedSeq: _*))
+          .getOrElse(raw)
       val failed = graft.operators.Expectations.report(staged, checks)
         .filter(!col("pass")).collect()
       if (failed.nonEmpty) {
@@ -867,11 +917,22 @@ object SnapshotTable {
                         knownSchema: Option[org.apache.spark.sql.types.StructType] = None,
                         version: Option[Long] = None)
       : DataFrame = {
-    def read(fs: Seq[FileEntry], schema: Option[org.apache.spark.sql.types.StructType]) = {
-      val r = schema.map(spark.read.schema)
-        .getOrElse(spark.read.option("mergeSchema", "true"))
-      r.parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
-    }
+    def read(fs: Seq[FileEntry], schema: Option[org.apache.spark.sql.types.StructType]) =
+      schema match {
+        case Some(s) if hasMapping(s) =>
+          // column mapping: files store PHYSICAL names; read those and
+          // alias back to the logical schema (metadata columns still
+          // resolve through the projection — Project propagates them)
+          spark.read.schema(toPhysical(s))
+            .parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+            .select(s.fields.map(f =>
+              col(s"`${physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
+        case Some(s) =>
+          spark.read.schema(s).parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+        case None =>
+          spark.read.option("mergeSchema", "true")
+            .parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+      }
     def withPos(df: DataFrame) = df
       .withColumn("__graft_file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
@@ -954,12 +1015,13 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val m = readManifest(spark, dir, v)
+    val known = tableSchema(spark, dir, v)
+    val pk = physicalFor(known, keyCol) // manifest stats keys are physical
     val hit = m.files.filter(fe =>
-      fe.stats.get(keyCol).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      fe.stats.get(pk).forall { case (mn, mx) => mx >= lo && mn <= hi })
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v),
-      version = Some(v))
+    readFiles(spark, dir, hit, knownSchema = known, version = Some(v))
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -979,7 +1041,9 @@ object SnapshotTable {
 
   /** Candidate files for `keyCol = value` under the per-file blooms:
     * a file drops only when it CARRIES a bloom for `keyCol` and the
-    * bloom rejects the value (no bloom → conservative keep). */
+    * bloom rejects the value (no bloom → conservative keep).
+    * `keyCol` is the manifest's bloom key — the PHYSICAL column name
+    * on a rename-mapped table. */
   private[graft] def pointCandidates(m: Manifest, keyCol: String,
                                      value: String): Seq[FileEntry] =
     m.files.filter(fileMayContain(_, keyCol, value))
@@ -1012,11 +1076,11 @@ object SnapshotTable {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val m = readManifest(spark, dir, v)
-    val hit = pointCandidates(m, keyCol, value)
+    val known = tableSchema(spark, dir, v)
+    val hit = pointCandidates(m, physicalFor(known, keyCol), value)
     if (hit.isEmpty)
       return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
-    readFiles(spark, dir, hit, knownSchema = tableSchema(spark, dir, v),
-      version = Some(v))
+    readFiles(spark, dir, hit, knownSchema = known, version = Some(v))
       .filter(col(keyCol).cast("string") === value)
   }
 
@@ -1068,8 +1132,9 @@ object SnapshotTable {
     require(updates.columns.contains(keyCol),
       s"updates lack merge key $keyCol")
 
+    val pk = physicalFor(tableSchema(spark, dir, v), keyCol)
     val statsList = m.files.flatMap(fe =>
-      fe.stats.get(keyCol).map { case (mn, mx) => (fe.path, mn, mx) })
+      fe.stats.get(pk).map { case (mn, mx) => (fe.path, mn, mx) })
     val statless = m.files.map(_.path).toSet -- statsList.map(_._1).toSet
     val touchedWithStats: Set[String] =
       if (statsList.isEmpty) Set.empty
@@ -1104,7 +1169,8 @@ object SnapshotTable {
     } else {
       // dv-masked read: a merge rewrite must not resurrect rows a
       // deletion vector already removed (the rewrite purges the dv)
-      val base = readFiles(spark, dir, rewrite)
+      val base = readFiles(spark, dir, rewrite,
+        knownSchema = tableSchema(spark, dir, v))
       val markedU = updates.withColumn("__isu", lit(true))
       val joined = base.alias("t").join(
         markedU.alias("u"), base(keyCol) === markedU(keyCol), "full_outer")
@@ -1152,14 +1218,16 @@ object SnapshotTable {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
-    val touched = readFiles(spark, dir, m.files, keepPos = true)
+    val knownDel = tableSchema(spark, dir, v)
+    val touched = readFiles(spark, dir, m.files, keepPos = true,
+        knownSchema = knownDel)
       .filter(predicate)
       .select(col("__graft_file"))
       .distinct().collect()
       .map(r => r.getString(0)).toSet
     if (touched.isEmpty) return v
     val rewrite = m.files.filter(fe => touched.contains(fileKey(fe.path)))
-    val kept = readFiles(spark, dir, rewrite)
+    val kept = readFiles(spark, dir, rewrite, knownSchema = knownDel)
       .filter(!coalesce(predicate, lit(false)))
     val fresh = stageFiles(spark, kept, dir, statsCols)
     commitStaged(spark, dir, "delete", fresh,
@@ -1227,12 +1295,15 @@ object SnapshotTable {
     }
 
   /** Stage the consolidated deletion-vector sidecar for `predicate`'s
-    * matches against snapshot `m` (see [[stageDvSidecarFrom]]). */
+    * matches against snapshot `m` (see [[stageDvSidecarFrom]]).
+    * `known` routes the scan through column mapping so the (logical)
+    * predicate resolves. */
   private def stageDvSidecar(spark: SparkSession, dir: String, m: Manifest,
-                             predicate: org.apache.spark.sql.Column):
+                             predicate: org.apache.spark.sql.Column,
+                             known: Option[org.apache.spark.sql.types.StructType]):
       Option[(String, Seq[FileEntry])] =
     stageDvSidecarFrom(spark, dir, m,
-      readFiles(spark, dir, m.files, keepPos = true)
+      readFiles(spark, dir, m.files, keepPos = true, knownSchema = known)
         .filter(predicate)
         .select(col("__graft_file").as("file"), col("__graft_pos").as("pos")))
 
@@ -1295,7 +1366,8 @@ object SnapshotTable {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
-    stageDvSidecar(spark, dir, m, predicate) match {
+    stageDvSidecar(spark, dir, m, predicate,
+      tableSchema(spark, dir, v)) match {
       case None => v
       case Some((name, entries)) =>
         val newPaths = entries.map(_.path).toSet
@@ -1327,17 +1399,18 @@ object SnapshotTable {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalStateException(s"cannot update empty table $dir"))
       val m = readManifest(spark, dir, v)
+      val known = tableSchema(spark, dir, v)
       val cols = scan(spark, dir, Some(v)).columns.toSeq
       val assign = assignments.toMap
       val unknown = assign.keySet -- cols.toSet
       require(unknown.isEmpty, s"assignments for missing columns $unknown")
-      stageDvSidecar(spark, dir, m, predicate) match {
+      stageDvSidecar(spark, dir, m, predicate, known) match {
         case None => v
         case Some((name, entries)) =>
           val f = fs(spark, new Path(dir))
           try {
             // second predicate-pruned pass stages the post-images
-            val updated = readFiles(spark, dir, m.files)
+            val updated = readFiles(spark, dir, m.files, knownSchema = known)
               .filter(predicate)
               .select(cols.map(c =>
                 assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)
@@ -1382,10 +1455,13 @@ object SnapshotTable {
     * the verdict is conservative; the join against the masked read
     * still decides true matches. */
   private def candidateFiles(spark: SparkSession, m: Manifest,
-                             keyCol: String, keys: DataFrame): Seq[FileEntry] = {
+                             keyCol: String, keys: DataFrame,
+                             statsKey: Option[String] = None): Seq[FileEntry] = {
     import spark.implicits._
+    // manifest stats keys are PHYSICAL names on a rename-mapped table
+    val sk = statsKey.getOrElse(keyCol)
     val statsList = m.files.flatMap(fe =>
-      fe.stats.get(keyCol).map { case (mn, mx) => (fe.path, mn, mx) })
+      fe.stats.get(sk).map { case (mn, mx) => (fe.path, mn, mx) })
     if (statsList.isEmpty) m.files
     else {
       val statsDf = statsList.toDF("__path", "__min", "__max")
@@ -1393,20 +1469,25 @@ object SnapshotTable {
         .join(broadcast(statsDf), $"__k".between($"__min", $"__max"))
         .select("__path").distinct().as[String].collect().toSet
       m.files.filter(fe =>
-        touched.contains(fe.path) || !fe.stats.contains(keyCol))
+        touched.contains(fe.path) || !fe.stats.contains(sk))
     }
   }
 
   /** (file, pos) of the live rows of `m` whose `keyCol` is in `keys`,
     * reading only the stats-candidate files (an empty candidate set —
     * every key outside every file's range — short-circuits to an
-    * empty frame: nothing to mask). */
+    * empty frame: nothing to mask). `known` (the version's recorded
+    * schema) routes the masked read through column mapping and
+    * resolves the physical stats key. */
   private def matchedPositions(spark: SparkSession, dir: String, m: Manifest,
-                               keyCol: String, keys: DataFrame): DataFrame = {
+                               keyCol: String, keys: DataFrame,
+                               known: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
     import spark.implicits._
-    val cand = candidateFiles(spark, m, keyCol, keys)
+    val cand = candidateFiles(spark, m, keyCol, keys,
+      statsKey = Some(physicalFor(known, keyCol)))
     if (cand.isEmpty) Seq.empty[(String, Long)].toDF("file", "pos")
-    else readFiles(spark, dir, cand, keepPos = true)
+    else readFiles(spark, dir, cand, keepPos = true, knownSchema = known)
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
   }
@@ -1434,7 +1515,8 @@ object SnapshotTable {
           "must have exactly one source image — deduplicate the source " +
           "(e.g. keep-latest by a version column) before merging")
       val keys = updates.select(col(keyCol)).distinct()
-      val matched = matchedPositions(spark, dir, m, keyCol, keys)
+      val matched = matchedPositions(spark, dir, m, keyCol, keys,
+        tableSchema(spark, dir, v))
       val staged = stageDvSidecarFrom(spark, dir, m, matched)
       val f = fs(spark, new Path(dir))
       try {
@@ -1532,8 +1614,9 @@ object SnapshotTable {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalStateException(s"cannot merge into empty table $dir"))
       val m = readManifest(spark, dir, v)
-      val tableSchema = scan(spark, dir, Some(v)).schema
-      val cols = tableSchema.fieldNames.toSeq
+      val known = tableSchema(spark, dir, v) // recorded (mapping-carrying)
+      val logicalSchema = scan(spark, dir, Some(v)).schema
+      val cols = logicalSchema.fieldNames.toSeq
       require(cols.contains(keyCol), s"table $dir lacks merge key $keyCol")
       val reserved = cols.toSet ++ Seq("__graft_file", "__graft_pos",
         "__src_present", "__m", "__n", "__i", "__kind")
@@ -1547,16 +1630,18 @@ object SnapshotTable {
       val candidates =
         if (notMatchedBySource.nonEmpty) m.files
         else candidateFiles(spark, m, keyCol,
-          source.select(sourceKey.as(keyCol)))
+          source.select(sourceKey.as(keyCol)),
+          statsKey = Some(physicalFor(known, keyCol)))
       val posSchema = StructType(
-        tableSchema.fields.map(_.copy(nullable = true)) ++
+        logicalSchema.fields.map(_.copy(nullable = true)) ++
           Seq(StructField("__graft_file", StringType),
             StructField("__graft_pos", LongType)))
       val tgt =
         if (candidates.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
-        else readFiles(spark, dir, candidates, keepPos = true)
+        else readFiles(spark, dir, candidates, keepPos = true,
+          knownSchema = known)
       val srcMarked = source.withColumn("__src_present", lit(true))
       val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
       val joined = tgt.join(srcMarked, tgt(keyCol) === sourceKey, joinType)
@@ -1601,7 +1686,7 @@ object SnapshotTable {
       // post-image per table column: first-matching clause's value
       // (update carries unlisted columns from the target; insert
       // fills unlisted columns with NULL), cast to the column's type
-      val images: Seq[Column] = tableSchema.fields.toSeq.map { f =>
+      val images: Seq[Column] = logicalSchema.fields.toSeq.map { f =>
         var e: Column = null
         def add(cond: Column, value: Column): Unit =
           e = if (e == null) when(cond, value) else e.when(cond, value)
@@ -1695,12 +1780,15 @@ object SnapshotTable {
             schemaJson = schemaJson)
         case Some(v) =>
           val m = readManifest(spark, dir, v)
+          val known = tableSchema(spark, dir, v)
           val cols = scan(spark, dir, Some(v)).columns.toSeq
           require(cols.contains(keyCol),
             s"table $dir lacks merge key $keyCol")
-          val keys = readFiles(spark, dir, staged)
+          // staged files carry physical names on a mapped table — the
+          // knownSchema read aliases them back to logical
+          val keys = readFiles(spark, dir, staged, knownSchema = known)
             .select(col(keyCol)).distinct()
-          val matched = matchedPositions(spark, dir, m, keyCol, keys)
+          val matched = matchedPositions(spark, dir, m, keyCol, keys, known)
           stageDvSidecarFrom(spark, dir, m, matched) match {
             case None => // pure insert epoch
               commit(spark, dir, opTag, staged, carry = true,
@@ -1734,7 +1822,9 @@ object SnapshotTable {
       val dvd = m.files.filter(_.dv.isDefined)
       if (dvd.isEmpty) v
       else {
-        val fresh = stageFiles(spark, readFiles(spark, dir, dvd), dir, statsCols)
+        val fresh = stageFiles(spark,
+          readFiles(spark, dir, dvd, knownSchema = tableSchema(spark, dir, v)),
+          dir, statsCols)
         commitStaged(spark, dir, "purge", fresh,
           removed = readSetOf(dvd), carry = true)
       }
@@ -1868,7 +1958,8 @@ object SnapshotTable {
     if (small.size < 2) return v // nothing to gain
     // dv-masked: compacting a dv-carrying file PURGES its deletion
     // vector (the rewrite materializes only live rows)
-    val smallDf = readFiles(spark, dir, small)
+    val smallDf = readFiles(spark, dir, small,
+      knownSchema = tableSchema(spark, dir, v))
     val nOut = math.max(1, math.ceil(small.map(_.liveRows).sum.toDouble / targetRows).toInt)
     val packed = zorderBy match {
       case Some((c1, c2, bits)) =>
@@ -1906,13 +1997,15 @@ object SnapshotTable {
     if (removed.isEmpty && added.isEmpty)
       return scan(spark, dir, Some(toV)).filter(lit(false))
         .withColumn("change_type", lit(""))
-    def readOr(files: Seq[FileEntry], other: Seq[FileEntry]): DataFrame = {
+    def readOr(files: Seq[FileEntry], other: Seq[FileEntry],
+               atV: Long): DataFrame = {
       val use = if (files.nonEmpty) files else other
-      val df = readFiles(spark, dir, use)
+      val df = readFiles(spark, dir, use,
+        knownSchema = tableSchema(spark, dir, atV))
       if (files.nonEmpty) df else df.filter(lit(false))
     }
-    val pre0 = readOr(removed, added)
-    val post0 = readOr(added, removed)
+    val pre0 = readOr(removed, added, fromV)
+    val post0 = readOr(added, removed, toV)
     // schema evolution between the versions: align both sides to the
     // column union (missing columns become typed nulls) so the
     // multiset diff compares whole rows under ONE schema.

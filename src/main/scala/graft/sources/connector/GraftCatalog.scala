@@ -146,18 +146,63 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v))
   }
 
+  /** `PARTITIONED BY` → the existing clusterBy/range-write layout
+    * machinery, persisted as table properties every later write
+    * inherits (the q6R path): identity transforms become clusterBy
+    * columns (each data file covers a narrow disjoint range — the
+    * same file-skipping partition pruning buys, without directory
+    * explosion at 100 TB), `bucket(n, col)` additionally pins the
+    * partition count. Integral partition columns get (min,max) stats,
+    * string ones get blooms, so the layout actually prunes.
+    * Explicit TBLPROPERTIES win over the derived defaults. */
+  private def layoutProps(partitions: Array[Transform],
+                          schema: StructType): Map[String, String] = {
+    if (partitions.isEmpty) return Map.empty
+    var cols = Seq.empty[String]
+    var buckets = Option.empty[Int]
+    partitions.foreach { t =>
+      t.name match {
+        case "identity" =>
+          require(t.references.length == 1 &&
+            t.references.head.fieldNames.length == 1,
+            s"unsupported partition transform: ${t.describe}")
+          cols :+= t.references.head.fieldNames.head
+        case "bucket" =>
+          require(t.references.length == 1 &&
+            t.references.head.fieldNames.length == 1,
+            s"unsupported partition transform: ${t.describe}")
+          cols :+= t.references.head.fieldNames.head
+          buckets = t.arguments.collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+                if lit.value.isInstanceOf[Int] => lit.value.asInstanceOf[Int]
+          }
+        case other => throw new UnsupportedOperationException(
+          s"PARTITIONED BY $other is not supported; use identity " +
+            "columns or bucket(n, col) — graft lays data out by range " +
+            "clustering, not directories")
+      }
+    }
+    def typed(p: String => Boolean): Seq[String] =
+      cols.filter(c => schema.fields.find(_.name == c).exists(f => p(
+        f.dataType.simpleString)))
+    val stats = typed(Set("tinyint", "smallint", "int", "bigint").contains)
+    val blooms = typed(_ == "string")
+    Map("clusterBy" -> cols.mkString(",")) ++
+      (if (stats.nonEmpty) Map("statsCols" -> stats.mkString(",")) else Map.empty) ++
+      (if (blooms.nonEmpty) Map("bloomCols" -> blooms.mkString(",")) else Map.empty) ++
+      buckets.map(n => "clusterPartitions" -> n.toString).toMap
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables are unpartitioned (layout is z-order/compact territory)")
     val dir = dirOf(ident)
     if (tableExistsAt(dir)) throw new TableAlreadyExistsException(ident)
     // an EMPTY version 1 carrying the declared schema: immediately
     // readable as an empty typed frame, appendable by INSERT/CTAS
     SnapshotTable.commitAdded(spark, dir, "create", Nil, carry = false,
       schemaJson = Some(schema.json))
-    val props = userProps(properties)
+    val props = layoutProps(partitions, schema) ++ userProps(properties)
     if (props.nonEmpty) writeProps(dir, props)
     new SnapshotV2Table(schema, dir, tableProps = props)
   }
@@ -215,12 +260,42 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
       partitions, properties)
 
-  /** `ALTER TABLE … ADD COLUMNS` only: a metadata-only commit whose
-    * recorded schema unions in the new fields — no data file is
-    * touched, existing rows read the new columns as null (the same
-    * mergeSchema contract as append-time evolution). Other changes
-    * (renames, drops, type changes) would need column-id indirection
-    * the format deliberately does not have. */
+  /** Retired PHYSICAL column names (ever dropped or renamed-away):
+    * files may still carry their data, so a later ADD COLUMN of the
+    * same name gets a FRESH physical name instead of silently
+    * resurrecting the old values. Kept in `_props.json` (conservative
+    * across compaction — a name once retired stays retired). */
+  private val RetiredKey = "graft.retired"
+
+  private def retiredNames(dir: String): Set[String] =
+    readProps(dir).get(RetiredKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private def writeRetired(dir: String, names: Set[String]): Unit =
+    writeProps(dir, readProps(dir) +
+      (RetiredKey -> names.toSeq.sorted.mkString(",")))
+
+  /** `ALTER TABLE … ADD COLUMNS | DROP COLUMN | RENAME COLUMN` — all
+    * metadata-only schema commits; no data file is touched.
+    *
+    *  - ADD: new fields read as null in existing rows (the mergeSchema
+    *    contract). A name that ever existed physically (retired, or a
+    *    live column's physical name) gets a FRESH physical name so old
+    *    files can't leak the previous column's values into it.
+    *  - DROP: the recorded schema shrinks (replaceSchema commit — a
+    *    union can only widen); files keep the bytes, time travel to a
+    *    pre-drop version still reads them, and the physical name is
+    *    tombstoned.
+    *  - RENAME: Delta-style column mapping — the field keeps its
+    *    FROZEN physical name in metadata ([[SnapshotTable]]'s
+    *    `graft.physical`); readers alias physical → logical, writers
+    *    (programmatic and V2 alike) write the physical name, and
+    *    stats/bloom skipping resolves through the mapping. Renaming
+    *    back to the physical name simply drops the mapping.
+    *
+    * Type changes would need real column-id indirection plus value
+    * conversion and stay unsupported, loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
@@ -242,24 +317,70 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       writeProps(dir, updated)
     }
     if (rest.nonEmpty) {
-      require(SnapshotTable.latestVersion(spark, dir)
-        .flatMap(v => SnapshotTable.tableSchemaJson(spark, dir, v)).isDefined,
-        "ALTER TABLE needs a schema-recording log (legacy chain: rewrite via overwrite first)")
-      val adds = rest.map {
-        case a: TableChange.AddColumn =>
-          require(a.fieldNames.length == 1,
-            s"nested ADD COLUMN is not supported: ${a.fieldNames.mkString(".")}")
-          org.apache.spark.sql.types.StructField(
-            a.fieldNames.head, a.dataType, a.isNullable)
-        case other => throw new UnsupportedOperationException(
-          s"only ADD COLUMNS and SET/UNSET TBLPROPERTIES are supported, " +
-            s"got ${other.getClass.getSimpleName}")
+      import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+      val v = SnapshotTable.latestVersion(spark, dir).get
+      val current = SnapshotTable.tableSchema(spark, dir, v).getOrElse(
+        throw new IllegalStateException("ALTER TABLE needs a " +
+          "schema-recording log (legacy chain: rewrite via overwrite first)"))
+      def single(names: Array[String], what: String): String = {
+        require(names.length == 1,
+          s"nested $what is not supported: ${names.mkString(".")}")
+        names.head
       }
-      val existing = schemaOf(dir, None).fieldNames.toSet
-      adds.foreach(f => require(!existing.contains(f.name),
-        s"column '${f.name}' already exists"))
-      SnapshotTable.commitAdded(spark, dir, "add-columns", Nil, carry = true,
-        schemaJson = Some(StructType(adds.toArray).json))
+      def withPhysical(f: StructField, phys: String): StructField =
+        if (phys == f.name) // identity mapping: keep the field clean
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .remove(SnapshotTable.PhysicalNameKey).build())
+        else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(SnapshotTable.PhysicalNameKey, phys).build())
+
+      val fields = scala.collection.mutable.ArrayBuffer(current.fields: _*)
+      var retired = retiredNames(dir)
+      val retiredBefore = retired
+      var op = "alter-schema"
+      rest.foreach {
+        case a: TableChange.AddColumn =>
+          op = "add-columns"
+          val name = single(a.fieldNames, "ADD COLUMN")
+          require(!fields.exists(_.name == name),
+            s"column '$name' already exists")
+          val usedPhysical =
+            fields.map(f => SnapshotTable.physicalName(f)).toSet ++ retired
+          val f0 = StructField(name, a.dataType, a.isNullable)
+          fields += (if (!usedPhysical.contains(name)) f0
+          else { // name existed physically: fresh physical, no leakage
+            val fresh = s"${name}__p${java.util.UUID.randomUUID.toString.take(8)}"
+            withPhysical(f0, fresh)
+          })
+        case d: TableChange.DeleteColumn =>
+          op = "drop-column"
+          val name = single(d.fieldNames, "DROP COLUMN")
+          fields.indexWhere(_.name == name) match {
+            case -1 =>
+              if (!d.ifExists) throw new IllegalArgumentException(
+                s"cannot drop missing column '$name' (use IF EXISTS)")
+            case i =>
+              require(fields.size > 1, "cannot drop the only column")
+              retired += SnapshotTable.physicalName(fields(i))
+              fields.remove(i)
+          }
+        case r: TableChange.RenameColumn =>
+          op = "rename-column"
+          val name = single(r.fieldNames, "RENAME COLUMN")
+          val i = fields.indexWhere(_.name == name)
+          require(i >= 0, s"cannot rename missing column '$name'")
+          require(!fields.exists(_.name == r.newName),
+            s"column '${r.newName}' already exists")
+          val phys = SnapshotTable.physicalName(fields(i))
+          fields(i) = withPhysical(fields(i).copy(name = r.newName), phys)
+        case other => throw new UnsupportedOperationException(
+          "supported: ADD COLUMNS, DROP COLUMN, RENAME COLUMN, " +
+            s"SET/UNSET TBLPROPERTIES; got ${other.getClass.getSimpleName}")
+      }
+      SnapshotTable.commitAdded(spark, dir, op, Nil, carry = true,
+        schemaJson = Some(StructType(fields.toArray).json),
+        replaceSchema = true)
+      if (retired != retiredBefore) writeRetired(dir, retired)
     }
     loadTable(ident)
   }

@@ -396,6 +396,13 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
   private var skipping: Array[Filter] = Array.empty
   private var agg: Option[(StructType, Array[Any])] = None
 
+  /** Column mapping (ALTER RENAME): manifest stats/bloom keys and the
+    * parquet files use PHYSICAL names; queries use logical ones. */
+  private val physMap: Map[String, String] =
+    tableSchema.fields.map(f => f.name -> SnapshotTable.physicalName(f))
+      .filter { case (l, p) => l != p }.toMap
+  private def phys(c: String): String = physMap.getOrElse(c, c)
+
   /** ALL filters come back as residual — Spark re-evaluates every one
     * post-scan, so manifest-level skipping only ever has to be
     * conservative (never exact). The skippable subset is retained for
@@ -438,7 +445,7 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
           val integral = tableSchema.fields.find(_.name == name).map(_.dataType)
             .exists { case ByteType | ShortType | IntegerType | LongType => true; case _ => false }
           if (integral && !anyDv && m.totalRows > 0 &&
-              m.files.forall(_.stats.contains(name))) Some(name) else None
+              m.files.forall(_.stats.contains(phys(name)))) Some(name) else None
         case _ => None
       }
     def fieldType(name: String): DataType =
@@ -455,12 +462,14 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
       case f: Min =>
         statsCol(f.column).map { c =>
           val dt = fieldType(c)
-          (StructField(s"min($c)", dt), internal(m.files.map(_.stats(c)._1).min, dt))
+          (StructField(s"min($c)", dt),
+            internal(m.files.map(_.stats(phys(c))._1).min, dt))
         }
       case f: Max =>
         statsCol(f.column).map { c =>
           val dt = fieldType(c)
-          (StructField(s"max($c)", dt), internal(m.files.map(_.stats(c)._2).max, dt))
+          (StructField(s"max($c)", dt),
+            internal(m.files.map(_.stats(phys(c))._2).max, dt))
         }
       case _: AggregateFunc => None
     }
@@ -470,7 +479,8 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
 
   override def build(): Scan = {
     if (agg.isEmpty) GraftSnapshotSource.validateReadable(required)
-    new SnapshotScan(dir, () => manifest, required, skipping, agg, options)
+    new SnapshotScan(dir, () => manifest, required, skipping, agg, options,
+      physMap)
   }
 }
 
@@ -490,11 +500,22 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
                          private val required: StructType,
                          private val skipping: Array[Filter],
                          private val agg: Option[(StructType, Array[Any])],
-                         options: CaseInsensitiveStringMap)
+                         options: CaseInsensitiveStringMap,
+                         physMap: Map[String, String] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
   private lazy val manifest = manifestF()
+
+  private def phys(c: String): String = physMap.getOrElse(c, c)
+
+  /** Schema as the FILES spell it (physical names) — what the
+    * executor-side parquet readers must bind; output stays positional,
+    * so the scan's logical readSchema is untouched. */
+  private def physSchema(s: StructType): StructType =
+    if (physMap.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name))))
 
   @volatile private var runtimeSkipping: Array[Filter] = Array.empty
 
@@ -503,9 +524,10 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
     * is what the planner resolves these references against. */
   override def filterAttributes(): Array[NamedReference] = {
     val out = required.fieldNames.toSet
+    val logicalFor = physMap.map(_.swap) // stats keys are physical
     val cols = manifest.files
       .flatMap(fe => fe.stats.keysIterator ++ fe.bloom.keysIterator)
-      .distinct.filter(out.contains)
+      .distinct.map(k => logicalFor.getOrElse(k, k)).filter(out.contains)
     cols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
   }
@@ -518,7 +540,7 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
     * first planning pass and execution. */
   private def prunedFiles: Seq[FileEntry] = {
     val all = skipping ++ runtimeSkipping
-    manifest.files.filter(fe => all.forall(SnapshotScan.keeps(fe, _)))
+    manifest.files.filter(fe => all.forall(SnapshotScan.keeps(fe, _, phys)))
   }
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
@@ -539,7 +561,7 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     GraftSnapshotSource.validateReadable(required)
-    new SnapshotMicroBatchStream(dir, required, options)
+    new SnapshotMicroBatchStream(dir, physSchema(required), options)
   }
 
   override def planInputPartitions(): Array[InputPartition] = agg match {
@@ -555,7 +577,8 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(readSchema())
+    new SnapshotReaderFactory(
+      if (agg.isDefined) readSchema() else physSchema(readSchema()))
 
   /** Post-skipping logical rows from the manifest; size is rows ×
     * the read schema's fixed-width estimate (the manifest stores row
@@ -632,38 +655,44 @@ object SnapshotScan {
   /** Conservative per-file verdict: false ONLY when the manifest
     * proves no row of `fe` can satisfy `f` (missing stats/bloom →
     * keep). Rows are still filtered post-scan regardless. */
-  private[connector] def keeps(fe: FileEntry, f: Filter): Boolean = f match {
+  private[connector] def keeps(fe: FileEntry, f: Filter): Boolean =
+    keeps(fe, f, identity)
+
+  /** `phys` maps a filter's (logical) attribute to the manifest's
+    * stats/bloom key — the physical name on a rename-mapped table. */
+  private[connector] def keeps(fe: FileEntry, f: Filter,
+                               phys: String => String): Boolean = f match {
     case EqualTo(c, v) =>
-      val statOk = (longable(v), fe.stats.get(c)) match {
+      val statOk = (longable(v), fe.stats.get(phys(c))) match {
         case (Some(l), Some((mn, mx))) => l >= mn && l <= mx
         case _ => true
       }
       val bloomOk = v match {
-        case s: String => SnapshotTable.fileMayContain(fe, c, s)
+        case s: String => SnapshotTable.fileMayContain(fe, phys(c), s)
         case _ => true
       }
       statOk && bloomOk
     case GreaterThan(c, v) =>
-      (longable(v), fe.stats.get(c)) match {
+      (longable(v), fe.stats.get(phys(c))) match {
         case (Some(l), Some((_, mx))) => mx > l
         case _ => true
       }
     case GreaterThanOrEqual(c, v) =>
-      (longable(v), fe.stats.get(c)) match {
+      (longable(v), fe.stats.get(phys(c))) match {
         case (Some(l), Some((_, mx))) => mx >= l
         case _ => true
       }
     case LessThan(c, v) =>
-      (longable(v), fe.stats.get(c)) match {
+      (longable(v), fe.stats.get(phys(c))) match {
         case (Some(l), Some((mn, _))) => mn < l
         case _ => true
       }
     case LessThanOrEqual(c, v) =>
-      (longable(v), fe.stats.get(c)) match {
+      (longable(v), fe.stats.get(phys(c))) match {
         case (Some(l), Some((mn, _))) => mn <= l
         case _ => true
       }
-    case In(c, vs) => vs.exists(v => keeps(fe, EqualTo(c, v)))
+    case In(c, vs) => vs.exists(v => keeps(fe, EqualTo(c, v), phys))
     case _ => true
   }
 }

@@ -67,6 +67,13 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     // position for SQL INSERT) before any row is written
     private val aligned = SnapshotWriteSupport.align(dir, info.schema())
 
+    // column mapping (ALTER RENAME): tasks write files and compute
+    // stats/bloom manifest keys under the table's FROZEN physical
+    // names; the commit records the LOGICAL schema. Overwrites replace
+    // the schema (and the mapping with it), so they write as aligned.
+    private def physMapFor: Map[String, String] =
+      if (overwrite) Map.empty else SnapshotWriteSupport.physicalMap(dir)
+
     // Write clustering (`clusterBy=k1,k2`): ask the PLANNER for a
     // range distribution + in-partition sort on the given columns, so
     // each task — hence each data file — covers a narrow, mostly
@@ -82,8 +89,17 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     clusterCols.foreach(c => require(aligned.fieldNames.contains(c),
       s"clusterBy column $c is not in the write schema " +
         aligned.fieldNames.mkString("[", ", ", "]")))
+    // the distribution's references resolve against the INCOMING
+    // query's attributes: a positional `INSERT INTO … SELECT expr…`
+    // carries auto-generated names, so map each (table-name) cluster
+    // column to the incoming name at the same aligned position
+    private def incomingName(c: String): String = {
+      val incoming = info.schema()
+      if (incoming.fieldNames.contains(c)) c
+      else incoming.fields(aligned.fieldIndex(c)).name
+    }
     private val sortOrders: Array[SortOrder] = clusterCols.map(c =>
-      Expressions.sort(Expressions.column(c),
+      Expressions.sort(Expressions.column(incomingName(c)),
         SortDirection.ASCENDING)).toArray
 
     override def requiredDistribution(): Distribution =
@@ -100,9 +116,13 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       else Option(info.options.get("clusterPartitions"))
         .map(_.toInt).getOrElse(0)
 
-    override def toBatch: BatchWrite =
+    override def toBatch: BatchWrite = {
+      val pm = physMapFor
       new SnapshotBatchWrite(dir, aligned, overwrite,
-        cols("statsCols"), cols("bloomCols"))
+        cols("statsCols").map(c => pm.getOrElse(c, c)),
+        cols("bloomCols").map(c => pm.getOrElse(c, c)),
+        SnapshotWriteSupport.rename(aligned, pm))
+    }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -113,8 +133,11 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       mergeKey.foreach(k => require(aligned.fieldNames.contains(k),
         s"mergeKey column $k is not in the write schema " +
           aligned.fieldNames.mkString("[", ", ", "]")))
+      val pm = physMapFor
       new SnapshotStreamingWrite(dir, aligned,
-        cols("statsCols"), cols("bloomCols"), mergeKey)
+        cols("statsCols").map(c => pm.getOrElse(c, c)),
+        cols("bloomCols").map(c => pm.getOrElse(c, c)), mergeKey,
+        SnapshotWriteSupport.rename(aligned, pm))
     }
   }
 }
@@ -134,16 +157,22 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
 final class SnapshotStreamingWrite(dir: String, schema: StructType,
                                    statsCols: Seq[String],
                                    bloomCols: Seq[String],
-                                   mergeKey: Option[String] = None)
+                                   mergeKey: Option[String] = None,
+                                   physSchema0: StructType = null)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
-  SnapshotWriteSupport.validate(schema, statsCols, bloomCols)
+  /** Task-side (physical-name) schema; `schema` is the logical one the
+    * commit records. statsCols/bloomCols arrive already physical. */
+  private val physSchema =
+    if (physSchema0 == null) schema else physSchema0
+
+  SnapshotWriteSupport.validate(physSchema, statsCols, bloomCols)
 
   private def epochTag(epochId: Long) = s"stream-epoch-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new SnapshotStreamingWriterFactory(dir, schema, statsCols, bloomCols,
+    new SnapshotStreamingWriterFactory(dir, physSchema, statsCols, bloomCols,
       java.util.UUID.randomUUID.toString.take(8))
 
   override def commit(epochId: Long,
@@ -197,15 +226,21 @@ final class SnapshotStreamingWriterFactory(dir: String, schema: StructType,
 
 final class SnapshotBatchWrite(dir: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
-                               bloomCols: Seq[String])
+                               bloomCols: Seq[String],
+                               physSchema0: StructType = null)
   extends BatchWrite {
+
+  /** Task-side (physical-name) schema; `schema` is the logical one the
+    * commit records. statsCols/bloomCols arrive already physical. */
+  private val physSchema =
+    if (physSchema0 == null) schema else physSchema0
 
   // fail at planning, not mid-write: every column writable, every
   // stats column integral, every bloom column a string
-  SnapshotWriteSupport.validate(schema, statsCols, bloomCols)
+  SnapshotWriteSupport.validate(physSchema, statsCols, bloomCols)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotWriterFactory(dir, schema, statsCols, bloomCols,
+    new SnapshotWriterFactory(dir, physSchema, statsCols, bloomCols,
       java.util.UUID.randomUUID.toString.take(8))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -312,6 +347,21 @@ private object SnapshotWriteSupport {
             "not correspond and the column counts differ")
     }
   }
+
+  /** logical → physical column renames of the table's CURRENT recorded
+    * schema (empty when unmapped / fresh root / legacy chain). */
+  def physicalMap(dir: String): Map[String, String] = {
+    val spark = SparkSession.active
+    SnapshotTable.latestVersion(spark, dir)
+      .flatMap(v => SnapshotTable.tableSchema(spark, dir, v))
+      .map(_.fields.map(f => f.name -> SnapshotTable.physicalName(f))
+        .filter { case (l, p) => l != p }.toMap)
+      .getOrElse(Map.empty)
+  }
+
+  def rename(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
 
   def validate(schema: StructType, statsCols: Seq[String],
                bloomCols: Seq[String]): Unit = {

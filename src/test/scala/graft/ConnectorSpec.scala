@@ -1190,6 +1190,156 @@ class ConnectorSpec extends SparkTestBase {
       "abort must delete the staged file listed after the empty message")
   }
 
+  test("ALTER TABLE DROP / RENAME COLUMN: metadata-only, mapping-correct") {
+    val root = Files.createTempDirectory("graft-catA").toString
+    spark.conf.set("spark.sql.catalog.graftcata",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcata.root", root)
+    spark.sql("CREATE TABLE graftcata.t AS " +
+      "SELECT id, id * 2 AS v, concat('x', id) AS s FROM range(0, 100)")
+    val dir = s"$root/t"
+    def files() = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+    val filesBefore = files()
+    val v1 = SnapshotTable.latestVersion(spark, dir).get
+
+    // RENAME: logical name changes, files untouched, data intact
+    spark.sql("ALTER TABLE graftcata.t RENAME COLUMN v TO value")
+    assert(files() == filesBefore, "rename must be metadata-only")
+    assert(spark.sql("SELECT sum(value) AS s FROM graftcata.t")
+      .as[Long].head == (0L until 100L).map(_ * 2).sum)
+    intercept[Exception](spark.sql("SELECT v FROM graftcata.t").collect())
+
+    // V2 append AFTER the rename writes the frozen physical name —
+    // old and new rows read uniformly under the new logical name
+    spark.sql("INSERT INTO graftcata.t " +
+      "SELECT id, id * 2 AS value, concat('x', id) AS s FROM range(100, 110)")
+    assert(spark.sql("SELECT sum(value) AS s FROM graftcata.t")
+      .as[Long].head == (0L until 110L).map(_ * 2).sum)
+    // programmatic append maps too
+    SnapshotTable.write(spark,
+      spark.range(110, 120).select($"id", ($"id" * 2).as("value"),
+        concat(lit("x"), $"id").as("s")),
+      dir, "append")
+    assert(spark.sql("SELECT sum(value) AS s FROM graftcata.t")
+      .as[Long].head == (0L until 120L).map(_ * 2).sum)
+
+    // row-level DML through the mapping: dv update + delete
+    spark.sql("UPDATE graftcata.t SET value = 0 WHERE id = 5")
+    spark.sql("DELETE FROM graftcata.t WHERE id = 6")
+    assert(spark.sql("SELECT sum(value) AS s FROM graftcata.t")
+      .as[Long].head == (0L until 120L).map(_ * 2).sum - 10 - 12)
+    assert(spark.sql("SELECT count(*) AS n FROM graftcata.t")
+      .as[Long].head == 119L)
+
+    // DROP: schema shrinks, files untouched, time travel still full
+    val filesPreDrop = files()
+    spark.sql("ALTER TABLE graftcata.t DROP COLUMN s")
+    assert(files() == filesPreDrop, "drop must be metadata-only")
+    assert(spark.sql("SELECT * FROM graftcata.t").columns.toSeq ==
+      Seq("id", "value"))
+    // pre-evolution version reads the ORIGINAL names and all columns
+    val asOf = spark.sql(s"SELECT * FROM graftcata.t VERSION AS OF $v1")
+    assert(asOf.columns.toSeq == Seq("id", "v", "s"))
+    assert(asOf.filter($"s" === "x7").count() == 1)
+
+    // re-ADD of a dropped name must NOT resurrect the old values
+    spark.sql("ALTER TABLE graftcata.t ADD COLUMNS (s STRING)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcata.t WHERE s IS NOT NULL")
+      .as[Long].head == 0L, "dropped column's bytes must not leak back")
+    // ...and an ADD of a renamed column's PHYSICAL name is fresh too
+    spark.sql("ALTER TABLE graftcata.t ADD COLUMNS (v DOUBLE)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftcata.t WHERE v IS NOT NULL")
+      .as[Long].head == 0L, "renamed column's bytes must not leak back")
+    // the fresh columns are writable and read back
+    spark.sql("INSERT INTO graftcata.t " +
+      "SELECT id, id * 2, concat('y', id), CAST(id AS DOUBLE) " +
+      "FROM range(200, 205)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftcata.t WHERE s LIKE 'y%' AND v >= 200")
+      .as[Long].head == 5L)
+  }
+
+  test("stats skipping and metadata aggs survive a column rename") {
+    val root = Files.createTempDirectory("graft-catB").toString
+    spark.conf.set("spark.sql.catalog.graftcatb",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcatb.root", root)
+    val dir = s"$root/t"
+    spark.range(0, 8000).toDF("k")
+      .withColumn("p", $"k" % 97)
+      .write.format("graft_snapshot").option("path", dir)
+      .option("statsCols", "k").option("clusterBy", "k")
+      .option("clusterPartitions", "8").mode("overwrite").save()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcatb.ignore_ns") // warm catalog
+    spark.sql("ALTER TABLE graftcatb.t RENAME COLUMN k TO key")
+    // stats were recorded under physical 'k'; the filter on logical
+    // 'key' must still prune to ~1 of 8 files
+    val narrow = spark.sql(
+      "SELECT sum(p) AS s FROM graftcatb.t WHERE key BETWEEN 10 AND 20")
+    narrow.collect()
+    val (planned, total) = graft.sources.connector.ScanTelemetry
+      .lastPlanned(dir).get
+    assert(total == 8 && planned <= 2,
+      s"rename broke stats skipping: planned $planned of $total")
+    // metadata-only aggregates resolve through the mapping
+    assert(spark.sql("SELECT min(key) AS mn, max(key) AS mx FROM graftcatb.t")
+      .as[(Long, Long)].head == ((0L, 7999L)))
+    // V2 append post-rename records stats under the SAME physical key
+    spark.range(8000, 8100).toDF("key").withColumn("p", $"key" % 97)
+      .write.format("graft_snapshot").option("path", dir)
+      .option("statsCols", "key").mode("append").save()
+    assert(spark.sql("SELECT max(key) AS mx FROM graftcatb.t")
+      .as[Long].head == 8099L)
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.forall(fe => fe.stats.isEmpty || fe.stats.contains("k")),
+      "stats keys must stay uniform under the frozen physical name")
+  }
+
+  test("CREATE TABLE PARTITIONED BY lands range-clustered, pruned files") {
+    val root = Files.createTempDirectory("graft-catC").toString
+    spark.conf.set("spark.sql.catalog.graftcatc",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcatc.root", root)
+    // bucket(8, k): identity layout + pinned partition count — the
+    // pure-SQL route to the clusterBy/statsCols machinery
+    spark.sql("CREATE TABLE graftcatc.t (k BIGINT, name STRING, p BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val props = spark.sql("SHOW TBLPROPERTIES graftcatc.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("clusterBy").contains("k"))
+    assert(props.get("clusterPartitions").contains("8"))
+    assert(props.get("statsCols").contains("k"))
+    spark.sql("INSERT INTO graftcatc.t " +
+      "SELECT id, concat('n', id), id % 97 FROM range(0, 8000)")
+    val dir = s"$root/t"
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.size == 8, s"expected 8 bucketed files, got ${m.files.size}")
+    // disjoint ranges → a narrow read plans ~1 of 8 files
+    spark.sql("SELECT sum(p) AS s FROM graftcatc.t WHERE k BETWEEN 100 AND 200")
+      .collect()
+    val (planned, total) = graft.sources.connector.ScanTelemetry
+      .lastPlanned(dir).get
+    assert(total == 8 && planned <= 2,
+      s"PARTITIONED BY layout did not prune: planned $planned of $total")
+    // identity + string partition column → bloom layout, point reads prune
+    spark.sql("CREATE TABLE graftcatc.t2 (name STRING, v BIGINT) " +
+      "PARTITIONED BY (name)")
+    val p2 = spark.sql("SHOW TBLPROPERTIES graftcatc.t2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p2.get("clusterBy").contains("name"))
+    assert(p2.get("bloomCols").contains("name"))
+    // unsupported transforms stay loud
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graftcatc.t3 (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts))"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("PARTITIONED BY")))
+  }
+
   test("unsupported DML shapes fail loudly at analysis time") {
     val root = Files.createTempDirectory("graft-cat5").toString
     spark.conf.set("spark.sql.catalog.graftcat5",
