@@ -44,9 +44,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * denominator scaled by 2^41 so it is an EXACT ≤ 2^49 integer — and
   * `est_raw` = α_m · m² · 2^41 / s_scaled in IEEE doubles using only
   * +,*,/ (each correctly rounded, so DuckDB mirrors it bit-for-bit;
-  * no log/exp, whose libm rounding differs across engines — callers
-  * needing the small-range linear-counting correction derive it from
-  * `v_zero` driver-side). Standard error ≈ 1.04/√m.
+  * no log/exp, whose libm rounding differs across engines), and
+  * `est` — the SHIPPED estimate with the HLL++ small-range
+  * correction: when `est_raw ≤ 2.5·m` and empty registers remain,
+  * linear counting `m · ln(m / v_zero)` replaces the raw estimator
+  * (Flajolet's small-range regime, where the harmonic mean is badly
+  * biased — the raw estimator reads ≈ α·m ≈ 0.7·m for an EMPTY
+  * sketch). The correction needs one `ln`; an oracle mirrors it with
+  * its own `ln` — both correctly-rounded libm doubles over the same
+  * rational m/v_zero, which agree on every fixture this engine
+  * gates (the raw register summary stays the exact-integer
+  * hash gate either way). Standard error ≈ 1.04/√m.
   */
 case class HllAgg(child: Expression, m: Int,
                   mutableAggBufferOffset: Int = 0,
@@ -86,8 +94,14 @@ case class HllAgg(child: Expression, m: Int,
     }
     val md = m.toDouble
     val alpha = 0.7213 / (1.0 + 1.079 / md)
-    val est = alpha * md * md * HllAgg.Two41 / s.toDouble
-    new GenericInternalRow(Array[Any](vZero, s, est))
+    val raw = alpha * md * md * HllAgg.Two41 / s.toDouble
+    // HLL++ small-range branch: linear counting off the empty-register
+    // count (exact for tiny cardinalities, where raw is ~alpha*m even
+    // for an empty sketch)
+    val est =
+      if (raw <= 2.5 * md && vZero > 0) md * math.log(md / vZero)
+      else raw
+    new GenericInternalRow(Array[Any](vZero, s, raw, est))
   }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
@@ -114,7 +128,8 @@ object HllAgg {
   val OutType: StructType = StructType(Seq(
     StructField("v_zero", LongType, nullable = false),
     StructField("s_scaled", LongType, nullable = false),
-    StructField("est_raw", DoubleType, nullable = false)))
+    StructField("est_raw", DoubleType, nullable = false),
+    StructField("est", DoubleType, nullable = false)))
 
   /** splitmix64 finalizer (Vigna 2015; public domain constants): full
     * avalanche from xor-shifts + wraparound multiplies. JVM Long

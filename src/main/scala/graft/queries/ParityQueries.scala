@@ -1124,6 +1124,56 @@ object ParityQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
 
+    // Streaming tail of a table that TAKES deletes (round-13):
+    // `.option("ignoreDeletes", "true")` lets the consumer ride past
+    // dv-delete commits — nothing re-emits, deletions don't propagate
+    // (the stream stays append-only), later appends arrive exactly
+    // once across the restart. The loud append-only failure stays the
+    // default (ConnectorSpec pins both). The oracle is every row ever
+    // appended, which is exactly what a delete-ignoring tail must
+    // deliver.
+    "q6U_stream_ignore_deletes" -> QueryDef(
+      (s, dir) => {
+        val base = snapDir(s, dir, "t6U")
+        val ckpt = snapDir(s, dir, "t6U_ckpt")
+        val out = snapDir(s, dir, "t6U_out")
+        val ords = t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 0), base, "overwrite",
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 1), base, "append",
+          Seq("o_orderkey"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft_snapshot")
+            .option("ignoreDeletes", "true").load(base)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          graft.streaming.StreamMeter.timed("q6U_stream_ignore_deletes")(
+            q.awaitTermination())
+        }
+        drain()
+        // a GDPR-style dv delete between the two runs
+        graft.sources.SnapshotTable.deleteVectors(s, base,
+          col("o_orderkey") % 2 === 0)
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 3 === 2), base, "append",
+          Seq("o_orderkey"))
+        drain()
+        s.read.parquet(out)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
     // Streaming UPSERT sink: table-to-table CDC inside the format —
     // the source tails the commit log, the sink merges each epoch by
     // key through a deletion vector (mergeStaged: the epoch's task

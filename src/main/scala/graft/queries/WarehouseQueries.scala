@@ -461,16 +461,25 @@ object WarehouseQueries {
     // rides along as displayed ground truth (a production plan would
     // drop it and keep only the one HLL exchange). est_raw is the
     // raw HLL estimator in IEEE +,*,/ only — bit-identical in any
-    // engine; the linear-counting branch derives from v_zero.
+    // engine; `est` ships the HLL++ small-range linear-counting
+    // branch, exercised HERE by a second sketch over l_linestatus
+    // (2-3 distinct values — exactly the regime where the raw
+    // estimator reads ~0.7·m and linear counting is near-exact);
+    // both engines evaluate m·ln(m/v_zero) in libm doubles over the
+    // same small rational, hash-gated like everything else.
     "q5V_hll_distinct" -> QueryDef(
       (s, dir) => Tables.computeTable(s, dir, "lineitem")
         .rollup(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n_exact"),
-          graft.functions.cat.HllAgg(col("l_orderkey"), 256).as("hll"))
+          graft.functions.cat.HllAgg(col("l_orderkey"), 256).as("hll"),
+          graft.functions.cat.HllAgg(col("l_linestatus"), 256).as("lc"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("src"),
           col("n_exact"), col("hll.v_zero").as("v_zero"),
           col("hll.s_scaled").as("s_scaled"),
-          col("hll.est_raw").as("est_raw"))
+          col("hll.est_raw").as("est_raw"),
+          col("hll.est").as("est"),
+          col("lc.v_zero").as("lc_v_zero"),
+          col("lc.est").as("lc_est"))
         .orderBy("src"),
       {
         // The HllAgg.hash48 mirror: CRT pair of the two polyhashes,
@@ -479,53 +488,76 @@ object WarehouseQueries {
         val key = "CAST(l_orderkey AS VARCHAR)"
         val h1 = QueryDef.duckPolyHash(key)
         val h2 = QueryDef.duckPolyHash(key, 131, 998244353L)
+        val key2 = "CAST(l_linestatus AS VARCHAR)"
+        val g1 = QueryDef.duckPolyHash(key2)
+        val g2 = QueryDef.duckPolyHash(key2, 131, 998244353L)
         val w64 = "18446744073709551616" // 2^64
-        s"""WITH z0 AS (
-           |  SELECT l_returnflag, l_orderkey,
-           |         CAST($h1 AS UHUGEINT) * 998244353
-           |           + CAST($h2 AS UHUGEINT) AS z
-           |  FROM lineitem),
-           |z2 AS (
-           |  SELECT l_returnflag, l_orderkey,
-           |         (xor(z, z >> 27) * CAST(10723151780598845931 AS UHUGEINT))
-           |           % CAST($w64 AS UHUGEINT) AS z
-           |  FROM (SELECT l_returnflag, l_orderkey,
-           |               (xor(z, z >> 30)
-           |                 * CAST(13787848793156543929 AS UHUGEINT))
-           |                 % CAST($w64 AS UHUGEINT) AS z
-           |        FROM z0)),
-           |b AS (
-           |  SELECT l_returnflag, l_orderkey,
-           |         h % 256 AS j,
-           |         CASE WHEN h // 256 = 0 THEN 41
-           |              ELSE 41 - length(printf('%b', h // 256)) END AS rho
-           |  FROM (SELECT l_returnflag, l_orderkey,
-           |               CAST(xor(z, z >> 31)
-           |                 % CAST(281474976710656 AS UHUGEINT) AS BIGINT) AS h
-           |        FROM z2)),
-           |regs AS (
-           |  SELECT CAST(l_returnflag AS VARCHAR) AS src, j, MAX(rho) AS r
-           |  FROM b GROUP BY 1, 2
-           |  UNION ALL
-           |  SELECT 'ALL' AS src, j, MAX(rho) AS r FROM b GROUP BY 2),
-           |sums AS (
-           |  SELECT src,
-           |         CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
-           |         CAST(SUM(CAST(1 AS BIGINT) << (41 - r))
-           |              + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 41)
-           |              AS BIGINT) AS s_scaled
-           |  FROM regs GROUP BY 1),
+        def pipeline(h1: String, h2: String, keyCol: String) =
+          s"""  SELECT l_returnflag, $keyCol,
+             |         h % 256 AS j,
+             |         CASE WHEN h // 256 = 0 THEN 41
+             |              ELSE 41 - length(printf('%b', h // 256)) END AS rho
+             |  FROM (SELECT l_returnflag, $keyCol,
+             |               CAST(xor(z, z >> 31)
+             |                 % CAST(281474976710656 AS UHUGEINT) AS BIGINT) AS h
+             |        FROM (SELECT l_returnflag, $keyCol,
+             |               (xor(z, z >> 27)
+             |                 * CAST(10723151780598845931 AS UHUGEINT))
+             |                 % CAST($w64 AS UHUGEINT) AS z
+             |              FROM (SELECT l_returnflag, $keyCol,
+             |               (xor(z, z >> 30)
+             |                 * CAST(13787848793156543929 AS UHUGEINT))
+             |                 % CAST($w64 AS UHUGEINT) AS z
+             |                    FROM (SELECT l_returnflag, $keyCol,
+             |                           CAST($h1 AS UHUGEINT) * 998244353
+             |                             + CAST($h2 AS UHUGEINT) AS z
+             |                          FROM lineitem)))) """.stripMargin
+        def sums(b: String) =
+          s"""  SELECT src,
+             |         CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+             |         CAST(SUM(CAST(1 AS BIGINT) << (41 - r))
+             |              + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 41)
+             |              AS BIGINT) AS s_scaled
+             |  FROM (SELECT CAST(l_returnflag AS VARCHAR) AS src, j,
+             |               MAX(rho) AS r
+             |        FROM $b GROUP BY 1, 2
+             |        UNION ALL
+             |        SELECT 'ALL' AS src, j, MAX(rho) AS r
+             |        FROM $b GROUP BY 2) GROUP BY 1 """.stripMargin
+        // est_raw in IEEE +,*,/; est adds the HLL++ CASE: linear
+        // counting m*ln(m/v_zero) when raw <= 2.5m and zeros remain
+        val rawOf = (s: String) =>
+          "(CAST(0.7213 AS DOUBLE) / (1.0 + 1.079 / 256.0)) " +
+            s"* 256.0 * 256.0 * 2199023255552.0 / CAST($s AS DOUBLE)"
+        s"""WITH b AS (
+           |${pipeline(h1, h2, "l_orderkey")}),
+           |b2 AS (
+           |${pipeline(g1, g2, "l_linestatus")}),
+           |s1 AS (
+           |${sums("b")}),
+           |s2 AS (
+           |${sums("b2")}),
            |ex AS (
            |  SELECT CAST(l_returnflag AS VARCHAR) AS src,
            |         COUNT(DISTINCT l_orderkey) AS n_exact
            |  FROM lineitem GROUP BY 1
            |  UNION ALL
            |  SELECT 'ALL', COUNT(DISTINCT l_orderkey) FROM lineitem)
-           |SELECT s.src, ex.n_exact, s.v_zero, s.s_scaled,
-           |       (CAST(0.7213 AS DOUBLE) / (1.0 + 1.079 / 256.0))
-           |         * 256.0 * 256.0 * 2199023255552.0
-           |         / CAST(s.s_scaled AS DOUBLE) AS est_raw
-           |FROM sums s JOIN ex ON s.src = ex.src
+           |SELECT src, n_exact, v_zero, s_scaled, est_raw,
+           |       CASE WHEN est_raw <= 640.0 AND v_zero > 0
+           |            THEN 256.0 * ln(256.0 / v_zero) ELSE est_raw
+           |       END AS est,
+           |       lc_v_zero,
+           |       CASE WHEN lc_raw <= 640.0 AND lc_v_zero > 0
+           |            THEN 256.0 * ln(256.0 / lc_v_zero) ELSE lc_raw
+           |       END AS lc_est
+           |FROM (SELECT s1.src, ex.n_exact, s1.v_zero, s1.s_scaled,
+           |             ${rawOf("s1.s_scaled")} AS est_raw,
+           |             s2.v_zero AS lc_v_zero,
+           |             ${rawOf("s2.s_scaled")} AS lc_raw
+           |      FROM s1
+           |      JOIN s2 ON s1.src = s2.src
+           |      JOIN ex ON s1.src = ex.src)
            |ORDER BY 1""".stripMargin
       })
   )

@@ -68,6 +68,23 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
     * run is finite even while writers keep committing. */
   @volatile private var availableNowTarget: Option[Long] = None
 
+  /** Opt-in dv-tolerant tailing (`.option("ignoreDeletes", "true")`),
+    * for consumers downstream of a table that takes GDPR-style
+    * deletes: batches whose version range REMOVES files or changes
+    * deletion vectors proceed instead of failing — removed files and
+    * dv-masked rows are simply never (re-)emitted, newly added files
+    * emit as usual. Two documented consequences, the same ones
+    * Delta's `ignoreDeletes`/`ignoreChanges` carry: deletions do NOT
+    * propagate downstream (the stream stays append-only), and a
+    * maintenance rewrite (compact / purge_deletes) re-emits the rows
+    * of the files it rewrites (at-least-once for rewritten data —
+    * run maintenance on the upstream table only if the consumer
+    * dedups, or keep the loud default and consume
+    * `SnapshotTable.changes` for a real change feed). The default
+    * stays the loud append-only contract. */
+  private val ignoreDeletes: Boolean =
+    Option(options.get("ignoreDeletes")).exists(_.toBoolean)
+
   /** Admission control: at most this many commits per micro-batch.
     * A backfill over thousands of versions must not plan one giant
     * batch — bounded batches bound state, retry cost, and the sink's
@@ -144,17 +161,20 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
         .map(fe => fe.path -> fe.dv.map(_._1)).toMap
     val afterByPath = after.files.map(fe => fe.path -> fe).toMap
     val removed = base.keysIterator.filterNot(afterByPath.contains).toSeq
-    if (removed.nonEmpty) throw new IllegalStateException(
+    if (removed.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
       s"versions ($a, $b] of $dir removed ${removed.size} data file(s) " +
         s"(e.g. ${removed.head}); the stream source is append-only — " +
-        "restart from a fresh checkpoint or consume SnapshotTable.changes")
+        "restart from a fresh checkpoint, set ignoreDeletes=true to " +
+        "tail past deletes, or consume SnapshotTable.changes")
     val dvChanged = base.collect {
-      case (path, dv) if afterByPath(path).dv.map(_._1) != dv => path
+      case (path, dv) if afterByPath.get(path).exists(_.dv.map(_._1) != dv) =>
+        path
     }
-    if (dvChanged.nonEmpty) throw new IllegalStateException(
+    if (dvChanged.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
       s"versions ($a, $b] of $dir changed deletion vectors on " +
         s"${dvChanged.size} file(s) (e.g. ${dvChanged.head}); the stream " +
-        "source is append-only — consume SnapshotTable.changes for DML feeds")
+        "source is append-only — set ignoreDeletes=true to tail past " +
+        "deletes, or consume SnapshotTable.changes for DML feeds")
     after.files.filterNot(fe => base.contains(fe.path))
       .map(fe => SnapshotPartitions.partitionFor(dir, fe): InputPartition)
       .toArray

@@ -1133,6 +1133,41 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.read.parquet(out2).count() == 30)
   }
 
+  test("ignoreDeletes: stream tails past dv deletes; loud default stays") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-conn-ckpt7").toString
+    val out = Files.createTempDirectory("graft-conn-out7").toString
+    SnapshotTable.write(spark, spark.range(0, 10).toDF(), dir, "overwrite")
+    SnapshotTable.write(spark, spark.range(10, 20).toDF(), dir, "append")
+    def drain(ignore: Boolean): Unit = {
+      val r = spark.readStream.format("graft_snapshot")
+      val q = (if (ignore) r.option("ignoreDeletes", "true") else r)
+        .load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(ignore = false)
+    assert(spark.read.parquet(out).count() == 20)
+    // a GDPR-style dv delete lands; the DEFAULT restart fails loudly
+    SnapshotTable.deleteVectors(spark, dir, $"id" % 5 === 0)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(ignore = false))
+    assert(msgs(e).exists(_.contains("deletion vectors")))
+    // opted in: the dv commit passes (nothing re-emitted, deletions do
+    // not propagate), and later appends still arrive exactly once
+    drain(ignore = true)
+    assert(spark.read.parquet(out).count() == 20,
+      "a dv-only commit must emit nothing downstream")
+    SnapshotTable.write(spark, spark.range(20, 30).toDF(), dir, "append")
+    drain(ignore = true)
+    val got = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(got == (0L until 30L), "appends exactly once; deletes ignored")
+  }
+
   test("MERGE with duplicate source keys raises the cardinality error") {
     val dir = freshDir()
     SnapshotTable.write(spark,

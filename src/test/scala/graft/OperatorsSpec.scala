@@ -530,6 +530,31 @@ class OperatorsSpec extends SparkTestBase {
       "rollup-merged sketch must equal the whole-input sketch")
   }
 
+  test("HllAgg small-range correction: linear counting bounds low-cardinality " +
+    "error where the raw estimator is useless") {
+    import graft.functions.cat.HllAgg
+    def sketch(n: Int): (Double, Double) = {
+      val r = spark.range(n).select(col("id").cast("string").as("v"))
+        .agg(HllAgg(col("v"), 256).as("h"))
+        .select(col("h.est_raw"), col("h.est")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // the raw harmonic-mean estimator reads ~alpha*m (~185 for m=256)
+    // even for near-empty sketches — the regime HLL++'s linear
+    // counting exists for
+    Seq(1, 3, 10, 50, 150).foreach { n =>
+      val (raw, est) = sketch(n)
+      assert(math.abs(est - n) <= math.max(1.0, 0.15 * n),
+        s"corrected estimate $est too far from $n (raw was $raw)")
+    }
+    val (raw1, est1) = sketch(1)
+    assert(raw1 > 100, s"raw estimator at n=1 should be ~alpha*m, got $raw1")
+    assert(est1 < 2, s"linear counting at n=1 should be ~1, got $est1")
+    // large range: the correction must NOT fire (est == est_raw)
+    val (rawBig, estBig) = sketch(5000)
+    assert(rawBig == estBig, "no correction outside the small range")
+  }
+
   test("jaccardPrefixJoin is EXACT: equals brute force with stopwords, " +
     "identical docs, and boundary-threshold pairs present") {
     // 40 distinct docs sharing a super-common stopword (the prefix
