@@ -578,7 +578,10 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(
-      if (agg.isDefined) readSchema() else physSchema(readSchema()))
+      if (agg.isDefined) readSchema() else physSchema(readSchema()),
+      // in-file row-group/page pruning rides the same skipping
+      // filters, rewritten to the files' physical column names
+      (skipping ++ runtimeSkipping).toSeq.map(SnapshotScan.mapAttrs(_, phys)))
 
   /** Post-skipping logical rows from the manifest; size is rows ×
     * the read schema's fixed-width estimate (the manifest stores row
@@ -624,6 +627,20 @@ private[graft] object ScanTelemetry {
 }
 
 object SnapshotScan {
+
+  /** Rewrite a filter's attribute names (logical -> physical) for the
+    * executor-side parquet predicate; shapes outside the skipping
+    * surface pass through untouched (they translate to None anyway). */
+  private[connector] def mapAttrs(f: Filter, phys: String => String): Filter =
+    f match {
+      case EqualTo(c, v) => EqualTo(phys(c), v)
+      case GreaterThan(c, v) => GreaterThan(phys(c), v)
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(phys(c), v)
+      case LessThan(c, v) => LessThan(phys(c), v)
+      case LessThanOrEqual(c, v) => LessThanOrEqual(phys(c), v)
+      case In(c, vs) => In(phys(c), vs)
+      case other => other
+    }
 
   /** Flatten conjunctions: each conjunct can skip files independently. */
   private[connector] def atoms(f: Filter): Seq[Filter] = f match {

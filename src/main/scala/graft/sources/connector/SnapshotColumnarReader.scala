@@ -4,7 +4,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.TaskAttemptID
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
-import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFilters, ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,20 +33,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * and columns a file predates surface as constant-null vectors —
   * identical semantics to the row readers and to `mergeSchema`.
   *
-  * Masking strategy per batch of `n` rows starting at file position
-  * `p`: if no deleted position falls in `[p, p+n)` the batch is
-  * returned UNTOUCHED (zero copy, the overwhelmingly common case —
-  * dv sidecars are tiny relative to data); otherwise the live row
-  * indices become an `int[]` map and each column is wrapped in a
-  * delegating [[ColumnVector]] that redirects `get*(i)` through the
-  * map — still zero data copied, O(deleted-in-batch) extra work.
-  * Positions are file-absolute and sequential because the reader
-  * pushes no row-group filters (skipping happens at manifest level,
-  * whole files at a time), so a running counter is exact.
+  * Masking strategy per batch of `n` rows: if no deleted position
+  * falls in the batch's row-index range the batch passes through with
+  * only the generated index column stripped (zero copy, the
+  * overwhelmingly common case — dv sidecars are tiny relative to
+  * data); otherwise the live row indices become an `int[]` map and
+  * each column is wrapped in a delegating [[ColumnVector]] that
+  * redirects `get*(i)` through the map — still zero data copied,
+  * O(deleted-in-batch) extra work. Positions come from Spark's own
+  * row-index generator (see `needPos` below), so they stay exact
+  * under the row-group/page skipping the pushed FilterPredicates buy
+  * (round-13; previously the dv leg read every row group because a
+  * running position counter demanded sequential reads).
   */
 private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
                                                schema: StructType,
-                                               sessionConf: Map[String, String])
+                                               sessionConf: Map[String, String],
+                                               filters: Seq[Filter])
   extends org.apache.spark.sql.connector.read.PartitionReader[ColumnarBatch] {
 
   private val conf = new Configuration()
@@ -54,10 +60,47 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     * other files are filtered out) — same loading as the row reader. */
   private val deleted = SnapshotPartitions.deletedPositions(conf, p)
 
+  /** dv masking keys rows by FILE-ABSOLUTE position. With row-group /
+    * page filtering those are no longer sequential, so the reader asks
+    * Spark's own row-index machinery for them: a trailing
+    * `_tmp_metadata_row_index` column in the requested schema makes
+    * `VectorizedParquetRecordReader` emit the exact file row index per
+    * row (the `_metadata.row_index` mechanism), valid under any
+    * skipping. The column is generated, not read — zero extra I/O —
+    * and is stripped before the batch leaves this reader. */
+  private val needPos = !deleted.isEmpty
+  private val requested: StructType =
+    if (!needPos) schema
+    else schema.add(StructField(SnapshotColumnarFileReader.RowIndexCol,
+      LongType)) // nullable: the file doesn't contain it (generated)
+
   private val reader: VectorizedParquetRecordReader = {
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    // push the scan's predicates for ROW-GROUP + PAGE (column-index)
+    // skipping inside the file — the same FilterPredicates Spark's own
+    // parquet scan sets; Spark re-evaluates every filter post-scan, so
+    // pushdown only ever prunes, never decides. Translation binds
+    // against the FILE's schema, so columns a file predates (or a
+    // mapped table's logical names) simply translate to None.
+    if (filters.nonEmpty) {
+      val footer = {
+        val pfr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          HadoopInputFile.fromPath(path, conf))
+        try pfr.getFileMetaData.getSchema finally pfr.close()
+      }
+      val translator = new ParquetFilters(footer,
+        /* pushDownDate */ true, /* pushDownTimestamp */ false,
+        /* pushDownDecimal */ false, /* pushDownStringPredicate */ true,
+        /* inFilterThreshold */ 10, /* caseSensitive */ false,
+        org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec(
+          org.apache.spark.sql.internal.LegacyBehaviorPolicy.CORRECTED))
+      filters.flatMap(f => translator.createFilter(f))
+        .reduceOption(FilterApi.and)
+        .foreach(pred => org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(conf, pred))
+    }
     val len = path.getFileSystem(conf).getFileStatus(path).getLen
     // rebase CORRECTED on both calendars: every snapshot-table file is
     // written by this engine (Spark 3+ proleptic Gregorian); convertTz
@@ -75,28 +118,30 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     r
   }
 
-  private var startPos = 0L
   private var current: ColumnarBatch = _
 
   override def next(): Boolean = {
     if (!reader.nextBatch()) return false
     val raw = reader.resultBatch()
     val n = raw.numRows()
-    current = if (deleted.isEmpty) raw else mask(raw, n)
-    startPos += n
+    SnapshotPartitions.columnarRowsDecoded.add(n)
+    current = if (!needPos) raw else mask(raw, n)
     true
   }
 
   private def mask(raw: ColumnarBatch, n: Int): ColumnarBatch = {
+    val pos = raw.column(schema.length) // the generated row-index column
     var live = 0
     val map = new Array[Int](n)
     var i = 0
     while (i < n) {
-      if (!deleted.contains(startPos + i)) { map(live) = i; live += 1 }
+      if (!deleted.contains(pos.getLong(i))) { map(live) = i; live += 1 }
       i += 1
     }
-    if (live == n) return raw // nothing deleted in this batch's range
-    val vecs = Array.tabulate[ColumnVector](raw.numCols())(c =>
+    if (live == n) // nothing deleted in range: just strip the index col
+      return new ColumnarBatch(
+        Array.tabulate[ColumnVector](schema.length)(raw.column), n)
+    val vecs = Array.tabulate[ColumnVector](schema.length)(c =>
       new PositionMaskedColumnVector(raw.column(c), map, live))
     // a fully-deleted batch legally emits 0 rows; consumers skip it
     new ColumnarBatch(vecs, live)
@@ -105,6 +150,15 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
   override def get(): ColumnarBatch = current
 
   override def close(): Unit = reader.close()
+}
+
+private object SnapshotColumnarFileReader {
+  /** Spark's temporary row-index column name
+    * (`FileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME`): a requested field
+    * with this name makes the vectorized reader generate file-absolute
+    * row indexes, exact under row-group and page skipping. */
+  val RowIndexCol: String =
+    org.apache.spark.sql.graftbridge.Bridge.rowIndexTempColumn
 }
 
 /** A [[ColumnVector]] view that redirects row ids through a live-index

@@ -50,7 +50,8 @@ final case class SnapshotFilePartition(fileUri: String, baseName: String,
 final case class MetadataAggPartition(schemaJson: String, values: Seq[Long])
   extends InputPartition
 
-final class SnapshotReaderFactory(schema: StructType)
+final class SnapshotReaderFactory(schema: StructType,
+                                  filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends PartitionReaderFactory {
 
   /** SQLConf-derived parquet settings, captured on the DRIVER (the
@@ -82,7 +83,7 @@ final class SnapshotReaderFactory(schema: StructType)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
       case f: SnapshotFilePartition =>
-        new SnapshotColumnarFileReader(f, schema, sessionConf)
+        new SnapshotColumnarFileReader(f, schema, sessionConf, filters)
       case other => throw new IllegalStateException(
         s"no columnar reader for $other")
     }
@@ -286,7 +287,14 @@ private[graft] object SnapshotPartitions {
     * shared sidecar prunes to ~each task's own positions (local[n]
     * runs executors in-process, so the adder sees every task). */
   private[graft] val sidecarRowsDecoded = new java.util.concurrent.atomic.LongAdder
-  private[graft] def resetSidecarTelemetry(): Unit = sidecarRowsDecoded.reset()
+  /** Data rows decoded by the columnar readers since the last reset —
+    * pins that pushed FilterPredicates actually prune row groups /
+    * pages inside dv-carrying files. */
+  private[graft] val columnarRowsDecoded = new java.util.concurrent.atomic.LongAdder
+  private[graft] def resetSidecarTelemetry(): Unit = {
+    sidecarRowsDecoded.reset()
+    columnarRowsDecoded.reset()
+  }
 
   /** The deleted row positions of the partition's file, loaded from its
     * dv sidecar. Sidecars are SHARED across a version's files (one

@@ -31,6 +31,15 @@ object Bridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Spark's temporary row-index column name (`FileFormat.
+    * ROW_INDEX_TEMPORARY_COLUMN_NAME`, `private[sql]`): a requested
+    * parquet field with this name makes `VectorizedParquetRecordReader`
+    * generate file-absolute row indexes, exact under row-group/page
+    * skipping — the dv mask's position source. */
+  def rowIndexTempColumn: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
   /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
     * `private[sql]`; the public `get` blocks indefinitely, which a
     * fallback-on-missing caller cannot risk). */

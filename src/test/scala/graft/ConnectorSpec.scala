@@ -1049,6 +1049,34 @@ class ConnectorSpec extends SparkTestBase {
         .count())
   }
 
+  test("pushed predicates prune pages inside a dv-carrying file; mask stays exact") {
+    import graft.sources.connector.SnapshotPartitions
+    val dir = freshDir()
+    // ONE sorted 500k-row file with a wide payload: the id column
+    // index spans several pages, so a selective filter can prune
+    // inside the file (manifest skipping can't help a single file)
+    SnapshotTable.write(spark,
+      spark.range(0, 500000).toDF("id")
+        .withColumn("pay", concat(lit("p"), lpad($"id".cast("string"), 18, "0")))
+        .repartitionByRange(1, $"id"),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.deleteVectors(spark, dir, $"id" % 100000 === 7) // 5 rows
+    SnapshotPartitions.resetSidecarTelemetry()
+    val top = load(dir).filter($"id" >= 499000).select("id", "pay").collect()
+    assert(top.length == 1000 && top.forall(_.getLong(0) >= 499000))
+    val decoded = SnapshotPartitions.columnarRowsDecoded.sum()
+    assert(decoded < 250000,
+      s"pushed FilterPredicates should page-prune the dv leg: decoded " +
+        s"$decoded of 500000 rows for a 1000-row slice")
+    // position exactness UNDER pruning: a pruned read whose range
+    // contains a deleted position must still mask exactly that row
+    // (row indexes come from Spark's generator, not a running counter)
+    val mid = load(dir).filter($"id".between(400000, 400014))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(mid == (400000L to 400014L).filterNot(_ == 400007L),
+      "dv mask must key file-absolute row indexes under page pruning")
+  }
+
   test("masked vector: numNulls is exact, not the delegate's superset") {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     import org.apache.spark.sql.types.IntegerType
