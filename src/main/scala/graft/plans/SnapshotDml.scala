@@ -51,14 +51,17 @@ import graft.sources.connector.SnapshotV2Table
   *    (partial-row UPDATE or DELETE), multiple conditional WHEN NOT
   *    MATCHED INSERT clauses (unassigned columns insert NULL, Delta
   *    semantics), and WHEN NOT MATCHED BY SOURCE (UPDATE/DELETE over
-  *    target columns only). The canonical whole-row upsert
+  *    target columns only). `WITH SCHEMA EVOLUTION` (Delta's
+  *    autoMerge shape) widens the table with the source columns the
+  *    clauses actually assign — untouched rows read them null, the
+  *    commit unions the schema. The canonical whole-row upsert
   *    (`UPDATE SET * … INSERT *`, unconditional) keeps its dedicated
   *    fast path ([[SnapshotTable.mergeVectors]]: the source IS the
   *    post-image, no outer join); every other shape lowers onto
   *    [[SnapshotTable.mergeClauses]] (one stats-pruned outer join →
   *    O(affected)-row effect frame → one dv commit). Still outside
-  *    the surface, loudly: non-equi ON conditions, WITH SCHEMA
-  *    EVOLUTION, subqueries, nondeterminism.
+  *    the surface, loudly: non-equi ON conditions, subqueries,
+  *    nondeterminism.
   *
   * Reference behavior this extends: the reference's loader only ever
   * truncate-and-loads (etl/loader.py); row-level SQL DML is part of
@@ -84,15 +87,17 @@ case class SnapshotRowLevelSql(session: SparkSession)
           case None => m
           case Some(dir) =>
             // canonical whole-row upsert keeps its dedicated physical
-            // path; any other supported shape lowers onto the general
-            // clause merge (which throws its own loud errors for the
-            // genuinely inexpressible remainder)
-            try translateMerge(dir, m)
-            catch {
-              case _: UnsupportedOperationException
-                  if !m.withSchemaEvolution =>
-                translateMergeGeneral(dir, m)
-            }
+            // path; any other supported shape — including WITH SCHEMA
+            // EVOLUTION — lowers onto the general clause merge (which
+            // throws its own loud errors for the genuinely
+            // inexpressible remainder)
+            if (m.withSchemaEvolution) translateMergeGeneral(dir, m)
+            else
+              try translateMerge(dir, m)
+              catch {
+                case _: UnsupportedOperationException =>
+                  translateMergeGeneral(dir, m)
+              }
         }
     }
 
@@ -274,7 +279,6 @@ case class SnapshotRowLevelSql(session: SparkSession)
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"MERGE INTO snapshot table: $what")
-    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
     val target = m.targetTable
     val source = m.sourceTable
     val both = Seq(target, source)
@@ -286,6 +290,18 @@ case class SnapshotRowLevelSql(session: SparkSession)
       out(target)
     }
     val targetByName = targetCols.map(a => a.name -> a).toMap
+    // WITH SCHEMA EVOLUTION (Delta's autoMerge shape): source columns
+    // absent from the target become assignable — the ones the clauses
+    // actually assign widen the table (collected bottom-up after the
+    // clause walk; `*` actions assign all of them)
+    val evolvable: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
+      if (!m.withSchemaEvolution) Map.empty
+      else source.output
+        .filterNot(a => targetCols.exists(t =>
+          session.sessionState.conf.resolver(t.name, a.name)))
+        .map(a => a.name -> a).toMap
+    val assignedNew = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
     val srcNames: Seq[String] =
       source.output.indices.map(i => s"__merge_src_$i")
     val srcRename: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] =
@@ -306,32 +322,52 @@ case class SnapshotRowLevelSql(session: SparkSession)
       })
     /** Lossless-upcast-only typing, the same gate as the canonical
       * path (the physical layer casts to the column type regardless —
-      * this check is what makes a LOSSY implicit cast loud). */
-    def typed(e: Expression, colName: String, what: String): Expression = {
-      val c = targetByName.getOrElse(colName,
-        unsupported(s"$what assigns unknown column $colName"))
-      if (e.dataType == c.dataType) e
-      else if (Cast.canUpCast(e.dataType, c.dataType)) Cast(e, c.dataType)
-      else unsupported(s"assigning ${e.dataType.simpleString} to " +
-        s"${c.name}: ${c.dataType.simpleString} (write the cast explicitly)")
-    }
+      * this check is what makes a LOSSY implicit cast loud). An
+      * evolution column's type IS the source's, recorded on first
+      * assignment. */
+    def typed(e: Expression, colName: String, what: String): Expression =
+      targetByName.get(colName) match {
+        case Some(c) =>
+          if (e.dataType == c.dataType) e
+          else if (Cast.canUpCast(e.dataType, c.dataType)) Cast(e, c.dataType)
+          else unsupported(s"assigning ${e.dataType.simpleString} to " +
+            s"${c.name}: ${c.dataType.simpleString} (write the cast explicitly)")
+        case None if evolvable.contains(colName) =>
+          assignedNew.getOrElseUpdate(colName, e.dataType)
+          e
+        case None => unsupported(s"$what assigns unknown column $colName")
+      }
     import SnapshotTable.{MergeInsertClause, MergeRowAction, MergeWhenClause}
     val resolver = session.sessionState.conf.resolver
-    def starAssignments(what: String): Seq[(String, org.apache.spark.sql.Column)] =
-      targetCols.map { c =>
+    def starAssignments(what: String): Seq[(String, org.apache.spark.sql.Column)] = {
+      val named = targetCols.map { c =>
         val hit = source.output.filter(a => resolver(a.name, c.name))
         if (hit.length != 1)
           unsupported(s"$what * with no unambiguous source column " +
             s"named ${c.name}")
         c.name -> toJoined(typed(hit.head, c.name, what))
       }
+      // under evolution, `*` also assigns every NEW source column
+      named ++ evolvable.values.toSeq.map(a =>
+        a.name -> toJoined(typed(a, a.name, what)))
+    }
     def explicitAssignments(as: Seq[Assignment], scope: Seq[LogicalPlan],
                             what: String): Seq[(String, org.apache.spark.sql.Column)] =
       as.map { a =>
-        val name = bind(a.key, Seq(target), s"$what assignment key") match {
-          case ar: AttributeReference => ar.name
-          case other => unsupported(
-            s"assignment to a non-column (${other.sql})")
+        val name = a.key match {
+          // an evolution column doesn't resolve against the target —
+          // accept its bare name before binding
+          case u: UnresolvedAttribute
+              if u.nameParts.length == 1 &&
+                evolvable.contains(u.nameParts.head) &&
+                target.resolve(u.nameParts,
+                  session.sessionState.conf.resolver).isEmpty =>
+            u.nameParts.head
+          case k => bind(k, Seq(target), s"$what assignment key") match {
+            case ar: AttributeReference => ar.name
+            case other => unsupported(
+              s"assignment to a non-column (${other.sql})")
+          }
         }
         name -> toJoined(typed(
           bind(a.value, scope, s"$what assignment to $name"), name, what))
@@ -396,7 +432,10 @@ case class SnapshotRowLevelSql(session: SparkSession)
             "<source expression>)")
       }
     MergeClausesCommand(dir, source, srcNames, keyCol, srcKey,
-      matched, notMatched, bySource)
+      matched, notMatched, bySource,
+      assignedNew.toSeq.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt)
+      })
   }
 }
 
@@ -480,7 +519,8 @@ case class MergeClausesCommand(
     keyCol: String, srcKey: org.apache.spark.sql.Column,
     matched: Seq[SnapshotTable.MergeWhenClause],
     notMatched: Seq[SnapshotTable.MergeInsertClause],
-    notMatchedBySource: Seq[SnapshotTable.MergeWhenClause])
+    notMatchedBySource: Seq[SnapshotTable.MergeWhenClause],
+    evolution: Seq[org.apache.spark.sql.types.StructField] = Nil)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -488,7 +528,7 @@ case class MergeClausesCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     val src = Bridge.ofRows(spark, source).toDF(srcNames: _*)
     SnapshotTable.mergeClauses(spark, dir, src, keyCol, srcKey,
-      matched, notMatched, notMatchedBySource)
+      matched, notMatched, notMatchedBySource, extraColumns = evolution)
     Seq.empty
   }
 }

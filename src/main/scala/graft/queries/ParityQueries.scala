@@ -1492,13 +1492,18 @@ object ParityQueries {
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t6T_orders")
         s.sql("DROP TABLE IF EXISTS graft_ddl.t") // same-session rerun
+        // starts NARROW (int key) — widened to BIGINT mid-history, so
+        // the final read resolves int32 and int64 files in one schema
         s.sql("""CREATE TABLE graft_ddl.t AS
-                |SELECT o_orderkey, o_custkey, o_totalprice
+                |SELECT CAST(o_orderkey AS INT) AS o_orderkey, o_custkey,
+                |       o_totalprice
                 |FROM t6T_orders WHERE o_orderkey % 4 = 0""".stripMargin)
         s.sql("ALTER TABLE graft_ddl.t RENAME COLUMN o_totalprice TO price")
         s.sql("""INSERT INTO graft_ddl.t
-                |SELECT o_orderkey, o_custkey, o_totalprice AS price
+                |SELECT CAST(o_orderkey AS INT), o_custkey,
+                |       o_totalprice AS price
                 |FROM t6T_orders WHERE o_orderkey % 4 = 1""".stripMargin)
+        s.sql("ALTER TABLE graft_ddl.t ALTER COLUMN o_orderkey TYPE BIGINT")
         s.sql("ALTER TABLE graft_ddl.t DROP COLUMN o_custkey")
         s.sql("ALTER TABLE graft_ddl.t ADD COLUMNS (o_custkey BIGINT)")
         s.sql("""INSERT INTO graft_ddl.t

@@ -1605,7 +1605,9 @@ object SnapshotTable {
                    matched: Seq[MergeWhenClause],
                    notMatched: Seq[MergeInsertClause],
                    notMatchedBySource: Seq[MergeWhenClause] = Nil,
-                   statsCols: Seq[String] = Nil): Long =
+                   statsCols: Seq[String] = Nil,
+                   extraColumns: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : Long =
     retryOnConflict(s"dv-merge-clauses into $dir") {
       import org.apache.spark.sql.Column
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -1615,7 +1617,16 @@ object SnapshotTable {
         throw new IllegalStateException(s"cannot merge into empty table $dir"))
       val m = readManifest(spark, dir, v)
       val known = tableSchema(spark, dir, v) // recorded (mapping-carrying)
-      val logicalSchema = scan(spark, dir, Some(v)).schema
+      val baseSchema = scan(spark, dir, Some(v)).schema
+      // WITH SCHEMA EVOLUTION: `extraColumns` WIDEN the table — images
+      // carry them, untouched rows read them as null (the same
+      // union-schema contract as append-time evolution), and the
+      // commit unions them into the recorded schema
+      extraColumns.foreach(f => require(
+        !baseSchema.fieldNames.contains(f.name),
+        s"evolution column '${f.name}' already exists"))
+      val logicalSchema = StructType(baseSchema.fields ++
+        extraColumns.map(_.copy(nullable = true)))
       val cols = logicalSchema.fieldNames.toSeq
       require(cols.contains(keyCol), s"table $dir lacks merge key $keyCol")
       val reserved = cols.toSet ++ Seq("__graft_file", "__graft_pos",
@@ -1633,15 +1644,18 @@ object SnapshotTable {
           source.select(sourceKey.as(keyCol)),
           statsKey = Some(physicalFor(known, keyCol)))
       val posSchema = StructType(
-        logicalSchema.fields.map(_.copy(nullable = true)) ++
+        baseSchema.fields.map(_.copy(nullable = true)) ++
           Seq(StructField("__graft_file", StringType),
             StructField("__graft_pos", LongType)))
-      val tgt =
+      val tgt0 =
         if (candidates.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
         else readFiles(spark, dir, candidates, keepPos = true,
           knownSchema = known)
+      // evolution columns: every existing target row reads them null
+      val tgt = extraColumns.foldLeft(tgt0)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
       val srcMarked = source.withColumn("__src_present", lit(true))
       val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
       val joined = tgt.join(srcMarked, tgt(keyCol) === sourceKey, joinType)
@@ -1732,16 +1746,22 @@ object SnapshotTable {
         try {
           val post = effect.filter(col("__kind") >= 2).select(cols.map(col): _*)
           val fresh = stageFiles(spark, post, dir, statsCols)
+          // a widening merge records the UNION schema even when the
+          // effect set is empty-of-images (schema evolution is part of
+          // the statement's contract)
+          val schemaJson =
+            if (extraColumns.isEmpty) None else Some(logicalSchema.json)
           staged match {
             case None =>
-              if (fresh.isEmpty) v
-              else commit(spark, dir, "merge-dv", fresh, carry = true)
+              if (fresh.isEmpty && extraColumns.isEmpty) v
+              else commit(spark, dir, "merge-dv", fresh, carry = true,
+                schemaJson = schemaJson)
             case Some((name, entries)) =>
               val newPaths = entries.map(_.path).toSet
               try commit(spark, dir, "merge-dv", entries ++ fresh,
                 removed = readSetOf(
                   m.files.filter(fe => newPaths.contains(fe.path))),
-                carry = true)
+                carry = true, schemaJson = schemaJson)
               catch {
                 case e: CommitConflictException =>
                   fresh.foreach(fe => f.delete(new Path(dir, fe.path), false))

@@ -294,8 +294,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     *    stats/bloom skipping resolves through the mapping. Renaming
     *    back to the physical name simply drops the mapping.
     *
-    * Type changes would need real column-id indirection plus value
-    * conversion and stay unsupported, loudly. */
+    *  - ALTER COLUMN TYPE: lossless widenings only (byte/short/int →
+    *    wider int, int → long/double, float → double) — Spark's
+    *    parquet readers resolve those natively against old files'
+    *    narrower physical type, so this too is metadata-only; any
+    *    other type change would need a data rewrite and is refused
+    *    loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
@@ -364,6 +368,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               retired += SnapshotTable.physicalName(fields(i))
               fields.remove(i)
           }
+        case u: TableChange.UpdateColumnType =>
+          op = "widen-column"
+          val name = single(u.fieldNames, "ALTER COLUMN TYPE")
+          val i = fields.indexWhere(_.name == name)
+          require(i >= 0, s"cannot alter missing column '$name'")
+          val from = fields(i).dataType
+          val to = u.newDataType
+          // widenings Spark's parquet readers resolve natively against
+          // mixed files (old files keep the narrow physical type) —
+          // anything else would need a data rewrite, loudly refused
+          import org.apache.spark.sql.types._
+          val ok = (from, to) match {
+            case (a, b) if a == b => true
+            case (ByteType, ShortType | IntegerType | LongType) => true
+            case (ShortType, IntegerType | LongType) => true
+            case (IntegerType, LongType | DoubleType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(ok, s"ALTER COLUMN $name TYPE: only lossless widenings " +
+            s"readable over existing files are supported " +
+            s"(byte/short/int -> wider int, int -> long/double, " +
+            s"float -> double); got ${from.simpleString} -> ${to.simpleString}")
+          fields(i) = fields(i).copy(dataType = to)
         case r: TableChange.RenameColumn =>
           op = "rename-column"
           val name = single(r.fieldNames, "RENAME COLUMN")

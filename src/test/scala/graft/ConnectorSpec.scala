@@ -1161,6 +1161,54 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.read.parquet(out2).count() == 30)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table with assigned columns") {
+    val root = Files.createTempDirectory("graft-catD").toString
+    spark.conf.set("spark.sql.catalog.graftcatd",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcatd.root", root)
+    spark.sql("CREATE TABLE graftcatd.t AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 10)")
+    // star form: the new source column `tag` joins the table; matched
+    // rows take it from the source, untouched rows read null
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftcatd.t AS tgt
+        |USING (SELECT id, CAST(id * 10 AS DOUBLE) AS v,
+        |              concat('s', id) AS tag
+        |       FROM range(5, 15)) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql("SELECT id, v, tag FROM graftcatd.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSeq
+    val want = (0L until 5L).map(i => (i, i.toDouble, None)) ++
+      (5L until 15L).map(i => (i, i * 10.0, Some(s"s$i")))
+    assert(got == want)
+    // explicit partial assignment of a new column evolves too
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftcatd.t AS tgt
+        |USING (SELECT id, id * 100 AS score FROM range(0, 3)) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET score = src.score
+        |""".stripMargin)
+    assert(spark.sql("SELECT sum(score) AS s FROM graftcatd.t")
+      .as[Long].head == 0L + 100L + 200L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graftcatd.t WHERE score IS NULL")
+      .as[Long].head == 12L)
+    // WITHOUT the clause, a new column stays a loud error
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graftcatd.t AS tgt
+        |USING (SELECT id, id AS brand_new FROM range(0, 3)) AS src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET brand_new = src.brand_new
+        |""".stripMargin))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("unknown column") ||
+      m.contains("cannot resolve")))
+  }
+
   test("ignoreDeletes: stream tails past dv deletes; loud default stays") {
     val dir = freshDir()
     val ckpt = Files.createTempDirectory("graft-conn-ckpt7").toString
@@ -1321,6 +1369,47 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT count(*) AS n FROM graftcata.t WHERE s LIKE 'y%' AND v >= 200")
       .as[Long].head == 5L)
+  }
+
+  test("ALTER COLUMN TYPE: lossless widening is metadata-only") {
+    val root = Files.createTempDirectory("graft-catE").toString
+    spark.conf.set("spark.sql.catalog.graftcate",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcate.root", root)
+    spark.sql("CREATE TABLE graftcate.t (k INT, f FLOAT)")
+    spark.sql("INSERT INTO graftcate.t " +
+      "SELECT CAST(id AS INT), CAST(id AS FLOAT) FROM range(0, 10)")
+    val dir = s"$root/t"
+    val filesBefore = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+    spark.sql("ALTER TABLE graftcate.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graftcate.t ALTER COLUMN f TYPE DOUBLE")
+    assert(SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get).files.map(_.path).toSet
+      == filesBefore, "widening must not rewrite data")
+    // old (narrow-typed) files read through the widened schema
+    val sch = spark.sql("SELECT * FROM graftcate.t").schema
+    assert(sch("k").dataType.simpleString == "bigint")
+    assert(sch("f").dataType.simpleString == "double")
+    assert(spark.sql("SELECT sum(k) AS s FROM graftcate.t").as[Long].head == 45L)
+    // and new writes land the wide type next to the old files
+    spark.sql("INSERT INTO graftcate.t " +
+      "SELECT CAST(id AS BIGINT), CAST(id AS DOUBLE) FROM range(10, 15)")
+    assert(spark.sql("SELECT sum(k) AS s, sum(f) AS sf FROM graftcate.t")
+      .as[(Long, Double)].head == ((105L, 105.0)))
+    // narrowing is refused loudly (by Spark's own ALTER analysis or,
+    // for shapes it forwards, by the catalog's widening allowlist —
+    // e.g. long -> double upcasts in Catalyst but cannot be read over
+    // int64 files)
+    intercept[Exception](spark.sql(
+      "ALTER TABLE graftcate.t ALTER COLUMN k TYPE INT"))
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graftcate.t ALTER COLUMN k TYPE DOUBLE"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("lossless widenings")))
+    assert(spark.sql("SELECT * FROM graftcate.t").schema("k")
+      .dataType.simpleString == "bigint", "refused ALTERs must not commit")
   }
 
   test("stats skipping and metadata aggs survive a column rename") {

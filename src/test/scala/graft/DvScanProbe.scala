@@ -49,9 +49,32 @@ object DvScanProbe {
       .agg(sum(length(col("payload")))).collect())
     val of = minSec(scanOne.filter(col("id") > rows - 1000)
       .agg(sum(length(col("payload")))).collect())
+    // shared-sidecar decode amplification (round-13 fix): ALL 16 files
+    // carry positions in ONE consolidated sidecar; the pushed
+    // file=basename predicate must keep per-task decode at O(own
+    // positions) — total decoded ≈ D, not files × D
+    val multiDir = build("multi")
+    SnapshotTable.deleteVectors(spark, multiDir,
+      col("id") % (rows / 2000) === 7L) // 2000 positions, every file
+    val mMulti = SnapshotTable.readManifest(spark, multiDir,
+      SnapshotTable.latestVersion(spark, multiDir).get)
+    val dvFiles = mMulti.files.count(_.dv.isDefined)
+    val deletedTotal = mMulti.files.flatMap(_.dv.map(_._2)).sum
+    def connScan = spark.read.format("graft_snapshot").load(multiDir)
+    connScan.filter(col("id") >= 0).agg(sum(length(col("payload")))).collect()
+    graft.sources.connector.SnapshotPartitions.resetSidecarTelemetry()
+    val ms = minSec(connScan.filter(col("id") >= 0)
+      .agg(sum(length(col("payload")))).collect())
+    val runs = 6 // warmup + 5 timed masked scans hit deletedPositions
+    val decodedPerScan =
+      graft.sources.connector.SnapshotPartitions.sidecarRowsDecoded.sum() / runs
     println(f"""{"count":{"plain":$pc%.4f,"one_dv":$oc%.4f},""" +
       f""""sum":{"plain":$ps%.4f,"one_dv":$os%.4f},""" +
-      f""""filtered_sum":{"plain":$pf%.4f,"one_dv":$of%.4f}}""")
+      f""""filtered_sum":{"plain":$pf%.4f,"one_dv":$of%.4f},""" +
+      f""""shared_sidecar":{"dv_files":$dvFiles,"deleted":$deletedTotal,""" +
+      f""""decoded_per_scan":$decodedPerScan,""" +
+      f""""naive_would_decode":${dvFiles * deletedTotal},""" +
+      f""""masked_16file_sum_sec":$ms%.4f}}""")
     spark.stop()
   }
 }
