@@ -1519,6 +1519,68 @@ object ParityQueries {
         |FROM orders WHERE o_orderkey % 4 = 2
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Storage-partitioned join (round-13): two tables bucketed alike
+    // on the join key (PARTITIONED BY bucket(16, custkey) → real hash
+    // buckets: per-bucket-pure files, ids in the manifest, the scan
+    // reports KeyGroupedPartitioning through the catalog's bucket
+    // function). Under spark.sql.sources.v2.bucketing.enabled the
+    // join AND the bucket-key groupBy plan with ZERO Exchange — at
+    // 100 TB this removes the fact-to-fact shuffle entirely, the
+    // single most expensive operation a cluster can run. The query
+    // asserts the shuffle-free plan on a probe run, then returns the
+    // aggregation for the oracle.
+    "q6V_bucketed_spj" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6V")
+        s.conf.set("spark.sql.catalog.graft_spj",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_spj.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6V_orders")
+        t(s, dir, "customer").createOrReplaceTempView("t6V_customer")
+        s.sql("DROP TABLE IF EXISTS graft_spj.o") // same-session rerun
+        s.sql("DROP TABLE IF EXISTS graft_spj.c")
+        s.sql("CREATE TABLE graft_spj.o (o_custkey BIGINT, o_orderkey BIGINT) " +
+          "PARTITIONED BY (bucket(16, o_custkey))")
+        s.sql("INSERT INTO graft_spj.o " +
+          "SELECT o_custkey, o_orderkey FROM t6V_orders")
+        s.sql("CREATE TABLE graft_spj.c (c_custkey BIGINT, c_nationkey BIGINT) " +
+          "PARTITIONED BY (bucket(16, c_custkey))")
+        s.sql("INSERT INTO graft_spj.c " +
+          "SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM t6V_customer")
+        val q = """SELECT o.o_custkey AS k, count(*) AS cnt,
+                  |       sum(o.o_orderkey) AS sk
+                  |FROM graft_spj.o o JOIN graft_spj.c c
+                  |  ON o.o_custkey = c.c_custkey
+                  |GROUP BY o.o_custkey""".stripMargin
+        val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          // the probe omits the final ORDER BY (a global sort is a
+          // legitimate range exchange): join + groupBy must be
+          // exchange-free
+          val probe = s.sql(q)
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"SPJ join was expected to plan shuffle-free:\n$plan")
+          s.sql(q + "\nORDER BY k")
+        } finally {
+          def restore(k: String, v: Option[String]): Unit =
+            v.fold(s.conf.unset(k))(s.conf.set(k, _))
+          restore("spark.sql.sources.v2.bucketing.enabled", priorB)
+          restore("spark.sql.autoBroadcastJoinThreshold", priorT)
+        }
+      },
+      """SELECT o_custkey AS k, count(*) AS cnt,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sk
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o_custkey ORDER BY k""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow

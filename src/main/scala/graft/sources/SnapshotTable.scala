@@ -102,11 +102,18 @@ object SnapshotTable {
     * read merge-on-read: its physical bytes are untouched, readers
     * subtract the dv positions ([[deleteVectors]]). Stats and blooms
     * stay those of the PHYSICAL file — a superset of the live rows,
-    * so data skipping stays conservative-correct. */
+    * so data skipping stays conservative-correct. `bucket` is the
+    * hash-bucket id when every row of the file satisfies
+    * `GraftBucket.of(key) == bucket` under the table's declared
+    * bucketing (bucketBy/buckets properties) — the per-file fact the
+    * connector's storage-partitioned-join reporting and equality
+    * bucket pruning stand on; files written outside the bucketed
+    * write path carry None and disable both, never corrupt them. */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
                              bloom: Map[String, Seq[Long]] = Map.empty,
-                             dv: Option[(String, Long)] = None) {
+                             dv: Option[(String, Long)] = None,
+                             bucket: Option[Int] = None) {
     /** Logical (post-deletion-vector) row count. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
   }
@@ -208,7 +215,11 @@ object SnapshotTable {
     org.apache.spark.sql.types.StructField("dv_path",
       org.apache.spark.sql.types.StringType, nullable = true),
     org.apache.spark.sql.types.StructField("dv_rows",
-      org.apache.spark.sql.types.LongType, nullable = true)))
+      org.apache.spark.sql.types.LongType, nullable = true),
+    // hash-bucket id; null on unbucketed entries AND on anchors
+    // written before the field existed (explicit-schema read → null)
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType, nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
     * version: single-file write (temp dir + rename of the part file),
@@ -224,7 +235,8 @@ object SnapshotTable {
           fe.bloom.map { case (c, ws) => c -> ws },
           e.op, e.ts,
           fe.dv.map(_._1).orNull,
-          fe.dv.map(d => java.lang.Long.valueOf(d._2)).orNull)): _*)
+          fe.dv.map(d => java.lang.Long.valueOf(d._2)).orNull,
+          fe.bucket.map(java.lang.Integer.valueOf).orNull)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -257,7 +269,7 @@ object SnapshotTable {
       FileEntry(r.getString(0), r.getLong(1),
         stats.map { case (c, a) => c -> (a(0), a(1)) }.toMap,
         bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap,
-        dv)
+        dv, if (r.isNullAt(8)) None else Some(r.getInt(8)))
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -318,6 +330,7 @@ object SnapshotTable {
       fe.dv.foreach { case (p, n) =>
         sb.append(s""","dv":{"path":"$p","n":$n}""")
       }
+      fe.bucket.foreach(b => sb.append(s""","bucket":$b"""))
       sb.append("}")
     }
     sb.append(']')
@@ -367,8 +380,10 @@ object SnapshotTable {
       val dv =
         if (dvn.isMissingNode) None
         else Some((dvn.get("path").asText, dvn.get("n").asLong))
+      val bn2 = fe.path("bucket") // absent on pre-bucketing manifests
+      val bucket = if (bn2.isMissingNode) None else Some(bn2.asInt)
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
-        stats.result(), bloom.result(), dv)
+        stats.result(), bloom.result(), dv, bucket)
     }
     out.result()
   }
@@ -1842,9 +1857,17 @@ object SnapshotTable {
       val dvd = m.files.filter(_.dv.isDefined)
       if (dvd.isEmpty) v
       else {
-        val fresh = stageFiles(spark,
-          readFiles(spark, dir, dvd, knownSchema = tableSchema(spark, dir, v)),
-          dir, statsCols)
+        // rewrite per bucket GROUP so a bucketed table's layout (and
+        // its storage-partitioned-join capability) survives the purge:
+        // each group's rewritten files inherit its bucket id (None
+        // stays None — unbucketed files purge together as before)
+        val known = tableSchema(spark, dir, v)
+        val fresh = dvd.groupBy(_.bucket).toSeq.flatMap {
+          case (bucket, files) =>
+            stageFiles(spark,
+              readFiles(spark, dir, files, knownSchema = known),
+              dir, statsCols).map(_.copy(bucket = bucket))
+        }
         commitStaged(spark, dir, "purge", fresh,
           removed = readSetOf(dvd), carry = true)
       }
@@ -1976,20 +1999,30 @@ object SnapshotTable {
     val m = readManifest(spark, dir, v)
     val small = m.files.filter(_.liveRows < smallRows)
     if (small.size < 2) return v // nothing to gain
-    // dv-masked: compacting a dv-carrying file PURGES its deletion
-    // vector (the rewrite materializes only live rows)
-    val smallDf = readFiles(spark, dir, small,
-      knownSchema = tableSchema(spark, dir, v))
-    val nOut = math.max(1, math.ceil(small.map(_.liveRows).sum.toDouble / targetRows).toInt)
-    val packed = zorderBy match {
-      case Some((c1, c2, bits)) =>
-        smallDf.repartitionByRange(nOut,
-          graft.operators.ZOrder.zkey(col(c1), col(c2), bits))
-      case None => smallDf.repartition(nOut)
+    // bin-pack WITHIN each bucket group so a bucketed table's layout
+    // (and its storage-partitioned-join capability) survives
+    // compaction — rewritten files inherit the group's bucket id, and
+    // unbucketed files (bucket None) pack together exactly as before.
+    // A group needs >= 2 files to gain anything; singletons stay.
+    val groups = small.groupBy(_.bucket).toSeq.filter(_._2.size >= 2)
+    if (groups.isEmpty) return v
+    val known = tableSchema(spark, dir, v)
+    val fresh = groups.flatMap { case (bucket, files) =>
+      // dv-masked: compacting a dv-carrying file PURGES its deletion
+      // vector (the rewrite materializes only live rows)
+      val df = readFiles(spark, dir, files, knownSchema = known)
+      val nOut = math.max(1,
+        math.ceil(files.map(_.liveRows).sum.toDouble / targetRows).toInt)
+      val packed = zorderBy match {
+        case Some((c1, c2, bits)) =>
+          df.repartitionByRange(nOut,
+            graft.operators.ZOrder.zkey(col(c1), col(c2), bits))
+        case None => df.repartition(nOut)
+      }
+      stageFiles(spark, packed, dir, statsCols).map(_.copy(bucket = bucket))
     }
-    val fresh = stageFiles(spark, packed, dir, statsCols)
     commitStaged(spark, dir, "compact", fresh,
-      removed = readSetOf(small), carry = true)
+      removed = readSetOf(groups.flatMap(_._2)), carry = true)
   }
 
   /** CDC: the row-level change feed between two versions, computed

@@ -45,7 +45,7 @@ import graft.sources.SnapshotTable
   * a table is one directory check, the log stays the source of truth.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog {
+  with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -129,7 +129,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft version identifiers are commit numbers, got '$version'")
     }
-    new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v))
+    new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v),
+      tableProps = readProps(dir))
   }
 
   /** SQL `TIMESTAMP AS OF t` (micros since epoch): the newest version
@@ -143,22 +144,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .filter(SnapshotTable.readManifest(spark, dir, _).ts <= tsMs)
       .lastOption.getOrElse(throw new IllegalStateException(
         s"no version of ${ident.toString} existed at epoch-ms $tsMs"))
-    new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v))
+    new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v),
+      tableProps = readProps(dir))
   }
 
-  /** `PARTITIONED BY` → the existing clusterBy/range-write layout
-    * machinery, persisted as table properties every later write
-    * inherits (the q6R path): identity transforms become clusterBy
-    * columns (each data file covers a narrow disjoint range — the
-    * same file-skipping partition pruning buys, without directory
-    * explosion at 100 TB), `bucket(n, col)` additionally pins the
-    * partition count. Integral partition columns get (min,max) stats,
-    * string ones get blooms, so the layout actually prunes.
-    * Explicit TBLPROPERTIES win over the derived defaults. */
+  /** `PARTITIONED BY` → layout table properties every later write
+    * inherits (the q6R path), two distinct layouts:
+    *
+    *  - identity transforms → `clusterBy` range clustering: each data
+    *    file covers a narrow disjoint key range — the same pruning
+    *    directory partitioning buys, without directory explosion at
+    *    100 TB.
+    *  - `bucket(n, col)` → REAL hash buckets (`bucketBy`/`buckets`):
+    *    every data file is pure in one [[GraftBucket]] id, the id is
+    *    recorded in the manifest, and the scan reports
+    *    `KeyGroupedPartitioning(bucket(n, col))` — joins between
+    *    tables bucketed alike plan with ZERO shuffle (storage-
+    *    partitioned joins), and `col = k` point reads prune to the one
+    *    bucket's files. The two are mutually exclusive (hash scatters
+    *    what range ordering sorts).
+    *
+    * Integral partition columns get (min,max) stats, string ones get
+    * blooms, so the layout actually prunes. Explicit TBLPROPERTIES
+    * win over the derived defaults. */
   private def layoutProps(partitions: Array[Transform],
                           schema: StructType): Map[String, String] = {
     if (partitions.isEmpty) return Map.empty
     var cols = Seq.empty[String]
+    var bucketCol = Option.empty[String]
     var buckets = Option.empty[Int]
     partitions.foreach { t =>
       t.name match {
@@ -171,26 +184,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(t.references.length == 1 &&
             t.references.head.fieldNames.length == 1,
             s"unsupported partition transform: ${t.describe}")
-          cols :+= t.references.head.fieldNames.head
+          require(bucketCol.isEmpty,
+            "at most one bucket(n, col) transform per table")
+          bucketCol = Some(t.references.head.fieldNames.head)
           buckets = t.arguments.collectFirst {
             case lit: org.apache.spark.sql.connector.expressions.Literal[_]
                 if lit.value.isInstanceOf[Int] => lit.value.asInstanceOf[Int]
           }
+          require(buckets.exists(_ > 0),
+            s"bucket transform needs a positive literal count: ${t.describe}")
         case other => throw new UnsupportedOperationException(
           s"PARTITIONED BY $other is not supported; use identity " +
-            "columns or bucket(n, col) — graft lays data out by range " +
-            "clustering, not directories")
+            "columns (range clustering) or bucket(n, col) (hash buckets)")
       }
     }
+    require(cols.isEmpty || bucketCol.isEmpty,
+      "PARTITIONED BY cannot mix identity columns with bucket(n, col): " +
+        "range clustering orders the key, hash buckets scatter it — pick one")
+    val keyed = cols ++ bucketCol
     def typed(p: String => Boolean): Seq[String] =
-      cols.filter(c => schema.fields.find(_.name == c).exists(f => p(
+      keyed.filter(c => schema.fields.find(_.name == c).exists(f => p(
         f.dataType.simpleString)))
     val stats = typed(Set("tinyint", "smallint", "int", "bigint").contains)
     val blooms = typed(_ == "string")
-    Map("clusterBy" -> cols.mkString(",")) ++
-      (if (stats.nonEmpty) Map("statsCols" -> stats.mkString(",")) else Map.empty) ++
-      (if (blooms.nonEmpty) Map("bloomCols" -> blooms.mkString(",")) else Map.empty) ++
-      buckets.map(n => "clusterPartitions" -> n.toString).toMap
+    val out = Map.newBuilder[String, String]
+    if (cols.nonEmpty) out += "clusterBy" -> cols.mkString(",")
+    if (stats.nonEmpty) out += "statsCols" -> stats.mkString(",")
+    if (blooms.nonEmpty) out += "bloomCols" -> blooms.mkString(",")
+    bucketCol.foreach(c => out += "bucketBy" -> c)
+    buckets.foreach(n => out += "buckets" -> n.toString)
+    out.result()
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -453,6 +476,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(fs.rename(from, to), s"rename $from -> $to failed")
     SnapshotTable.invalidateResolveCache() // cache keys are path-based
   }
+
+  // --- functions: the bucket transform's resolution surface ---
+
+  /** [[GraftBucketFunction]] is how Catalyst resolves the
+    * `bucket(n, col)` transform a bucketed table's scan reports —
+    * without a FunctionCatalog the reported `KeyGroupedPartitioning`
+    * is discarded and storage-partitioned joins never plan. Served
+    * under any namespace (Spark looks it up both bare and
+    * namespace-qualified). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // --- namespaces (directories without a _log) ---
 

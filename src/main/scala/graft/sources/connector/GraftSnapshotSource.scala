@@ -253,7 +253,7 @@ final class SnapshotV2Table(schema: StructType, dir: String,
         new CaseInsensitiveStringMap(m)
       case _ => options
     }
-    new SnapshotScanBuilder(schema, dir, opts)
+    new SnapshotScanBuilder(schema, dir, opts, tableProps)
   }
 
   override def newWriteBuilder(
@@ -283,7 +283,8 @@ final class SnapshotV2Table(schema: StructType, dir: String,
 object SnapshotV2Table {
   /** Table properties that act as write-layout defaults. */
   val LayoutProps: Seq[String] =
-    Seq("statsCols", "bloomCols", "clusterBy", "clusterPartitions")
+    Seq("statsCols", "bloomCols", "clusterBy", "clusterPartitions",
+      "bucketBy", "buckets")
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{abs, col, lit}
@@ -384,7 +385,8 @@ object SnapshotV2Table {
   * node remains above the scan, which for us means the query had no
   * filters at all) `pushAggregation` → `pruneColumns` → `build`. */
 final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
-                                options: CaseInsensitiveStringMap)
+                                options: CaseInsensitiveStringMap,
+                                tableProps: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -477,10 +479,24 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
     else Some((StructType(planned.map(_.get._1)), planned.map(_.get._2)))
   }
 
+  /** Declared hash bucketing, resolved to the CURRENT logical column
+    * name and its type: `bucketBy` is frozen at declaration (= the
+    * physical name), so a later RENAME COLUMN is followed through the
+    * mapping. None when undeclared or the column no longer exists. */
+  private def bucketSpec: Option[(String, DataType, Int)] = {
+    val logicalFor = physMap.map(_.swap)
+    for {
+      c <- tableProps.get("bucketBy")
+      n <- tableProps.get("buckets").map(_.toInt) if n > 0
+      logical = logicalFor.getOrElse(c, c)
+      f <- tableSchema.fields.find(_.name == logical)
+    } yield (logical, f.dataType, n)
+  }
+
   override def build(): Scan = {
     if (agg.isEmpty) GraftSnapshotSource.validateReadable(required)
     new SnapshotScan(dir, () => manifest, required, skipping, agg, options,
-      physMap)
+      physMap, bucketSpec)
   }
 }
 
@@ -501,9 +517,11 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
                          private val skipping: Array[Filter],
                          private val agg: Option[(StructType, Array[Any])],
                          options: CaseInsensitiveStringMap,
-                         physMap: Map[String, String] = Map.empty)
+                         physMap: Map[String, String] = Map.empty,
+                         bucketSpec: Option[(String, DataType, Int)] = None)
   extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private lazy val manifest = manifestF()
 
@@ -540,8 +558,71 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
     * first planning pass and execution. */
   private def prunedFiles: Seq[FileEntry] = {
     val all = skipping ++ runtimeSkipping
-    manifest.files.filter(fe => all.forall(SnapshotScan.keeps(fe, _, phys)))
+    val statsPruned =
+      manifest.files.filter(fe => all.forall(SnapshotScan.keeps(fe, _, phys)))
+    // hash-bucket pruning: `key = v` / `key IN (…)` on the bucket
+    // column keeps only the matching buckets' files — at n buckets an
+    // equality read opens 1/n of the table with no stats at all.
+    // Conservative by construction: files without a bucket id (written
+    // outside the bucketed path) are always kept, and Spark re-applies
+    // every filter post-scan.
+    bucketSpec match {
+      case Some((col, dt, n)) =>
+        val targets: Option[Set[Int]] =
+          (skipping ++ runtimeSkipping).foldLeft(Option.empty[Set[Int]]) {
+            (acc, f) =>
+              val thisOne: Option[Set[Int]] = f match {
+                case org.apache.spark.sql.sources.EqualTo(c, v) if c == col =>
+                  GraftBucket.ofLiteral(v, dt, n).map(Set(_))
+                case org.apache.spark.sql.sources.In(c, vs) if c == col =>
+                  val bs = vs.map(GraftBucket.ofLiteral(_, dt, n))
+                  if (bs.exists(_.isEmpty)) None else Some(bs.flatten.toSet)
+                case _ => None
+              }
+              (acc, thisOne) match {
+                case (Some(a), Some(b)) => Some(a.intersect(b)) // conjuncts
+                case (a, b) => a.orElse(b)
+              }
+          }
+        targets match {
+          case None => statsPruned
+          case Some(bs) =>
+            statsPruned.filter(_.bucket.forall(bs.contains))
+        }
+      case None => statsPruned
+    }
   }
+
+  /** The declared bucketing, but only when EVERY file of the (whole)
+    * manifest carries a valid bucket id — one file written outside
+    * the bucketed path (a merge's fresh files, a legacy append)
+    * disables the claim rather than corrupting it. */
+  private def effectiveBucketing: Option[(String, DataType, Int)] =
+    bucketSpec.filter { case (_, _, n) =>
+      manifest.files.forall(_.bucket.exists(b => b >= 0 && b < n))
+    }
+
+  /** Storage-partitioned-join handshake: a bucketed table's scan
+    * reports `KeyGroupedPartitioning(bucket(n, col), n)`; Catalyst
+    * resolves the transform through [[GraftCatalog]]'s
+    * FunctionCatalog and (under
+    * `spark.sql.sources.v2.bucketing.enabled`) plans joins between
+    * co-bucketed tables with ZERO Exchange. [[planInputPartitions]]
+    * emits exactly n key-grouped partitions — empty buckets included,
+    * so both join sides always present identical partition-value
+    * sets and never depend on push-down-part-values padding. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    effectiveBucketing match {
+      case Some((col, _, n)) if agg.isEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, col)), n)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)
 
@@ -573,7 +654,21 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
     case None =>
       val planned = prunedFiles
       ScanTelemetry.record(dir, planned.size, manifest.files.size)
-      planned.map(fe => SnapshotPartitions.partitionFor(dir, fe)).toArray
+      // under the SPJ conf a bucketed table plans one KEY-GROUPED
+      // partition per bucket id (all n, empty buckets included — both
+      // join sides must present identical partition-value sets); with
+      // the conf off the claim is ignored by Spark, so per-file
+      // partitions keep full scan parallelism
+      effectiveBucketing match {
+        case Some((_, _, n)) if org.apache.spark.sql.internal.SQLConf.get
+            .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) =>
+          val byBucket = planned.groupBy(_.bucket.get)
+          Array.tabulate[InputPartition](n)(b =>
+            SnapshotBucketPartition(b, byBucket.getOrElse(b, Nil)
+              .map(fe => SnapshotPartitions.partitionFor(dir, fe))))
+        case _ =>
+          planned.map(fe => SnapshotPartitions.partitionFor(dir, fe)).toArray
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

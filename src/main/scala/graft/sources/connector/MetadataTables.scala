@@ -21,9 +21,10 @@ import graft.sources.SnapshotTable
   *    table format grows;
   *  - `cat.ns.t.files` — one row per live data file of the CURRENT
   *    version (path, rows, live_rows, dv_path, dv_rows, stats,
-  *    bloom_cols): the layout-inspection surface behind maintenance
-  *    decisions (which files are small? which carry vectors? what do
-  *    the ranges look like?).
+  *    bloom_cols, bucket): the layout-inspection surface behind
+  *    maintenance decisions (which files are small? which carry
+  *    vectors? what do the ranges look like? is the bucket layout
+  *    intact for storage-partitioned joins?).
   *
   * Spark parses `SELECT * FROM cat.ns.t.history` as the identifier
   * `Identifier(["ns","t"], "history")`; [[GraftCatalog.loadTable]]
@@ -73,7 +74,8 @@ object MetadataTables {
       StructField("dv_path", StringType, nullable = true),
       StructField("dv_rows", LongType, nullable = false),
       StructField("stats", statsType, nullable = false),
-      StructField("bloom_cols", ArrayType(StringType, false), nullable = false)))
+      StructField("bloom_cols", ArrayType(StringType, false), nullable = false),
+      StructField("bucket", IntegerType, nullable = true)))
     val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val rows = SnapshotTable.readManifest(spark, dir, v).files.map { fe =>
@@ -87,7 +89,8 @@ object MetadataTables {
           new GenericArrayData(statKeys.map(k => new GenericArrayData(
             Array[Any](fe.stats(k)._1, fe.stats(k)._2))).toArray[Any])),
         new GenericArrayData(
-          fe.bloom.keys.toSeq.sorted.map(UTF8String.fromString).toArray[Any])))
+          fe.bloom.keys.toSeq.sorted.map(UTF8String.fromString).toArray[Any]),
+        fe.bucket.map(Int.box).orNull))
         : InternalRow
     }
     new SnapshotMetaTable(s"graft_snapshot($dir).files", schema, rows)

@@ -50,6 +50,18 @@ final case class SnapshotFilePartition(fileUri: String, baseName: String,
 final case class MetadataAggPartition(schemaJson: String, values: Seq[Long])
   extends InputPartition
 
+/** All surviving files of ONE hash bucket, as a single key-grouped
+  * input partition — the unit a storage-partitioned join zips with
+  * the other side's same-keyed partition. Possibly empty: both scans
+  * always present every bucket id, so their partition-value sets
+  * match by construction. */
+final case class SnapshotBucketPartition(bucket: Int,
+                                         files: Seq[SnapshotFilePartition])
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 final class SnapshotReaderFactory(schema: StructType,
                                   filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
   extends PartitionReaderFactory {
@@ -65,6 +77,8 @@ final class SnapshotReaderFactory(schema: StructType,
     p match {
       case m: MetadataAggPartition => new MetadataAggReader(m)
       case f: SnapshotFilePartition => new SnapshotFileReader(f, schema)
+      case b: SnapshotBucketPartition => new ChainedPartitionReader(
+        b.files.map(f => () => new SnapshotFileReader(f, schema)))
     }
 
   /** File partitions with a non-empty projection read VECTORIZED
@@ -76,6 +90,7 @@ final class SnapshotReaderFactory(schema: StructType,
     * the all-or-nothing columnar contract holds per scan. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
     case _: SnapshotFilePartition => schema.nonEmpty
+    case _: SnapshotBucketPartition => schema.nonEmpty
     case _ => false
   }
 
@@ -84,9 +99,43 @@ final class SnapshotReaderFactory(schema: StructType,
     p match {
       case f: SnapshotFilePartition =>
         new SnapshotColumnarFileReader(f, schema, sessionConf, filters)
+      case b: SnapshotBucketPartition =>
+        new ChainedPartitionReader(b.files.map(f =>
+          () => new SnapshotColumnarFileReader(f, schema, sessionConf, filters)))
       case other => throw new IllegalStateException(
         s"no columnar reader for $other")
     }
+}
+
+/** Sequential concatenation of per-file readers — a bucket partition
+  * reads its files one after another. Readers open LAZILY (thunks),
+  * so at most one file's reader is live at a time. */
+private final class ChainedPartitionReader[T](
+    parts: Seq[() => PartitionReader[T]])
+  extends PartitionReader[T] {
+
+  private val it = parts.iterator
+  private var current: PartitionReader[T] = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) {
+        if (!it.hasNext) return false
+        current = it.next()()
+      }
+      if (current.next()) return true
+      current.close()
+      current = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = current.get()
+
+  override def close(): Unit = if (current != null) {
+    current.close()
+    current = null
+  }
 }
 
 private final class MetadataAggReader(p: MetadataAggPartition)

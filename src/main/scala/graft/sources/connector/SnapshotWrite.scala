@@ -10,7 +10,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA, MessageType, Typ
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,17 +102,52 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       Expressions.sort(Expressions.column(incomingName(c)),
         SortDirection.ASCENDING)).toArray
 
+    // Hash bucketing (`bucketBy=key, buckets=n`): the write requests a
+    // CLUSTERED distribution on the key with exactly n partitions.
+    // Spark's exchange routes rows by pmod(murmur3(key), n) — which IS
+    // [[GraftBucket.of]] — so each task receives one bucket and writes
+    // one per-bucket-pure file whose bucket id lands in the manifest;
+    // the task-side splitter keeps correctness even if routing ever
+    // diverged. This is what the scan's storage-partitioned-join
+    // reporting stands on.
+    private val bucketCol: Option[String] =
+      Option(info.options.get("bucketBy")).map(_.trim).filter(_.nonEmpty)
+    private val bucketCount: Int =
+      Option(info.options.get("buckets")).map(_.toInt).getOrElse(0)
+    bucketCol.foreach { c =>
+      require(bucketCount > 0,
+        s"bucketBy=$c needs buckets=<n> (a positive bucket count)")
+      require(clusterCols.isEmpty,
+        "bucketBy and clusterBy are mutually exclusive: hash buckets " +
+          "scatter the key, range clustering orders it — pick one layout")
+      require(aligned.fieldNames.contains(c),
+        s"bucketBy column $c is not in the write schema " +
+          aligned.fieldNames.mkString("[", ", ", "]"))
+      val dt = aligned.fields(aligned.fieldIndex(c)).dataType
+      require(GraftBucket.supports(dt),
+        s"bucketBy column $c: ${dt.simpleString} is not a supported " +
+          "bucket key type (integral, date/timestamp, or string)")
+    }
+
     override def requiredDistribution(): Distribution =
-      if (clusterCols.isEmpty) Distributions.unspecified()
+      if (bucketCol.isDefined)
+        // backtick-quoted: a positional INSERT's incoming name is an
+        // expression string ("(id % 5)") that the bare column parser
+        // rejects — quoting makes it one literal name part
+        Distributions.clustered(Array[Expression](Expressions.column(
+          "`" + incomingName(bucketCol.get).replace("`", "``") + "`")))
+      else if (clusterCols.isEmpty) Distributions.unspecified()
       else Distributions.ordered(sortOrders)
 
-    override def requiredOrdering(): Array[SortOrder] = sortOrders
+    override def requiredOrdering(): Array[SortOrder] =
+      if (bucketCol.isDefined) Array.empty else sortOrders
 
     override def requiredNumPartitions(): Int =
-      // only meaningful under an ordered distribution — Spark rejects
-      // a partition count with an unspecified one (and a table may
-      // carry clusterPartitions as a property after UNSETting clusterBy)
-      if (clusterCols.isEmpty) 0
+      // only meaningful under an ordered/clustered distribution —
+      // Spark rejects a partition count with an unspecified one (and a
+      // table may carry clusterPartitions after UNSETting clusterBy)
+      if (bucketCol.isDefined) bucketCount
+      else if (clusterCols.isEmpty) 0
       else Option(info.options.get("clusterPartitions"))
         .map(_.toInt).getOrElse(0)
 
@@ -121,7 +156,8 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       new SnapshotBatchWrite(dir, aligned, overwrite,
         cols("statsCols").map(c => pm.getOrElse(c, c)),
         cols("bloomCols").map(c => pm.getOrElse(c, c)),
-        SnapshotWriteSupport.rename(aligned, pm))
+        SnapshotWriteSupport.rename(aligned, pm),
+        bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)))
     }
 
     override def toStreaming
@@ -227,7 +263,8 @@ final class SnapshotStreamingWriterFactory(dir: String, schema: StructType,
 final class SnapshotBatchWrite(dir: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
                                bloomCols: Seq[String],
-                               physSchema0: StructType = null)
+                               physSchema0: StructType = null,
+                               bucketSpec: Option[(String, Int)] = None)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -241,13 +278,11 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SnapshotWriterFactory(dir, physSchema, statsCols, bloomCols,
-      java.util.UUID.randomUUID.toString.take(8))
+      java.util.UUID.randomUUID.toString.take(8), bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect {
-      case w: WrittenFile if w.path.nonEmpty => // empty partitions write nothing
-        FileEntry(w.path, w.rows, w.stats, w.bloom)
-    }.toSeq
+    val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
+      FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket))
     SnapshotTable.commitAdded(SparkSession.active, dir,
       if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
       schemaJson = Some(schema.json))
@@ -260,32 +295,99 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
     // empty-partition messages carry "" — new Path(root, "") throws,
     // masking the original failure and orphaning the remaining staged
     // files (same guard as the streaming abort)
-    messages.collect { case w: WrittenFile if w.path.nonEmpty =>
-      fs.delete(new Path(root, w.path), false)
-    }
+    SnapshotWriteSupport.writtenFiles(messages).foreach(w =>
+      fs.delete(new Path(root, w.path), false))
   }
 }
 
 /** One committed data file, as reported by the task that wrote it. */
 final case class WrittenFile(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
-                             bloom: Map[String, Seq[Long]])
+                             bloom: Map[String, Seq[Long]],
+                             bucket: Option[Int] = None)
+  extends WriterCommitMessage
+
+/** A bucketed task's files — one per bucket id it received. */
+final case class WrittenFileSet(files: Seq[WrittenFile])
   extends WriterCommitMessage
 
 final class SnapshotWriterFactory(dir: String, schema: StructType,
                                   statsCols: Seq[String],
-                                  bloomCols: Seq[String], nonce: String)
+                                  bloomCols: Seq[String], nonce: String,
+                                  bucketSpec: Option[(String, Int)] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
-      // taskId is unique per attempt: a speculative/retried attempt
-      // writes a distinct file; only the committed attempt's message
-      // reaches the manifest
-      f"data/$nonce-p$partitionId%05d-t$taskId.parquet")
+    bucketSpec match {
+      case Some((col, n)) =>
+        new BucketedDataWriter(dir, schema, statsCols, bloomCols, col, n,
+          // taskId is unique per attempt (same note as below)
+          b => f"data/$nonce-p$partitionId%05d-t$taskId-b$b%05d.parquet")
+      case None =>
+        new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
+          // taskId is unique per attempt: a speculative/retried attempt
+          // writes a distinct file; only the committed attempt's message
+          // reaches the manifest
+          f"data/$nonce-p$partitionId%05d-t$taskId.parquet")
+    }
+}
+
+/** Splits a task's rows into per-bucket [[SnapshotDataWriter]]s, so
+  * every data file is PURE in one bucket id regardless of how the
+  * exchange routed rows. Under the builder's clustered-distribution
+  * request the routing aligns (partition id == bucket id) and exactly
+  * one delegate opens; the map is the correctness backstop, not the
+  * common path. */
+private final class BucketedDataWriter(dir: String, schema: StructType,
+                                       statsCols: Seq[String],
+                                       bloomCols: Seq[String],
+                                       bucketCol: String, n: Int,
+                                       relPath: Int => String)
+  extends DataWriter[InternalRow] {
+
+  private val keyIdx = schema.fieldIndex(bucketCol)
+  private val keyType = schema.fields(keyIdx).dataType
+  private val writers = new java.util.HashMap[Int, SnapshotDataWriter]()
+
+  override def write(row: InternalRow): Unit = {
+    val v = if (row.isNullAt(keyIdx)) null else row.get(keyIdx, keyType)
+    val b = GraftBucket.of(v, keyType, n)
+    var w = writers.get(b)
+    if (w == null) {
+      w = new SnapshotDataWriter(dir, schema, statsCols, bloomCols, relPath(b))
+      writers.put(b, w)
+    }
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = Seq.newBuilder[WrittenFile]
+    writers.forEach { (b, w) =>
+      w.commit() match {
+        case f: WrittenFile if f.path.nonEmpty =>
+          files += f.copy(bucket = Some(b))
+        case _ => ()
+      }
+    }
+    WrittenFileSet(files.result())
+  }
+
+  override def abort(): Unit = writers.forEach((_, w) => w.abort())
+
+  override def close(): Unit = writers.forEach((_, w) => w.close())
 }
 
 private object SnapshotWriteSupport {
+
+  /** Flatten commit messages to the non-empty written files (empty
+    * partitions report a ""-path placeholder; bucketed tasks report a
+    * [[WrittenFileSet]]). */
+  def writtenFiles(messages: Array[WriterCommitMessage]): Seq[WrittenFile] =
+    messages.toSeq.flatMap {
+      case w: WrittenFile => Seq(w)
+      case s: WrittenFileSet => s.files
+      case _ => Nil
+    }.filter(_.path.nonEmpty)
 
   /** Schema alignment under ACCEPT_ANY_SCHEMA (which disables Spark's
     * own output resolution): write columns by NAME when the incoming

@@ -1449,19 +1449,19 @@ class ConnectorSpec extends SparkTestBase {
       "stats keys must stay uniform under the frozen physical name")
   }
 
-  test("CREATE TABLE PARTITIONED BY lands range-clustered, pruned files") {
+  test("CREATE TABLE PARTITIONED BY: hash buckets and range clustering") {
     val root = Files.createTempDirectory("graft-catC").toString
     spark.conf.set("spark.sql.catalog.graftcatc",
       classOf[graft.sources.connector.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graftcatc.root", root)
-    // bucket(8, k): identity layout + pinned partition count — the
-    // pure-SQL route to the clusterBy/statsCols machinery
+    // bucket(8, k): REAL hash buckets — per-bucket-pure files with the
+    // bucket id in the manifest
     spark.sql("CREATE TABLE graftcatc.t (k BIGINT, name STRING, p BIGINT) " +
       "PARTITIONED BY (bucket(8, k))")
     val props = spark.sql("SHOW TBLPROPERTIES graftcatc.t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(props.get("clusterBy").contains("k"))
-    assert(props.get("clusterPartitions").contains("8"))
+    assert(props.get("bucketBy").contains("k"))
+    assert(props.get("buckets").contains("8"))
     assert(props.get("statsCols").contains("k"))
     spark.sql("INSERT INTO graftcatc.t " +
       "SELECT id, concat('n', id), id % 97 FROM range(0, 8000)")
@@ -1469,13 +1469,25 @@ class ConnectorSpec extends SparkTestBase {
     val m = SnapshotTable.readManifest(spark, dir,
       SnapshotTable.latestVersion(spark, dir).get)
     assert(m.files.size == 8, s"expected 8 bucketed files, got ${m.files.size}")
-    // disjoint ranges → a narrow read plans ~1 of 8 files
-    spark.sql("SELECT sum(p) AS s FROM graftcatc.t WHERE k BETWEEN 100 AND 200")
+    assert(m.files.flatMap(_.bucket).sorted == (0 until 8),
+      s"expected bucket ids 0..7, got ${m.files.map(_.bucket)}")
+    // each file is PURE in its bucket: recompute every row's bucket
+    // with Spark's own shuffle hash (graft's bucket function by
+    // construction) and compare to the manifest id
+    m.files.foreach { fe =>
+      val buckets = spark.read.parquet(s"$dir/${fe.path}")
+        .select(pmod(hash($"k"), lit(8)).as("b")).distinct()
+        .as[Int].collect().toSeq
+      assert(buckets == Seq(fe.bucket.get),
+        s"file ${fe.path} (bucket ${fe.bucket}) holds buckets $buckets")
+    }
+    // hash-bucket pruning: a point read opens only the key's bucket
+    spark.sql("SELECT sum(p) AS s FROM graftcatc.t WHERE k = 123")
       .collect()
     val (planned, total) = graft.sources.connector.ScanTelemetry
       .lastPlanned(dir).get
-    assert(total == 8 && planned <= 2,
-      s"PARTITIONED BY layout did not prune: planned $planned of $total")
+    assert(total == 8 && planned == 1,
+      s"bucket pruning did not prune: planned $planned of $total")
     // identity + string partition column → bloom layout, point reads prune
     spark.sql("CREATE TABLE graftcatc.t2 (name STRING, v BIGINT) " +
       "PARTITIONED BY (name)")
@@ -1490,6 +1502,169 @@ class ConnectorSpec extends SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("PARTITIONED BY")))
+  }
+
+  test("storage-partitioned join: co-bucketed tables join with zero shuffles") {
+    val root = Files.createTempDirectory("graft-spj").toString
+    spark.conf.set("spark.sql.catalog.graftspj",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspj.root", root)
+    spark.sql("CREATE TABLE graftspj.facts (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE graftspj.dims (k BIGINT, w STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graftspj.facts " +
+      "SELECT id % 500, id FROM range(0, 6000)")
+    spark.sql("INSERT INTO graftspj.dims " +
+      "SELECT id, concat('w', id) FROM range(0, 500)")
+    val q = "SELECT f.k, count(*) AS cnt, sum(f.v) AS sv " +
+      "FROM graftspj.facts f JOIN graftspj.dims d ON f.k = d.k " +
+      "GROUP BY f.k"
+    def shufflesOf(plan: String): Int =
+      "(?i)ShuffleExchange|Exchange hashpartitioning".r
+        .findAllIn(plan).size
+    // baseline (SPJ off): the join shuffles; results are the truth
+    val expected = withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql(q).collect().map(_.toSeq).toSet
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      val got = df.collect().map(_.toSeq).toSet
+      assert(got == expected)
+      val plan = df.queryExecution.executedPlan.toString
+      // ZERO exchanges in the whole query: the join zips the two
+      // scans' key-grouped partitions, and the groupBy on the bucket
+      // key rides the same partitioning
+      assert(shufflesOf(plan) == 0,
+        s"expected the SPJ join to plan shuffle-free, got plan:\n$plan")
+    }
+    // one file written OUTSIDE the bucketed path disables the claim
+    // conservatively (never corrupts it)
+    spark.range(0, 5).selectExpr("id AS k", "id AS v")
+      .write.format("graft_snapshot").option("path", s"$root/facts")
+      .mode("append").save()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(shufflesOf(plan) >= 2,
+        s"a bucket-less file must disable SPJ, got plan:\n$plan")
+      df.collect() // still correct, just shuffled
+    }
+  }
+
+  test("v2 bucketing shuffle: only the unbucketed join side shuffles") {
+    val root = Files.createTempDirectory("graft-spjs").toString
+    spark.conf.set("spark.sql.catalog.graftspjs",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjs.root", root)
+    spark.sql("CREATE TABLE graftspjs.facts (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graftspjs.facts " +
+      "SELECT id % 300, id FROM range(0, 4000)")
+    spark.range(0, 300).selectExpr("id AS k", "id * 3 AS w")
+      .createOrReplaceTempView("plain_side")
+    val q = "SELECT f.k AS k, count(*) AS cnt, sum(f.v + p.w) AS s " +
+      "FROM graftspjs.facts f JOIN plain_side p ON f.k = p.k GROUP BY f.k"
+    val expected = withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.sql(q).collect().map(_.toSeq).toSet
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      // final plan only — AQE's toString appends the pre-adaptive
+      // initial plan, which would double-count
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // ONE exchange in the whole query, and it is the plain side
+      // shuffling INTO the bucket layout by evaluating the catalog's
+      // bucket function (GraftBucketBound.produceResult); the
+      // bucketed scan and the bucket-key groupBy stay exchange-free
+      val n = "(?i)exchange".r.findAllIn(plan).size
+      assert(n == 1 && plan.contains("keygroupedpartitioning"),
+        s"expected exactly one key-grouped (plain-side) exchange in:\n$plan")
+    }
+  }
+
+  test("bucket layout survives delete -> purge -> compact") {
+    val root = Files.createTempDirectory("graft-spjm").toString
+    spark.conf.set("spark.sql.catalog.graftspjm",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjm.root", root)
+    spark.sql("CREATE TABLE graftspjm.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // two appends → 8 files (2 per bucket), then a dv delete
+    spark.sql("INSERT INTO graftspjm.t SELECT id % 40, id FROM range(0, 2000)")
+    spark.sql("INSERT INTO graftspjm.t " +
+      "SELECT id % 40, id FROM range(2000, 4000)")
+    spark.sql("DELETE FROM graftspjm.t WHERE v % 10 = 3")
+    val dir = s"$root/t"
+    def manifest = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(manifest.files.forall(_.bucket.isDefined),
+      "dv deletes must keep files (and their bucket ids) untouched")
+    // purge rewrites the dv-carrying files PER BUCKET GROUP
+    SnapshotTable.purgeDeletes(spark, dir)
+    val afterPurge = manifest
+    assert(afterPurge.files.forall(_.dv.isEmpty))
+    assert(afterPurge.files.forall(_.bucket.isDefined),
+      s"purge lost bucket ids: ${afterPurge.files.map(_.bucket)}")
+    // compact bin-packs WITHIN buckets: 4 files out, ids 0..3
+    SnapshotTable.compact(spark, dir, smallRows = 100000L,
+      targetRows = 1000000L)
+    val afterCompact = manifest
+    assert(afterCompact.files.flatMap(_.bucket).sorted == (0 until 4),
+      s"compact lost the layout: ${afterCompact.files.map(_.bucket)}")
+    // each compacted file stays PURE in its bucket
+    afterCompact.files.foreach { fe =>
+      val buckets = spark.read.parquet(s"$dir/${fe.path}")
+        .select(pmod(hash($"k"), lit(4)).as("b")).distinct()
+        .as[Int].collect().toSeq
+      assert(buckets == Seq(fe.bucket.get))
+    }
+    // and the table still joins shuffle-free against a co-bucketed one
+    spark.sql("CREATE TABLE graftspjm.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjm.d SELECT id, id FROM range(0, 40)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("SELECT count(*) AS c FROM graftspjm.t t " +
+        "JOIN graftspjm.d d ON t.k = d.k")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"post-maintenance table lost SPJ:\n$plan")
+    }
+  }
+
+  test("graft bucket function matches Spark's shuffle hash exactly") {
+    import graft.sources.connector.GraftBucket
+    import org.apache.spark.sql.types._
+    // longs, strings, and a null — pmod(hash(x), n) IS GraftBucket.of
+    val longs = spark.range(0, 1000).select($"id",
+      pmod(hash($"id"), lit(16)).as("b")).collect()
+    longs.foreach(r => assert(
+      GraftBucket.of(r.getLong(0), LongType, 16) == r.getInt(1)))
+    val strs = spark.range(0, 1000)
+      .select(concat(lit("key-"), $"id").as("s"))
+      .select($"s", pmod(hash($"s"), lit(16)).as("b")).collect()
+    strs.foreach(r => assert(
+      GraftBucket.ofLiteral(r.getString(0), StringType, 16)
+        .contains(r.getInt(1))))
+    val nullB = spark.sql("SELECT pmod(hash(CAST(NULL AS BIGINT)), 16)")
+      .collect().head.getInt(0)
+    assert(GraftBucket.of(null, LongType, 16) == nullB)
   }
 
   test("unsupported DML shapes fail loudly at analysis time") {
