@@ -45,8 +45,10 @@ object SpjProbe {
     }
     def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect()
-      "Exchange hashpartitioning".r
-        .findAllIn(df.queryExecution.executedPlan.toString).size
+      // final plan only: AQE's toString appends the pre-adaptive
+      // initial plan, which would double-count
+      "Exchange hashpartitioning".r.findAllIn(df.queryExecution
+        .executedPlan.toString.split("== Initial Plan ==").head).size
     }
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
     val exOff = exchanges(spark.sql(q))
