@@ -117,6 +117,44 @@ object GraftBucket {
   }
 }
 
+/** TBLPROPERTIES IO: one small `_props.json` next to the log — layout
+  * DEFAULTS (statsCols/bloomCols/clusterBy/bucketBy/buckets), not
+  * data: they affect future writes only, so they live deliberately
+  * outside the versioned commit history (like Delta's table config,
+  * unlike its schema). Shared by [[GraftCatalog]] (SQL surface) and
+  * [[SnapshotWriteBuilder]] (which must cross-check a path write's
+  * explicit bucket options against the table's declared layout). */
+private[connector] object GraftTableProps {
+
+  def read(hconf: org.apache.hadoop.conf.Configuration,
+           dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_props.json")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        val it = node.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      } finally in.close()
+    }
+  }
+
+  def write(hconf: org.apache.hadoop.conf.Configuration, dir: String,
+            props: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_props.json")
+    val fs = p.getFileSystem(hconf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+}
+
 /** The `bucket` V2 function [[GraftCatalog]] serves: binds
   * `(int numBuckets, key)` → int bucket id. The `canonicalName`
   * carries the key type — Spark treats two `TransformExpression`s as

@@ -242,38 +242,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       !ReservedProps.contains(k.toLowerCase) && !k.startsWith("option.")
     }
 
-  private def propsPath(dir: String) = new Path(dir, "_props.json")
+  private def readProps(dir: String): Map[String, String] =
+    GraftTableProps.read(hconf, dir)
 
-  /** TBLPROPERTIES live in one small `_props.json` next to the log —
-    * layout DEFAULTS (statsCols/bloomCols/clusterBy), not data: they
-    * affect future writes only, so they are deliberately outside the
-    * versioned commit history (like Delta's table config, unlike its
-    * schema). */
-  private def readProps(dir: String): Map[String, String] = {
-    val p = propsPath(dir)
-    val fs = p.getFileSystem(hconf)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        val it = node.properties().iterator()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-        b.result()
-      } finally in.close()
-    }
-  }
-
-  private def writeProps(dir: String, props: Map[String, String]): Unit = {
-    val p = propsPath(dir)
-    val fs = p.getFileSystem(hconf)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
-    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-  }
+  private def writeProps(dir: String, props: Map[String, String]): Unit =
+    GraftTableProps.write(hconf, dir, props)
 
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
@@ -337,6 +310,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case (acc, s: TableChange.SetProperty) =>
           require(!ReservedProps.contains(s.property.toLowerCase),
             s"property '${s.property}' is reserved")
+          // bucketBy/buckets describe how the DATA is laid out, not a
+          // future-write default: re-declaring them over existing
+          // files would make the scan report a partitioning the file
+          // bucket ids don't satisfy — a storage-partitioned join
+          // would then silently join mis-bucketed rows. Rewrite the
+          // data instead (INSERT OVERWRITE re-buckets).
+          require(!Set("bucketby", "buckets").contains(s.property.toLowerCase) ||
+            SnapshotTable.readManifest(spark, dir,
+              SnapshotTable.latestVersion(spark, dir).get).files.isEmpty,
+            s"cannot change '${s.property}' on a non-empty table: bucket " +
+              "ids are recorded per file; INSERT OVERWRITE the table to " +
+              "re-bucket it")
           acc + (s.property -> s.value)
         case (acc, r: TableChange.RemoveProperty) => acc - r.property
         case (acc, _) => acc

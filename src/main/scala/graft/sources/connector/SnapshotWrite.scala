@@ -114,6 +114,22 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       Option(info.options.get("bucketBy")).map(_.trim).filter(_.nonEmpty)
     private val bucketCount: Int =
       Option(info.options.get("buckets")).map(_.toInt).getOrElse(0)
+    // a table with a DECLARED bucket layout must never accept a write
+    // bucketed differently: mixed-hash bucket ids under one declared n
+    // would make the scan's reported partitioning a lie and a
+    // storage-partitioned join silently wrong. (A bucket-less write is
+    // fine — its files disable the partitioning claim conservatively.)
+    locally {
+      val declared = GraftTableProps.read(
+        SparkSession.active.sparkContext.hadoopConfiguration, dir)
+      for (dc <- declared.get("bucketBy"); dn <- declared.get("buckets"))
+        bucketCol.foreach { c =>
+          require(c == dc && bucketCount.toString == dn,
+            s"write bucketing ($c, $bucketCount) contradicts the table's " +
+              s"declared layout ($dc, $dn); INSERT OVERWRITE re-buckets " +
+              "under the declared layout")
+        }
+    }
     bucketCol.foreach { c =>
       require(bucketCount > 0,
         s"bucketBy=$c needs buckets=<n> (a positive bucket count)")

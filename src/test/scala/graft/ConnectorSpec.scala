@@ -1648,6 +1648,43 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("declared bucket layout cannot be contradicted after the fact") {
+    val root = Files.createTempDirectory("graft-spjg").toString
+    spark.conf.set("spark.sql.catalog.graftspjg",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjg.root", root)
+    spark.sql("CREATE TABLE graftspjg.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graftspjg.t SELECT id, id FROM range(0, 100)")
+    def msgs(t: Throwable): String = {
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
+      all(t).mkString("\n")
+    }
+    // changing the declared bucket count over recorded per-file ids
+    // would make the reported partitioning a lie — refused on a
+    // non-empty table
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE graftspjg.t SET TBLPROPERTIES ('buckets'='16')"))
+    assert(msgs(e1).contains("re-bucket"))
+    // a path write bucketed DIFFERENTLY from the declared layout is
+    // refused before a row is written
+    val e2 = intercept[Exception] {
+      spark.range(0, 5).selectExpr("id AS k", "id AS v")
+        .write.format("graft_snapshot").option("path", s"$root/t")
+        .option("bucketBy", "k").option("buckets", "16")
+        .mode("append").save()
+    }
+    assert(msgs(e2).contains("contradicts"))
+    // TRUNCATE empties the manifest; the layout may then be re-declared
+    spark.sql("TRUNCATE TABLE graftspjg.t")
+    spark.sql("ALTER TABLE graftspjg.t SET TBLPROPERTIES ('buckets'='16')")
+    spark.sql("INSERT INTO graftspjg.t SELECT id, id FROM range(0, 100)")
+    val m = SnapshotTable.readManifest(spark, s"$root/t",
+      SnapshotTable.latestVersion(spark, s"$root/t").get)
+    assert(m.files.forall(_.bucket.exists(_ < 16)) && m.files.size == 16)
+  }
+
   test("graft bucket function matches Spark's shuffle hash exactly") {
     import graft.sources.connector.GraftBucket
     import org.apache.spark.sql.types._
