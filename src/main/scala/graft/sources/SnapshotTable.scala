@@ -773,10 +773,56 @@ object SnapshotTable {
     * overwrite-shaped writes, whose commit replaces the schema (and
     * with it any mapping). One extra small log read per stage,
     * nothing when the table has no mapping. */
-  private def stageFiles(spark: SparkSession, df0: DataFrame, dir: String,
+  /** The table's DECLARED hash-bucket layout (`bucketBy`/`buckets`
+    * TBLPROPERTIES) as (CURRENT logical column name, n) — None when
+    * undeclared, when the column no longer exists, or when its type
+    * is outside [[graft.sources.connector.GraftBucket]]'s surface.
+    * DML rewrites and programmatic writes pass this to [[stageFiles]]
+    * so the layout (and the table's storage-partitioned-join
+    * capability) survives every non-streaming write path. */
+  private def bucketLayout(spark: SparkSession, dir: String): Option[(String, Int)] = {
+    val props = graft.sources.connector.GraftTableProps.read(
+      spark.sparkContext.hadoopConfiguration, dir)
+    for {
+      c <- props.get("bucketBy")
+      n <- props.get("buckets").map(_.toInt) if n > 0
+      // bucketBy records the create-time (physical) name; resolve the
+      // CURRENT logical field through the recorded schema
+      f <- latestVersion(spark, dir).flatMap(v => tableSchema(spark, dir, v))
+        .map(s => s.fields.find(x => physicalName(x) == c)
+          .orElse(s.fields.find(_.name == c)))
+        .getOrElse(Some(org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.NullType))) // schema-less: type unknowable
+      if graft.sources.connector.GraftBucket.supports(f.dataType)
+    } yield (f.name, n)
+  }
+
+  /** Output-partition index from a Spark part-file name
+    * (`part-00007-<uuid>…`); None on anything else — callers degrade
+    * to an unbucketed entry rather than guessing. */
+  private val PartIndexRe = "part-(\\d+)-.*".r
+  private def partIndexOf(base: String): Option[Int] = base match {
+    case PartIndexRe(i) => Some(i.toInt)
+    case _ => None
+  }
+
+  /** `bucketize = Some((col, n))` repartitions the frame by Spark's
+    * own hash on `col` into exactly n partitions — partition id IS
+    * the [[graft.sources.connector.GraftBucket]] id by construction —
+    * and tags each staged entry with its bucket (parsed from the part
+    * file's partition index; empty buckets write nothing). */
+  private def stageFiles(spark: SparkSession, df0raw: DataFrame, dir: String,
                          statsCols0: Seq[String],
                          bloomCols0: Seq[String] = Nil,
-                         applyMapping: Boolean = true): Seq[FileEntry] = {
+                         applyMapping: Boolean = true,
+                         bucketize: Option[(String, Int)] = None): Seq[FileEntry] = {
+    val bucketing = bucketize.filter { case (c, _) =>
+      df0raw.columns.contains(c)
+    }
+    val df0 = bucketing match {
+      case Some((c, n)) => df0raw.repartition(n, col(s"`$c`"))
+      case None => df0raw
+    }
     val mapping: Map[String, String] =
       if (!applyMapping) Map.empty
       else latestVersion(spark, dir).flatMap(v => tableSchema(spark, dir, v))
@@ -820,7 +866,11 @@ object SnapshotTable {
       val blooms = bloomCols.map { c =>
         c -> r.getAs[scala.collection.Seq[Long]](s"__bloom_$c").toVector.asInstanceOf[Seq[Long]]
       }.toMap
-      FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms)
+      val bucket = bucketing.flatMap { case (_, n) =>
+        partIndexOf(base).filter(_ < n)
+      }
+      FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms,
+        bucket = bucket)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
@@ -843,7 +893,7 @@ object SnapshotTable {
     // overwrite replaces the schema (and any rename mapping with it):
     // its files are written under the writer's own names
     val fresh = stageFiles(spark, df, dir, statsCols, bloomCols,
-      applyMapping = carry)
+      applyMapping = carry, bucketize = bucketLayout(spark, dir))
     commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry,
       schemaJson = Some(df.schema.json))
   }
@@ -862,7 +912,7 @@ object SnapshotTable {
                  statsCols: Seq[String] = Nil,
                  opTag: Option[String] = None): Long = {
     val fresh = stageFiles(spark, df, dir, statsCols,
-      applyMapping = mode == "append")
+      applyMapping = mode == "append", bucketize = bucketLayout(spark, dir))
     if (fresh.nonEmpty) {
       // staged files carry PHYSICAL names on a mapped table; the
       // declarative checks are written over logical names
@@ -1200,7 +1250,8 @@ object SnapshotTable {
         else when(col("__isu").isNotNull, col(s"u.$c")).otherwise(fromT).as(c)
       }: _*)
     }
-    val fresh = stageFiles(spark, merged, dir, statsCols)
+    val fresh = stageFiles(spark, merged, dir, statsCols,
+      bucketize = bucketLayout(spark, dir))
     commitStaged(spark, dir, opTag.getOrElse("merge"), fresh,
       removed = readSetOf(rewrite), carry = true,
       // evolution: union the new columns into the recorded schema
@@ -1244,7 +1295,8 @@ object SnapshotTable {
     val rewrite = m.files.filter(fe => touched.contains(fileKey(fe.path)))
     val kept = readFiles(spark, dir, rewrite, knownSchema = knownDel)
       .filter(!coalesce(predicate, lit(false)))
-    val fresh = stageFiles(spark, kept, dir, statsCols)
+    val fresh = stageFiles(spark, kept, dir, statsCols,
+      bucketize = bucketLayout(spark, dir))
     commitStaged(spark, dir, "delete", fresh,
       removed = readSetOf(rewrite), carry = true)
   }
@@ -1429,7 +1481,8 @@ object SnapshotTable {
               .filter(predicate)
               .select(cols.map(c =>
                 assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-            val fresh = stageFiles(spark, updated, dir, statsCols)
+            val fresh = stageFiles(spark, updated, dir, statsCols,
+              bucketize = bucketLayout(spark, dir))
             val newPaths = entries.map(_.path).toSet
             try commit(spark, dir, "update-dv", entries ++ fresh,
               removed = readSetOf(m.files.filter(fe => newPaths.contains(fe.path))),
@@ -1536,7 +1589,7 @@ object SnapshotTable {
       val f = fs(spark, new Path(dir))
       try {
         val fresh = stageFiles(spark, updates.select(cols.map(col): _*),
-          dir, statsCols)
+          dir, statsCols, bucketize = bucketLayout(spark, dir))
         staged match {
           case None => // pure insert: nothing matched, plain append
             if (fresh.isEmpty) v
@@ -1760,7 +1813,8 @@ object SnapshotTable {
         val f = fs(spark, new Path(dir))
         try {
           val post = effect.filter(col("__kind") >= 2).select(cols.map(col): _*)
-          val fresh = stageFiles(spark, post, dir, statsCols)
+          val fresh = stageFiles(spark, post, dir, statsCols,
+            bucketize = bucketLayout(spark, dir))
           // a widening merge records the UNION schema even when the
           // effect set is empty-of-images (schema evolution is part of
           // the statement's contract)

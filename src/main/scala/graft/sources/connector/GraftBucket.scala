@@ -121,10 +121,12 @@ object GraftBucket {
   * DEFAULTS (statsCols/bloomCols/clusterBy/bucketBy/buckets), not
   * data: they affect future writes only, so they live deliberately
   * outside the versioned commit history (like Delta's table config,
-  * unlike its schema). Shared by [[GraftCatalog]] (SQL surface) and
+  * unlike its schema). Shared by [[GraftCatalog]] (SQL surface),
   * [[SnapshotWriteBuilder]] (which must cross-check a path write's
-  * explicit bucket options against the table's declared layout). */
-private[connector] object GraftTableProps {
+  * explicit bucket options against the table's declared layout), and
+  * [[graft.sources.SnapshotTable]]'s DML paths (whose rewrites
+  * preserve a declared bucket layout). */
+private[sources] object GraftTableProps {
 
   def read(hconf: org.apache.hadoop.conf.Configuration,
            dir: String): Map[String, String] = {

@@ -1632,6 +1632,16 @@ class ConnectorSpec extends SparkTestBase {
         .as[Int].collect().toSeq
       assert(buckets == Seq(fe.bucket.get))
     }
+    // MERGE (dv upsert) and UPDATE write their post-images THROUGH the
+    // layout: fresh files land bucketed, so SPJ survives row-level DML
+    spark.range(0, 50).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("spjm_src")
+    spark.sql("MERGE INTO graftspjm.t USING spjm_src s ON graftspjm.t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    spark.sql("UPDATE graftspjm.t SET v = v + 1 WHERE v % 17 = 0")
+    val afterDml = manifest
+    assert(afterDml.files.forall(_.bucket.isDefined),
+      s"DML lost bucket ids: ${afterDml.files.map(f => (f.path, f.bucket))}")
     // and the table still joins shuffle-free against a co-bucketed one
     spark.sql("CREATE TABLE graftspjm.d (k BIGINT, w BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
