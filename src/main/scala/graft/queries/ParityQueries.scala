@@ -1581,6 +1581,82 @@ object ParityQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY o_custkey ORDER BY k""".stripMargin),
 
+    // SPJ through DML (round-13): a MERGE's post-images and an
+    // UPDATE's rewrites stage THROUGH the declared bucket layout
+    // (stageFiles repartitions by the table's own hash and tags the
+    // part files), so row-level DML does not cost the table its
+    // shuffle-free joins — the probe asserts zero exchanges AFTER the
+    // upsert+update. Oracle replays the upsert algebra over the raw
+    // tables.
+    "q6W_bucketed_dml_spj" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6W")
+        s.conf.set("spark.sql.catalog.graft_spjw",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_spjw.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6W_orders")
+        t(s, dir, "customer").createOrReplaceTempView("t6W_customer")
+        s.sql("DROP TABLE IF EXISTS graft_spjw.o") // same-session rerun
+        s.sql("DROP TABLE IF EXISTS graft_spjw.c")
+        s.sql("CREATE TABLE graft_spjw.o (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (bucket(8, o_custkey))")
+        s.sql("""INSERT INTO graft_spjw.o
+                |SELECT o_orderkey, o_custkey, o_totalprice
+                |FROM t6W_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        // upsert the odd half (insert) + re-price a slice of the even
+        // half (update) — post-images land bucketed
+        s.sql("""MERGE INTO graft_spjw.o AS tgt
+                |USING (SELECT o_orderkey, o_custkey,
+                |              o_totalprice * 2 AS price
+                |       FROM t6W_orders
+                |       WHERE o_orderkey % 2 = 1 OR o_orderkey % 10 = 0) AS src
+                |ON tgt.o_orderkey = src.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("CREATE TABLE graft_spjw.c (c_custkey BIGINT, c_name STRING) " +
+          "PARTITIONED BY (bucket(8, c_custkey))")
+        s.sql("INSERT INTO graft_spjw.c " +
+          "SELECT c_custkey, c_name FROM t6W_customer")
+        val q = """SELECT o.o_custkey AS k, count(*) AS cnt,
+                  |       CAST(sum(CAST(o.price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM graft_spjw.o o JOIN graft_spjw.c c
+                  |  ON o.o_custkey = c.c_custkey
+                  |GROUP BY o.o_custkey""".stripMargin
+        val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val probe = s.sql(q)
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"post-DML SPJ join was expected to plan shuffle-free:\n$plan")
+          s.sql(q + "\nORDER BY k")
+        } finally {
+          def restore(k: String, v: Option[String]): Unit =
+            v.fold(s.conf.unset(k))(s.conf.set(k, _))
+          restore("spark.sql.sources.v2.bucketing.enabled", priorB)
+          restore("spark.sql.autoBroadcastJoinThreshold", priorT)
+        }
+      },
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 2 = 1 OR o_orderkey % 10 = 0
+        |              THEN o_totalprice * 2 ELSE o_totalprice END AS price
+        |  FROM orders
+        |)
+        |SELECT o_custkey AS k, count(*) AS cnt,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS sp
+        |FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+        |GROUP BY o_custkey ORDER BY k""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow
