@@ -1927,6 +1927,38 @@ object SnapshotTable {
       }
     }
 
+  /** REBUCKET: rewrite the whole table through its DECLARED bucket
+    * layout — one overwrite commit whose files are per-bucket-pure and
+    * tagged, restoring storage-partitioned-join capability after any
+    * history of unbucketed writes (streaming epochs, legacy appends).
+    * Deletion vectors fold in (the rewrite materializes live rows);
+    * stats/bloom layout defaults from the table properties are kept.
+    * Fails loudly when the table declares no layout — rewriting
+    * without one would just burn a version. */
+  def rebucket(spark: SparkSession, dir: String): Long = {
+    require(bucketLayout(spark, dir).isDefined,
+      s"table $dir declares no bucket layout (bucketBy/buckets " +
+        "TBLPROPERTIES); declare one on an empty table or at CREATE " +
+        "TABLE ... PARTITIONED BY (bucket(n, col))")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val props = graft.sources.connector.GraftTableProps.read(hconf, dir)
+    val logicalCol = bucketLayout(spark, dir).get._1
+    val df = scan(spark, dir)
+    def csv(k: String): Seq[String] = props.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(df.columns.contains)
+    val v = write(spark, df, dir, "overwrite", statsCols = csv("statsCols"),
+      opTag = Some("rebucket"), bloomCols = csv("bloomCols"))
+    // the overwrite drops any rename mapping (files now carry logical
+    // names), so the layout declaration must follow the column it
+    // names — otherwise the next write would read a stale physical
+    // name and land unbucketed
+    if (!props.get("bucketBy").contains(logicalCol))
+      graft.sources.connector.GraftTableProps.write(hconf, dir,
+        props + ("bucketBy" -> logicalCol))
+    v
+  }
+
   /** RESTORE: make `toVersion`'s file list the newest version (a
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =

@@ -25,6 +25,9 @@ import graft.sources.SnapshotTable
   *  - `compact(table, small_rows, target_rows)` — bin-pack small
   *    files (content-neutral).
   *  - `purge_deletes(table)` — fold deletion vectors into files.
+  *  - `rebucket(table)` — rewrite through the declared bucket layout
+  *    (restores storage-partitioned-join capability after unbucketed
+  *    writes; folds deletion vectors in).
   *  - `maintain(table)` — the policy-driven sweep (default
   *    [[SnapshotTable.MaintenancePolicy]]); returns what fired.
   *
@@ -66,6 +69,16 @@ object GraftProcedures {
           val v = SnapshotTable.compact(spark, dir, args.getLong(1),
             args.getLong(2))
           Seq(new GenericInternalRow(Array[Any](v)))
+      })
+      case "rebucket" => Some(proc("rebucket",
+        Array(in("table", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("files", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val v = SnapshotTable.rebucket(spark, dir)
+          val files = SnapshotTable.readManifest(spark, dir, v).files.size
+          Seq(new GenericInternalRow(Array[Any](v, files)))
       })
       case "purge_deletes" => Some(proc("purge_deletes",
         Array(in("table", StringType)),

@@ -1658,6 +1658,39 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("CALL rebucket restores the layout after unbucketed writes") {
+    val root = Files.createTempDirectory("graft-spjr").toString
+    spark.conf.set("spark.sql.catalog.graftspjr",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjr.root", root)
+    spark.sql("CREATE TABLE graftspjr.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjr.t SELECT id, id FROM range(0, 400)")
+    // a PATH write with no bucket options lands unbucketed -> SPJ off
+    spark.range(400, 500).selectExpr("id AS k", "id AS v")
+      .write.format("graft_snapshot").option("path", s"$root/t")
+      .mode("append").save()
+    val dir = s"$root/t"
+    def manifest = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(manifest.files.exists(_.bucket.isEmpty))
+    val r = spark.sql("CALL graftspjr.system.rebucket('t')").collect().head
+    assert(r.getInt(1) == 4, s"expected 4 rebucketed files, got $r")
+    assert(manifest.files.flatMap(_.bucket).sorted == (0 until 4))
+    assert(spark.sql("SELECT count(*) FROM graftspjr.t")
+      .as[Long].head == 500L)
+    // a layout-less table refuses (rewriting would just burn a version)
+    spark.sql("CREATE TABLE graftspjr.plain AS SELECT 1 AS a")
+    val e = intercept[Exception](
+      spark.sql("CALL graftspjr.system.rebucket('plain')").collect())
+    def msgs(t: Throwable): String = {
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
+      all(t).mkString("\n")
+    }
+    assert(msgs(e).contains("bucket layout"))
+  }
+
   test("declared bucket layout cannot be contradicted after the fact") {
     val root = Files.createTempDirectory("graft-spjg").toString
     spark.conf.set("spark.sql.catalog.graftspjg",
