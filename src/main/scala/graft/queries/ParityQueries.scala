@@ -1657,6 +1657,68 @@ object ParityQueries {
         |FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
         |GROUP BY o_custkey ORDER BY k""".stripMargin),
 
+    // Bucketed incremental dedup (round-13): the 100 TB shape of
+    // "dedup a new batch against the corpus" — the corpus lives as a
+    // snapshot table bucketed by content fingerprint, so the anti-join
+    // shuffles ONLY the incoming batch into the corpus's layout
+    // (v2.bucketing.shuffle evaluates the catalog's bucket function);
+    // the corpus side never moves. At 100 TB that is an O(batch)
+    // shuffle instead of an O(corpus) one, on every ingest. The probe
+    // pins exactly one (batch-side, key-grouped) exchange.
+    "q6X_bucketed_incr_dedup" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6X")
+        s.conf.set("spark.sql.catalog.graft_spjx",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_spjx.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        Tables.computeTable(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.polyHash(col("text")).as("fp"))
+          .createOrReplaceTempView("t6X_fp")
+        s.sql("DROP TABLE IF EXISTS graft_spjx.corpus") // same-session rerun
+        s.sql("CREATE TABLE graft_spjx.corpus (fp BIGINT, doc_id BIGINT) " +
+          "PARTITIONED BY (bucket(16, fp))")
+        s.sql("INSERT INTO graft_spjx.corpus " +
+          "SELECT fp, doc_id FROM t6X_fp WHERE doc_id % 3 <> 0")
+        val q = """SELECT b.doc_id, b.fp FROM t6X_fp b
+                  |LEFT ANTI JOIN graft_spjx.corpus c ON b.fp = c.fp
+                  |WHERE b.doc_id % 5 = 0""".stripMargin
+        val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val priorS = s.conf.getOption(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled")
+        val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val probe = s.sql(q)
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
+          val exchanges = "(?i)exchange".r.findAllIn(plan).size
+          require(exchanges == 1 && plan.contains("keygroupedpartitioning"),
+            s"expected ONE batch-side key-grouped exchange, got:\n$plan")
+          s.sql(q + "\nORDER BY doc_id")
+        } finally {
+          def restore(k: String, v: Option[String]): Unit =
+            v.fold(s.conf.unset(k))(s.conf.set(k, _))
+          restore("spark.sql.sources.v2.bucketing.enabled", priorB)
+          restore("spark.sql.sources.v2.bucketing.shuffle.enabled", priorS)
+          restore("spark.sql.autoBroadcastJoinThreshold", priorT)
+        }
+      },
+      s"""WITH fp AS (
+        |  SELECT doc_id, ${QueryDef.duckPolyHash("text")} AS fp
+        |  FROM documents)
+        |SELECT b.doc_id, b.fp FROM fp b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM fp c
+        |                  WHERE c.doc_id % 3 <> 0 AND c.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow
