@@ -1745,6 +1745,61 @@ class ConnectorSpec extends SparkTestBase {
     val nullB = spark.sql("SELECT pmod(hash(CAST(NULL AS BIGINT)), 16)")
       .collect().head.getInt(0)
     assert(GraftBucket.of(null, LongType, 16) == nullB)
+    // every supported key type, negatives and extremes included
+    val typed = spark.sql(
+      """SELECT x, CAST(x % 2000000000 AS INT) xi,
+        |       CAST(x % 30000 AS SMALLINT) xs,
+        |       CAST(x % 120 AS TINYINT) xb,
+        |       DATE '2020-01-01' + CAST(x % 10000 AS INT) AS xd,
+        |       TIMESTAMP '2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0, x % 100000) AS xt,
+        |       pmod(hash(x), 32) bx,
+        |       pmod(hash(CAST(x % 2000000000 AS INT)), 32) bi,
+        |       pmod(hash(CAST(x % 30000 AS SMALLINT)), 32) bs,
+        |       pmod(hash(CAST(x % 120 AS TINYINT)), 32) bb,
+        |       pmod(hash(DATE '2020-01-01' + CAST(x % 10000 AS INT)), 32) bd,
+        |       pmod(hash(TIMESTAMP '2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0, x % 100000)), 32) bt
+        |FROM (SELECT CAST(id * 7919 - 500000 AS BIGINT) AS x
+        |      FROM range(0, 300))""".stripMargin).collect()
+    typed.foreach { r =>
+      assert(GraftBucket.of(r.getLong(0), LongType, 32) == r.getInt(6))
+      assert(GraftBucket.of(r.getInt(1), IntegerType, 32) == r.getInt(7))
+      assert(GraftBucket.of(r.getShort(2), ShortType, 32) == r.getInt(8))
+      assert(GraftBucket.of(r.getByte(3), ByteType, 32) == r.getInt(9))
+      assert(GraftBucket.ofLiteral(r.getDate(4), DateType, 32)
+        .contains(r.getInt(10)))
+      assert(GraftBucket.ofLiteral(r.getTimestamp(5), TimestampType, 32)
+        .contains(r.getInt(11)))
+    }
+  }
+
+  test("SPJ composes with runtime file pruning: n groups survive the filter") {
+    val root = Files.createTempDirectory("graft-spjd").toString
+    spark.conf.set("spark.sql.catalog.graftspjd",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjd.root", root)
+    spark.sql("CREATE TABLE graftspjd.f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE graftspjd.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graftspjd.f SELECT id % 200, id FROM range(0, 4000)")
+    spark.sql("INSERT INTO graftspjd.d SELECT id, id FROM range(0, 200)")
+    val expected = withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      spark.sql("SELECT count(*) c, sum(f.v) s FROM graftspjd.f f " +
+        "JOIN graftspjd.d d ON f.k = d.k WHERE d.w < 50")
+        .collect().map(_.toSeq).toSet
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // a selective dim filter rides equality pruning/runtime filters
+      // into the fact scan while the join stays key-grouped; the
+      // planner must keep seeing all 8 partition values on both sides
+      val got = spark.sql("SELECT count(*) c, sum(f.v) s FROM graftspjd.f f " +
+        "JOIN graftspjd.d d ON f.k = d.k WHERE d.w < 50")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected)
+    }
   }
 
   test("unsupported DML shapes fail loudly at analysis time") {
