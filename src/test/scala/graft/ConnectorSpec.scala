@@ -1772,6 +1772,39 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("SPJ handles skew: partially-clustered distribution stays correct") {
+    val root = Files.createTempDirectory("graft-spjk").toString
+    spark.conf.set("spark.sql.catalog.graftspjk",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjk.root", root)
+    spark.sql("CREATE TABLE graftspjk.f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE graftspjk.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    // one hot key dominates the fact side (~70% of rows in one bucket)
+    spark.sql("INSERT INTO graftspjk.f " +
+      "SELECT CASE WHEN id % 10 < 7 THEN 42 ELSE id % 100 END, id " +
+      "FROM range(0, 8000)")
+    spark.sql("INSERT INTO graftspjk.d SELECT id, id * 3 FROM range(0, 100)")
+    val q = "SELECT f.k AS k, count(*) AS cnt, sum(f.v + d.w) AS s " +
+      "FROM graftspjk.f f JOIN graftspjk.d d ON f.k = d.k GROUP BY f.k"
+    val expected = withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      spark.sql(q).collect().map(_.toSeq).toSet
+    }
+    // Spark's skew answer for SPJ: with push-part-values + partially-
+    // clustered distribution, the skewed side's groups replicate the
+    // other side instead of one task eating the hot bucket — results
+    // must be identical either way
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(spark.sql(q).collect().map(_.toSeq).toSet == expected)
+    }
+  }
+
   test("SPJ composes with runtime file pruning: n groups survive the filter") {
     val root = Files.createTempDirectory("graft-spjd").toString
     spark.conf.set("spark.sql.catalog.graftspjd",
