@@ -108,12 +108,18 @@ object SnapshotTable {
     * bucketing (bucketBy/buckets properties) — the per-file fact the
     * connector's storage-partitioned-join reporting and equality
     * bucket pruning stand on; files written outside the bucketed
-    * write path carry None and disable both, never corrupt them. */
+    * write path carry None and disable both, never corrupt them.
+    * `sortedBy` records that the file's rows are ascending in the
+    * named (physical) column — bucketed writes sort within buckets
+    * for free, and a scan whose buckets each hold ONE sorted file
+    * reports output ordering, dropping the sort-merge join's per-
+    * partition sorts on top of the retired exchanges. */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
                              bloom: Map[String, Seq[Long]] = Map.empty,
                              dv: Option[(String, Long)] = None,
-                             bucket: Option[Int] = None) {
+                             bucket: Option[Int] = None,
+                             sortedBy: Option[String] = None) {
     /** Logical (post-deletion-vector) row count. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
   }
@@ -219,7 +225,11 @@ object SnapshotTable {
     // hash-bucket id; null on unbucketed entries AND on anchors
     // written before the field existed (explicit-schema read → null)
     org.apache.spark.sql.types.StructField("bucket",
-      org.apache.spark.sql.types.IntegerType, nullable = true)))
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    // ascending-sort column of the file's rows (physical name); same
+    // null contract as `bucket`
+    org.apache.spark.sql.types.StructField("sorted_by",
+      org.apache.spark.sql.types.StringType, nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
     * version: single-file write (temp dir + rename of the part file),
@@ -236,7 +246,8 @@ object SnapshotTable {
           e.op, e.ts,
           fe.dv.map(_._1).orNull,
           fe.dv.map(d => java.lang.Long.valueOf(d._2)).orNull,
-          fe.bucket.map(java.lang.Integer.valueOf).orNull)): _*)
+          fe.bucket.map(java.lang.Integer.valueOf).orNull,
+          fe.sortedBy.orNull)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -269,7 +280,8 @@ object SnapshotTable {
       FileEntry(r.getString(0), r.getLong(1),
         stats.map { case (c, a) => c -> (a(0), a(1)) }.toMap,
         bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap,
-        dv, if (r.isNullAt(8)) None else Some(r.getInt(8)))
+        dv, if (r.isNullAt(8)) None else Some(r.getInt(8)),
+        if (r.isNullAt(9)) None else Some(r.getString(9)))
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -331,6 +343,7 @@ object SnapshotTable {
         sb.append(s""","dv":{"path":"$p","n":$n}""")
       }
       fe.bucket.foreach(b => sb.append(s""","bucket":$b"""))
+      fe.sortedBy.foreach(c => sb.append(s""","sortedBy":"$c""""))
       sb.append("}")
     }
     sb.append(']')
@@ -382,8 +395,10 @@ object SnapshotTable {
         else Some((dvn.get("path").asText, dvn.get("n").asLong))
       val bn2 = fe.path("bucket") // absent on pre-bucketing manifests
       val bucket = if (bn2.isMissingNode) None else Some(bn2.asInt)
+      val sn2 = fe.path("sortedBy") // absent on pre-sort-metadata manifests
+      val sortedBy = if (sn2.isMissingNode) None else Some(sn2.asText)
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
-        stats.result(), bloom.result(), dv, bucket)
+        stats.result(), bloom.result(), dv, bucket, sortedBy)
     }
     out.result()
   }
@@ -820,7 +835,11 @@ object SnapshotTable {
       df0raw.columns.contains(c)
     }
     val df0 = bucketing match {
-      case Some((c, n)) => df0raw.repartition(n, col(s"`$c`"))
+      case Some((c, n)) =>
+        // the in-partition sort is what lets a one-file bucket report
+        // output ordering (SMJ sorts elided) — and it is nearly free
+        // here: the exchange already exists, the sort rides it
+        df0raw.repartition(n, col(s"`$c`")).sortWithinPartitions(s"`$c`")
       case None => df0raw
     }
     val mapping: Map[String, String] =
@@ -869,8 +888,11 @@ object SnapshotTable {
       val bucket = bucketing.flatMap { case (_, n) =>
         partIndexOf(base).filter(_ < n)
       }
+      // sortedBy records the PHYSICAL name — the coordinate the files
+      // (and later scans' ordering claims) actually use
+      val sortedBy = bucketing.map { case (c, _) => mapping.getOrElse(c, c) }
       FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms,
-        bucket = bucket)
+        bucket = bucket, sortedBy = sortedBy)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
@@ -1914,13 +1936,18 @@ object SnapshotTable {
         // rewrite per bucket GROUP so a bucketed table's layout (and
         // its storage-partitioned-join capability) survives the purge:
         // each group's rewritten files inherit its bucket id (None
-        // stays None — unbucketed files purge together as before)
+        // stays None — unbucketed files purge together as before),
+        // key-sorted so the ordering claim can survive too
         val known = tableSchema(spark, dir, v)
+        val sortKey = bucketLayout(spark, dir).map(_._1)
         val fresh = dvd.groupBy(_.bucket).toSeq.flatMap {
           case (bucket, files) =>
-            stageFiles(spark,
-              readFiles(spark, dir, files, knownSchema = known),
-              dir, statsCols).map(_.copy(bucket = bucket))
+            val df0 = readFiles(spark, dir, files, knownSchema = known)
+            val key = sortKey.filter(k =>
+              bucket.isDefined && df0.columns.contains(k))
+            val df = key.fold(df0)(k => df0.sortWithinPartitions(col(s"`$k`")))
+            stageFiles(spark, df, dir, statsCols).map(_.copy(
+              bucket = bucket, sortedBy = key.map(physicalFor(known, _))))
         }
         commitStaged(spark, dir, "purge", fresh,
           removed = readSetOf(dvd), carry = true)
@@ -2093,19 +2120,28 @@ object SnapshotTable {
     val groups = small.groupBy(_.bucket).toSeq.filter(_._2.size >= 2)
     if (groups.isEmpty) return v
     val known = tableSchema(spark, dir, v)
+    val sortKey = bucketLayout(spark, dir).map(_._1)
     val fresh = groups.flatMap { case (bucket, files) =>
       // dv-masked: compacting a dv-carrying file PURGES its deletion
       // vector (the rewrite materializes only live rows)
       val df = readFiles(spark, dir, files, knownSchema = known)
       val nOut = math.max(1,
         math.ceil(files.map(_.liveRows).sum.toDouble / targetRows).toInt)
-      val packed = zorderBy match {
-        case Some((c1, c2, bits)) =>
+      // bucketed groups compact KEY-SORTED (zorder would scatter the
+      // key): a bucket down to one sorted file is what lets the scan
+      // report output ordering and the SMJ drop its sorts
+      val key = sortKey.filter(k =>
+        bucket.isDefined && zorderBy.isEmpty && df.columns.contains(k))
+      val packed = (zorderBy, key) match {
+        case (Some((c1, c2, bits)), _) =>
           df.repartitionByRange(nOut,
             graft.operators.ZOrder.zkey(col(c1), col(c2), bits))
-        case None => df.repartition(nOut)
+        case (None, Some(k)) =>
+          df.repartition(nOut).sortWithinPartitions(col(s"`$k`"))
+        case (None, None) => df.repartition(nOut)
       }
-      stageFiles(spark, packed, dir, statsCols).map(_.copy(bucket = bucket))
+      stageFiles(spark, packed, dir, statsCols).map(_.copy(
+        bucket = bucket, sortedBy = key.map(physicalFor(known, _))))
     }
     commitStaged(spark, dir, "compact", fresh,
       removed = readSetOf(groups.flatMap(_._2)), carry = true)

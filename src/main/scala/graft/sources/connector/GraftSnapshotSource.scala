@@ -521,7 +521,8 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
                          bucketSpec: Option[(String, DataType, Int)] = None)
   extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private lazy val manifest = manifestF()
 
@@ -622,6 +623,28 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  /** Ordering claim on top of the partitioning one: when every bucket
+    * holds at most ONE file and every file is recorded ascending in
+    * the bucket key (bucketed writes and bucket-aware maintenance
+    * sort for free; dv masking only ever REMOVES rows, preserving
+    * order), each key-grouped partition is itself key-sorted — under
+    * `spark.sql.sources.v2.bucketing.sorting.enabled` the SMJ's
+    * per-partition sorts vanish on top of its retired exchanges. Two
+    * files in one bucket (concatenation order is not a sort) or one
+    * unsorted file withdraws the claim, never corrupts it. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    effectiveBucketing match {
+      case Some((col, _, _)) if agg.isEmpty &&
+          required.fieldNames.contains(col) &&
+          manifest.files.forall(_.sortedBy.contains(phys(col))) &&
+          manifest.files.groupBy(_.bucket).forall(_._2.size <= 1) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(col),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
     }
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(required)

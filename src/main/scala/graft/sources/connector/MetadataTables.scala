@@ -21,7 +21,7 @@ import graft.sources.SnapshotTable
   *    table format grows;
   *  - `cat.ns.t.files` — one row per live data file of the CURRENT
   *    version (path, rows, live_rows, dv_path, dv_rows, stats,
-  *    bloom_cols, bucket): the layout-inspection surface behind
+  *    bloom_cols, bucket, sorted_by): the layout-inspection surface behind
   *    maintenance decisions (which files are small? which carry
   *    vectors? what do the ranges look like? is the bucket layout
   *    intact for storage-partitioned joins?).
@@ -75,7 +75,8 @@ object MetadataTables {
       StructField("dv_rows", LongType, nullable = false),
       StructField("stats", statsType, nullable = false),
       StructField("bloom_cols", ArrayType(StringType, false), nullable = false),
-      StructField("bucket", IntegerType, nullable = true)))
+      StructField("bucket", IntegerType, nullable = true),
+      StructField("sorted_by", StringType, nullable = true)))
     val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val rows = SnapshotTable.readManifest(spark, dir, v).files.map { fe =>
@@ -90,7 +91,8 @@ object MetadataTables {
             Array[Any](fe.stats(k)._1, fe.stats(k)._2))).toArray[Any])),
         new GenericArrayData(
           fe.bloom.keys.toSeq.sorted.map(UTF8String.fromString).toArray[Any]),
-        fe.bucket.map(Int.box).orNull))
+        fe.bucket.map(Int.box).orNull,
+        fe.sortedBy.map(UTF8String.fromString).orNull))
         : InternalRow
     }
     new SnapshotMetaTable(s"graft_snapshot($dir).files", schema, rows)

@@ -156,7 +156,15 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       else Distributions.ordered(sortOrders)
 
     override def requiredOrdering(): Array[SortOrder] =
-      if (bucketCol.isDefined) Array.empty else sortOrders
+      // bucketed writes sort within partitions by the key: the
+      // exchange already exists, the sort rides it — and a one-file
+      // bucket of sorted rows lets the scan report output ordering
+      // (the SMJ's per-partition sorts go the way of its exchanges)
+      if (bucketCol.isDefined)
+        Array(Expressions.sort(Expressions.column(
+          "`" + incomingName(bucketCol.get).replace("`", "``") + "`"),
+          SortDirection.ASCENDING))
+      else sortOrders
 
     override def requiredNumPartitions(): Int =
       // only meaningful under an ordered/clustered distribution —
@@ -298,7 +306,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
-      FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket))
+      FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
+        sortedBy = w.sortedBy))
     SnapshotTable.commitAdded(SparkSession.active, dir,
       if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
       schemaJson = Some(schema.json))
@@ -320,7 +329,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
 final case class WrittenFile(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
                              bloom: Map[String, Seq[Long]],
-                             bucket: Option[Int] = None)
+                             bucket: Option[Int] = None,
+                             sortedBy: Option[String] = None)
   extends WriterCommitMessage
 
 /** A bucketed task's files — one per bucket id it received. */
@@ -381,7 +391,10 @@ private final class BucketedDataWriter(dir: String, schema: StructType,
     writers.forEach { (b, w) =>
       w.commit() match {
         case f: WrittenFile if f.path.nonEmpty =>
-          files += f.copy(bucket = Some(b))
+          // the task's input is key-sorted (requiredOrdering), and the
+          // per-bucket split preserves arrival order — each file is
+          // ascending in the key
+          files += f.copy(bucket = Some(b), sortedBy = Some(bucketCol))
         case _ => ()
       }
     }

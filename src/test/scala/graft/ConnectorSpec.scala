@@ -1625,6 +1625,9 @@ class ConnectorSpec extends SparkTestBase {
     val afterCompact = manifest
     assert(afterCompact.files.flatMap(_.bucket).sorted == (0 until 4),
       s"compact lost the layout: ${afterCompact.files.map(_.bucket)}")
+    assert(afterCompact.files.forall(_.sortedBy.contains("k")),
+      "bucket-aware compaction must leave each file key-sorted " +
+        s"(got ${afterCompact.files.map(_.sortedBy)})")
     // each compacted file stays PURE in its bucket
     afterCompact.files.foreach { fe =>
       val buckets = spark.read.parquet(s"$dir/${fe.path}")
@@ -1769,6 +1772,63 @@ class ConnectorSpec extends SparkTestBase {
         .contains(r.getInt(10)))
       assert(GraftBucket.ofLiteral(r.getTimestamp(5), TimestampType, 32)
         .contains(r.getInt(11)))
+    }
+  }
+
+  test("sorted buckets: one-file buckets drop the SMJ sorts too") {
+    val root = Files.createTempDirectory("graft-spjo").toString
+    spark.conf.set("spark.sql.catalog.graftspjo",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjo.root", root)
+    spark.sql("CREATE TABLE graftspjo.f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graftspjo.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjo.f SELECT id % 200, id FROM range(0, 4000)")
+    spark.sql("INSERT INTO graftspjo.d SELECT id, id * 3 FROM range(0, 200)")
+    val dirF = s"$root/f"
+    // one sorted file per bucket, each ascending in k
+    val m = SnapshotTable.readManifest(spark, dirF,
+      SnapshotTable.latestVersion(spark, dirF).get)
+    assert(m.files.size == 4 && m.files.forall(_.sortedBy.contains("k")))
+    m.files.foreach { fe =>
+      val ks = spark.read.parquet(s"$dirF/${fe.path}")
+        .select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"${fe.path} not ascending in k")
+    }
+    val q = "SELECT f.k AS k, count(*) AS cnt, sum(f.v + d.w) AS s " +
+      "FROM graftspjo.f f JOIN graftspjo.d d ON f.k = d.k GROUP BY f.k"
+    val expected = withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      spark.sql(q).collect().map(_.toSeq).toSet
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert(!"\\+- \\*?\\(?\\d*\\)? ?Sort ".r.findFirstIn(plan).isDefined &&
+        !plan.contains("Sort ["),
+        s"the reported ordering should elide the SMJ sorts:\n$plan")
+    }
+    // a second append makes two files per bucket: the ordering claim
+    // is withdrawn (concatenation is not a sort), results stay right
+    spark.sql("INSERT INTO graftspjo.f SELECT id % 200, id " +
+      "FROM range(4000, 5000)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Sort ["),
+        s"two files per bucket must re-introduce the sort:\n$plan")
     }
   }
 
