@@ -56,10 +56,21 @@ object SpjProbe {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val exOn = exchanges(spark.sql(q))
     val tOn = minSec(spark.sql(q).collect())
+    // sorted one-file buckets: the SMJ's per-partition sorts go too
+    spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+    def sorts(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Sort \\[".r.findAllIn(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).size
+    }
+    val sOn = sorts(spark.sql(q))
+    val tSorted = minSec(spark.sql(q).collect())
     println(f"""{"spj":{"facts":$facts,"dims":$dims,"buckets":$buckets,""" +
       f""""exchanges_off":$exOff,"exchanges_on":$exOn,""" +
       f""""join_sec_off":$tOff%.4f,"join_sec_on":$tOn%.4f,""" +
-      f""""speedup":${tOff / tOn}%.3f}}""")
+      f""""speedup":${tOff / tOn}%.3f,""" +
+      f""""sorts_with_sorting_conf":$sOn,"join_sec_sorted":$tSorted%.4f,""" +
+      f""""speedup_sorted":${tOff / tSorted}%.3f}}""")
     spark.stop()
   }
 }
