@@ -186,7 +186,9 @@ object GraftBucketFunction extends UnboundFunction {
 }
 
 final class GraftBucketBound(keyType: DataType)
-  extends ScalarFunction[Integer] {
+  extends ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions
+      .ReducibleFunction[Integer, Integer] {
 
   override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
   override def resultType(): DataType = IntegerType
@@ -200,4 +202,21 @@ final class GraftBucketBound(keyType: DataType)
     val v = if (input.isNullAt(1)) null else input.get(1, keyType)
     GraftBucket.of(v, keyType, n)
   }
+
+  /** MISMATCHED bucket counts could in principle co-partition when one
+    * divides the other (`pmod(h, kn) % n == pmod(h, n)` — the algebra
+    * Iceberg's bucket reducer uses via Spark's
+    * `v2.bucketing.allowCompatibleTransforms` handshake). This
+    * implementation deliberately returns null: with a mod-reducer
+    * wired in, Spark 4.1's reduced-value zip paired this source's
+    * key-grouped partitions by RAW value (only fine ids < coarse n
+    * joined — a silent 1/k answer, caught by ConnectorSpec before it
+    * shipped). Returning null keeps mismatched-count joins on the
+    * fallback shuffle — always correct; the spec pins exactly that.
+    * Revisit when the reduced-zip contract is pinned upstream. */
+  override def reducer(thisNumBuckets: Int,
+      other: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+    null
 }

@@ -1832,6 +1832,42 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("mismatched bucket counts fall back to a correct shuffled join") {
+    val root = Files.createTempDirectory("graft-spjc").toString
+    spark.conf.set("spark.sql.catalog.graftspjc2",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjc2.root", root)
+    spark.sql("CREATE TABLE graftspjc2.f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(16, k))")
+    spark.sql("CREATE TABLE graftspjc2.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjc2.f SELECT id % 300, id FROM range(0, 6000)")
+    spark.sql("INSERT INTO graftspjc2.d SELECT id, id * 3 FROM range(0, 300)")
+    val q = "SELECT f.k AS k, count(*) AS cnt, sum(f.v + d.w) AS s " +
+      "FROM graftspjc2.f f JOIN graftspjc2.d d ON f.k = d.k GROUP BY f.k"
+    val expected = withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      spark.sql(q).collect().map(_.toSeq).toSet
+    }
+    // GraftBucketBound.reducer deliberately declines the divide-
+    // compatible reduction (see its doc: Spark 4.1's reduced zip
+    // paired this source's groups by raw value, a silent 1/k answer)
+    // — so bucket(16) ⋈ bucket(4) must SHUFFLE and stay correct, with
+    // every SPJ conf an operator might enable turned on
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      assert(df.collect().map(_.toSeq).toSet == expected)
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Exchange"),
+        s"mismatched counts must fall back to a shuffle:\n$plan")
+    }
+  }
+
   test("SPJ handles skew: partially-clustered distribution stays correct") {
     val root = Files.createTempDirectory("graft-spjk").toString
     spark.conf.set("spark.sql.catalog.graftspjk",
