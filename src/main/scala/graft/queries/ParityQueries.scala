@@ -1719,6 +1719,229 @@ object ParityQueries {
         |                  WHERE c.doc_id % 3 <> 0 AND c.fp = b.fp)
         |ORDER BY doc_id""".stripMargin),
 
+    // SQL change feed (round-14): `SELECT … FROM cat.ns.t.changes`
+    // replays every version's ROW-LEVEL diff as a distributed V2 scan
+    // — append → upserts, dv DELETE → deletes, MERGE → matched
+    // pre-image deletes + post-image upserts, UPDATE → the same, and
+    // a compaction (content-neutral by contract) contributes NOTHING.
+    // Versions are surfaced as a dense rank so the oracle is layout-
+    // independent; the raw commit_version column drives manifest-level
+    // pushdown (WHERE commit_version > v plans only those diffs).
+    "q6Y_sql_change_feed" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6Y")
+        s.conf.set("spark.sql.catalog.graft_cdf",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cdf.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6Y_orders")
+        s.sql("DROP TABLE IF EXISTS graft_cdf.t") // same-session rerun
+        s.sql("CREATE TABLE graft_cdf.t (o_orderkey BIGINT, price DOUBLE)")
+        s.sql("""INSERT INTO graft_cdf.t
+                |SELECT o_orderkey, o_totalprice FROM t6Y_orders
+                |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("DELETE FROM graft_cdf.t WHERE o_orderkey % 10 = 0")
+        s.sql("""MERGE INTO graft_cdf.t AS tgt
+                |USING (SELECT o_orderkey, o_totalprice * 2 AS price
+                |       FROM t6Y_orders WHERE o_orderkey % 2 = 1) AS src
+                |ON tgt.o_orderkey = src.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("UPDATE graft_cdf.t SET price = price + 1 " +
+          "WHERE o_orderkey % 7 = 0")
+        // layout churn is NOT data churn: the compaction version must
+        // contribute zero feed rows
+        graft.sources.SnapshotTable.compact(s, s"$root/t",
+          smallRows = Long.MaxValue, targetRows = 10000000L)
+        s.sql("""SELECT change_type,
+                |       CAST(dense_rank() OVER (ORDER BY commit_version)
+                |            AS INT) AS rev,
+                |       o_orderkey, price
+                |FROM graft_cdf.t.changes
+                |ORDER BY rev, o_orderkey, change_type, price""".stripMargin)
+      },
+      """WITH ev AS (SELECT o_orderkey, o_totalprice AS price
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |     od AS (SELECT o_orderkey, o_totalprice * 2 AS price
+        |            FROM orders WHERE o_orderkey % 2 = 1),
+        |     live3 AS (SELECT * FROM ev WHERE o_orderkey % 10 <> 0
+        |               UNION ALL SELECT * FROM od),
+        |     up AS (SELECT * FROM live3 WHERE o_orderkey % 7 = 0),
+        |     feed AS (
+        |       SELECT 'upsert' AS change_type, 1 AS rev, o_orderkey, price
+        |       FROM ev
+        |       UNION ALL SELECT 'delete', 2, o_orderkey, price
+        |       FROM ev WHERE o_orderkey % 10 = 0
+        |       UNION ALL SELECT 'upsert', 3, o_orderkey, price FROM od
+        |       UNION ALL SELECT 'delete', 4, o_orderkey, price FROM up
+        |       UNION ALL SELECT 'upsert', 4, o_orderkey, price + 1 FROM up)
+        |SELECT change_type, CAST(rev AS INT) AS rev, o_orderkey, price
+        |FROM feed
+        |ORDER BY rev, o_orderkey, change_type, price""".stripMargin),
+
+    // Bucket-aware streaming epochs (round-14): a CDC-maintained table
+    // must keep its storage-partitioned joins — each upsert epoch's
+    // files stage through the DECLARED bucket layout (the path-based
+    // sink inherits the table's props), so after N epochs the join
+    // against a co-bucketed dim still plans with ZERO exchange. The
+    // in-query probe asserts both invariants: every file of every
+    // epoch carries a valid (bucket, bucketN) tag, and the post-stream
+    // join+groupBy plan is exchange-free.
+    "q6Z_bucketed_stream_spj" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t6Z")
+        s.conf.set("spark.sql.catalog.graft_spjz",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_spjz.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t6Z_orders")
+        t(s, dir, "customer").createOrReplaceTempView("t6Z_customer")
+        s.sql("DROP TABLE IF EXISTS graft_spjz.o") // same-session rerun
+        s.sql("DROP TABLE IF EXISTS graft_spjz.c")
+        s.sql("CREATE TABLE graft_spjz.o (o_orderkey BIGINT, " +
+          "o_custkey BIGINT, price DOUBLE) " +
+          "PARTITIONED BY (bucket(8, o_custkey))")
+        s.sql("CREATE TABLE graft_spjz.c (c_custkey BIGINT, c_name STRING) " +
+          "PARTITIONED BY (bucket(8, c_custkey))")
+        s.sql("INSERT INTO graft_spjz.c " +
+          "SELECT c_custkey, c_name FROM t6Z_customer")
+        val tgt = s"$root/o"
+        val src = snapDir(s, dir, "t6Z_src")
+        val ckpt = snapDir(s, dir, "t6Z_ckpt")
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft_snapshot").load(src)
+            .writeStream.format("graft_snapshot").option("path", tgt)
+            .option("mergeKey", "o_orderkey")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          graft.streaming.StreamMeter.timed("q6Z_bucketed_stream_spj")(
+            q.awaitTermination())
+          val m = graft.sources.SnapshotTable.readManifest(s, tgt,
+            graft.sources.SnapshotTable.latestVersion(s, tgt).get)
+          require(m.files.forall(fe => fe.bucketedUnder(8)),
+            "a streaming epoch broke the declared bucket layout: " +
+              m.files.map(fe => (fe.path, fe.bucket)).mkString(", "))
+        }
+        // epoch 1: the even half inserts
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 0), src, "overwrite")
+        drain()
+        // epoch 2: the odd half inserts + a re-priced even slice upserts
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 1)
+            .unionAll(ords.filter(col("o_orderkey") % 10 === 0)
+              .select(col("o_orderkey"), col("o_custkey"),
+                (col("price") * 2).as("price"))),
+          src, "append")
+        drain()
+        val q = """SELECT o.o_custkey AS k, count(*) AS cnt,
+                  |       CAST(sum(CAST(o.price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM graft_spjz.o o JOIN graft_spjz.c c
+                  |  ON o.o_custkey = c.c_custkey
+                  |GROUP BY o.o_custkey""".stripMargin
+        val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val probe = s.sql(q)
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"post-stream SPJ join was expected to plan shuffle-free:\n$plan")
+          s.sql(q + "\nORDER BY k")
+        } finally {
+          def restore(k: String, v: Option[String]): Unit =
+            v.fold(s.conf.unset(k))(s.conf.set(k, _))
+          restore("spark.sql.sources.v2.bucketing.enabled", priorB)
+          restore("spark.sql.autoBroadcastJoinThreshold", priorT)
+        }
+      },
+      """WITH up AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_custkey AS k, count(*) AS cnt,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM up m JOIN customer c ON m.o_custkey = c.c_custkey
+        |GROUP BY o_custkey ORDER BY k""".stripMargin),
+
+    // Mixed layout (round-14): `PARTITIONED BY (mon, bucket(8, k))` —
+    // the standard 100 TB fact layout: rows route to their hash bucket
+    // (the SPJ coordinate) and sort within it by the identity column,
+    // with files rolled so per-file (min,max) stats prune time slices
+    // INSIDE each bucket. One table serves both access paths: the
+    // month-range scan opens a slice of each bucket's files
+    // (ConnectorSpec pins the prune ratio on a controlled fixture) and
+    // the join against a co-bucketed dim plans with zero exchange —
+    // asserted in-query here.
+    "q7A_mixed_layout_fact" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7A")
+        s.conf.set("spark.sql.catalog.graft_mixq",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_mixq.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7A_orders")
+        t(s, dir, "customer").createOrReplaceTempView("t7A_customer")
+        s.sql("DROP TABLE IF EXISTS graft_mixq.f") // same-session rerun
+        s.sql("DROP TABLE IF EXISTS graft_mixq.c")
+        s.sql("CREATE TABLE graft_mixq.f (mon BIGINT, o_custkey BIGINT, " +
+          "price DOUBLE) PARTITIONED BY (mon, bucket(8, o_custkey)) " +
+          "TBLPROPERTIES ('targetFileRows'='2000')")
+        s.sql("""INSERT INTO graft_mixq.f
+                |SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                |            AS BIGINT) AS mon,
+                |       o_custkey, o_totalprice
+                |FROM t7A_orders""".stripMargin)
+        s.sql("CREATE TABLE graft_mixq.c (c_custkey BIGINT, " +
+          "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
+        s.sql("INSERT INTO graft_mixq.c " +
+          "SELECT c_custkey, c_mktsegment FROM t7A_customer")
+        val q = """SELECT f.o_custkey AS k, count(*) AS cnt,
+                  |       CAST(sum(CAST(f.price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM graft_mixq.f f JOIN graft_mixq.c c
+                  |  ON f.o_custkey = c.c_custkey
+                  |WHERE f.mon BETWEEN 23929 AND 23952
+                  |GROUP BY f.o_custkey""".stripMargin
+        val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          val probe = s.sql(q)
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange"),
+            s"mixed-layout SPJ join was expected to plan shuffle-free:\n$plan")
+          s.sql(q + "\nORDER BY k")
+        } finally {
+          def restore(k: String, v: Option[String]): Unit =
+            v.fold(s.conf.unset(k))(s.conf.set(k, _))
+          restore("spark.sql.sources.v2.bucketing.enabled", priorB)
+          restore("spark.sql.autoBroadcastJoinThreshold", priorT)
+        }
+      },
+      """SELECT o_custkey AS k, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE year(o_orderdate) * 12 + month(o_orderdate)
+        |      BETWEEN 23929 AND 23952
+        |GROUP BY o_custkey ORDER BY k""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow

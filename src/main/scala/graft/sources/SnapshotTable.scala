@@ -119,9 +119,23 @@ object SnapshotTable {
                              bloom: Map[String, Seq[Long]] = Map.empty,
                              dv: Option[(String, Long)] = None,
                              bucket: Option[Int] = None,
-                             sortedBy: Option[String] = None) {
+                             sortedBy: Option[String] = None,
+                             bucketN: Option[Int] = None) {
     /** Logical (post-deletion-vector) row count. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
+
+    /** True when this file's recorded bucket id is trustworthy under a
+      * DECLARED count of `n`: the id is in range AND the file records
+      * the count it was written with. The count check is what makes a
+      * re-declared layout safe: a table emptied and re-bucketed from 4
+      * to 8 leaves old versions' files with ids 0..3 that are VALID
+      * integers under n=8 — without the per-file count, a time-travel
+      * (or restore) read would claim a co-partitioning the bytes don't
+      * satisfy and an SPJ would silently join mis-bucketed rows. Files
+      * written before the count was recorded (bucketN None) fail the
+      * check and degrade to no-claim — conservative, never wrong. */
+    def bucketedUnder(n: Int): Boolean =
+      bucket.exists(b => b >= 0 && b < n) && bucketN.contains(n)
   }
 
   /** `ts` is the publish wall-clock in epoch millis (0 for manifests
@@ -229,7 +243,11 @@ object SnapshotTable {
     // ascending-sort column of the file's rows (physical name); same
     // null contract as `bucket`
     org.apache.spark.sql.types.StructField("sorted_by",
-      org.apache.spark.sql.types.StringType, nullable = true)))
+      org.apache.spark.sql.types.StringType, nullable = true),
+    // bucket COUNT the file was written under (see
+    // [[FileEntry.bucketedUnder]]); same null contract as `bucket`
+    org.apache.spark.sql.types.StructField("bucket_n",
+      org.apache.spark.sql.types.IntegerType, nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
     * version: single-file write (temp dir + rename of the part file),
@@ -247,7 +265,8 @@ object SnapshotTable {
           fe.dv.map(_._1).orNull,
           fe.dv.map(d => java.lang.Long.valueOf(d._2)).orNull,
           fe.bucket.map(java.lang.Integer.valueOf).orNull,
-          fe.sortedBy.orNull)): _*)
+          fe.sortedBy.orNull,
+          fe.bucketN.map(java.lang.Integer.valueOf).orNull)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -281,7 +300,8 @@ object SnapshotTable {
         stats.map { case (c, a) => c -> (a(0), a(1)) }.toMap,
         bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap,
         dv, if (r.isNullAt(8)) None else Some(r.getInt(8)),
-        if (r.isNullAt(9)) None else Some(r.getString(9)))
+        if (r.isNullAt(9)) None else Some(r.getString(9)),
+        if (r.isNullAt(10)) None else Some(r.getInt(10)))
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -343,6 +363,7 @@ object SnapshotTable {
         sb.append(s""","dv":{"path":"$p","n":$n}""")
       }
       fe.bucket.foreach(b => sb.append(s""","bucket":$b"""))
+      fe.bucketN.foreach(n => sb.append(s""","bucketN":$n"""))
       fe.sortedBy.foreach(c => sb.append(s""","sortedBy":"$c""""))
       sb.append("}")
     }
@@ -395,10 +416,12 @@ object SnapshotTable {
         else Some((dvn.get("path").asText, dvn.get("n").asLong))
       val bn2 = fe.path("bucket") // absent on pre-bucketing manifests
       val bucket = if (bn2.isMissingNode) None else Some(bn2.asInt)
+      val bn3 = fe.path("bucketN") // absent on pre-bucket-count manifests
+      val bucketN = if (bn3.isMissingNode) None else Some(bn3.asInt)
       val sn2 = fe.path("sortedBy") // absent on pre-sort-metadata manifests
       val sortedBy = if (sn2.isMissingNode) None else Some(sn2.asText)
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
-        stats.result(), bloom.result(), dv, bucket, sortedBy)
+        stats.result(), bloom.result(), dv, bucket, sortedBy, bucketN)
     }
     out.result()
   }
@@ -634,6 +657,65 @@ object SnapshotTable {
     org.apache.spark.sql.types.StructType(
       s.fields.map(f => f.copy(name = physicalName(f))))
 
+  /** The schema with every [[PhysicalNameKey]] metadata entry removed.
+    * A WRITER's schema must never smuggle a mapping into a commit:
+    * Spark's `Alias` propagates the child attribute's metadata, so a
+    * frame derived from a mapped table's scan still carries
+    * `graft.physical` on its fields — recording that verbatim on an
+    * OVERWRITE (whose files are written under LOGICAL names) would
+    * make later reads resolve a stale physical name against files
+    * that only contain the logical one and return all NULLs. The
+    * mapping is chain state: carry commits inherit it from the
+    * previous entry, replaceSchema commits (ALTER RENAME) declare it
+    * explicitly, and everything else is stripped here. */
+  private[graft] def stripMapping(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (!s.fields.exists(_.metadata.contains(PhysicalNameKey))) s
+    else org.apache.spark.sql.types.StructType(s.fields.map { f =>
+      if (!f.metadata.contains(PhysicalNameKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(PhysicalNameKey).build())
+    })
+
+  private def stripMappingJson(j: String): String = {
+    val st = org.apache.spark.sql.types.DataType.fromJson(j)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val out = stripMapping(st)
+    if (out eq st) j else out.json
+  }
+
+  /** Layout TBLPROPERTIES that NAME columns; when an overwrite drops a
+    * rename mapping, these must follow the rename or they dangle. */
+  private val NamedLayoutProps =
+    Seq("bucketBy", "clusterBy", "statsCols", "bloomCols")
+
+  /** After a mapping-DROPPING commit (overwrite/truncate: files now
+    * carry logical names, the recorded schema has no mapping), rewrite
+    * any layout property that still names a column by its retired
+    * PHYSICAL name to the current logical one — otherwise the declared
+    * bucket/cluster/stats layout silently stops applying to every
+    * later write (and `bucketLayout` would resolve to None). */
+  private def followPropsAfterMappingDrop(
+      spark: SparkSession, dir: String,
+      prevSchemaJson: Option[String]): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val prev = prevSchemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+    if (!prev.exists(hasMapping)) return
+    val logicalFor: Map[String, String] = prev.get.fields
+      .map(f => physicalName(f) -> f.name).filter(p => p._1 != p._2).toMap
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val props = graft.sources.connector.GraftTableProps.read(hconf, dir)
+    val updated = props.map {
+      case (k, v) if NamedLayoutProps.contains(k) =>
+        k -> v.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(c => logicalFor.getOrElse(c, c)).mkString(",")
+      case kv => kv
+    }
+    if (updated != props)
+      graft.sources.connector.GraftTableProps.write(hconf, dir, updated)
+  }
+
   /** Union-by-name for append-time schema evolution: previous fields
     * keep their order (they are the files read first), new-only
     * fields append — the same order mergeSchema produces. A same-name
@@ -669,10 +751,18 @@ object SnapshotTable {
                      removed: Map[String, Option[String]] = Map.empty,
                      carry: Boolean = false,
                      schemaJson: Option[String] = None,
-                     replaceSchema: Boolean = false): Long = {
+                     replaceSchema: Boolean = false,
+                     keepMapping: Boolean = false): Long = {
     val ld = logDir(dir)
     val f = fs(spark, ld)
     f.mkdirs(ld)
+    // writer-provided schemas never carry a rename mapping (see
+    // [[stripMapping]]); only replaceSchema (ALTER RENAME declares the
+    // mapping) and keepMapping (restore/truncate re-record a CHAIN
+    // schema whose files really are physical-named) pass it through
+    val incomingSchema: Option[String] =
+      if (replaceSchema || keepMapping) schemaJson
+      else schemaJson.map(stripMappingJson)
     var attempts = 0
     while (true) {
       val latest = latestVersion(spark, dir)
@@ -698,14 +788,14 @@ object SnapshotTable {
       // file.
       val entrySchema: Option[String] =
         if (replaceSchema) {
-          require(carry && schemaJson.isDefined &&
+          require(carry && incomingSchema.isDefined &&
             latest.flatMap(tableSchemaJson(spark, dir, _)).isDefined,
             "replaceSchema needs a carrying commit over a schema-recording chain")
-          schemaJson
-        } else if (!carry || latest.isEmpty) schemaJson
+          incomingSchema
+        } else if (!carry || latest.isEmpty) incomingSchema
         else latest.flatMap(tableSchemaJson(spark, dir, _)) match {
           case None => None
-          case prev @ Some(p) => schemaJson match {
+          case prev @ Some(p) => incomingSchema match {
             case None => prev
             case Some(n) => unionSchemaJson(p, n)
           }
@@ -725,6 +815,11 @@ object SnapshotTable {
       if (tryPublish(f, ld, entry)) {
         if (entry.kind == "full" && entry.files.size >= parquetAnchorMinFiles)
           writeParquetAnchor(spark, dir, entry)
+        // a mapping-dropping overwrite retires the physical names; the
+        // layout props that referenced them follow the rename
+        if (!carry && !replaceSchema && !keepMapping)
+          followPropsAfterMappingDrop(spark, dir,
+            latest.flatMap(tableSchemaJson(spark, dir, _)))
         return v
       }
       attempts += 1 // lost the slot race; rebase onto the winner and retry
@@ -741,9 +836,10 @@ object SnapshotTable {
   private[graft] def commitAdded(spark: SparkSession, dir: String, op: String,
                                  added: Seq[FileEntry], carry: Boolean,
                                  schemaJson: Option[String] = None,
-                                 replaceSchema: Boolean = false): Long =
+                                 replaceSchema: Boolean = false,
+                                 keepMapping: Boolean = false): Long =
     commit(spark, dir, op, added, carry = carry, schemaJson = schemaJson,
-      replaceSchema = replaceSchema)
+      replaceSchema = replaceSchema, keepMapping = keepMapping)
 
   /** Like [[commit]] but deletes the staged `added` files before
     * rethrowing a conflict, so a retried operation leaves no orphans. */
@@ -892,7 +988,8 @@ object SnapshotTable {
       // (and later scans' ordering claims) actually use
       val sortedBy = bucketing.map { case (c, _) => mapping.getOrElse(c, c) }
       FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms,
-        bucket = bucket, sortedBy = sortedBy)
+        bucket = bucket, sortedBy = sortedBy,
+        bucketN = bucket.flatMap(_ => bucketing.map(_._2)))
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
@@ -1940,14 +2037,15 @@ object SnapshotTable {
         // key-sorted so the ordering claim can survive too
         val known = tableSchema(spark, dir, v)
         val sortKey = bucketLayout(spark, dir).map(_._1)
-        val fresh = dvd.groupBy(_.bucket).toSeq.flatMap {
-          case (bucket, files) =>
+        val fresh = dvd.groupBy(fe => (fe.bucket, fe.bucketN)).toSeq.flatMap {
+          case ((bucket, bucketN), files) =>
             val df0 = readFiles(spark, dir, files, knownSchema = known)
             val key = sortKey.filter(k =>
               bucket.isDefined && df0.columns.contains(k))
             val df = key.fold(df0)(k => df0.sortWithinPartitions(col(s"`$k`")))
             stageFiles(spark, df, dir, statsCols).map(_.copy(
-              bucket = bucket, sortedBy = key.map(physicalFor(known, _))))
+              bucket = bucket, bucketN = bucketN,
+              sortedBy = key.map(physicalFor(known, _))))
         }
         commitStaged(spark, dir, "purge", fresh,
           removed = readSetOf(dvd), carry = true)
@@ -1969,29 +2067,77 @@ object SnapshotTable {
         "TABLE ... PARTITIONED BY (bucket(n, col))")
     val hconf = spark.sparkContext.hadoopConfiguration
     val props = graft.sources.connector.GraftTableProps.read(hconf, dir)
-    val logicalCol = bucketLayout(spark, dir).get._1
     val df = scan(spark, dir)
+    // props may name columns by their retired PHYSICAL names on a
+    // rename-mapped table; resolve to logical before matching the
+    // (logical-named) scan frame
+    val logicalFor: Map[String, String] = latestVersion(spark, dir)
+      .flatMap(v => tableSchema(spark, dir, v))
+      .map(_.fields.map(f => physicalName(f) -> f.name)
+        .filter(p => p._1 != p._2).toMap)
+      .getOrElse(Map.empty)
     def csv(k: String): Seq[String] = props.get(k)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .map(c => logicalFor.getOrElse(c, c))
       .filter(df.columns.contains)
-    val v = write(spark, df, dir, "overwrite", statsCols = csv("statsCols"),
+    // the overwrite commit drops any rename mapping (files now carry
+    // logical names) AND rewrites the named layout props to the
+    // logical names ([[followPropsAfterMappingDrop]]) — so the next
+    // write still finds the declared bucket column
+    write(spark, df, dir, "overwrite", statsCols = csv("statsCols"),
       opTag = Some("rebucket"), bloomCols = csv("bloomCols"))
-    // the overwrite drops any rename mapping (files now carry logical
-    // names), so the layout declaration must follow the column it
-    // names — otherwise the next write would read a stale physical
-    // name and land unbucketed
-    if (!props.get("bucketBy").contains(logicalCol))
-      graft.sources.connector.GraftTableProps.write(hconf, dir,
-        props + ("bucketBy" -> logicalCol))
-    v
   }
+
+  /** Incremental layout repair: rewrite ONLY the files that break the
+    * table's declared bucket layout (no bucket id, an out-of-range id,
+    * or an id recorded under a different bucket count), shuffling just
+    * their rows into per-bucket-pure files — O(broken files), not
+    * O(table), unlike [[rebucket]]'s full rewrite. This is what keeps
+    * a 100 TB table's storage-partitioned joins alive after a few
+    * stray unbucketed writes without repaying the whole table's write
+    * cost: one legacy epoch breaks the scan's partitioning claim for
+    * EVERY query until something heals it. Deletion vectors on broken
+    * files fold in (the rewrite materializes live rows). Returns the
+    * number of files rewritten (0 = layout already effective, no
+    * version burned). */
+  def rebucketBroken(spark: SparkSession, dir: String): Int =
+    bucketLayout(spark, dir) match {
+      case None => 0
+      case Some((c, n)) if latestVersion(spark, dir).isEmpty => 0
+      case Some((c, n)) => retryOnConflict(s"rebucket-heal $dir") {
+        val v = latestVersion(spark, dir).get
+        val m = readManifest(spark, dir, v)
+        val broken = m.files.filterNot(_.bucketedUnder(n))
+        if (broken.isEmpty) 0
+        else {
+          val known = tableSchema(spark, dir, v)
+          val props = graft.sources.connector.GraftTableProps.read(
+            spark.sparkContext.hadoopConfiguration, dir)
+          val df = readFiles(spark, dir, broken, knownSchema = known)
+          def csv(k: String): Seq[String] = props.get(k)
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+            .map(pc => known.flatMap(_.fields.find(f => physicalName(f) == pc)
+              .map(_.name)).getOrElse(pc))
+            .filter(df.columns.contains)
+          val fresh = stageFiles(spark, df, dir, csv("statsCols"),
+            csv("bloomCols"), bucketize = Some((c, n)))
+          commitStaged(spark, dir, "rebucket-heal", fresh,
+            removed = readSetOf(broken), carry = true)
+          broken.size
+        }
+      }
+    }
 
   /** RESTORE: make `toVersion`'s file list the newest version (a
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
+    // keepMapping: the restored files really are the old (physical-
+    // named) bytes, so the restored schema's rename mapping must
+    // survive the re-record — unlike a writer's overwrite
     commit(spark, dir, "restore", readManifest(spark, dir, toVersion).files,
       schemaJson = tableSchemaJson(spark, dir, toVersion),
-      carry = false)
+      carry = false, keepMapping = true)
 
   /** Data files younger than this survive [[vacuum]] even when no kept
     * manifest references them (7 days — the same default Delta uses
@@ -2117,11 +2263,12 @@ object SnapshotTable {
     // compaction — rewritten files inherit the group's bucket id, and
     // unbucketed files (bucket None) pack together exactly as before.
     // A group needs >= 2 files to gain anything; singletons stay.
-    val groups = small.groupBy(_.bucket).toSeq.filter(_._2.size >= 2)
+    val groups = small.groupBy(fe => (fe.bucket, fe.bucketN)).toSeq
+      .filter(_._2.size >= 2)
     if (groups.isEmpty) return v
     val known = tableSchema(spark, dir, v)
     val sortKey = bucketLayout(spark, dir).map(_._1)
-    val fresh = groups.flatMap { case (bucket, files) =>
+    val fresh = groups.flatMap { case ((bucket, bucketN), files) =>
       // dv-masked: compacting a dv-carrying file PURGES its deletion
       // vector (the rewrite materializes only live rows)
       val df = readFiles(spark, dir, files, knownSchema = known)
@@ -2141,7 +2288,8 @@ object SnapshotTable {
         case (None, None) => df.repartition(nOut)
       }
       stageFiles(spark, packed, dir, statsCols).map(_.copy(
-        bucket = bucket, sortedBy = key.map(physicalFor(known, _))))
+        bucket = bucket, bucketN = bucketN,
+        sortedBy = key.map(physicalFor(known, _))))
     }
     commitStaged(spark, dir, "compact", fresh,
       removed = readSetOf(groups.flatMap(_._2)), carry = true)
@@ -2213,12 +2361,14 @@ object SnapshotTable {
       keepVersions: Int = 100,
       vacuumMinAgeMs: Long = DefaultVacuumRetentionMs,
       statsCols: Seq[String] = Nil,
-      zorderBy: Option[(String, String, Int)] = None)
+      zorderBy: Option[(String, String, Int)] = None,
+      healBucketLayout: Boolean = true)
 
   /** What one [[maintain]] pass actually did (all content-neutral). */
   final case class MaintenanceReport(purged: Boolean, compacted: Boolean,
                                      vacuumedFiles: Int,
-                                     filesBefore: Int, filesAfter: Int)
+                                     filesBefore: Int, filesAfter: Int,
+                                     rebucketedFiles: Int = 0)
 
   /** One policy-driven maintenance pass — the "table services" sweep a
     * 100 TB deployment runs on a schedule instead of hand-sequencing
@@ -2227,10 +2377,14 @@ object SnapshotTable {
     *  1. PURGE when deletion vectors mask more than `maxDeletedRatio`
     *     of the physical rows (the read-side anti-join toll and the
     *     dead bytes both grow with the ratio);
-    *  2. COMPACT (optionally z-ordered) when at least `maxSmallFiles`
+    *  2. HEAL the declared bucket layout ([[rebucketBroken]]) when any
+    *     file breaks it — the only way a production table's
+    *     storage-partitioned joins come back after a stray unbucketed
+    *     write, priced O(broken files);
+    *  3. COMPACT (optionally z-ordered) when at least `maxSmallFiles`
     *     files are under `smallFileRows` — the small-file decay every
     *     per-batch append sink produces;
-    *  3. VACUUM expired versions and aged orphans, always.
+    *  4. VACUUM expired versions and aged orphans, always.
     *
     * Every step is content-neutral (the catalog gate hashes the scan
     * before/after) and each is its own commit, so a maintenance crash
@@ -2248,6 +2402,13 @@ object SnapshotTable {
     val purged = physical > 0 &&
       deleted.toDouble / physical > policy.maxDeletedRatio
     if (purged) purgeDeletes(spark, dir, policy.statsCols)
+    // heal the declared bucket layout BEFORE compaction: stray
+    // unbucketed files re-shuffle into per-bucket-pure ones (restoring
+    // the scan's storage-partitioned-join claim), and the per-bucket
+    // bin-pack then sees them in their final groups. O(broken files);
+    // a healthy (or undeclared) layout is a version-free no-op.
+    val rebucketed =
+      if (policy.healBucketLayout) rebucketBroken(spark, dir) else 0
     val m1 = readManifest(spark, dir, latestVersion(spark, dir).get)
     val small = m1.files.count(_.liveRows < policy.smallFileRows)
     val compacted = small >= policy.maxSmallFiles
@@ -2257,6 +2418,7 @@ object SnapshotTable {
     val swept = vacuum(spark, dir, policy.keepVersions, policy.vacuumMinAgeMs)
     val mEnd = readManifest(spark, dir, latestVersion(spark, dir).get)
     MaintenanceReport(purged, compacted, swept.size,
-      filesBefore = m0.files.size, filesAfter = mEnd.files.size)
+      filesBefore = m0.files.size, filesAfter = mEnd.files.size,
+      rebucketedFiles = rebucketed)
   }
 }

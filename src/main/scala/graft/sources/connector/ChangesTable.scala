@@ -1,0 +1,232 @@
+package graft.sources.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.FileEntry
+
+/** The SQL change feed: `SELECT * FROM cat.ns.t.changes` — every
+  * committed version's row-level changes, as a DISTRIBUTED V2 scan
+  * (nothing is collected to the driver; the programmatic
+  * `SnapshotTable.changes` remains the two-version multiset-diff
+  * API). Output is the table's current columns plus
+  *
+  *  - `change_type`: 'upsert' (row present after the commit, absent
+  *    before) or 'delete' (present before, absent after);
+  *  - `commit_version`: the version that introduced the change —
+  *    filter on it (`WHERE commit_version > 7`) and the scan PLANS
+  *    only those versions' diffs (pushed at the manifest level, like
+  *    Delta's `table_changes(start, end)` arguments).
+  *
+  * How a version's changes are derived — entirely from the manifest
+  * diff, O(changed files), zero data I/O on the driver:
+  *
+  *  - a file ADDED by the version replays its (dv-masked) rows as
+  *    upserts; a file REMOVED replays its previous live rows as
+  *    deletes (a rewritten row is one of each, Delta-CDF semantics);
+  *  - a file whose DELETION VECTOR changed replays exactly the
+  *    newly-deleted positions as deletes (and any restored positions
+  *    as upserts) — the reader loads the pre- and post-version
+  *    sidecars side by side and keeps the set difference;
+  *  - versions whose op is CONTENT-NEUTRAL by contract (compact,
+  *    purge, rebucket, rebucket-heal) are skipped outright: their file
+  *    churn is layout, not data — without this a compaction would
+  *    replay the whole table as delete+upsert noise.
+  *
+  * Rows of historical files are projected onto the CURRENT schema
+  * (dropped columns disappear from the feed; renamed columns resolve
+  * through the frozen physical names). Reading changes whose base
+  * files were vacuumed fails with the vacuum horizon's file-not-found
+  * — the same contract as `SnapshotTable.changes`.
+  */
+object ChangesTable {
+
+  /** Ops whose commits never change table CONTENT — diffs skipped. */
+  private val ContentNeutralOps =
+    Set("compact", "purge", "rebucket", "rebucket-heal")
+
+  private[connector] def apply(spark: SparkSession, dir: String): Table = {
+    val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val tableSchema = SnapshotTable.tableSchema(spark, dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"the change feed needs a schema-recording log under $dir " +
+          "(legacy chain: rewrite via overwrite first)"))
+    GraftSnapshotSource.validateReadable(SnapshotTable.toPhysical(tableSchema))
+    new SnapshotChangesTable(dir, tableSchema)
+  }
+
+  private[connector] def feedSchema(tableSchema: StructType): StructType =
+    StructType(tableSchema.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField("change_type", StringType, nullable = false),
+      StructField("commit_version", LongType, nullable = false)))
+
+  /** Driver-side planning: one diff per in-range, content-changing
+    * version. Manifests resolve through the shared cache, so a feed
+    * read costs O(versions-in-range × changed files) metadata. */
+  private[connector] def planChanges(spark: SparkSession, dir: String,
+                                     loV: Long, hiV: Long)
+      : Seq[ChangeFilePartition] = {
+    val vs = SnapshotTable.versions(spark, dir)
+    val out = Seq.newBuilder[ChangeFilePartition]
+    vs.zip(None +: vs.map(Some(_))).foreach { case (v, prevV) =>
+      if (v >= loV && v <= hiV) {
+        val m = SnapshotTable.readManifest(spark, dir, v)
+        if (!ContentNeutralOps.contains(m.op)) {
+          val prev: Seq[FileEntry] = prevV
+            .map(SnapshotTable.readManifest(spark, dir, _).files)
+            .getOrElse(Nil)
+          val prevByPath = prev.map(fe => fe.path -> fe).toMap
+          val curByPath = m.files.map(fe => fe.path -> fe).toMap
+          def part(fe: FileEntry, tpe: String,
+                   skipDv: Option[String],
+                   keepFrom: Option[String] = None,
+                   keepMinus: Option[String] = None) =
+            ChangeFilePartition(s"$dir/${fe.path}",
+              new org.apache.hadoop.fs.Path(fe.path).getName, fe.rows,
+              skipDv.map(p => s"$dir/$p"), keepFrom.map(p => s"$dir/$p"),
+              keepMinus.map(p => s"$dir/$p"), tpe, v)
+          m.files.filterNot(fe => prevByPath.contains(fe.path)).foreach(fe =>
+            out += part(fe, "upsert", fe.dv.map(_._1)))
+          prev.filterNot(fe => curByPath.contains(fe.path)).foreach(fe =>
+            out += part(fe, "delete", fe.dv.map(_._1)))
+          // same path, different vector: replay only the delta
+          m.files.foreach { cur =>
+            prevByPath.get(cur.path).foreach { old =>
+              if (old.dv.map(_._1) != cur.dv.map(_._1)) {
+                if (cur.dv.isDefined) // newly-deleted = curDv \ oldDv
+                  out += part(cur, "delete", None,
+                    keepFrom = cur.dv.map(_._1), keepMinus = old.dv.map(_._1))
+                if (old.dv.isDefined) // restored = oldDv \ curDv
+                  out += part(cur, "upsert", None,
+                    keepFrom = old.dv.map(_._1), keepMinus = cur.dv.map(_._1))
+              }
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+}
+
+/** One change-feed read unit: a data file replayed under a masking
+  * mode ([[SnapshotFileReader]]'s `skipOverride`/`keepOnly`) with the
+  * change metadata appended to every row. */
+final case class ChangeFilePartition(fileUri: String, baseName: String,
+                                     rows: Long,
+                                     skipDvUri: Option[String],
+                                     keepFromUri: Option[String],
+                                     keepMinusUri: Option[String],
+                                     changeType: String, version: Long)
+  extends InputPartition
+
+final class SnapshotChangesTable(dir: String, tableSchema: StructType)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft_snapshot($dir).changes"
+  override def schema(): StructType = ChangesTable.feedSchema(tableSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ChangesScanBuilder(dir, tableSchema)
+}
+
+/** Version-range pushdown: `commit_version` comparisons narrow the
+  * planned versions (all filters stay residual — Spark re-applies
+  * them, so the bounds only ever need to be conservative). */
+final class ChangesScanBuilder(dir: String, tableSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var loV = Long.MinValue
+  private var hiV = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case EqualTo("commit_version", v) => longOf(v).foreach { l =>
+        loV = math.max(loV, l); hiV = math.min(hiV, l)
+        pushed :+= f
+      }
+      case GreaterThan("commit_version", v) => longOf(v).foreach { l =>
+        loV = math.max(loV, l + 1); pushed :+= f
+      }
+      case GreaterThanOrEqual("commit_version", v) => longOf(v).foreach { l =>
+        loV = math.max(loV, l); pushed :+= f
+      }
+      case LessThan("commit_version", v) => longOf(v).foreach { l =>
+        hiV = math.min(hiV, l - 1); pushed :+= f
+      }
+      case LessThanOrEqual("commit_version", v) => longOf(v).foreach { l =>
+        hiV = math.min(hiV, l); pushed :+= f
+      }
+      case _ => ()
+    }
+    filters.foreach(walk)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ChangesScan(dir, tableSchema, loV, hiV)
+}
+
+final class ChangesScan(dir: String, tableSchema: StructType,
+                        loV: Long, hiV: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = ChangesTable.feedSchema(tableSchema)
+
+  override def description(): String =
+    s"graft_snapshot $dir change feed, versions [$loV, $hiV]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ChangesTable.planChanges(SparkSession.active, dir, loV, hiV).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // readers bind the files' PHYSICAL column names; output stays
+    // positional under the logical feed schema
+    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema))
+}
+
+final class ChangesReaderFactory(physSchema: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val c = p.asInstanceOf[ChangeFilePartition]
+    val conf = new Configuration()
+    val skip = c.skipDvUri.map(u =>
+      SnapshotPartitions.positionsOf(conf, Some(u), c.baseName))
+    val keep = c.keepFromUri.map { u =>
+      val s = SnapshotPartitions.positionsOf(conf, Some(u), c.baseName)
+      c.keepMinusUri.foreach { m =>
+        s.removeAll(SnapshotPartitions.positionsOf(conf, Some(m), c.baseName))
+      }
+      s
+    }
+    new SnapshotFileReader(
+      SnapshotFilePartition(c.fileUri, c.baseName, c.rows, None),
+      physSchema,
+      skipOverride = skip.orElse(Some(new java.util.HashSet[java.lang.Long]())),
+      keepOnly = keep,
+      extra = Array(UTF8String.fromString(c.changeType), c.version))
+  }
+}

@@ -161,8 +161,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     *    `KeyGroupedPartitioning(bucket(n, col))` — joins between
     *    tables bucketed alike plan with ZERO shuffle (storage-
     *    partitioned joins), and `col = k` point reads prune to the one
-    *    bucket's files. The two are mutually exclusive (hash scatters
-    *    what range ordering sorts).
+    *    bucket's files.
+    *  - MIXED `(identity(d), bucket(n, k))` → both: rows route to
+    *    their bucket and sort within it by the identity columns, with
+    *    rolled files per bucket — co-buckets for the join, range-
+    *    pruned slices for the scan (the standard fact-table layout).
     *
     * Integral partition columns get (min,max) stats, string ones get
     * blooms, so the layout actually prunes. Explicit TBLPROPERTIES
@@ -198,9 +201,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "columns (range clustering) or bucket(n, col) (hash buckets)")
       }
     }
-    require(cols.isEmpty || bucketCol.isEmpty,
-      "PARTITIONED BY cannot mix identity columns with bucket(n, col): " +
-        "range clustering orders the key, hash buckets scatter it — pick one")
+    // DDL-time key validation: every named column must exist, and a
+    // bucket key must be a type [[GraftBucket]] can hash — failing
+    // here beats failing on the first INSERT
+    (cols ++ bucketCol).foreach(c =>
+      require(schema.fields.exists(_.name == c),
+        s"PARTITIONED BY column '$c' is not in the table schema " +
+          schema.fieldNames.mkString("[", ", ", "]")))
+    bucketCol.foreach { c =>
+      val dt = schema.fields.find(_.name == c).get.dataType
+      require(GraftBucket.supports(dt),
+        s"bucket(n, $c): ${dt.simpleString} is not a supported bucket " +
+          "key type (integral, date/timestamp, or string)")
+      require(!cols.contains(c),
+        s"column $c cannot be both an identity partition column and " +
+          "the bucket key: hash buckets scatter exactly what identity " +
+          "clustering would order")
+    }
+    // identity + bucket MIX is the standard fact layout: rows route to
+    // their hash bucket (the storage-partitioned-join coordinate) and
+    // sort within it by the identity columns, with the write rolling
+    // files so per-file (min,max) stats prune identity slices — see
+    // [[SnapshotWriteBuilder]]'s mixed-layout handling
     val keyed = cols ++ bucketCol
     def typed(p: String => Boolean): Seq[String] =
       keyed.filter(c => schema.fields.find(_.name == c).exists(f => p(

@@ -95,12 +95,13 @@ object GraftProcedures {
           StructField("compacted", BooleanType, nullable = false),
           StructField("files_vacuumed", IntegerType, nullable = false),
           StructField("files_before", IntegerType, nullable = false),
-          StructField("files_after", IntegerType, nullable = false)))) {
+          StructField("files_after", IntegerType, nullable = false),
+          StructField("files_rebucketed", IntegerType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
           val r = SnapshotTable.maintain(spark, dir)
           Seq(new GenericInternalRow(Array[Any](r.purged, r.compacted,
-            r.vacuumedFiles, r.filesBefore, r.filesAfter)))
+            r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles)))
       })
       case _ => None
     }

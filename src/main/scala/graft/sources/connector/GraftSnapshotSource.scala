@@ -86,9 +86,17 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new SnapshotV2Table(schema,
-      GraftSnapshotSource.tableDir(new CaseInsensitiveStringMap(properties)))
+                        properties: java.util.Map[String, String]): Table = {
+    val dir = GraftSnapshotSource.tableDir(
+      new CaseInsensitiveStringMap(properties))
+    // path-based access inherits the table's declared layout exactly
+    // like the catalog path does: a bucketed table written through
+    // `df.write/writeStream.format("graft_snapshot").option("path",…)`
+    // must keep staging per-bucket-pure files, or the first such epoch
+    // silently costs the table its storage-partitioned joins
+    new SnapshotV2Table(schema, dir, tableProps = GraftTableProps.read(
+      SparkSession.active.sparkContext.hadoopConfiguration, dir))
+  }
 }
 
 object GraftSnapshotSource {
@@ -227,8 +235,11 @@ final class SnapshotV2Table(schema: StructType, dir: String,
     val schemaJson = SnapshotTable.latestVersion(spark, dir)
       .flatMap(v => SnapshotTable.tableSchemaJson(spark, dir, v))
       .orElse(Some(schema.json))
+    // keepMapping: truncation removes rows, not the rename history —
+    // later appends keep writing the frozen physical names, uniform
+    // with any pre-truncate (time-travel-readable) files
     SnapshotTable.commitAdded(spark, dir, "truncate", Nil, carry = false,
-      schemaJson = schemaJson)
+      schemaJson = schemaJson, keepMapping = true)
     true
   }
 
@@ -284,7 +295,7 @@ object SnapshotV2Table {
   /** Table properties that act as write-layout defaults. */
   val LayoutProps: Seq[String] =
     Seq("statsCols", "bloomCols", "clusterBy", "clusterPartitions",
-      "bucketBy", "buckets")
+      "bucketBy", "buckets", "targetFileRows")
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{abs, col, lit}
@@ -588,19 +599,26 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
         targets match {
           case None => statsPruned
           case Some(bs) =>
-            statsPruned.filter(_.bucket.forall(bs.contains))
+            // a file prunes ONLY when its recorded bucket id was
+            // written under the DECLARED count (bucketedUnder) — ids
+            // from a different historical count are valid ints but
+            // wrong coordinates, so those files are conservatively kept
+            statsPruned.filter(fe =>
+              !fe.bucketedUnder(n) || fe.bucket.forall(bs.contains))
         }
       case None => statsPruned
     }
   }
 
   /** The declared bucketing, but only when EVERY file of the (whole)
-    * manifest carries a valid bucket id — one file written outside
-    * the bucketed path (a merge's fresh files, a legacy append)
+    * manifest carries a valid bucket id RECORDED UNDER the declared
+    * count — one file written outside the bucketed path (a merge's
+    * fresh files, a legacy append) or under a historical different
+    * count (a re-declared layout read through time travel / restore)
     * disables the claim rather than corrupting it. */
   private def effectiveBucketing: Option[(String, DataType, Int)] =
     bucketSpec.filter { case (_, _, n) =>
-      manifest.files.forall(_.bucket.exists(b => b >= 0 && b < n))
+      manifest.files.forall(_.bucketedUnder(n))
     }
 
   /** Storage-partitioned-join handshake: a bucketed table's scan
@@ -609,9 +627,12 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
     * FunctionCatalog and (under
     * `spark.sql.sources.v2.bucketing.enabled`) plans joins between
     * co-bucketed tables with ZERO Exchange. [[planInputPartitions]]
-    * emits exactly n key-grouped partitions — empty buckets included,
-    * so both join sides always present identical partition-value
-    * sets and never depend on push-down-part-values padding. */
+    * emits key-grouped partitions: all n (empty buckets included, so
+    * both join sides present identical partition-value sets with no
+    * reconciliation needed) — or, under
+    * `spark.sql.sources.v2.bucketing.pushPartValues.enabled`, only the
+    * live buckets, letting Spark's own partition-value reconciliation
+    * fill the gaps and a pruned scan skip the empty-task floor. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     effectiveBucketing match {
@@ -677,18 +698,31 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
     case None =>
       val planned = prunedFiles
       ScanTelemetry.record(dir, planned.size, manifest.files.size)
-      // under the SPJ conf a bucketed table plans one KEY-GROUPED
-      // partition per bucket id (all n, empty buckets included — both
-      // join sides must present identical partition-value sets); with
-      // the conf off the claim is ignored by Spark, so per-file
-      // partitions keep full scan parallelism
+      // under the SPJ conf a bucketed table plans KEY-GROUPED
+      // partitions; with the conf off the claim is ignored by Spark,
+      // so per-file partitions keep full scan parallelism
       effectiveBucketing match {
         case Some((_, _, n)) if org.apache.spark.sql.internal.SQLConf.get
             .getConf(org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) =>
           val byBucket = planned.groupBy(_.bucket.get)
-          Array.tabulate[InputPartition](n)(b =>
-            SnapshotBucketPartition(b, byBucket.getOrElse(b, Nil)
-              .map(fe => SnapshotPartitions.partitionFor(dir, fe))))
+          val pushValues = org.apache.spark.sql.internal.SQLConf.get.getConf(
+            org.apache.spark.sql.internal.SQLConf
+              .V2_BUCKETING_PUSH_PART_VALUES_ENABLED)
+          // with pushPartValues on, report only the NON-EMPTY buckets:
+          // Spark reconciles both sides' partition-value sets itself
+          // (filling the gaps), and a heavily bucket/stats-pruned scan
+          // then launches live-bucket tasks instead of n mostly-empty
+          // ones — at n=4096 and a one-bucket point read that is 1
+          // task, not 4096. With it off, all n buckets are presented
+          // so both join sides' value sets match by construction.
+          if (pushValues && byBucket.nonEmpty)
+            byBucket.keys.toArray.sorted.map[InputPartition](b =>
+              SnapshotBucketPartition(b, byBucket(b)
+                .map(fe => SnapshotPartitions.partitionFor(dir, fe))))
+          else
+            Array.tabulate[InputPartition](n)(b =>
+              SnapshotBucketPartition(b, byBucket.getOrElse(b, Nil)
+                .map(fe => SnapshotPartitions.partitionFor(dir, fe))))
         case _ =>
           planned.map(fe => SnapshotPartitions.partitionFor(dir, fe)).toArray
       }

@@ -37,13 +37,17 @@ import graft.sources.SnapshotTable
   * manifest-sized, not data-sized. */
 object MetadataTables {
 
-  val Names: Set[String] = Set("history", "files")
+  val Names: Set[String] = Set("history", "files", "changes")
 
   def resolve(spark: SparkSession, tableDir: String,
               metaName: String): Option[Table] =
     metaName.toLowerCase match {
       case "history" => Some(historyTable(spark, tableDir))
       case "files" => Some(filesTable(spark, tableDir))
+      // `cat.ns.t.changes` — the distributed row-level change feed
+      // (see [[ChangesTable]]): unlike the driver-computed tables
+      // above, its rows are a real V2 scan over the changed files
+      case "changes" => Some(ChangesTable(spark, tableDir))
       case _ => None
     }
 
@@ -76,6 +80,7 @@ object MetadataTables {
       StructField("stats", statsType, nullable = false),
       StructField("bloom_cols", ArrayType(StringType, false), nullable = false),
       StructField("bucket", IntegerType, nullable = true),
+      StructField("bucket_n", IntegerType, nullable = true),
       StructField("sorted_by", StringType, nullable = true)))
     val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -92,6 +97,7 @@ object MetadataTables {
         new GenericArrayData(
           fe.bloom.keys.toSeq.sorted.map(UTF8String.fromString).toArray[Any]),
         fe.bucket.map(Int.box).orNull,
+        fe.bucketN.map(Int.box).orNull,
         fe.sortedBy.map(UTF8String.fromString).orNull))
         : InternalRow
     }

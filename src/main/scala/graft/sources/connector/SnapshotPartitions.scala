@@ -166,8 +166,18 @@ private object SnapshotFileReader {
   val JulianEpochDay = 2440588L
 }
 
-private final class SnapshotFileReader(p: SnapshotFilePartition,
-                                       schema: StructType)
+/** Row reader for one data file. Default behavior: emit every row
+  * except the dv-deleted positions. The change-feed readers override
+  * the masking: `skipOverride` replaces the dv-derived skip set, and
+  * `keepOnly` inverts the contract to "emit ONLY these positions"
+  * (how a dv DELTA between two versions replays just the newly
+  * deleted/restored rows). `extra` values are appended verbatim to
+  * every emitted row (the feed's change_type / commit_version). */
+private[connector] final class SnapshotFileReader(
+    p: SnapshotFilePartition, schema: StructType,
+    skipOverride: Option[java.util.HashSet[java.lang.Long]] = None,
+    keepOnly: Option[java.util.HashSet[java.lang.Long]] = None,
+    extra: Array[Any] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   // file:// and hdfs:// resolve from classpath defaults; a deployment
@@ -179,8 +189,15 @@ private final class SnapshotFileReader(p: SnapshotFilePartition,
   /** Deleted row positions of THIS file (dv sidecars may be shared
     * across files — filter on the file's basename). */
   private val deleted: java.util.HashSet[java.lang.Long] =
-    SnapshotPartitions.deletedPositions(conf, p)
-  private val liveRows = p.rows - deleted.size
+    skipOverride.getOrElse(SnapshotPartitions.deletedPositions(conf, p))
+
+  private def emits(pos: Long): Boolean = keepOnly match {
+    case Some(keep) => keep.contains(pos)
+    case None => !deleted.contains(pos)
+  }
+
+  private val liveRows =
+    keepOnly.map(_.size.toLong).getOrElse(p.rows - deleted.size)
 
   /** (projection index or -1, converter) per requested field, bound
     * against this file's actual schema — -1 (column added after this
@@ -220,17 +237,17 @@ private final class SnapshotFileReader(p: SnapshotFilePartition,
     case Some(r) =>
       var g = r.read()
       pos += 1
-      while (g != null && deleted.contains(pos)) { g = r.read(); pos += 1 }
+      while (g != null && !emits(pos)) { g = r.read(); pos += 1 }
       current = g
       g != null
   }
 
   override def get(): InternalRow =
-    new GenericInternalRow(fields.map { case (idx, conv) =>
+    new GenericInternalRow(fields.map[Any] { case (idx, conv) =>
       if (idx < 0 || current == null ||
           current.getFieldRepetitionCount(idx) == 0) null
       else conv(current, idx)
-    })
+    } ++ extra)
 
   override def close(): Unit = reader.foreach(_.close())
 
@@ -349,8 +366,10 @@ private[graft] object SnapshotPartitions {
     * dv sidecar. Sidecars are SHARED across a version's files (one
     * consolidated vector per commit), so the reader pushes a
     * `file = <basename>` parquet predicate: the stage-time (file, pos)
-    * sort + ~1 MB row groups let row-group stats and dictionary
-    * filters prune the shared sidecar to this file's run, keeping the
+    * sort + 128 KB row groups (writeSingleParquet's parquet.block.size
+    * — ~40k encoded (file,pos) rows per group) let row-group stats and
+    * dictionary filters prune the shared sidecar to this file's run,
+    * keeping the
     * per-task decode O(own positions) instead of O(all deleted
     * positions) — across K dv-carrying files that is the difference
     * between O(D) and O(K×D) total sidecar work. Record-level
@@ -359,9 +378,17 @@ private[graft] object SnapshotPartitions {
     * pre-sort sidecars prune nothing and still read correctly).
     * Shared by the row and columnar readers. */
   def deletedPositions(conf: Configuration,
-                       p: SnapshotFilePartition): java.util.HashSet[java.lang.Long] = {
+                       p: SnapshotFilePartition): java.util.HashSet[java.lang.Long] =
+    positionsOf(conf, p.dvUri, p.baseName)
+
+  /** The (file = `baseName`) rows of one dv sidecar, as a position
+    * set — the per-file pruned decode [[deletedPositions]] documents,
+    * reusable against an EXPLICIT sidecar uri (the change feed loads
+    * a file's pre- and post-version vectors side by side). */
+  def positionsOf(conf: Configuration, dvUri: Option[String],
+                  baseName: String): java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
-    p.dvUri.foreach { dv =>
+    dvUri.foreach { dv =>
       val path = new Path(dv)
       val fileSchema = {
         val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
@@ -373,14 +400,14 @@ private[graft] object SnapshotPartitions {
       val c = new Configuration(conf)
       c.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
       val onlyThisFile = FilterCompat.get(FilterApi.eq(
-        FilterApi.binaryColumn("file"), Binary.fromString(p.baseName)))
+        FilterApi.binaryColumn("file"), Binary.fromString(baseName)))
       val r = ParquetReader.builder(new GroupReadSupport(), path)
         .withConf(c).withFilter(onlyThisFile).build()
       try {
         var g = r.read()
         while (g != null) {
           sidecarRowsDecoded.increment()
-          if (g.getBinary("file", 0).toStringUsingUTF8 == p.baseName)
+          if (g.getBinary("file", 0).toStringUsingUTF8 == baseName)
             set.add(g.getLong("pos", 0))
           g = r.read()
         }

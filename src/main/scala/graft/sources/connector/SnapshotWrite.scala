@@ -71,8 +71,18 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     // stats/bloom manifest keys under the table's FROZEN physical
     // names; the commit records the LOGICAL schema. Overwrites replace
     // the schema (and the mapping with it), so they write as aligned.
+    private val tableMapping: Map[String, String] =
+      SnapshotWriteSupport.physicalMap(dir)
     private def physMapFor: Map[String, String] =
-      if (overwrite) Map.empty else SnapshotWriteSupport.physicalMap(dir)
+      if (overwrite) Map.empty else tableMapping
+
+    // layout options injected from TBLPROPERTIES may name columns by
+    // their FROZEN physical (declaration-time) names; the aligned
+    // write schema speaks CURRENT logical names — resolve before any
+    // validation or distribution building, or renaming a bucketBy/
+    // clusterBy/statsCols column makes the table unwritable
+    private val logicalNameFor: Map[String, String] = tableMapping.map(_.swap)
+    private def logicalName(c: String): String = logicalNameFor.getOrElse(c, c)
 
     // Write clustering (`clusterBy=k1,k2`): ask the PLANNER for a
     // range distribution + in-partition sort on the given columns, so
@@ -85,7 +95,7 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     // sizes the exchange (optionally pinned via `clusterPartitions`),
     // rather than a hand-rolled repartitionByRange the optimizer
     // can't see through.
-    private val clusterCols = cols("clusterBy")
+    private val clusterCols = cols("clusterBy").map(logicalName)
     clusterCols.foreach(c => require(aligned.fieldNames.contains(c),
       s"clusterBy column $c is not in the write schema " +
         aligned.fieldNames.mkString("[", ", ", "]")))
@@ -112,6 +122,7 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     // reporting stands on.
     private val bucketCol: Option[String] =
       Option(info.options.get("bucketBy")).map(_.trim).filter(_.nonEmpty)
+        .map(logicalName)
     private val bucketCount: Int =
       Option(info.options.get("buckets")).map(_.toInt).getOrElse(0)
     // a table with a DECLARED bucket layout must never accept a write
@@ -124,7 +135,7 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
         SparkSession.active.sparkContext.hadoopConfiguration, dir)
       for (dc <- declared.get("bucketBy"); dn <- declared.get("buckets"))
         bucketCol.foreach { c =>
-          require(c == dc && bucketCount.toString == dn,
+          require(c == logicalName(dc) && bucketCount.toString == dn,
             s"write bucketing ($c, $bucketCount) contradicts the table's " +
               s"declared layout ($dc, $dn); INSERT OVERWRITE re-buckets " +
               "under the declared layout")
@@ -133,9 +144,10 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     bucketCol.foreach { c =>
       require(bucketCount > 0,
         s"bucketBy=$c needs buckets=<n> (a positive bucket count)")
-      require(clusterCols.isEmpty,
-        "bucketBy and clusterBy are mutually exclusive: hash buckets " +
-          "scatter the key, range clustering orders it — pick one layout")
+      require(!clusterCols.contains(c),
+        s"column $c cannot be both the bucket key and a clusterBy " +
+          "column: hash buckets scatter exactly what range clustering " +
+          "would order")
       require(aligned.fieldNames.contains(c),
         s"bucketBy column $c is not in the write schema " +
           aligned.fieldNames.mkString("[", ", ", "]"))
@@ -144,6 +156,22 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
         s"bucketBy column $c: ${dt.simpleString} is not a supported " +
           "bucket key type (integral, date/timestamp, or string)")
     }
+
+    // Mixed layout (`PARTITIONED BY (identity(d), bucket(n, k))` → both
+    // clusterBy and bucketBy set): rows route to their bucket (the SPJ
+    // coordinate), sort WITHIN each bucket by the identity columns,
+    // and the per-bucket writer ROLLS to a new file every
+    // `targetFileRows` rows — consecutive files of a bucket then cover
+    // disjoint identity-column ranges, so the (min,max) stats prune a
+    // time-sliced read down to a few files per bucket while the bucket
+    // ids keep the join shuffle-free. This is the standard 100 TB fact
+    // layout: co-buckets for the join, range-pruned slices for the
+    // scan. Rolling defaults ON only for the mixed layout (a pure
+    // bucket layout prefers one sorted file per bucket — that is what
+    // elides the SMJ sorts); `targetFileRows` overrides either way.
+    private val targetFileRows: Long =
+      Option(info.options.get("targetFileRows")).map(_.toLong).getOrElse(
+        if (bucketCol.isDefined && clusterCols.nonEmpty) 1L << 20 else 0L)
 
     override def requiredDistribution(): Distribution =
       if (bucketCol.isDefined)
@@ -159,8 +187,10 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       // bucketed writes sort within partitions by the key: the
       // exchange already exists, the sort rides it — and a one-file
       // bucket of sorted rows lets the scan report output ordering
-      // (the SMJ's per-partition sorts go the way of its exchanges)
-      if (bucketCol.isDefined)
+      // (the SMJ's per-partition sorts go the way of its exchanges).
+      // A MIXED layout sorts by the identity columns instead: range
+      // pruning within each bucket is what that layout is for.
+      if (bucketCol.isDefined && clusterCols.isEmpty)
         Array(Expressions.sort(Expressions.column(
           "`" + incomingName(bucketCol.get).replace("`", "``") + "`"),
           SortDirection.ASCENDING))
@@ -178,10 +208,11 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite = {
       val pm = physMapFor
       new SnapshotBatchWrite(dir, aligned, overwrite,
-        cols("statsCols").map(c => pm.getOrElse(c, c)),
-        cols("bloomCols").map(c => pm.getOrElse(c, c)),
+        cols("statsCols").map(logicalName).map(c => pm.getOrElse(c, c)),
+        cols("bloomCols").map(logicalName).map(c => pm.getOrElse(c, c)),
         SnapshotWriteSupport.rename(aligned, pm),
-        bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)))
+        bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)),
+        targetFileRows)
     }
 
     override def toStreaming
@@ -194,10 +225,18 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
         s"mergeKey column $k is not in the write schema " +
           aligned.fieldNames.mkString("[", ", ", "]")))
       val pm = physMapFor
+      // the declared bucket layout applies to STREAMING epochs too:
+      // each epoch's files stage per-bucket-pure and tagged, so a
+      // CDC-maintained table keeps its shuffle-free joins — without
+      // this, the first epoch breaks effectiveBucketing for every
+      // reader until a rebucket rewrite nobody asked for
       new SnapshotStreamingWrite(dir, aligned,
-        cols("statsCols").map(c => pm.getOrElse(c, c)),
-        cols("bloomCols").map(c => pm.getOrElse(c, c)), mergeKey,
-        SnapshotWriteSupport.rename(aligned, pm))
+        cols("statsCols").map(logicalName).map(c => pm.getOrElse(c, c)),
+        cols("bloomCols").map(logicalName).map(c => pm.getOrElse(c, c)),
+        mergeKey,
+        SnapshotWriteSupport.rename(aligned, pm),
+        bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)),
+        targetFileRows)
     }
   }
 }
@@ -218,7 +257,9 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
                                    statsCols: Seq[String],
                                    bloomCols: Seq[String],
                                    mergeKey: Option[String] = None,
-                                   physSchema0: StructType = null)
+                                   physSchema0: StructType = null,
+                                   bucketSpec: Option[(String, Int)] = None,
+                                   targetFileRows: Long = 0L)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -233,15 +274,14 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new SnapshotStreamingWriterFactory(dir, physSchema, statsCols, bloomCols,
-      java.util.UUID.randomUUID.toString.take(8))
+      java.util.UUID.randomUUID.toString.take(8), bucketSpec, targetFileRows)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val entries = messages.collect {
-      case w: WrittenFile if w.path.nonEmpty =>
-        FileEntry(w.path, w.rows, w.stats, w.bloom)
-    }.toSeq
+    val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
+      FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
+        sortedBy = w.sortedBy, bucketN = w.bucketN))
     // replay guard is metadata-only: one commit-history walk
     val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
@@ -267,28 +307,37 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
     val spark = SparkSession.active
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.collect { case w: WrittenFile if w.path.nonEmpty =>
-      fs.delete(new Path(root, w.path), false)
-    }
+    SnapshotWriteSupport.writtenFiles(messages).foreach(w =>
+      fs.delete(new Path(root, w.path), false))
   }
 }
 
 final class SnapshotStreamingWriterFactory(dir: String, schema: StructType,
                                            statsCols: Seq[String],
-                                           bloomCols: Seq[String], nonce: String)
+                                           bloomCols: Seq[String], nonce: String,
+                                           bucketSpec: Option[(String, Int)] = None,
+                                           targetFileRows: Long = 0L)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
-      f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId.parquet")
+    bucketSpec match {
+      case Some((col, n)) =>
+        new BucketedDataWriter(dir, schema, statsCols, bloomCols, col, n,
+          targetFileRows, (b, seg) =>
+            f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId-b$b%05d-s$seg%03d.parquet")
+      case None =>
+        new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
+          f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId.parquet")
+    }
 }
 
 final class SnapshotBatchWrite(dir: String, schema: StructType,
                                overwrite: Boolean, statsCols: Seq[String],
                                bloomCols: Seq[String],
                                physSchema0: StructType = null,
-                               bucketSpec: Option[(String, Int)] = None)
+                               bucketSpec: Option[(String, Int)] = None,
+                               targetFileRows: Long = 0L)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -302,12 +351,12 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SnapshotWriterFactory(dir, physSchema, statsCols, bloomCols,
-      java.util.UUID.randomUUID.toString.take(8), bucketSpec)
+      java.util.UUID.randomUUID.toString.take(8), bucketSpec, targetFileRows)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
-        sortedBy = w.sortedBy))
+        sortedBy = w.sortedBy, bucketN = w.bucketN))
     SnapshotTable.commitAdded(SparkSession.active, dir,
       if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
       schemaJson = Some(schema.json))
@@ -330,7 +379,8 @@ final case class WrittenFile(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
                              bloom: Map[String, Seq[Long]],
                              bucket: Option[Int] = None,
-                             sortedBy: Option[String] = None)
+                             sortedBy: Option[String] = None,
+                             bucketN: Option[Int] = None)
   extends WriterCommitMessage
 
 /** A bucketed task's files — one per bucket id it received. */
@@ -340,15 +390,17 @@ final case class WrittenFileSet(files: Seq[WrittenFile])
 final class SnapshotWriterFactory(dir: String, schema: StructType,
                                   statsCols: Seq[String],
                                   bloomCols: Seq[String], nonce: String,
-                                  bucketSpec: Option[(String, Int)] = None)
+                                  bucketSpec: Option[(String, Int)] = None,
+                                  targetFileRows: Long = 0L)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     bucketSpec match {
       case Some((col, n)) =>
         new BucketedDataWriter(dir, schema, statsCols, bloomCols, col, n,
+          targetFileRows,
           // taskId is unique per attempt (same note as below)
-          b => f"data/$nonce-p$partitionId%05d-t$taskId-b$b%05d.parquet")
+          (b, seg) => f"data/$nonce-p$partitionId%05d-t$taskId-b$b%05d-s$seg%03d.parquet")
       case None =>
         new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
           // taskId is unique per attempt: a speculative/retried attempt
@@ -363,47 +415,129 @@ final class SnapshotWriterFactory(dir: String, schema: StructType,
   * exchange routed rows. Under the builder's clustered-distribution
   * request the routing aligns (partition id == bucket id) and exactly
   * one delegate opens; the map is the correctness backstop, not the
-  * common path. */
+  * common path.
+  *
+  * Two further per-bucket behaviors:
+  *  - '''Measured sort claims.''' The writer TRACKS whether each
+  *    file's rows actually arrive ascending in the bucket key and
+  *    claims `sortedBy` only then — never assumed from the planner's
+  *    requested ordering, which a streaming epoch (or a mixed layout's
+  *    identity-column sort) does not deliver. A wrong ordering claim
+  *    would let the scan elide SMJ sorts over unsorted data: silent
+  *    wrong join results, so the claim must be observed, not hoped.
+  *  - '''Rolling''' (`targetFileRows` > 0): the bucket's file closes
+  *    and a new one opens every that-many rows. With rows sorted by
+  *    the mixed layout's identity columns, consecutive files cover
+  *    disjoint identity ranges and the per-file (min,max) stats prune
+  *    time-sliced reads; it also caps file size on skewed buckets. */
 private final class BucketedDataWriter(dir: String, schema: StructType,
                                        statsCols: Seq[String],
                                        bloomCols: Seq[String],
                                        bucketCol: String, n: Int,
-                                       relPath: Int => String)
+                                       targetFileRows: Long,
+                                       relPath: (Int, Int) => String)
   extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fieldIndex(bucketCol)
   private val keyType = schema.fields(keyIdx).dataType
-  private val writers = new java.util.HashMap[Int, SnapshotDataWriter]()
+
+  /** Ascending comparison in Spark's sort order for the bucket-key
+    * type surface (nulls FIRST, matching the exchange's default). */
+  private def keyLt(prev: Any, cur: Any): Boolean = {
+    if (prev == null) return false // null sorts first: anything follows
+    if (cur == null) return true
+    keyType match {
+      case StringType =>
+        prev.asInstanceOf[UTF8String].compareTo(cur.asInstanceOf[UTF8String]) > 0
+      case ByteType => prev.asInstanceOf[Byte] > cur.asInstanceOf[Byte]
+      case ShortType => prev.asInstanceOf[Short] > cur.asInstanceOf[Short]
+      case IntegerType | DateType =>
+        prev.asInstanceOf[Int] > cur.asInstanceOf[Int]
+      case _ => prev.asInstanceOf[Long] > cur.asInstanceOf[Long]
+    }
+  }
+
+  private final class BucketState(b: Int) {
+    var writer: SnapshotDataWriter = _
+    var seg = 0
+    var rowsInSeg = 0L
+    var segSorted = true
+    var lastKey: Any = _
+    var sawRow = false
+    val done = Seq.newBuilder[WrittenFile]
+
+    def write(row: InternalRow, key: Any): Unit = {
+      if (writer == null)
+        writer = new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
+          relPath(b, seg))
+      else if (targetFileRows > 0 && rowsInSeg >= targetFileRows) roll()
+      if (sawRow && keyLt(lastKey, key)) segSorted = false
+      // UTF8String may alias a reused row buffer; detach before keeping
+      lastKey = key match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      sawRow = true
+      writer.write(row)
+      rowsInSeg += 1
+    }
+
+    private def roll(): Unit = {
+      finishSeg()
+      seg += 1
+      rowsInSeg = 0L
+      segSorted = true
+      sawRow = false
+      writer = new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
+        relPath(b, seg))
+    }
+
+    def finishSeg(): Unit = if (writer != null) {
+      writer.commit() match {
+        case f: WrittenFile if f.path.nonEmpty =>
+          done += f.copy(bucket = Some(b), bucketN = Some(n),
+            sortedBy = if (segSorted) Some(bucketCol) else None)
+        case _ => ()
+      }
+      writer = null
+    }
+  }
+
+  private val buckets = new java.util.HashMap[Int, BucketState]()
 
   override def write(row: InternalRow): Unit = {
     val v = if (row.isNullAt(keyIdx)) null else row.get(keyIdx, keyType)
     val b = GraftBucket.of(v, keyType, n)
-    var w = writers.get(b)
-    if (w == null) {
-      w = new SnapshotDataWriter(dir, schema, statsCols, bloomCols, relPath(b))
-      writers.put(b, w)
+    var st = buckets.get(b)
+    if (st == null) {
+      st = new BucketState(b)
+      buckets.put(b, st)
     }
-    w.write(row)
+    st.write(row, v)
   }
 
   override def commit(): WriterCommitMessage = {
     val files = Seq.newBuilder[WrittenFile]
-    writers.forEach { (b, w) =>
-      w.commit() match {
-        case f: WrittenFile if f.path.nonEmpty =>
-          // the task's input is key-sorted (requiredOrdering), and the
-          // per-bucket split preserves arrival order — each file is
-          // ascending in the key
-          files += f.copy(bucket = Some(b), sortedBy = Some(bucketCol))
-        case _ => ()
-      }
+    buckets.forEach { (_, st) =>
+      st.finishSeg()
+      files ++= st.done.result()
     }
     WrittenFileSet(files.result())
   }
 
-  override def abort(): Unit = writers.forEach((_, w) => w.abort())
+  override def abort(): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    buckets.forEach { (_, st) =>
+      if (st.writer != null) st.writer.abort()
+      // already-rolled segments are durable files by now; delete them
+      // like the batch abort deletes reported files
+      st.done.result().foreach(f => fs.delete(new Path(dir, f.path), false))
+    }
+  }
 
-  override def close(): Unit = writers.forEach((_, w) => w.close())
+  override def close(): Unit = buckets.forEach { (_, st) =>
+    if (st.writer != null) st.writer.close()
+  }
 }
 
 private object SnapshotWriteSupport {

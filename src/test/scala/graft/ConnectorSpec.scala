@@ -35,6 +35,30 @@ class ConnectorSpec extends SparkTestBase {
     scans.head.asInstanceOf[SnapshotScan]
   }
 
+  /** A LEGACY append: a plain parquet file committed with no bucket
+    * tag — what a pre-bucketing writer (or a foreign engine sharing
+    * the format) produces. Every in-repo write path now stages
+    * through a declared layout, so breaking one takes going under
+    * the write API, exactly like such a writer would. */
+  private def legacyAppend(dir: String, df: DataFrame): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".legacy-${java.util.UUID.randomUUID}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .get
+    val rel = s"data/legacy-${java.util.UUID.randomUUID}.parquet"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "data"))
+    assert(fs.rename(part, new org.apache.hadoop.fs.Path(dir, rel)))
+    fs.delete(tmp, true)
+    SnapshotTable.commitAdded(spark, dir, "append",
+      Seq(SnapshotTable.FileEntry(rel, df.count(), Map.empty, Map.empty,
+        None, None, None, None)), carry = true,
+      schemaJson = Some(df.schema.json))
+  }
+
   /** An 8-file table range-partitioned on id with stats + a bloom'd
     * string key, ids [0, 800). */
   private def buildRanged(dir: String): Unit = {
@@ -1542,11 +1566,23 @@ class ConnectorSpec extends SparkTestBase {
       assert(shufflesOf(plan) == 0,
         s"expected the SPJ join to plan shuffle-free, got plan:\n$plan")
     }
-    // one file written OUTSIDE the bucketed path disables the claim
-    // conservatively (never corrupts it)
-    spark.range(0, 5).selectExpr("id AS k", "id AS v")
+    // a PATH write with no options now INHERITS the declared layout
+    // (the provider loads the table's props), so SPJ survives it
+    spark.range(10000, 10005).selectExpr("id AS k", "id AS v")
       .write.format("graft_snapshot").option("path", s"$root/facts")
       .mode("append").save()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      df.collect()
+      assert(shufflesOf(df.queryExecution.executedPlan.toString) == 0,
+        "a path write into a declared-bucket table must stay bucketed")
+    }
+    // one file written OUTSIDE the write API (a legacy/foreign writer)
+    // disables the claim conservatively (never corrupts it)
+    legacyAppend(s"$root/facts",
+      spark.range(0, 5).selectExpr("id AS k", "id AS v"))
     withSQLConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
@@ -1669,11 +1705,9 @@ class ConnectorSpec extends SparkTestBase {
     spark.sql("CREATE TABLE graftspjr.t (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")
     spark.sql("INSERT INTO graftspjr.t SELECT id, id FROM range(0, 400)")
-    // a PATH write with no bucket options lands unbucketed -> SPJ off
-    spark.range(400, 500).selectExpr("id AS k", "id AS v")
-      .write.format("graft_snapshot").option("path", s"$root/t")
-      .mode("append").save()
+    // a LEGACY append (outside the write API) lands unbucketed -> SPJ off
     val dir = s"$root/t"
+    legacyAppend(dir, spark.range(400, 500).selectExpr("id AS k", "id AS v"))
     def manifest = SnapshotTable.readManifest(spark, dir,
       SnapshotTable.latestVersion(spark, dir).get)
     assert(manifest.files.exists(_.bucket.isEmpty))
@@ -1971,5 +2005,366 @@ class ConnectorSpec extends SparkTestBase {
     val e4 = intercept[Exception](
       spark.sql("UPDATE plain_view SET id = 0 WHERE id = 1"))
     assert(!msgOf(e4).contains("snapshot-table DML"))
+  }
+
+  test("streaming epochs stage through the declared bucket layout") {
+    val root = Files.createTempDirectory("graft-spjse").toString
+    spark.conf.set("spark.sql.catalog.graftspjse",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjse.root", root)
+    spark.sql("CREATE TABLE graftspjse.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graftspjse.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjse.d SELECT id, id FROM range(0, 64)")
+    val dir = s"$root/t"
+    val src = freshDir()
+    val ckpt = Files.createTempDirectory("graft-spjse-ck").toString
+    def manifest = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(src)
+        .writeStream.format("graft_snapshot").option("path", dir)
+        .option("mergeKey", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // three upsert epochs: inserts, then updates + inserts
+    SnapshotTable.write(spark,
+      spark.range(0, 64).selectExpr("id AS k", "id AS v"),
+      src, "overwrite")
+    drain()
+    assert(manifest.files.forall(f =>
+      f.bucket.isDefined && f.bucketN.contains(4)),
+      s"epoch 1 broke the layout: ${manifest.files.map(f => (f.path, f.bucket))}")
+    SnapshotTable.write(spark,
+      spark.range(0, 96).selectExpr("id AS k", "id * 10 AS v"),
+      src, "append")
+    drain()
+    assert(manifest.files.forall(f =>
+      f.bucket.isDefined && f.bucketN.contains(4)),
+      "epoch 2 (upsert over existing keys) broke the layout")
+    // the CDC-maintained table still joins shuffle-free
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("SELECT t.k AS k, sum(t.v + d.w) AS s " +
+        "FROM graftspjse.t t JOIN graftspjse.d d ON t.k = d.k GROUP BY t.k")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("exchange"),
+        s"streamed-into table lost SPJ:\n$plan")
+      // upsert semantics: keys 0..95 at v = k * 10, joined with w = k
+      assert(got == (0 until 64).map(k => k.toLong -> (k * 11L)).toMap)
+    }
+  }
+
+  test("maintain heals a broken bucket layout, O(broken files)") {
+    val root = Files.createTempDirectory("graft-spjh").toString
+    spark.conf.set("spark.sql.catalog.graftspjh",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspjh.root", root)
+    spark.sql("CREATE TABLE graftspjh.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjh.t SELECT id % 32, id FROM range(0, 800)")
+    val dir = s"$root/t"
+    def manifest = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    val healthyFiles = manifest.files.map(_.path).toSet
+    // two legacy files break the claim
+    legacyAppend(dir, spark.range(800, 850).selectExpr("id % 32 AS k", "id AS v"))
+    legacyAppend(dir, spark.range(850, 900).selectExpr("id % 32 AS k", "id AS v"))
+    assert(manifest.files.count(_.bucket.isEmpty) == 2)
+    val before = spark.sql("SELECT * FROM graftspjh.t").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val rep = SnapshotTable.maintain(spark, dir,
+      SnapshotTable.MaintenancePolicy(
+        smallFileRows = 1L, targetRows = 1000000L, maxSmallFiles = 1000,
+        maxDeletedRatio = 0.99, keepVersions = 100, vacuumMinAgeMs = 0L))
+    assert(rep.rebucketedFiles == 2,
+      s"expected the 2 broken files healed, got ${rep.rebucketedFiles}")
+    // O(broken): the healthy files were NOT rewritten
+    assert(healthyFiles.subsetOf(manifest.files.map(_.path).toSet),
+      "heal must leave healthy files untouched")
+    assert(manifest.files.forall(f =>
+      f.bucket.isDefined && f.bucketN.contains(4)))
+    // content-neutral (multiset equality)
+    val after = spark.sql("SELECT * FROM graftspjh.t").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(after == before)
+    // SPJ is back
+    spark.sql("CREATE TABLE graftspjh.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftspjh.d SELECT id, id FROM range(0, 32)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("SELECT count(*) AS c FROM graftspjh.t t " +
+        "JOIN graftspjh.d d ON t.k = d.k")
+      df.collect()
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "maintain must restore the shuffle-free join")
+    }
+    // healthy layout: a second pass heals nothing and burns no version
+    val v = SnapshotTable.latestVersion(spark, dir).get
+    val rep2 = SnapshotTable.maintain(spark, dir,
+      SnapshotTable.MaintenancePolicy(
+        smallFileRows = 1L, targetRows = 1000000L, maxSmallFiles = 1000,
+        maxDeletedRatio = 0.99, keepVersions = 100, vacuumMinAgeMs = 0L))
+    assert(rep2.rebucketedFiles == 0)
+    assert(SnapshotTable.latestVersion(spark, dir).get == v)
+  }
+
+  test("rename-mapped table: overwrite drops the mapping without nulling data") {
+    val root = Files.createTempDirectory("graft-rnrb").toString
+    spark.conf.set("spark.sql.catalog.graftrnrb",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrnrb.root", root)
+    spark.sql("CREATE TABLE graftrnrb.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftrnrb.t SELECT id, id * 2 FROM range(0, 100)")
+    // rename a DATA column: files keep physical 'v', reads alias v->w
+    spark.sql("ALTER TABLE graftrnrb.t RENAME COLUMN v TO w")
+    spark.sql("INSERT INTO graftrnrb.t SELECT id, id * 2 FROM range(100, 200)")
+    // the ADVICE r13 regression: rebucket (an overwrite of a frame
+    // derived from the mapped scan) must not record the stale physical
+    // name — a wrong schema here reads back ALL NULLS for w
+    spark.sql("CALL graftrnrb.system.rebucket('t')")
+    val rows = spark.sql("SELECT k, w FROM graftrnrb.t ORDER BY k").collect()
+    assert(rows.length == 200)
+    assert(rows.forall(r => !r.isNullAt(1) && r.getLong(1) == r.getLong(0) * 2),
+      s"rename->rebucket nulled the renamed column: ${rows.take(3).toSeq}")
+    val dir = s"$root/t"
+    def manifest = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(manifest.files.forall(f =>
+      f.bucket.isDefined && f.bucketN.contains(4)),
+      "rebucket after rename must land bucketed")
+    // writes after the mapping-dropping overwrite still work and stay
+    // bucketed (layout props followed the rename)
+    spark.sql("INSERT INTO graftrnrb.t SELECT id, id * 2 FROM range(200, 250)")
+    assert(manifest.files.forall(_.bucket.isDefined))
+    assert(spark.sql("SELECT count(*) FROM graftrnrb.t WHERE w = 2 * k")
+      .as[Long].head == 250L)
+  }
+
+  test("renamed bucket key stays writable, joinable, and rebucketable") {
+    val root = Files.createTempDirectory("graft-rnbk").toString
+    spark.conf.set("spark.sql.catalog.graftrnbk",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrnbk.root", root)
+    spark.sql("CREATE TABLE graftrnbk.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftrnbk.t SELECT id % 40, id FROM range(0, 400)")
+    // the ADVICE r13 regression: renaming the BUCKET column froze the
+    // physical name into the injected bucketBy option and every later
+    // INSERT failed validation against the (logical) write schema
+    spark.sql("ALTER TABLE graftrnbk.t RENAME COLUMN k TO kk")
+    spark.sql("INSERT INTO graftrnbk.t SELECT id % 40, id FROM range(400, 800)")
+    val dir = s"$root/t"
+    def manifest = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(manifest.files.forall(f =>
+      f.bucket.isDefined && f.bucketN.contains(4)),
+      s"post-rename INSERT broke the layout: ${manifest.files.map(_.bucket)}")
+    // SPJ still holds on the renamed key
+    spark.sql("CREATE TABLE graftrnbk.d (kk BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, kk))")
+    spark.sql("INSERT INTO graftrnbk.d SELECT id, id FROM range(0, 40)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("SELECT count(*) AS c FROM graftrnbk.t t " +
+        "JOIN graftrnbk.d d ON t.kk = d.kk")
+      assert(df.as[Long].head == 800L)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "renamed bucket key must keep the shuffle-free join")
+    }
+    // and the full rewrite path works on the renamed key too
+    spark.sql("CALL graftrnbk.system.rebucket('t')")
+    assert(spark.sql("SELECT count(*) FROM graftrnbk.t").as[Long].head == 800L)
+    assert(manifest.files.forall(_.bucket.isDefined))
+  }
+
+  test("re-declared bucket count: old versions neither prune nor claim SPJ") {
+    val root = Files.createTempDirectory("graft-rdbc").toString
+    spark.conf.set("spark.sql.catalog.graftrdbc",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrdbc.root", root)
+    spark.sql("CREATE TABLE graftrdbc.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftrdbc.t SELECT id, id FROM range(0, 400)")
+    val dir = s"$root/t"
+    val oldV = SnapshotTable.latestVersion(spark, dir).get
+    val oldRows = spark.sql(
+      s"SELECT * FROM graftrdbc.t VERSION AS OF $oldV WHERE k = 123")
+      .collect().map(_.toSeq).toSet
+    assert(oldRows == Set(Seq(123L, 123L)))
+    // empty, re-declare n=8, refill — old files' ids 0..3 are VALID
+    // ints under n=8 but wrong coordinates
+    spark.sql("TRUNCATE TABLE graftrdbc.t")
+    spark.sql("ALTER TABLE graftrdbc.t SET TBLPROPERTIES ('buckets'='8')")
+    spark.sql("INSERT INTO graftrdbc.t SELECT id, id FROM range(0, 400)")
+    // ADVICE r13: a time-travel read under the NEW declared count must
+    // not bucket-prune the OLD files (silent row loss) ...
+    val reread = spark.sql(
+      s"SELECT * FROM graftrdbc.t VERSION AS OF $oldV WHERE k = 123")
+      .collect().map(_.toSeq).toSet
+    assert(reread == oldRows,
+      "re-declared bucket count corrupted a time-travel point read")
+    // ... and must not claim a co-partitioning the bytes don't satisfy
+    spark.sql("CREATE TABLE graftrdbc.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO graftrdbc.d SELECT id, id FROM range(0, 40)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(s"SELECT count(*) AS c FROM " +
+        s"(SELECT * FROM graftrdbc.t VERSION AS OF $oldV) t " +
+        "JOIN graftrdbc.d d ON t.k = d.k")
+      assert(df.as[Long].head == 40L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        s"old-count files must fall back to a shuffled join:\n$plan")
+    }
+    // the CURRENT version (ids recorded under n=8) keeps full SPJ
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("SELECT count(*) AS c FROM graftrdbc.t t " +
+        "JOIN graftrdbc.d d ON t.k = d.k")
+      assert(df.as[Long].head == 40L)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    }
+  }
+
+  test("bucket DDL validates the key type at CREATE time") {
+    val root = Files.createTempDirectory("graft-ddlv").toString
+    spark.conf.set("spark.sql.catalog.graftddlv",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftddlv.root", root)
+    def msgs(t: Throwable): String = {
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
+      all(t).mkString("\n")
+    }
+    // unsupported key type fails at DDL, not on the first INSERT
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftddlv.t (d DOUBLE, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, d))"))
+    assert(msgs(e1).contains("not a supported bucket key"))
+    // a column that isn't in the schema fails too (Spark's own
+    // transform resolution catches it before layoutProps does)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftddlv.t2 (k BIGINT) PARTITIONED BY (bucket(4, nope))"))
+    assert(msgs(e2).contains("not in the table schema") ||
+      msgs(e2).contains("Couldn't find column"))
+    // same column as identity AND bucket key is contradictory
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE graftddlv.t3 (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (k, bucket(4, k))"))
+    assert(msgs(e3).contains("cannot be both"))
+  }
+
+  test("mixed layout: identity range pruning + bucket SPJ on one table") {
+    val root = Files.createTempDirectory("graft-mix").toString
+    spark.conf.set("spark.sql.catalog.graftmix",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftmix.root", root)
+    // the standard fact layout: co-buckets on the join key, rows
+    // sorted by the identity column within each bucket, files rolled
+    // so per-file (min,max) stats prune identity slices
+    spark.sql("CREATE TABLE graftmix.f (day BIGINT, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (day, bucket(4, k)) " +
+      "TBLPROPERTIES ('targetFileRows'='1000')")
+    spark.sql("INSERT INTO graftmix.f " +
+      "SELECT id % 16 AS day, id % 64 AS k, id AS v FROM range(0, 16000)")
+    val dir = s"$root/f"
+    val m = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    assert(m.files.forall(f => f.bucket.isDefined && f.bucketN.contains(4)),
+      s"mixed layout must still bucket: ${m.files.map(_.bucket)}")
+    assert(m.files.size > 4,
+      s"rolling must split each bucket into day-sliced files, got ${m.files.size}")
+    // within each bucket, rolled files cover near-disjoint day ranges;
+    // a day slice plans a strict subset of the files
+    spark.sql("SELECT sum(v) AS s FROM graftmix.f WHERE day = 3").collect()
+    val (planned, total) = graft.sources.connector.ScanTelemetry
+      .lastPlanned(dir).get
+    assert(planned < total,
+      s"day slice did not stats-prune: planned $planned of $total")
+    // and the same table joins shuffle-free on the bucket key
+    spark.sql("CREATE TABLE graftmix.d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftmix.d SELECT id, id FROM range(0, 64)")
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql("SELECT count(*) AS c FROM graftmix.f f " +
+        "JOIN graftmix.d d ON f.k = d.k WHERE f.day BETWEEN 2 AND 5")
+      assert(df.as[Long].head == 4000L)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "mixed layout must keep the shuffle-free join")
+    }
+  }
+
+  test("changes metadata table: the SQL change feed replays history") {
+    val root = Files.createTempDirectory("graft-chg").toString
+    spark.conf.set("spark.sql.catalog.graftchg",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftchg.root", root)
+    spark.sql("CREATE TABLE graftchg.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftchg.t SELECT id, id FROM range(0, 100)")
+    val vAppend = SnapshotTable.latestVersion(spark, s"$root/t").get
+    spark.sql("DELETE FROM graftchg.t WHERE k % 10 = 3") // dv delete
+    val vDelete = SnapshotTable.latestVersion(spark, s"$root/t").get
+    spark.range(50, 150).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("chg_src")
+    spark.sql("MERGE INTO graftchg.t USING chg_src s ON graftchg.t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val vMerge = SnapshotTable.latestVersion(spark, s"$root/t").get
+    // compaction is layout, not data: it must add NO feed rows
+    SnapshotTable.compact(spark, s"$root/t", smallRows = Long.MaxValue,
+      targetRows = 1000000L)
+    val feed = spark.sql("SELECT * FROM graftchg.t.changes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // v1 append: 100 upserts
+    assert(feed.count(_._4 == vAppend) == 100)
+    assert(feed.filter(_._4 == vAppend).forall(_._3 == "upsert"))
+    // v2 dv delete: exactly the 10 deleted keys, replayed as deletes
+    val dels = feed.filter(_._4 == vDelete)
+    assert(dels.map(t => (t._1, t._2, t._3)).toSet ==
+      (0 until 100).filter(_ % 10 == 3)
+        .map(k => (k.toLong, k.toLong, "delete")).toSet)
+    // v3 merge: LIVE matched keys 50..99 (minus the dv-deleted ones)
+    // update — pre-image delete + post-image upsert; the dv-deleted
+    // keys in 50..99 are NOT MATCHED and re-insert; 100..149 insert
+    val matched = (50 until 100).filterNot(_ % 10 == 3)
+    val inserted = (100 until 150) ++ (50 until 100).filter(_ % 10 == 3)
+    val mergeRows = feed.filter(_._4 == vMerge)
+    assert(mergeRows.filter(_._3 == "delete").map(t => (t._1, t._2)).toSet ==
+      matched.map(k => (k.toLong, k.toLong)).toSet,
+      "merge must replay matched pre-images as deletes")
+    assert(mergeRows.filter(_._3 == "upsert").map(t => (t._1, t._2)).toSet ==
+      (matched ++ inserted).map(k => (k.toLong, k * 2L)).toSet,
+      "merge must replay post-images as upserts")
+    // nothing from the compaction
+    assert(feed.forall(_._4 <= vMerge),
+      "compaction (content-neutral) must contribute no feed rows")
+    // version-range pushdown: the narrowed read plans only the asked
+    // versions' diffs
+    val narrowed = spark.sql(
+      s"SELECT * FROM graftchg.t.changes WHERE commit_version > $vDelete")
+    assert(narrowed.collect().length == mergeRows.length)
+    val scan = narrowed.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.description.contains(s"[${vDelete + 1},"),
+      s"version bound not pushed: ${scan.description}")
   }
 }

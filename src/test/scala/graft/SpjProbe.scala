@@ -65,12 +65,48 @@ object SpjProbe {
     }
     val sOn = sorts(spark.sql(q))
     val tSorted = minSec(spark.sql(q).collect())
+    // pushPartValues: a bucket-pruned scan reports only its LIVE
+    // buckets, so a selective join launches live-bucket tasks instead
+    // of `buckets` mostly-empty ones — Spark's own partition-value
+    // reconciliation fills the gaps on the other side and the join
+    // stays shuffle-free. The empty-task floor matters at large n:
+    // bucket(4096) point joins would otherwise pay 4096 task launches
+    // to read one bucket.
+    val liveKeys = (0 until 5).map(_ * 7L + 1) // hashes to <= 5 buckets
+    val qPruned = s"SELECT count(*) AS c, sum(f.v + d.w) AS s " +
+      s"FROM spjp.f f JOIN spjp.d d ON f.k = d.k " +
+      s"WHERE f.k IN (${liveKeys.mkString(",")}) " +
+      s"AND d.k IN (${liveKeys.mkString(",")})"
+    val prunedDf = spark.sql(qPruned)
+    prunedDf.collect()
+    val exPruned = exchanges(spark.sql(qPruned))
+    // task counts live under AQE's FINAL plan; QueryStageExec is a
+    // LEAF node, so plain collect() never sees inside a stage —
+    // recurse through both wrappers explicitly
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(qs.plan)
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(s.inputPartitions.size)
+        case other => other.children.flatMap(scansOf)
+      }
+    val scanTasks = scansOf(prunedDf.queryExecution.executedPlan)
+    val liveBuckets = liveKeys
+      .map(k => Math.floorMod(org.apache.spark.sql.catalyst.expressions
+        .Murmur3HashFunction.hash(k, org.apache.spark.sql.types.LongType,
+          42L).toInt, buckets)).distinct.size
     println(f"""{"spj":{"facts":$facts,"dims":$dims,"buckets":$buckets,""" +
       f""""exchanges_off":$exOff,"exchanges_on":$exOn,""" +
       f""""join_sec_off":$tOff%.4f,"join_sec_on":$tOn%.4f,""" +
       f""""speedup":${tOff / tOn}%.3f,""" +
       f""""sorts_with_sorting_conf":$sOn,"join_sec_sorted":$tSorted%.4f,""" +
-      f""""speedup_sorted":${tOff / tSorted}%.3f}}""")
+      f""""speedup_sorted":${tOff / tSorted}%.3f,""" +
+      f""""pruned_join_exchanges":$exPruned,""" +
+      f""""pruned_live_buckets":$liveBuckets,""" +
+      f""""pruned_scan_tasks":${scanTasks.mkString("[", ",", "]")}}}""")
     spark.stop()
   }
 }
