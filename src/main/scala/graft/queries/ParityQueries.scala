@@ -1942,6 +1942,80 @@ object ParityQueries {
         |      BETWEEN 23929 AND 23952
         |GROUP BY o_custkey ORDER BY k""".stripMargin),
 
+    // Warehouse DDL guard rails (round-14): CHECK constraints and
+    // column DEFAULTs through pure SQL. The constraint gates every
+    // write against the STAGED batch — the violating INSERT in the
+    // middle of this query must fail WITH THE CONSTRAINT NAME and
+    // leave no trace (asserted in-query: same row count after). The
+    // DEFAULT fills both omitted INSERT columns (analyzer-side) and
+    // rows in files that PREDATE an ADD COLUMNS … DEFAULT
+    // (reader-side exists-default) — the oracle recomputes the final
+    // grouped content from the raw table.
+    "q7B_constraints_defaults" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7B")
+        s.conf.set("spark.sql.catalog.graft_ck",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_ck.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7B_orders")
+        s.sql("DROP TABLE IF EXISTS graft_ck.t") // same-session rerun
+        s.sql("CREATE TABLE graft_ck.t (o_orderkey BIGINT, price DOUBLE, " +
+          "status STRING DEFAULT 'open')")
+        s.sql("ALTER TABLE graft_ck.t ADD CONSTRAINT positive_price " +
+          "CHECK (price >= 0)")
+        s.sql("""INSERT INTO graft_ck.t (o_orderkey, price)
+                |SELECT o_orderkey, o_totalprice FROM t7B_orders
+                |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_ck.t
+                |SELECT o_orderkey, o_totalprice, 'closed' FROM t7B_orders
+                |WHERE o_orderkey % 3 = 1""".stripMargin)
+        val before = s.sql("SELECT count(*) FROM graft_ck.t")
+          .collect().head.getLong(0)
+        val failed = try {
+          s.sql("""INSERT INTO graft_ck.t
+                  |SELECT o_orderkey, -o_totalprice, 'bad' FROM t7B_orders
+                  |WHERE o_orderkey % 3 = 2""".stripMargin)
+          false
+        } catch {
+          case e: Exception =>
+            def all(x: Throwable): Seq[String] = if (x == null) Nil
+              else Option(x.getMessage).toSeq ++ all(x.getCause)
+            all(e).mkString("\n").contains("positive_price")
+        }
+        require(failed, "the violating INSERT must fail with the " +
+          "constraint name")
+        require(s.sql("SELECT count(*) FROM graft_ck.t")
+          .collect().head.getLong(0) == before,
+          "the violating INSERT must leave the table untouched")
+        s.sql("ALTER TABLE graft_ck.t ADD COLUMNS (tier BIGINT DEFAULT 3)")
+        s.sql("""INSERT INTO graft_ck.t
+                |SELECT o_orderkey + 10000000, o_totalprice, 'new',
+                |       CAST(1 AS BIGINT)
+                |FROM t7B_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+        s.sql("""SELECT status, tier, count(*) AS cnt,
+                |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+                |FROM graft_ck.t
+                |GROUP BY status, tier
+                |ORDER BY status, tier""".stripMargin)
+      },
+      """WITH base AS (
+        |  SELECT 'open' AS status, CAST(3 AS BIGINT) AS tier,
+        |         o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'closed', CAST(3 AS BIGINT), o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 'new', CAST(1 AS BIGINT), o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT status, tier, count(*) AS cnt,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM base GROUP BY status, tier
+        |ORDER BY status, tier""".stripMargin),
+
     // Clustered V2 write + stats-pruned range read: the write asks the
     // planner for a range distribution on o_orderkey
     // (RequiresDistributionAndOrdering), so each file covers a narrow

@@ -61,6 +61,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Opt into Spark's analyzer-side DDL surfaces: CHECK constraints
+    * (`ALTER TABLE … ADD CONSTRAINT c CHECK (p)` — Spark validates the
+    * EXISTING rows itself, then every later INSERT/write gets a
+    * `CheckInvariant` guard injected from [[SnapshotV2Table.constraints]],
+    * so a violating batch fails task-side BEFORE the commit publishes:
+    * the staged files are aborted, no version is burned) and column
+    * DEFAULTs (CREATE/ADD COLUMNS `… DEFAULT expr` — the default rides
+    * the recorded schema's metadata; writes missing the column are
+    * filled by the analyzer, rows in files that PREDATE the column
+    * read the exists-default instead of null). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(ns: Seq[String], leaf: String): String =
     (root +: ns :+ leaf).mkString("/")
   private def dirOf(ident: Identifier): String =
@@ -273,10 +288,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table =
-    createTable(ident,
-      StructType(columns.map(c =>
-        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
-      partitions, properties)
+    // each column's DEFAULT rides the field metadata (CURRENT_DEFAULT
+    // for future writes, EXISTS_DEFAULT for rows predating the
+    // column) — the recorded schema carries both
+    createTable(ident, StructType(columns.map { c =>
+      val base = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable)
+      Option(c.defaultValue).fold(base) { dv =>
+        import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+        val existsSql = org.apache.spark.sql.catalyst.expressions
+          .Literal(dv.getValue.value, dv.getValue.dataType).sql
+        base.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              Option(dv.getSql).getOrElse(existsSql))
+            .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, existsSql)
+            .build())
+      }
+    }), partitions, properties)
 
   /** Retired PHYSICAL column names (ever dropped or renamed-away):
     * files may still carry their data, so a later ADD COLUMN of the
@@ -321,7 +350,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
-    val (propChanges, rest) = changes.partition {
+    val (constraintChanges, changes1) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    // CHECK constraints persist as `constraint.<name>` props; Spark
+    // has already validated the EXISTING rows before AddConstraint
+    // reaches us (AddCheckConstraintExec scans and fails on any
+    // violation), and [[SnapshotV2Table.constraints]] republishes them
+    // so every later write plans with a CheckInvariant guard.
+    constraintChanges.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val key = s"${GraftCatalog.ConstraintPrefix}${c.name()}"
+          require(!readProps(dir).contains(key),
+            s"constraint '${c.name()}' already exists")
+          writeProps(dir, readProps(dir) + (key -> c.predicateSql()))
+        case other => throw new UnsupportedOperationException(
+          "only CHECK constraints are supported (UNIQUE / PRIMARY KEY / " +
+            s"FOREIGN KEY are informational in Spark and this format " +
+            s"does not record unenforced claims); got ${other.toDDL}")
+      }
+      case d: TableChange.DropConstraint =>
+        val key = s"${GraftCatalog.ConstraintPrefix}${d.name()}"
+        val props = readProps(dir)
+        if (!props.contains(key) && !d.ifExists())
+          throw new IllegalArgumentException(
+            s"no such constraint '${d.name()}' (use IF EXISTS)")
+        writeProps(dir, props - key)
+      case _ => ()
+    }
+    val (propChanges, rest) = changes1.partition {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
     }
@@ -380,7 +439,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"column '$name' already exists")
           val usedPhysical =
             fields.map(f => SnapshotTable.physicalName(f)).toSet ++ retired
-          val f0 = StructField(name, a.dataType, a.isNullable)
+          val f0 = {
+            val base = StructField(name, a.dataType, a.isNullable)
+            Option(a.defaultValue()).fold(base) { dv =>
+              // DEFAULT rides the field metadata: CURRENT_DEFAULT fills
+              // writes that omit the column from now on; EXISTS_DEFAULT
+              // (the value AT ADD TIME, constant-folded) is what rows
+              // in files PREDATING the column read instead of null
+              import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns._
+              val existsSql = org.apache.spark.sql.catalyst.expressions
+                .Literal(dv.getValue.value, dv.getValue.dataType).sql
+              base.copy(metadata = new MetadataBuilder()
+                .withMetadata(base.metadata)
+                .putString(CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+                  Option(dv.getSql).getOrElse(existsSql))
+                .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, existsSql)
+                .build())
+            }
+          }
           fields += (if (!usedPhysical.contains(name)) f0
           else { // name existed physically: fresh physical, no leakage
             val fresh = s"${name}__p${java.util.UUID.randomUUID.toString.take(8)}"
@@ -552,4 +628,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(p, true)
   }
+}
+
+object GraftCatalog {
+  /** Table-prop key prefix under which CHECK constraints persist:
+    * `constraint.<name>` -> the predicate SQL. */
+  val ConstraintPrefix = "constraint."
 }

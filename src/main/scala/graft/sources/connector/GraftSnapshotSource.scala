@@ -178,6 +178,17 @@ final class SnapshotV2Table(schema: StructType, dir: String,
     m
   }
 
+  // NOTE deliberately NOT overriding Table.constraints(): Spark 4.1's
+  // ResolveTableConstraints injects a CheckInvariant that resolves the
+  // predicate BY NAME against the incoming query — on an
+  // ACCEPT_ANY_SCHEMA table (positional writes are never renamed to
+  // table names) that breaks every `INSERT … VALUES` at analysis,
+  // enforced or not. CHECK constraints are instead enforced by the
+  // write paths themselves against the STAGED batch
+  // ([[SnapshotWriteSupport.enforceConstraints]]) — the same place
+  // Delta puts its invariant checker — and surfaced via
+  // SHOW TBLPROPERTIES (`constraint.<name>`).
+
   /** For the DML translation rule ([[graft.plans.SnapshotRowLevelSql]]):
     * where the table lives, and whether it is time-travel-pinned. */
   private[graft] def tableDir: String = dir

@@ -226,6 +226,17 @@ private[connector] final class SnapshotFileReader(
     }
   }
 
+  /** Existence defaults per requested field (null where none): a row
+    * in a file that PREDATES a DEFAULT-carrying column reads the
+    * column's exists-default instead of null — the value is already in
+    * Catalyst's internal form (the vectorized reader applies the same
+    * metadata natively; this keeps the row reader identical). A real
+    * NULL in a file that HAS the column stays null: the default is an
+    * absence fill, not a null rewrite. */
+  private val existsDefaults: Array[Any] =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .existenceDefaultValues(schema)
+
   private var pos = -1L // physical row index, dv positions' coordinate
   private var emitted = 0L
   private var current: Group = _
@@ -243,10 +254,11 @@ private[connector] final class SnapshotFileReader(
   }
 
   override def get(): InternalRow =
-    new GenericInternalRow(fields.map[Any] { case (idx, conv) =>
-      if (idx < 0 || current == null ||
-          current.getFieldRepetitionCount(idx) == 0) null
-      else conv(current, idx)
+    new GenericInternalRow(fields.zipWithIndex.map[Any] {
+      case ((idx, conv), i) =>
+        if (idx < 0 || current == null) existsDefaults(i)
+        else if (current.getFieldRepetitionCount(idx) == 0) null
+        else conv(current, idx)
     } ++ extra)
 
   override def close(): Unit = reader.foreach(_.close())

@@ -286,7 +286,11 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
     val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
     if (replayed) abort(epochId, messages)
-    else mergeKey match {
+    else {
+      // CHECK constraints gate streaming epochs too — a failed epoch
+      // leaves no staged files and the restarted query retries it
+      SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
+      mergeKey match {
       case None =>
         SnapshotTable.commitAdded(spark, dir, epochTag(epochId), entries,
           carry = true, schemaJson = Some(schema.json))
@@ -299,6 +303,7 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
         // staged files are deleted like an abort.
         SnapshotTable.mergeStaged(spark, dir, entries, k,
           epochTag(epochId), Some(schema.json))
+      }
     }
   }
 
@@ -357,6 +362,7 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
         sortedBy = w.sortedBy, bucketN = w.bucketN))
+    SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
     SnapshotTable.commitAdded(SparkSession.active, dir,
       if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
       schemaJson = Some(schema.json))
@@ -541,6 +547,54 @@ private final class BucketedDataWriter(dir: String, schema: StructType,
 }
 
 private object SnapshotWriteSupport {
+
+  /** CHECK-constraint gate over a STAGED batch: every `constraint.*`
+    * table prop (written by `ALTER TABLE … ADD CONSTRAINT`) is
+    * evaluated against the not-yet-committed files in ONE distributed
+    * aggregate pass; any violation deletes the staged files and
+    * throws with the constraint names — the table is untouched, no
+    * version burned. SQL CHECK semantics: only a FALSE predicate
+    * violates (NULL/unknown passes). Enforcement lives here (not in
+    * Spark's analyzer-injected CheckInvariant) because
+    * ACCEPT_ANY_SCHEMA writes are never renamed to table column
+    * names, so an injected predicate cannot resolve against a
+    * positional INSERT — the staged files, by contrast, already carry
+    * the table's (physical) schema. Cost: one extra read of the
+    * incoming batch, O(batch) and only on constrained tables. */
+  def enforceConstraints(dir: String, entries: Seq[FileEntry],
+                         physSchema: StructType,
+                         logicalSchema: StructType): Unit = {
+    if (entries.isEmpty) return
+    val spark = SparkSession.active
+    val checks = GraftTableProps
+      .read(spark.sparkContext.hadoopConfiguration, dir)
+      .collect { case (k, sql) if k.startsWith(GraftCatalog.ConstraintPrefix) =>
+        k.stripPrefix(GraftCatalog.ConstraintPrefix) -> sql
+      }.toSeq.sortBy(_._1)
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
+    val raw = spark.read.parquet(entries.map(fe => s"$dir/${fe.path}"): _*)
+    // staged files carry PHYSICAL names; predicates speak LOGICAL ones
+    val df = raw.select(physSchema.fields.zip(logicalSchema.fields).map {
+      case (p, l) => col("`" + p.name.replace("`", "``") + "`").as(l.name)
+    }.toIndexedSeq: _*)
+    val aggs = checks.map { case (name, sql) =>
+      sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
+        .otherwise(0L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val violated = checks.zipWithIndex.collect {
+      case ((name, sql), i) if row.getLong(i) > 0 =>
+        s"$name: CHECK ($sql) violated by ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty) {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      entries.foreach(fe => fs.delete(new Path(root, fe.path), false))
+      throw new IllegalStateException(
+        "write aborted, staged files deleted — " + violated.mkString("; "))
+    }
+  }
 
   /** Flatten commit messages to the non-empty written files (empty
     * partitions report a ""-path placeholder; bucketed tasks report a

@@ -2313,6 +2313,119 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("CHECK constraints: a violating INSERT aborts atomically by name") {
+    val root = Files.createTempDirectory("graft-ck").toString
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftck.root", root)
+    spark.sql("CREATE TABLE graftck.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftck.t SELECT id, id + 1 FROM range(0, 10)")
+    spark.sql("ALTER TABLE graftck.t ADD CONSTRAINT positive CHECK (v > 0)")
+    val dir = s"$root/t"
+    def msgs(t: Throwable): String = {
+      def all(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
+      all(t).mkString("\n")
+    }
+    // a valid insert commits
+    spark.sql("INSERT INTO graftck.t SELECT CAST(100 AS BIGINT), CAST(5 AS BIGINT)")
+    val vBefore = SnapshotTable.latestVersion(spark, dir).get
+    // a violating insert fails WITH THE CONSTRAINT NAME and leaves the
+    // table untouched: same version, same count, no staged orphans
+    val e1 = intercept[Exception](spark.sql(
+      "INSERT INTO graftck.t SELECT CAST(101 AS BIGINT), CAST(-3 AS BIGINT)"))
+    assert(msgs(e1).contains("positive") && msgs(e1).contains("CHECK"))
+    assert(SnapshotTable.latestVersion(spark, dir).get == vBefore)
+    assert(spark.sql("SELECT count(*) FROM graftck.t").as[Long].head == 11L)
+    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(dataDir).map(_.getPath.getName).toSet
+    val inManifest = SnapshotTable.readManifest(spark, dir, vBefore).files
+      .map(fe => new org.apache.hadoop.fs.Path(fe.path).getName).toSet
+    assert(onDisk == inManifest,
+      s"violating insert left staged orphans: ${onDisk -- inManifest}")
+    // NULL predicate result passes (SQL CHECK semantics): a null v row
+    // is not a violation of v > 0
+    spark.sql("INSERT INTO graftck.t SELECT CAST(102 AS BIGINT), CAST(NULL AS BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM graftck.t").as[Long].head == 12L)
+    // adding a constraint the EXISTING rows violate fails (Spark
+    // validates before the catalog ever sees the change)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE graftck.t ADD CONSTRAINT big CHECK (k > 1000)"))
+    assert(msgs(e2).contains("CONSTRAINT") || msgs(e2).contains("constraint"))
+    // duplicate name refused; DROP removes enforcement; IF EXISTS soft
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE graftck.t ADD CONSTRAINT positive " +
+        "CHECK (v IS NULL OR v > -1000000)")) // satisfiable: name clash fires
+    assert(msgs(e3).contains("already exists"))
+    spark.sql("ALTER TABLE graftck.t DROP CONSTRAINT positive")
+    spark.sql("ALTER TABLE graftck.t DROP CONSTRAINT IF EXISTS positive")
+    val e4 = intercept[Exception](spark.sql(
+      "ALTER TABLE graftck.t DROP CONSTRAINT positive"))
+    assert(msgs(e4).contains("no such constraint"))
+    spark.sql("INSERT INTO graftck.t SELECT CAST(103 AS BIGINT), CAST(-4 AS BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM graftck.t").as[Long].head == 13L)
+    // constraints gate STREAMING epochs too: the violating epoch fails
+    // and commits nothing
+    spark.sql("CREATE TABLE graftck.s (k BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE graftck.s ADD CONSTRAINT pos CHECK (v >= 0)")
+    val src = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 5).selectExpr("id AS k", "id - 3 AS v"), src, "overwrite")
+    val ckpt = Files.createTempDirectory("graft-ck-ck").toString
+    val q = spark.readStream.format("graft_snapshot").load(src)
+      .writeStream.format("graft_snapshot").option("path", s"$root/s")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val e5 = intercept[Exception](q.awaitTermination())
+    assert(msgs(e5).contains("pos"))
+    assert(spark.sql("SELECT count(*) FROM graftck.s").as[Long].head == 0L)
+  }
+
+  test("column DEFAULT: fills pre-evolution rows and omitted columns") {
+    val root = Files.createTempDirectory("graft-dflt").toString
+    spark.conf.set("spark.sql.catalog.graftdflt",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdflt.root", root)
+    // CREATE-time default: omitted and DEFAULT-keyword inserts fill it
+    spark.sql("CREATE TABLE graftdflt.t (k BIGINT, v BIGINT DEFAULT 7)")
+    spark.sql("INSERT INTO graftdflt.t (k) SELECT CAST(1 AS BIGINT)")
+    spark.sql("INSERT INTO graftdflt.t SELECT CAST(2 AS BIGINT), DEFAULT")
+    spark.sql("INSERT INTO graftdflt.t SELECT CAST(3 AS BIGINT), CAST(30 AS BIGINT)")
+    assert(spark.sql("SELECT * FROM graftdflt.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, 7L), (3L, 30L)))
+    // ADD COLUMNS … DEFAULT: rows in files that PREDATE the column
+    // read the exists-default, not null — across the row reader, the
+    // dv-masked path, and time travel
+    spark.sql("CREATE TABLE graftdflt.e (k BIGINT)")
+    spark.sql("INSERT INTO graftdflt.e SELECT id FROM range(0, 100)")
+    val dir = s"$root/e"
+    val preEvolution = SnapshotTable.latestVersion(spark, dir).get
+    spark.sql("ALTER TABLE graftdflt.e ADD COLUMNS (tag STRING DEFAULT 'legacy')")
+    spark.sql("INSERT INTO graftdflt.e (k) SELECT CAST(100 AS BIGINT)")
+    spark.sql("INSERT INTO graftdflt.e SELECT CAST(200 AS BIGINT), 'explicit'")
+    val rows = spark.sql("SELECT k, tag FROM graftdflt.e ORDER BY k").collect()
+    assert(rows.length == 102)
+    assert(rows.count(_.getString(1) == "legacy") == 101,
+      "pre-evolution rows (and the omitted-column insert) read the default")
+    assert(rows.last.getString(1) == "explicit")
+    assert(!rows.exists(_.isNullAt(1)))
+    // dv masking composes: deleting rows does not disturb the fill
+    spark.sql("DELETE FROM graftdflt.e WHERE k % 10 = 3")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftdflt.e WHERE tag = 'legacy'")
+      .as[Long].head == 91L)
+    // time travel to the pre-evolution version: the column simply
+    // does not exist there
+    assert(!spark.sql(
+      s"SELECT * FROM graftdflt.e VERSION AS OF $preEvolution")
+      .columns.contains("tag"))
+    // aggregate over the defaulted column is exact
+    assert(spark.sql("SELECT count(DISTINCT tag) FROM graftdflt.e")
+      .as[Long].head == 2L)
+  }
+
   test("changes metadata table: the SQL change feed replays history") {
     val root = Files.createTempDirectory("graft-chg").toString
     spark.conf.set("spark.sql.catalog.graftchg",
