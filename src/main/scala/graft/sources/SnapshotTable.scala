@@ -1013,8 +1013,54 @@ object SnapshotTable {
     // its files are written under the writer's own names
     val fresh = stageFiles(spark, df, dir, statsCols, bloomCols,
       applyMapping = carry, bucketize = bucketLayout(spark, dir))
+    // appends stage under the table's physical names (mapping from the
+    // recorded schema); overwrites stage the writer's own (logical)
+    // names, so constraints bind without a mapping
+    enforceCheckConstraints(spark, dir, fresh,
+      if (carry) latestVersion(spark, dir)
+        .flatMap(v => tableSchema(spark, dir, v))
+      else None)
     commit(spark, dir, opTag.getOrElse(mode), fresh, carry = carry,
       schemaJson = Some(df.schema.json))
+  }
+
+  /** CHECK-constraint gate over STAGED (not yet committed) files —
+    * the core twin of the V2 write path's
+    * `SnapshotWriteSupport.enforceConstraints`, covering programmatic
+    * writes and DML POST-IMAGES (UPDATE/MERGE rewrites must not be a
+    * back door around a declared constraint). One distributed
+    * aggregate pass over exactly the staged rows; any violation
+    * deletes the staged files and throws with the constraint names —
+    * the table is untouched, no version burned. SQL CHECK semantics:
+    * only a FALSE predicate violates (NULL passes). `known` carries
+    * the rename mapping so predicates bind LOGICAL names against
+    * physical-named staged files. */
+  private def enforceCheckConstraints(
+      spark: SparkSession, dir: String, entries: Seq[FileEntry],
+      known: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    if (entries.isEmpty) return
+    val checks = graft.sources.connector.GraftTableProps
+      .read(spark.sparkContext.hadoopConfiguration, dir)
+      .collect { case (k, sql) if k.startsWith("constraint.") =>
+        k.stripPrefix("constraint.") -> sql
+      }.toSeq.sortBy(_._1)
+    if (checks.isEmpty) return
+    val df = readFiles(spark, dir, entries, knownSchema = known)
+    val aggs = checks.map { case (name, sql) =>
+      sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
+        .otherwise(0L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val violated = checks.zipWithIndex.collect {
+      case ((name, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$name: CHECK ($sql) violated by ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty) {
+      val f = fs(spark, new Path(dir))
+      entries.foreach(fe => f.delete(new Path(dir, fe.path), false))
+      throw new IllegalStateException(
+        "write aborted, staged files deleted — " + violated.mkString("; "))
+    }
   }
 
   /** Commit `df` only if it passes every declarative expectation
@@ -1602,6 +1648,9 @@ object SnapshotTable {
                 assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)
             val fresh = stageFiles(spark, updated, dir, statsCols,
               bucketize = bucketLayout(spark, dir))
+            // UPDATE post-images are new content: the table's CHECK
+            // constraints gate them exactly like an INSERT
+            enforceCheckConstraints(spark, dir, fresh, known)
             val newPaths = entries.map(_.path).toSet
             try commit(spark, dir, "update-dv", entries ++ fresh,
               removed = readSetOf(m.files.filter(fe => newPaths.contains(fe.path))),
@@ -1709,6 +1758,9 @@ object SnapshotTable {
       try {
         val fresh = stageFiles(spark, updates.select(cols.map(col): _*),
           dir, statsCols, bucketize = bucketLayout(spark, dir))
+        // MERGE post-images are new content: constraints gate them
+        enforceCheckConstraints(spark, dir, fresh,
+          tableSchema(spark, dir, v))
         staged match {
           case None => // pure insert: nothing matched, plain append
             if (fresh.isEmpty) v
@@ -1934,6 +1986,9 @@ object SnapshotTable {
           val post = effect.filter(col("__kind") >= 2).select(cols.map(col): _*)
           val fresh = stageFiles(spark, post, dir, statsCols,
             bucketize = bucketLayout(spark, dir))
+          // clause-form MERGE post-images (updates + inserts) are new
+          // content: constraints gate them
+          enforceCheckConstraints(spark, dir, fresh, known)
           // a widening merge records the UNION schema even when the
           // effect set is empty-of-images (schema evolution is part of
           // the statement's contract)

@@ -2365,6 +2365,26 @@ class ConnectorSpec extends SparkTestBase {
     assert(msgs(e4).contains("no such constraint"))
     spark.sql("INSERT INTO graftck.t SELECT CAST(103 AS BIGINT), CAST(-4 AS BIGINT)")
     assert(spark.sql("SELECT count(*) FROM graftck.t").as[Long].head == 13L)
+    // DML post-images are gated too: UPDATE and MERGE rewrites are new
+    // content and must not be a back door around the constraint
+    spark.sql("ALTER TABLE graftck.t ADD CONSTRAINT floor CHECK (v >= -100)")
+    val e6 = intercept[Exception](spark.sql(
+      "UPDATE graftck.t SET v = -200 WHERE k = 100"))
+    assert(msgs(e6).contains("floor"))
+    assert(spark.sql("SELECT v FROM graftck.t WHERE k = 100")
+      .as[Long].head == 5L, "a violating UPDATE must leave the row alone")
+    spark.range(0, 3).selectExpr("id AS k", "id - 500 AS v")
+      .createOrReplaceTempView("ck_bad_src")
+    val e7 = intercept[Exception](spark.sql(
+      "MERGE INTO graftck.t USING ck_bad_src s ON graftck.t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(msgs(e7).contains("floor"))
+    val e8 = intercept[Exception](spark.sql(
+      "MERGE INTO graftck.t USING ck_bad_src s ON graftck.t.k = s.k " +
+        "WHEN MATCHED AND s.v < 0 THEN UPDATE SET v = s.v")) // clause form
+    assert(msgs(e8).contains("floor"))
+    assert(spark.sql("SELECT count(*) FROM graftck.t").as[Long].head == 13L,
+      "violating DML must leave the table untouched")
     // constraints gate STREAMING epochs too: the violating epoch fails
     // and commits nothing
     spark.sql("CREATE TABLE graftck.s (k BIGINT, v BIGINT)")
