@@ -1730,37 +1730,41 @@ object ParityQueries {
     "q6Y_sql_change_feed" -> QueryDef(
       (s, dir) => {
         val root = snapDir(s, dir, "t6Y")
-        s.conf.set("spark.sql.catalog.graft_cdf",
+        // catalog name is PER ROOT: Spark caches catalog instances by
+        // name, so a fixed name would pin the first SF's root for the
+        // whole session and later SFs' path-based calls would diverge
+        val cat = "graft_cdf_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.connector.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft_cdf.root", root)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
         new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t6Y_orders")
-        s.sql("DROP TABLE IF EXISTS graft_cdf.t") // same-session rerun
-        s.sql("CREATE TABLE graft_cdf.t (o_orderkey BIGINT, price DOUBLE)")
-        s.sql("""INSERT INTO graft_cdf.t
-                |SELECT o_orderkey, o_totalprice FROM t6Y_orders
-                |WHERE o_orderkey % 2 = 0""".stripMargin)
-        s.sql("DELETE FROM graft_cdf.t WHERE o_orderkey % 10 = 0")
-        s.sql("""MERGE INTO graft_cdf.t AS tgt
-                |USING (SELECT o_orderkey, o_totalprice * 2 AS price
-                |       FROM t6Y_orders WHERE o_orderkey % 2 = 1) AS src
-                |ON tgt.o_orderkey = src.o_orderkey
-                |WHEN MATCHED THEN UPDATE SET *
-                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-        s.sql("UPDATE graft_cdf.t SET price = price + 1 " +
+        s.sql(s"DROP TABLE IF EXISTS $cat.t") // same-session rerun
+        s.sql(s"CREATE TABLE $cat.t (o_orderkey BIGINT, price DOUBLE)")
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey, o_totalprice FROM t6Y_orders
+                  |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(s"DELETE FROM $cat.t WHERE o_orderkey % 10 = 0")
+        s.sql(s"""MERGE INTO $cat.t AS tgt
+                  |USING (SELECT o_orderkey, o_totalprice * 2 AS price
+                  |       FROM t6Y_orders WHERE o_orderkey % 2 = 1) AS src
+                  |ON tgt.o_orderkey = src.o_orderkey
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"UPDATE $cat.t SET price = price + 1 " +
           "WHERE o_orderkey % 7 = 0")
         // layout churn is NOT data churn: the compaction version must
         // contribute zero feed rows
         graft.sources.SnapshotTable.compact(s, s"$root/t",
           smallRows = Long.MaxValue, targetRows = 10000000L)
-        s.sql("""SELECT change_type,
-                |       CAST(dense_rank() OVER (ORDER BY commit_version)
-                |            AS INT) AS rev,
-                |       o_orderkey, price
-                |FROM graft_cdf.t.changes
-                |ORDER BY rev, o_orderkey, change_type, price""".stripMargin)
+        s.sql(s"""SELECT change_type,
+                  |       CAST(dense_rank() OVER (ORDER BY commit_version)
+                  |            AS INT) AS rev,
+                  |       o_orderkey, price
+                  |FROM $cat.t.changes
+                  |ORDER BY rev, o_orderkey, change_type, price""".stripMargin)
       },
       """WITH ev AS (SELECT o_orderkey, o_totalprice AS price
         |            FROM orders WHERE o_orderkey % 2 = 0),
@@ -1792,22 +1796,26 @@ object ParityQueries {
     "q6Z_bucketed_stream_spj" -> QueryDef(
       (s, dir) => {
         val root = snapDir(s, dir, "t6Z")
-        s.conf.set("spark.sql.catalog.graft_spjz",
+        // per-root catalog name (see q6Y): a cached catalog pinned to
+        // another SF's root would make the path-based stream target
+        // diverge from the table the SQL declared
+        val cat = "graft_spjz_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.connector.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft_spjz.root", root)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
         new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t6Z_orders")
         t(s, dir, "customer").createOrReplaceTempView("t6Z_customer")
-        s.sql("DROP TABLE IF EXISTS graft_spjz.o") // same-session rerun
-        s.sql("DROP TABLE IF EXISTS graft_spjz.c")
-        s.sql("CREATE TABLE graft_spjz.o (o_orderkey BIGINT, " +
+        s.sql(s"DROP TABLE IF EXISTS $cat.o") // same-session rerun
+        s.sql(s"DROP TABLE IF EXISTS $cat.c")
+        s.sql(s"CREATE TABLE $cat.o (o_orderkey BIGINT, " +
           "o_custkey BIGINT, price DOUBLE) " +
           "PARTITIONED BY (bucket(8, o_custkey))")
-        s.sql("CREATE TABLE graft_spjz.c (c_custkey BIGINT, c_name STRING) " +
+        s.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, c_name STRING) " +
           "PARTITIONED BY (bucket(8, c_custkey))")
-        s.sql("INSERT INTO graft_spjz.c " +
+        s.sql(s"INSERT INTO $cat.c " +
           "SELECT c_custkey, c_name FROM t6Z_customer")
         val tgt = s"$root/o"
         val src = snapDir(s, dir, "t6Z_src")
@@ -1842,12 +1850,12 @@ object ParityQueries {
                 (col("price") * 2).as("price"))),
           src, "append")
         drain()
-        val q = """SELECT o.o_custkey AS k, count(*) AS cnt,
-                  |       CAST(sum(CAST(o.price AS DECIMAL(18,2)))
-                  |            AS DOUBLE) AS sp
-                  |FROM graft_spjz.o o JOIN graft_spjz.c c
-                  |  ON o.o_custkey = c.c_custkey
-                  |GROUP BY o.o_custkey""".stripMargin
+        val q = s"""SELECT o.o_custkey AS k, count(*) AS cnt,
+                    |       CAST(sum(CAST(o.price AS DECIMAL(18,2)))
+                    |            AS DOUBLE) AS sp
+                    |FROM $cat.o o JOIN $cat.c c
+                    |  ON o.o_custkey = c.c_custkey
+                    |GROUP BY o.o_custkey""".stripMargin
         val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         try {
@@ -1888,35 +1896,36 @@ object ParityQueries {
     "q7A_mixed_layout_fact" -> QueryDef(
       (s, dir) => {
         val root = snapDir(s, dir, "t7A")
-        s.conf.set("spark.sql.catalog.graft_mixq",
+        val cat = "graft_mixq_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.connector.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft_mixq.root", root)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
         new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t7A_orders")
         t(s, dir, "customer").createOrReplaceTempView("t7A_customer")
-        s.sql("DROP TABLE IF EXISTS graft_mixq.f") // same-session rerun
-        s.sql("DROP TABLE IF EXISTS graft_mixq.c")
-        s.sql("CREATE TABLE graft_mixq.f (mon BIGINT, o_custkey BIGINT, " +
+        s.sql(s"DROP TABLE IF EXISTS $cat.f") // same-session rerun
+        s.sql(s"DROP TABLE IF EXISTS $cat.c")
+        s.sql(s"CREATE TABLE $cat.f (mon BIGINT, o_custkey BIGINT, " +
           "price DOUBLE) PARTITIONED BY (mon, bucket(8, o_custkey)) " +
           "TBLPROPERTIES ('targetFileRows'='2000')")
-        s.sql("""INSERT INTO graft_mixq.f
-                |SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
-                |            AS BIGINT) AS mon,
-                |       o_custkey, o_totalprice
-                |FROM t7A_orders""".stripMargin)
-        s.sql("CREATE TABLE graft_mixq.c (c_custkey BIGINT, " +
+        s.sql(s"""INSERT INTO $cat.f
+                  |SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                  |            AS BIGINT) AS mon,
+                  |       o_custkey, o_totalprice
+                  |FROM t7A_orders""".stripMargin)
+        s.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
           "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
-        s.sql("INSERT INTO graft_mixq.c " +
+        s.sql(s"INSERT INTO $cat.c " +
           "SELECT c_custkey, c_mktsegment FROM t7A_customer")
-        val q = """SELECT f.o_custkey AS k, count(*) AS cnt,
-                  |       CAST(sum(CAST(f.price AS DECIMAL(18,2)))
-                  |            AS DOUBLE) AS sp
-                  |FROM graft_mixq.f f JOIN graft_mixq.c c
-                  |  ON f.o_custkey = c.c_custkey
-                  |WHERE f.mon BETWEEN 23929 AND 23952
-                  |GROUP BY f.o_custkey""".stripMargin
+        val q = s"""SELECT f.o_custkey AS k, count(*) AS cnt,
+                    |       CAST(sum(CAST(f.price AS DECIMAL(18,2)))
+                    |            AS DOUBLE) AS sp
+                    |FROM $cat.f f JOIN $cat.c c
+                    |  ON f.o_custkey = c.c_custkey
+                    |WHERE f.mon BETWEEN 23929 AND 23952
+                    |GROUP BY f.o_custkey""".stripMargin
         val priorB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         val priorT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         try {
@@ -1954,30 +1963,31 @@ object ParityQueries {
     "q7B_constraints_defaults" -> QueryDef(
       (s, dir) => {
         val root = snapDir(s, dir, "t7B")
-        s.conf.set("spark.sql.catalog.graft_ck",
+        val cat = "graft_ck_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
           "graft.sources.connector.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft_ck.root", root)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
         new org.apache.hadoop.fs.Path(root)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(root))
         t(s, dir, "orders").createOrReplaceTempView("t7B_orders")
-        s.sql("DROP TABLE IF EXISTS graft_ck.t") // same-session rerun
-        s.sql("CREATE TABLE graft_ck.t (o_orderkey BIGINT, price DOUBLE, " +
+        s.sql(s"DROP TABLE IF EXISTS $cat.t") // same-session rerun
+        s.sql(s"CREATE TABLE $cat.t (o_orderkey BIGINT, price DOUBLE, " +
           "status STRING DEFAULT 'open')")
-        s.sql("ALTER TABLE graft_ck.t ADD CONSTRAINT positive_price " +
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT positive_price " +
           "CHECK (price >= 0)")
-        s.sql("""INSERT INTO graft_ck.t (o_orderkey, price)
-                |SELECT o_orderkey, o_totalprice FROM t7B_orders
-                |WHERE o_orderkey % 3 = 0""".stripMargin)
-        s.sql("""INSERT INTO graft_ck.t
-                |SELECT o_orderkey, o_totalprice, 'closed' FROM t7B_orders
-                |WHERE o_orderkey % 3 = 1""".stripMargin)
-        val before = s.sql("SELECT count(*) FROM graft_ck.t")
+        s.sql(s"""INSERT INTO $cat.t (o_orderkey, price)
+                  |SELECT o_orderkey, o_totalprice FROM t7B_orders
+                  |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey, o_totalprice, 'closed' FROM t7B_orders
+                  |WHERE o_orderkey % 3 = 1""".stripMargin)
+        val before = s.sql(s"SELECT count(*) FROM $cat.t")
           .collect().head.getLong(0)
         val failed = try {
-          s.sql("""INSERT INTO graft_ck.t
-                  |SELECT o_orderkey, -o_totalprice, 'bad' FROM t7B_orders
-                  |WHERE o_orderkey % 3 = 2""".stripMargin)
+          s.sql(s"""INSERT INTO $cat.t
+                    |SELECT o_orderkey, -o_totalprice, 'bad' FROM t7B_orders
+                    |WHERE o_orderkey % 3 = 2""".stripMargin)
           false
         } catch {
           case e: Exception =>
@@ -1987,19 +1997,19 @@ object ParityQueries {
         }
         require(failed, "the violating INSERT must fail with the " +
           "constraint name")
-        require(s.sql("SELECT count(*) FROM graft_ck.t")
+        require(s.sql(s"SELECT count(*) FROM $cat.t")
           .collect().head.getLong(0) == before,
           "the violating INSERT must leave the table untouched")
-        s.sql("ALTER TABLE graft_ck.t ADD COLUMNS (tier BIGINT DEFAULT 3)")
-        s.sql("""INSERT INTO graft_ck.t
-                |SELECT o_orderkey + 10000000, o_totalprice, 'new',
-                |       CAST(1 AS BIGINT)
-                |FROM t7B_orders WHERE o_orderkey % 5 = 0""".stripMargin)
-        s.sql("""SELECT status, tier, count(*) AS cnt,
-                |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
-                |FROM graft_ck.t
-                |GROUP BY status, tier
-                |ORDER BY status, tier""".stripMargin)
+        s.sql(s"ALTER TABLE $cat.t ADD COLUMNS (tier BIGINT DEFAULT 3)")
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey + 10000000, o_totalprice, 'new',
+                  |       CAST(1 AS BIGINT)
+                  |FROM t7B_orders WHERE o_orderkey % 5 = 0""".stripMargin)
+        s.sql(s"""SELECT status, tier, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+                  |FROM $cat.t
+                  |GROUP BY status, tier
+                  |ORDER BY status, tier""".stripMargin)
       },
       """WITH base AS (
         |  SELECT 'open' AS status, CAST(3 AS BIGINT) AS tier,
