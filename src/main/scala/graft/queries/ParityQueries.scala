@@ -1951,6 +1951,64 @@ object ParityQueries {
         |      BETWEEN 23929 AND 23952
         |GROUP BY o_custkey ORDER BY k""".stripMargin),
 
+    // Streaming change feed (round-14): `readStream.option(
+    // "readChangeFeed", true)` — the Delta-CDF stream. Unlike the
+    // append-only table stream (whose ignoreDeletes silently DROPS
+    // deletes), every micro-batch here carries the row-level diffs of
+    // its version range: the first drain replays the initial snapshot
+    // as upserts, the second emits the dv-deleted rows as deletes plus
+    // the appended rows as upserts — exactly-once across the two
+    // AvailableNow runs (same checkpoint). The oracle recomputes the
+    // full feed from the raw table.
+    "q7C_stream_change_feed" -> QueryDef(
+      (s, dir) => {
+        val src = snapDir(s, dir, "t7C_src")
+        val out = snapDir(s, dir, "t7C_out")
+        val ckpt = snapDir(s, dir, "t7C_ckpt")
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft_snapshot")
+            .option("readChangeFeed", "true").load(src)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          graft.streaming.StreamMeter.timed("q7C_stream_change_feed")(
+            q.awaitTermination())
+        }
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 0), src, "overwrite",
+          Seq("o_orderkey"))
+        drain() // initial snapshot -> upserts
+        graft.sources.SnapshotTable.deleteVectors(s, src,
+          col("o_orderkey") % 10 === 0)
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 1), src, "append",
+          Seq("o_orderkey"))
+        drain() // dv deletes -> 'delete' rows; append -> upserts
+        s.read.parquet(out).createOrReplaceTempView("t7C_feed")
+        s.sql("""SELECT change_type,
+                |       CAST(dense_rank() OVER (ORDER BY commit_version)
+                |            AS INT) AS rev,
+                |       o_orderkey, price
+                |FROM t7C_feed
+                |ORDER BY rev, o_orderkey, change_type, price""".stripMargin)
+      },
+      """WITH ev AS (SELECT o_orderkey, o_totalprice AS price
+        |            FROM orders WHERE o_orderkey % 2 = 0),
+        |     od AS (SELECT o_orderkey, o_totalprice AS price
+        |            FROM orders WHERE o_orderkey % 2 = 1),
+        |     feed AS (
+        |       SELECT 'upsert' AS change_type, 1 AS rev, o_orderkey, price
+        |       FROM ev
+        |       UNION ALL SELECT 'delete', 2, o_orderkey, price
+        |       FROM ev WHERE o_orderkey % 10 = 0
+        |       UNION ALL SELECT 'upsert', 3, o_orderkey, price FROM od)
+        |SELECT change_type, CAST(rev AS INT) AS rev, o_orderkey, price
+        |FROM feed
+        |ORDER BY rev, o_orderkey, change_type, price""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

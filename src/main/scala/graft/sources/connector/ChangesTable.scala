@@ -134,16 +134,22 @@ final class SnapshotChangesTable(dir: String, tableSchema: StructType)
   override def name(): String = s"graft_snapshot($dir).changes"
   override def schema(): StructType = ChangesTable.feedSchema(tableSchema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ChangesScanBuilder(dir, tableSchema)
+    new ChangesScanBuilder(dir, tableSchema, options)
 }
 
 /** Version-range pushdown: `commit_version` comparisons narrow the
   * planned versions (all filters stay residual — Spark re-applies
-  * them, so the bounds only ever need to be conservative). */
-final class ChangesScanBuilder(dir: String, tableSchema: StructType)
+  * them, so the bounds only ever need to be conservative). Feed reads
+  * are deliberately full-row (no column pruning): a CDC consumer
+  * needs the whole post-image anyway, and positional alignment
+  * between the file readers and the feed schema stays trivial. */
+final class ChangesScanBuilder(dir: String, tableSchema: StructType,
+                               options: CaseInsensitiveStringMap =
+                                 CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters {
 
   private var loV = Long.MinValue
@@ -184,11 +190,13 @@ final class ChangesScanBuilder(dir: String, tableSchema: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new ChangesScan(dir, tableSchema, loV, hiV)
+    new ChangesScan(dir, tableSchema, loV, hiV, options)
 }
 
 final class ChangesScan(dir: String, tableSchema: StructType,
-                        loV: Long, hiV: Long)
+                        loV: Long, hiV: Long,
+                        options: CaseInsensitiveStringMap =
+                          CaseInsensitiveStringMap.empty())
   extends Scan with Batch {
 
   override def readSchema(): StructType = ChangesTable.feedSchema(tableSchema)
@@ -198,6 +206,10 @@ final class ChangesScan(dir: String, tableSchema: StructType,
 
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChangesMicroBatchStream(dir, tableSchema, options)
+
   override def planInputPartitions(): Array[InputPartition] =
     ChangesTable.planChanges(SparkSession.active, dir, loV, hiV).toArray
 
@@ -205,6 +217,102 @@ final class ChangesScan(dir: String, tableSchema: StructType,
     // readers bind the files' PHYSICAL column names; output stays
     // positional under the logical feed schema
     new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema))
+}
+
+/** The change feed as a Structured Streaming source — the Delta-CDF
+  * stream: each micro-batch emits the ROW-LEVEL diffs of a range of
+  * versions (upserts AND deletes, with `change_type`/`commit_version`
+  * on every row), so a downstream table can apply real CDC — deletes
+  * propagate, unlike the append-only table stream (whose
+  * `ignoreDeletes` silently drops them). Offsets, `startingVersion`,
+  * `maxVersionsPerTrigger` admission control, Trigger.AvailableNow,
+  * and the vacuum-past-checkpoint guard all reuse the table stream's
+  * version-offset protocol; exactly-once holds because a replayed
+  * range replans the same manifest diffs (manifests are immutable).
+  * The stream's FIRST batch replays the earliest retained version's
+  * manifest as upserts (the initial snapshot), then tails diffs —
+  * pass `startingVersion` to begin mid-history. */
+final class ChangesMicroBatchStream(dir: String, tableSchema: StructType,
+                                    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def spark = SparkSession.active
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
+
+  private def latestVersion: Long =
+    SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+
+  override def initialOffset(): Offset = {
+    val vs = SnapshotTable.versions(spark, dir)
+    require(vs.nonEmpty, s"no committed version under $dir")
+    val from = Option(options.get("startingVersion")).map(_.toLong)
+      .getOrElse(vs.head)
+    require(from >= vs.head,
+      s"startingVersion $from predates the earliest available version " +
+        s"${vs.head} of $dir (vacuumed?)")
+    VersionOffset(from - 1, Some(true))
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(latestVersion)
+    val from = start.asInstanceOf[VersionOffset]
+    val end = maxVersionsPerTrigger
+      .fold(target)(n => math.min(target, from.v + n))
+    VersionOffset(end, if (end == from.v) from.initial else Some(false))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val off = start.asInstanceOf[VersionOffset]
+    val a = off.v
+    val b = end.asInstanceOf[VersionOffset].v
+    if (b <= a) return Array.empty
+    val earliest = SnapshotTable.versions(spark, dir).head
+    // diffing version v needs BOTH v's manifest and its predecessor's:
+    // a progress offset whose successor predates the earliest retained
+    // version means vacuum expired the manifests the diff needs —
+    // fail like the table stream does (a silent full-snapshot replay
+    // would emit every surviving row as duplicate upserts)
+    val startIsInitial = off.initial.getOrElse(a == earliest - 1)
+    if (a >= 0 && (a < earliest - 1 || (a == earliest - 1 && !startIsInitial)))
+      throw new IllegalStateException(
+        s"change-feed checkpoint offset $a predates the earliest " +
+          s"retained version $earliest of $dir (vacuumed past the " +
+          "checkpoint); exactly-once resume is impossible — restart " +
+          "from a fresh checkpoint")
+    ChangesTable.planChanges(spark, dir, a + 1, b).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset.parse(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 final class ChangesReaderFactory(physSchema: StructType)

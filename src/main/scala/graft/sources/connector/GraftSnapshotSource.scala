@@ -77,12 +77,18 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
     // the log-recorded schema is one small-file read — the footer
     // pass below is the legacy fallback only (at 2k files it costs
     // seconds of driver time per planned query)
-    SnapshotTable.tableSchema(spark, dir, v).getOrElse {
+    val table = SnapshotTable.tableSchema(spark, dir, v).getOrElse {
       val m = SnapshotTable.readManifest(spark, dir, v)
       if (m.files.isEmpty) new StructType()
       else spark.read.option("mergeSchema", "true")
         .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
     }
+    // `readChangeFeed=true` reads the CHANGE FEED (row-level diffs
+    // with change_type/commit_version) instead of the table — the
+    // path-based twin of `cat.ns.t.changes`, batch AND streaming
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      ChangesTable.feedSchema(table)
+    else table
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -266,6 +272,21 @@ final class SnapshotV2Table(schema: StructType, dir: String,
     if (schema.isEmpty) throw new IllegalStateException(
       s"no committed version under $dir (or the version is empty); " +
         "nothing to read")
+    // `readChangeFeed=true` routes to the change-feed scan/stream
+    // (the path-based twin of `cat.ns.t.changes`); the TABLE schema is
+    // re-read from the log — `schema` here is the FEED one the
+    // provider inferred
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      val spark = SparkSession.active
+      val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir"))
+      val tableSchema = SnapshotTable.tableSchema(spark, dir, v).getOrElse(
+        throw new IllegalStateException(
+          s"the change feed needs a schema-recording log under $dir " +
+            "(legacy chain: rewrite via overwrite first)"))
+      GraftSnapshotSource.validateReadable(SnapshotTable.toPhysical(tableSchema))
+      return new ChangesScanBuilder(dir, tableSchema, options)
+    }
     // catalog time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) pins
     // the version at table-resolution time; a per-read option wins
     val opts = pinnedVersion match {

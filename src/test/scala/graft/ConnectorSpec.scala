@@ -2313,6 +2313,85 @@ class ConnectorSpec extends SparkTestBase {
     }
   }
 
+  test("streaming change feed: deletes propagate, exactly-once across restarts") {
+    val dir = freshDir()
+    val out = Files.createTempDirectory("graft-cdf-out").toString
+    val ckpt = Files.createTempDirectory("graft-cdf-ck").toString
+    SnapshotTable.write(spark,
+      spark.range(0, 20).selectExpr("id AS k", "id AS v"), dir, "overwrite",
+      Seq("k"))
+    def drain(): Unit = {
+      // a parquet sink: the memory sink cannot RESUME from a
+      // checkpoint, and resumability is exactly what this test pins
+      val q = spark.readStream.format("graft_snapshot")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: the initial snapshot replays as upserts
+    drain()
+    def sink = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(sink.length == 20 && sink.forall(_._3 == "upsert"))
+    // a dv DELETE and an append between drains: the feed emits the
+    // exact deleted rows as deletes (the table stream can only drop
+    // or fail here) plus the appended rows as upserts
+    SnapshotTable.deleteVectors(spark, dir, $"k" % 5 === 2)
+    SnapshotTable.write(spark,
+      spark.range(20, 25).selectExpr("id AS k", "id * 10 AS v"),
+      dir, "append", Seq("k"))
+    drain()
+    val afterOps = sink
+    val dels = afterOps.filter(_._3 == "delete")
+    assert(dels.map(t => (t._1, t._2)).toSet ==
+      (0 until 20).filter(_ % 5 == 2).map(k => (k.toLong, k.toLong)).toSet,
+      s"dv delete must replay exactly the deleted rows, got ${dels.toSeq}")
+    assert(afterOps.count(_._3 == "upsert") == 25)
+    // exactly-once: an idle restart emits nothing new
+    drain()
+    assert(sink.length == afterOps.length)
+    // versions are attributed: the delete batch carries its own commit
+    assert(dels.map(_._4).distinct.length == 1)
+    // the catalog route streams too: readStream.table(cat.ns.t.changes)
+    val root = Files.createTempDirectory("graft-cdfc").toString
+    spark.conf.set("spark.sql.catalog.graftcdfc",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcdfc.root", root)
+    spark.sql("CREATE TABLE graftcdfc.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graftcdfc.t SELECT id, id FROM range(0, 7)")
+    spark.sql("DELETE FROM graftcdfc.t WHERE k = 3")
+    val ckpt2 = Files.createTempDirectory("graft-cdfc-ck").toString
+    val q2 = spark.readStream.table("graftcdfc.t.changes")
+      .writeStream.format("memory").queryName("cdf_sink2")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rows2 = spark.sql("SELECT change_type, count(*) AS n FROM cdf_sink2 " +
+      "GROUP BY change_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows2 == Map("upsert" -> 7L, "delete" -> 1L), s"got $rows2")
+  }
+
+  test("batch readChangeFeed option mirrors the changes metadata table") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 10).selectExpr("id AS k", "id AS v"), dir, "overwrite")
+    SnapshotTable.deleteVectors(spark, dir, $"k" === 4)
+    val feed = spark.read.format("graft_snapshot")
+      .option("readChangeFeed", "true").load(dir)
+    assert(feed.columns.toSeq == Seq("k", "v", "change_type", "commit_version"))
+    val got = feed.collect()
+      .map(r => (r.getLong(0), r.getString(2))).groupBy(_._2)
+      .view.mapValues(_.length).toMap
+    assert(got == Map("upsert" -> 10, "delete" -> 1))
+    // version pushdown works on the option route too
+    assert(spark.read.format("graft_snapshot")
+      .option("readChangeFeed", "true").load(dir)
+      .filter($"commit_version" > 1).count() == 1L)
+  }
+
   test("CHECK constraints: a violating INSERT aborts atomically by name") {
     val root = Files.createTempDirectory("graft-ck").toString
     spark.conf.set("spark.sql.catalog.graftck",
@@ -2444,6 +2523,13 @@ class ConnectorSpec extends SparkTestBase {
     // aggregate over the defaulted column is exact
     assert(spark.sql("SELECT count(DISTINCT tag) FROM graftdflt.e")
       .as[Long].head == 2L)
+    // the programmatic scan (split read: its dv-carrying leg runs the
+    // VECTORIZED reader) fills the same exists-default
+    val viaScan = SnapshotTable.scan(spark, dir)
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaScan == Map("legacy" -> 91L, "explicit" -> 1L),
+      s"scan path must fill exists-defaults too, got $viaScan")
   }
 
   test("changes metadata table: the SQL change feed replays history") {
