@@ -2009,6 +2009,61 @@ object ParityQueries {
         |FROM feed
         |ORDER BY rev, o_orderkey, change_type, price""".stripMargin),
 
+    // CDC APPLY (round-14): the consumer half of the change feed — a
+    // downstream table replicated from the feed via
+    // ApplyChanges.applyBatch in foreachBatch: latest action per key
+    // wins across the batch's version range (an UPDATE's same-version
+    // delete+upsert pair collapses to the post-image), then ONE
+    // distributed merge applies everything (matched deletes -> the
+    // deletion vector, upserts -> rewrite/insert) — O(affected) per
+    // batch, no per-key driver loop. The oracle recomputes the
+    // source's final state; the downstream table must equal it.
+    "q7D_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val src = snapDir(s, dir, "t7D_src")
+        val tgt = snapDir(s, dir, "t7D_tgt")
+        val ckpt = snapDir(s, dir, "t7D_ckpt")
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        def sync(): Unit = {
+          val q = s.readStream.format("graft_snapshot")
+            .option("readChangeFeed", "true").load(src)
+            .writeStream
+            .foreachBatch(
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                graft.streaming.ApplyChanges.applyBatch(b, tgt,
+                  "o_orderkey", Seq("o_orderkey")))
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          graft.streaming.StreamMeter.timed("q7D_cdc_apply")(
+            q.awaitTermination())
+        }
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 0), src, "overwrite",
+          Seq("o_orderkey"))
+        sync() // bootstrap: initial snapshot
+        graft.sources.SnapshotTable.deleteVectors(s, src,
+          col("o_orderkey") % 10 === 0)
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 1), src, "append",
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.updateVectors(s, src,
+          col("o_orderkey") % 7 === 0, Seq("price" -> (col("price") * 2)))
+        sync() // delete + append + update, one drained range
+        graft.sources.SnapshotTable.scan(s, tgt).orderBy("o_orderkey")
+      },
+      """WITH live AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 7 = 0 THEN price * 2
+        |            ELSE price END AS price
+        |FROM live ORDER BY o_orderkey""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

@@ -2374,6 +2374,56 @@ class ConnectorSpec extends SparkTestBase {
     assert(rows2 == Map("upsert" -> 7L, "delete" -> 1L), s"got $rows2")
   }
 
+  test("ApplyChanges: the feed replicates a table downstream, deletes included") {
+    val src = freshDir()
+    val tgt = freshDir()
+    val ckpt = Files.createTempDirectory("graft-apply-ck").toString
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft_snapshot")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream
+        .foreachBatch((b: DataFrame, _: Long) =>
+          graft.streaming.ApplyChanges.applyBatch(b, tgt, "k"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def contentOf(dir: String): Map[Seq[Any], Int] =
+      SnapshotTable.scan(spark, dir).collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    // initial snapshot bootstraps the downstream table
+    SnapshotTable.write(spark,
+      spark.range(0, 50).selectExpr("id AS k", "id AS v"), src, "overwrite",
+      Seq("k"))
+    sync()
+    assert(contentOf(tgt) == contentOf(src))
+    // delete + append + UPDATE (a same-version delete+upsert pair that
+    // must collapse to the post-image) — one drain spans all three
+    SnapshotTable.deleteVectors(spark, src, $"k" % 3 === 0)
+    SnapshotTable.write(spark,
+      spark.range(50, 60).selectExpr("id AS k", "id * 10 AS v"),
+      src, "append", Seq("k"))
+    SnapshotTable.updateVectors(spark, src, $"k" % 5 === 1,
+      Seq("v" -> ($"v" * 100)))
+    sync()
+    assert(contentOf(tgt) == contentOf(src),
+      "CDC apply must replicate deletes, appends, and updates")
+    // cross-version latest-wins: a key inserted then deleted within
+    // ONE drained range must not survive downstream
+    SnapshotTable.write(spark,
+      spark.range(999, 1000).selectExpr("id AS k", "id AS v"),
+      src, "append", Seq("k"))
+    SnapshotTable.deleteVectors(spark, src, $"k" === 999)
+    sync()
+    assert(contentOf(tgt) == contentOf(src))
+    assert(!SnapshotTable.scan(spark, tgt).filter($"k" === 999)
+      .collect().nonEmpty)
+    // idempotent: an idle re-sync changes nothing and burns no version
+    val vBefore = SnapshotTable.latestVersion(spark, tgt).get
+    sync()
+    assert(SnapshotTable.latestVersion(spark, tgt).get == vBefore)
+  }
+
   test("batch readChangeFeed option mirrors the changes metadata table") {
     val dir = freshDir()
     SnapshotTable.write(spark,
