@@ -152,8 +152,14 @@ final class ChangesScanBuilder(dir: String, tableSchema: StructType,
                                  CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters {
 
-  private var loV = Long.MinValue
-  private var hiV = Long.MaxValue
+  // `startingVersion`/`endingVersion` reader options bound the feed
+  // the same way pushed `commit_version` predicates do (Delta's
+  // table_changes(start, end) arguments); predicates compose by
+  // narrowing further
+  private var loV = Option(options.get("startingVersion"))
+    .map(_.toLong).getOrElse(Long.MinValue)
+  private var hiV = Option(options.get("endingVersion"))
+    .map(_.toLong).getOrElse(Long.MaxValue)
   private var pushed: Array[Filter] = Array.empty
 
   private def longOf(v: Any): Option[Long] = v match {

@@ -2440,6 +2440,14 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.read.format("graft_snapshot")
       .option("readChangeFeed", "true").load(dir)
       .filter($"commit_version" > 1).count() == 1L)
+    // startingVersion/endingVersion reader options bound the feed like
+    // the pushed predicates do
+    assert(spark.read.format("graft_snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(dir).count() == 1L)
+    assert(spark.read.format("graft_snapshot")
+      .option("readChangeFeed", "true").option("endingVersion", "1")
+      .load(dir).count() == 10L)
   }
 
   test("CHECK constraints: a violating INSERT aborts atomically by name") {
