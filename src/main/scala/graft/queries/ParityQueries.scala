@@ -2064,6 +2064,65 @@ object ParityQueries {
         |            ELSE price END AS price
         |FROM live ORDER BY o_orderkey""".stripMargin),
 
+    // Tags + zero-copy clone (round-14 wave 5): a named ref pins a
+    // version through vacuum and addresses it by token, and a SHALLOW
+    // clone registers a dev table over the source's files in
+    // O(metadata) — asserted in-query: the clone's own data/ holds
+    // ZERO files at birth. The clone then takes its own DML (a dv
+    // delete the source never sees), the SOURCE is overwritten and
+    // aggressively vacuumed to its tip — and the clone still reads,
+    // because cloneTable recorded a `clone-<name>` tag on the source
+    // and vacuum retains tagged versions with their files. At 100 TB
+    // this is the difference between a dev/test copy costing seconds
+    // of metadata vs hours of copying — and between "vacuum broke the
+    // clone" (Delta's documented hazard) and a pin that takes an
+    // explicit drop. The oracle recomputes the clone's final content
+    // from the raw table.
+    "q7E_tags_clone" -> QueryDef(
+      (s, dir) => {
+        val src = snapDir(s, dir, "t7E_src")
+        val dev = snapDir(s, dir, "t7E_dev") + "/dev"
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 0), src, "overwrite",
+          Seq("o_orderkey"))                                     // v1
+        graft.sources.SnapshotTable.deleteVectors(s, src,
+          col("o_orderkey") % 10 === 0)                          // v2
+        graft.sources.SnapshotTable.createTag(s, src, "audited", Some(2))
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 1), src, "append",
+          Seq("o_orderkey"))                                     // v3
+        // clone the audited version BY TAG TOKEN, not number
+        val v = graft.sources.SnapshotTable
+          .resolveVersionToken(s, src, "audited")
+        graft.sources.SnapshotTable.cloneTable(s, src, dev, Some(v))
+        val devData = new org.apache.hadoop.fs.Path(dev, "data")
+        val fs = devData.getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(!fs.exists(devData) || fs.listStatus(devData).isEmpty,
+          "shallow clone copied bytes: expected an empty data/ under it")
+        // the clone diverges with its own DML…
+        graft.sources.SnapshotTable.deleteVectors(s, dev,
+          col("o_orderkey") % 4 === 2)
+        // …while the source moves on and vacuums everything but its tip
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") === 2), src, "overwrite",
+          Seq("o_orderkey"))
+        graft.sources.SnapshotTable.vacuum(s, src,
+          keepVersions = 1, minAgeMs = 0)
+        graft.sources.SnapshotTable.scan(s, dev)
+          .groupBy((col("o_orderkey") % 100).as("slot"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sp"))
+          .orderBy("slot")
+      },
+      """SELECT o_orderkey % 100 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 4 <> 2
+        |GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

@@ -1081,7 +1081,7 @@ object SnapshotTable {
     if (fresh.nonEmpty) {
       // staged files carry PHYSICAL names on a mapped table; the
       // declarative checks are written over logical names
-      val raw = spark.read.parquet(fresh.map(fe => s"$dir/${fe.path}"): _*)
+      val raw = spark.read.parquet(fresh.map(fe => resolvePath(dir, fe.path)): _*)
       val staged =
         if (mode != "append") raw
         else latestVersion(spark, dir).flatMap(v => tableSchema(spark, dir, v))
@@ -1117,6 +1117,15 @@ object SnapshotTable {
     * nonce-unique within a table, so the basename is a stable id that
     * survives path prefixing). */
   private def fileKey(path: String): String = new Path(path).getName
+
+  /** Manifest paths are table-root-relative (`data/…`) except on
+    * SHALLOW CLONES, whose entries reference the SOURCE table's files
+    * absolutely — every data/sidecar read resolves through here.
+    * Absolute entries are never vacuum candidates (vacuum lists only
+    * the local `data/` dir), so a clone can never delete its source's
+    * bytes. */
+  private[graft] def resolvePath(dir: String, p: String): String =
+    if (p.startsWith("/") || p.contains(":/")) p else s"$dir/$p"
 
   /** A rewrite transaction's file-level read set: each file it read,
     * with the deletion-vector ref seen at read time ([[commit]]'s
@@ -1154,14 +1163,14 @@ object SnapshotTable {
           // alias back to the logical schema (metadata columns still
           // resolve through the projection — Project propagates them)
           spark.read.schema(toPhysical(s))
-            .parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+            .parquet(fs.map(fe => resolvePath(dir, fe.path)): _*)
             .select(s.fields.map(f =>
               col(s"`${physicalName(f)}`").as(f.name)).toIndexedSeq: _*)
         case Some(s) =>
-          spark.read.schema(s).parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+          spark.read.schema(s).parquet(fs.map(fe => resolvePath(dir, fe.path)): _*)
         case None =>
           spark.read.option("mergeSchema", "true")
-            .parquet(fs.map(fe => s"$dir/${fe.path}"): _*)
+            .parquet(fs.map(fe => resolvePath(dir, fe.path)): _*)
       }
     def withPos(df: DataFrame) = df
       .withColumn("__graft_file",
@@ -1199,7 +1208,7 @@ object SnapshotTable {
     // a shared dv sidecar may carry positions for files outside this
     // read set (or since rewritten under a new name); the anti-join
     // ignores them by construction
-    val dv = spark.read.parquet(dvPaths.map(p => s"$dir/$p"): _*)
+    val dv = spark.read.parquet(dvPaths.map(p => resolvePath(dir, p)): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
     val maskedDvd = {
       val wp = withPos(read(dvd, Some(schema)))
@@ -1261,13 +1270,8 @@ object SnapshotTable {
     * from before the `ts` field read as 0 — i.e. "older than any real
     * instant", the conservative order. Errors when the table has no
     * version that old. */
-  def scanAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
-    val v = versions(spark, dir)
-      .filter(readManifest(spark, dir, _).ts <= tsMs)
-      .lastOption.getOrElse(throw new IllegalStateException(
-        s"no version of $dir existed at epoch-ms $tsMs"))
-    scan(spark, dir, Some(v))
-  }
+  def scanAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    scan(spark, dir, Some(versionAt(spark, dir, tsMs)))
 
   /** Candidate files for `keyCol = value` under the per-file blooms:
     * a file drops only when it CARRIES a bloom for `keyCol` and the
@@ -1559,7 +1563,7 @@ object SnapshotTable {
         // (their names are no longer live) — drop those here so the
         // consolidated vector never grows dead weight
         val live = m.files.map(fe => fileKey(fe.path)).toDF("file")
-        spark.read.parquet(oldDvPaths.map(p => s"$dir/$p"): _*)
+        spark.read.parquet(oldDvPaths.map(p => resolvePath(dir, p)): _*)
           .select(col("file"), col("pos"))
           .join(broadcast(live), Seq("file"), "left_semi")
       }
@@ -2220,7 +2224,16 @@ object SnapshotTable {
     require(keepVersions >= 1, "must keep at least the current version")
     val vs = versions(spark, dir)
     if (vs.isEmpty) return Nil
-    val (expired, kept) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val (below, kept0) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    // Named refs PIN their targets through retention: a tag is a
+    // promise that `VERSION AS OF '<name>'` — and every shallow clone
+    // that recorded one — keeps reading, so tagged versions below the
+    // count horizon survive: manifest, checkpoint, and referenced data
+    // files alike. Dropping the tag is the only way a pin expires.
+    val tagged = listTags(spark, dir).map(_.version).toSet
+    val pinned = below.filter(tagged)
+    val expired = below.filterNot(tagged)
+    val kept = pinned ++ kept0
     // the sweep runs even with nothing expired: crashed writers' aged
     // orphans get reclaimed on a table whose versions never turn over.
     // Deletion-vector sidecars are referenced data like any file.
@@ -2235,32 +2248,33 @@ object SnapshotTable {
       .filterNot(n => referenced.contains(s"data/$n"))
     dead.foreach(n => f.delete(new Path(dd, n), false))
     if (expired.nonEmpty) {
-      // Promote the retention boundary BEFORE deleting anything below
-      // it: if the oldest kept version is a delta, its resolution
-      // walks into the log we are about to drop, so materialize it as
-      // a side checkpoint first (temp write + rename, existence-
-      // verified — a crash in between leaves the log intact and the
-      // next vacuum retries). Content is deterministic, so a
-      // concurrent vacuum writing the same checkpoint is benign.
-      val boundary = kept.head
-      val bPath = new Path(logDir(dir), manifestName(boundary))
-      val bEntry = parseEntry(readBytes(f, bPath))
-      val ckpt = new Path(logDir(dir), ckptName(boundary))
-      if (bEntry.kind == "delta" && !f.exists(ckpt)) {
-        val m = readManifest(spark, dir, boundary)
-        val tmp = new Path(logDir(dir), s".ckpt-${java.util.UUID.randomUUID}.json")
-        val out = f.create(tmp, true)
-        try out.write(renderEntry(
-          LogEntry(m.version, m.op, m.ts, "full", m.files, Nil)).getBytes("UTF-8"))
-        finally out.close()
-        if (!f.rename(tmp, ckpt) && !f.exists(ckpt))
-          throw new IllegalStateException(
-            s"could not publish vacuum checkpoint for version $boundary of $dir")
-        f.delete(tmp, false) // no-op when rename consumed it
-        require(f.exists(ckpt), s"vacuum checkpoint vanished under $dir")
-        if (m.files.size >= parquetAnchorMinFiles)
-          writeParquetAnchor(spark, dir,
-            LogEntry(m.version, m.op, m.ts, "full", m.files, Nil))
+      // Promote every RETAINED version whose backward delta fold would
+      // walk into the log being dropped — the oldest kept version AND
+      // each pinned tag target scattered below it — to a side
+      // checkpoint first (temp write + rename, existence-verified — a
+      // crash in between leaves the log intact and the next vacuum
+      // retries). Content is deterministic, so a concurrent vacuum
+      // writing the same checkpoint is benign.
+      (pinned :+ kept0.head).distinct.foreach { boundary =>
+        val bPath = new Path(logDir(dir), manifestName(boundary))
+        val bEntry = parseEntry(readBytes(f, bPath))
+        val ckpt = new Path(logDir(dir), ckptName(boundary))
+        if (bEntry.kind == "delta" && !f.exists(ckpt)) {
+          val m = readManifest(spark, dir, boundary)
+          val tmp = new Path(logDir(dir), s".ckpt-${java.util.UUID.randomUUID}.json")
+          val out = f.create(tmp, true)
+          try out.write(renderEntry(
+            LogEntry(m.version, m.op, m.ts, "full", m.files, Nil)).getBytes("UTF-8"))
+          finally out.close()
+          if (!f.rename(tmp, ckpt) && !f.exists(ckpt))
+            throw new IllegalStateException(
+              s"could not publish vacuum checkpoint for version $boundary of $dir")
+          f.delete(tmp, false) // no-op when rename consumed it
+          require(f.exists(ckpt), s"vacuum checkpoint vanished under $dir")
+          if (m.files.size >= parquetAnchorMinFiles)
+            writeParquetAnchor(spark, dir,
+              LogEntry(m.version, m.op, m.ts, "full", m.files, Nil))
+        }
       }
       expired.foreach { v =>
         f.delete(new Path(logDir(dir), manifestName(v)), false)
@@ -2286,6 +2300,181 @@ object SnapshotTable {
       .filter(n => n.startsWith(".stage-") || n.startsWith(".dv-"))
       .foreach(n => f.delete(new Path(dir, n), true))
     dead.map(n => s"data/$n")
+  }
+
+  // --- named refs (tags) & zero-copy clones ---
+
+  private def refsDir(dir: String) = new Path(dir, "_refs")
+  private val RefNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$".r
+
+  /** A named immutable ref: `name` → pinned `version`, created at
+    * wall-clock `ts` (epoch millis). */
+  final case class TagRef(name: String, version: Long, ts: Long)
+
+  /** Create tag `name` → `version` (default: current). A tag makes a
+    * version addressable by name — `VERSION AS OF 'name'`,
+    * `.option("versionAsOf", "name")` — and PINS it through [[vacuum]]
+    * (the retention contract shallow clones rely on). Publish is
+    * atomic (temp + rename-fails-if-present) and create-only:
+    * re-pointing a ref is an explicit drop + create, never a silent
+    * overwrite. Tags live beside (not inside) the versioned log, like
+    * the layout props: they address history, they are not part of it.
+    * Returns the pinned version. */
+  def createTag(spark: SparkSession, dir: String, name: String,
+                version: Option[Long] = None): Long = {
+    require(RefNameRe.findFirstIn(name).isDefined,
+      s"invalid tag name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, ≤64 chars)")
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"cannot tag empty table $dir"))
+    require(versions(spark, dir).contains(v),
+      s"cannot tag version $v of $dir: no such retained version")
+    val rd = refsDir(dir)
+    val f = fs(spark, rd)
+    f.mkdirs(rd)
+    val target = new Path(rd, s"$name.json")
+    if (f.exists(target)) throw new IllegalStateException(
+      s"tag '$name' already exists on $dir (drop it first to re-point)")
+    val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID}.json")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""{"version":$v,"ts":${System.currentTimeMillis()}}""".getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $dir (lost the publish race)")
+    }
+    v
+  }
+
+  /** Drop tag `name`; false when it did not exist. The pinned version
+    * re-enters normal [[vacuum]] retention on the next sweep. */
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean = {
+    val rd = refsDir(dir)
+    fs(spark, rd).delete(new Path(rd, s"$name.json"), false)
+  }
+
+  /** All tags on `dir`, name-sorted. */
+  def listTags(spark: SparkSession, dir: String): Seq[TagRef] = {
+    val rd = refsDir(dir)
+    val f = fs(spark, rd)
+    if (!f.exists(rd)) return Nil
+    f.listStatus(rd).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith(".")).sorted
+      .map { n =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readBytes(f, new Path(rd, n)))
+        TagRef(n.stripSuffix(".json"),
+          node.get("version").asLong(), node.get("ts").asLong())
+      }
+  }
+
+  /** The version tag `name` pins, if the tag exists. */
+  def tagVersion(spark: SparkSession, dir: String, name: String): Option[Long] = {
+    val p = new Path(refsDir(dir), s"$name.json")
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else Some(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readBytes(f, p)).get("version").asLong())
+  }
+
+  /** A user-supplied version token: a commit number, or a tag name. */
+  def resolveVersionToken(spark: SparkSession, dir: String, token: String): Long =
+    token.trim.toLongOption.getOrElse(
+      tagVersion(spark, dir, token.trim).getOrElse(
+        throw new IllegalArgumentException(
+          s"'$token' is neither a commit number nor a tag of $dir")))
+
+  /** Newest version published at or before epoch-ms `tsMs` (the
+    * [[scanAsOf]] resolution, shared with the `timestampAsOf` read
+    * option and SQL `TIMESTAMP AS OF`). Publish stamps are monotone
+    * per table because versions publish serially; pre-`ts` manifests
+    * read as 0 — older than any real instant, the conservative
+    * order. */
+  def versionAt(spark: SparkSession, dir: String, tsMs: Long): Long =
+    versions(spark, dir)
+      .filter(readManifest(spark, dir, _).ts <= tsMs)
+      .lastOption.getOrElse(throw new IllegalStateException(
+        s"no version of $dir existed at epoch-ms $tsMs"))
+
+  /** An instant for `timestampAsOf`: epoch millis, `yyyy-MM-dd`, or
+    * `yyyy-MM-dd HH:mm:ss[.fff]` (session-JVM local time, matching
+    * `java.sql.Timestamp.valueOf`). */
+  private[graft] def parseInstantMs(s: String): Long =
+    s.trim.toLongOption.getOrElse {
+      val t = s.trim
+      try java.sql.Timestamp.valueOf(
+        if (t.length == 10) s"$t 00:00:00" else t).getTime
+      catch {
+        case _: IllegalArgumentException => throw new IllegalArgumentException(
+          s"timestampAsOf wants epoch-millis or 'yyyy-MM-dd[ HH:mm:ss]', got '$s'")
+      }
+    }
+
+  /** Register `dstDir` as a CLONE of `srcDir` at `version` (default:
+    * current). Shallow (the default): a brand-new table whose v1
+    * manifest REFERENCES the source's data files by absolute path —
+    * O(metadata), zero bytes copied, ready in milliseconds at any
+    * table size (Delta's shallow CLONE; Iceberg snapshot-ref
+    * semantics). The clone is a full table from the first instant:
+    * reads, time travel, DML, compaction, and SPJ joins (the layout
+    * props and per-file bucket ids travel with it) all work; every
+    * WRITE lands under the clone's own `data/` — natural copy-on-write,
+    * shared bytes localize only when a rewrite touches them — and the
+    * clone's [[vacuum]] lists only its own `data/`, so it can never
+    * delete the source's files.
+    *
+    * What makes the shallow form SAFE (the failure mode Delta
+    * documents and punts on — "vacuum on the source may break
+    * clones"): the clone records tag `clone-<dstName>` on the source
+    * at the cloned version, and [[vacuum]] retains tagged versions and
+    * their files. The shared bytes outlive the source's retention
+    * until someone drops the tag — breaking a clone requires an
+    * explicit act, never a background sweep. `deep = true` copies the
+    * bytes instead (O(data), no tag, fully independent). */
+  def cloneTable(spark: SparkSession, srcDir: String, dstDir: String,
+                 version: Option[Long] = None, deep: Boolean = false): Long = {
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"clone target $dstDir already holds a table")
+    val v = version.orElse(latestVersion(spark, srcDir)).getOrElse(
+      throw new IllegalStateException(s"cannot clone empty table $srcDir"))
+    val m = readManifest(spark, srcDir, v)
+    val schemaJson = tableSchemaJson(spark, srcDir, v)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcFs = fs(spark, new Path(srcDir))
+    val entries =
+      if (!deep) {
+        val srcRoot = srcFs.makeQualified(new Path(srcDir)).toString
+        m.files.map(fe => fe.copy(
+          path = s"$srcRoot/${fe.path}",
+          dv = fe.dv.map { case (p, n) => (s"$srcRoot/$p", n) }))
+      } else {
+        val dstFs = fs(spark, new Path(dstDir))
+        dstFs.mkdirs(dataDir(dstDir))
+        m.files.flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq).distinct
+          .foreach(rel => org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, new Path(srcDir, rel),
+            dstFs, new Path(dstDir, rel), false, hconf))
+        m.files
+      }
+    if (!deep) {
+      // pin the shared files through the source's retention; re-cloning
+      // into the same target name re-points the pin
+      val tag = s"clone-${new Path(dstDir).getName}"
+      if (!tagVersion(spark, srcDir, tag).contains(v)) {
+        if (tagVersion(spark, srcDir, tag).isDefined) dropTag(spark, srcDir, tag)
+        createTag(spark, srcDir, tag, Some(v))
+      }
+    }
+    // layout/constraint defaults travel with the clone — future writes
+    // inherit them exactly as they would on the source
+    val props = graft.sources.connector.GraftTableProps.read(hconf, srcDir)
+    if (props.nonEmpty)
+      graft.sources.connector.GraftTableProps.write(hconf, dstDir, props)
+    // keepMapping: the cloned entries are the SOURCE's physical bytes,
+    // so a rename-mapped source schema must survive the re-record
+    commit(spark, dstDir, if (deep) "clone-deep" else "clone", entries,
+      carry = false, schemaJson = schemaJson, keepMapping = true)
   }
 
   /** OPTIMIZE: bin-pack files smaller than `smallRows` into files of

@@ -89,10 +89,11 @@ object ChangesTable {
                    skipDv: Option[String],
                    keepFrom: Option[String] = None,
                    keepMinus: Option[String] = None) =
-            ChangeFilePartition(s"$dir/${fe.path}",
+            ChangeFilePartition(SnapshotTable.resolvePath(dir, fe.path),
               new org.apache.hadoop.fs.Path(fe.path).getName, fe.rows,
-              skipDv.map(p => s"$dir/$p"), keepFrom.map(p => s"$dir/$p"),
-              keepMinus.map(p => s"$dir/$p"), tpe, v)
+              skipDv.map(p => SnapshotTable.resolvePath(dir, p)),
+              keepFrom.map(p => SnapshotTable.resolvePath(dir, p)),
+              keepMinus.map(p => SnapshotTable.resolvePath(dir, p)), tpe, v)
           m.files.filterNot(fe => prevByPath.contains(fe.path)).foreach(fe =>
             out += part(fe, "upsert", fe.dv.map(_._1)))
           prev.filterNot(fe => curByPath.contains(fe.path)).foreach(fe =>
@@ -156,10 +157,21 @@ final class ChangesScanBuilder(dir: String, tableSchema: StructType,
   // the same way pushed `commit_version` predicates do (Delta's
   // table_changes(start, end) arguments); predicates compose by
   // narrowing further
-  private var loV = Option(options.get("startingVersion"))
-    .map(_.toLong).getOrElse(Long.MinValue)
-  private var hiV = Option(options.get("endingVersion"))
-    .map(_.toLong).getOrElse(Long.MaxValue)
+  // number-or-tag version tokens; `startingTimestamp`/`endingTimestamp`
+  // resolve to the version current at the instant
+  private def tok(name: String, tsName: String): Option[Long] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = Option(options.get(name))
+    val t = Option(options.get(tsName))
+    require(v.isEmpty || t.isEmpty, s"$name and $tsName are mutually exclusive")
+    v.map(SnapshotTable.resolveVersionToken(spark, dir, _))
+      .orElse(t.map(s =>
+        SnapshotTable.versionAt(spark, dir, SnapshotTable.parseInstantMs(s))))
+  }
+  private var loV = tok("startingVersion", "startingTimestamp")
+    .getOrElse(Long.MinValue)
+  private var hiV = tok("endingVersion", "endingTimestamp")
+    .getOrElse(Long.MaxValue)
   private var pushed: Array[Filter] = Array.empty
 
   private def longOf(v: Any): Option[Long] = v match {
@@ -263,7 +275,7 @@ final class ChangesMicroBatchStream(dir: String, tableSchema: StructType,
   override def initialOffset(): Offset = {
     val vs = SnapshotTable.versions(spark, dir)
     require(vs.nonEmpty, s"no committed version under $dir")
-    val from = Option(options.get("startingVersion")).map(_.toLong)
+    val from = GraftSnapshotSource.startVersion(spark, dir, options)
       .getOrElse(vs.head)
     require(from >= vs.head,
       s"startingVersion $from predates the earliest available version " +

@@ -98,7 +98,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       val m = SnapshotTable.readManifest(spark, dir, v)
       if (m.files.isEmpty) new StructType()
       else spark.read.option("mergeSchema", "true")
-        .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+        .parquet(m.files.map(fe => SnapshotTable.resolvePath(dir, fe.path)): _*).schema
     }
   }
 
@@ -136,13 +136,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** SQL `VERSION AS OF v`. */
+  /** SQL `VERSION AS OF v` — a commit number, or a TAG name
+    * ([[SnapshotTable.createTag]]): `VERSION AS OF 'v2-release'`
+    * reads the pinned version, and [[SnapshotTable.vacuum]] retains
+    * it for as long as the tag exists. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft version identifiers are commit numbers, got '$version'")
+      case _: NumberFormatException =>
+        SnapshotTable.tagVersion(spark, dir, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft version identifiers are commit numbers or tag names, " +
+              s"got '$version'"))
     }
     new SnapshotV2Table(schemaOf(dir, Some(v)), dir, pinnedVersion = Some(v),
       tableProps = readProps(dir))
@@ -527,20 +533,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     require(ident.namespace.isEmpty || ident.namespace.toSeq == Seq("system"),
       s"procedures live in the 'system' namespace, got ${ident.toString}")
-    GraftProcedures.load(ident.name, tbl => {
+    def dirOfNew(tbl: String): String = {
       val parts = tbl.split("\\.").toSeq
-      val dir = dirOf(parts.init, parts.last)
+      dirOf(parts.init, parts.last)
+    }
+    GraftProcedures.load(ident.name, tbl => {
+      val dir = dirOfNew(tbl)
       require(tableExistsAt(dir), s"no such table '$tbl' in catalog $catalogName")
       dir
-    }).getOrElse(throw new IllegalArgumentException(
-      s"no such procedure ${ident.name} " +
-        "(have: restore, vacuum, compact, purge_deletes, maintain)"))
+    }, dirOfNew).getOrElse(throw new IllegalArgumentException(
+      s"no such procedure ${ident.name} (have: " +
+        GraftProcedures.Names.mkString(", ") + ")"))
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
-      Array("restore", "vacuum", "compact", "purge_deletes", "maintain")
-        .map(Identifier.of(Array("system"), _))
+      GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
 
   override def dropTable(ident: Identifier): Boolean = {

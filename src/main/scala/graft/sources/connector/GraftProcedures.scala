@@ -30,14 +30,28 @@ import graft.sources.SnapshotTable
   *    writes; folds deletion vectors in).
   *  - `maintain(table)` — the policy-driven sweep (default
   *    [[SnapshotTable.MaintenancePolicy]]); returns what fired.
+  *  - `create_tag(table, name, version)` / `drop_tag(table, name)` —
+  *    named refs: `VERSION AS OF '<name>'` addressing plus vacuum
+  *    pinning (`version = -1` tags the current version).
+  *  - `clone(table, target, version, deep)` — register `target` as a
+  *    clone of `table` at `version` (-1 = current): shallow by
+  *    default (O(metadata), files shared + pinned by an auto tag on
+  *    the source), `deep = true` copies the bytes.
   *
   * A procedure that mutates data is `isDeterministic = false`; every
   * argument is a required IN parameter (explicit beats defaulted for
   * operations that rewrite data or drop history). */
 object GraftProcedures {
 
-  /** All procedures, by lower-case name. */
-  def load(name: String, dirOfTable: String => String): Option[UnboundProcedure] =
+  /** Every procedure name [[load]] serves. */
+  val Names: Seq[String] = Seq("restore", "vacuum", "compact", "rebucket",
+    "purge_deletes", "maintain", "create_tag", "drop_tag", "clone")
+
+  /** All procedures, by lower-case name. `dirOfTable` resolves an
+    * EXISTING table's identifier to its directory; `dirOfNewTable`
+    * resolves an identifier that may not exist yet (clone targets). */
+  def load(name: String, dirOfTable: String => String,
+           dirOfNewTable: String => String = identity): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "restore" => Some(proc("restore",
         Array(in("table", StringType), in("version", LongType)),
@@ -102,6 +116,47 @@ object GraftProcedures {
           val r = SnapshotTable.maintain(spark, dir)
           Seq(new GenericInternalRow(Array[Any](r.purged, r.compacted,
             r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles)))
+      })
+      case "create_tag" => Some(proc("create_tag",
+        Array(in("table", StringType), in("name", StringType),
+          in("version", LongType)),
+        StructType(Seq(
+          StructField("pinned_version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val v = args.getLong(2)
+          val pinned = SnapshotTable.createTag(spark, dir,
+            args.getUTF8String(1).toString, if (v < 0) None else Some(v))
+          Seq(new GenericInternalRow(Array[Any](pinned)))
+      })
+      case "drop_tag" => Some(proc("drop_tag",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(
+          StructField("existed", BooleanType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val existed = SnapshotTable.dropTag(spark, dir,
+            args.getUTF8String(1).toString)
+          Seq(new GenericInternalRow(Array[Any](existed)))
+      })
+      case "clone" => Some(proc("clone",
+        Array(in("table", StringType), in("target", StringType),
+          in("version", LongType), in("deep", BooleanType)),
+        StructType(Seq(
+          StructField("cloned_version", LongType, nullable = false),
+          StructField("files_shared", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val src = dirOfTable(args.getUTF8String(0).toString)
+          val dst = dirOfNewTable(args.getUTF8String(1).toString)
+          val v = args.getLong(2)
+          val deep = args.getBoolean(3)
+          val resolved = if (v < 0) SnapshotTable.latestVersion(spark, src)
+            .getOrElse(throw new IllegalStateException(
+              s"cannot clone empty table $src")) else v
+          SnapshotTable.cloneTable(spark, src, dst, Some(resolved), deep)
+          val shared = if (deep) 0
+          else SnapshotTable.readManifest(spark, dst, 1L).files.size
+          Seq(new GenericInternalRow(Array[Any](resolved, shared)))
       })
       case _ => None
     }

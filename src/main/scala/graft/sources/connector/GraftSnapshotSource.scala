@@ -71,8 +71,9 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
     // (ACCEPT_ANY_SCHEMA); the read path rejects an empty schema with
     // a precise error in newScanBuilder
     if (SnapshotTable.latestVersion(spark, dir).isEmpty &&
-        options.get("versionAsOf") == null) return new StructType()
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
+        options.get("versionAsOf") == null &&
+        options.get("timestampAsOf") == null) return new StructType()
+    val v = GraftSnapshotSource.requestedVersion(spark, dir, options)
       .orElse(SnapshotTable.latestVersion(spark, dir)).get
     // the log-recorded schema is one small-file read — the footer
     // pass below is the legacy fallback only (at 2k files it costs
@@ -81,7 +82,7 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
       val m = SnapshotTable.readManifest(spark, dir, v)
       if (m.files.isEmpty) new StructType()
       else spark.read.option("mergeSchema", "true")
-        .parquet(m.files.map(fe => s"$dir/${fe.path}"): _*).schema
+        .parquet(m.files.map(fe => SnapshotTable.resolvePath(dir, fe.path)): _*).schema
     }
     // `readChangeFeed=true` reads the CHANGE FEED (row-level diffs
     // with change_type/commit_version) instead of the table — the
@@ -106,6 +107,36 @@ class GraftSnapshotSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftSnapshotSource {
+  /** The explicitly-requested version pin, if any: `versionAsOf` (a
+    * commit number OR a tag name — see [[SnapshotTable.createTag]]) or
+    * `timestampAsOf` (epoch millis or `yyyy-MM-dd[ HH:mm:ss]`),
+    * mutually exclusive. */
+  private[connector] def requestedVersion(spark: SparkSession, dir: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = Option(options.get("versionAsOf"))
+    val t = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || t.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    v.map(SnapshotTable.resolveVersionToken(spark, dir, _))
+      .orElse(t.map(s =>
+        SnapshotTable.versionAt(spark, dir, SnapshotTable.parseInstantMs(s))))
+  }
+
+  /** The first version a STREAM (or bounded feed read) starts from:
+    * `startingVersion` (a commit number or tag name) or
+    * `startingTimestamp` (the version current at the instant —
+    * epoch-ms or `yyyy-MM-dd[ HH:mm:ss]`), mutually exclusive. */
+  private[connector] def startVersion(spark: SparkSession, dir: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = Option(options.get("startingVersion"))
+    val t = Option(options.get("startingTimestamp"))
+    require(v.isEmpty || t.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    v.map(SnapshotTable.resolveVersionToken(spark, dir, _))
+      .orElse(t.map(s =>
+        SnapshotTable.versionAt(spark, dir, SnapshotTable.parseInstantMs(s))))
+  }
+
   private[connector] def tableDir(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft_snapshot requires a path: spark.read.format(\"graft_snapshot\").load(tableRoot)"))
@@ -123,7 +154,7 @@ object GraftSnapshotSource {
     * well-defined as the whole version. */
   private[connector] def resolveManifest(spark: SparkSession, dir: String,
                                          options: CaseInsensitiveStringMap): Manifest = {
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val v = requestedVersion(spark, dir, options)
       .orElse(SnapshotTable.latestVersion(spark, dir))
       .getOrElse(throw new IllegalStateException(s"no committed version under $dir"))
     val m = SnapshotTable.readManifest(spark, dir, v)
@@ -290,7 +321,8 @@ final class SnapshotV2Table(schema: StructType, dir: String,
     // catalog time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) pins
     // the version at table-resolution time; a per-read option wins
     val opts = pinnedVersion match {
-      case Some(v) if options.get("versionAsOf") == null =>
+      case Some(v) if options.get("versionAsOf") == null &&
+          options.get("timestampAsOf") == null =>
         val m = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
         m.put("versionAsOf", v.toString)
         new CaseInsensitiveStringMap(m)

@@ -37,7 +37,7 @@ import graft.sources.SnapshotTable
   * manifest-sized, not data-sized. */
 object MetadataTables {
 
-  val Names: Set[String] = Set("history", "files", "changes")
+  val Names: Set[String] = Set("history", "files", "changes", "refs")
 
   def resolve(spark: SparkSession, tableDir: String,
               metaName: String): Option[Table] =
@@ -48,6 +48,9 @@ object MetadataTables {
       // (see [[ChangesTable]]): unlike the driver-computed tables
       // above, its rows are a real V2 scan over the changed files
       case "changes" => Some(ChangesTable(spark, tableDir))
+      // `cat.ns.t.refs` — the named tags ([[SnapshotTable.listTags]]):
+      // what `VERSION AS OF '<name>'` resolves, what vacuum pins
+      case "refs" => Some(refsTable(spark, tableDir))
       case _ => None
     }
 
@@ -102,6 +105,18 @@ object MetadataTables {
         : InternalRow
     }
     new SnapshotMetaTable(s"graft_snapshot($dir).files", schema, rows)
+  }
+
+  private def refsTable(spark: SparkSession, dir: String): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("created_at", TimestampType, nullable = false)))
+    val rows = SnapshotTable.listTags(spark, dir).map { t =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(t.name), t.version, t.ts * 1000L)): InternalRow
+    }
+    new SnapshotMetaTable(s"graft_snapshot($dir).refs", schema, rows)
   }
 }
 

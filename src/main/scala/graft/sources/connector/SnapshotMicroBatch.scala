@@ -104,7 +104,7 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
   override def initialOffset(): Offset = {
     val vs = SnapshotTable.versions(spark, dir)
     require(vs.nonEmpty, s"no committed version under $dir")
-    val from = Option(options.get("startingVersion")).map(_.toLong)
+    val from = GraftSnapshotSource.startVersion(spark, dir, options)
       .getOrElse(vs.head)
     require(from >= vs.head,
       s"startingVersion $from predates the earliest available version ${vs.head} of $dir (vacuumed?)")

@@ -16,6 +16,8 @@ import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+
+import graft.sources.SnapshotTable
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
@@ -357,8 +359,9 @@ private[graft] object SnapshotPartitions {
   }
 
   def partitionFor(dir: String, fe: FileEntry): SnapshotFilePartition =
-    SnapshotFilePartition(s"$dir/${fe.path}",
-      new Path(fe.path).getName, fe.rows, fe.dv.map(d => s"$dir/${d._1}"))
+    SnapshotFilePartition(SnapshotTable.resolvePath(dir, fe.path),
+      new Path(fe.path).getName, fe.rows,
+      fe.dv.map(d => SnapshotTable.resolvePath(dir, d._1)))
 
   /** Sidecar rows DECODED by [[deletedPositions]] since the last
     * reset — single-JVM telemetry for specs/probes pinning that a

@@ -573,7 +573,7 @@ private object SnapshotWriteSupport {
       }.toSeq.sortBy(_._1)
     if (checks.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when}
-    val raw = spark.read.parquet(entries.map(fe => s"$dir/${fe.path}"): _*)
+    val raw = spark.read.parquet(entries.map(fe => SnapshotTable.resolvePath(dir, fe.path)): _*)
     // staged files carry PHYSICAL names; predicates speak LOGICAL ones
     val df = raw.select(physSchema.fields.zip(logicalSchema.fields).map {
       case (p, l) => col("`" + p.name.replace("`", "``") + "`").as(l.name)
