@@ -2123,6 +2123,54 @@ object ParityQueries {
         |  AND o_orderkey % 4 <> 2
         |GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Metadata-only retention DELETE (round-14 wave 5): a DELETE whose
+    // per-file (min,max) stats prove every row of a file matches drops
+    // the file from the manifest WHOLE — no scan, no sidecar, no bytes
+    // — and only boundary files pay the deletion-vector path (per-file
+    // noNulls evidence closes the null hole: a null row evaluates the
+    // predicate to NULL and must be kept, so only files whose writer
+    // saw zero nulls are droppable). At 100 TB this turns the nightly
+    // `DELETE WHERE day < cutoff` from a table-wide dv scan into an
+    // O(changed-metadata) commit. Asserted in-query: files dropped
+    // whole, surviving dv rows bounded by ONE boundary file.
+    "q7F_retention_delete" -> QueryDef(
+      (s, dir) => {
+        val t7 = snapDir(s, dir, "t7F")
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price"))
+          .repartitionByRange(16, col("o_orderkey"))
+        graft.sources.SnapshotTable.write(s, ords, t7, "overwrite",
+          Seq("o_orderkey"))
+        val v1 = graft.sources.SnapshotTable.latestVersion(s, t7).get
+        val m0 = graft.sources.SnapshotTable.readManifest(s, t7, v1)
+        // retention cutoff from MANIFEST stats (metadata-only):
+        // half the max key, integer-truncated (oracle recomputes it)
+        val cutoff = m0.files
+          .flatMap(_.stats.get("o_orderkey")).map(_._2).max / 2
+        graft.sources.SnapshotTable.deleteVectors(s, t7,
+          col("o_orderkey") < cutoff)
+        val m = graft.sources.SnapshotTable.readManifest(s, t7,
+          graft.sources.SnapshotTable.latestVersion(s, t7).get)
+        require(m.files.size < m0.files.size,
+          s"retention delete dropped no file whole " +
+            s"(${m0.files.size} -> ${m.files.size})")
+        val dvRows = m.files.flatMap(_.dv.map(_._2)).sum
+        require(dvRows <= m0.files.map(_.rows).max,
+          s"dv rows $dvRows exceed one boundary file — " +
+            "the delete scanned more than the boundary")
+        graft.sources.SnapshotTable.scan(s, t7)
+          .groupBy((col("o_custkey") % 50).as("slot"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sp"))
+          .orderBy("slot")
+      },
+      """SELECT o_custkey % 50 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders)
+        |GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

@@ -114,13 +114,21 @@ object SnapshotTable {
     * for free, and a scan whose buckets each hold ONE sorted file
     * reports output ordering, dropping the sort-merge join's per-
     * partition sorts on top of the retired exchanges. */
+  /** `noNulls` lists stats columns (physical names) the writer saw
+    * ZERO nulls in — the per-file evidence that lets a DELETE whose
+    * stats range covers the whole file drop it from the manifest
+    * without scanning (a null row would evaluate the predicate to
+    * NULL and have to be kept; recorded schemas are nullable-widened,
+    * so schema nullability alone can never prove this). Absent on
+    * pre-noNulls manifests — conservative no-proof. */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
                              bloom: Map[String, Seq[Long]] = Map.empty,
                              dv: Option[(String, Long)] = None,
                              bucket: Option[Int] = None,
                              sortedBy: Option[String] = None,
-                             bucketN: Option[Int] = None) {
+                             bucketN: Option[Int] = None,
+                             noNulls: Seq[String] = Nil) {
     /** Logical (post-deletion-vector) row count. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 
@@ -247,7 +255,13 @@ object SnapshotTable {
     // bucket COUNT the file was written under (see
     // [[FileEntry.bucketedUnder]]); same null contract as `bucket`
     org.apache.spark.sql.types.StructField("bucket_n",
-      org.apache.spark.sql.types.IntegerType, nullable = true)))
+      org.apache.spark.sql.types.IntegerType, nullable = true),
+    // stats columns with zero nulls in this file (see
+    // [[FileEntry.noNulls]]); null on pre-noNulls anchors
+    org.apache.spark.sql.types.StructField("no_nulls",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
     * version: single-file write (temp dir + rename of the part file),
@@ -266,7 +280,8 @@ object SnapshotTable {
           fe.dv.map(d => java.lang.Long.valueOf(d._2)).orNull,
           fe.bucket.map(java.lang.Integer.valueOf).orNull,
           fe.sortedBy.orNull,
-          fe.bucketN.map(java.lang.Integer.valueOf).orNull)): _*)
+          fe.bucketN.map(java.lang.Integer.valueOf).orNull,
+          if (fe.noNulls.isEmpty) null else fe.noNulls)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -301,7 +316,8 @@ object SnapshotTable {
         bloom.map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap,
         dv, if (r.isNullAt(8)) None else Some(r.getInt(8)),
         if (r.isNullAt(9)) None else Some(r.getString(9)),
-        if (r.isNullAt(10)) None else Some(r.getInt(10)))
+        if (r.isNullAt(10)) None else Some(r.getInt(10)),
+        if (r.isNullAt(11)) Nil else r.getSeq[String](11))
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -362,6 +378,8 @@ object SnapshotTable {
       fe.dv.foreach { case (p, n) =>
         sb.append(s""","dv":{"path":"$p","n":$n}""")
       }
+      if (fe.noNulls.nonEmpty)
+        sb.append(s""","nn":[${fe.noNulls.sorted.map(c => s"\"$c\"").mkString(",")}]""")
       fe.bucket.foreach(b => sb.append(s""","bucket":$b"""))
       fe.bucketN.foreach(n => sb.append(s""","bucketN":$n"""))
       fe.sortedBy.foreach(c => sb.append(s""","sortedBy":"$c""""))
@@ -420,8 +438,18 @@ object SnapshotTable {
       val bucketN = if (bn3.isMissingNode) None else Some(bn3.asInt)
       val sn2 = fe.path("sortedBy") // absent on pre-sort-metadata manifests
       val sortedBy = if (sn2.isMissingNode) None else Some(sn2.asText)
+      val nn = fe.path("nn") // absent on pre-noNulls manifests
+      val noNulls =
+        if (nn.isMissingNode) Nil
+        else {
+          val b = Vector.newBuilder[String]
+          val it2 = nn.elements()
+          while (it2.hasNext) b += it2.next().asText
+          b.result()
+        }
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
-        stats.result(), bloom.result(), dv, bucket, sortedBy, bucketN)
+        stats.result(), bloom.result(), dv, bucket, sortedBy, bucketN,
+        noNulls)
     }
     out.result()
   }
@@ -958,7 +986,8 @@ object SnapshotTable {
     val aggs = count(lit(1)).as("__rows") +:
       (statsCols.flatMap(c => Seq(
         min(col(c)).cast("long").as(s"__min_$c"),
-        max(col(c)).cast("long").as(s"__max_$c"))) ++
+        max(col(c)).cast("long").as(s"__max_$c"),
+        count(col(c)).as(s"__cnt_$c"))) ++
         bloomCols.map(c => graft.functions.cat.BloomAgg(
           graft.functions.TextFunctions.polyHash(col(c).cast("string")),
           BloomBits, BloomK).as(s"__bloom_$c")))
@@ -989,7 +1018,9 @@ object SnapshotTable {
       val sortedBy = bucketing.map { case (c, _) => mapping.getOrElse(c, c) }
       FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms,
         bucket = bucket, sortedBy = sortedBy,
-        bucketN = bucket.flatMap(_ => bucketing.map(_._2)))
+        bucketN = bucket.flatMap(_ => bucketing.map(_._2)),
+        noNulls = statsCols.filter(c =>
+          r.getAs[Long](s"__cnt_$c") == r.getAs[Long]("__rows")).sorted)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
@@ -1597,18 +1628,178 @@ object SnapshotTable {
     Some((name, entries))
   }
 
+  /** Interval proofs for a DELETE predicate against one file's
+    * manifest (min,max) stats — the machinery behind METADATA-ONLY
+    * deletes. A normalized comparison `attr OP literal` over a
+    * stats-carrying integral column supports two sound verdicts:
+    *
+    *  - '''all rows match''' (file droppable whole): requires the
+    *    schema to declare the column NON-NULLABLE — a null row
+    *    evaluates the predicate to NULL and must be KEPT, and the
+    *    manifest records no per-file null counts, so nullability is
+    *    the only proof nulls cannot lurk. `mx < c` proves `attr < c`
+    *    for every row, etc.
+    *  - '''no row matches''' (file skippable from the scan): needs no
+    *    nullability — null rows never match a comparison anyway.
+    *    `mn >= c` refutes `attr < c` for every row, etc.
+    *
+    * `And`/`Or` compose the proofs; anything unrecognized (casts,
+    * functions, non-literal sides, stats-less columns) proves
+    * NOTHING and falls to the scan — conservative, never wrong. */
+  private final case class NormCmp(name: String, op: Char, eq: Boolean, c: Long)
+
+  private def normCmp(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[NormCmp] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lit(x: Expression): Option[Long] = x match {
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+    // each comparison tries both orientations: `attr OP lit` as-is,
+    // `lit OP attr` with the operator flipped
+    def both(x: Expression, y: Expression, op: Char, eq: Boolean,
+             flip: Char): Option[NormCmp] =
+      (for { n <- attr(x); c <- lit(y) } yield NormCmp(n, op, eq, c))
+        .orElse(for { n <- attr(y); c <- lit(x) } yield NormCmp(n, flip, eq, c))
+    e match {
+      case LessThan(x, y) => both(x, y, '<', eq = false, flip = '>')
+      case LessThanOrEqual(x, y) => both(x, y, '<', eq = true, flip = '>')
+      case GreaterThan(x, y) => both(x, y, '>', eq = false, flip = '<')
+      case GreaterThanOrEqual(x, y) => both(x, y, '>', eq = true, flip = '<')
+      case EqualTo(x, y) => both(x, y, '=', eq = true, flip = '=')
+      // the Column DSL (and the SQL DELETE predicate translation)
+      // builds comparisons as BY-NAME unresolved functions; the
+      // analyzer would resolve them to the cases above, but a DELETE
+      // predicate is analyzed by the proofs before any plan exists
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 =>
+        val x = f.arguments(0)
+        val y = f.arguments(1)
+        f.nameParts.head match {
+          case "<" => both(x, y, '<', eq = false, flip = '>')
+          case "<=" => both(x, y, '<', eq = true, flip = '>')
+          case ">" => both(x, y, '>', eq = false, flip = '<')
+          case ">=" => both(x, y, '>', eq = true, flip = '<')
+          case "=" | "==" => both(x, y, '=', eq = true, flip = '=')
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** And/Or in either shape: resolved catalyst nodes or the Column
+    * DSL's by-name unresolved functions. */
+  private def splitAndOr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(Boolean, org.apache.spark.sql.catalyst.expressions.Expression,
+                org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    e match {
+      case And(l, r) => Some((true, l, r))
+      case Or(l, r) => Some((false, l, r))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.length == 2 && f.nameParts.length == 1 &&
+          f.nameParts.head.equalsIgnoreCase("and") =>
+        Some((true, f.arguments(0), f.arguments(1)))
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.arguments.length == 2 && f.nameParts.length == 1 &&
+          f.nameParts.head.equalsIgnoreCase("or") =>
+        Some((false, f.arguments(0), f.arguments(1)))
+      case _ => None
+    }
+  }
+
   private def deleteVectorsOnce(spark: SparkSession, dir: String,
                                 predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
-    stageDvSidecar(spark, dir, m, predicate,
-      tableSchema(spark, dir, v)) match {
-      case None => v
+    val known = tableSchema(spark, dir, v)
+    val expr = org.apache.spark.sql.graftbridge.Bridge.catalystExpression(predicate)
+    // nulls cannot lurk when the schema declares the column
+    // non-nullable OR the file's writer recorded zero nulls in it
+    def nonNull(name: String, fe: FileEntry): Boolean =
+      known.exists(_.fields.exists(f => f.name == name && !f.nullable)) ||
+        fe.noNulls.contains(physicalFor(known, name))
+    def rangeOf(fe: FileEntry, logical: String): Option[(Long, Long)] =
+      fe.stats.get(physicalFor(known, logical))
+    def cmpAll(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               fe: FileEntry): Boolean = normCmp(e).exists { nc =>
+      nonNull(nc.name, fe) && rangeOf(fe, nc.name).exists { case (mn, mx) =>
+        nc.op match {
+          case '<' => if (nc.eq) mx <= nc.c else mx < nc.c
+          case '>' => if (nc.eq) mn >= nc.c else mn > nc.c
+          case '=' => mn == nc.c && mx == nc.c
+        }
+      }
+    }
+    def cmpNone(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                fe: FileEntry): Boolean = normCmp(e).exists { nc =>
+      rangeOf(fe, nc.name).exists { case (mn, mx) =>
+        nc.op match {
+          case '<' => if (nc.eq) mn > nc.c else mn >= nc.c
+          case '>' => if (nc.eq) mx < nc.c else mx <= nc.c
+          case '=' => nc.c < mn || nc.c > mx
+        }
+      }
+    }
+    def allRows(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                fe: FileEntry): Boolean = splitAndOr(e) match {
+      case Some((true, l, r)) => allRows(l, fe) && allRows(r, fe)
+      case Some((false, l, r)) => allRows(l, fe) || allRows(r, fe)
+      case None => e match {
+        case Literal(true, org.apache.spark.sql.types.BooleanType) => true
+        case other => cmpAll(other, fe)
+      }
+    }
+    def noRows(e: org.apache.spark.sql.catalyst.expressions.Expression,
+               fe: FileEntry): Boolean = splitAndOr(e) match {
+      case Some((true, l, r)) => noRows(l, fe) || noRows(r, fe)
+      case Some((false, l, r)) => noRows(l, fe) && noRows(r, fe)
+      case None => e match {
+        case Literal(false, org.apache.spark.sql.types.BooleanType) => true
+        case other => cmpNone(other, fe)
+      }
+    }
+    // METADATA-ONLY fast path: a file whose stats PROVE every row
+    // matches is removed from the manifest whole — no scan, no
+    // sidecar, no bytes. A retention delete (`WHERE day < cutoff`) on
+    // a day-clustered 100 TB table drops almost every matched file
+    // this way and dv-scans only the boundary files; the change feed
+    // still replays the removed files' live rows as deletes (removed
+    // file → delete rows is already its contract). Files whose stats
+    // REFUTE the predicate skip the scan entirely.
+    val (dropped, rest) = m.files.partition(fe => allRows(expr, fe))
+    val candidates = rest.filterNot(fe => noRows(expr, fe))
+    def pruneOnly(): Long =
+      if (dropped.isEmpty) v
+      else commit(spark, dir, "delete-prune", Nil,
+        removed = readSetOf(dropped), carry = true)
+    if (candidates.isEmpty) return pruneOnly()
+    // the consolidation manifest is every SURVIVING file (rest, not
+    // candidates): prior sidecar rows of scan-skipped files must carry
+    // into the new vector so a version keeps referencing ONE sidecar;
+    // dropped files' prior rows vanish with their files
+    val matched = readFiles(spark, dir, candidates, keepPos = true,
+      knownSchema = known)
+      .filter(predicate)
+      .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+    stageDvSidecarFrom(spark, dir, m.copy(files = rest), matched) match {
+      case None => pruneOnly()
       case Some((name, entries)) =>
         val newPaths = entries.map(_.path).toSet
         try commit(spark, dir, "delete-dv", entries,
-          removed = readSetOf(m.files.filter(fe => newPaths.contains(fe.path))),
+          removed = readSetOf(
+            rest.filter(fe => newPaths.contains(fe.path)) ++ dropped),
           carry = true)
         catch {
           case e: CommitConflictException =>

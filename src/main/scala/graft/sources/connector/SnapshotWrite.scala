@@ -281,7 +281,7 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
     val spark = SparkSession.active
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
-        sortedBy = w.sortedBy, bucketN = w.bucketN))
+        sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls))
     // replay guard is metadata-only: one commit-history walk
     val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
@@ -361,7 +361,7 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
-        sortedBy = w.sortedBy, bucketN = w.bucketN))
+        sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls))
     SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
     SnapshotTable.commitAdded(SparkSession.active, dir,
       if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
@@ -386,7 +386,8 @@ final case class WrittenFile(path: String, rows: Long,
                              bloom: Map[String, Seq[Long]],
                              bucket: Option[Int] = None,
                              sortedBy: Option[String] = None,
-                             bucketN: Option[Int] = None)
+                             bucketN: Option[Int] = None,
+                             noNulls: Seq[String] = Nil)
   extends WriterCommitMessage
 
 /** A bucketed task's files — one per bucket id it received. */
@@ -747,6 +748,7 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
   private val statIdx = statsCols.map(c => c -> schema.fieldIndex(c))
   private val statMin = scala.collection.mutable.Map(statsCols.map(_ -> Long.MaxValue): _*)
   private val statMax = scala.collection.mutable.Map(statsCols.map(_ -> Long.MinValue): _*)
+  private val statCnt = scala.collection.mutable.Map(statsCols.map(_ -> 0L): _*)
   private val bloomIdx = bloomCols.map(c => c -> schema.fieldIndex(c))
   private val bloomBits = bloomCols.map(_ ->
     new Array[Long](SnapshotTable.BloomBits / 64)).toMap
@@ -800,6 +802,7 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
         }
         if (v < statMin(c)) statMin(c) = v
         if (v > statMax(c)) statMax(c) = v
+        statCnt(c) += 1
       }
     }
     bloomIdx.foreach { case (c, idx) =>
@@ -821,7 +824,8 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
       else Some(c -> (statMin(c), statMax(c)))
     }.toMap
     WrittenFile(relPath, rows, stats,
-      bloomCols.map(c => c -> bloomBits(c).toVector.asInstanceOf[Seq[Long]]).toMap)
+      bloomCols.map(c => c -> bloomBits(c).toVector.asInstanceOf[Seq[Long]]).toMap,
+      noNulls = statsCols.filter(c => statCnt(c) == rows).sorted)
   }
 
   override def abort(): Unit = close()

@@ -16,6 +16,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion. `expression` wraps the
+    * Column's node lazily (`ColumnNodeExpression`), which hides the
+    * tree from pattern matches; the classic converter object resolves
+    * it to the real `LessThan`/`Literal`/… shape — what the manifest
+    * interval proofs (metadata-only DELETE) analyze. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap an analyzed LogicalPlan as a DataFrame (classic
     * `Dataset.ofRows` is `private[sql]`) — the DML translation rule
     * re-wraps a MERGE statement's resolved source plan this way. */
