@@ -1717,59 +1717,78 @@ object SnapshotTable {
     }
   }
 
+  /** TRUE iff the interval proofs show every row of `fe` satisfies
+    * `e` ([[normCmp]]'s doc: needs no-null evidence). */
+  private def provesAllRows(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            fe: FileEntry,
+                            known: Option[org.apache.spark.sql.types.StructType])
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // nulls cannot lurk when the schema declares the column
+    // non-nullable OR the file's writer recorded zero nulls in it
+    def nonNull(name: String): Boolean =
+      known.exists(_.fields.exists(f => f.name == name && !f.nullable)) ||
+        fe.noNulls.contains(physicalFor(known, name))
+    def cmpAll(x: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      normCmp(x).exists { nc =>
+        nonNull(nc.name) &&
+          fe.stats.get(physicalFor(known, nc.name)).exists { case (mn, mx) =>
+            nc.op match {
+              case '<' => if (nc.eq) mx <= nc.c else mx < nc.c
+              case '>' => if (nc.eq) mn >= nc.c else mn > nc.c
+              case '=' => mn == nc.c && mx == nc.c
+            }
+          }
+      }
+    splitAndOr(e) match {
+      case Some((true, l, r)) => provesAllRows(l, fe, known) && provesAllRows(r, fe, known)
+      case Some((false, l, r)) => provesAllRows(l, fe, known) || provesAllRows(r, fe, known)
+      case None => e match {
+        case Literal(true, org.apache.spark.sql.types.BooleanType) => true
+        case other => cmpAll(other)
+      }
+    }
+  }
+
+  /** TRUE iff the interval proofs show NO row of `fe` can satisfy `e`
+    * — the file is skippable from any matched-row scan (sound without
+    * null evidence: null rows never satisfy a comparison). */
+  private def refutesAllRows(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                             fe: FileEntry,
+                             known: Option[org.apache.spark.sql.types.StructType])
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def cmpNone(x: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      normCmp(x).exists { nc =>
+        fe.stats.get(physicalFor(known, nc.name)).exists { case (mn, mx) =>
+          nc.op match {
+            case '<' => if (nc.eq) mn > nc.c else mn >= nc.c
+            case '>' => if (nc.eq) mx < nc.c else mx <= nc.c
+            case '=' => nc.c < mn || nc.c > mx
+          }
+        }
+      }
+    splitAndOr(e) match {
+      case Some((true, l, r)) => refutesAllRows(l, fe, known) || refutesAllRows(r, fe, known)
+      case Some((false, l, r)) => refutesAllRows(l, fe, known) && refutesAllRows(r, fe, known)
+      case None => e match {
+        case Literal(false, org.apache.spark.sql.types.BooleanType) => true
+        case other => cmpNone(other)
+      }
+    }
+  }
+
   private def deleteVectorsOnce(spark: SparkSession, dir: String,
                                 predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
     val known = tableSchema(spark, dir, v)
     val expr = org.apache.spark.sql.graftbridge.Bridge.catalystExpression(predicate)
-    // nulls cannot lurk when the schema declares the column
-    // non-nullable OR the file's writer recorded zero nulls in it
-    def nonNull(name: String, fe: FileEntry): Boolean =
-      known.exists(_.fields.exists(f => f.name == name && !f.nullable)) ||
-        fe.noNulls.contains(physicalFor(known, name))
-    def rangeOf(fe: FileEntry, logical: String): Option[(Long, Long)] =
-      fe.stats.get(physicalFor(known, logical))
-    def cmpAll(e: org.apache.spark.sql.catalyst.expressions.Expression,
-               fe: FileEntry): Boolean = normCmp(e).exists { nc =>
-      nonNull(nc.name, fe) && rangeOf(fe, nc.name).exists { case (mn, mx) =>
-        nc.op match {
-          case '<' => if (nc.eq) mx <= nc.c else mx < nc.c
-          case '>' => if (nc.eq) mn >= nc.c else mn > nc.c
-          case '=' => mn == nc.c && mx == nc.c
-        }
-      }
-    }
-    def cmpNone(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                fe: FileEntry): Boolean = normCmp(e).exists { nc =>
-      rangeOf(fe, nc.name).exists { case (mn, mx) =>
-        nc.op match {
-          case '<' => if (nc.eq) mn > nc.c else mn >= nc.c
-          case '>' => if (nc.eq) mx < nc.c else mx <= nc.c
-          case '=' => nc.c < mn || nc.c > mx
-        }
-      }
-    }
     def allRows(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                fe: FileEntry): Boolean = splitAndOr(e) match {
-      case Some((true, l, r)) => allRows(l, fe) && allRows(r, fe)
-      case Some((false, l, r)) => allRows(l, fe) || allRows(r, fe)
-      case None => e match {
-        case Literal(true, org.apache.spark.sql.types.BooleanType) => true
-        case other => cmpAll(other, fe)
-      }
-    }
+                fe: FileEntry): Boolean = provesAllRows(e, fe, known)
     def noRows(e: org.apache.spark.sql.catalyst.expressions.Expression,
-               fe: FileEntry): Boolean = splitAndOr(e) match {
-      case Some((true, l, r)) => noRows(l, fe) || noRows(r, fe)
-      case Some((false, l, r)) => noRows(l, fe) && noRows(r, fe)
-      case None => e match {
-        case Literal(false, org.apache.spark.sql.types.BooleanType) => true
-        case other => cmpNone(other, fe)
-      }
-    }
+               fe: FileEntry): Boolean = refutesAllRows(e, fe, known)
     // METADATA-ONLY fast path: a file whose stats PROVE every row
     // matches is removed from the manifest whole — no scan, no
     // sidecar, no bytes. A retention delete (`WHERE day < cutoff`) on
@@ -1831,13 +1850,30 @@ object SnapshotTable {
       val assign = assignments.toMap
       val unknown = assign.keySet -- cols.toSet
       require(unknown.isEmpty, s"assignments for missing columns $unknown")
-      stageDvSidecar(spark, dir, m, predicate, known) match {
+      // stats-refuted files skip BOTH scans: an UPDATE WHERE day =
+      // yesterday on a day-clustered table reads only the files whose
+      // range admits the day, not the table (the prior-dv
+      // consolidation still spans every live file)
+      val uexpr = org.apache.spark.sql.graftbridge.Bridge
+        .catalystExpression(predicate)
+      val candidates = m.files.filterNot(refutesAllRows(uexpr, _, known))
+      val matched0 =
+        if (candidates.isEmpty)
+          readFiles(spark, dir, m.files, keepPos = true, knownSchema = known)
+            .limit(0)
+        else readFiles(spark, dir, candidates, keepPos = true,
+          knownSchema = known)
+      stageDvSidecarFrom(spark, dir, m, matched0.filter(predicate)
+        .select(col("__graft_file").as("file"),
+          col("__graft_pos").as("pos"))) match {
         case None => v
         case Some((name, entries)) =>
           val f = fs(spark, new Path(dir))
           try {
             // second predicate-pruned pass stages the post-images
-            val updated = readFiles(spark, dir, m.files, knownSchema = known)
+            val updated = readFiles(spark, dir,
+              if (candidates.isEmpty) m.files else candidates,
+              knownSchema = known)
               .filter(predicate)
               .select(cols.map(c =>
                 assign.get(c).map(_.as(c)).getOrElse(col(c))): _*)

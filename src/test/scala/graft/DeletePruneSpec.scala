@@ -113,6 +113,34 @@ class DeletePruneSpec extends SparkTestBase {
     assert(SnapshotTable.latestVersion(spark, dir).get == v)
   }
 
+  test("UPDATE scans only stats-candidate files") {
+    val dir = freshDir()
+    build(dir) // 8 range files x 100 rows
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.updateVectors(spark, dir, $"id" >= 700,
+        Seq("v" -> lit(-1L)), Seq("id"))
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+        spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one candidate file (100 rows) is read by the match scan AND the
+    // post-image pass (+ staged-stats re-read); an unpruned UPDATE
+    // reads all 800 twice
+    assert(recordsRead.get() < 800,
+      s"UPDATE read ${recordsRead.get()} records — stats refutation " +
+        "is not limiting the scans")
+    assert(load(dir).filter($"v" === -1L).count() == 100)
+    assert(load(dir).count() == 800)
+    assert(load(dir).filter($"id" < 700 && $"v" =!= $"id" * 3).count() == 0)
+  }
+
   test("SQL DELETE routes through the prune; change feed replays the rows") {
     val root = Files.createTempDirectory("graft-dpcat").toString
     spark.conf.set("spark.sql.catalog.graftdp",
