@@ -1696,6 +1696,74 @@ object SnapshotTable {
     }
   }
 
+  /** `attr IN (literals…)` in either shape; values kept with their
+    * literal dataType so refutation can pick range vs bloom. */
+  private def normIn(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, Seq[org.apache.spark.sql.catalyst.expressions.Literal])] = {
+    import org.apache.spark.sql.catalyst.expressions.{In, Literal}
+    def attr(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lits(xs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Option[Seq[Literal]] = {
+      val ls = xs.collect { case l: Literal => l }
+      if (ls.length == xs.length && ls.nonEmpty) Some(ls) else None
+    }
+    e match {
+      case In(a, vs) => for { n <- attr(a); ls <- lits(vs) } yield (n, ls)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.nameParts.head.equalsIgnoreCase("in") &&
+          f.arguments.length >= 2 =>
+        for { n <- attr(f.arguments.head); ls <- lits(f.arguments.tail) } yield (n, ls)
+      case _ => None
+    }
+  }
+
+  /** `attr = '<string>'` in either shape/order — refutable through the
+    * per-file bloom (no string range stats exist). */
+  private def normStrEq(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    def attr(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def str(x: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(v.toString)
+      case Literal(v: String, org.apache.spark.sql.types.StringType) => Some(v)
+      case _ => None
+    }
+    def both(x: org.apache.spark.sql.catalyst.expressions.Expression,
+             y: org.apache.spark.sql.catalyst.expressions.Expression) =
+      (for { n <- attr(x); v <- str(y) } yield (n, v))
+        .orElse(for { n <- attr(y); v <- str(x) } yield (n, v))
+    e match {
+      case EqualTo(x, y) => both(x, y)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 &&
+          (f.nameParts.head == "=" || f.nameParts.head == "==") =>
+        both(f.arguments(0), f.arguments(1))
+      case _ => None
+    }
+  }
+
+  /** `NOT p` in either shape. */
+  private def normNot(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Not(p) => Some(p)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+      if f.nameParts.length == 1 && f.arguments.length == 1 &&
+        (f.nameParts.head == "!" || f.nameParts.head.equalsIgnoreCase("not")) =>
+      Some(f.arguments.head)
+    case _ => None
+  }
+
   /** And/Or in either shape: resolved catalyst nodes or the Column
     * DSL's by-name unresolved functions. */
   private def splitAndOr(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -1768,12 +1836,45 @@ object SnapshotTable {
           }
         }
       }
+    // one literal value refuted for this file: an integral value
+    // outside the (min,max) range, or a string the bloom rejects
+    def valueRefuted(name: String,
+                     l: org.apache.spark.sql.catalyst.expressions.Literal): Boolean = {
+      val phys = physicalFor(known, name)
+      l match {
+        case Literal(v: Byte, _) => rangeRefutes(phys, v.toLong)
+        case Literal(v: Short, _) => rangeRefutes(phys, v.toLong)
+        case Literal(v: Int, _) => rangeRefutes(phys, v.toLong)
+        case Literal(v: Long, _) => rangeRefutes(phys, v)
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType) => bloomRefutes(phys, v.toString)
+        case Literal(v: String, org.apache.spark.sql.types.StringType) =>
+          bloomRefutes(phys, v)
+        case _ => false
+      }
+    }
+    def rangeRefutes(phys: String, v: Long): Boolean =
+      fe.stats.get(phys).exists { case (mn, mx) => v < mn || v > mx }
+    def bloomRefutes(phys: String, v: String): Boolean =
+      fe.bloom.contains(phys) && !fileMayContain(fe, phys, v)
     splitAndOr(e) match {
       case Some((true, l, r)) => refutesAllRows(l, fe, known) || refutesAllRows(r, fe, known)
       case Some((false, l, r)) => refutesAllRows(l, fe, known) && refutesAllRows(r, fe, known)
       case None => e match {
         case Literal(false, org.apache.spark.sql.types.BooleanType) => true
-        case other => cmpNone(other)
+        case other =>
+          cmpNone(other) ||
+            // `key = 'x'` with a bloom that rejects x
+            normStrEq(other).exists { case (n, v) =>
+              bloomRefutes(physicalFor(known, n), v) } ||
+            // `k IN (…)`: refuted only when EVERY value is — by range
+            // for integrals, by bloom for strings
+            normIn(other).exists { case (n, ls) =>
+              ls.forall(valueRefuted(n, _)) } ||
+            // `NOT p`: if every row provably satisfies p, none can
+            // satisfy NOT p (provesAllRows already carries the no-null
+            // evidence NOT's three-valued logic needs)
+            normNot(other).exists(provesAllRows(_, fe, known))
       }
     }
   }

@@ -113,6 +113,61 @@ class DeletePruneSpec extends SparkTestBase {
     assert(SnapshotTable.latestVersion(spark, dir).get == v)
   }
 
+  test("point deletes: IN-lists refute by range, string keys by bloom") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 800)
+        .select($"id", concat(lit("k"), $"id").as("key"), ($"id" * 3).as("v"))
+        .repartitionByRange(8, $"id"),
+      dir, "overwrite", Seq("id"), bloomCols = Seq("key"))
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    // GDPR-takedown shape: two ids in two different files — only those
+    // two files (200 rows) may be scanned, the other 6 are refuted
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.deleteVectors(spark, dir, $"id".isin(5L, 705L))
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+        spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get() < 400,
+      s"IN-delete read ${recordsRead.get()} records — range refutation " +
+        "is not limiting the scan")
+    assert(load(dir).count() == 798)
+    // string point delete: the BLOOM refutes the 7 files that cannot
+    // contain 'k300' (modulo false positives, each a 100-row file)
+    recordsRead.set(0)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.deleteVectors(spark, dir, $"key" === "k300")
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+        spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(recordsRead.get() < 400,
+      s"string point delete read ${recordsRead.get()} records — bloom " +
+        "refutation is not limiting the scan")
+    assert(load(dir).count() == 797)
+    assert(load(dir).filter($"key" === "k300").count() == 0)
+  }
+
+  test("NOT inverts soundly under three-valued logic") {
+    val dir = freshDir()
+    build(dir)
+    // NOT(id < 100): the [0,99] file PROVES id < 100 for every row, so
+    // NOT refutes it — it must survive untouched; everything else goes
+    SnapshotTable.deleteVectors(spark, dir, !($"id" < 100))
+    assert(load(dir).count() == 100)
+    assert(load(dir).agg(max($"id")).as[Long].head == 99)
+    val after = manifest(dir)
+    // the refuted file was not scanned into the vector
+    assert(after.files.find(_.stats("id")._2 == 99).exists(_.dv.isEmpty))
+  }
+
   test("UPDATE scans only stats-candidate files") {
     val dir = freshDir()
     build(dir) // 8 range files x 100 rows
