@@ -2171,6 +2171,64 @@ object ParityQueries {
         |WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders)
         |GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // String zone maps (round-14 wave 6): truncated (lower, upper)
+    // bounds per (file, string column) in UTF8 binary order — the
+    // pruning lever for string-keyed corpora (doc ids, URLs, ULIDs),
+    // where integral (min,max) stats don't apply. Asserted in-query:
+    // a range predicate over the string key PRUNES files at planning
+    // time, and the retention DELETE below the cutoff drops files
+    // whole (metadata-only) with the surviving dv bounded by one
+    // boundary file. Zero-padded keys make lexicographic order equal
+    // numeric order, so DuckDB recomputes the content integrally.
+    "q7G_string_zonemap_delete" -> QueryDef(
+      (s, dir) => {
+        val t7 = snapDir(s, dir, "t7G")
+        val ords = t(s, dir, "orders").select(
+          concat(lit("k"),
+            lpad(col("o_orderkey").cast("string"), 9, "0")).as("key"),
+          col("o_custkey"), col("o_totalprice").as("price"))
+          .repartitionByRange(16, col("key"))
+        graft.sources.SnapshotTable.write(s, ords, t7, "overwrite", Seq("key"))
+        val v1 = graft.sources.SnapshotTable.latestVersion(s, t7).get
+        val m0 = graft.sources.SnapshotTable.readManifest(s, t7, v1)
+        require(m0.files.forall(_.strStats.contains("key")),
+          "string zone maps missing from the written manifest")
+        val cut = t(s, dir, "orders")
+          .agg(max(col("o_orderkey"))).head.getLong(0) / 2
+        val cutKey = f"k$cut%09d"
+        // planning-time probe: the string range scan prunes files
+        val probe = s.read.format("graft_snapshot").load(t7)
+          .filter(col("key") >= cutKey)
+        val planned = probe.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation =>
+            r.scan.asInstanceOf[graft.sources.connector.SnapshotScan]
+              .planInputPartitions().length
+        }.head
+        require(planned < m0.files.size,
+          s"string range scan planned $planned of ${m0.files.size} files " +
+            "— zone maps are not pruning")
+        graft.sources.SnapshotTable.deleteVectors(s, t7, col("key") < cutKey)
+        val m = graft.sources.SnapshotTable.readManifest(s, t7,
+          graft.sources.SnapshotTable.latestVersion(s, t7).get)
+        require(m.files.size < m0.files.size,
+          "string retention delete dropped no file whole")
+        require(m.files.flatMap(_.dv.map(_._2)).sum <= m0.files.map(_.rows).max,
+          "string retention delete scanned past the boundary file")
+        graft.sources.SnapshotTable.scan(s, t7)
+          .groupBy((col("o_custkey") % 40).as("slot"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sp"),
+            min(col("key")).as("min_key"))
+          .orderBy("slot")
+      },
+      """SELECT o_custkey % 40 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        |       min('k' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0')) AS min_key
+        |FROM orders
+        |WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders)
+        |GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

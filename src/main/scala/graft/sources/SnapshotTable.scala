@@ -121,6 +121,13 @@ object SnapshotTable {
     * NULL and have to be kept; recorded schemas are nullable-widened,
     * so schema nullability alone can never prove this). Absent on
     * pre-noNulls manifests — conservative no-proof. */
+  /** `strStats` are STRING zone maps: per-column (lower, upper) BOUNDS
+    * in UTF8 binary order, truncated to [[StrStatLen]] code points —
+    * the lower is a prefix of the true min (≤ it), the upper is the
+    * truncated-increment of the true max (≥ it), exactly parquet's /
+    * Iceberg's truncate(16) contract — so every pruning decision is
+    * bound-safe, never exact-value-dependent. Absent on pre-strStats
+    * manifests and on files whose upper bound was unrecordable. */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, (Long, Long)],
                              bloom: Map[String, Seq[Long]] = Map.empty,
@@ -128,7 +135,8 @@ object SnapshotTable {
                              bucket: Option[Int] = None,
                              sortedBy: Option[String] = None,
                              bucketN: Option[Int] = None,
-                             noNulls: Seq[String] = Nil) {
+                             noNulls: Seq[String] = Nil,
+                             strStats: Map[String, (String, String)] = Map.empty) {
     /** Logical (post-deletion-vector) row count. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 
@@ -161,6 +169,50 @@ object SnapshotTable {
     * (min,max) stats. */
   val BloomBits = 1024
   val BloomK = 4
+
+  /** String zone-map truncation length, in code points. */
+  val StrStatLen = 16
+
+  /** UTF8 binary comparison — Spark's string ordering (Java String
+    * compareTo diverges on supplementary characters). */
+  private[graft] def strCmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** A ≤-the-true-min lower bound: the [[StrStatLen]]-code-point
+    * prefix (a prefix sorts ≤ the full string in UTF8 order). */
+  private[graft] def strLowerBound(v: String): String =
+    if (v.codePointCount(0, v.length) <= StrStatLen) v
+    else v.substring(0, v.offsetByCodePoints(0, StrStatLen))
+
+  /** A ≥-the-true-max upper bound: the value itself when it fits,
+    * else the truncated prefix with its last incrementable code point
+    * bumped (skipping the surrogate gap) and the tail dropped — None
+    * when no code point can be bumped (all at U+10FFFF). */
+  private[graft] def strUpperBound(v: String): Option[String] = {
+    if (v.codePointCount(0, v.length) <= StrStatLen) return Some(v)
+    val prefix = v.substring(0, v.offsetByCodePoints(0, StrStatLen))
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val bumped = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+        return Some(new String(cps.take(i) :+ bumped, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  /** JSON string escaping for manifest-embedded DATA values (zone-map
+    * bounds carry arbitrary user text; paths/column names never
+    * needed this). */
+  private def jsonEscape(v: String): String = v.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,6 +313,14 @@ object SnapshotTable {
     org.apache.spark.sql.types.StructField("no_nulls",
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType, containsNull = false),
+      nullable = true),
+    // string zone maps [lower, upper] (see [[FileEntry.strStats]]);
+    // null on pre-strStats anchors
+    org.apache.spark.sql.types.StructField("sstats",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
       nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
@@ -281,7 +341,9 @@ object SnapshotTable {
           fe.bucket.map(java.lang.Integer.valueOf).orNull,
           fe.sortedBy.orNull,
           fe.bucketN.map(java.lang.Integer.valueOf).orNull,
-          if (fe.noNulls.isEmpty) null else fe.noNulls)): _*)
+          if (fe.noNulls.isEmpty) null else fe.noNulls,
+          if (fe.strStats.isEmpty) null
+          else fe.strStats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) })): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -317,7 +379,10 @@ object SnapshotTable {
         dv, if (r.isNullAt(8)) None else Some(r.getInt(8)),
         if (r.isNullAt(9)) None else Some(r.getString(9)),
         if (r.isNullAt(10)) None else Some(r.getInt(10)),
-        if (r.isNullAt(11)) Nil else r.getSeq[String](11))
+        if (r.isNullAt(11)) Nil else r.getSeq[String](11),
+        if (r.isNullAt(12)) Map.empty
+        else r.getMap[String, scala.collection.Seq[String]](12)
+          .map { case (c, a) => c -> (a(0), a(1)) }.toMap)
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -367,6 +432,14 @@ object SnapshotTable {
         sb.append(s""""$c":[$lo,$hi]""")
       }
       sb.append("}")
+      if (fe.strStats.nonEmpty) {
+        sb.append(""","sstats":{""")
+        fe.strStats.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, (lo, hi)), j) =>
+          if (j > 0) sb.append(',')
+          sb.append(s""""$c":["${jsonEscape(lo)}","${jsonEscape(hi)}"]""")
+        }
+        sb.append("}")
+      }
       if (fe.bloom.nonEmpty) {
         sb.append(""","bloom":{""")
         fe.bloom.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, ws), j) =>
@@ -447,9 +520,18 @@ object SnapshotTable {
           while (it2.hasNext) b += it2.next().asText
           b.result()
         }
+      val ss = fe.path("sstats") // absent on pre-strStats manifests
+      val strStats = Map.newBuilder[String, (String, String)]
+      if (!ss.isMissingNode) {
+        val sit = ss.properties().iterator()
+        while (sit.hasNext) {
+          val e = sit.next()
+          strStats += e.getKey -> (e.getValue.get(0).asText, e.getValue.get(1).asText)
+        }
+      }
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
         stats.result(), bloom.result(), dv, bucket, sortedBy, bucketN,
-        noNulls)
+        noNulls, strStats.result())
     }
     out.result()
   }
@@ -983,15 +1065,26 @@ object SnapshotTable {
     val stage = new Path(dir, s".stage-$nonce")
     val f = fs(spark, stage)
     df.write.mode("overwrite").parquet(stage.toString)
+    val staged = spark.read.parquet(stage.toString)
+    // string stats columns get ZONE MAPS (truncated (lower,upper)
+    // bounds) instead of long ranges; everything else is unchanged
+    val strCols = statsCols.filter(c =>
+      staged.schema.fields.find(_.name == c)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType))
+    val intCols = statsCols.filterNot(strCols.contains)
     val aggs = count(lit(1)).as("__rows") +:
-      (statsCols.flatMap(c => Seq(
+      (intCols.flatMap(c => Seq(
         min(col(c)).cast("long").as(s"__min_$c"),
         max(col(c)).cast("long").as(s"__max_$c"),
         count(col(c)).as(s"__cnt_$c"))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"__smin_$c"),
+          max(col(c)).as(s"__smax_$c"),
+          count(col(c)).as(s"__cnt_$c"))) ++
         bloomCols.map(c => graft.functions.cat.BloomAgg(
           graft.functions.TextFunctions.polyHash(col(c).cast("string")),
           BloomBits, BloomK).as(s"__bloom_$c")))
-    val perFile = spark.read.parquet(stage.toString)
+    val perFile = staged
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1001,11 +1094,17 @@ object SnapshotTable {
       val name = f"$nonce-p$i%05d.parquet"
       require(f.rename(new Path(stage, base), new Path(dataDir(dir), name)),
         s"failed to move staged file $base into $dir/data")
-      val stats = statsCols.flatMap { c =>
+      val stats = intCols.flatMap { c =>
         val lo = r.getAs[Any](s"__min_$c")
         val hi = r.getAs[Any](s"__max_$c")
         if (lo == null || hi == null) None
         else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+      }.toMap
+      val strStats = strCols.flatMap { c =>
+        val lo = r.getAs[String](s"__smin_$c")
+        val hi = r.getAs[String](s"__smax_$c")
+        if (lo == null || hi == null) None
+        else strUpperBound(hi).map(u => c -> (strLowerBound(lo), u))
       }.toMap
       val blooms = bloomCols.map { c =>
         c -> r.getAs[scala.collection.Seq[Long]](s"__bloom_$c").toVector.asInstanceOf[Seq[Long]]
@@ -1020,7 +1119,8 @@ object SnapshotTable {
         bucket = bucket, sortedBy = sortedBy,
         bucketN = bucket.flatMap(_ => bucketing.map(_._2)),
         noNulls = statsCols.filter(c =>
-          r.getAs[Long](s"__cnt_$c") == r.getAs[Long]("__rows")).sorted)
+          r.getAs[Long](s"__cnt_$c") == r.getAs[Long]("__rows")).sorted,
+        strStats = strStats)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
@@ -1696,6 +1796,53 @@ object SnapshotTable {
     }
   }
 
+  private final case class NormSCmp(name: String, op: Char, eq: Boolean,
+                                    c: String)
+
+  /** [[normCmp]]'s STRING twin: `attr OP '<string literal>'` in either
+    * shape/order, proven/refuted against the truncated zone maps
+    * ([[FileEntry.strStats]]) in UTF8 binary order. */
+  private def normSCmp(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[NormSCmp] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lit(x: Expression): Option[String] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(v.toString)
+      case Literal(v: String, org.apache.spark.sql.types.StringType) => Some(v)
+      case _ => None
+    }
+    def both(x: Expression, y: Expression, op: Char, eq: Boolean,
+             flip: Char): Option[NormSCmp] =
+      (for { n <- attr(x); c <- lit(y) } yield NormSCmp(n, op, eq, c))
+        .orElse(for { n <- attr(y); c <- lit(x) } yield NormSCmp(n, flip, eq, c))
+    e match {
+      case LessThan(x, y) => both(x, y, '<', eq = false, flip = '>')
+      case LessThanOrEqual(x, y) => both(x, y, '<', eq = true, flip = '>')
+      case GreaterThan(x, y) => both(x, y, '>', eq = false, flip = '<')
+      case GreaterThanOrEqual(x, y) => both(x, y, '>', eq = true, flip = '<')
+      case EqualTo(x, y) => both(x, y, '=', eq = true, flip = '=')
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.length == 1 && f.arguments.length == 2 =>
+        val x = f.arguments(0)
+        val y = f.arguments(1)
+        f.nameParts.head match {
+          case "<" => both(x, y, '<', eq = false, flip = '>')
+          case "<=" => both(x, y, '<', eq = true, flip = '>')
+          case ">" => both(x, y, '>', eq = false, flip = '<')
+          case ">=" => both(x, y, '>', eq = true, flip = '<')
+          case "=" | "==" => both(x, y, '=', eq = true, flip = '=')
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** `attr IN (literals…)` in either shape; values kept with their
     * literal dataType so refutation can pick range vs bloom. */
   private def normIn(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -1807,6 +1954,18 @@ object SnapshotTable {
               case '=' => mn == nc.c && mx == nc.c
             }
           }
+      } || normSCmp(x).exists { nc =>
+        // (lo, hi) are BOUNDS (lo ≤ min, hi ≥ max): proofs go through
+        // the bound on the relevant side, so truncation only loses
+        // precision, never soundness
+        nonNull(nc.name) &&
+          fe.strStats.get(physicalFor(known, nc.name)).exists { case (lo, hi) =>
+            nc.op match {
+              case '<' => if (nc.eq) strCmp(hi, nc.c) <= 0 else strCmp(hi, nc.c) < 0
+              case '>' => if (nc.eq) strCmp(lo, nc.c) >= 0 else strCmp(lo, nc.c) > 0
+              case '=' => strCmp(lo, nc.c) == 0 && strCmp(hi, nc.c) == 0
+            }
+          }
       }
     splitAndOr(e) match {
       case Some((true, l, r)) => provesAllRows(l, fe, known) && provesAllRows(r, fe, known)
@@ -1835,6 +1994,14 @@ object SnapshotTable {
             case '=' => nc.c < mn || nc.c > mx
           }
         }
+      } || normSCmp(x).exists { nc =>
+        fe.strStats.get(physicalFor(known, nc.name)).exists { case (lo, hi) =>
+          nc.op match {
+            case '<' => if (nc.eq) strCmp(lo, nc.c) > 0 else strCmp(lo, nc.c) >= 0
+            case '>' => if (nc.eq) strCmp(hi, nc.c) < 0 else strCmp(hi, nc.c) <= 0
+            case '=' => strCmp(nc.c, lo) < 0 || strCmp(nc.c, hi) > 0
+          }
+        }
       }
     // one literal value refuted for this file: an integral value
     // outside the (min,max) range, or a string the bloom rejects
@@ -1856,7 +2023,9 @@ object SnapshotTable {
     def rangeRefutes(phys: String, v: Long): Boolean =
       fe.stats.get(phys).exists { case (mn, mx) => v < mn || v > mx }
     def bloomRefutes(phys: String, v: String): Boolean =
-      fe.bloom.contains(phys) && !fileMayContain(fe, phys, v)
+      (fe.bloom.contains(phys) && !fileMayContain(fe, phys, v)) ||
+        fe.strStats.get(phys).exists { case (lo, hi) =>
+          strCmp(v, lo) < 0 || strCmp(v, hi) > 0 }
     splitAndOr(e) match {
       case Some((true, l, r)) => refutesAllRows(l, fe, known) || refutesAllRows(r, fe, known)
       case Some((false, l, r)) => refutesAllRows(l, fe, known) && refutesAllRows(r, fe, known)

@@ -188,9 +188,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     *    rolled files per bucket — co-buckets for the join, range-
     *    pruned slices for the scan (the standard fact-table layout).
     *
-    * Integral partition columns get (min,max) stats, string ones get
-    * blooms, so the layout actually prunes. Explicit TBLPROPERTIES
-    * win over the derived defaults. */
+    * Integral partition columns get (min,max) stats; string ones get
+    * truncated zone maps AND blooms — so the layout actually prunes,
+    * for ranges and point reads alike. Explicit TBLPROPERTIES win
+    * over the derived defaults. */
   private def layoutProps(partitions: Array[Transform],
                           schema: StructType): Map[String, String] = {
     if (partitions.isEmpty) return Map.empty
@@ -248,7 +249,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     def typed(p: String => Boolean): Seq[String] =
       keyed.filter(c => schema.fields.find(_.name == c).exists(f => p(
         f.dataType.simpleString)))
-    val stats = typed(Set("tinyint", "smallint", "int", "bigint").contains)
+    // string partition columns get BOTH: zone maps (range pruning on
+    // the clustered order) and blooms (point equality)
+    val stats = typed(Set("tinyint", "smallint", "int", "bigint",
+      "string").contains)
     val blooms = typed(_ == "string")
     val out = Map.newBuilder[String, String]
     if (cols.nonEmpty) out += "clusterBy" -> cols.mkString(",")

@@ -873,13 +873,14 @@ object SnapshotScan {
   }
 
   /** Shapes the manifest can refute: integral comparisons against
-    * (min,max) stats, string equality against per-file blooms. */
+    * (min,max) stats, string comparisons against the truncated zone
+    * maps, string equality additionally against per-file blooms. */
   private[connector] def usableForSkipping(f: Filter): Boolean = f match {
     case EqualTo(_, v) => longable(v).isDefined || v.isInstanceOf[String]
-    case GreaterThan(_, v) => longable(v).isDefined
-    case GreaterThanOrEqual(_, v) => longable(v).isDefined
-    case LessThan(_, v) => longable(v).isDefined
-    case LessThanOrEqual(_, v) => longable(v).isDefined
+    case GreaterThan(_, v) => longable(v).isDefined || v.isInstanceOf[String]
+    case GreaterThanOrEqual(_, v) => longable(v).isDefined || v.isInstanceOf[String]
+    case LessThan(_, v) => longable(v).isDefined || v.isInstanceOf[String]
+    case LessThanOrEqual(_, v) => longable(v).isDefined || v.isInstanceOf[String]
     case In(_, vs) => vs.nonEmpty && vs.forall(v =>
       longable(v).isDefined || v.isInstanceOf[String])
     case _ => false
@@ -894,38 +895,51 @@ object SnapshotScan {
   /** `phys` maps a filter's (logical) attribute to the manifest's
     * stats/bloom key — the physical name on a rename-mapped table. */
   private[connector] def keeps(fe: FileEntry, f: Filter,
-                               phys: String => String): Boolean = f match {
-    case EqualTo(c, v) =>
-      val statOk = (longable(v), fe.stats.get(phys(c))) match {
-        case (Some(l), Some((mn, mx))) => l >= mn && l <= mx
+                               phys: String => String): Boolean = {
+    // string zone-map verdicts: (lo, hi) are BOUNDS in UTF8 binary
+    // order (lo ≤ true min, hi ≥ true max) — refutation goes through
+    // the bound on the relevant side, so truncation only loses
+    // precision, never rows
+    def sRange(c: String, v: Any)(keep: (String, String, String) => Boolean): Boolean =
+      v match {
+        case sv: String => fe.strStats.get(phys(c))
+          .forall { case (lo, hi) => keep(lo, hi, sv) }
         case _ => true
       }
-      val bloomOk = v match {
-        case s: String => SnapshotTable.fileMayContain(fe, phys(c), s)
-        case _ => true
-      }
-      statOk && bloomOk
-    case GreaterThan(c, v) =>
-      (longable(v), fe.stats.get(phys(c))) match {
-        case (Some(l), Some((_, mx))) => mx > l
-        case _ => true
-      }
-    case GreaterThanOrEqual(c, v) =>
-      (longable(v), fe.stats.get(phys(c))) match {
-        case (Some(l), Some((_, mx))) => mx >= l
-        case _ => true
-      }
-    case LessThan(c, v) =>
-      (longable(v), fe.stats.get(phys(c))) match {
-        case (Some(l), Some((mn, _))) => mn < l
-        case _ => true
-      }
-    case LessThanOrEqual(c, v) =>
-      (longable(v), fe.stats.get(phys(c))) match {
-        case (Some(l), Some((mn, _))) => mn <= l
-        case _ => true
-      }
-    case In(c, vs) => vs.exists(v => keeps(fe, EqualTo(c, v), phys))
-    case _ => true
+    f match {
+      case EqualTo(c, v) =>
+        val statOk = (longable(v), fe.stats.get(phys(c))) match {
+          case (Some(l), Some((mn, mx))) => l >= mn && l <= mx
+          case _ => true
+        }
+        val bloomOk = v match {
+          case s: String => SnapshotTable.fileMayContain(fe, phys(c), s)
+          case _ => true
+        }
+        statOk && bloomOk && sRange(c, v)((lo, hi, sv) =>
+          SnapshotTable.strCmp(sv, lo) >= 0 && SnapshotTable.strCmp(sv, hi) <= 0)
+      case GreaterThan(c, v) =>
+        ((longable(v), fe.stats.get(phys(c))) match {
+          case (Some(l), Some((_, mx))) => mx > l
+          case _ => true
+        }) && sRange(c, v)((_, hi, sv) => SnapshotTable.strCmp(hi, sv) > 0)
+      case GreaterThanOrEqual(c, v) =>
+        ((longable(v), fe.stats.get(phys(c))) match {
+          case (Some(l), Some((_, mx))) => mx >= l
+          case _ => true
+        }) && sRange(c, v)((_, hi, sv) => SnapshotTable.strCmp(hi, sv) >= 0)
+      case LessThan(c, v) =>
+        ((longable(v), fe.stats.get(phys(c))) match {
+          case (Some(l), Some((mn, _))) => mn < l
+          case _ => true
+        }) && sRange(c, v)((lo, _, sv) => SnapshotTable.strCmp(lo, sv) < 0)
+      case LessThanOrEqual(c, v) =>
+        ((longable(v), fe.stats.get(phys(c))) match {
+          case (Some(l), Some((mn, _))) => mn <= l
+          case _ => true
+        }) && sRange(c, v)((lo, _, sv) => SnapshotTable.strCmp(lo, sv) <= 0)
+      case In(c, vs) => vs.exists(v => keeps(fe, EqualTo(c, v), phys))
+      case _ => true
+    }
   }
 }

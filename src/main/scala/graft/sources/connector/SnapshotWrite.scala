@@ -108,8 +108,12 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
       if (incoming.fieldNames.contains(c)) c
       else incoming.fields(aligned.fieldIndex(c)).name
     }
+    // backtick-quoted like the bucket path below: a positional
+    // INSERT's incoming name can be an expression string
+    // ("format_string(k%03d, id)") the bare column parser rejects
     private val sortOrders: Array[SortOrder] = clusterCols.map(c =>
-      Expressions.sort(Expressions.column(incomingName(c)),
+      Expressions.sort(Expressions.column(
+        "`" + incomingName(c).replace("`", "``") + "`"),
         SortDirection.ASCENDING)).toArray
 
     // Hash bucketing (`bucketBy=key, buckets=n`): the write requests a
@@ -281,7 +285,8 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
     val spark = SparkSession.active
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
-        sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls))
+        sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls,
+        strStats = w.strStats))
     // replay guard is metadata-only: one commit-history walk
     val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
@@ -361,7 +366,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
-        sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls))
+        sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls,
+        strStats = w.strStats))
     SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
     SnapshotTable.commitAdded(SparkSession.active, dir,
       if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
@@ -387,7 +393,8 @@ final case class WrittenFile(path: String, rows: Long,
                              bucket: Option[Int] = None,
                              sortedBy: Option[String] = None,
                              bucketN: Option[Int] = None,
-                             noNulls: Seq[String] = Nil)
+                             noNulls: Seq[String] = Nil,
+                             strStats: Map[String, (String, String)] = Map.empty)
   extends WriterCommitMessage
 
 /** A bucketed task's files — one per bucket id it received. */
@@ -689,8 +696,9 @@ private object SnapshotWriteSupport {
     statsCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"statsCols column '$c' is not in the written schema"))
-      require(dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType,
-        s"statsCols column '$c' must be integral, got ${dt.simpleString}")
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType || dt == StringType,
+        s"statsCols column '$c' must be integral or string, got ${dt.simpleString}")
     }
     bloomCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
@@ -745,10 +753,18 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
     org.apache.parquet.example.data.Group] = _
   private var rows = 0L
 
-  private val statIdx = statsCols.map(c => c -> schema.fieldIndex(c))
-  private val statMin = scala.collection.mutable.Map(statsCols.map(_ -> Long.MaxValue): _*)
-  private val statMax = scala.collection.mutable.Map(statsCols.map(_ -> Long.MinValue): _*)
+  private val strStatCols = statsCols.filter(c =>
+    schema.fields(schema.fieldIndex(c)).dataType == StringType)
+  private val intStatCols = statsCols.filterNot(strStatCols.contains)
+  private val statIdx = intStatCols.map(c => c -> schema.fieldIndex(c))
+  private val statMin = scala.collection.mutable.Map(intStatCols.map(_ -> Long.MaxValue): _*)
+  private val statMax = scala.collection.mutable.Map(intStatCols.map(_ -> Long.MinValue): _*)
   private val statCnt = scala.collection.mutable.Map(statsCols.map(_ -> 0L): _*)
+  private val strIdx = strStatCols.map(c => c -> schema.fieldIndex(c))
+  private val strMin = scala.collection.mutable.Map[String, UTF8String](
+    strStatCols.map(_ -> null.asInstanceOf[UTF8String]): _*)
+  private val strMax = scala.collection.mutable.Map[String, UTF8String](
+    strStatCols.map(_ -> null.asInstanceOf[UTF8String]): _*)
   private val bloomIdx = bloomCols.map(c => c -> schema.fieldIndex(c))
   private val bloomBits = bloomCols.map(_ ->
     new Array[Long](SnapshotTable.BloomBits / 64)).toMap
@@ -805,6 +821,15 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
         statCnt(c) += 1
       }
     }
+    strIdx.foreach { case (c, idx) =>
+      if (!row.isNullAt(idx)) {
+        // clone only when the value becomes a bound — row buffers alias
+        val u = row.getUTF8String(idx)
+        if (strMin(c) == null || u.compareTo(strMin(c)) < 0) strMin(c) = u.clone()
+        if (strMax(c) == null || u.compareTo(strMax(c)) > 0) strMax(c) = u.clone()
+        statCnt(c) += 1
+      }
+    }
     bloomIdx.foreach { case (c, idx) =>
       if (!row.isNullAt(idx)) {
         val h = graft.functions.cat.Kernels.polyHash(
@@ -819,13 +844,19 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
     if (writer == null) return WrittenFile("", 0L, Map.empty, Map.empty)
     writer.close()
     writer = null
-    val stats = statsCols.flatMap { c =>
+    val stats = intStatCols.flatMap { c =>
       if (statMin(c) > statMax(c)) None // all-null column in this file
       else Some(c -> (statMin(c), statMax(c)))
     }.toMap
+    val strStats = strStatCols.flatMap { c =>
+      if (strMin(c) == null || strMax(c) == null) None
+      else SnapshotTable.strUpperBound(strMax(c).toString)
+        .map(u => c -> (SnapshotTable.strLowerBound(strMin(c).toString), u))
+    }.toMap
     WrittenFile(relPath, rows, stats,
       bloomCols.map(c => c -> bloomBits(c).toVector.asInstanceOf[Seq[Long]]).toMap,
-      noNulls = statsCols.filter(c => statCnt(c) == rows).sorted)
+      noNulls = statsCols.filter(c => statCnt(c) == rows).sorted,
+      strStats = strStats)
   }
 
   override def abort(): Unit = close()

@@ -341,9 +341,10 @@ class ConnectorSpec extends SparkTestBase {
 
   test("V2 write: misdeclared stats/bloom columns fail at planning") {
     val dir = freshDir()
-    val df = spark.range(0, 5).select($"id", concat(lit("k"), $"id").as("key"))
+    val df = spark.range(0, 5).select($"id", concat(lit("k"), $"id").as("key"),
+      ($"id" * 1.5).as("d"))
     intercept[Exception](df.write.format("graft_snapshot")
-      .option("statsCols", "key").mode("overwrite").save(dir)) // non-integral
+      .option("statsCols", "d").mode("overwrite").save(dir)) // non-rangeable
     intercept[Exception](df.write.format("graft_snapshot")
       .option("bloomCols", "id").mode("overwrite").save(dir)) // non-string
     intercept[Exception](df.write.format("graft_snapshot")
