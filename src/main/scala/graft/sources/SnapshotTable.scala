@@ -2199,14 +2199,29 @@ object SnapshotTable {
     val sk = statsKey.getOrElse(keyCol)
     val statsList = m.files.flatMap(fe =>
       fe.stats.get(sk).map { case (mn, mx) => (fe.path, mn, mx) })
-    if (statsList.isEmpty) m.files
-    else {
+    if (statsList.nonEmpty) {
       val statsDf = statsList.toDF("__path", "__min", "__max")
       val touched = keys.select(col(keyCol).cast("long").as("__k")).distinct()
         .join(broadcast(statsDf), $"__k".between($"__min", $"__max"))
         .select("__path").distinct().as[String].collect().toSet
-      m.files.filter(fe =>
+      return m.files.filter(fe =>
         touched.contains(fe.path) || !fe.stats.contains(sk))
+    }
+    // STRING keys prune through the zone maps: Spark's string
+    // comparison is UTF8 binary order — exactly the bounds' order —
+    // so `lo <= k <= hi` is the bound check (a CDC stream keyed by
+    // doc_id/URL gets the same O(files the keys land in) epochs the
+    // integral path has always had)
+    val strList = m.files.flatMap(fe =>
+      fe.strStats.get(sk).map { case (lo, hi) => (fe.path, lo, hi) })
+    if (strList.isEmpty) m.files
+    else {
+      val statsDf = strList.toDF("__path", "__lo", "__hi")
+      val touched = keys.select(col(keyCol).cast("string").as("__k")).distinct()
+        .join(broadcast(statsDf), $"__k" >= $"__lo" && $"__k" <= $"__hi")
+        .select("__path").distinct().as[String].collect().toSet
+      m.files.filter(fe =>
+        touched.contains(fe.path) || !fe.strStats.contains(sk))
     }
   }
 

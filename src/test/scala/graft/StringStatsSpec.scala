@@ -117,6 +117,36 @@ class StringStatsSpec extends SparkTestBase {
     assert(load(dir).count() == 200)
   }
 
+  test("dv-merge match scan prunes string-keyed candidates") {
+    val dir = freshDir()
+    build(dir) // 8 range files over k000..k799
+    val updates = spark.range(750, 760)
+      .select(format_string("k%03d", $"id").as("key"), lit(-1L).as("v"))
+      .cache()
+    updates.count() // materialize outside the measured window
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.mergeVectors(spark, dir, updates, "key", Seq("key"))
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+        spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    updates.unpersist()
+    // one candidate file (100 rows) + the 10-row write-back; an
+    // unpruned match scan reads all 800
+    assert(recordsRead.get() < 500,
+      s"string-keyed merge read ${recordsRead.get()} records — zone-map " +
+        "candidate pruning is not limiting the scan")
+    assert(load(dir).count() == 800)
+    assert(load(dir).filter($"v" === -1L).count() == 10)
+  }
+
   test("SQL: string identity partition gets zone maps via layout props") {
     val root = Files.createTempDirectory("graft-sscat").toString
     spark.conf.set("spark.sql.catalog.graftss",
