@@ -21,7 +21,8 @@ import graft.sources.SnapshotTable
   *    table format grows;
   *  - `cat.ns.t.files` — one row per live data file of the CURRENT
   *    version (path, rows, live_rows, dv_path, dv_rows, stats,
-  *    bloom_cols, bucket, sorted_by): the layout-inspection surface behind
+  *    bloom_cols, bucket, sorted_by, no_nulls, str_stats): the
+  *    layout-inspection surface behind
   *    maintenance decisions (which files are small? which carry
   *    vectors? what do the ranges look like? is the bucket layout
   *    intact for storage-partitioned joins?).
@@ -84,7 +85,11 @@ object MetadataTables {
       StructField("bloom_cols", ArrayType(StringType, false), nullable = false),
       StructField("bucket", IntegerType, nullable = true),
       StructField("bucket_n", IntegerType, nullable = true),
-      StructField("sorted_by", StringType, nullable = true)))
+      StructField("sorted_by", StringType, nullable = true),
+      StructField("no_nulls", ArrayType(StringType, false), nullable = false),
+      StructField("str_stats",
+        MapType(StringType, ArrayType(StringType, false), false),
+        nullable = false)))
     val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
     val rows = SnapshotTable.readManifest(spark, dir, v).files.map { fe =>
@@ -101,7 +106,17 @@ object MetadataTables {
           fe.bloom.keys.toSeq.sorted.map(UTF8String.fromString).toArray[Any]),
         fe.bucket.map(Int.box).orNull,
         fe.bucketN.map(Int.box).orNull,
-        fe.sortedBy.map(UTF8String.fromString).orNull))
+        fe.sortedBy.map(UTF8String.fromString).orNull,
+        new GenericArrayData(
+          fe.noNulls.map(UTF8String.fromString).toArray[Any]),
+        {
+          val ks = fe.strStats.keys.toSeq.sorted
+          new ArrayBasedMapData(
+            new GenericArrayData(ks.map(UTF8String.fromString).toArray[Any]),
+            new GenericArrayData(ks.map(k => new GenericArrayData(Array[Any](
+              UTF8String.fromString(fe.strStats(k)._1),
+              UTF8String.fromString(fe.strStats(k)._2)))).toArray[Any]))
+        }))
         : InternalRow
     }
     new SnapshotMetaTable(s"graft_snapshot($dir).files", schema, rows)

@@ -165,5 +165,11 @@ class StringStatsSpec extends SparkTestBase {
     val m2 = manifest(s"$root/t")
     assert(m2.op == "delete-prune", s"got ${m2.op}")
     assert(spark.sql("SELECT count(*) FROM graftss.t").as[Long].head == 400)
+    // the files metadata table exposes the evidence columns
+    val row = spark.sql("SELECT no_nulls, str_stats FROM graftss.t.files " +
+      "ORDER BY path LIMIT 1").collect().head
+    assert(row.getSeq[String](0).contains("key"))
+    assert(row.getMap[String, scala.collection.Seq[String]](1)
+      .get("key").exists(_.size == 2))
   }
 }
