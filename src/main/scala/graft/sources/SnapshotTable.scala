@@ -1061,6 +1061,22 @@ object SnapshotTable {
           col(s"`$c`").as(mapping.getOrElse(c, c))).toIndexedSeq: _*),
         statsCols0.map(c => mapping.getOrElse(c, c)),
         bloomCols0.map(c => mapping.getOrElse(c, c)))
+    // statsCols must be integral or string — the same gate the V2 write
+    // path enforces (SnapshotWriteSupport.validate). A fractional or
+    // temporal column would record cast-truncated (min,max): for a
+    // DOUBLE with true min -0.5 the manifest would say min 0, and the
+    // metadata-only DELETE proofs would then "prove" a file fully
+    // covered and drop it — silently deleting the -0.5 row. Fail loudly
+    // here instead, BEFORE any bytes are staged.
+    statsCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"statsCols column '$c' is not in the written schema"))
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType || dt == StringType,
+        s"statsCols column '$c' must be integral or string, got ${dt.simpleString}")
+    }
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val stage = new Path(dir, s".stage-$nonce")
     val f = fs(spark, stage)
@@ -2742,22 +2758,37 @@ object SnapshotTable {
     // that recorded one — keeps reading, so tagged versions below the
     // count horizon survive: manifest, checkpoint, and referenced data
     // files alike. Dropping the tag is the only way a pin expires.
-    val tagged = listTags(spark, dir).map(_.version).toSet
-    val pinned = below.filter(tagged)
-    val expired = below.filterNot(tagged)
-    val kept = pinned ++ kept0
-    // the sweep runs even with nothing expired: crashed writers' aged
-    // orphans get reclaimed on a table whose versions never turn over.
-    // Deletion-vector sidecars are referenced data like any file.
-    val referenced = kept.flatMap(readManifest(spark, dir, _).files
-      .flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)).toSet
+    def planSweep(tagged: Set[Long]) = {
+      val pinned = below.filter(tagged)
+      val kept = pinned ++ kept0
+      // Deletion-vector sidecars are referenced data like any file.
+      val referenced = kept.flatMap(readManifest(spark, dir, _).files
+        .flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)).toSet
+      (pinned, below.filterNot(tagged), referenced)
+    }
+    val tagged0 = listTags(spark, dir).map(_.version).toSet
+    var (pinned, expired, referenced) = planSweep(tagged0)
     val dd = dataDir(dir)
     val f = fs(spark, dd)
     val horizon = System.currentTimeMillis() - minAgeMs
-    val dead = f.listStatus(dd).toSeq
+    // the sweep runs even with nothing expired: crashed writers' aged
+    // orphans get reclaimed on a table whose versions never turn over
+    def deadUnder(refs: Set[String]) = f.listStatus(dd).toSeq
       .filter(_.getModificationTime <= horizon)
       .map(_.getPath.getName)
-      .filterNot(n => referenced.contains(s"data/$n"))
+      .filterNot(n => refs.contains(s"data/$n"))
+    var dead = deadUnder(referenced)
+    // TOCTOU narrowing vs createTag/cloneTable: a tag published between
+    // the listTags snapshot above and the deletes below would pin a
+    // version this sweep is about to reclaim. Re-list immediately
+    // before deleting and re-plan if the tag set moved — createTag's
+    // post-publish re-verification covers the residual window.
+    val tagged1 = listTags(spark, dir).map(_.version).toSet
+    if (tagged1 != tagged0) {
+      val replanned = planSweep(tagged1)
+      pinned = replanned._1; expired = replanned._2; referenced = replanned._3
+      dead = deadUnder(referenced)
+    }
     dead.foreach(n => f.delete(new Path(dd, n), false))
     if (expired.nonEmpty) {
       // Promote every RETAINED version whose backward delta fold would
@@ -2856,6 +2887,22 @@ object SnapshotTable {
       throw new IllegalStateException(
         s"tag '$name' already exists on $dir (lost the publish race)")
     }
+    // TOCTOU guard vs a concurrent vacuum: the up-front retained-version
+    // check and this publish are not atomic, so a sweep that snapshotted
+    // the tag list before the publish may already be deleting version
+    // `v`. Re-verify the version is still resolvable AFTER the pin is
+    // visible — fail loudly (and un-publish) rather than leave a tag
+    // that dangles. vacuum narrows its side of the window by re-listing
+    // tags immediately before its delete loop.
+    val stillThere =
+      try { versions(spark, dir).contains(v) && { readManifest(spark, dir, v); true } }
+      catch { case _: Exception => false }
+    if (!stillThere) {
+      dropTag(spark, dir, name)
+      throw new IllegalStateException(
+        s"tag '$name' lost a race with vacuum: version $v of $dir was " +
+          "reclaimed mid-publish; re-create the version or tag an earlier sweep survivor")
+    }
     v
   }
 
@@ -2909,6 +2956,22 @@ object SnapshotTable {
       .lastOption.getOrElse(throw new IllegalStateException(
         s"no version of $dir existed at epoch-ms $tsMs"))
 
+  /** EARLIEST version published at or after epoch-ms `tsMs` — the
+    * `startingTimestamp` resolution for streams and change feeds
+    * (Delta's contract: a wall-clock cutover must never replay a
+    * commit that happened BEFORE the instant; [[versionAt]]'s
+    * at-or-before would double-apply the preceding commit in a CDC
+    * consumer). An instant beyond the newest commit resolves to
+    * `latest + 1`: replay nothing, deliver only commits after the
+    * instant — a stream started "from now" idles until the next
+    * write, a bounded feed read returns empty. */
+  def versionAtOrAfter(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val vs = versions(spark, dir)
+    vs.find(readManifest(spark, dir, _).ts >= tsMs)
+      .getOrElse(vs.lastOption.map(_ + 1).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir")))
+  }
+
   /** An instant for `timestampAsOf`: epoch millis, `yyyy-MM-dd`, or
     * `yyyy-MM-dd HH:mm:ss[.fff]` (session-JVM local time, matching
     * `java.sql.Timestamp.valueOf`). */
@@ -2954,28 +3017,88 @@ object SnapshotTable {
     val schemaJson = tableSchemaJson(spark, srcDir, v)
     val hconf = spark.sparkContext.hadoopConfiguration
     val srcFs = fs(spark, new Path(srcDir))
+    // A shallow-clone SOURCE may itself carry absolute entries (clone
+    // of a clone): those point at the ORIGINAL table's bytes and must
+    // stay as-is — prefixing them under srcRoot would build dangling
+    // '$srcRoot/<absolute>' paths, and a deep copy resolved via
+    // new Path(srcDir, abs) would open src == dst and TRUNCATE the
+    // original's data file. [[resolvePath]] semantics throughout.
+    def isAbs(p: String) = p.startsWith("/") || p.contains(":/")
     val entries =
       if (!deep) {
         val srcRoot = srcFs.makeQualified(new Path(srcDir)).toString
+        def absolutize(p: String) = if (isAbs(p)) p else s"$srcRoot/$p"
         m.files.map(fe => fe.copy(
-          path = s"$srcRoot/${fe.path}",
-          dv = fe.dv.map { case (p, n) => (s"$srcRoot/$p", n) }))
+          path = absolutize(fe.path),
+          dv = fe.dv.map { case (p, n) => (absolutize(p), n) }))
       } else {
         val dstFs = fs(spark, new Path(dstDir))
         dstFs.mkdirs(dataDir(dstDir))
-        m.files.flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq).distinct
-          .foreach(rel => org.apache.hadoop.fs.FileUtil.copy(
-            srcFs, new Path(srcDir, rel),
-            dstFs, new Path(dstDir, rel), false, hconf))
-        m.files
+        // each referenced file lands under the clone's own root: local
+        // (relative) entries keep their path; foreign (absolute)
+        // entries land as data/<basename>, de-collided by prefix when
+        // two chained roots happen to share a basename
+        val taken = scala.collection.mutable.Set[String]()
+        val relOf = m.files.flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)
+          .distinct.map { p =>
+            val want = if (isAbs(p)) s"data/${new Path(p).getName}" else p
+            var (cand, i) = (want, 0)
+            while (!taken.add(cand)) { i += 1; cand = s"data/dc$i-${new Path(want).getName}" }
+            p -> cand
+          }.toMap
+        relOf.foreach { case (p, rel) =>
+          val srcPath = if (isAbs(p)) new Path(p) else new Path(srcDir, p)
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs(spark, srcPath), srcPath,
+            dstFs, new Path(dstDir, rel), false, hconf)
+        }
+        m.files.map(fe => fe.copy(
+          path = relOf(fe.path),
+          dv = fe.dv.map { case (p, n) => (relOf(p), n) }))
       }
     if (!deep) {
-      // pin the shared files through the source's retention; re-cloning
-      // into the same target name re-points the pin
-      val tag = s"clone-${new Path(dstDir).getName}"
-      if (!tagVersion(spark, srcDir, tag).contains(v)) {
-        if (tagVersion(spark, srcDir, tag).isDefined) dropTag(spark, srcDir, tag)
-        createTag(spark, srcDir, tag, Some(v))
+      // Pin the shared files through every upstream root's retention.
+      // The tag name carries a digest of the QUALIFIED clone path: two
+      // clones whose targets merely share a basename ('dev' under two
+      // namespaces) must never silently re-point each other's pin —
+      // that would hand the first clone's files to the source's next
+      // vacuum. Re-cloning into the SAME qualified target re-points.
+      val dstQual = fs(spark, new Path(dstDir))
+        .makeQualified(new Path(dstDir)).toString
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dstQual.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val tag = s"clone-${new Path(dstDir).getName}-$digest"
+      def pin(root: String, atV: Long): Unit =
+        if (!tagVersion(spark, root, tag).contains(atV)) {
+          if (tagVersion(spark, root, tag).isDefined) dropTag(spark, root, tag)
+          createTag(spark, root, tag, Some(atV)) // re-verifies vs vacuum races
+        }
+      pin(srcDir, v)
+      // files the source itself borrowed (clone-of-clone): pin each
+      // foreign root too, at its newest version that still covers the
+      // borrowed set, so dropping the INTERMEDIATE clone's pin can
+      // never dangle this one. Versions scan is metadata-only.
+      val foreign = m.files.flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)
+        .filter(isAbs)
+      foreign.groupBy { p =>
+        val i = p.lastIndexOf("/data/")
+        require(i > 0, s"unrecognized absolute clone entry layout: $p")
+        p.substring(0, i)
+      }.foreach { case (root, refs) =>
+        val rootQual = fs(spark, new Path(root))
+          .makeQualified(new Path(root)).toString
+        val need = refs.toSet
+        val cover = versions(spark, root).reverse.find { rv =>
+          val have = readManifest(spark, root, rv).files
+            .flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)
+            .map(p => if (isAbs(p)) p else s"$rootQual/$p").toSet
+          need.subsetOf(have)
+        }.getOrElse(throw new IllegalStateException(
+          s"cannot shallow-clone $srcDir: no retained version of upstream " +
+            s"$root still covers ${need.size} borrowed file(s) — the " +
+            "upstream pin was dropped; deep-clone instead"))
+        pin(root, cover)
       }
     }
     // layout/constraint defaults travel with the clone — future writes

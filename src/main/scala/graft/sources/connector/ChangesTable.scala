@@ -157,20 +157,24 @@ final class ChangesScanBuilder(dir: String, tableSchema: StructType,
   // the same way pushed `commit_version` predicates do (Delta's
   // table_changes(start, end) arguments); predicates compose by
   // narrowing further
-  // number-or-tag version tokens; `startingTimestamp`/`endingTimestamp`
-  // resolve to the version current at the instant
-  private def tok(name: String, tsName: String): Option[Long] = {
+  // number-or-tag version tokens; `startingTimestamp` resolves
+  // at-or-AFTER the instant (the CDC-safe Delta contract — never
+  // replay the commit preceding a wall-clock cutover) while
+  // `endingTimestamp` keeps at-or-before ("the feed up to then")
+  private def tok(name: String, tsName: String, atOrAfter: Boolean): Option[Long] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val v = Option(options.get(name))
     val t = Option(options.get(tsName))
     require(v.isEmpty || t.isEmpty, s"$name and $tsName are mutually exclusive")
     v.map(SnapshotTable.resolveVersionToken(spark, dir, _))
       .orElse(t.map(s =>
-        SnapshotTable.versionAt(spark, dir, SnapshotTable.parseInstantMs(s))))
+        if (atOrAfter)
+          SnapshotTable.versionAtOrAfter(spark, dir, SnapshotTable.parseInstantMs(s))
+        else SnapshotTable.versionAt(spark, dir, SnapshotTable.parseInstantMs(s))))
   }
-  private var loV = tok("startingVersion", "startingTimestamp")
+  private var loV = tok("startingVersion", "startingTimestamp", atOrAfter = true)
     .getOrElse(Long.MinValue)
-  private var hiV = tok("endingVersion", "endingTimestamp")
+  private var hiV = tok("endingVersion", "endingTimestamp", atOrAfter = false)
     .getOrElse(Long.MaxValue)
   private var pushed: Array[Filter] = Array.empty
 

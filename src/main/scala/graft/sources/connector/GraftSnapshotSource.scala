@@ -124,8 +124,15 @@ object GraftSnapshotSource {
 
   /** The first version a STREAM (or bounded feed read) starts from:
     * `startingVersion` (a commit number or tag name) or
-    * `startingTimestamp` (the version current at the instant —
-    * epoch-ms or `yyyy-MM-dd[ HH:mm:ss]`), mutually exclusive. */
+    * `startingTimestamp` (the EARLIEST version committed at or after
+    * the instant — epoch-ms or `yyyy-MM-dd[ HH:mm:ss]`), mutually
+    * exclusive. At-or-AFTER is the Delta contract and the CDC-safe
+    * one: a consumer keyed to a wall-clock cutover must never replay
+    * (and double-apply) the commit that preceded the instant. An
+    * instant beyond the newest commit starts past history — replay
+    * nothing, deliver only future commits. (`timestampAsOf` /
+    * `endingTimestamp` keep [[SnapshotTable.versionAt]]'s at-or-before,
+    * which is correct for "the table as of then".) */
   private[connector] def startVersion(spark: SparkSession, dir: String,
       options: CaseInsensitiveStringMap): Option[Long] = {
     val v = Option(options.get("startingVersion"))
@@ -134,7 +141,7 @@ object GraftSnapshotSource {
       "startingVersion and startingTimestamp are mutually exclusive")
     v.map(SnapshotTable.resolveVersionToken(spark, dir, _))
       .orElse(t.map(s =>
-        SnapshotTable.versionAt(spark, dir, SnapshotTable.parseInstantMs(s))))
+        SnapshotTable.versionAtOrAfter(spark, dir, SnapshotTable.parseInstantMs(s))))
   }
 
   private[connector] def tableDir(options: CaseInsensitiveStringMap): String =

@@ -127,7 +127,10 @@ class RefsCloneSpec extends SparkTestBase {
     buildVersions(src)
     SnapshotTable.cloneTable(spark, src, dst) // pins src v3
     val tag = SnapshotTable.listTags(spark, src)
-    assert(tag.map(t => t.name -> t.version) == Seq("clone-snapshot" -> 3L))
+    // tag name = clone-<basename>-<digest of qualified target>, so two
+    // targets sharing a basename can never re-point each other's pin
+    assert(tag.size == 1 && tag.head.version == 3L &&
+      tag.head.name.startsWith("clone-snapshot-"))
     // the source moves on: full overwrite, then an aggressive vacuum
     SnapshotTable.write(spark,
       spark.range(0, 5).select($"id", lit(-1L).as("v")),
@@ -139,7 +142,7 @@ class RefsCloneSpec extends SparkTestBase {
     // the pin is load-bearing: drop it, vacuum again, and the shared
     // bytes are reclaimed (the documented way to break a clone —
     // an explicit act, never a background sweep)
-    SnapshotTable.dropTag(spark, src, "clone-snapshot")
+    SnapshotTable.dropTag(spark, src, tag.head.name)
     SnapshotTable.vacuum(spark, src, keepVersions = 1, minAgeMs = 0)
     // count() alone is served metadata-only; force a data read
     intercept[Exception](load(dst).agg(sum($"v")).collect())
@@ -261,10 +264,122 @@ class RefsCloneSpec extends SparkTestBase {
     // the auto tag pins the cloned version on the source
     val auto = spark.sql("SELECT name, version FROM graftrc.facts.refs " +
       "WHERE name LIKE 'clone-%'").collect()
-    assert(auto.map(r => r.getString(0) -> r.getLong(1)).toSeq ==
-      Seq("clone-facts_dev" -> 3L))
+    assert(auto.map(r => r.getString(0) -> r.getLong(1)).toSeq match {
+      case Seq((n, 3L)) => n.startsWith("clone-facts_dev-")
+      case _ => false
+    })
     val dropped = spark.sql(
       "CALL graftrc.system.drop_tag('facts', 'audited')").collect().head
     assert(dropped.getBoolean(0))
+  }
+
+  test("shallow clone of a shallow clone pins the ORIGINAL root too") {
+    val orig = freshDir()
+    val c1 = freshDir() + "/c1"
+    val c2 = freshDir() + "/c2"
+    buildVersions(orig)
+    SnapshotTable.cloneTable(spark, orig, c1)
+    // c1's manifest carries absolute entries; re-cloning must keep them
+    // as-is (NOT prefix them under c1's root) and pin orig directly
+    SnapshotTable.cloneTable(spark, c1, c2)
+    assert(load(c2).count() == 120)
+    assert(load(c2).agg(sum($"v")).as[Long].head == (0L until 120).map(_ * 2).sum)
+    // two independent pins on the original: c1's and c2's
+    val pins = SnapshotTable.listTags(spark, orig)
+    assert(pins.size == 2 && pins.forall(_.version == 3L))
+    // dropping the INTERMEDIATE clone's pin must not dangle c2: its own
+    // pin on the original keeps the shared bytes through vacuum
+    val c1pin = pins.map(_.name).find(_.startsWith("clone-c1-")).get
+    SnapshotTable.dropTag(spark, orig, c1pin)
+    SnapshotTable.write(spark,
+      spark.range(0, 5).select($"id", lit(-1L).as("v")),
+      orig, "overwrite", Seq("id"))
+    SnapshotTable.vacuum(spark, orig, keepVersions = 1, minAgeMs = 0)
+    assert(load(c2).agg(sum($"v")).as[Long].head == (0L until 120).map(_ * 2).sum)
+  }
+
+  test("deep clone of a shallow clone copies bytes, never truncates the original") {
+    val orig = freshDir()
+    val c1 = freshDir() + "/c1"
+    val c2 = freshDir() + "/c2"
+    buildVersions(orig)
+    val expected = (0L until 120).map(_ * 2).sum
+    SnapshotTable.cloneTable(spark, orig, c1)
+    // the r14 bug: new Path(srcDir, absoluteEntry) resolved src == dst,
+    // so FileUtil.copy overwrite-created the ORIGINAL's data file onto
+    // itself — truncating the source's bytes. Deep-cloning a shallow
+    // clone must leave the original byte-identical and produce a fully
+    // independent copy.
+    SnapshotTable.cloneTable(spark, c1, c2, deep = true)
+    assert(load(orig).agg(sum($"v")).as[Long].head == expected)
+    assert(load(c2).count() == 120)
+    assert(dataFiles(c2).nonEmpty) // bytes actually landed under c2
+    // independence: obliterate orig and c1; c2 still reads
+    for (d <- Seq(orig, c1)) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    assert(load(c2).agg(sum($"v")).as[Long].head == expected)
+  }
+
+  test("clone pins never collide across targets sharing a basename") {
+    val src = freshDir()
+    buildVersions(src)
+    val devA = freshDir() + "/nsA/dev"
+    SnapshotTable.cloneTable(spark, src, devA, version = Some(2))
+    val devB = freshDir() + "/nsB/dev" // same basename, different table
+    SnapshotTable.cloneTable(spark, src, devB, version = Some(3))
+    // the r14 bug: both pins were named clone-dev, so the second clone
+    // silently re-pointed the first's pin and vacuum reclaimed its files
+    val pins = SnapshotTable.listTags(spark, src)
+    assert(pins.size == 2 && pins.map(_.version).sorted == Seq(2L, 3L))
+    SnapshotTable.write(spark,
+      spark.range(0, 5).select($"id", lit(-1L).as("v")),
+      src, "overwrite", Seq("id"))
+    SnapshotTable.vacuum(spark, src, keepVersions = 1, minAgeMs = 0)
+    assert(load(devA).agg(sum($"v")).as[Long].head == (0L until 110).map(_ * 2).sum)
+    assert(load(devB).agg(sum($"v")).as[Long].head == (0L until 120).map(_ * 2).sum)
+  }
+
+  test("startingTimestamp resolves at-or-AFTER the instant (CDC cutover contract)") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id", ($"id" * 2).as("v")),
+      dir, "overwrite", Seq("id"))
+    Thread.sleep(15) // guarantee distinct publish instants
+    SnapshotTable.write(spark,
+      spark.range(100, 110).select($"id", ($"id" * 2).as("v")),
+      dir, "append", Seq("id"))
+    Thread.sleep(15)
+    SnapshotTable.write(spark,
+      spark.range(110, 120).select($"id", ($"id" * 2).as("v")),
+      dir, "append", Seq("id"))
+    val t2 = SnapshotTable.readManifest(spark, dir, 2).ts
+    val t3 = SnapshotTable.readManifest(spark, dir, 3).ts
+    assert(t2 < t3)
+    def feedFrom(ts: Long) = spark.read.format("graft_snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", ts.toString).load(dir)
+    // an instant strictly between v2 and v3 must replay ONLY v3 — the
+    // r14 at-or-before resolution replayed v2 (committed BEFORE the
+    // instant), double-applying it in a wall-clock-cutover consumer
+    assert(feedFrom(t2 + 1).count() == 10)
+    // exactly at a commit instant → that commit replays
+    assert(feedFrom(t2).count() == 20)
+    // beyond the newest commit → start past history: empty, not latest
+    assert(feedFrom(t3 + 3600000L).count() == 0)
+  }
+
+  test("programmatic write rejects fractional statsCols before staging") {
+    val dir = freshDir()
+    // the r14 hole: stageFiles recorded cast('long')-truncated bounds
+    // for a DOUBLE statsCol (true min -0.5 → recorded 0), which the
+    // metadata-only DELETE proofs would read as full coverage and drop
+    // the file — silently deleting the -0.5 row. Must fail loudly.
+    val ex = intercept[IllegalArgumentException](SnapshotTable.write(spark,
+      spark.range(0, 10).select($"id", ($"id" - 0.5).as("d")),
+      dir, "overwrite", Seq("d")))
+    assert(ex.getMessage.contains("integral or string"))
+    assert(SnapshotTable.latestVersion(spark, dir).isEmpty) // nothing staged
   }
 }
