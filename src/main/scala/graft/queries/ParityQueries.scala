@@ -1310,7 +1310,8 @@ object ParityQueries {
         s.sql("""INSERT INTO graft_cat.sales
                 |SELECT o_orderkey, o_custkey, o_totalprice
                 |FROM t6J_orders WHERE o_orderkey % 4 = 1""".stripMargin)
-        s.sql("""SELECT *, 'v2' AS as_of FROM graft_cat.sales VERSION AS OF 2
+        // CTAS is atomic (one `ctas` version), so v1 IS the CTAS slice
+        s.sql("""SELECT *, 'v1' AS as_of FROM graft_cat.sales VERSION AS OF 1
                 |UNION ALL
                 |SELECT *, 'latest' AS as_of FROM graft_cat.sales
                 |ORDER BY as_of, o_orderkey""".stripMargin)
@@ -1318,7 +1319,7 @@ object ParityQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice, 'latest' AS as_of
         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
         |UNION ALL
-        |SELECT o_orderkey, o_custkey, o_totalprice, 'v2' AS as_of
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'v1' AS as_of
         |FROM orders WHERE o_orderkey % 4 = 0
         |ORDER BY as_of, o_orderkey""".stripMargin),
 
@@ -2229,6 +2230,138 @@ object ParityQueries {
         |WHERE o_orderkey >= (SELECT max(o_orderkey) // 2 FROM orders)
         |GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Atomic CREATE OR REPLACE / RTAS (round-15): the engine-grade
+    // form of the reference's flagship backup → truncate → load →
+    // rollback sink (etl/loader.py:197-238). The catalog's
+    // StagingTableCatalog surface stages the new definition's files
+    // invisibly and publishes ONE manifest commit — so the failure
+    // injection in the middle of this query (an RTAS whose SELECT
+    // throws at runtime) must leave the table byte-identical, version
+    // count unchanged; and after the successful REPLACE (narrowed,
+    // re-grouped schema) the PRE-replace content must still read via
+    // VERSION AS OF. Both asserted in-query. The oracle recomputes the
+    // replaced table's content from the raw orders table.
+    "q7H_replace_table" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7H")
+        val cat = "graft_rt_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7H_orders")
+        s.sql(s"DROP TABLE IF EXISTS $cat.t") // same-session rerun
+        // atomic CTAS through the staging surface
+        s.sql(s"""CREATE TABLE $cat.t AS
+                  |SELECT o_orderkey, o_totalprice AS price
+                  |FROM t7H_orders""".stripMargin)
+        val tdir = s"$root/t"
+        val vPre = graft.sources.SnapshotTable.latestVersion(s, tdir).get
+        val nPre = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+        // failure injection: the RTAS SELECT throws mid-write — the
+        // staged files must never publish
+        val failed = scala.util.Try(s.sql(
+          s"""REPLACE TABLE $cat.t AS
+             |SELECT o_orderkey,
+             |       CASE WHEN price >= 0 THEN raise_error('boom')
+             |            ELSE price END AS price
+             |FROM $cat.t""".stripMargin).collect())
+        require(failed.isFailure, "injected RTAS failure did not throw")
+        require(graft.sources.SnapshotTable.latestVersion(s, tdir).get == vPre,
+          "failed RTAS must not publish a version")
+        require(s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == nPre,
+          "failed RTAS changed the table's content")
+        // the real swap: narrowed, re-grouped definition — REPLACE may
+        // change the schema freely; the old versions stay readable
+        s.sql(s"""REPLACE TABLE $cat.t AS
+                  |SELECT o_orderkey % 50 AS slot, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM $cat.t GROUP BY o_orderkey % 50""".stripMargin)
+        require(s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $vPre")
+          .head.getLong(0) == nPre,
+          "pre-replace version no longer time-travels")
+        // CREATE OR REPLACE is the same surface; round-trip once more
+        // to prove the op composes (replace the 50 slots with 40)
+        s.sql(s"""CREATE OR REPLACE TABLE $cat.t AS
+                  |SELECT o_orderkey % 40 AS slot, count(*) AS cnt,
+                  |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM t7H_orders GROUP BY o_orderkey % 40""".stripMargin)
+        s.sql(s"SELECT slot, cnt, sp FROM $cat.t ORDER BY slot")
+      },
+      """SELECT o_orderkey % 40 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders GROUP BY 1 ORDER BY slot""".stripMargin),
+
+    // Write-audit-publish via writable branches (round-15): the
+    // production gate for the expectations machinery. A branch is an
+    // O(metadata) shallow clone nested under the table root, writable
+    // at `cat.t.branch_<name>` with main's layout and CHECK gates
+    // inherited; `fast_forward` publishes the audited state as ONE
+    // linear-history commit. Asserted in-query: the violating batch is
+    // rejected BY CONSTRAINT NAME on the BRANCH, main stays untouched
+    // until the publish, the publish adds exactly one version, and
+    // pre-publish content still time-travels. The oracle recomputes
+    // main's final content (evens + the audited odd batch) from the
+    // raw orders table.
+    "q7I_branch_wap" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7I")
+        val cat = "graft_br_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7I_orders")
+        s.sql(s"DROP TABLE IF EXISTS $cat.t") // same-session rerun
+        s.sql(s"CREATE TABLE $cat.t (o_orderkey BIGINT, price DOUBLE)")
+        s.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT sane_price " +
+          "CHECK (price >= 0)")
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey, o_totalprice FROM t7I_orders
+                  |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(s"CALL $cat.system.create_branch('t', 'audit')")
+        // the poisoned batch: negated prices — the branch's inherited
+        // CHECK gate must reject it by name, burning no version
+        val bad = scala.util.Try(s.sql(
+          s"""INSERT INTO $cat.t.branch_audit
+             |SELECT o_orderkey, -o_totalprice FROM t7I_orders
+             |WHERE o_orderkey % 2 = 1""".stripMargin))
+        require(bad.isFailure &&
+          bad.failed.get.getMessage.contains("sane_price"),
+          s"branch write missed the constraint gate: $bad")
+        // the audited batch lands on the branch; main remains evens-only
+        s.sql(s"""INSERT INTO $cat.t.branch_audit
+                  |SELECT o_orderkey, o_totalprice FROM t7I_orders
+                  |WHERE o_orderkey % 2 = 1""".stripMargin)
+        val tdir = s"$root/t"
+        val mainPre = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
+        val evens = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 0).count()
+        require(mainPre == evens, "branch write leaked into main")
+        val nVsPre = graft.sources.SnapshotTable.versions(s, tdir).size
+        val vPre = graft.sources.SnapshotTable.latestVersion(s, tdir).get
+        s.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+        require(graft.sources.SnapshotTable.versions(s, tdir).size ==
+          nVsPre + 1, "fast-forward must publish exactly one version")
+        require(s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $vPre")
+          .head.getLong(0) == mainPre,
+          "pre-publish version no longer time-travels")
+        s.sql(s"""SELECT o_orderkey % 30 AS slot, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM $cat.t GROUP BY o_orderkey % 30
+                  |ORDER BY slot""".stripMargin)
+      },
+      """SELECT o_orderkey % 30 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the
@@ -2428,12 +2561,10 @@ object ParityQueries {
       """WITH n AS (SELECT COUNT(*) AS c FROM orders),
         |     d AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 3 = 0)
         |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
-        |         CAST(0 AS BIGINT) AS row_count, CAST(0 AS BIGINT) AS dv_rows
+        |  SELECT CAST(1 AS BIGINT) AS version, 'ctas' AS op,
+        |         (SELECT c FROM n) AS row_count, CAST(0 AS BIGINT) AS dv_rows
         |  UNION ALL
-        |  SELECT 2, 'append', (SELECT c FROM n), 0
-        |  UNION ALL
-        |  SELECT 3, 'delete-dv', (SELECT c FROM n) - (SELECT c FROM d),
+        |  SELECT 2, 'delete-dv', (SELECT c FROM n) - (SELECT c FROM d),
         |         (SELECT c FROM d)
         |  UNION ALL
         |  SELECT -1, 'files', (SELECT c FROM n) - (SELECT c FROM d),

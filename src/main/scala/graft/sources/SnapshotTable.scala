@@ -862,7 +862,8 @@ object SnapshotTable {
                      carry: Boolean = false,
                      schemaJson: Option[String] = None,
                      replaceSchema: Boolean = false,
-                     keepMapping: Boolean = false): Long = {
+                     keepMapping: Boolean = false,
+                     expectLatest: Option[Long] = None): Long = {
     val ld = logDir(dir)
     val f = fs(spark, ld)
     f.mkdirs(ld)
@@ -876,6 +877,14 @@ object SnapshotTable {
     var attempts = 0
     while (true) {
       val latest = latestVersion(spark, dir)
+      // linear-history guard (fast-forward): the commit must land
+      // DIRECTLY on `expectLatest` — losing the slot race means
+      // someone advanced the table first, and replacing their state
+      // would silently drop their commit. Conflict, never clobber.
+      expectLatest.foreach(e => if (!latest.contains(e))
+        throw new CommitConflictException(
+          s"$op expected $dir at version $e but found " +
+            s"${latest.getOrElse(0L)}: a concurrent commit advanced the table"))
       val current: Seq[FileEntry] =
         if (carry) latest.map(readManifest(spark, dir, _).files).getOrElse(Nil)
         else Nil
@@ -3063,12 +3072,7 @@ object SnapshotTable {
       // namespaces) must never silently re-point each other's pin —
       // that would hand the first clone's files to the source's next
       // vacuum. Re-cloning into the SAME qualified target re-points.
-      val dstQual = fs(spark, new Path(dstDir))
-        .makeQualified(new Path(dstDir)).toString
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dstQual.getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      val tag = s"clone-${new Path(dstDir).getName}-$digest"
+      val tag = clonePinTag(spark, dstDir)
       def pin(root: String, atV: Long): Unit =
         if (!tagVersion(spark, root, tag).contains(atV)) {
           if (tagVersion(spark, root, tag).isDefined) dropTag(spark, root, tag)
@@ -3110,6 +3114,186 @@ object SnapshotTable {
     // so a rename-mapped source schema must survive the re-record
     commit(spark, dstDir, if (deep) "clone-deep" else "clone", entries,
       carry = false, schemaJson = schemaJson, keepMapping = true)
+  }
+
+  /** The vacuum-pin tag a shallow clone (or branch) of `dstDir`
+    * records on its upstream roots: the name digests the QUALIFIED
+    * target path so same-basename targets never collide. */
+  private[graft] def clonePinTag(spark: SparkSession, dstDir: String): String = {
+    val dstQual = fs(spark, new Path(dstDir))
+      .makeQualified(new Path(dstDir)).toString
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dstQual.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"clone-${new Path(dstDir).getName}-$digest"
+  }
+
+  // --- writable branches & write-audit-publish ---
+
+  private def branchesDir(dir: String) = new Path(dir, "_branches")
+
+  /** Where branch `name` of the table at `dir` lives. A branch is a
+    * full table (own log, own data/) nested INSIDE the main table's
+    * root — never listed as a table by the catalog (only namespace-
+    * level directories with a `_log` are), dropped with the table. */
+  private[graft] def branchDir(dir: String, name: String): String =
+    new Path(branchesDir(dir), name).toString
+
+  /** Branch props key: the MAIN version this branch forked from (and,
+    * after each fast-forward, is level with). Fast-forward requires
+    * main's head to still BE this version — the linear-history
+    * contract: a branch publishes onto the exact state it audited. */
+  private val BranchBaseKey = "graft.branchBase"
+
+  /** Create branch `name` from the current version of `dir` — the
+    * WRITE side of write-audit-publish. O(metadata): the branch is a
+    * shallow clone (shared files pinned on main through vacuum by the
+    * clone tag, layout/constraint props inherited, so the branch's
+    * writes stage through the same bucket layout and CHECK gates as
+    * main's). Write and validate on the branch with every normal
+    * surface — INSERT/DML/streaming — then [[fastForward]] publishes
+    * the audited state to main as ONE commit. Returns the base
+    * version. */
+  def createBranch(spark: SparkSession, dir: String, name: String): Long = {
+    require(RefNameRe.findFirstIn(name).isDefined,
+      s"invalid branch name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, ≤64 chars)")
+    val bdir = branchDir(dir, name)
+    require(latestVersion(spark, bdir).isEmpty,
+      s"branch '$name' already exists on $dir")
+    val base = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot branch empty table $dir"))
+    cloneTable(spark, dir, bdir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.sources.connector.GraftTableProps.write(hconf, bdir,
+      graft.sources.connector.GraftTableProps.read(hconf, bdir) +
+        (BranchBaseKey -> base.toString))
+    base
+  }
+
+  /** All branches of `dir`, name-sorted, with (base, head) versions. */
+  def listBranches(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val bd = branchesDir(dir)
+    val f = fs(spark, bd)
+    if (!f.exists(bd)) return Nil
+    f.listStatus(bd).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+      .flatMap { n =>
+        val bdir = branchDir(dir, n)
+        latestVersion(spark, bdir).map { head =>
+          val base = graft.sources.connector.GraftTableProps
+            .read(spark.sparkContext.hadoopConfiguration, bdir)
+            .get(BranchBaseKey).map(_.toLong).getOrElse(-1L)
+          (n, base, head)
+        }
+      }
+  }
+
+  /** Drop branch `name`: delete its directory and release its vacuum
+    * pin on main. False when it did not exist. */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Boolean = {
+    val bdir = branchDir(dir, name)
+    if (latestVersion(spark, bdir).isEmpty) return false
+    dropTag(spark, dir, clonePinTag(spark, bdir))
+    fs(spark, new Path(bdir)).delete(new Path(bdir), true)
+    true
+  }
+
+  /** PUBLISH a branch: fast-forward main to the branch's current
+    * state in ONE commit — the publish side of write-audit-publish.
+    *
+    * Requirements and guarantees:
+    *  - main's head must still be the branch's recorded base (a
+    *    concurrent main commit → loud [[CommitConflictException]],
+    *    never a silent merge or clobber — re-branch and replay). The
+    *    check is enforced INSIDE the commit's publish loop
+    *    (`expectLatest`), so even a racing writer that lands between
+    *    check and publish is caught.
+    *  - O(changed files) metadata: branch-exclusive data files RENAME
+    *    into main's `data/` (no bytes copied); files the branch still
+    *    shares with main fold back to main-relative paths. A failed
+    *    publish renames them back — the branch stays intact.
+    *  - main's history stays linear: one `fast_forward` version, time
+    *    travel to pre-publish versions unchanged.
+    *  - the branch survives, re-pointed at the published state (its
+    *    entries absolutize to main's files; its vacuum pin moves to
+    *    the published version), level with main for further epochs.
+    *
+    * Returns main's new version. */
+  def fastForward(spark: SparkSession, dir: String, name: String): Long = {
+    val bdir = branchDir(dir, name)
+    val bv = latestVersion(spark, bdir).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bprops = graft.sources.connector.GraftTableProps.read(hconf, bdir)
+    val base = bprops.get(BranchBaseKey).map(_.toLong).getOrElse(
+      throw new IllegalStateException(
+        s"'$name' under $dir records no branch base — not a branch?"))
+    val mv = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    if (mv != base) throw new CommitConflictException(
+      s"cannot fast-forward $dir to branch '$name': main advanced to " +
+        s"v$mv past the branch base v$base — re-branch from the current " +
+        "head and replay the work")
+    val bm = readManifest(spark, bdir, bv)
+    val schemaJson = tableSchemaJson(spark, bdir, bv)
+    val f = fs(spark, new Path(dir))
+    val mainRoot = f.makeQualified(new Path(dir)).toString
+    val mainPrefix = s"$mainRoot/"
+    def isAbs(p: String) = p.startsWith("/") || p.contains(":/")
+    // branch-exclusive files (relative to bdir) rename into main's
+    // data/; shared files fold back to main-relative; foreign absolute
+    // entries (main itself a clone) stay absolute
+    val moved = scala.collection.mutable.LinkedHashMap[String, String]()
+    def toMain(p: String): String =
+      if (p.startsWith(mainPrefix)) p.stripPrefix(mainPrefix)
+      else if (isAbs(p)) p
+      else moved.getOrElseUpdate(p, {
+        var target = p
+        var i = 0
+        while (f.exists(new Path(dir, target))) {
+          i += 1
+          target = s"data/ff$i-${new Path(p).getName}"
+        }
+        require(f.rename(new Path(bdir, p), new Path(dir, target)),
+          s"fast-forward could not move $bdir/$p into $dir")
+        target
+      })
+    val newV =
+      try {
+        val entries = bm.files.map(fe => fe.copy(
+          path = toMain(fe.path),
+          dv = fe.dv.map { case (p, n) => (toMain(p), n) }))
+        commit(spark, dir, "fast_forward", entries, carry = false,
+          schemaJson = schemaJson, keepMapping = true,
+          expectLatest = Some(base))
+      } catch {
+        case e: Throwable =>
+          // publish did NOT land: un-move, so BOTH tables are exactly
+          // as they were (renames are same-fs metadata ops, the
+          // rollback cannot half-fail on bytes). After a successful
+          // publish there is no rollback — main owns the files.
+          moved.foreach { case (orig, target) =>
+            f.rename(new Path(dir, target), new Path(bdir, orig))
+          }
+          throw e
+      }
+    // re-point the branch at the published state: its (moved) files
+    // now live under main, so the branch's head absolutizes to them
+    // and its vacuum pin follows the published version. Main is
+    // already correct whatever happens below.
+    val mm = readManifest(spark, dir, newV)
+    val bEntries = mm.files.map(fe => fe.copy(
+      path = if (isAbs(fe.path)) fe.path else s"$mainRoot/${fe.path}",
+      dv = fe.dv.map { case (p, n) =>
+        (if (isAbs(p)) p else s"$mainRoot/$p", n) }))
+    commit(spark, bdir, "fast_forward", bEntries, carry = false,
+      schemaJson = schemaJson, keepMapping = true)
+    graft.sources.connector.GraftTableProps.write(hconf, bdir,
+      graft.sources.connector.GraftTableProps.read(hconf, bdir) +
+        (BranchBaseKey -> newV.toString))
+    val pin = clonePinTag(spark, bdir)
+    if (tagVersion(spark, dir, pin).isDefined) dropTag(spark, dir, pin)
+    createTag(spark, dir, pin, Some(newV))
+    newV
   }
 
   /** OPTIMIZE: bin-pack files smaller than `smallRows` into files of

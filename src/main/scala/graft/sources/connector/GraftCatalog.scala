@@ -44,8 +44,8 @@ import graft.sources.SnapshotTable
   * catalog does NOT do: no central metastore round-trips — resolving
   * a table is one directory check, the log stays the source of truth.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with ProcedureCatalog with FunctionCatalog {
+final class GraftCatalog extends TableCatalog with StagingTableCatalog
+  with SupportsNamespaces with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -124,14 +124,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     else {
       // metadata tables: `SELECT * FROM cat.ns.t.history` parses as
       // Identifier(["ns","t"], "history") — when the namespace tail
-      // is itself a table, serve its metadata surface
-      val meta = for {
+      // is itself a table, serve its metadata surface. Branches ride
+      // the same addressing: `cat.ns.t.branch_staging` is the WRITABLE
+      // branch table (INSERT/DML/SELECT all work — it is a full
+      // snapshot table), the WAP surface of
+      // [[SnapshotTable.createBranch]]/[[SnapshotTable.fastForward]].
+      val branch = for {
+        _ <- Some(()).filter(_ => ident.namespace.nonEmpty &&
+          ident.name.toLowerCase.startsWith("branch_"))
+        parentDir = dirOf(ident.namespace.init.toSeq, ident.namespace.last)
+        if tableExistsAt(parentDir)
+        bdir = SnapshotTable.branchDir(parentDir,
+          ident.name.substring("branch_".length))
+        if tableExistsAt(bdir)
+      } yield new SnapshotV2Table(schemaOf(bdir, None), bdir,
+        tableProps = GraftTableProps.read(hconf, bdir)): Table
+      val meta = branch.orElse(for {
         _ <- Some(()).filter(_ => ident.namespace.nonEmpty &&
           MetadataTables.Names.contains(ident.name.toLowerCase))
         parentDir = dirOf(ident.namespace.init.toSeq, ident.namespace.last)
         if tableExistsAt(parentDir)
         t <- MetadataTables.resolve(spark, parentDir, ident.name)
-      } yield t
+      } yield t)
       meta.getOrElse(throw new NoSuchTableException(ident))
     }
   }
@@ -295,13 +309,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def writeProps(dir: String, props: Map[String, String]): Unit =
     GraftTableProps.write(hconf, dir, props)
 
-  override def createTable(ident: Identifier, columns: Array[Column],
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    // each column's DEFAULT rides the field metadata (CURRENT_DEFAULT
-    // for future writes, EXISTS_DEFAULT for rows predating the
-    // column) — the recorded schema carries both
-    createTable(ident, StructType(columns.map { c =>
+  /** V2 `Column[]` → recorded schema: each column's DEFAULT rides the
+    * field metadata (CURRENT_DEFAULT for future writes, EXISTS_DEFAULT
+    * for rows predating the column) — the recorded schema carries
+    * both. Shared by CREATE and the staged CREATE/REPLACE surface. */
+  private def structOf(columns: Array[Column]): StructType =
+    StructType(columns.map { c =>
       val base = org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable)
       Option(c.defaultValue).fold(base) { dv =>
@@ -315,7 +328,72 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             .putString(EXISTS_DEFAULT_COLUMN_METADATA_KEY, existsSql)
             .build())
       }
-    }), partitions, properties)
+    })
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    createTable(ident, structOf(columns), partitions, properties)
+
+  // --- staged DDL: atomic CREATE OR REPLACE / RTAS / CTAS ---
+
+  /** `CREATE OR REPLACE TABLE` / `REPLACE TABLE … AS SELECT` / atomic
+    * CTAS: Spark writes the query into the returned [[GraftStagedTable]]
+    * and only then commits — ONE manifest publish swaps the
+    * definition, a failure anywhere before it leaves the current
+    * definition untouched, and the replaced versions stay
+    * time-travelable (`VERSION AS OF` reads the pre-replace history).
+    * The modern SQL form of the reference's backup → truncate → load →
+    * rollback protocol (/root/reference/etl/loader.py:197-238). */
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: java.util.Map[String, String],
+                    mode: StageMode.Value): StagedTable = {
+    val dir = dirOf(ident)
+    // fail at stage time where possible — but the authoritative checks
+    // re-run inside commitStagedChanges (the table set can move while
+    // the query runs)
+    mode match {
+      case StageMode.Create if tableExistsAt(dir) =>
+        throw new TableAlreadyExistsException(ident)
+      case StageMode.Replace if !tableExistsAt(dir) =>
+        throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    val props = layoutProps(partitions, schema) ++ userProps(properties)
+    new GraftStagedTable(ident, dir, schema, partitions, props, mode,
+      p => writeProps(dir, p))
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, StageMode.Create)
+
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, structOf(columns), partitions, properties, StageMode.Create)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, StageMode.Replace)
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, structOf(columns), partitions, properties, StageMode.Replace)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, StageMode.CreateOrReplace)
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, structOf(columns), partitions, properties, StageMode.CreateOrReplace)
 
   /** Retired PHYSICAL column names (ever dropped or renamed-away):
     * files may still carry their data, so a later ADD COLUMN of the

@@ -37,6 +37,12 @@ import graft.sources.SnapshotTable
   *    clone of `table` at `version` (-1 = current): shallow by
   *    default (O(metadata), files shared + pinned by an auto tag on
   *    the source), `deep = true` copies the bytes.
+  *  - `create_branch(table, name)` / `fast_forward(table, branch)` /
+  *    `drop_branch(table, name)` — write-audit-publish: branch the
+  *    table (O(metadata) shallow clone, writable at
+  *    `cat.ns.t.branch_<name>` with main's layout and CHECK gates),
+  *    validate, then publish the audited state to main as ONE
+  *    linear-history commit (loud conflict if main advanced).
   *
   * A procedure that mutates data is `isDeterministic = false`; every
   * argument is a required IN parameter (explicit beats defaulted for
@@ -45,7 +51,8 @@ object GraftProcedures {
 
   /** Every procedure name [[load]] serves. */
   val Names: Seq[String] = Seq("restore", "vacuum", "compact", "rebucket",
-    "purge_deletes", "maintain", "create_tag", "drop_tag", "clone")
+    "purge_deletes", "maintain", "create_tag", "drop_tag", "clone",
+    "create_branch", "fast_forward", "drop_branch")
 
   /** All procedures, by lower-case name. `dirOfTable` resolves an
     * EXISTING table's identifier to its directory; `dirOfNewTable`
@@ -157,6 +164,36 @@ object GraftProcedures {
           val shared = if (deep) 0
           else SnapshotTable.readManifest(spark, dst, 1L).files.size
           Seq(new GenericInternalRow(Array[Any](resolved, shared)))
+      })
+      case "create_branch" => Some(proc("create_branch",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(
+          StructField("base_version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val base = SnapshotTable.createBranch(spark, dir,
+            args.getUTF8String(1).toString)
+          Seq(new GenericInternalRow(Array[Any](base)))
+      })
+      case "fast_forward" => Some(proc("fast_forward",
+        Array(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(
+          StructField("published_version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val v = SnapshotTable.fastForward(spark, dir,
+            args.getUTF8String(1).toString)
+          Seq(new GenericInternalRow(Array[Any](v)))
+      })
+      case "drop_branch" => Some(proc("drop_branch",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(
+          StructField("existed", BooleanType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val existed = SnapshotTable.dropBranch(spark, dir,
+            args.getUTF8String(1).toString)
+          Seq(new GenericInternalRow(Array[Any](existed)))
       })
       case _ => None
     }

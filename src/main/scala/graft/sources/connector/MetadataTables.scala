@@ -38,7 +38,8 @@ import graft.sources.SnapshotTable
   * manifest-sized, not data-sized. */
 object MetadataTables {
 
-  val Names: Set[String] = Set("history", "files", "changes", "refs")
+  val Names: Set[String] = Set("history", "files", "changes", "refs",
+    "branches")
 
   def resolve(spark: SparkSession, tableDir: String,
               metaName: String): Option[Table] =
@@ -52,6 +53,7 @@ object MetadataTables {
       // `cat.ns.t.refs` — the named tags ([[SnapshotTable.listTags]]):
       // what `VERSION AS OF '<name>'` resolves, what vacuum pins
       case "refs" => Some(refsTable(spark, tableDir))
+      case "branches" => Some(branchesTable(spark, tableDir))
       case _ => None
     }
 
@@ -132,6 +134,21 @@ object MetadataTables {
         UTF8String.fromString(t.name), t.version, t.ts * 1000L)): InternalRow
     }
     new SnapshotMetaTable(s"graft_snapshot($dir).refs", schema, rows)
+  }
+
+  /** `cat.ns.t.branches`: every branch with the MAIN version it forked
+    * from (or was last fast-forwarded to) and its own head version. */
+  private def branchesTable(spark: SparkSession, dir: String): Table = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false)))
+    val rows = SnapshotTable.listBranches(spark, dir).map {
+      case (name, base, head) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), base, head)): InternalRow
+    }
+    new SnapshotMetaTable(s"graft_snapshot($dir).branches", schema, rows)
   }
 }
 

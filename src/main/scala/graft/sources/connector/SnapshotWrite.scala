@@ -48,7 +48,9 @@ import graft.sources.SnapshotTable.FileEntry
   * as null — same contract as the programmatic path), and writes to a
   * not-yet-existing table root create version 1.
   */
-final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
+final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
+                                 asFresh: Boolean = false,
+                                 defer: Option[Seq[FileEntry] => Unit] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -64,15 +66,22 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
     with RequiresDistributionAndOrdering {
     // ACCEPT_ANY_SCHEMA means Spark hands us the query schema raw —
     // the builder aligns it against the table (by name, or by
-    // position for SQL INSERT) before any row is written
-    private val aligned = SnapshotWriteSupport.align(dir, info.schema())
+    // position for SQL INSERT) before any row is written. A STAGED
+    // DDL write (`asFresh` — RTAS/atomic CTAS via GraftStagedTable)
+    // DEFINES the table: the query schema is the declared schema, so
+    // aligning against the to-be-replaced table's schema (or its
+    // rename mapping, or its constraints) would be aligning against a
+    // definition this very statement retires.
+    private val aligned =
+      if (asFresh) info.schema()
+      else SnapshotWriteSupport.align(dir, info.schema())
 
     // column mapping (ALTER RENAME): tasks write files and compute
     // stats/bloom manifest keys under the table's FROZEN physical
     // names; the commit records the LOGICAL schema. Overwrites replace
     // the schema (and the mapping with it), so they write as aligned.
     private val tableMapping: Map[String, String] =
-      SnapshotWriteSupport.physicalMap(dir)
+      if (asFresh) Map.empty else SnapshotWriteSupport.physicalMap(dir)
     private def physMapFor: Map[String, String] =
       if (overwrite) Map.empty else tableMapping
 
@@ -216,11 +225,13 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo)
         cols("bloomCols").map(logicalName).map(c => pm.getOrElse(c, c)),
         SnapshotWriteSupport.rename(aligned, pm),
         bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)),
-        targetFileRows)
+        targetFileRows, defer)
     }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(defer.isEmpty,
+        "staged DDL (CREATE/REPLACE TABLE AS SELECT) cannot take a streaming write")
       require(!overwrite,
         "graft_snapshot streaming sink is append-only (outputMode append)")
       val mergeKey = Option(info.options.get("mergeKey")).map(_.trim)
@@ -347,7 +358,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
                                bloomCols: Seq[String],
                                physSchema0: StructType = null,
                                bucketSpec: Option[(String, Int)] = None,
-                               targetFileRows: Long = 0L)
+                               targetFileRows: Long = 0L,
+                               defer: Option[Seq[FileEntry] => Unit] = None)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -368,10 +380,20 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
         sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls,
         strStats = w.strStats))
-    SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
-    SnapshotTable.commitAdded(SparkSession.active, dir,
-      if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
-      schemaJson = Some(schema.json))
+    defer match {
+      // staged DDL (RTAS / atomic CTAS): the files are on disk but
+      // NOTHING is published — GraftStagedTable.commitStagedChanges
+      // owns the single atomic manifest commit, so a failure anywhere
+      // later in the statement leaves the table's current definition
+      // untouched. Constraints are not enforced here: REPLACE defines
+      // the table anew (the old definition's constraints die with it).
+      case Some(stash) => stash(entries)
+      case None =>
+        SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
+        SnapshotTable.commitAdded(SparkSession.active, dir,
+          if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
+          schemaJson = Some(schema.json))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** Writable branches + write-audit-publish: a branch is an O(metadata)
+  * shallow clone nested under the table root, writable through every
+  * normal surface, published back to main as ONE linear-history
+  * fast-forward commit — with loud conflicts, never silent merges. */
+class BranchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("graft-branch").toString
+  spark.conf.set("spark.sql.catalog.graftbr",
+    classOf[graft.sources.connector.GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.graftbr.root", root)
+
+  private def tdir(name: String) = s"$root/$name"
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-branch-t").toString
+
+  test("branch, write, fast-forward: main gets the branch state in one commit") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id", ($"id" * 2).as("v")),
+      dir, "overwrite", Seq("id"))
+    val base = SnapshotTable.createBranch(spark, dir, "staging")
+    assert(base == 1L)
+    val bdir = SnapshotTable.branchDir(dir, "staging")
+    // branch takes writes and DML; main never sees them
+    SnapshotTable.write(spark,
+      spark.range(100, 120).select($"id", ($"id" * 2).as("v")),
+      bdir, "append", Seq("id"))
+    SnapshotTable.deleteVectors(spark, bdir, $"id" < 10)
+    assert(SnapshotTable.scan(spark, bdir).count() == 110)
+    assert(SnapshotTable.scan(spark, dir).count() == 100)
+    // publish: one commit, linear history, content == branch state
+    val mv = SnapshotTable.fastForward(spark, dir, "staging")
+    assert(mv == 2L)
+    assert(SnapshotTable.scan(spark, dir).count() == 110)
+    assert(SnapshotTable.scan(spark, dir).agg(sum($"v")).as[Long].head ==
+      (10L until 120).map(_ * 2).sum)
+    // pre-publish version still time-travels
+    assert(SnapshotTable.scan(spark, dir, Some(1)).count() == 100)
+    // the branch survives, re-pointed and level with main
+    assert(SnapshotTable.scan(spark, bdir).count() == 110)
+    assert(SnapshotTable.listBranches(spark, dir) ==
+      Seq(("staging", 2L, SnapshotTable.latestVersion(spark, bdir).get)))
+    // a second epoch composes: write to the same branch, publish again
+    SnapshotTable.write(spark,
+      spark.range(200, 210).select($"id", ($"id" * 2).as("v")),
+      bdir, "append", Seq("id"))
+    assert(SnapshotTable.fastForward(spark, dir, "staging") == 3L)
+    assert(SnapshotTable.scan(spark, dir).count() == 120)
+  }
+
+  test("fast-forward refuses when main advanced past the branch base") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 50).select($"id", $"id".as("v")),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.createBranch(spark, dir, "wap")
+    val bdir = SnapshotTable.branchDir(dir, "wap")
+    SnapshotTable.write(spark,
+      spark.range(50, 60).select($"id", $"id".as("v")),
+      bdir, "append", Seq("id"))
+    // main moves on while the branch is being audited
+    SnapshotTable.write(spark,
+      spark.range(900, 905).select($"id", $"id".as("v")),
+      dir, "append", Seq("id"))
+    val mainSum = SnapshotTable.scan(spark, dir).agg(sum($"v")).as[Long].head
+    intercept[Exception](SnapshotTable.fastForward(spark, dir, "wap"))
+    // the refused publish changed NOTHING: main content intact, branch
+    // still reads its own state (the un-move rollback)
+    assert(SnapshotTable.scan(spark, dir).agg(sum($"v")).as[Long].head == mainSum)
+    assert(SnapshotTable.scan(spark, bdir).count() == 60)
+  }
+
+  test("branch-held files survive an aggressive main vacuum") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 80).select($"id", ($"id" * 3).as("v")),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.createBranch(spark, dir, "hold")
+    val bdir = SnapshotTable.branchDir(dir, "hold")
+    // main overwrites and vacuums to its tip — the branch must keep
+    // reading the forked state (its clone pin holds the base version)
+    SnapshotTable.write(spark,
+      spark.range(0, 5).select($"id", lit(-1L).as("v")),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0)
+    assert(SnapshotTable.scan(spark, bdir).agg(sum($"v")).as[Long].head ==
+      (0L until 80).map(_ * 3).sum)
+    // dropping the branch releases the pin; the next sweep reclaims
+    assert(SnapshotTable.dropBranch(spark, dir, "hold"))
+    assert(SnapshotTable.listBranches(spark, dir).isEmpty)
+    assert(SnapshotTable.listTags(spark, dir).isEmpty)
+  }
+
+  test("SQL surface: WAP end-to-end with CHECK gate and branches table") {
+    spark.sql("CREATE TABLE graftbr.t (k BIGINT, price DOUBLE)")
+    spark.sql("ALTER TABLE graftbr.t ADD CONSTRAINT non_negative " +
+      "CHECK (price >= 0)")
+    spark.sql("INSERT INTO graftbr.t SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 100)")
+    spark.sql("CALL graftbr.system.create_branch('t', 'audit')")
+    // the branch inherits the constraint: a violating batch is
+    // rejected BY NAME, clean batches land
+    val ex = intercept[Exception](spark.sql(
+      "INSERT INTO graftbr.t.branch_audit SELECT id, CAST(-id - 1 AS DOUBLE) " +
+        "FROM range(0, 5)"))
+    assert(ex.getMessage.contains("non_negative"),
+      s"constraint name missing from: ${ex.getMessage}")
+    spark.sql("INSERT INTO graftbr.t.branch_audit " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(100, 130)")
+    // audit on the branch; main unchanged until the publish
+    assert(spark.sql("SELECT count(*) FROM graftbr.t.branch_audit")
+      .as[Long].head == 130)
+    assert(spark.sql("SELECT count(*) FROM graftbr.t").as[Long].head == 100)
+    val before = SnapshotTable.versions(spark, tdir("t")).size
+    val published = spark.sql(
+      "CALL graftbr.system.fast_forward('t', 'audit')").collect().head.getLong(0)
+    assert(spark.sql("SELECT count(*) FROM graftbr.t").as[Long].head == 130)
+    // linear history: exactly ONE new version
+    assert(SnapshotTable.versions(spark, tdir("t")).size == before + 1)
+    val br = spark.sql("SELECT name, base_version FROM graftbr.t.branches")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(br.toSeq == Seq("audit" -> published))
+    val dropped = spark.sql(
+      "CALL graftbr.system.drop_branch('t', 'audit')").collect().head
+    assert(dropped.getBoolean(0))
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM graftbr.t.branch_audit").collect())
+  }
+
+  test("bucketed layout travels to the branch and back through publish") {
+    spark.sql("CREATE TABLE graftbr.bt (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftbr.bt SELECT id % 20, id FROM range(0, 1000)")
+    spark.sql("CALL graftbr.system.create_branch('bt', 'load')")
+    spark.sql("INSERT INTO graftbr.bt.branch_load " +
+      "SELECT id % 20, id FROM range(1000, 1400)")
+    spark.sql("CALL graftbr.system.fast_forward('bt', 'load')")
+    assert(spark.sql("SELECT count(*) FROM graftbr.bt").as[Long].head == 1400)
+    // every file main now holds is bucket-pure under the declared
+    // layout — the branch epoch staged through the same bucket router
+    val m = SnapshotTable.readManifest(spark, tdir("bt"),
+      SnapshotTable.latestVersion(spark, tdir("bt")).get)
+    assert(m.files.nonEmpty && m.files.forall(fe =>
+      fe.bucket.isDefined && fe.bucketN.contains(4)),
+      s"published files lost the bucket layout: ${m.files.map(f =>
+        (f.path, f.bucket, f.bucketN))}")
+  }
+}

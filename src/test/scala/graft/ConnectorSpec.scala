@@ -681,10 +681,11 @@ class ConnectorSpec extends SparkTestBase {
     assert(m().files.length < nBefore)
     assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
       .as[Long].head == 100L)
-    // restore rolls back to the 200-row version (2 = CTAS+INSERT)
+    // restore rolls back to the 200-row version (atomic CTAS = v1,
+    // INSERT = v2)
     val restored = spark.sql(
-      "CALL graftcat7.system.restore('t', 3)").collect()
-    assert(restored.head.getLong(0) == 3L)
+      "CALL graftcat7.system.restore('t', 2)").collect()
+    assert(restored.head.getLong(0) == 2L)
     assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
       .as[Long].head == 200L)
     // vacuum with keep 1 / age 0 reclaims the dead layout
@@ -764,10 +765,11 @@ class ConnectorSpec extends SparkTestBase {
     val hist = spark.sql(
       "SELECT version, op, row_count, dv_rows FROM graftcat6.t.history " +
         "ORDER BY version").collect()
+    // CTAS is ATOMIC since the staging surface landed: one `ctas`
+    // version carrying the query result, not create + append
     assert(hist.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
       r.getLong(3))).toSeq ==
-      Seq((1L, "create", 0L, 0L), (2L, "append", 100L, 0L),
-        (3L, "delete-dv", 75L, 25L)))
+      Seq((1L, "ctas", 100L, 0L), (2L, "delete-dv", 75L, 25L)))
     // files reflects the CURRENT version's layout, dv attribution incl.
     val files = spark.sql(
       "SELECT path, rows, live_rows, dv_rows FROM graftcat6.t.files").collect()
