@@ -2362,6 +2362,77 @@ object ParityQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM orders GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Manifest NDV sketches → the CBO (round-15): PARTITIONED BY keys
+    // get a per-file KMV sketch in the manifest; at plan time the scan
+    // merges them (the KMV monoid: union + keep-k) and reports
+    // per-column distinct counts through V2 Statistics, so with
+    // spark.sql.cbo.enabled a multi-join estimates intermediate sizes
+    // from real cardinalities — zero data reads, O(files × k) driver
+    // work. Asserted in-query: every scan leaf reports rowCount AND
+    // non-empty attribute stats, and the fact key's plan-level NDV
+    // lands within KMV error of the true count. The oracle recomputes
+    // the join itself — the estimates must never change the answer.
+    "q7J_ndv_cbo_join" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7J")
+        val cat = "graft_ndv_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7J_orders")
+        t(s, dir, "customer").createOrReplaceTempView("t7J_customer")
+        Seq("fact", "dim").foreach(n => s.sql(s"DROP TABLE IF EXISTS $cat.$n"))
+        s.sql(s"""CREATE TABLE $cat.fact
+                  |  (o_custkey BIGINT, o_orderkey BIGINT, price DOUBLE)
+                  |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.fact
+                  |SELECT o_custkey, o_orderkey, o_totalprice
+                  |FROM t7J_orders""".stripMargin)
+        s.sql(s"""CREATE TABLE $cat.dim (c_custkey BIGINT, c_name STRING)
+                  |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.dim
+                  |SELECT c_custkey, c_name FROM t7J_customer""".stripMargin)
+        val trueNdv = t(s, dir, "orders")
+          .select(col("o_custkey")).distinct().count()
+        val prior = s.conf.getOption("spark.sql.cbo.enabled")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try {
+          val q = s.sql(
+            s"""SELECT f.o_custkey % 25 AS slot, count(*) AS cnt,
+               |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+               |FROM $cat.fact f JOIN $cat.dim d
+               |  ON f.o_custkey = d.c_custkey
+               |GROUP BY f.o_custkey % 25 ORDER BY slot""".stripMargin)
+          val leafStats = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.computeStats()
+          }
+          require(leafStats.size == 2 &&
+            leafStats.forall(st => st.rowCount.isDefined &&
+              st.attributeStats.nonEmpty),
+            s"scan leaves missing CBO statistics: $leafStats")
+          val factNdv = leafStats.flatMap(_.attributeStats.find(
+            _._1.name == "o_custkey").map(_._2))
+            .headOption.flatMap(_.distinctCount)
+            .getOrElse(throw new IllegalStateException(
+              "no plan-level NDV for the fact join key"))
+          require((factNdv - BigInt(trueNdv)).abs.toDouble <=
+            0.25 * trueNdv.toDouble,
+            s"plan NDV $factNdv vs true $trueNdv drifted past KMV error")
+          q
+        } finally prior match {
+          case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+          case None => s.conf.unset("spark.sql.cbo.enabled")
+        }
+      },
+      """SELECT o.o_custkey % 25 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

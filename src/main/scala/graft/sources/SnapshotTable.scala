@@ -136,7 +136,8 @@ object SnapshotTable {
                              sortedBy: Option[String] = None,
                              bucketN: Option[Int] = None,
                              noNulls: Seq[String] = Nil,
-                             strStats: Map[String, (String, String)] = Map.empty) {
+                             strStats: Map[String, (String, String)] = Map.empty,
+                             ndv: Map[String, Seq[Long]] = Map.empty) {
     /** Logical (post-deletion-vector) row count. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 
@@ -169,6 +170,13 @@ object SnapshotTable {
     * (min,max) stats. */
   val BloomBits = 1024
   val BloomK = 4
+
+  /** Per-file KMV NDV sketch size: 64 min-hashes ≈ 12.5% relative
+    * error on the merged estimate — plenty for CBO join-size
+    * magnitudes — at ~700 JSON bytes per column per file, small
+    * enough that a declared `ndvCols` column never dominates the
+    * manifest. */
+  val NdvK = 64
 
   /** String zone-map truncation length, in code points. */
   val StrStatLen = 16
@@ -321,6 +329,14 @@ object SnapshotTable {
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType, containsNull = false)),
+      nullable = true),
+    // per-column KMV NDV sketches (see [[FileEntry.ndv]]); null on
+    // pre-NDV anchors
+    org.apache.spark.sql.types.StructField("ndv",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
       nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
@@ -343,7 +359,8 @@ object SnapshotTable {
           fe.bucketN.map(java.lang.Integer.valueOf).orNull,
           if (fe.noNulls.isEmpty) null else fe.noNulls,
           if (fe.strStats.isEmpty) null
-          else fe.strStats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) })): _*)
+          else fe.strStats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) },
+          if (fe.ndv.isEmpty) null else fe.ndv)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -382,7 +399,10 @@ object SnapshotTable {
         if (r.isNullAt(11)) Nil else r.getSeq[String](11),
         if (r.isNullAt(12)) Map.empty
         else r.getMap[String, scala.collection.Seq[String]](12)
-          .map { case (c, a) => c -> (a(0), a(1)) }.toMap)
+          .map { case (c, a) => c -> (a(0), a(1)) }.toMap,
+        if (r.isNullAt(13)) Map.empty
+        else r.getMap[String, scala.collection.Seq[Long]](13)
+          .map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap)
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -445,6 +465,14 @@ object SnapshotTable {
         fe.bloom.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, ws), j) =>
           if (j > 0) sb.append(',')
           sb.append(s""""$c":[${ws.mkString(",")}]""")
+        }
+        sb.append("}")
+      }
+      if (fe.ndv.nonEmpty) {
+        sb.append(""","ndv":{""")
+        fe.ndv.toSeq.sortBy(_._1).zipWithIndex.foreach { case ((c, ks), j) =>
+          if (j > 0) sb.append(',')
+          sb.append(s""""$c":[${ks.mkString(",")}]""")
         }
         sb.append("}")
       }
@@ -529,9 +557,21 @@ object SnapshotTable {
           strStats += e.getKey -> (e.getValue.get(0).asText, e.getValue.get(1).asText)
         }
       }
+      val nv = fe.path("ndv") // absent on pre-NDV-sketch manifests
+      val ndv = Map.newBuilder[String, Seq[Long]]
+      if (!nv.isMissingNode) {
+        val nit = nv.properties().iterator()
+        while (nit.hasNext) {
+          val e = nit.next()
+          val ks = Vector.newBuilder[Long]
+          val vs = e.getValue.elements()
+          while (vs.hasNext) ks += vs.next().asLong
+          ndv += e.getKey -> ks.result()
+        }
+      }
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
         stats.result(), bloom.result(), dv, bucket, sortedBy, bucketN,
-        noNulls, strStats.result())
+        noNulls, strStats.result(), ndv.result())
     }
     out.result()
   }
@@ -1086,6 +1126,23 @@ object SnapshotTable {
         dt == LongType || dt == StringType,
         s"statsCols column '$c' must be integral or string, got ${dt.simpleString}")
     }
+    // NDV sketches ride the table's declared `ndvCols` prop (physical
+    // names, like bucketBy), so EVERY rewrite path — appends, DML
+    // post-images, compaction, heal — re-records them without each
+    // call site threading the list: a column that loses its sketch on
+    // one file silently loses the table its plan-time NDV (the scan
+    // only reports columns covered by every file). Non-eligible or
+    // absent columns are skipped, never fatal.
+    val ndvCols = graft.sources.connector.GraftTableProps
+      .read(spark.sparkContext.hadoopConfiguration, dir)
+      .get("ndvCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .distinct
+      .filter(c => df.schema.fields.find(_.name == c).exists { fld =>
+        import org.apache.spark.sql.types._
+        Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+          .contains(fld.dataType)
+      })
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val stage = new Path(dir, s".stage-$nonce")
     val f = fs(spark, stage)
@@ -1108,7 +1165,9 @@ object SnapshotTable {
           count(col(c)).as(s"__cnt_$c"))) ++
         bloomCols.map(c => graft.functions.cat.BloomAgg(
           graft.functions.TextFunctions.polyHash(col(c).cast("string")),
-          BloomBits, BloomK).as(s"__bloom_$c")))
+          BloomBits, BloomK).as(s"__bloom_$c")) ++
+        ndvCols.map(c =>
+          graft.functions.cat.KmvValues(col(c), NdvK).as(s"__ndv_$c")))
     val perFile = staged
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1134,6 +1193,9 @@ object SnapshotTable {
       val blooms = bloomCols.map { c =>
         c -> r.getAs[scala.collection.Seq[Long]](s"__bloom_$c").toVector.asInstanceOf[Seq[Long]]
       }.toMap
+      val ndv = ndvCols.map { c =>
+        c -> r.getAs[scala.collection.Seq[Long]](s"__ndv_$c").toVector.asInstanceOf[Seq[Long]]
+      }.toMap
       val bucket = bucketing.flatMap { case (_, n) =>
         partIndexOf(base).filter(_ < n)
       }
@@ -1145,7 +1207,7 @@ object SnapshotTable {
         bucketN = bucket.flatMap(_ => bucketing.map(_._2)),
         noNulls = statsCols.filter(c =>
           r.getAs[Long](s"__cnt_$c") == r.getAs[Long]("__rows")).sorted,
-        strStats = strStats)
+        strStats = strStats, ndv = ndv)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version

@@ -272,6 +272,11 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (cols.nonEmpty) out += "clusterBy" -> cols.mkString(",")
     if (stats.nonEmpty) out += "statsCols" -> stats.mkString(",")
     if (blooms.nonEmpty) out += "bloomCols" -> blooms.mkString(",")
+    // partition keys ARE the join/group keys by design — record a
+    // per-file KMV NDV sketch for them so plan-time statistics carry a
+    // distinct-count estimate to the CBO (join reorder / size
+    // estimation) with zero data reads
+    if (stats.nonEmpty) out += "ndvCols" -> stats.mkString(",")
     bucketCol.foreach(c => out += "bucketBy" -> c)
     buckets.foreach(n => out += "buckets" -> n.toString)
     out.result()

@@ -366,7 +366,7 @@ object SnapshotV2Table {
   /** Table properties that act as write-layout defaults. */
   val LayoutProps: Seq[String] =
     Seq("statsCols", "bloomCols", "clusterBy", "clusterPartitions",
-      "bucketBy", "buckets", "targetFileRows")
+      "bucketBy", "buckets", "targetFileRows", "ndvCols")
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{abs, col, lit}
@@ -809,13 +809,61 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
   /** Post-skipping logical rows from the manifest; size is rows ×
     * the read schema's fixed-width estimate (the manifest stores row
     * counts, not byte sizes — this is the estimate Spark itself uses
-    * for in-memory width). Feeds broadcast-join selection. */
+    * for in-memory width). Feeds broadcast-join selection.
+    *
+    * Column-level NDV for the CBO: a table whose layout declares
+    * `ndvCols` carries a per-file KMV sketch in the manifest; merging
+    * the pruned files' sketches (union + keep-k — the KMV monoid) at
+    * plan time yields a table-level distinct-count estimate with ZERO
+    * data reads, O(files × k) driver work. With `spark.sql.cbo.enabled`
+    * these reach join-size estimation and reordering, where the
+    * defaults otherwise assume every join key is near-unique. A column
+    * gets a stat only when EVERY pruned file carries its sketch —
+    * absent beats wrong (a partial merge would undercount); dv-masked
+    * rows stay in their file's sketch, so a heavily-deleted file can
+    * overestimate, the safe direction for join planning. */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val files = prunedFiles
     private val rows =
-      if (agg.isDefined) 1L else prunedFiles.map(_.liveRows).sum
+      if (agg.isDefined) 1L else files.map(_.liveRows).sum
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(rows * readSchema().defaultSize, 1L))
     override def numRows(): OptionalLong = OptionalLong.of(rows)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (agg.isEmpty && files.nonEmpty) {
+        val logicalFor = physMap.map(_.swap) // sketch keys are physical
+        val out = readSchema().fieldNames.toSet
+        val covered = files.map(_.ndv.keySet).reduce(_ intersect _)
+        covered.foreach { pc =>
+          val logical = logicalFor.getOrElse(pc, pc)
+          if (out.contains(logical)) {
+            val merged = new java.util.TreeSet[java.lang.Long]()
+            files.foreach(_.ndv(pc).foreach { v =>
+              merged.add(v)
+              if (merged.size > SnapshotTable.NdvK) merged.pollLast()
+            })
+            val est = math.max(1L, graft.functions.cat.KmvSketch
+              .estimate(merged, SnapshotTable.NdvK))
+            val nulls =
+              if (files.forall(_.noNulls.contains(pc))) OptionalLong.of(0L)
+              else OptionalLong.empty()
+            m.put(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(logical),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): OptionalLong = OptionalLong.of(est)
+                override def nullCount(): OptionalLong = nulls
+              })
+          }
+        }
+      }
+      m
+    }
   }
 
   /** Identity EXCLUDES runtime filters: the planner must recognize the

@@ -225,7 +225,8 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
         cols("bloomCols").map(logicalName).map(c => pm.getOrElse(c, c)),
         SnapshotWriteSupport.rename(aligned, pm),
         bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)),
-        targetFileRows, defer)
+        targetFileRows, defer,
+        cols("ndvCols").map(logicalName).map(c => pm.getOrElse(c, c)))
     }
 
     override def toStreaming
@@ -251,7 +252,8 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
         mergeKey,
         SnapshotWriteSupport.rename(aligned, pm),
         bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)),
-        targetFileRows)
+        targetFileRows,
+        cols("ndvCols").map(logicalName).map(c => pm.getOrElse(c, c)))
     }
   }
 }
@@ -274,7 +276,8 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
                                    mergeKey: Option[String] = None,
                                    physSchema0: StructType = null,
                                    bucketSpec: Option[(String, Int)] = None,
-                                   targetFileRows: Long = 0L)
+                                   targetFileRows: Long = 0L,
+                                   ndvCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -282,14 +285,15 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
   private val physSchema =
     if (physSchema0 == null) schema else physSchema0
 
-  SnapshotWriteSupport.validate(physSchema, statsCols, bloomCols)
+  SnapshotWriteSupport.validate(physSchema, statsCols, bloomCols, ndvCols)
 
   private def epochTag(epochId: Long) = s"stream-epoch-$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     new SnapshotStreamingWriterFactory(dir, physSchema, statsCols, bloomCols,
-      java.util.UUID.randomUUID.toString.take(8), bucketSpec, targetFileRows)
+      java.util.UUID.randomUUID.toString.take(8), bucketSpec, targetFileRows,
+      ndvCols)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -297,7 +301,7 @@ final class SnapshotStreamingWrite(dir: String, schema: StructType,
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
         sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls,
-        strStats = w.strStats))
+        strStats = w.strStats, ndv = w.ndv))
     // replay guard is metadata-only: one commit-history walk
     val replayed = SnapshotTable.latestVersion(spark, dir).isDefined &&
       SnapshotTable.history(spark, dir).exists(_._2 == epochTag(epochId))
@@ -337,7 +341,8 @@ final class SnapshotStreamingWriterFactory(dir: String, schema: StructType,
                                            statsCols: Seq[String],
                                            bloomCols: Seq[String], nonce: String,
                                            bucketSpec: Option[(String, Int)] = None,
-                                           targetFileRows: Long = 0L)
+                                           targetFileRows: Long = 0L,
+                                           ndvCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -346,10 +351,11 @@ final class SnapshotStreamingWriterFactory(dir: String, schema: StructType,
       case Some((col, n)) =>
         new BucketedDataWriter(dir, schema, statsCols, bloomCols, col, n,
           targetFileRows, (b, seg) =>
-            f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId-b$b%05d-s$seg%03d.parquet")
+            f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId-b$b%05d-s$seg%03d.parquet",
+          ndvCols)
       case None =>
         new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
-          f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId.parquet")
+          f"data/$nonce-e$epochId-p$partitionId%05d-t$taskId.parquet", ndvCols)
     }
 }
 
@@ -359,7 +365,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
                                physSchema0: StructType = null,
                                bucketSpec: Option[(String, Int)] = None,
                                targetFileRows: Long = 0L,
-                               defer: Option[Seq[FileEntry] => Unit] = None)
+                               defer: Option[Seq[FileEntry] => Unit] = None,
+                               ndvCols: Seq[String] = Nil)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -369,17 +376,18 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
 
   // fail at planning, not mid-write: every column writable, every
   // stats column integral, every bloom column a string
-  SnapshotWriteSupport.validate(physSchema, statsCols, bloomCols)
+  SnapshotWriteSupport.validate(physSchema, statsCols, bloomCols, ndvCols)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SnapshotWriterFactory(dir, physSchema, statsCols, bloomCols,
-      java.util.UUID.randomUUID.toString.take(8), bucketSpec, targetFileRows)
+      java.util.UUID.randomUUID.toString.take(8), bucketSpec, targetFileRows,
+      ndvCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = SnapshotWriteSupport.writtenFiles(messages).map(w =>
       FileEntry(w.path, w.rows, w.stats, w.bloom, bucket = w.bucket,
         sortedBy = w.sortedBy, bucketN = w.bucketN, noNulls = w.noNulls,
-        strStats = w.strStats))
+        strStats = w.strStats, ndv = w.ndv))
     defer match {
       // staged DDL (RTAS / atomic CTAS): the files are on disk but
       // NOTHING is published — GraftStagedTable.commitStagedChanges
@@ -416,7 +424,8 @@ final case class WrittenFile(path: String, rows: Long,
                              sortedBy: Option[String] = None,
                              bucketN: Option[Int] = None,
                              noNulls: Seq[String] = Nil,
-                             strStats: Map[String, (String, String)] = Map.empty)
+                             strStats: Map[String, (String, String)] = Map.empty,
+                             ndv: Map[String, Seq[Long]] = Map.empty)
   extends WriterCommitMessage
 
 /** A bucketed task's files — one per bucket id it received. */
@@ -427,7 +436,8 @@ final class SnapshotWriterFactory(dir: String, schema: StructType,
                                   statsCols: Seq[String],
                                   bloomCols: Seq[String], nonce: String,
                                   bucketSpec: Option[(String, Int)] = None,
-                                  targetFileRows: Long = 0L)
+                                  targetFileRows: Long = 0L,
+                                  ndvCols: Seq[String] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -436,13 +446,14 @@ final class SnapshotWriterFactory(dir: String, schema: StructType,
         new BucketedDataWriter(dir, schema, statsCols, bloomCols, col, n,
           targetFileRows,
           // taskId is unique per attempt (same note as below)
-          (b, seg) => f"data/$nonce-p$partitionId%05d-t$taskId-b$b%05d-s$seg%03d.parquet")
+          (b, seg) => f"data/$nonce-p$partitionId%05d-t$taskId-b$b%05d-s$seg%03d.parquet",
+          ndvCols)
       case None =>
         new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
           // taskId is unique per attempt: a speculative/retried attempt
           // writes a distinct file; only the committed attempt's message
           // reaches the manifest
-          f"data/$nonce-p$partitionId%05d-t$taskId.parquet")
+          f"data/$nonce-p$partitionId%05d-t$taskId.parquet", ndvCols)
     }
 }
 
@@ -471,7 +482,8 @@ private final class BucketedDataWriter(dir: String, schema: StructType,
                                        bloomCols: Seq[String],
                                        bucketCol: String, n: Int,
                                        targetFileRows: Long,
-                                       relPath: (Int, Int) => String)
+                                       relPath: (Int, Int) => String,
+                                       ndvCols: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fieldIndex(bucketCol)
@@ -505,7 +517,7 @@ private final class BucketedDataWriter(dir: String, schema: StructType,
     def write(row: InternalRow, key: Any): Unit = {
       if (writer == null)
         writer = new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
-          relPath(b, seg))
+          relPath(b, seg), ndvCols)
       else if (targetFileRows > 0 && rowsInSeg >= targetFileRows) roll()
       if (sawRow && keyLt(lastKey, key)) segSorted = false
       // UTF8String may alias a reused row buffer; detach before keeping
@@ -525,7 +537,7 @@ private final class BucketedDataWriter(dir: String, schema: StructType,
       segSorted = true
       sawRow = false
       writer = new SnapshotDataWriter(dir, schema, statsCols, bloomCols,
-        relPath(b, seg))
+        relPath(b, seg), ndvCols)
     }
 
     def finishSeg(): Unit = if (writer != null) {
@@ -713,15 +725,16 @@ private object SnapshotWriteSupport {
     else StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
 
   def validate(schema: StructType, statsCols: Seq[String],
-               bloomCols: Seq[String]): Unit = {
+               bloomCols: Seq[String], ndvCols: Seq[String] = Nil): Unit = {
     GraftSnapshotSource.validateReadable(schema)
-    statsCols.foreach { c =>
-      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
-        throw new IllegalArgumentException(s"statsCols column '$c' is not in the written schema"))
-      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
-        dt == LongType || dt == StringType,
-        s"statsCols column '$c' must be integral or string, got ${dt.simpleString}")
-    }
+    (statsCols.map(("statsCols", _)) ++ ndvCols.map(("ndvCols", _)))
+      .foreach { case (what, c) =>
+        val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(s"$what column '$c' is not in the written schema"))
+        require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+          dt == LongType || dt == StringType,
+          s"$what column '$c' must be integral or string, got ${dt.simpleString}")
+      }
     bloomCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"bloomCols column '$c' is not in the written schema"))
@@ -764,7 +777,8 @@ private object SnapshotWriteSupport {
 private final class SnapshotDataWriter(dir: String, schema: StructType,
                                        statsCols: Seq[String],
                                        bloomCols: Seq[String],
-                                       relPath: String)
+                                       relPath: String,
+                                       ndvCols: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val messageType = SnapshotWriteSupport.messageTypeFor(schema)
@@ -790,6 +804,12 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
   private val bloomIdx = bloomCols.map(c => c -> schema.fieldIndex(c))
   private val bloomBits = bloomCols.map(_ ->
     new Array[Long](SnapshotTable.BloomBits / 64)).toMap
+  // per-file KMV NDV sketch: k smallest mixed hashes of the value's
+  // string form — the same domain the staged-batch agg (KmvValues)
+  // produces, so sketches from either write path merge at plan time
+  private val ndvIdx = ndvCols.map(c => c -> schema.fieldIndex(c))
+  private val ndvSets = ndvCols.map(_ ->
+    new java.util.TreeSet[java.lang.Long]()).toMap
 
   /** Lazy: an empty partition writes no file at all. */
   private def openedWriter() = {
@@ -860,6 +880,22 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
           SnapshotTable.BloomK)
       }
     }
+    ndvIdx.foreach { case (c, idx) =>
+      if (!row.isNullAt(idx)) {
+        // hash the CAST-to-string form (integral types print as
+        // decimal digits — identical to Spark's string cast)
+        val u = schema.fields(idx).dataType match {
+          case StringType => row.getUTF8String(idx)
+          case ByteType => UTF8String.fromString(row.getByte(idx).toString)
+          case ShortType => UTF8String.fromString(row.getShort(idx).toString)
+          case IntegerType => UTF8String.fromString(row.getInt(idx).toString)
+          case _ => UTF8String.fromString(row.getLong(idx).toString)
+        }
+        val s = ndvSets(c)
+        s.add(graft.functions.cat.KmvSketch.hash(u))
+        if (s.size > SnapshotTable.NdvK) s.pollLast()
+      }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -878,7 +914,12 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
     WrittenFile(relPath, rows, stats,
       bloomCols.map(c => c -> bloomBits(c).toVector.asInstanceOf[Seq[Long]]).toMap,
       noNulls = statsCols.filter(c => statCnt(c) == rows).sorted,
-      strStats = strStats)
+      strStats = strStats,
+      ndv = ndvCols.map { c =>
+        val out = Vector.newBuilder[Long]
+        ndvSets(c).forEach(v => out += v)
+        c -> (out.result(): Seq[Long])
+      }.toMap)
   }
 
   override def abort(): Unit = close()
