@@ -2433,6 +2433,69 @@ object ParityQueries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Equality deletes (round-15): the Iceberg-v2 cost class for
+    // high-churn CDC on keys the zone maps can't prune. The table is
+    // written UNCLUSTERED on the delete key (round-robin files — every
+    // per-file range overlaps, so the dv path would scan the whole
+    // table per epoch); deleteByKey instead writes ONE tiny key
+    // sidecar and attaches refs — asserted in-query: each epoch grows
+    // the data dir by EXACTLY one file (the sidecar; zero data files
+    // rewritten) and attaches to every live file (nothing refutable).
+    // Sequencing is structural: rows appended AFTER epoch 1 keep their
+    // epoch-1 keys (new files never carry the old ref) while epoch 2
+    // masks both generations. The final read runs through the pending
+    // masks; the oracle recomputes it from raw orders.
+    "q7K_equality_delete" -> QueryDef(
+      (s, dir) => {
+        val src = snapDir(s, dir, "t7K")
+        val ords = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price"))
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 0).repartition(8),
+          src, "overwrite", Seq("o_custkey"))
+        def dataCount(): Int = {
+          val p = new org.apache.hadoop.fs.Path(src, "data")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .listStatus(p).length
+        }
+        val keys1 = ords.filter(col("o_custkey") % 13 === 3)
+          .select(col("o_custkey")).distinct()
+        val n0 = dataCount()
+        graft.sources.SnapshotTable.deleteByKey(s, src, "o_custkey", keys1)
+        require(dataCount() == n0 + 1,
+          "equality delete must write exactly one sidecar, no data files")
+        val m1 = graft.sources.SnapshotTable.readManifest(s, src,
+          graft.sources.SnapshotTable.latestVersion(s, src).get)
+        require(m1.files.forall(_.eqDv.nonEmpty),
+          "unclustered key: every file should carry the ref")
+        // appended rows are NEWER than epoch 1: their %13==3 keys live
+        graft.sources.SnapshotTable.write(s,
+          ords.filter(col("o_orderkey") % 2 === 1), src, "append",
+          Seq("o_custkey"))
+        val keys2 = ords.filter(col("o_custkey") % 13 === 7)
+          .select(col("o_custkey")).distinct()
+        val n1 = dataCount()
+        graft.sources.SnapshotTable.deleteByKey(s, src, "o_custkey", keys2)
+        require(dataCount() == n1 + 1,
+          "second epoch must also be sidecar-only")
+        graft.sources.SnapshotTable.scan(s, src)
+          .groupBy((col("o_custkey") % 20).as("slot"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sp"))
+          .orderBy("slot")
+      },
+      """WITH live AS (
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |    AND o_custkey % 13 <> 3 AND o_custkey % 13 <> 7
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_custkey % 13 <> 7)
+        |SELECT o_custkey % 20 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

@@ -137,8 +137,13 @@ object SnapshotTable {
                              bucketN: Option[Int] = None,
                              noNulls: Seq[String] = Nil,
                              strStats: Map[String, (String, String)] = Map.empty,
-                             ndv: Map[String, Seq[Long]] = Map.empty) {
-    /** Logical (post-deletion-vector) row count. */
+                             ndv: Map[String, Seq[Long]] = Map.empty,
+                             eqDv: Seq[String] = Nil) {
+    /** Logical (post-deletion-vector) row count. With pending
+      * EQUALITY deletes ([[eqDv]] non-empty) this is an UPPER BOUND:
+      * the matched-row count is unknown until read or fold time — the
+      * metadata-count pushdown refuses such files and statistics
+      * overestimate, the safe direction. */
     def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
 
     /** True when this file's recorded bucket id is trustworthy under a
@@ -337,6 +342,12 @@ object SnapshotTable {
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType, containsNull = false)),
+      nullable = true),
+    // equality-delete sidecar paths (see [[FileEntry.eqDv]]); null on
+    // pre-equality-delete anchors
+    org.apache.spark.sql.types.StructField("eq_dv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
       nullable = true)))
 
   /** Best-effort derived parquet anchor for a just-published full
@@ -360,7 +371,8 @@ object SnapshotTable {
           if (fe.noNulls.isEmpty) null else fe.noNulls,
           if (fe.strStats.isEmpty) null
           else fe.strStats.map { case (c, (lo, hi)) => c -> Seq(lo, hi) },
-          if (fe.ndv.isEmpty) null else fe.ndv)): _*)
+          if (fe.ndv.isEmpty) null else fe.ndv,
+          if (fe.eqDv.isEmpty) null else fe.eqDv)): _*)
       val tmp = new Path(logDir(dir), s".ckpt-pq-${java.util.UUID.randomUUID}")
       val f = fs(spark, tmp)
       spark.createDataFrame(rows, AnchorSchema).coalesce(1)
@@ -402,7 +414,8 @@ object SnapshotTable {
           .map { case (c, a) => c -> (a(0), a(1)) }.toMap,
         if (r.isNullAt(13)) Map.empty
         else r.getMap[String, scala.collection.Seq[Long]](13)
-          .map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap)
+          .map { case (c, a) => c -> (a.toVector: Seq[Long]) }.toMap,
+        if (r.isNullAt(14)) Nil else r.getSeq[String](14))
     }
     Manifest(version, rows.headOption.map(_.getString(4)).getOrElse("anchor"),
       files, rows.headOption.map(_.getLong(5)).getOrElse(0L))
@@ -481,6 +494,8 @@ object SnapshotTable {
       }
       if (fe.noNulls.nonEmpty)
         sb.append(s""","nn":[${fe.noNulls.sorted.map(c => s"\"$c\"").mkString(",")}]""")
+      if (fe.eqDv.nonEmpty)
+        sb.append(s""","eq":[${fe.eqDv.map(p => s"\"$p\"").mkString(",")}]""")
       fe.bucket.foreach(b => sb.append(s""","bucket":$b"""))
       fe.bucketN.foreach(n => sb.append(s""","bucketN":$n"""))
       fe.sortedBy.foreach(c => sb.append(s""","sortedBy":"$c""""))
@@ -569,9 +584,18 @@ object SnapshotTable {
           ndv += e.getKey -> ks.result()
         }
       }
+      val eqn = fe.path("eq") // absent on pre-equality-delete manifests
+      val eqDv =
+        if (eqn.isMissingNode) Nil
+        else {
+          val b = Vector.newBuilder[String]
+          val it3 = eqn.elements()
+          while (it3.hasNext) b += it3.next().asText
+          b.result()
+        }
       out += FileEntry(fe.get("path").asText, fe.get("rows").asLong,
         stats.result(), bloom.result(), dv, bucket, sortedBy, bucketN,
-        noNulls, strStats.result(), ndv.result())
+        noNulls, strStats.result(), ndv.result(), eqDv)
     }
     out.result()
   }
@@ -929,7 +953,7 @@ object SnapshotTable {
         if (carry) latest.map(readManifest(spark, dir, _).files).getOrElse(Nil)
         else Nil
       if (removed.nonEmpty) {
-        val currentDv = current.map(fe => fe.path -> fe.dv.map(_._1)).toMap
+        val currentDv = current.map(fe => fe.path -> changeToken(fe)).toMap
         val gone = removed.filter { case (p, sawDv) =>
           !currentDv.get(p).contains(sawDv)
         }.keys
@@ -1345,11 +1369,21 @@ object SnapshotTable {
   private[graft] def resolvePath(dir: String, p: String): String =
     if (p.startsWith("/") || p.contains(":/")) p else s"$dir/$p"
 
+  /** A file's CONTENT-CHANGE token: the deletion-vector ref plus the
+    * equality-delete ref set. Two manifest entries for the same path
+    * are the "same rows" exactly when their tokens match — the unit
+    * the commit conflict check compares, so a concurrent dv attach OR
+    * eq-delete attach on a file this transaction read aborts it. */
+  private def changeToken(fe: FileEntry): Option[String] =
+    if (fe.dv.isEmpty && fe.eqDv.isEmpty) None
+    else Some(fe.dv.map(_._1).getOrElse("") +
+      fe.eqDv.sorted.mkString("#", "#", ""))
+
   /** A rewrite transaction's file-level read set: each file it read,
-    * with the deletion-vector ref seen at read time ([[commit]]'s
+    * with the change token seen at read time ([[commit]]'s
     * conflict unit). */
   private def readSetOf(files: Seq[FileEntry]): Map[String, Option[String]] =
-    files.map(fe => fe.path -> fe.dv.map(_._1)).toMap
+    files.map(fe => fe.path -> changeToken(fe)).toMap
 
   /** Read `files` with deletion vectors applied (merge-on-read) and,
     * when `keepPos`, the per-row provenance columns `__graft_file`
@@ -1394,7 +1428,10 @@ object SnapshotTable {
       .withColumn("__graft_file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-    val (dvd, plainFiles) = files.partition(_.dv.isDefined)
+    // masked leg = deletion-vector positions AND/OR pending equality
+    // deletes; both apply merge-on-read
+    val (dvd, plainFiles) = files.partition(fe =>
+      fe.dv.isDefined || fe.eqDv.nonEmpty)
     if (dvd.isEmpty)
       return if (!keepPos) read(files, knownSchema)
       else withPos(read(files, knownSchema))
@@ -1422,19 +1459,42 @@ object SnapshotTable {
       return if (plainFiles.isEmpty) dvLeg
       else read(plainFiles, Some(schema)).unionByName(dvLeg)
     }
-    val dvPaths = dvd.flatMap(_.dv.map(_._1)).distinct
-    // a shared dv sidecar may carry positions for files outside this
-    // read set (or since rewritten under a new name); the anti-join
-    // ignores them by construction
-    val dv = spark.read.parquet(dvPaths.map(p => resolvePath(dir, p)): _*)
-      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-    val maskedDvd = {
-      val wp = withPos(read(dvd, Some(schema)))
-      wp.join(broadcast(dv),
-        wp("__graft_file") === dv("__dv_file") &&
-          wp("__graft_pos") === dv("__dv_pos"),
-        "left_anti")
-    }
+    // the fallback anti-join leg groups the masked files by their
+    // equality-delete ref set (heterogeneous sets arise when appends
+    // interleave with deleteByKey epochs): each group dv-masks, then
+    // anti-joins the broadcast union of its sidecars' keys. The key
+    // column resolves by the sidecar's own (physical) column name.
+    def eqMask(leg0: DataFrame, eqs: Seq[String]): DataFrame =
+      eqs.foldLeft(leg0) { (leg, pth) =>
+        val ks = spark.read.parquet(resolvePath(dir, pth))
+        val kc = ks.columns.head
+        val legCol =
+          if (leg.columns.contains(kc)) kc
+          else schema.fields.find(f => physicalName(f) == kc)
+            .map(_.name).getOrElse(kc)
+        leg.join(broadcast(ks.select(col(s"`$kc`").as("__eq_key"))),
+          leg(s"`$legCol`") === col("__eq_key"), "left_anti")
+      }
+    val maskedDvd = dvd.groupBy(_.eqDv.sorted).toSeq.sortBy(_._1.mkString(","))
+      .map { case (eqs, fs2) =>
+        val dvPaths = fs2.flatMap(_.dv.map(_._1)).distinct
+        val wp = withPos(read(fs2, Some(schema)))
+        val dvMasked =
+          if (dvPaths.isEmpty) wp
+          else {
+            // a shared dv sidecar may carry positions for files outside
+            // this read set (or since rewritten under a new name); the
+            // anti-join ignores them by construction
+            val dv = spark.read
+              .parquet(dvPaths.map(p => resolvePath(dir, p)): _*)
+              .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+            wp.join(broadcast(dv),
+              wp("__graft_file") === dv("__dv_file") &&
+                wp("__graft_pos") === dv("__dv_pos"),
+              "left_anti")
+          }
+        eqMask(dvMasked, eqs)
+      }.reduce(_ unionByName _)
     val out =
       if (plainFiles.isEmpty) maskedDvd
       else if (keepPos) withPos(read(plainFiles, Some(schema)))
@@ -2185,6 +2245,89 @@ object SnapshotTable {
     }
   }
 
+  /** EQUALITY DELETE: commit the KEY VALUES, not positions — the
+    * Iceberg-v2 equality-delete cost class for high-churn CDC ingest
+    * where the key misses the zone maps. [[deleteVectors]] must SCAN
+    * the (stats-pruned) candidate files to find matched positions; on
+    * an UNCLUSTERED key that is a table scan per epoch. This path
+    * writes the distinct keys as one tiny sidecar parquet and attaches
+    * its ref to the affected manifest entries — O(batch) bytes and
+    * O(files) metadata per epoch, ZERO data reads. Readers subtract
+    * matching rows (merge-on-read: the V2 readers mask in-flight, the
+    * programmatic path anti-joins); [[purgeDeletes]] and [[compact]]
+    * fold pending equality deletes into the files, restoring
+    * metadata-exact counts and vectorized reads.
+    *
+    * Trades, stated plainly: while equality deletes are pending,
+    * COUNT cannot answer from metadata for affected files, per-file
+    * liveRows is an upper bound, and affected scans run the row-based
+    * readers. That is the right trade exactly when deletes are
+    * frequent and reads are batched — fold on a maintenance cadence.
+    *
+    * Files whose stats range refutes the whole key batch are skipped
+    * at attach time (metadata-level pruning), so on a CLUSTERED key
+    * this degrades gracefully toward the dv path's selectivity.
+    * Sequencing is structural: rows appended AFTER this commit land in
+    * new files that never carry the ref, so re-inserting a deleted key
+    * works (Iceberg sequence-number semantics via the flat file list).
+    *
+    * `keys` is a one-column frame of key values (null keys never
+    * match, SQL equality). Returns the new version — or the current
+    * one when every file refutes the batch. */
+  def deleteByKey(spark: SparkSession, dir: String, keyCol: String,
+                  keys: DataFrame): Long =
+    retryOnConflict(s"equality delete on $dir") {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"cannot delete from empty table $dir"))
+      val m = readManifest(spark, dir, v)
+      val known = tableSchema(spark, dir, v)
+      val field = known.flatMap(_.fields.find(_.name == keyCol))
+      val phys = field.map(physicalName).getOrElse(keyCol)
+      val dt = field.map(_.dataType)
+      dt.foreach { d =>
+        import org.apache.spark.sql.types._
+        require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+          .contains(d),
+          s"deleteByKey key '$keyCol' must be integral or string, got ${d.simpleString}")
+      }
+      require(keys.columns.length == 1,
+        s"deleteByKey wants a one-column key frame, got ${keys.columns.toSeq}")
+      val keyDf = keys
+        .select(dt.fold(col(s"`${keys.columns.head}`"))(d =>
+          col(s"`${keys.columns.head}`").cast(d)).as(phys))
+        .filter(col(s"`$phys`").isNotNull).distinct()
+      // one tiny agg over the BATCH (not the table): its bounds refute
+      // whole files through the manifest ranges, like a static filter
+      val isIntegral = dt.exists(_ !=
+        org.apache.spark.sql.types.StringType) && dt.isDefined
+      val bounds: Option[(Long, Long)] =
+        if (!isIntegral) None
+        else {
+          val r = keyDf.agg(min(col(s"`$phys`")).cast("long"),
+            max(col(s"`$phys`")).cast("long")).head
+          if (r.isNullAt(0)) return v // empty batch: nothing to do
+          Some((r.getLong(0), r.getLong(1)))
+        }
+      // range-disjoint files can hold no matching row (null keys were
+      // dropped from the batch — SQL equality never matches null)
+      val affected = m.files.filter { fe =>
+        bounds.flatMap(b => fe.stats.get(phys).map(s =>
+          !(b._2 < s._1 || b._1 > s._2))).getOrElse(true)
+      }
+      if (affected.isEmpty) return v
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val rel = s"data/$nonce-eq.parquet"
+      writeSingleParquet(spark, dir, keyDf, rel)
+      val updated = affected.map(fe => fe.copy(eqDv = (fe.eqDv :+ rel).distinct))
+      try commit(spark, dir, "delete-eq", updated,
+        removed = readSetOf(affected), carry = true)
+      catch {
+        case e: CommitConflictException =>
+          fs(spark, new Path(dir)).delete(new Path(dir, rel), false)
+          throw e
+      }
+    }
+
   /** UPDATE WHERE via deletion vectors (merge-on-read): matched rows'
     * positions join the consolidated vector and their TRANSFORMED
     * images land in freshly appended files — one commit, no data file
@@ -2685,7 +2828,11 @@ object SnapshotTable {
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalStateException(s"cannot purge empty table $dir"))
       val m = readManifest(spark, dir, v)
-      val dvd = m.files.filter(_.dv.isDefined)
+      // pending EQUALITY deletes fold here too: the rewrite reads
+      // through the merge-on-read mask, so the fresh files hold only
+      // live rows and carry no eqDv ref — restoring metadata-exact
+      // counts and vectorized reads
+      val dvd = m.files.filter(fe => fe.dv.isDefined || fe.eqDv.nonEmpty)
       if (dvd.isEmpty) v
       else {
         // rewrite per bucket GROUP so a bucketed table's layout (and
@@ -2832,9 +2979,10 @@ object SnapshotTable {
     def planSweep(tagged: Set[Long]) = {
       val pinned = below.filter(tagged)
       val kept = pinned ++ kept0
-      // Deletion-vector sidecars are referenced data like any file.
+      // Deletion-vector and equality-delete sidecars are referenced
+      // data like any file.
       val referenced = kept.flatMap(readManifest(spark, dir, _).files
-        .flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)).toSet
+        .flatMap(fe => (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv)).toSet
       (pinned, below.filterNot(tagged), referenced)
     }
     val tagged0 = listTags(spark, dir).map(_.version).toSet
@@ -3101,7 +3249,8 @@ object SnapshotTable {
         def absolutize(p: String) = if (isAbs(p)) p else s"$srcRoot/$p"
         m.files.map(fe => fe.copy(
           path = absolutize(fe.path),
-          dv = fe.dv.map { case (p, n) => (absolutize(p), n) }))
+          dv = fe.dv.map { case (p, n) => (absolutize(p), n) },
+          eqDv = fe.eqDv.map(absolutize)))
       } else {
         val dstFs = fs(spark, new Path(dstDir))
         dstFs.mkdirs(dataDir(dstDir))
@@ -3110,7 +3259,8 @@ object SnapshotTable {
         // entries land as data/<basename>, de-collided by prefix when
         // two chained roots happen to share a basename
         val taken = scala.collection.mutable.Set[String]()
-        val relOf = m.files.flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)
+        val relOf = m.files.flatMap(fe =>
+          (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv)
           .distinct.map { p =>
             val want = if (isAbs(p)) s"data/${new Path(p).getName}" else p
             var (cand, i) = (want, 0)
@@ -3125,7 +3275,8 @@ object SnapshotTable {
         }
         m.files.map(fe => fe.copy(
           path = relOf(fe.path),
-          dv = fe.dv.map { case (p, n) => (relOf(p), n) }))
+          dv = fe.dv.map { case (p, n) => (relOf(p), n) },
+          eqDv = fe.eqDv.map(relOf)))
       }
     if (!deep) {
       // Pin the shared files through every upstream root's retention.
@@ -3145,7 +3296,8 @@ object SnapshotTable {
       // foreign root too, at its newest version that still covers the
       // borrowed set, so dropping the INTERMEDIATE clone's pin can
       // never dangle this one. Versions scan is metadata-only.
-      val foreign = m.files.flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)
+      val foreign = m.files.flatMap(fe =>
+        (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv)
         .filter(isAbs)
       foreign.groupBy { p =>
         val i = p.lastIndexOf("/data/")
@@ -3157,7 +3309,7 @@ object SnapshotTable {
         val need = refs.toSet
         val cover = versions(spark, root).reverse.find { rv =>
           val have = readManifest(spark, root, rv).files
-            .flatMap(fe => fe.path +: fe.dv.map(_._1).toSeq)
+            .flatMap(fe => (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv)
             .map(p => if (isAbs(p)) p else s"$rootQual/$p").toSet
           need.subsetOf(have)
         }.getOrElse(throw new IllegalStateException(
@@ -3323,7 +3475,8 @@ object SnapshotTable {
       try {
         val entries = bm.files.map(fe => fe.copy(
           path = toMain(fe.path),
-          dv = fe.dv.map { case (p, n) => (toMain(p), n) }))
+          dv = fe.dv.map { case (p, n) => (toMain(p), n) },
+          eqDv = fe.eqDv.map(toMain)))
         commit(spark, dir, "fast_forward", entries, carry = false,
           schemaJson = schemaJson, keepMapping = true,
           expectLatest = Some(base))
@@ -3346,7 +3499,8 @@ object SnapshotTable {
     val bEntries = mm.files.map(fe => fe.copy(
       path = if (isAbs(fe.path)) fe.path else s"$mainRoot/${fe.path}",
       dv = fe.dv.map { case (p, n) =>
-        (if (isAbs(p)) p else s"$mainRoot/$p", n) }))
+        (if (isAbs(p)) p else s"$mainRoot/$p", n) },
+      eqDv = fe.eqDv.map(p => if (isAbs(p)) p else s"$mainRoot/$p")))
     commit(spark, bdir, "fast_forward", bEntries, carry = false,
       schemaJson = schemaJson, keepMapping = true)
     graft.sources.connector.GraftTableProps.write(hconf, bdir,

@@ -85,29 +85,60 @@ object ChangesTable {
             .getOrElse(Nil)
           val prevByPath = prev.map(fe => fe.path -> fe).toMap
           val curByPath = m.files.map(fe => fe.path -> fe).toMap
+          // a file's pending EQUALITY deletes mask its replays exactly
+          // like its dv does; the per-column merged key sets load from
+          // the driver-cached sidecars
+          def eqOf(fe: FileEntry): Seq[(String, Seq[String])] =
+            SnapshotPartitions.EqSidecars.skipFor(dir, fe)
           def part(fe: FileEntry, tpe: String,
                    skipDv: Option[String],
                    keepFrom: Option[String] = None,
-                   keepMinus: Option[String] = None) =
+                   keepMinus: Option[String] = None,
+                   eqSkip: Seq[(String, Seq[String])] = Nil,
+                   eqKeepOnly: Option[(String, Seq[String])] = None) =
             ChangeFilePartition(SnapshotTable.resolvePath(dir, fe.path),
               new org.apache.hadoop.fs.Path(fe.path).getName, fe.rows,
               skipDv.map(p => SnapshotTable.resolvePath(dir, p)),
               keepFrom.map(p => SnapshotTable.resolvePath(dir, p)),
-              keepMinus.map(p => SnapshotTable.resolvePath(dir, p)), tpe, v)
+              keepMinus.map(p => SnapshotTable.resolvePath(dir, p)), tpe, v,
+              eqSkip, eqKeepOnly)
           m.files.filterNot(fe => prevByPath.contains(fe.path)).foreach(fe =>
-            out += part(fe, "upsert", fe.dv.map(_._1)))
+            out += part(fe, "upsert", fe.dv.map(_._1), eqSkip = eqOf(fe)))
           prev.filterNot(fe => curByPath.contains(fe.path)).foreach(fe =>
-            out += part(fe, "delete", fe.dv.map(_._1)))
-          // same path, different vector: replay only the delta
+            out += part(fe, "delete", fe.dv.map(_._1), eqSkip = eqOf(fe)))
+          // same path, different vector: replay only the delta (rows
+          // already equality-deleted at the PREVIOUS version never
+          // re-emit — they were deleted then, not now)
           m.files.foreach { cur =>
             prevByPath.get(cur.path).foreach { old =>
               if (old.dv.map(_._1) != cur.dv.map(_._1)) {
                 if (cur.dv.isDefined) // newly-deleted = curDv \ oldDv
                   out += part(cur, "delete", None,
-                    keepFrom = cur.dv.map(_._1), keepMinus = old.dv.map(_._1))
+                    keepFrom = cur.dv.map(_._1), keepMinus = old.dv.map(_._1),
+                    eqSkip = eqOf(old))
                 if (old.dv.isDefined) // restored = oldDv \ curDv
                   out += part(cur, "upsert", None,
-                    keepFrom = old.dv.map(_._1), keepMinus = cur.dv.map(_._1))
+                    keepFrom = old.dv.map(_._1), keepMinus = cur.dv.map(_._1),
+                    eqSkip = eqOf(old))
+              }
+              // same path, new equality-delete refs: the commit deleted
+              // the rows matching the NEW keys (minus keys already
+              // pending) — replay exactly those as delete pre-images
+              val newRefs = cur.eqDv.filterNot(old.eqDv.contains)
+              if (newRefs.nonEmpty) {
+                val oldKeys = eqOf(old).toMap
+                val fresh = newRefs
+                  .map(pp => SnapshotPartitions.EqSidecars
+                    .load(SnapshotTable.resolvePath(dir, pp)))
+                  .groupBy(_._1)
+                  .map { case (c, ks) =>
+                    c -> ks.flatMap(_._2).distinct
+                      .filterNot(oldKeys.getOrElse(c, Nil).toSet)
+                  }.filter(_._2.nonEmpty)
+                fresh.toSeq.sortBy(_._1).foreach { case (c, ks) =>
+                  out += part(cur, "delete", cur.dv.map(_._1),
+                    eqSkip = eqOf(old), eqKeepOnly = Some((c, ks)))
+                }
               }
             }
           }
@@ -126,7 +157,9 @@ final case class ChangeFilePartition(fileUri: String, baseName: String,
                                      skipDvUri: Option[String],
                                      keepFromUri: Option[String],
                                      keepMinusUri: Option[String],
-                                     changeType: String, version: Long)
+                                     changeType: String, version: Long,
+                                     eqSkip: Seq[(String, Seq[String])] = Nil,
+                                     eqKeepOnly: Option[(String, Seq[String])] = None)
   extends InputPartition
 
 final class SnapshotChangesTable(dir: String, tableSchema: StructType)
@@ -357,6 +390,8 @@ final class ChangesReaderFactory(physSchema: StructType)
       physSchema,
       skipOverride = skip.orElse(Some(new java.util.HashSet[java.lang.Long]())),
       keepOnly = keep,
-      extra = Array(UTF8String.fromString(c.changeType), c.version))
+      extra = Array(UTF8String.fromString(c.changeType), c.version),
+      eqSkipOverride = Some(c.eqSkip),
+      eqKeepOnly = c.eqKeepOnly)
   }
 }

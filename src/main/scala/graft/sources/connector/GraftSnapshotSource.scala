@@ -521,6 +521,10 @@ final class SnapshotScanBuilder(tableSchema: StructType, dir: String,
   private def planMetadataAgg(a: Aggregation): Option[(StructType, Array[Any])] = {
     if (a.groupByExpressions.nonEmpty) return None
     val m = manifest
+    // pending EQUALITY deletes make every metadata answer an upper
+    // bound (matched-row counts are unknown until read/fold) — fall
+    // back to a real scan until purge_deletes/compact folds them
+    if (m.files.exists(_.eqDv.nonEmpty)) return None
     val anyDv = m.files.exists(_.dv.isDefined)
     def statsCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -804,7 +808,12 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
       if (agg.isDefined) readSchema() else physSchema(readSchema()),
       // in-file row-group/page pruning rides the same skipping
       // filters, rewritten to the files' physical column names
-      (skipping ++ runtimeSkipping).toSeq.map(SnapshotScan.mapAttrs(_, phys)))
+      (skipping ++ runtimeSkipping).toSeq.map(SnapshotScan.mapAttrs(_, phys)),
+      // pending equality deletes mask in the ROW readers (the value
+      // test needs decoded key columns); Spark requires the columnar
+      // verdict to be scan-uniform, so ANY eq-carrying file in the
+      // version parks the whole scan on rows until the next fold
+      rowsOnly = manifest.files.exists(_.eqDv.nonEmpty))
 
   /** Post-skipping logical rows from the manifest; size is rows ×
     * the read schema's fixed-width estimate (the manifest stores row

@@ -155,10 +155,17 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
           s"version $earliest of $dir (vacuumed past the checkpoint); " +
           "exactly-once resume is impossible — restart from a fresh " +
           "checkpoint or consume SnapshotTable.changes")
+    // the change token pairs the dv ref with the equality-delete ref
+    // set: EITHER kind of in-place delete breaks the append-only
+    // contract the same way
+    def token(fe: graft.sources.SnapshotTable.FileEntry): Option[String] =
+      if (fe.dv.isEmpty && fe.eqDv.isEmpty) None
+      else Some(fe.dv.map(_._1).getOrElse("") +
+        fe.eqDv.sorted.mkString("#", "#", ""))
     val base: Map[String, Option[String]] =
       if (a < earliest) Map.empty
       else SnapshotTable.readManifest(spark, dir, a).files
-        .map(fe => fe.path -> fe.dv.map(_._1)).toMap
+        .map(fe => fe.path -> token(fe)).toMap
     val afterByPath = after.files.map(fe => fe.path -> fe).toMap
     val removed = base.keysIterator.filterNot(afterByPath.contains).toSeq
     if (removed.nonEmpty && !ignoreDeletes) throw new IllegalStateException(
@@ -167,7 +174,7 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
         "restart from a fresh checkpoint, set ignoreDeletes=true to " +
         "tail past deletes, or consume SnapshotTable.changes")
     val dvChanged = base.collect {
-      case (path, dv) if afterByPath.get(path).exists(_.dv.map(_._1) != dv) =>
+      case (path, tok) if afterByPath.get(path).exists(token(_) != tok) =>
         path
     }
     if (dvChanged.nonEmpty && !ignoreDeletes) throw new IllegalStateException(

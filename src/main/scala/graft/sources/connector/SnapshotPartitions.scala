@@ -42,8 +42,14 @@ import graft.sources.SnapshotTable.FileEntry
   * partitions = files, no shuffle, dv sidecars are tiny and loaded
   * per-file (positions of DELETED rows only).
   */
+/** `eqSkip`: pending EQUALITY deletes — (physical column, deleted key
+  * strings) pairs, materialized on the driver from the file's
+  * equality-delete sidecars (CDC batches are tiny; sidecars are
+  * immutable and driver-cached). Rows whose column value's string
+  * form is in the set are masked at read. */
 final case class SnapshotFilePartition(fileUri: String, baseName: String,
-                                       rows: Long, dvUri: Option[String])
+                                       rows: Long, dvUri: Option[String],
+                                       eqSkip: Seq[(String, Seq[String])] = Nil)
   extends InputPartition
 
 /** A completed metadata-only aggregate: values computed on the driver
@@ -65,7 +71,8 @@ final case class SnapshotBucketPartition(bucket: Int,
 }
 
 final class SnapshotReaderFactory(schema: StructType,
-                                  filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                                  filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                                  rowsOnly: Boolean = false)
   extends PartitionReaderFactory {
 
   /** SQLConf-derived parquet settings, captured on the DRIVER (the
@@ -91,8 +98,8 @@ final class SnapshotReaderFactory(schema: StructType,
     * metadata-agg scan plans exactly one [[MetadataAggPartition]], so
     * the all-or-nothing columnar contract holds per scan. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: SnapshotFilePartition => schema.nonEmpty
-    case _: SnapshotBucketPartition => schema.nonEmpty
+    case _: SnapshotFilePartition => schema.nonEmpty && !rowsOnly
+    case _: SnapshotBucketPartition => schema.nonEmpty && !rowsOnly
     case _ => false
   }
 
@@ -100,8 +107,12 @@ final class SnapshotReaderFactory(schema: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
       case f: SnapshotFilePartition =>
+        require(f.eqSkip.isEmpty,
+          "equality-delete masking is row-reader-only (scan should have set rowsOnly)")
         new SnapshotColumnarFileReader(f, schema, sessionConf, filters)
       case b: SnapshotBucketPartition =>
+        require(b.files.forall(_.eqSkip.isEmpty),
+          "equality-delete masking is row-reader-only (scan should have set rowsOnly)")
         new ChainedPartitionReader(b.files.map(f =>
           () => new SnapshotColumnarFileReader(f, schema, sessionConf, filters)))
       case other => throw new IllegalStateException(
@@ -179,7 +190,9 @@ private[connector] final class SnapshotFileReader(
     p: SnapshotFilePartition, schema: StructType,
     skipOverride: Option[java.util.HashSet[java.lang.Long]] = None,
     keepOnly: Option[java.util.HashSet[java.lang.Long]] = None,
-    extra: Array[Any] = Array.empty)
+    extra: Array[Any] = Array.empty,
+    eqSkipOverride: Option[Seq[(String, Seq[String])]] = None,
+    eqKeepOnly: Option[(String, Seq[String])] = None)
   extends PartitionReader[InternalRow] {
 
   // file:// and hdfs:// resolve from classpath defaults; a deployment
@@ -198,22 +211,45 @@ private[connector] final class SnapshotFileReader(
     case None => !deleted.contains(pos)
   }
 
+  /** Pending EQUALITY deletes to mask (value-string membership), and
+    * the feed's inversion ("emit ONLY rows matching these keys"). */
+  private val eqSkip: Seq[(String, java.util.HashSet[String])] =
+    eqSkipOverride.getOrElse(p.eqSkip).map { case (c, ks) =>
+      val s = new java.util.HashSet[String](ks.size * 2)
+      ks.foreach(s.add)
+      c -> s
+    }
+  private val eqKeep: Option[(String, java.util.HashSet[String])] =
+    eqKeepOnly.map { case (c, ks) =>
+      val s = new java.util.HashSet[String](ks.size * 2)
+      ks.foreach(s.add)
+      c -> s
+    }
+
   private val liveRows =
     keepOnly.map(_.size.toLong).getOrElse(p.rows - deleted.size)
 
   /** (projection index or -1, converter) per requested field, bound
     * against this file's actual schema — -1 (column added after this
-    * file was written) reads as null. */
+    * file was written) reads as null. Equality-delete key columns are
+    * APPENDED to the projection when not already requested (the mask
+    * needs their values) and never surface in the output row. */
   private val (reader: Option[ParquetReader[Group]],
-               fields: Array[(Int, (Group, Int) => Any)]) = {
-    if (schema.isEmpty)
-      (None, Array.empty[(Int, (Group, Int) => Any)])
+               fields: Array[(Int, (Group, Int) => Any)],
+               eqCheckers: Seq[(Int, Group => String, java.util.HashSet[String])],
+               eqKeepChecker: Option[Option[(Int, Group => String, java.util.HashSet[String])]]) = {
+    val eqColsWanted = (eqSkip.map(_._1) ++ eqKeep.map(_._1)).distinct
+    if (schema.isEmpty && eqColsWanted.isEmpty)
+      (None, Array.empty[(Int, (Group, Int) => Any)], Nil, None)
     else {
       val fileSchema = footerSchema(path)
       val present = schema.fields.filter(f => fileSchema.containsField(f.name))
+      val eqPresent = eqColsWanted.filter(c =>
+        fileSchema.containsField(c) && !present.exists(_.name == c))
+      val projCols = present.map(_.name).toSeq ++ eqPresent
       val projection: Option[MessageType] =
-        if (present.isEmpty) None // no requested column predates this file
-        else Some(buildProjection(fileSchema, present.map(_.name).toSeq))
+        if (projCols.isEmpty) None // no requested column predates this file
+        else Some(buildProjection(fileSchema, projCols))
       val r = projection.map(openWith(path, _))
       val fs: Array[(Int, (Group, Int) => Any)] = schema.fields.map { f =>
         projection match {
@@ -224,7 +260,54 @@ private[connector] final class SnapshotFileReader(
           case _ => (-1, null)
         }
       }
-      (r, fs)
+      // the string form of a key value, straight off the parquet
+      // primitive (integral types print as decimal digits — identical
+      // to Spark's string cast, the form the sidecars store)
+      def stringer(proj: MessageType, c: String): Option[(Int, Group => String)] =
+        if (!proj.containsField(c)) None
+        else {
+          val idx = proj.getFieldIndex(c)
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val f: Group => String = proj.getType(idx).asPrimitiveType()
+            .getPrimitiveTypeName match {
+            case BINARY => g => g.getBinary(idx, 0).toStringUsingUTF8
+            case INT64 => g => g.getLong(idx, 0).toString
+            case INT32 => g => g.getInteger(idx, 0).toString
+            case other => throw new IllegalStateException(
+              s"equality-delete key '$c' has unmaskable parquet type $other")
+          }
+          Some((idx, f))
+        }
+      val checkers = projection.toSeq.flatMap(proj =>
+        eqSkip.flatMap { case (c, set) =>
+          stringer(proj, c).map { case (idx, f) => (idx, f, set) }
+        })
+      // Some(None) = keep-only requested but the column predates this
+      // file: NO row can match — emit nothing
+      val keepChecker = eqKeep.map { case (c, set) =>
+        projection.flatMap(proj =>
+          stringer(proj, c).map { case (idx, f) => (idx, f, set) })
+      }
+      (r, fs, checkers, keepChecker)
+    }
+  }
+
+  /** Equality verdict for the current group: not in any pending
+    * delete set, and (for feed delta legs) IN the keep set. A null /
+    * absent key never matches a delete and never satisfies a keep. */
+  private def eqEmits(g: Group): Boolean = {
+    var i = 0
+    while (i < eqCheckers.length) {
+      val (idx, str, set) = eqCheckers(i)
+      if (g.getFieldRepetitionCount(idx) > 0 && set.contains(str(g)))
+        return false
+      i += 1
+    }
+    eqKeepChecker match {
+      case None => true
+      case Some(None) => false // keep-only over a column this file lacks
+      case Some(Some((idx, str, set))) =>
+        g.getFieldRepetitionCount(idx) > 0 && set.contains(str(g))
     }
   }
 
@@ -245,12 +328,17 @@ private[connector] final class SnapshotFileReader(
 
   override def next(): Boolean = reader match {
     case None => // nothing to decode; emit liveRows empty/null rows
+      // keep-only over a projectionless read (the keyed column — and
+      // every requested one — predates this file): nothing can match
+      if (eqKeepChecker.contains(None)) return false
       if (emitted >= liveRows) false
       else { emitted += 1; true }
     case Some(r) =>
       var g = r.read()
       pos += 1
-      while (g != null && !emits(pos)) { g = r.read(); pos += 1 }
+      while (g != null && !(emits(pos) && eqEmits(g))) {
+        g = r.read(); pos += 1
+      }
       current = g
       g != null
   }
@@ -361,7 +449,35 @@ private[graft] object SnapshotPartitions {
   def partitionFor(dir: String, fe: FileEntry): SnapshotFilePartition =
     SnapshotFilePartition(SnapshotTable.resolvePath(dir, fe.path),
       new Path(fe.path).getName, fe.rows,
-      fe.dv.map(d => SnapshotTable.resolvePath(dir, d._1)))
+      fe.dv.map(d => SnapshotTable.resolvePath(dir, d._1)),
+      EqSidecars.skipFor(dir, fe))
+
+  /** Driver-side cache of equality-delete sidecars: each is one tiny
+    * immutable parquet (the distinct deleted keys of one commit,
+    * column-named for the physical key), loaded once per JVM and
+    * embedded in the partitions it masks. Merging per column keeps
+    * multi-epoch pending deletes a single set membership test. */
+  private[graft] object EqSidecars {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+
+    def load(uri: String): (String, Seq[String]) =
+      cache.computeIfAbsent(uri, u => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.read.parquet(u)
+        val c = df.columns.head
+        (c, df.select(org.apache.spark.sql.functions.col(s"`$c`")
+            .cast("string")).na.drop().distinct()
+          .collect().map(_.getString(0)).toVector)
+      })
+
+    def skipFor(dir: String, fe: FileEntry): Seq[(String, Seq[String])] =
+      if (fe.eqDv.isEmpty) Nil
+      else fe.eqDv.map(p => load(SnapshotTable.resolvePath(dir, p)))
+        .groupBy(_._1).map { case (c, ks) =>
+          c -> ks.flatMap(_._2).distinct
+        }.toSeq.sortBy(_._1)
+  }
 
   /** Sidecar rows DECODED by [[deletedPositions]] since the last
     * reset — single-JVM telemetry for specs/probes pinning that a

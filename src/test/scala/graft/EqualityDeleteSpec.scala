@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** Equality deletes: commit the KEY VALUES, not positions — O(batch)
+  * bytes + O(files) metadata per delete epoch with ZERO data reads,
+  * masked merge-on-read, folded into files by purge/compact. The
+  * Iceberg-v2 cost class for high-churn CDC on keys the zone maps
+  * can't prune. */
+class EqualityDeleteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val root = Files.createTempDirectory("graft-eq").toString
+  spark.conf.set("spark.sql.catalog.grafteq",
+    classOf[graft.sources.connector.GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.grafteq.root", root)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-eq-t").toString
+
+  private def dataFiles(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "data")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  private def manifest(dir: String) = SnapshotTable.readManifest(spark, dir,
+    SnapshotTable.latestVersion(spark, dir).get)
+
+  test("deleteByKey: zero data reads/writes, masked reads, re-insert works") {
+    val dir = freshDir()
+    // UNCLUSTERED key: ids shuffled so per-file ranges all overlap —
+    // the dv path would scan everything; the eq path writes metadata
+    SnapshotTable.write(spark,
+      spark.range(0, 10000).select(
+        (($"id" * 2654435761L) % 10000).as("k"), $"id".as("v"))
+        .repartition(8),
+      dir, "overwrite", Seq("k"))
+    val before = dataFiles(dir).size
+    val v = SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(0, 100).toDF("k"))
+    assert(v == 2L)
+    // exactly ONE new on-disk file: the key sidecar — no data rewrite
+    assert(dataFiles(dir).size == before + 1)
+    val m = manifest(dir)
+    assert(m.files.forall(_.eqDv.nonEmpty), "unclustered: every file affected")
+    // merge-on-read: programmatic scan and V2 load agree
+    assert(SnapshotTable.scan(spark, dir).count() == 9900)
+    assert(SnapshotTable.scan(spark, dir)
+      .filter($"k" < 100).count() == 0)
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    assert(v2.count() == 9900)
+    assert(v2.filter($"k" < 100).count() == 0)
+    assert(v2.agg(sum($"k")).as[Long].head ==
+      (0L until 10000).map(i => (i * 2654435761L) % 10000)
+        .filter(_ >= 100).sum)
+    // re-inserting a deleted key lands in a NEW file that never
+    // carries the ref — sequence semantics via the flat file list
+    SnapshotTable.write(spark,
+      Seq((5L, -1L)).toDF("k", "v"), dir, "append", Seq("k"))
+    assert(SnapshotTable.scan(spark, dir).filter($"k" === 5).count() == 1)
+    // a second epoch composes: both refs pending
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(100, 150).toDF("k"))
+    assert(SnapshotTable.scan(spark, dir).count() == 9851)
+  }
+
+  test("clustered key: the batch's range refutes most files at attach time") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 20000).select($"id".as("k"), ($"id" * 3).as("v"))
+        .repartitionByRange(10, $"k"),
+      dir, "overwrite", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(0, 50).toDF("k")) // first slice only
+    val m = manifest(dir)
+    val attached = m.files.count(_.eqDv.nonEmpty)
+    assert(attached >= 1 && attached <= 2,
+      s"range refutation failed: $attached of ${m.files.size} files attached")
+    assert(SnapshotTable.scan(spark, dir).count() == 19950)
+  }
+
+  test("purge_deletes folds pending equality deletes into the files") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 5000).select(($"id" % 777).as("k"), $"id".as("v"))
+        .repartition(4),
+      dir, "overwrite", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(0, 30).toDF("k"))
+    SnapshotTable.deleteVectors(spark, dir, $"v" === 4999) // dv interplay
+    val expect = SnapshotTable.scan(spark, dir).count()
+    SnapshotTable.purgeDeletes(spark, dir)
+    val m = manifest(dir)
+    assert(m.files.forall(fe => fe.eqDv.isEmpty && fe.dv.isEmpty))
+    assert(SnapshotTable.scan(spark, dir).count() == expect)
+    // metadata-exact counts are back: liveRows sums to the true count
+    assert(m.files.map(_.liveRows).sum == expect)
+  }
+
+  test("SQL reads and the metadata-count fallback stay correct") {
+    spark.sql("CREATE TABLE grafteq.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grafteq.t SELECT id % 500, id FROM range(0, 5000)")
+    val dir = s"$root/t"
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(0, 10).toDF("k"))
+    // COUNT must NOT answer from metadata while eq deletes are pending
+    assert(spark.sql("SELECT count(*) FROM grafteq.t").as[Long].head == 4900)
+    assert(spark.sql("SELECT sum(v) FROM grafteq.t").as[Long].head ==
+      (0L until 5000).filter(_ % 500 >= 10).sum)
+    // fold restores the metadata-only answer path
+    SnapshotTable.purgeDeletes(spark, dir)
+    assert(spark.sql("SELECT count(*) FROM grafteq.t").as[Long].head == 4900)
+  }
+
+  test("change feed emits the equality-deleted rows as delete pre-images") {
+    spark.sql("CREATE TABLE grafteq.cdc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grafteq.cdc SELECT id, id * 7 FROM range(0, 1000)")
+    val dir = s"$root/cdc"
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(10, 20).toDF("k"))
+    val feed = spark.sql(
+      "SELECT k, v, change_type, commit_version FROM grafteq.cdc.changes")
+      .collect()
+    val deletes = feed.filter(_.getString(2) == "delete")
+    assert(deletes.length == 10 &&
+      deletes.map(_.getLong(0)).sorted.toSeq == (10L until 20L),
+      s"feed deletes wrong: ${deletes.map(_.getLong(0)).toSeq.sorted}")
+    assert(deletes.forall(r => r.getLong(1) == r.getLong(0) * 7)) // pre-images
+    assert(deletes.forall(_.getLong(3) == 3L)) // the delete-eq commit
+    // upserts: exactly the initial insert, NOT re-emitted masked rows
+    assert(feed.count(_.getString(2) == "upsert") == 1000)
+    // a SECOND epoch emits only ITS keys (old pending keys never re-emit)
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(15, 25).toDF("k")) // overlaps the first batch
+    val feed2 = spark.sql(
+      "SELECT k, change_type, commit_version FROM grafteq.cdc.changes " +
+        "WHERE commit_version = 4").collect()
+    assert(feed2.filter(_.getString(1) == "delete").map(_.getLong(0))
+      .sorted.toSeq == (20L until 25L),
+      "second epoch must emit only newly-deleted keys")
+  }
+
+  test("streaming tail refuses an equality delete unless ignoreDeletes") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id".as("k"), $"id".as("v")),
+      dir, "overwrite", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(0, 5).toDF("k"))
+    val out = Files.createTempDirectory("graft-eqs").toString
+    val ckpt = Files.createTempDirectory("graft-eqsc").toString
+    val q = spark.readStream.format("graft_snapshot").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val ex = intercept[Exception](q.awaitTermination())
+    assert(ex.getMessage != null)
+  }
+}
