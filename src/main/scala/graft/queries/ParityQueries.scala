@@ -2496,6 +2496,94 @@ object ParityQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Incremental re-clustering (round-15): zone-map overlap decay is
+    // detected from the manifest intervals alone and ONLY the decayed
+    // overlap component is re-sorted — the hot tail of an ingest
+    // pattern, never the cold bulk. Asserted in-query: before the
+    // CALL, a tail range plans every straddling file while a cold
+    // range still plans one slice; after, both plan one, the rewrite
+    // touched a strict subset of the files, and the compaction-style
+    // op contributes ZERO change-feed rows (content-neutral). The
+    // oracle recomputes the final content from raw orders.
+    "q7L_recluster" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7L")
+        val cat = "graft_rc_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7L_orders")
+        s.sql(s"DROP TABLE IF EXISTS $cat.t")
+        s.sql(s"""CREATE TABLE $cat.t (o_orderkey BIGINT, price DOUBLE)
+                  |TBLPROPERTIES ('clusterBy'='o_orderkey',
+                  |  'statsCols'='o_orderkey', 'clusterPartitions'='8')"""
+          .stripMargin)
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey, o_totalprice FROM t7L_orders
+                  |WHERE o_orderkey % 4 <> 1""".stripMargin)
+        val tdir = s"$root/t"
+        val maxK = t(s, dir, "orders")
+          .agg(max(col("o_orderkey"))).head.getLong(0)
+        // three hot-tail epochs straddle the top quarter of the domain
+        (1 to 3).foreach(i => s.sql(
+          s"""INSERT INTO $cat.t
+             |SELECT o_orderkey, o_totalprice FROM t7L_orders
+             |WHERE o_orderkey % 4 = 1 AND o_orderkey % 3 = ${i - 1}
+             |  AND o_orderkey >= ${maxK * 3 / 4}""".stripMargin))
+        def planned(lo: Long, hi: Long): Int = {
+          val probe = s.read.format("graft_snapshot").load(tdir)
+            .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
+          probe.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation =>
+              r.scan.asInstanceOf[graft.sources.connector.SnapshotScan]
+                .planInputPartitions().length
+          }.head
+        }
+        val tailLo = maxK * 7 / 8
+        val tailBefore = planned(tailLo, tailLo + maxK / 100)
+        require(tailBefore >= 3, "tail decay should plan the straddlers")
+        require(planned(maxK / 8, maxK / 8 + maxK / 100) <= 2,
+          "cold range should keep pruning before the recluster")
+        val total = graft.sources.SnapshotTable.readManifest(s, tdir,
+          graft.sources.SnapshotTable.latestVersion(s, tdir).get).files.size
+        val rewritten = s.sql(
+          s"CALL $cat.system.recluster('t', 2, 1000000)")
+          .head.getInt(0)
+        require(rewritten > 0 && rewritten < total,
+          s"expected a partial rewrite, got $rewritten of $total")
+        // restored to near-write-time counts: a narrow probe plans at
+        // most 2 files (it may cross one rewritten-slice boundary),
+        // strictly better than the decayed plan
+        val tailAfter = planned(tailLo, tailLo + maxK / 100)
+        require(tailAfter < tailBefore && tailAfter <= 2,
+          s"recluster must restore tail pruning ($tailBefore -> $tailAfter)")
+        // layout churn is NOT data churn: the recluster version adds
+        // zero feed rows
+        val reclusterV = graft.sources.SnapshotTable.latestVersion(s, tdir).get
+        require(s.sql(s"SELECT count(*) FROM $cat.t.changes " +
+          s"WHERE commit_version = $reclusterV").head.getLong(0) == 0,
+          "recluster leaked into the change feed")
+        s.sql(s"""SELECT o_orderkey % 35 AS slot, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM $cat.t GROUP BY o_orderkey % 35
+                  |ORDER BY slot""".stripMargin)
+      },
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |live AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders, mx
+        |  WHERE o_orderkey % 4 = 1 AND o_orderkey >= m * 3 // 4)
+        |SELECT o_orderkey % 35 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

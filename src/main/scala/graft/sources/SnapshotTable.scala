@@ -2934,6 +2934,95 @@ object SnapshotTable {
       }
     }
 
+  /** Incremental RE-CLUSTERING (liquid-style): detect zone-map
+    * overlap decay on the declared `clusterBy` key and re-sort ONLY
+    * the decayed groups — the incremental form of a full clustered
+    * rewrite. Appends over a range-clustered table land files whose
+    * key ranges straddle the existing slices; once a point of the key
+    * domain is covered by more than `maxDepth` files, range predicates
+    * there stop pruning (every straddling file plans). This pass
+    * sweeps the per-file (min,max) intervals (pure manifest metadata,
+    * O(files log files) driver work), groups overlap-CONNECTED files,
+    * and rewrites just the components whose max stabbing depth exceeds
+    * `maxDepth` — a hot-tail ingest decays the tail's component, and
+    * only the tail is re-sorted, not the cold 99% of a 100 TB table.
+    * Bucketed layouts re-cluster within bucket groups (the SPJ claim
+    * survives); deletion vectors and pending equality deletes fold in.
+    * Content-neutral; returns files rewritten (0 = healthy, no version
+    * burned). */
+  def reclusterDecayed(spark: SparkSession, dir: String, maxDepth: Int = 3,
+                       targetRows: Long = 1000000L): Int = {
+    val key = graft.sources.connector.GraftTableProps
+      .read(spark.sparkContext.hadoopConfiguration, dir)
+      .get("clusterBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)).headOption
+      .getOrElse(return 0) // no declared clustering: nothing to decay
+    if (latestVersion(spark, dir).isEmpty) return 0
+    retryOnConflict(s"recluster $dir") {
+      val v = latestVersion(spark, dir).get
+      val m = readManifest(spark, dir, v)
+      val known = tableSchema(spark, dir, v)
+      // the key as stats record it (create-time physical name)
+      val physKey = known.flatMap(_.fields.find(_.name == key))
+        .map(physicalName).getOrElse(key)
+      val logicalKey = known.flatMap(_.fields.find(f =>
+        physicalName(f) == physKey).map(_.name)).getOrElse(key)
+      // components per bucket group: a mixed identity+bucket layout
+      // decays within buckets, and the rewrite must stay bucket-pure
+      val decayed: Seq[((Option[Int], Option[Int]), Seq[FileEntry])] =
+        m.files.filter(_.stats.contains(physKey))
+          .groupBy(fe => (fe.bucket, fe.bucketN)).toSeq.flatMap {
+            case (grp, files) =>
+              val sorted = files.sortBy(_.stats(physKey)._1)
+              val comps = Seq.newBuilder[Seq[FileEntry]]
+              var cur = Vector.empty[FileEntry]
+              var hi = Long.MinValue
+              sorted.foreach { fe =>
+                val (lo, h) = fe.stats(physKey)
+                if (cur.nonEmpty && lo > hi) { comps += cur; cur = Vector.empty }
+                cur :+= fe
+                hi = math.max(hi, h)
+              }
+              if (cur.nonEmpty) comps += cur
+              comps.result().filter { comp =>
+                comp.size > maxDepth && {
+                  // max stabbing depth of the component's intervals
+                  val events = comp.flatMap(fe => Seq(
+                    (fe.stats(physKey)._1, 1), (fe.stats(physKey)._2, -1)))
+                    .sortBy(e => (e._1, -e._2)) // open before close at ties
+                  var d = 0; var worst = 0
+                  events.foreach { e => d += e._2; worst = math.max(worst, d) }
+                  worst > maxDepth
+                }
+              }.map(grp -> _)
+          }
+      if (decayed.isEmpty) return 0
+      val props = graft.sources.connector.GraftTableProps.read(
+        spark.sparkContext.hadoopConfiguration, dir)
+      def csv(k: String): Seq[String] = props.get(k)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        .map(pc => known.flatMap(_.fields.find(f => physicalName(f) == pc)
+          .map(_.name)).getOrElse(pc))
+      val fresh = decayed.flatMap { case ((bucket, bucketN), comp) =>
+        val df = readFiles(spark, dir, comp, knownSchema = known)
+        val nOut = math.max(1,
+          math.ceil(comp.map(_.liveRows).sum.toDouble / targetRows).toInt)
+        val packed = df
+          .repartitionByRange(nOut, col(s"`$logicalKey`"))
+          .sortWithinPartitions(col(s"`$logicalKey`"))
+        // no sortedBy claim: the rewrite sorts by the CLUSTER key, not
+        // (necessarily) the bucket key the ordering claim speaks for
+        stageFiles(spark, packed, dir,
+          csv("statsCols").filter(df.columns.contains),
+          csv("bloomCols").filter(df.columns.contains)).map(_.copy(
+          bucket = bucket, bucketN = bucketN))
+      }
+      commitStaged(spark, dir, "recluster", fresh,
+        removed = readSetOf(decayed.flatMap(_._2)), carry = true)
+      decayed.map(_._2.size).sum
+    }
+  }
+
   /** RESTORE: make `toVersion`'s file list the newest version (a
     * metadata-only commit — no data movement, unlike Sinks S7's copy). */
   def restore(spark: SparkSession, dir: String, toVersion: Long): Long =
@@ -3641,13 +3730,19 @@ object SnapshotTable {
       vacuumMinAgeMs: Long = DefaultVacuumRetentionMs,
       statsCols: Seq[String] = Nil,
       zorderBy: Option[(String, String, Int)] = None,
-      healBucketLayout: Boolean = true)
+      healBucketLayout: Boolean = true,
+      // 0 disables; N > 0 re-sorts overlap components on the declared
+      // clusterBy key whose stabbing depth exceeds N (opt-in: the
+      // rewrite is real write amplification, sized O(decayed), and a
+      // deployment chooses its pruning-vs-write trade)
+      reclusterMaxDepth: Int = 0)
 
   /** What one [[maintain]] pass actually did (all content-neutral). */
   final case class MaintenanceReport(purged: Boolean, compacted: Boolean,
                                      vacuumedFiles: Int,
                                      filesBefore: Int, filesAfter: Int,
-                                     rebucketedFiles: Int = 0)
+                                     rebucketedFiles: Int = 0,
+                                     reclusteredFiles: Int = 0)
 
   /** One policy-driven maintenance pass — the "table services" sweep a
     * 100 TB deployment runs on a schedule instead of hand-sequencing
@@ -3694,10 +3789,18 @@ object SnapshotTable {
     if (compacted)
       compact(spark, dir, policy.smallFileRows, policy.targetRows,
         policy.statsCols, policy.zorderBy)
+    // incremental re-clustering AFTER compaction (the bin-pack may
+    // itself merge straddling small files; what remains decayed gets
+    // the targeted re-sort)
+    val reclustered =
+      if (policy.reclusterMaxDepth > 0)
+        reclusterDecayed(spark, dir, policy.reclusterMaxDepth,
+          policy.targetRows)
+      else 0
     val swept = vacuum(spark, dir, policy.keepVersions, policy.vacuumMinAgeMs)
     val mEnd = readManifest(spark, dir, latestVersion(spark, dir).get)
     MaintenanceReport(purged, compacted, swept.size,
       filesBefore = m0.files.size, filesAfter = mEnd.files.size,
-      rebucketedFiles = rebucketed)
+      rebucketedFiles = rebucketed, reclusteredFiles = reclustered)
   }
 }

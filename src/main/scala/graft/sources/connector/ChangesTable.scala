@@ -50,7 +50,7 @@ object ChangesTable {
 
   /** Ops whose commits never change table CONTENT — diffs skipped. */
   private val ContentNeutralOps =
-    Set("compact", "purge", "rebucket", "rebucket-heal")
+    Set("compact", "purge", "rebucket", "rebucket-heal", "recluster")
 
   private[connector] def apply(spark: SparkSession, dir: String): Table = {
     val v = SnapshotTable.latestVersion(spark, dir).getOrElse(

@@ -52,7 +52,7 @@ object GraftProcedures {
   /** Every procedure name [[load]] serves. */
   val Names: Seq[String] = Seq("restore", "vacuum", "compact", "rebucket",
     "purge_deletes", "maintain", "create_tag", "drop_tag", "clone",
-    "create_branch", "fast_forward", "drop_branch")
+    "create_branch", "fast_forward", "drop_branch", "recluster")
 
   /** All procedures, by lower-case name. `dirOfTable` resolves an
     * EXISTING table's identifier to its directory; `dirOfNewTable`
@@ -184,6 +184,17 @@ object GraftProcedures {
           val v = SnapshotTable.fastForward(spark, dir,
             args.getUTF8String(1).toString)
           Seq(new GenericInternalRow(Array[Any](v)))
+      })
+      case "recluster" => Some(proc("recluster",
+        Array(in("table", StringType), in("max_depth", IntegerType),
+          in("target_rows", LongType)),
+        StructType(Seq(
+          StructField("files_rewritten", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val n = SnapshotTable.reclusterDecayed(spark, dir,
+            args.getInt(1), args.getLong(2))
+          Seq(new GenericInternalRow(Array[Any](n)))
       })
       case "drop_branch" => Some(proc("drop_branch",
         Array(in("table", StringType), in("name", StringType)),
