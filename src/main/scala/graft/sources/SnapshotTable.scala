@@ -2296,23 +2296,50 @@ object SnapshotTable {
         .select(dt.fold(col(s"`${keys.columns.head}`"))(d =>
           col(s"`${keys.columns.head}`").cast(d)).as(phys))
         .filter(col(s"`$phys`").isNotNull).distinct()
-      // one tiny agg over the BATCH (not the table): its bounds refute
-      // whole files through the manifest ranges, like a static filter
-      val isIntegral = dt.exists(_ !=
-        org.apache.spark.sql.types.StringType) && dt.isDefined
+      // tiny jobs over the BATCH (not the table): its bounds refute
+      // whole files through the manifest ranges — integral stats or
+      // string zone maps — and a small batch additionally refutes
+      // through the per-file blooms (point membership beats ranges on
+      // scattered keys)
+      val isString = dt.contains(org.apache.spark.sql.types.StringType)
+      val smallKeys: Option[Seq[String]] = {
+        val rows = keyDf.select(col(s"`$phys`").cast("string"))
+          .limit(1025).collect()
+        if (rows.length > 1024) None else Some(rows.map(_.getString(0)).toSeq)
+      }
+      if (smallKeys.exists(_.isEmpty)) return v // empty batch
       val bounds: Option[(Long, Long)] =
-        if (!isIntegral) None
+        if (isString || dt.isEmpty) None
         else {
           val r = keyDf.agg(min(col(s"`$phys`")).cast("long"),
             max(col(s"`$phys`")).cast("long")).head
           if (r.isNullAt(0)) return v // empty batch: nothing to do
           Some((r.getLong(0), r.getLong(1)))
         }
+      val strBounds: Option[(String, String)] =
+        if (!isString) None
+        else {
+          val r = keyDf.agg(min(col(s"`$phys`")),
+            max(col(s"`$phys`"))).head
+          if (r.isNullAt(0)) return v
+          Some((r.getString(0), r.getString(1)))
+        }
       // range-disjoint files can hold no matching row (null keys were
-      // dropped from the batch — SQL equality never matches null)
+      // dropped from the batch — SQL equality never matches null);
+      // string comparisons go through UTF8String binary order, the
+      // zone maps' collation. A bloom-carrying file with zero batch
+      // hits is refuted outright.
       val affected = m.files.filter { fe =>
-        bounds.flatMap(b => fe.stats.get(phys).map(s =>
-          !(b._2 < s._1 || b._1 > s._2))).getOrElse(true)
+        val rangeHit = bounds.flatMap(b => fe.stats.get(phys).map(s =>
+            !(b._2 < s._1 || b._1 > s._2)))
+          .orElse(strBounds.flatMap { case (bl, bh) =>
+            fe.strStats.get(phys).map { case (lo, hi) =>
+              !(strCmp(bh, lo) < 0 || strCmp(bl, hi) > 0) } })
+          .getOrElse(true)
+        val bloomHit = smallKeys.forall(ks =>
+          fe.bloom.get(phys).isEmpty ||
+            ks.exists(fileMayContain(fe, phys, _)))
+        rangeHit && bloomHit
       }
       if (affected.isEmpty) return v
       val nonce = java.util.UUID.randomUUID.toString.take(8)

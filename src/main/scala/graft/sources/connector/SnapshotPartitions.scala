@@ -473,10 +473,21 @@ private[graft] object SnapshotPartitions {
 
     def skipFor(dir: String, fe: FileEntry): Seq[(String, Seq[String])] =
       if (fe.eqDv.isEmpty) Nil
-      else fe.eqDv.map(p => load(SnapshotTable.resolvePath(dir, p)))
-        .groupBy(_._1).map { case (c, ks) =>
-          c -> ks.flatMap(_._2).distinct
-        }.toSeq.sortBy(_._1)
+      else {
+        val merged = fe.eqDv.map(p => load(SnapshotTable.resolvePath(dir, p)))
+          .groupBy(_._1).map { case (c, ks) =>
+            c -> ks.flatMap(_._2).distinct
+          }.toSeq.sortBy(_._1)
+        // the design assumes CDC-batch-sized sidecars (each key set is
+        // driver-materialized and rides the task closures); enforce it
+        // loudly rather than OOM quietly — the fold is always available
+        val total = merged.map(_._2.size.toLong).sum
+        require(total <= 2000000L,
+          s"${fe.path} carries $total pending equality-delete keys — " +
+            "too many to mask at read; run purge_deletes (or compact) " +
+            "to fold them into the files")
+        merged
+      }
   }
 
   /** Sidecar rows DECODED by [[deletedPositions]] since the last

@@ -94,8 +94,10 @@ private[connector] final class GraftStagedTable(
           override def schema(): StructType = info.schema()
         }
       }
+    // accumulate, never replace: should Spark ever run two batch
+    // writes against one staged table, both batches publish
     new SnapshotWriteBuilder(dir, merged, asFresh = true,
-      defer = Some(entries => pending = entries))
+      defer = Some(entries => synchronized { pending = pending ++ entries }))
   }
 
   override def commitStagedChanges(): Unit = {

@@ -85,6 +85,34 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, dir).count() == 19950)
   }
 
+  test("string zone maps and blooms refute the attach like a static filter") {
+    val dir = freshDir()
+    // ~100 distinct keys per file: inside the 1024-bit blooms'
+    // selective range (a 2000-key file saturates its bloom and can
+    // never refute)
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select(
+        concat(lit("k"), lpad($"id".cast("string"), 8, "0")).as("key"),
+        $"id".as("v"))
+        .repartitionByRange(10, $"key"),
+      dir, "overwrite", Seq("key"), bloomCols = Seq("key"))
+    // a batch confined to the first string slice attaches to ~1 file
+    SnapshotTable.deleteByKey(spark, dir, "key",
+      spark.range(0, 30).select(
+        concat(lit("k"), lpad($"id".cast("string"), 8, "0")).as("key")))
+    val m1 = manifest(dir)
+    assert(m1.files.count(_.eqDv.nonEmpty) <= 2,
+      s"string zone maps failed to refute: ${m1.files.count(_.eqDv.nonEmpty)}")
+    assert(SnapshotTable.scan(spark, dir).count() == 970)
+    // keys INSIDE every file's range but absent from the data: the
+    // blooms refute every file — nothing attaches, no version burns
+    val vBefore = SnapshotTable.latestVersion(spark, dir).get
+    SnapshotTable.deleteByKey(spark, dir, "key",
+      Seq("k99999991x", "k00000005x").toDF("key"))
+    assert(SnapshotTable.latestVersion(spark, dir).get == vBefore,
+      "bloom-refuted batch must not burn a version")
+  }
+
   test("purge_deletes folds pending equality deletes into the files") {
     val dir = freshDir()
     SnapshotTable.write(spark,
