@@ -282,11 +282,27 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     out.result()
   }
 
+  /** `cat.ns.t.history` / `cat.ns.t.branch_x` are ADDRESSES into table
+    * `t`'s metadata/branch surface, not table slots — creating a real
+    * table there would shadow the surface (and land a junk directory
+    * INSIDE `t`'s root). Refused only when the namespace tail IS a
+    * table; a top-level table named `history` stays legal. */
+  private def requireNotReservedAddressing(ident: Identifier): Unit = {
+    val reserved = ident.name.toLowerCase.startsWith("branch_") ||
+      MetadataTables.Names.contains(ident.name.toLowerCase)
+    if (reserved && ident.namespace.nonEmpty &&
+        tableExistsAt(dirOf(ident.namespace.init.toSeq, ident.namespace.last)))
+      throw new IllegalArgumentException(
+        s"cannot create table $ident: '${ident.name}' addresses the " +
+          s"metadata/branch surface of table ${ident.namespace.mkString(".")}")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
     if (tableExistsAt(dir)) throw new TableAlreadyExistsException(ident)
+    requireNotReservedAddressing(ident)
     // an EMPTY version 1 carrying the declared schema: immediately
     // readable as an empty typed frame, appendable by INSERT/CTAS
     SnapshotTable.commitAdded(spark, dir, "create", Nil, carry = false,
@@ -355,6 +371,7 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
                     properties: java.util.Map[String, String],
                     mode: StageMode.Value): StagedTable = {
     val dir = dirOf(ident)
+    requireNotReservedAddressing(ident)
     // fail at stage time where possible — but the authoritative checks
     // re-run inside commitStagedChanges (the table set can move while
     // the query runs)

@@ -811,9 +811,16 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
       (skipping ++ runtimeSkipping).toSeq.map(SnapshotScan.mapAttrs(_, phys)),
       // pending equality deletes mask in the ROW readers (the value
       // test needs decoded key columns); Spark requires the columnar
-      // verdict to be scan-uniform, so ANY eq-carrying file in the
-      // version parks the whole scan on rows until the next fold
-      rowsOnly = manifest.files.exists(_.eqDv.nonEmpty))
+      // verdict to be scan-uniform, so any eq-carrying file IN THIS
+      // SCAN parks it on rows until the next fold. The verdict is
+      // computed from the STATIC pruned set only: runtime filters can
+      // only SHRINK the file set, so a statically-eq-free scan can
+      // never execute an eq partition — scans whose predicates prune
+      // the eq-pending files away keep their vectorized readers.
+      rowsOnly = manifest.files.exists(_.eqDv.nonEmpty) &&
+        manifest.files
+          .filter(fe => skipping.forall(SnapshotScan.keeps(fe, _, phys)))
+          .exists(_.eqDv.nonEmpty))
 
   /** Post-skipping logical rows from the manifest; size is rows ×
     * the read schema's fixed-width estimate (the manifest stores row

@@ -137,6 +137,19 @@ class BranchSpec extends SparkTestBase {
       spark.sql("SELECT count(*) FROM graftbr.t.branch_audit").collect())
   }
 
+  test("metadata/branch addresses are reserved against table creation") {
+    spark.sql("CREATE TABLE graftbr.rt (k BIGINT)")
+    // creating a real table at a metadata/branch ADDRESS would shadow
+    // the surface and land a junk directory inside rt's root
+    intercept[Exception](
+      spark.sql("CREATE TABLE graftbr.rt.branch_x (k BIGINT)"))
+    intercept[Exception](
+      spark.sql("CREATE TABLE graftbr.rt.history AS SELECT 1 AS x"))
+    // ...but the names stay legal where no parent table exists
+    spark.sql("CREATE TABLE graftbr.history (k BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM graftbr.history").as[Long].head == 0)
+  }
+
   test("bucketed layout travels to the branch and back through publish") {
     spark.sql("CREATE TABLE graftbr.bt (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(4, k))")

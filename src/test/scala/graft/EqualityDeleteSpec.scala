@@ -172,6 +172,35 @@ class EqualityDeleteSpec extends SparkTestBase {
       "second epoch must emit only newly-deleted keys")
   }
 
+  test("scans that prune the eq-pending files away keep their columnar readers") {
+    val dir = freshDir()
+    // range-clustered: the delete batch lands in the FIRST slice only
+    SnapshotTable.write(spark,
+      spark.range(0, 20000).select($"id".as("k"), ($"id" * 2).as("v"))
+        .repartitionByRange(10, $"k"),
+      dir, "overwrite", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(0, 40).toDF("k"))
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation =>
+          r.scan.asInstanceOf[graft.sources.connector.SnapshotScan]
+      }.head
+    def columnar(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val scan = scanOf(df)
+      val parts = scan.planInputPartitions()
+      val factory = scan.createReaderFactory()
+      parts.forall(factory.supportColumnarReads)
+    }
+    val base = spark.read.format("graft_snapshot").load(dir)
+    // a full scan must run the row readers (the eq file is in it)...
+    assert(!columnar(base.filter($"v" >= 0)))
+    // ...but a scan whose STATIC pruning excludes the eq-pending slice
+    // keeps vectorized reads — runtime filters can only shrink the set
+    assert(columnar(base.filter($"k" >= 10000)))
+    assert(base.filter($"k" >= 10000).count() == 10000)
+  }
+
   test("streaming tail refuses an equality delete unless ignoreDeletes") {
     val dir = freshDir()
     SnapshotTable.write(spark,
