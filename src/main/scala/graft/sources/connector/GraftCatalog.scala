@@ -150,13 +150,23 @@ final class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
   }
 
-  /** SQL `VERSION AS OF v` — a commit number, or a TAG name
+  /** SQL `VERSION AS OF v` — a commit number, a TAG name
     * ([[SnapshotTable.createTag]]): `VERSION AS OF 'v2-release'`
-    * reads the pinned version, and [[SnapshotTable.vacuum]] retains
-    * it for as long as the tag exists. */
+    * reads the pinned version ([[SnapshotTable.vacuum]] retains it for
+    * as long as the tag exists) — or a BRANCH token: `VERSION AS OF
+    * 'branch:staging'` reads the branch's current head (Iceberg's
+    * branch-ref addressing; the writable surface stays
+    * `cat.ns.t.branch_<name>`). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!tableExistsAt(dir)) throw new NoSuchTableException(ident)
+    if (version.startsWith("branch:")) {
+      val bdir = SnapshotTable.branchDir(dir, version.stripPrefix("branch:"))
+      if (!tableExistsAt(bdir)) throw new IllegalArgumentException(
+        s"no branch '${version.stripPrefix("branch:")}' on $ident")
+      return new SnapshotV2Table(schemaOf(bdir, None), bdir,
+        tableProps = GraftTableProps.read(hconf, bdir))
+    }
     val v = try version.toLong catch {
       case _: NumberFormatException =>
         SnapshotTable.tagVersion(spark, dir, version).getOrElse(

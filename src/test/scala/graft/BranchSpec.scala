@@ -137,6 +137,19 @@ class BranchSpec extends SparkTestBase {
       spark.sql("SELECT count(*) FROM graftbr.t.branch_audit").collect())
   }
 
+  test("VERSION AS OF 'branch:x' reads the branch head") {
+    spark.sql("CREATE TABLE graftbr.vb (k BIGINT)")
+    spark.sql("INSERT INTO graftbr.vb SELECT id FROM range(0, 50)")
+    spark.sql("CALL graftbr.system.create_branch('vb', 'next')")
+    spark.sql("INSERT INTO graftbr.vb.branch_next SELECT id FROM range(50, 80)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftbr.vb VERSION AS OF 'branch:next'")
+      .as[Long].head == 80)
+    assert(spark.sql("SELECT count(*) FROM graftbr.vb").as[Long].head == 50)
+    intercept[Exception](spark.sql(
+      "SELECT * FROM graftbr.vb VERSION AS OF 'branch:ghost'").collect())
+  }
+
   test("metadata/branch addresses are reserved against table creation") {
     spark.sql("CREATE TABLE graftbr.rt (k BIGINT)")
     // creating a real table at a metadata/branch ADDRESS would shadow
