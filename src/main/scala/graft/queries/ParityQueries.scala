@@ -2584,6 +2584,81 @@ object ParityQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Equality-delete CDC apply (round-15): the Iceberg "equality
+    // delete + data file" recipe — each change epoch is TWO O(batch)
+    // commits (one key sidecar retiring every affected key, one append
+    // of the post-images) with ZERO target reads, where the merge
+    // recipe pays a match scan per epoch on an unclustered key.
+    // Asserted in-query: no pre-existing data file is ever rewritten
+    // (the pre-epoch file set survives by path), and the latest-action
+    // collapse holds (a same-version delete+upsert pair resolves to
+    // the upsert). The oracle recomputes the replicated table from raw
+    // orders.
+    "q7M_eq_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val tgt = snapDir(s, dir, "t7M")
+        val ords = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_totalprice").as("price"))
+        def feed(rows: org.apache.spark.sql.DataFrame, tpe: String,
+                 cv: Int) =
+          rows.select(col("o_orderkey"), col("price"),
+            lit(tpe).as("change_type"),
+            lit(cv.toLong).as("commit_version"))
+        // epoch 1 bootstraps the replica with the evens (scrambled so
+        // the key is UNCLUSTERED — the shape this recipe exists for)
+        graft.streaming.ApplyChanges.applyBatchEq(
+          feed(ords.filter(col("o_orderkey") % 2 === 0)
+            .repartition(8), "upsert", 1),
+          tgt, "o_orderkey")
+        def files() = graft.sources.SnapshotTable.readManifest(s, tgt,
+          graft.sources.SnapshotTable.latestVersion(s, tgt).get)
+          .files.map(_.path).toSet
+        val f1 = files()
+        // epoch 2: delete evens %10==0; insert the %4==1 odds
+        graft.streaming.ApplyChanges.applyBatchEq(
+          feed(ords.filter(col("o_orderkey") % 10 === 0), "delete", 2)
+            .unionByName(feed(ords.filter(col("o_orderkey") % 4 === 1),
+              "upsert", 2)),
+          tgt, "o_orderkey")
+        val f2 = files()
+        require(f1.subsetOf(f2),
+          "eq-CDC epoch must never rewrite a pre-existing data file")
+        // epoch 3: update evens %10==4 to price*3 — emitted as a
+        // same-version delete+upsert PAIR (the upsert must win the
+        // collapse); delete the odds %8==1
+        val upd = ords.filter(col("o_orderkey") % 10 === 4)
+        graft.streaming.ApplyChanges.applyBatchEq(
+          feed(upd, "delete", 3)
+            .unionByName(feed(upd.withColumn("price", col("price") * 3),
+              "upsert", 3))
+            .unionByName(feed(ords.filter(
+              col("o_orderkey") % 2 === 1 && col("o_orderkey") % 4 === 1 &&
+                col("o_orderkey") % 8 === 1), "delete", 3)),
+          tgt, "o_orderkey")
+        require(f2.subsetOf(files()),
+          "eq-CDC epoch must never rewrite a pre-existing data file")
+        require(graft.sources.SnapshotTable.readManifest(s, tgt,
+          graft.sources.SnapshotTable.latestVersion(s, tgt).get)
+          .files.exists(_.eqDv.nonEmpty),
+          "epochs should leave pending equality refs until a fold")
+        graft.sources.SnapshotTable.scan(s, tgt)
+          .groupBy((col("o_orderkey") % 30).as("slot"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sp"))
+          .orderBy("slot")
+      },
+      """WITH live AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 3
+        |              ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 8 <> 1)
+        |SELECT k % 30 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

@@ -85,4 +85,57 @@ object ApplyChanges {
           tableCols.map(c => c -> col(s"_src_$c")))),
       statsCols = statsCols)
   }
+
+  /** [[applyBatch]]'s EQUALITY-DELETE twin — the Iceberg
+    * "equality delete + data file" CDC recipe, for targets whose key
+    * the zone maps cannot prune (unclustered keys, random-hash ids):
+    * where the merge path pays a (stats-pruned) MATCH SCAN per batch
+    * to find the replaced rows' positions, this path never reads the
+    * target at all. Each batch is TWO O(batch) commits:
+    *
+    *  1. ONE equality delete retiring every affected key (upserts
+    *     retire their old image, deletes retire outright) — a tiny
+    *     key sidecar plus manifest refs, zero data reads;
+    *  2. ONE append of the surviving upserts' post-images — which
+    *     land in new files the delete's refs never cover, so the
+    *     sequencing is structural.
+    *
+    * Content-idempotent under replay (a replayed batch re-masks and
+    * re-appends the same post-images — the extra bytes are masked
+    * garbage, not duplicates), which also heals the two-commit crash
+    * window: a failure between the delete and the append leaves the
+    * epoch half-applied exactly until the checkpointed replay re-runs
+    * it — the standard at-least-once exposure of every foreachBatch
+    * recipe ([[applyBatch]]'s single-merge commit does not have it;
+    * that is the trade for its per-batch match scan). Pending refs
+    * accumulate per epoch until `purge_deletes`/`compact`/`maintain`
+    * folds them; run the fold on a maintenance cadence — EqProbe
+    * prices both sides of the trade. */
+  def applyBatchEq(batch: DataFrame, dir: String, key: String,
+                   statsCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val tableCols = batch.columns.toSeq
+      .filterNot(Set("change_type", "commit_version"))
+    require(tableCols.contains(key),
+      s"key column '$key' is not in the feed (${batch.columns.mkString(", ")})")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("commit_version").desc,
+        when(col("change_type") === "upsert", 0).otherwise(1))
+    val collapsed = batch
+      .withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1)
+    if (SnapshotTable.latestVersion(spark, dir).isEmpty) {
+      val initial = collapsed.filter(col("change_type") === "upsert")
+        .select(tableCols.map(c => col(s"`$c`")): _*)
+      SnapshotTable.write(spark, initial, dir, "overwrite", statsCols)
+      return
+    }
+    if (collapsed.isEmpty) return
+    SnapshotTable.deleteByKey(spark, dir, key,
+      collapsed.select(col(s"`$key`")))
+    val upserts = collapsed.filter(col("change_type") === "upsert")
+      .select(tableCols.map(c => col(s"`$c`")): _*)
+    if (!upserts.isEmpty)
+      SnapshotTable.write(spark, upserts, dir, "append", statsCols)
+  }
 }

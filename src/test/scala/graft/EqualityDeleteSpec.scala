@@ -201,6 +201,39 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(base.filter($"k" >= 10000).count() == 10000)
   }
 
+  test("applyBatchEq replays content-idempotently and matches applyBatch") {
+    def feedOf(rows: Seq[(Long, Long)], tpe: String, cv: Long) =
+      rows.toDF("k", "v")
+        .select($"k", $"v", lit(tpe).as("change_type"),
+          lit(cv).as("commit_version"))
+    val boot = feedOf((0L until 100L).map(i => (i, i * 10)), "upsert", 1)
+    val epoch = feedOf(Seq((5L, 0L), (6L, 0L)), "delete", 2)
+      .unionByName(feedOf(Seq((7L, 777L), (200L, 2000L)), "upsert", 2))
+      // same-version delete+upsert pair: the upsert must win
+      .unionByName(feedOf(Seq((8L, 0L)), "delete", 2))
+      .unionByName(feedOf(Seq((8L, 888L)), "upsert", 2))
+    val eqDir = freshDir(); val mergeDir = freshDir()
+    for (d <- Seq(eqDir, mergeDir)) {
+      val apply = if (d == eqDir) graft.streaming.ApplyChanges.applyBatchEq _
+        else (b: org.apache.spark.sql.DataFrame, dd: String, k: String,
+              sc: Seq[String]) =>
+          graft.streaming.ApplyChanges.applyBatch(b, dd, k, sc)
+      apply(boot, d, "k", Seq("k"))
+      apply(epoch, d, "k", Seq("k"))
+    }
+    def content(d: String) = SnapshotTable.scan(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(content(eqDir) == content(mergeDir),
+      "eq-CDC apply diverged from the merge apply")
+    assert(SnapshotTable.scan(spark, eqDir).count() == 99) // 100 -2 +2 -1
+    // a replayed epoch (the at-least-once window) leaves content fixed
+    graft.streaming.ApplyChanges.applyBatchEq(epoch, eqDir, "k", Seq("k"))
+    assert(content(eqDir) == content(mergeDir))
+    // and the fold squeezes out the replay's masked garbage
+    SnapshotTable.purgeDeletes(spark, eqDir)
+    assert(content(eqDir) == content(mergeDir))
+  }
+
   test("streaming tail refuses an equality delete unless ignoreDeletes") {
     val dir = freshDir()
     SnapshotTable.write(spark,
