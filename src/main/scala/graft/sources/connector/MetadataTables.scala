@@ -91,6 +91,10 @@ object MetadataTables {
       StructField("no_nulls", ArrayType(StringType, false), nullable = false),
       StructField("str_stats",
         MapType(StringType, ArrayType(StringType, false), false),
+        nullable = false),
+      // pending equality-delete sidecars (paths); non-empty means
+      // live_rows is an UPPER bound until purge/compact folds them
+      StructField("eq_dv", ArrayType(StringType, false),
         nullable = false)))
     val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed version under $dir"))
@@ -118,7 +122,9 @@ object MetadataTables {
             new GenericArrayData(ks.map(k => new GenericArrayData(Array[Any](
               UTF8String.fromString(fe.strStats(k)._1),
               UTF8String.fromString(fe.strStats(k)._2)))).toArray[Any]))
-        }))
+        },
+        new GenericArrayData(
+          fe.eqDv.map(UTF8String.fromString).toArray[Any])))
         : InternalRow
     }
     new SnapshotMetaTable(s"graft_snapshot($dir).files", schema, rows)
