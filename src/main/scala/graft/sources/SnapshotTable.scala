@@ -941,14 +941,17 @@ object SnapshotTable {
     var attempts = 0
     while (true) {
       val latest = latestVersion(spark, dir)
-      // linear-history guard (fast-forward): the commit must land
-      // DIRECTLY on `expectLatest` — losing the slot race means
-      // someone advanced the table first, and replacing their state
-      // would silently drop their commit. Conflict, never clobber.
-      expectLatest.foreach(e => if (!latest.contains(e))
+      // linear-history guard (fast-forward, staged REPLACE): the
+      // commit must land DIRECTLY on `expectLatest` — losing the slot
+      // race means someone advanced the table first, and replacing
+      // their state would silently drop their commit. Conflict, never
+      // clobber. `-1` encodes "expect NO version yet" (atomic CTAS:
+      // a concurrent creation must conflict, not be overwritten).
+      expectLatest.foreach(e => if (latest.getOrElse(-1L) != e)
         throw new CommitConflictException(
-          s"$op expected $dir at version $e but found " +
-            s"${latest.getOrElse(0L)}: a concurrent commit advanced the table"))
+          s"$op expected $dir at version ${if (e < 0) "<none>" else e} " +
+            s"but found ${latest.getOrElse(-1L)}: a concurrent commit " +
+            "advanced the table"))
       val current: Seq[FileEntry] =
         if (carry) latest.map(readManifest(spark, dir, _).files).getOrElse(Nil)
         else Nil
@@ -1020,9 +1023,11 @@ object SnapshotTable {
                                  added: Seq[FileEntry], carry: Boolean,
                                  schemaJson: Option[String] = None,
                                  replaceSchema: Boolean = false,
-                                 keepMapping: Boolean = false): Long =
+                                 keepMapping: Boolean = false,
+                                 expectLatest: Option[Long] = None): Long =
     commit(spark, dir, op, added, carry = carry, schemaJson = schemaJson,
-      replaceSchema = replaceSchema, keepMapping = keepMapping)
+      replaceSchema = replaceSchema, keepMapping = keepMapping,
+      expectLatest = expectLatest)
 
   /** Like [[commit]] but deletes the staged `added` files before
     * rethrowing a conflict, so a retried operation leaves no orphans. */

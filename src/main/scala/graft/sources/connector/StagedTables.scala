@@ -56,6 +56,13 @@ private[connector] final class GraftStagedTable(
 
   private def spark = SparkSession.active
 
+  // the definition this statement observed when it staged: the publish
+  // must land DIRECTLY on it (expectLatest) — a concurrent commit
+  // racing the statement conflicts loudly instead of being silently
+  // replaced (REPLACE means "replace what I saw", and an atomic CTAS
+  // must never overwrite a concurrently-created table)
+  private val observed: Option[Long] = SnapshotTable.latestVersion(spark, dir)
+
   // set by the deferred BatchWrite.commit on the driver; a plain
   // REPLACE TABLE (no AS SELECT) never writes, so these stay empty
   // and the staged commit publishes an empty version with the schema
@@ -109,17 +116,22 @@ private[connector] final class GraftStagedTable(
         cleanup(); throw new NoSuchTableException(ident)
       case _ => ()
     }
-    // ONE atomic publish. A non-carrying commit records the declared
-    // schema EXACTLY (the union rule that refuses to narrow only
-    // applies to carrying commits), so REPLACE may drop/retype columns
-    // freely — the old definition lives on in the prior versions.
-    // Only after the publish do the layout props swap (stale-props
-    // window is benign: per-file bucket ids gate every bucketing
-    // claim, so a reader racing the swap just plans a shuffle it
-    // could have elided).
-    SnapshotTable.commitAdded(spark, dir,
+    // ONE atomic publish, expected DIRECTLY on the staged-time version
+    // (-1 = "still no table"): a commit that raced this statement
+    // conflicts loudly — REPLACE replaces what the statement SAW,
+    // never a concurrent writer's work. A non-carrying commit records
+    // the declared schema EXACTLY (the union rule that refuses to
+    // narrow only applies to carrying commits), so REPLACE may
+    // drop/retype columns freely — the old definition lives on in the
+    // prior versions. Only after the publish do the layout props swap
+    // (stale-props window is benign: per-file bucket ids gate every
+    // bucketing claim, so a reader racing the swap just plans a
+    // shuffle it could have elided).
+    try SnapshotTable.commitAdded(spark, dir,
       if (exists) "replace" else "ctas", pending, carry = false,
-      schemaJson = Some(declared.json))
+      schemaJson = Some(declared.json),
+      expectLatest = Some(observed.getOrElse(-1L)))
+    catch { case e: Throwable => cleanup(); throw e }
     installProps(newProps)
   }
 

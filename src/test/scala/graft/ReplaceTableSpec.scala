@@ -101,6 +101,25 @@ class ReplaceTableSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM graftrp.r5").as[Long].head == 7)
   }
 
+  test("a commit racing a staged REPLACE conflicts; the racer survives") {
+    spark.sql("CREATE TABLE graftrp.r7 AS SELECT id AS k FROM range(0, 10)")
+    val cat = spark.sessionState.catalogManager.catalog("graftrp")
+      .asInstanceOf[graft.sources.connector.GraftCatalog]
+    val staged = cat.stageReplace(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], "r7"),
+      new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      java.util.Collections.emptyMap[String, String]())
+    // a concurrent append lands between stage and publish — REPLACE
+    // replaces what the statement SAW, never a racer's work
+    SnapshotTable.write(spark, spark.range(10, 20).toDF("k"),
+      tdir("r7"), "append", Nil)
+    intercept[Exception](staged.commitStagedChanges())
+    assert(spark.sql("SELECT count(*) FROM graftrp.r7").as[Long].head == 20)
+  }
+
   test("failed atomic CTAS leaves no table behind") {
     intercept[Exception](spark.sql(
       "CREATE TABLE graftrp.r6 AS " +
