@@ -458,18 +458,34 @@ private[graft] object SnapshotPartitions {
     * embedded in the partitions it masks. Merging per column keeps
     * multi-epoch pending deletes a single set membership test. */
   private[graft] object EqSidecars {
+    // size-bounded LRU (sidecars are immutable, so eviction only costs
+    // a re-read): a long-lived session sweeping many high-churn tables
+    // must not accumulate every epoch's key array for the JVM's life
+    private val MaxCached = 256
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[String])]()
+      new java.util.LinkedHashMap[String, (String, Seq[String])](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (String, Seq[String])]): Boolean =
+          size() > MaxCached
+      }
 
-    def load(uri: String): (String, Seq[String]) =
-      cache.computeIfAbsent(uri, u => {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val df = spark.read.parquet(u)
-        val c = df.columns.head
-        (c, df.select(org.apache.spark.sql.functions.col(s"`$c`")
-            .cast("string")).na.drop().distinct()
-          .collect().map(_.getString(0)).toVector)
-      })
+    def load(uri: String): (String, Seq[String]) = {
+      cache.synchronized {
+        val hit = cache.get(uri)
+        if (hit != null) return hit
+      }
+      // read OUTSIDE the lock (a Spark job); a racing double-load is
+      // idempotent — sidecars are immutable
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = spark.read.parquet(uri)
+      val c = df.columns.head
+      val loaded = (c, df.select(org.apache.spark.sql.functions.col(s"`$c`")
+          .cast("string")).na.drop().distinct()
+        .collect().map(_.getString(0)).toVector: Seq[String])
+      cache.synchronized { cache.put(uri, loaded) }
+      loaded
+    }
 
     def skipFor(dir: String, fe: FileEntry): Seq[(String, Seq[String])] =
       if (fe.eqDv.isEmpty) Nil

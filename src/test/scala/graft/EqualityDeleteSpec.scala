@@ -234,6 +234,27 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(content(eqDir) == content(mergeDir))
   }
 
+  test("the STREAMING change feed propagates equality deletes") {
+    spark.sql("CREATE TABLE grafteq.scdc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grafteq.scdc SELECT id, id * 3 FROM range(0, 300)")
+    val dir = s"$root/scdc"
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(50, 60).toDF("k"))
+    val out = Files.createTempDirectory("graft-eqf").toString
+    val ckpt = Files.createTempDirectory("graft-eqfc").toString
+    val q = spark.readStream.format("graft_snapshot")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = spark.read.parquet(out).collect()
+    val dels = feed.filter(_.getAs[String]("change_type") == "delete")
+    assert(dels.map(_.getAs[Long]("k")).sorted.toSeq == (50L until 60L),
+      s"stream feed deletes wrong: ${dels.map(_.getAs[Long]("k")).toSeq.sorted}")
+    assert(dels.forall(r => r.getAs[Long]("v") == r.getAs[Long]("k") * 3))
+    assert(feed.count(_.getAs[String]("change_type") == "upsert") == 300)
+  }
+
   test("streaming tail refuses an equality delete unless ignoreDeletes") {
     val dir = freshDir()
     SnapshotTable.write(spark,

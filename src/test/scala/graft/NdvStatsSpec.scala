@@ -81,6 +81,18 @@ class NdvStatsSpec extends SparkTestBase {
     assert(math.abs(est.get - 300L) <= 60, s"post-compact estimate ${est.get}")
   }
 
+  test("UNSET ndvCols opts a table out of the sketch cost") {
+    spark.sql("CREATE TABLE graftndv.opt (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graftndv.opt SELECT id % 50, id FROM range(0, 5000)")
+    assert(mergedNdv(s"$root/opt", "k").isDefined)
+    spark.sql("ALTER TABLE graftndv.opt UNSET TBLPROPERTIES ('ndvCols')")
+    spark.sql("INSERT INTO graftndv.opt SELECT id % 50, id FROM range(5000, 6000)")
+    // the new files carry no sketch, so the table-level stat withdraws
+    // (absent beats wrong) — and the write stopped paying for it
+    assert(mergedNdv(s"$root/opt", "k").isEmpty)
+  }
+
   test("distinct counts reach the plan's attribute statistics") {
     spark.sql("CREATE TABLE graftndv.s (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (k)")
