@@ -43,6 +43,10 @@ import graft.sources.SnapshotTable
   *    `cat.ns.t.branch_<name>` with main's layout and CHECK gates),
   *    validate, then publish the audited state to main as ONE
   *    linear-history commit (loud conflict if main advanced).
+  *  - `recluster(table, max_depth, target_rows)` — incremental
+  *    re-clustering: re-sort ONLY the clusterBy-key overlap components
+  *    whose stabbing depth exceeds `max_depth` (zone-map decay
+  *    detected from manifest intervals; content-neutral).
   *
   * A procedure that mutates data is `isDeterministic = false`; every
   * argument is a required IN parameter (explicit beats defaulted for
