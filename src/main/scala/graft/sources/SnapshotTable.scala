@@ -2278,7 +2278,20 @@ object SnapshotTable {
     *
     * `keys` is a one-column frame of key values (null keys never
     * match, SQL equality). Returns the new version — or the current
-    * one when every file refutes the batch. */
+    * one when every file refutes the batch.
+    *
+    * Isolation, stated precisely: the delete applies to the SNAPSHOT
+    * IT READ, not to every file committed before its publish. Its
+    * read set is the affected files only, so an append that commits
+    * between this delete's manifest read and its publish neither
+    * conflicts nor is masked — the histories serialize with the
+    * delete FIRST (valid snapshot isolation; the appended rows
+    * survive, exactly as if they arrived after the delete). This
+    * deliberately diverges from Iceberg's sequence-number contract,
+    * where an equality delete masks every data file with a lower
+    * sequence number regardless of publish order; a caller needing
+    * publish-order semantics should serialize its delete epochs with
+    * its appends (the CDC appliers do). */
   def deleteByKey(spark: SparkSession, dir: String, keyCol: String,
                   keys: DataFrame): Long =
     retryOnConflict(s"equality delete on $dir") {
@@ -2347,6 +2360,23 @@ object SnapshotTable {
         rangeHit && bloomHit
       }
       if (affected.isEmpty) return v
+      // attach-time pending-key budget: readers materialize each
+      // file's MERGED key set, capped at MaxPendingKeys — enforce the
+      // bound where it accumulates (here) instead of surfacing it as
+      // a read failure N epochs later. Footer row counts only (the
+      // sum over epochs upper-bounds the merged set; refusing a hair
+      // early beats refusing reads), zero Spark jobs.
+      val batchKeys = smallKeys.map(_.size.toLong).getOrElse(keyDf.count())
+      val hc = spark.sparkContext.hadoopConfiguration
+      affected.foreach { fe =>
+        val pending = fe.eqDv.map(p => graft.sources.connector
+          .SnapshotPartitions.sidecarRows(hc, resolvePath(dir, p))).sum
+        require(pending + batchKeys <=
+          graft.sources.connector.SnapshotPartitions.MaxPendingKeys,
+          s"${fe.path} would accumulate ${pending + batchKeys} pending " +
+            "equality-delete keys — over the read-side masking cap; run " +
+            "purge_deletes (or compact) to fold the pending refs, then retry")
+      }
       val nonce = java.util.UUID.randomUUID.toString.take(8)
       val rel = s"data/$nonce-eq.parquet"
       writeSingleParquet(spark, dir, keyDf, rel)
@@ -3176,11 +3206,15 @@ object SnapshotTable {
       .filter(n => (n.startsWith(".tmp-") && n.endsWith(".json")) ||
         n.startsWith(".ckpt-pq-")) // crashed parquet-anchor temp dirs
       .foreach(n => f.delete(new Path(logDir(dir), n), true))
-    // crashed stage/dv-sidecar temp dirs live under the table root
+    // crashed stage/dv-sidecar temp dirs (and fast-forward intent
+    // temps — the published marker is _ff_intent.json, never swept;
+    // only orphaned `.tmp-ff-*` from a crash mid-marker-write) live
+    // under the table root
     f.listStatus(new Path(dir)).toSeq
       .filter(_.getModificationTime <= horizon)
       .map(_.getPath.getName)
-      .filter(n => n.startsWith(".stage-") || n.startsWith(".dv-"))
+      .filter(n => n.startsWith(".stage-") || n.startsWith(".dv-") ||
+        n.startsWith(".tmp-ff-"))
       .foreach(n => f.delete(new Path(dir, n), true))
     dead.map(n => s"data/$n")
   }
@@ -3234,8 +3268,27 @@ object SnapshotTable {
     // visible — fail loudly (and un-publish) rather than leave a tag
     // that dangles. vacuum narrows its side of the window by re-listing
     // tags immediately before its delete loop.
+    // ...and verify a SAMPLE of the manifest's data files still exists,
+    // not just the manifest: vacuum re-lists tags before its delete
+    // loop, but a tag published after that re-list can land while the
+    // version's data files are mid-deletion — the manifest read alone
+    // would pass and leave a tag whose data is gone. Sampling head,
+    // tail, and middle entries catches any in-order or reverse-order
+    // sweep (best-effort on a transactionless FS; the window shrinks,
+    // it cannot close).
     val stillThere =
-      try { versions(spark, dir).contains(v) && { readManifest(spark, dir, v); true } }
+      try {
+        versions(spark, dir).contains(v) && {
+          val m = readManifest(spark, dir, v)
+          val n = m.files.size
+          val sample =
+            if (n <= 6) m.files
+            else Seq(0, 1, n / 2, n / 2 + 1, n - 2, n - 1).distinct.map(m.files)
+          val f = fs(spark, new Path(dir))
+          sample.forall(fe =>
+            f.exists(new Path(resolvePath(dir, fe.path))))
+        }
+      }
       catch { case _: Exception => false }
     if (!stillThere) {
       dropTag(spark, dir, name)
@@ -3505,13 +3558,18 @@ object SnapshotTable {
     base
   }
 
-  /** All branches of `dir`, name-sorted, with (base, head) versions. */
+  /** All branches of `dir`, name-sorted, with (base, head) versions.
+    * Self-healing: a branch whose fast-forward was interrupted
+    * mid-protocol ([[healFastForward]]'s intent marker present) is
+    * completed or rolled back BEFORE being listed, so the returned
+    * (base, head) always describe a readable branch. */
   def listBranches(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
     val bd = branchesDir(dir)
     val f = fs(spark, bd)
     if (!f.exists(bd)) return Nil
     f.listStatus(bd).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
       .flatMap { n =>
+        healFastForward(spark, dir, n)
         val bdir = branchDir(dir, n)
         latestVersion(spark, bdir).map { head =>
           val base = graft.sources.connector.GraftTableProps
@@ -3532,6 +3590,114 @@ object SnapshotTable {
     true
   }
 
+  /** Fast-forward intent marker: written into the branch root BEFORE
+    * the first rename, deleted after the branch re-point completes.
+    * Records everything recovery needs: the expected base, the
+    * planned (src → dst) moves, and the post-publish main-relative
+    * path set (which disambiguates WHOSE publish landed when two
+    * branches share a base). [[healFastForward]] reads it to either
+    * complete an interrupted publish or roll it back. */
+  private val FfIntentName = "_ff_intent.json"
+
+  /** Test-only crash injection for the fast-forward protocol: set to
+    * one of "before-renames" / "after-renames" / "after-publish" /
+    * "mid-repoint" and the next fastForward dies there like a killed
+    * process would — no rollback runs ([[SimulatedCrash]] bypasses
+    * the catch), leaving exactly the on-disk state a real crash
+    * leaves. */
+  private[graft] var ffCrashPoint: Option[String] = None
+  private[graft] final class SimulatedCrash(at: String)
+    extends Error(s"simulated crash at $at")
+  private def maybeCrash(at: String): Unit =
+    if (ffCrashPoint.contains(at)) {
+      ffCrashPoint = None
+      throw new SimulatedCrash(at)
+    }
+
+  /** Re-point branch `bdir` at main's published version `newV`: its
+    * head absolutizes to main's files, its recorded base and vacuum
+    * pin follow. Idempotent — safe to run again from recovery. */
+  private def repointBranch(spark: SparkSession, dir: String, bdir: String,
+                            newV: Long, schemaJson: Option[String]): Unit = {
+    val f = fs(spark, new Path(dir))
+    val mainRoot = f.makeQualified(new Path(dir)).toString
+    def isAbs(p: String) = p.startsWith("/") || p.contains(":/")
+    val mm = readManifest(spark, dir, newV)
+    val bEntries = mm.files.map(fe => fe.copy(
+      path = if (isAbs(fe.path)) fe.path else s"$mainRoot/${fe.path}",
+      dv = fe.dv.map { case (p, n) =>
+        (if (isAbs(p)) p else s"$mainRoot/$p", n) },
+      eqDv = fe.eqDv.map(p => if (isAbs(p)) p else s"$mainRoot/$p")))
+    commit(spark, bdir, "fast_forward", bEntries, carry = false,
+      schemaJson = schemaJson, keepMapping = true)
+    maybeCrash("mid-repoint")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.sources.connector.GraftTableProps.write(hconf, bdir,
+      graft.sources.connector.GraftTableProps.read(hconf, bdir) +
+        (BranchBaseKey -> newV.toString))
+    val pin = clonePinTag(spark, bdir)
+    if (tagVersion(spark, dir, pin).isDefined) dropTag(spark, dir, pin)
+    createTag(spark, dir, pin, Some(newV))
+  }
+
+  /** Recover an interrupted [[fastForward]] of branch `name`, if its
+    * intent marker is present. Decides from main's log whether the
+    * publish LANDED (version base+1 exists, is a fast_forward, and
+    * its path set is exactly the one this intent planned — the path
+    * set distinguishes a sibling branch's publish onto the same
+    * base): if so, completes the branch re-point; if not, renames the
+    * moved files back (each rename guarded by exists checks, so a
+    * partially-rolled-back state heals too). Returns a description of
+    * the action taken, None when there was nothing to heal. Runs
+    * automatically at the top of [[fastForward]] and per-branch in
+    * [[listBranches]]. A corrupt marker (crash mid-write — before any
+    * rename could have happened) is deleted. */
+  def healFastForward(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val bdir = branchDir(dir, name)
+    val f = fs(spark, new Path(bdir))
+    val marker = new Path(bdir, FfIntentName)
+    if (!f.exists(marker)) return None
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(readBytes(f, marker))
+      catch { case _: Exception => null }
+    if (node == null || node.get("base") == null) {
+      // unreadable ⇒ the writer died inside the marker write, which
+      // precedes the first rename — nothing moved, nothing published
+      f.delete(marker, false)
+      return Some(s"dropped a corrupt fast-forward intent on branch '$name' " +
+        "(crash during intent write; no files had moved)")
+    }
+    val base = node.get("base").asLong
+    import scala.jdk.CollectionConverters._
+    val expectPaths = node.get("paths").elements().asScala
+      .map(_.asText()).toSet
+    val moves: Seq[(String, String)] = node.get("moves").elements().asScala
+      .map(m => (m.get(0).asText(), m.get(1).asText())).toSeq
+    val landed = versions(spark, dir).contains(base + 1) && {
+      val m = readManifest(spark, dir, base + 1)
+      m.op == "fast_forward" &&
+        m.files.flatMap(fe =>
+          (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv).toSet == expectPaths
+    }
+    if (landed) {
+      repointBranch(spark, dir, bdir, base + 1,
+        tableSchemaJson(spark, dir, base + 1))
+      f.delete(marker, false)
+      Some(s"completed the interrupted fast-forward of branch '$name': " +
+        s"main had published v${base + 1}; the branch is re-pointed at it")
+    } else {
+      moves.foreach { case (src, dst) =>
+        val s = new Path(bdir, src)
+        val d = new Path(dir, dst)
+        if (f.exists(d) && !f.exists(s)) f.rename(d, s)
+      }
+      f.delete(marker, false)
+      Some(s"rolled back the interrupted fast-forward of branch '$name': " +
+        "main never published; the branch's files are back in place")
+    }
+  }
+
   /** PUBLISH a branch: fast-forward main to the branch's current
     * state in ONE commit — the publish side of write-audit-publish.
     *
@@ -3546,6 +3712,13 @@ object SnapshotTable {
     *    into main's `data/` (no bytes copied); files the branch still
     *    shares with main fold back to main-relative paths. A failed
     *    publish renames them back — the branch stays intact.
+    *  - CRASH-SAFE: an intent marker in the branch root brackets the
+    *    whole protocol (planned moves recorded before the first
+    *    rename, marker deleted after the branch re-point). A process
+    *    killed at ANY point leaves a state [[healFastForward]] —
+    *    which runs automatically on the next fastForward or
+    *    listBranches — provably completes or rolls back; the branch
+    *    can never silently reference renamed-away files.
     *  - main's history stays linear: one `fast_forward` version, time
     *    travel to pre-publish versions unchanged.
     *  - the branch survives, re-pointed at the published state (its
@@ -3554,6 +3727,19 @@ object SnapshotTable {
     *
     * Returns main's new version. */
   def fastForward(spark: SparkSession, dir: String, name: String): Long = {
+    // recover any interrupted prior attempt first — a completed heal
+    // means the previous publish actually landed, which IS the
+    // requested state transition
+    healFastForward(spark, dir, name).foreach { action =>
+      if (action.startsWith("completed"))
+        // the heal re-pointed the branch at the published version and
+        // recorded it as the new base — that IS main's fast_forward
+        return graft.sources.connector.GraftTableProps
+          .read(spark.sparkContext.hadoopConfiguration, branchDir(dir, name))
+          .get(BranchBaseKey).map(_.toLong).getOrElse(
+            throw new IllegalStateException(
+              s"healed branch '$name' records no base"))
+    }
     val bdir = branchDir(dir, name)
     val bv = latestVersion(spark, bdir).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on $dir"))
@@ -3574,9 +3760,10 @@ object SnapshotTable {
     val mainRoot = f.makeQualified(new Path(dir)).toString
     val mainPrefix = s"$mainRoot/"
     def isAbs(p: String) = p.startsWith("/") || p.contains(":/")
-    // branch-exclusive files (relative to bdir) rename into main's
-    // data/; shared files fold back to main-relative; foreign absolute
-    // entries (main itself a clone) stay absolute
+    // PLAN the moves (no renames yet): branch-exclusive files
+    // (relative to bdir) will rename into main's data/; shared files
+    // fold back to main-relative; foreign absolute entries (main
+    // itself a clone) stay absolute
     val moved = scala.collection.mutable.LinkedHashMap[String, String]()
     def toMain(p: String): String =
       if (p.startsWith(mainPrefix)) p.stripPrefix(mainPrefix)
@@ -3584,24 +3771,51 @@ object SnapshotTable {
       else moved.getOrElseUpdate(p, {
         var target = p
         var i = 0
-        while (f.exists(new Path(dir, target))) {
+        while (moved.valuesIterator.contains(target) ||
+            f.exists(new Path(dir, target))) {
           i += 1
           target = s"data/ff$i-${new Path(p).getName}"
         }
-        require(f.rename(new Path(bdir, p), new Path(dir, target)),
-          s"fast-forward could not move $bdir/$p into $dir")
         target
       })
+    val entries = bm.files.map(fe => fe.copy(
+      path = toMain(fe.path),
+      dv = fe.dv.map { case (p, n) => (toMain(p), n) },
+      eqDv = fe.eqDv.map(toMain)))
+    // intent marker BEFORE the first rename (temp + atomic rename, so
+    // a marker that exists is complete; a corrupt one means no move
+    // ever ran)
+    val marker = new Path(bdir, FfIntentName)
+    locally {
+      val paths = entries.flatMap(fe =>
+        (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv).distinct
+      val sb = new StringBuilder
+      sb.append(s"""{"base":$base,"paths":[""")
+      sb.append(paths.map(p => s""""${jsonEscape(p)}"""").mkString(","))
+      sb.append("""],"moves":[""")
+      sb.append(moved.map { case (s, d) =>
+        s"""["${jsonEscape(s)}","${jsonEscape(d)}"]""" }.mkString(","))
+      sb.append("]}")
+      val tmp = new Path(bdir, s".tmp-ff-${java.util.UUID.randomUUID}.json")
+      val out = f.create(tmp, true)
+      try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+      require(f.rename(tmp, marker),
+        s"could not publish fast-forward intent for branch '$name'" +
+          " (another fast-forward in flight?)")
+    }
+    maybeCrash("before-renames")
     val newV =
       try {
-        val entries = bm.files.map(fe => fe.copy(
-          path = toMain(fe.path),
-          dv = fe.dv.map { case (p, n) => (toMain(p), n) },
-          eqDv = fe.eqDv.map(toMain)))
+        moved.foreach { case (src, target) =>
+          require(f.rename(new Path(bdir, src), new Path(dir, target)),
+            s"fast-forward could not move $bdir/$src into $dir")
+        }
+        maybeCrash("after-renames")
         commit(spark, dir, "fast_forward", entries, carry = false,
           schemaJson = schemaJson, keepMapping = true,
           expectLatest = Some(base))
       } catch {
+        case e: SimulatedCrash => throw e // a real crash runs no rollback
         case e: Throwable =>
           // publish did NOT land: un-move, so BOTH tables are exactly
           // as they were (renames are same-fs metadata ops, the
@@ -3610,26 +3824,17 @@ object SnapshotTable {
           moved.foreach { case (orig, target) =>
             f.rename(new Path(dir, target), new Path(bdir, orig))
           }
+          f.delete(marker, false)
           throw e
       }
+    maybeCrash("after-publish")
     // re-point the branch at the published state: its (moved) files
     // now live under main, so the branch's head absolutizes to them
     // and its vacuum pin follows the published version. Main is
-    // already correct whatever happens below.
-    val mm = readManifest(spark, dir, newV)
-    val bEntries = mm.files.map(fe => fe.copy(
-      path = if (isAbs(fe.path)) fe.path else s"$mainRoot/${fe.path}",
-      dv = fe.dv.map { case (p, n) =>
-        (if (isAbs(p)) p else s"$mainRoot/$p", n) },
-      eqDv = fe.eqDv.map(p => if (isAbs(p)) p else s"$mainRoot/$p")))
-    commit(spark, bdir, "fast_forward", bEntries, carry = false,
-      schemaJson = schemaJson, keepMapping = true)
-    graft.sources.connector.GraftTableProps.write(hconf, bdir,
-      graft.sources.connector.GraftTableProps.read(hconf, bdir) +
-        (BranchBaseKey -> newV.toString))
-    val pin = clonePinTag(spark, bdir)
-    if (tagVersion(spark, dir, pin).isDefined) dropTag(spark, dir, pin)
-    createTag(spark, dir, pin, Some(newV))
+    // already correct whatever happens below — and a crash below is
+    // healed by the marker.
+    repointBranch(spark, dir, bdir, newV, schemaJson)
+    f.delete(marker, false)
     newV
   }
 

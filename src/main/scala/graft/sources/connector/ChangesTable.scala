@@ -130,9 +130,9 @@ object ChangesTable {
                 val fresh = newRefs
                   .map(pp => SnapshotPartitions.EqSidecars
                     .load(SnapshotTable.resolvePath(dir, pp)))
-                  .groupBy(_._1)
+                  .groupBy(_.col)
                   .map { case (c, ks) =>
-                    c -> ks.flatMap(_._2).distinct
+                    c -> ks.flatMap(_.keys).distinct
                       .filterNot(oldKeys.getOrElse(c, Nil).toSet)
                   }.filter(_._2.nonEmpty)
                 fresh.toSeq.sortBy(_._1).foreach { case (c, ks) =>

@@ -809,18 +809,17 @@ final class SnapshotScan(private val dir: String, manifestF: () => Manifest,
       // in-file row-group/page pruning rides the same skipping
       // filters, rewritten to the files' physical column names
       (skipping ++ runtimeSkipping).toSeq.map(SnapshotScan.mapAttrs(_, phys)),
-      // pending equality deletes mask in the ROW readers (the value
-      // test needs decoded key columns); Spark requires the columnar
-      // verdict to be scan-uniform, so any eq-carrying file IN THIS
-      // SCAN parks it on rows until the next fold. The verdict is
-      // computed from the STATIC pruned set only: runtime filters can
-      // only SHRINK the file set, so a statically-eq-free scan can
-      // never execute an eq partition — scans whose predicates prune
-      // the eq-pending files away keep their vectorized readers.
-      rowsOnly = manifest.files.exists(_.eqDv.nonEmpty) &&
-        manifest.files
-          .filter(fe => skipping.forall(SnapshotScan.keeps(fe, _, phys)))
-          .exists(_.eqDv.nonEmpty))
+      // pending equality deletes mask inside BOTH reader families —
+      // the columnar readers test appended key-column vectors, so the
+      // columnar verdict never flips and a full scan mid-CDC keeps
+      // whole-stage codegen. The key sets ship as ONE broadcast per
+      // scan (tasks carry sidecar refs only); built over the STATIC
+      // pruned set, a superset of anything runtime filters later keep
+      // (a metadata-agg scan refuses eq-pending files up front).
+      eqBc =
+        if (agg.isDefined) None
+        else SnapshotPartitions.EqSidecars.broadcastFor(dir, manifest.files
+          .filter(fe => skipping.forall(SnapshotScan.keeps(fe, _, phys)))))
 
   /** Post-skipping logical rows from the manifest; size is rows ×
     * the read schema's fixed-width estimate (the manifest stores row

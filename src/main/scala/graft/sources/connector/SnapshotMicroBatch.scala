@@ -182,13 +182,31 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
         s"${dvChanged.size} file(s) (e.g. ${dvChanged.head}); the stream " +
         "source is append-only — set ignoreDeletes=true to tail past " +
         "deletes, or consume SnapshotTable.changes for DML feeds")
-    after.files.filterNot(fe => base.contains(fe.path))
-      .map(fe => SnapshotPartitions.partitionFor(dir, fe): InputPartition)
+    val fresh = after.files.filterNot(fe => base.contains(fe.path))
+    // a NEW file can arrive already carrying eq refs (a commit that
+    // both appends and attaches); remember its sidecars so the
+    // factory's per-batch broadcast covers them — planning always
+    // precedes reader-factory creation within a micro-batch, and a
+    // miss fails loudly executor-side rather than un-deleting rows
+    fresh.filter(_.eqDv.nonEmpty)
+      .foreach(fe => eqFiles.add(fe.copy(stats = Map.empty,
+        bloom = Map.empty, ndv = Map.empty)))
+    fresh.map(fe => SnapshotPartitions.partitionFor(dir, fe): InputPartition)
       .toArray
   }
 
+  /** Eq-ref-carrying files seen by any planned batch (stats stripped —
+    * only path/eqDv matter here), accumulated so the next reader
+    * factory's sidecar broadcast covers every pending ref. Bounded:
+    * refs fold away at purge/compact and CDC batches are tiny. */
+  private val eqFiles = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[graft.sources.SnapshotTable.FileEntry]()
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema)
+    new SnapshotReaderFactory(schema,
+      eqBc = SnapshotPartitions.EqSidecars.broadcastFor(dir,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          eqFiles.iterator()).asScala.toSeq))
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset.parse(json)

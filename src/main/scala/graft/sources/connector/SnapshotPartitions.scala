@@ -42,15 +42,23 @@ import graft.sources.SnapshotTable.FileEntry
   * partitions = files, no shuffle, dv sidecars are tiny and loaded
   * per-file (positions of DELETED rows only).
   */
-/** `eqSkip`: pending EQUALITY deletes — (physical column, deleted key
-  * strings) pairs, materialized on the driver from the file's
-  * equality-delete sidecars (CDC batches are tiny; sidecars are
-  * immutable and driver-cached). Rows whose column value's string
-  * form is in the set are masked at read. */
+/** `eqDvUris`: pending EQUALITY-delete sidecars (resolved URIs). The
+  * partition carries only the REFERENCES — the key sets themselves
+  * ride one torrent broadcast per scan ([[SnapshotPartitions.EqSidecars
+  * .broadcastFor]]), so task closures stay O(refs) however many keys
+  * are pending (at the 2M-key cap × many files sharing one sidecar,
+  * closure-embedded keys were megabytes per task). Readers mask rows
+  * whose key-column value is in the merged set. */
 final case class SnapshotFilePartition(fileUri: String, baseName: String,
                                        rows: Long, dvUri: Option[String],
-                                       eqSkip: Seq[(String, Seq[String])] = Nil)
+                                       eqDvUris: Seq[String] = Nil)
   extends InputPartition
+
+/** One loaded equality-delete sidecar: the physical key column, its
+  * Spark type (as DataType JSON — the columnar reader rebuilds typed
+  * key sets from it), and the distinct deleted keys in string form
+  * (the row readers' comparison coordinate). */
+final case class EqSidecar(col: String, dtJson: String, keys: Seq[String])
 
 /** A completed metadata-only aggregate: values computed on the driver
   * from the manifest, replayed as one row ([[SnapshotScanBuilder]]
@@ -72,7 +80,8 @@ final case class SnapshotBucketPartition(bucket: Int,
 
 final class SnapshotReaderFactory(schema: StructType,
                                   filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-                                  rowsOnly: Boolean = false)
+                                  eqBc: Option[org.apache.spark.broadcast
+                                    .Broadcast[Map[String, EqSidecar]]] = None)
   extends PartitionReaderFactory {
 
   /** SQLConf-derived parquet settings, captured on the DRIVER (the
@@ -82,24 +91,46 @@ final class SnapshotReaderFactory(schema: StructType,
   private val sessionConf: Map[String, String] =
     SnapshotPartitions.sessionParquetConf()
 
+  /** The partition's pending equality deletes, resolved EXECUTOR-side
+    * from the scan's one broadcast: per-column merged key sets across
+    * its sidecar refs. Loud on a ref the broadcast missed — silence
+    * there would un-delete rows. */
+  private def eqFor(p: SnapshotFilePartition): Seq[EqSidecar] =
+    if (p.eqDvUris.isEmpty) Nil
+    else {
+      val data = eqBc.map(_.value).getOrElse(
+        throw new IllegalStateException(
+          s"${p.baseName} carries equality-delete refs but the scan " +
+            "built no sidecar broadcast"))
+      SnapshotPartitions.EqSidecars.merge(p.eqDvUris.map(u =>
+        data.getOrElse(u, throw new IllegalStateException(
+          s"equality-delete sidecar $u is not in the scan's broadcast"))))
+    }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case m: MetadataAggPartition => new MetadataAggReader(m)
-      case f: SnapshotFilePartition => new SnapshotFileReader(f, schema)
+      case f: SnapshotFilePartition => new SnapshotFileReader(f, schema,
+        eqSkipOverride = Some(eqFor(f).map(e => (e.col, e.keys))))
       case b: SnapshotBucketPartition => new ChainedPartitionReader(
-        b.files.map(f => () => new SnapshotFileReader(f, schema)))
+        b.files.map(f => () => new SnapshotFileReader(f, schema,
+          eqSkipOverride = Some(eqFor(f).map(e => (e.col, e.keys))))))
     }
 
   /** File partitions with a non-empty projection read VECTORIZED
     * ([[SnapshotColumnarFileReader]]): batches feed whole-stage
-    * codegen directly and dv masking is an in-batch position map.
+    * codegen directly; dv masking is an in-batch position map and
+    * pending EQUALITY deletes test the (appended) key columns'
+    * vector values — the columnar verdict never flips on eq-pending
+    * files, so a full scan mid-CDC keeps whole-stage codegen.
     * An empty projection (pure row counting) stays on the row reader,
-    * which replays `liveRows` without opening the file at all — and a
+    * which replays `liveRows` without opening the file at all (and,
+    * with eq refs pending, decodes just the key columns) — and a
     * metadata-agg scan plans exactly one [[MetadataAggPartition]], so
     * the all-or-nothing columnar contract holds per scan. */
   override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: SnapshotFilePartition => schema.nonEmpty && !rowsOnly
-    case _: SnapshotBucketPartition => schema.nonEmpty && !rowsOnly
+    case _: SnapshotFilePartition => schema.nonEmpty
+    case _: SnapshotBucketPartition => schema.nonEmpty
     case _ => false
   }
 
@@ -107,14 +138,11 @@ final class SnapshotReaderFactory(schema: StructType,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
       case f: SnapshotFilePartition =>
-        require(f.eqSkip.isEmpty,
-          "equality-delete masking is row-reader-only (scan should have set rowsOnly)")
-        new SnapshotColumnarFileReader(f, schema, sessionConf, filters)
+        new SnapshotColumnarFileReader(f, schema, sessionConf, filters, eqFor(f))
       case b: SnapshotBucketPartition =>
-        require(b.files.forall(_.eqSkip.isEmpty),
-          "equality-delete masking is row-reader-only (scan should have set rowsOnly)")
         new ChainedPartitionReader(b.files.map(f =>
-          () => new SnapshotColumnarFileReader(f, schema, sessionConf, filters)))
+          () => new SnapshotColumnarFileReader(f, schema, sessionConf,
+            filters, eqFor(f))))
       case other => throw new IllegalStateException(
         s"no columnar reader for $other")
     }
@@ -212,9 +240,12 @@ private[connector] final class SnapshotFileReader(
   }
 
   /** Pending EQUALITY deletes to mask (value-string membership), and
-    * the feed's inversion ("emit ONLY rows matching these keys"). */
+    * the feed's inversion ("emit ONLY rows matching these keys").
+    * Key sets arrive from the caller — the factory resolves them off
+    * the scan's sidecar broadcast; the change feed materializes its
+    * own (CDC-epoch-sized) sets driver-side. */
   private val eqSkip: Seq[(String, java.util.HashSet[String])] =
-    eqSkipOverride.getOrElse(p.eqSkip).map { case (c, ks) =>
+    eqSkipOverride.getOrElse(Nil).map { case (c, ks) =>
       val s = new java.util.HashSet[String](ks.size * 2)
       ks.foreach(s.add)
       c -> s
@@ -450,27 +481,47 @@ private[graft] object SnapshotPartitions {
     SnapshotFilePartition(SnapshotTable.resolvePath(dir, fe.path),
       new Path(fe.path).getName, fe.rows,
       fe.dv.map(d => SnapshotTable.resolvePath(dir, d._1)),
-      EqSidecars.skipFor(dir, fe))
+      fe.eqDv.map(p => SnapshotTable.resolvePath(dir, p)))
+
+  /** Per-file pending-key budget: readers materialize the merged key
+    * set per (file, query), so an unbounded accumulation would OOM at
+    * read; the cap fails loudly with the fold as the stated remedy.
+    * Enforced at ATTACH time (deleteByKey) and re-checked at read
+    * planning — a reader can meet a legacy over-cap table. */
+  private[graft] val MaxPendingKeys = 2000000L
+
+  /** Footer-only row count of one sidecar parquet (= its distinct key
+    * count; sidecars store distinct non-null keys). The attach-time
+    * pending-key budget check reads this instead of running Spark
+    * jobs — O(affected files × refs) footer opens, cached (sidecars
+    * are immutable). */
+  private val sidecarRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def sidecarRows(conf: Configuration, uri: String): Long =
+    sidecarRowCache.computeIfAbsent(uri, u => {
+      val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(u), conf))
+      try java.lang.Long.valueOf(pfr.getRecordCount) finally pfr.close()
+    }).longValue()
 
   /** Driver-side cache of equality-delete sidecars: each is one tiny
     * immutable parquet (the distinct deleted keys of one commit,
-    * column-named for the physical key), loaded once per JVM and
-    * embedded in the partitions it masks. Merging per column keeps
-    * multi-epoch pending deletes a single set membership test. */
+    * column-named for the physical key, typed as the table's key
+    * column), loaded once per JVM. Scans ship the loaded sets to
+    * executors as ONE torrent broadcast per scan
+    * ([[broadcastFor]]) — tasks carry sidecar REFS only. */
   private[graft] object EqSidecars {
     // size-bounded LRU (sidecars are immutable, so eviction only costs
     // a re-read): a long-lived session sweeping many high-churn tables
     // must not accumulate every epoch's key array for the JVM's life
     private val MaxCached = 256
     private val cache =
-      new java.util.LinkedHashMap[String, (String, Seq[String])](
-        64, 0.75f, true) {
+      new java.util.LinkedHashMap[String, EqSidecar](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, (String, Seq[String])]): Boolean =
+            e: java.util.Map.Entry[String, EqSidecar]): Boolean =
           size() > MaxCached
       }
 
-    def load(uri: String): (String, Seq[String]) = {
+    def load(uri: String): EqSidecar = {
       cache.synchronized {
         val hit = cache.get(uri)
         if (hit != null) return hit
@@ -479,31 +530,57 @@ private[graft] object SnapshotPartitions {
       // idempotent — sidecars are immutable
       val spark = org.apache.spark.sql.SparkSession.active
       val df = spark.read.parquet(uri)
-      val c = df.columns.head
-      val loaded = (c, df.select(org.apache.spark.sql.functions.col(s"`$c`")
+      val f = df.schema.head
+      val loaded = EqSidecar(f.name, f.dataType.json,
+        df.select(org.apache.spark.sql.functions.col(s"`${f.name}`")
           .cast("string")).na.drop().distinct()
-        .collect().map(_.getString(0)).toVector: Seq[String])
+          .collect().map(_.getString(0)).toVector)
       cache.synchronized { cache.put(uri, loaded) }
       loaded
     }
 
+    /** Per-column union of several sidecars' key sets (a file can
+      * accumulate pending refs across delete epochs). */
+    def merge(sidecars: Seq[EqSidecar]): Seq[EqSidecar] =
+      sidecars.groupBy(_.col).map { case (c, ss) =>
+        EqSidecar(c, ss.head.dtJson, ss.flatMap(_.keys).distinct)
+      }.toSeq.sortBy(_.col)
+
+    /** The change feed's driver-side merged skip sets for one file
+      * (CDC epochs are tiny; the feed replays files one epoch at a
+      * time, so closure-embedded sets stay batch-sized there). */
     def skipFor(dir: String, fe: FileEntry): Seq[(String, Seq[String])] =
       if (fe.eqDv.isEmpty) Nil
-      else {
-        val merged = fe.eqDv.map(p => load(SnapshotTable.resolvePath(dir, p)))
-          .groupBy(_._1).map { case (c, ks) =>
-            c -> ks.flatMap(_._2).distinct
-          }.toSeq.sortBy(_._1)
-        // the design assumes CDC-batch-sized sidecars (each key set is
-        // driver-materialized and rides the task closures); enforce it
-        // loudly rather than OOM quietly — the fold is always available
-        val total = merged.map(_._2.size.toLong).sum
-        require(total <= 2000000L,
+      else merge(fe.eqDv.map(p => load(SnapshotTable.resolvePath(dir, p))))
+        .map(e => (e.col, e.keys))
+
+    /** ONE broadcast per scan carrying every pending sidecar the
+      * scan's files reference — the executor-side lookup behind
+      * [[SnapshotReaderFactory.eqFor]]. None when nothing is pending
+      * (the overwhelmingly common case — zero broadcast overhead).
+      * Re-checks the per-file key cap: attach-time enforcement
+      * (deleteByKey) owns the bound, but a legacy table may predate
+      * it. */
+    def broadcastFor(dir: String, files: Seq[FileEntry])
+        : Option[org.apache.spark.broadcast.Broadcast[Map[String, EqSidecar]]] = {
+      val withRefs = files.filter(_.eqDv.nonEmpty)
+      if (withRefs.isEmpty) return None
+      val data: Map[String, EqSidecar] = withRefs.flatMap(_.eqDv).distinct
+        .map { p =>
+          val uri = SnapshotTable.resolvePath(dir, p)
+          uri -> load(uri)
+        }.toMap
+      withRefs.foreach { fe =>
+        val total = merge(fe.eqDv.map(p =>
+          data(SnapshotTable.resolvePath(dir, p)))).map(_.keys.size.toLong).sum
+        require(total <= MaxPendingKeys,
           s"${fe.path} carries $total pending equality-delete keys — " +
             "too many to mask at read; run purge_deletes (or compact) " +
             "to fold them into the files")
-        merged
       }
+      Some(org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(data))
+    }
   }
 
   /** Sidecar rows DECODED by [[deletedPositions]] since the last

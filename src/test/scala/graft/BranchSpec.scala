@@ -181,4 +181,80 @@ class BranchSpec extends SparkTestBase {
       s"published files lost the bucket layout: ${m.files.map(f =>
         (f.path, f.bucket, f.bucketN))}")
   }
+
+  // --- fast-forward crash recovery (the intent-marker protocol) ---
+
+  /** Build a (main, branch) pair with divergent branch work, ready to
+    * publish: main 100 rows at v1, branch +30 rows. */
+  private def wapFixture(name: String): (String, String) = {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id", ($"id" * 2).as("v")),
+      dir, "overwrite", Seq("id"))
+    SnapshotTable.createBranch(spark, dir, name)
+    val bdir = SnapshotTable.branchDir(dir, name)
+    SnapshotTable.write(spark,
+      spark.range(100, 130).select($"id", ($"id" * 2).as("v")),
+      bdir, "append", Seq("id"))
+    (dir, bdir)
+  }
+
+  test("crash between main publish and branch re-point: heal completes it") {
+    val (dir, bdir) = wapFixture("cr1")
+    SnapshotTable.ffCrashPoint = Some("after-publish")
+    intercept[Error](SnapshotTable.fastForward(spark, dir, "cr1"))
+    // main HAS the published state (the commit landed before the crash)
+    assert(SnapshotTable.scan(spark, dir).count() == 130)
+    // listBranches self-heals: the branch re-points at the published
+    // version instead of silently referencing renamed-away files
+    val bs = SnapshotTable.listBranches(spark, dir)
+    assert(bs.map(_._1) == Seq("cr1"))
+    assert(bs.head._2 == 2L, s"healed branch base wrong: $bs")
+    assert(SnapshotTable.scan(spark, bdir).count() == 130,
+      "healed branch must read the published state")
+    // the healed branch takes further epochs normally
+    SnapshotTable.write(spark,
+      spark.range(200, 210).select($"id", ($"id" * 2).as("v")),
+      bdir, "append", Seq("id"))
+    assert(SnapshotTable.fastForward(spark, dir, "cr1") == 3L)
+    assert(SnapshotTable.scan(spark, dir).count() == 140)
+  }
+
+  test("crash after renames but before publish: heal rolls the moves back") {
+    val (dir, bdir) = wapFixture("cr2")
+    SnapshotTable.ffCrashPoint = Some("after-renames")
+    intercept[Error](SnapshotTable.fastForward(spark, dir, "cr2"))
+    val healed = SnapshotTable.healFastForward(spark, dir, "cr2")
+    assert(healed.exists(_.startsWith("rolled back")), s"heal said: $healed")
+    // main never published; the branch's files are back in place
+    assert(SnapshotTable.scan(spark, dir).count() == 100)
+    assert(SnapshotTable.scan(spark, bdir).count() == 130)
+    // a retried publish now lands clean
+    assert(SnapshotTable.fastForward(spark, dir, "cr2") == 2L)
+    assert(SnapshotTable.scan(spark, dir).count() == 130)
+  }
+
+  test("crash before any rename: the marker alone heals away") {
+    val (dir, bdir) = wapFixture("cr3")
+    SnapshotTable.ffCrashPoint = Some("before-renames")
+    intercept[Error](SnapshotTable.fastForward(spark, dir, "cr3"))
+    // the NEXT fastForward heals on entry (rolled back: nothing moved)
+    // and proceeds to publish in the same call
+    assert(SnapshotTable.fastForward(spark, dir, "cr3") == 2L)
+    assert(SnapshotTable.scan(spark, dir).count() == 130)
+    assert(SnapshotTable.scan(spark, bdir).count() == 130)
+  }
+
+  test("crash mid-re-point: heal finishes the base/pin bookkeeping") {
+    val (dir, bdir) = wapFixture("cr4")
+    SnapshotTable.ffCrashPoint = Some("mid-repoint")
+    intercept[Error](SnapshotTable.fastForward(spark, dir, "cr4"))
+    assert(SnapshotTable.scan(spark, dir).count() == 130) // published
+    val healed = SnapshotTable.healFastForward(spark, dir, "cr4")
+    assert(healed.exists(_.startsWith("completed")), s"heal said: $healed")
+    assert(SnapshotTable.listBranches(spark, dir).head._2 == 2L)
+    assert(SnapshotTable.scan(spark, bdir).count() == 130)
+    // idempotent: a second heal finds nothing
+    assert(SnapshotTable.healFastForward(spark, dir, "cr4").isEmpty)
+  }
 }

@@ -172,7 +172,7 @@ class EqualityDeleteSpec extends SparkTestBase {
       "second epoch must emit only newly-deleted keys")
   }
 
-  test("scans that prune the eq-pending files away keep their columnar readers") {
+  test("the columnar verdict never flips: eq-pending scans stay vectorized") {
     val dir = freshDir()
     // range-clustered: the delete batch lands in the FIRST slice only
     SnapshotTable.write(spark,
@@ -193,12 +193,100 @@ class EqualityDeleteSpec extends SparkTestBase {
       parts.forall(factory.supportColumnarReads)
     }
     val base = spark.read.format("graft_snapshot").load(dir)
-    // a full scan must run the row readers (the eq file is in it)...
-    assert(!columnar(base.filter($"v" >= 0)))
-    // ...but a scan whose STATIC pruning excludes the eq-pending slice
-    // keeps vectorized reads — runtime filters can only shrink the set
-    assert(columnar(base.filter($"k" >= 10000)))
-    assert(base.filter($"k" >= 10000).count() == 10000)
+    // the "SELECT * while CDC is in flight" scan keeps its vectorized
+    // readers — pending keys mask inside the columnar batches (the
+    // round-15 fallback parked the whole scan on row readers, 4.8×)
+    assert(columnar(base.filter($"v" >= 0)))
+    assert(base.filter($"v" >= 0).count() == 19960)
+    assert(base.agg(sum($"k")).as[Long].head ==
+      (40L until 20000L).sum, "columnar eq masking dropped wrong rows")
+    // a key-filtered scan agrees with the oracle arithmetic through
+    // the same masked batches
+    assert(base.filter($"k" < 100).count() == 60)
+    // dv + eq interplay: BOTH masks apply inside one batch pass
+    SnapshotTable.deleteVectors(spark, dir, $"v" === 200L) // k=100
+    assert(columnar(base.filter($"v" >= 0)))
+    assert(spark.read.format("graft_snapshot").load(dir).count() == 19959)
+    assert(spark.read.format("graft_snapshot").load(dir)
+      .agg(sum($"k")).as[Long].head == (40L until 20000L).sum - 100L)
+  }
+
+  test("columnar eq masking handles string keys and projections without the key") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 5000).select(
+        concat(lit("u"), ($"id" % 700).cast("string")).as("key"),
+        $"id".as("v")).repartition(4),
+      dir, "overwrite")
+    SnapshotTable.deleteByKey(spark, dir, "key",
+      Seq("u1", "u17", "u699").toDF("key"))
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    // projection WITHOUT the key column: the reader appends `key` to
+    // the requested batch for the mask, then strips it
+    val expect = (0L until 5000L).filterNot(i =>
+      Set(1L, 17L, 699L).contains(i % 700)).sum
+    assert(v2.select($"v").agg(sum($"v")).as[Long].head == expect)
+    assert(v2.count() == (0L until 5000L)
+      .count(i => !Set(1L, 17L, 699L).contains(i % 700)))
+    // and WITH it — same verdicts when the key rides the projection
+    assert(v2.filter($"key" === "u17").count() == 0)
+  }
+
+  test("task closures carry sidecar REFS, not key sets (one broadcast per scan)") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 50000).select(
+        (($"id" * 2654435761L) % 50000).as("k"), $"id".as("v"))
+        .repartition(4),
+      dir, "overwrite", Seq("k"))
+    // a BIG pending batch: 40k keys — closure-embedded sets would put
+    // ~40k strings in EVERY task; refs keep partitions O(bytes)
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(0, 80000, 2).toDF("k"))
+    val df = spark.read.format("graft_snapshot").load(dir)
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.connector.SnapshotScan]
+    }.head
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    parts.foreach(oos.writeObject)
+    oos.close()
+    val perPart = bos.size() / parts.length
+    assert(perPart < 2048,
+      s"input partitions serialize to ~$perPart bytes each — pending " +
+        "keys are riding the task closures again")
+    // the data still masks correctly through the broadcast
+    assert(df.count() ==
+      (0L until 50000L).map(i => (i * 2654435761L) % 50000)
+        .count(k => !(k < 80000 && k % 2 == 0)))
+  }
+
+  test("attach-time cap: deleteByKey refuses to push a file past the masking budget") {
+    val dir = freshDir()
+    // ONE file, unclustered key — every epoch attaches to it
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select(
+        (($"id" * 48271L) % 3000000L).as("k"), $"id".as("v")).coalesce(1),
+      dir, "overwrite")
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(0, 1900000).toDF("k"))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.deleteByKey(spark, dir, "k",
+        spark.range(1900000, 3000000).toDF("k"))
+    }
+    assert(ex.getMessage.contains("purge_deletes"),
+      s"cap error must point at the fold: ${ex.getMessage}")
+    // the fold clears the budget and the delete goes through
+    SnapshotTable.purgeDeletes(spark, dir)
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(1900000, 3000000).toDF("k"))
+    assert(SnapshotTable.scan(spark, dir).count() ==
+      (0L until 1000L).map(i => (i * 48271L) % 3000000L)
+        .count(_ >= 3000000L)) // everything below 3M is deleted
   }
 
   test("applyBatchEq replays content-idempotently and matches applyBatch") {
@@ -255,7 +343,7 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(feed.count(_.getAs[String]("change_type") == "upsert") == 300)
   }
 
-  test("streaming tail refuses an equality delete unless ignoreDeletes") {
+  test("streaming: initial load masks pending eq deletes; a LATER eq delete refuses") {
     val dir = freshDir()
     SnapshotTable.write(spark,
       spark.range(0, 100).select($"id".as("k"), $"id".as("v")),
@@ -263,11 +351,26 @@ class EqualityDeleteSpec extends SparkTestBase {
     SnapshotTable.deleteByKey(spark, dir, "k", spark.range(0, 5).toDF("k"))
     val out = Files.createTempDirectory("graft-eqs").toString
     val ckpt = Files.createTempDirectory("graft-eqsc").toString
-    val q = spark.readStream.format("graft_snapshot").load(dir)
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    val ex = intercept[Exception](q.awaitTermination())
+    def run(): Unit = {
+      val q = spark.readStream.format("graft_snapshot").load(dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // initial load = the table's CURRENT live state: already-pending
+    // keys are masked out (they were deleted before the stream began),
+    // through the same broadcast-backed readers as batch scans
+    run()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 95)
+    assert(first.filter($"k" < 5).count() == 0,
+      "initial load must not emit equality-deleted rows")
+    // but an eq delete landing AFTER rows were emitted is a real
+    // deletion the append-only stream cannot propagate — refuse loudly
+    // (same contract as a dv change) unless ignoreDeletes opts in
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(10, 15).toDF("k"))
+    val ex = intercept[Exception](run())
     assert(ex.getMessage != null)
   }
 }

@@ -61,6 +61,28 @@ object NdvProbe {
     }
     val ndvManifest = manifestBytes(ndvDir)
 
+    // the round-16 DEFAULT: an identity-partitioned catalog table no
+    // longer auto-declares ndvCols (bucket keys auto, identity keys
+    // opt-in) — price what the default saves by running the same
+    // INSERT with and without the opt-in TBLPROPERTIES
+    spark.conf.set("spark.sql.catalog.graftndvp",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftndvp.root", s"$root/cat")
+    df.createOrReplaceTempView("ndv_src")
+    spark.sql("CREATE TABLE graftndvp.ident (k BIGINT, v BIGINT, pad STRING) " +
+      "PARTITIONED BY (k)")
+    val tIdentDefault = sec {
+      spark.sql("INSERT INTO graftndvp.ident SELECT * FROM ndv_src")
+    }
+    spark.sql("CREATE TABLE graftndvp.identndv (k BIGINT, v BIGINT, pad STRING) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('ndvCols'='k')")
+    val tIdentOptin = sec {
+      spark.sql("INSERT INTO graftndvp.identndv SELECT * FROM ndv_src")
+    }
+    val identDeclaresNdv = SnapshotTable.readManifest(spark, s"$root/cat/ident",
+      SnapshotTable.latestVersion(spark, s"$root/cat/ident").get)
+      .files.exists(_.ndv.nonEmpty)
+
     val m = SnapshotTable.readManifest(spark, ndvDir,
       SnapshotTable.latestVersion(spark, ndvDir).get)
     val merged = new java.util.TreeSet[java.lang.Long]()
@@ -79,6 +101,10 @@ object NdvProbe {
          |"manifest_bytes_ndv":$ndvManifest,
          |"manifest_bytes_per_file":${(ndvManifest - plainManifest) / m.files.size},
          |"files":${m.files.size},
+         |"identity_default_declares_ndv":$identDeclaresNdv,
+         |"identity_write_sec_default":${f3(tIdentDefault)},
+         |"identity_write_sec_optin":${f3(tIdentOptin)},
+         |"identity_default_overhead_ratio":${f3(tIdentDefault / tIdentOptin)},
          |"merged_estimate":$est,
          |"estimate_error_pct":${f3(math.abs(est - trueNdv).toDouble * 100 / trueNdv)}}"""
         .stripMargin.replace("\n", ""))

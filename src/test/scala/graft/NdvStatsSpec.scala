@@ -81,9 +81,25 @@ class NdvStatsSpec extends SparkTestBase {
     assert(math.abs(est.get - 300L) <= 60, s"post-compact estimate ${est.get}")
   }
 
+  test("ndvCols default policy: bucket keys auto, identity keys opt-in") {
+    // bucket(n, col) declares a JOIN key — the sketch is auto-declared
+    spark.sql("CREATE TABLE graftndv.autob (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graftndv.autob SELECT id % 50, id FROM range(0, 5000)")
+    assert(mergedNdv(s"$root/autob", "k").isDefined,
+      "bucket key must auto-declare an NDV sketch")
+    // an identity partition key (range clustering — often a date) does
+    // NOT pay the measured ~1.2× staged-agg write cost by default
+    spark.sql("CREATE TABLE graftndv.autoi (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graftndv.autoi SELECT id % 50, id FROM range(0, 5000)")
+    assert(mergedNdv(s"$root/autoi", "k").isEmpty,
+      "identity keys must not auto-declare ndvCols")
+  }
+
   test("UNSET ndvCols opts a table out of the sketch cost") {
     spark.sql("CREATE TABLE graftndv.opt (k BIGINT, v BIGINT) " +
-      "PARTITIONED BY (k)")
+      "PARTITIONED BY (k) TBLPROPERTIES ('ndvCols'='k')")
     spark.sql("INSERT INTO graftndv.opt SELECT id % 50, id FROM range(0, 5000)")
     assert(mergedNdv(s"$root/opt", "k").isDefined)
     spark.sql("ALTER TABLE graftndv.opt UNSET TBLPROPERTIES ('ndvCols')")
@@ -95,7 +111,7 @@ class NdvStatsSpec extends SparkTestBase {
 
   test("distinct counts reach the plan's attribute statistics") {
     spark.sql("CREATE TABLE graftndv.s (k BIGINT, v BIGINT) " +
-      "PARTITIONED BY (k)")
+      "PARTITIONED BY (k) TBLPROPERTIES ('ndvCols'='k')")
     spark.sql("INSERT INTO graftndv.s SELECT id % 200, id FROM range(0, 20000)")
     withSQLConf("spark.sql.cbo.enabled" -> "true") {
       val df = spark.table("graftndv.s")
@@ -116,14 +132,14 @@ class NdvStatsSpec extends SparkTestBase {
     // with real NDVs the fact⋈mid intermediate is estimated huge and
     // the reorderer pushes `tiny` earlier; results must not change
     spark.sql("CREATE TABLE graftndv.fact (k BIGINT, j BIGINT, v BIGINT) " +
-      "PARTITIONED BY (k)")
+      "PARTITIONED BY (k) TBLPROPERTIES ('ndvCols'='k')")
     spark.sql("INSERT INTO graftndv.fact " +
       "SELECT id % 100, id % 50, id FROM range(0, 200000)")
     spark.sql("CREATE TABLE graftndv.mid (k BIGINT, w BIGINT) " +
-      "PARTITIONED BY (k)")
+      "PARTITIONED BY (k) TBLPROPERTIES ('ndvCols'='k')")
     spark.sql("INSERT INTO graftndv.mid SELECT id % 100, id FROM range(0, 40000)")
     spark.sql("CREATE TABLE graftndv.tiny (j BIGINT, name STRING) " +
-      "PARTITIONED BY (j)")
+      "PARTITIONED BY (j) TBLPROPERTIES ('ndvCols'='j')")
     spark.sql("INSERT INTO graftndv.tiny " +
       "SELECT id, concat('n', id) FROM range(0, 50)")
     val q = """SELECT f.k, count(*) AS cnt, sum(f.v) AS sv
