@@ -109,12 +109,15 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     (idx, EqVectorMatcher.of(DataType.fromJson(e.dtJson), e.keys, e.col))
   }.toArray
 
-  private def eqDeletes(raw: ColumnarBatch, i: Int): Boolean = {
+  // per-batch scratch: the eq key vectors, hoisted once per batch so
+  // the per-row test is (null check + hash probe), no batch lookups
+  private val eqVecs = new Array[ColumnVector](eqChecks.length)
+
+  private def eqDeletes(i: Int): Boolean = {
     var j = 0
     while (j < eqChecks.length) {
-      val (idx, m) = eqChecks(j)
-      val v = raw.column(idx)
-      if (!v.isNullAt(i) && m.matches(v, i)) return true
+      val v = eqVecs(j)
+      if (!v.isNullAt(i) && eqChecks(j)._2.matches(v, i)) return true
       j += 1
     }
     false
@@ -178,12 +181,14 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
 
   private def mask(raw: ColumnarBatch, n: Int): ColumnarBatch = {
     val pos = if (needPos) raw.column(posIdx) else null // generated row index
+    var j = 0
+    while (j < eqChecks.length) { eqVecs(j) = raw.column(eqChecks(j)._1); j += 1 }
     var live = 0
     val map = new Array[Int](n)
     var i = 0
     while (i < n) {
       val dead = (needPos && deleted.contains(pos.getLong(i))) ||
-        (eqChecks.nonEmpty && eqDeletes(raw, i))
+        (eqChecks.length != 0 && eqDeletes(i))
       if (!dead) { map(live) = i; live += 1 }
       i += 1
     }
@@ -232,21 +237,75 @@ private object EqVectorMatcher {
           s.contains(v.getUTF8String(i))
       }
     case ByteType | ShortType | IntegerType | LongType =>
-      val s = new java.util.HashSet[java.lang.Long](keys.size * 2)
-      keys.foreach(k => s.add(k.toLong))
-      val read: (ColumnVector, Int) => Long = dt match {
-        case ByteType => (v, i) => v.getByte(i).toLong
-        case ShortType => (v, i) => v.getShort(i).toLong
-        case IntegerType => (v, i) => v.getInt(i).toLong
-        case _ => (v, i) => v.getLong(i)
-      }
-      new EqVectorMatcher {
-        def matches(v: ColumnVector, i: Int): Boolean =
-          s.contains(read(v, i))
+      // primitive open-addressing set: a boxed HashSet probe would
+      // allocate a Long per ROW (the cache covers only small values) —
+      // at 16M rows that is 16M allocations on the scan's hot loop
+      val s = new LongOpenHashSet(keys.map(_.toLong).toArray)
+      dt match {
+        case ByteType => new EqVectorMatcher {
+          def matches(v: ColumnVector, i: Int): Boolean =
+            s.contains(v.getByte(i).toLong)
+        }
+        case ShortType => new EqVectorMatcher {
+          def matches(v: ColumnVector, i: Int): Boolean =
+            s.contains(v.getShort(i).toLong)
+        }
+        case IntegerType => new EqVectorMatcher {
+          def matches(v: ColumnVector, i: Int): Boolean =
+            s.contains(v.getInt(i).toLong)
+        }
+        case _ => new EqVectorMatcher {
+          def matches(v: ColumnVector, i: Int): Boolean =
+            s.contains(v.getLong(i))
+        }
       }
     case other => throw new IllegalStateException(
       s"equality-delete key '$col' has unmaskable type ${other.simpleString}")
   }
+}
+
+/** Minimal allocation-free Long membership set: open addressing,
+  * linear probing, power-of-two capacity at ≤50% load, murmur-style
+  * finalizer for slot spreading. Zero is handled by a flag (0 is the
+  * empty-slot sentinel). Immutable after construction — built once
+  * per (key column, file reader), probed once per row. */
+private[connector] final class LongOpenHashSet(keys: Array[Long]) {
+  private val cap: Int = {
+    var c = 8
+    while (c < keys.length * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val slots = new Array[Long](cap)
+  private var hasZero = false
+  locally { keys.foreach(add) }
+
+  private def mix(k: Long): Int = {
+    var h = k
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    (h & mask).toInt
+  }
+
+  private def add(k: Long): Unit =
+    if (k == 0L) hasZero = true
+    else {
+      var i = mix(k)
+      while (slots(i) != 0L && slots(i) != k) i = (i + 1) & mask
+      slots(i) = k
+    }
+
+  def contains(k: Long): Boolean =
+    if (k == 0L) hasZero
+    else {
+      var i = mix(k)
+      while (slots(i) != 0L) {
+        if (slots(i) == k) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
 }
 
 /** A [[ColumnVector]] view that redirects row ids through a live-index

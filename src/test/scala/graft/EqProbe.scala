@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * 1000-key batch runs once as an equality delete (key sidecar + ref
   * attach — zero data reads) and once down the deletion-vector path
   * (match scan over every file to find positions). Also prices the
-  * read-side trade (row-reader masked scan while refs are pending vs
-  * the vectorized scan after purge) — the fold is where the deferred
-  * position work is paid, once, on a maintenance cadence. */
+  * read-side trade (vectorized masked scan while refs are pending vs
+  * the clean scan after purge, narrow and wide projections) — the
+  * fold is where the deferred position work is paid, once, on a
+  * maintenance cadence. */
 object EqProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -71,15 +72,29 @@ object EqProbe {
     val dvBytes = dataBytes(dvDir) - bytes1
     val dvPositions = m(dvDir).files.flatMap(_.dv.map(_._2)).sum
 
-    // read-side trade: masked row-reader scan while pending, then fold
+    // read-side trade while refs are pending vs after the fold. Two
+    // projection shapes, because the masking cost is the KEY COLUMN's
+    // decode: `narrow` projects one non-key column (worst case — the
+    // mask doubles the decoded bytes), `wide` touches every column
+    // (the "SELECT * while CDC is in flight" shape — the key decodes
+    // anyway, so the overhead is just the per-row hash probe). Both
+    // run the VECTORIZED readers since round 16; the round-15 row-
+    // reader fallback paid ~4.8× on narrow at 16M rows.
     def scanSec(dir: String): Double = {
       val q = () => spark.read.format("graft_snapshot").load(dir)
         .agg(sum($"v")).collect()
       q(); sec(q()) // warm once
     }
+    def scanSecWide(dir: String): Double = {
+      val q = () => spark.read.format("graft_snapshot").load(dir)
+        .agg(sum($"v"), sum($"k"), count($"pad")).collect()
+      q(); sec(q())
+    }
     val readPending = scanSec(eqDir)
+    val readPendingWide = scanSecWide(eqDir)
     val tFold = sec { SnapshotTable.purgeDeletes(spark, eqDir) }
     val readFolded = scanSec(eqDir)
+    val readFoldedWide = scanSecWide(eqDir)
     val countEq = spark.read.format("graft_snapshot").load(eqDir).count()
     val countDv = spark.read.format("graft_snapshot").load(dvDir).count()
     require(countEq == countDv,
@@ -95,6 +110,10 @@ object EqProbe {
          |"epoch_speedup":${f3(tDv / tEq)},
          |"read_pending_sec":${f3(readPending)},
          |"fold_sec":${f3(tFold)},"read_folded_sec":${f3(readFolded)},
+         |"read_pending_ratio_narrow":${f3(readPending / readFolded)},
+         |"read_pending_wide_sec":${f3(readPendingWide)},
+         |"read_folded_wide_sec":${f3(readFoldedWide)},
+         |"read_pending_ratio_wide":${f3(readPendingWide / readFoldedWide)},
          |"rows_after":$countEq}""".stripMargin.replace("\n", ""))
   }
 }
