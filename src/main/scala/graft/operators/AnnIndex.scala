@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** A PERSISTED, incrementally-maintained IVF-flat ANN index over a
+  * snapshot table's embedding column — the production shape of
+  * [[Similarity.ivfTopK]], which trains/assigns in-query.
+  *
+  * Layout under `indexDir` (plain directory, two nested snapshot
+  * tables plus a tiny meta file):
+  *  - `centroids/` — (cen_id BIGINT, embedding ARRAY<FLOAT>): the
+  *    coarse quantizer, FROZEN at [[build]] (standard IVF practice —
+  *    re-training the quantizer is a rebuild, not maintenance).
+  *  - `assign/`    — (vec_id BIGINT, cell BIGINT, embedding
+  *    ARRAY<FLOAT>): one row per corpus vector, clustered by `cell`
+  *    with per-file (min,max) stats so a probe's `cell IN (...)`
+  *    prunes to the probed cells' files at the manifest.
+  *  - `_ann_meta.json` — corpus dir, the corpus VERSION the index
+  *    reflects, dim, and the id/vector column names.
+  *
+  * Maintenance is O(changed rows), NOT O(corpus): [[refresh]] reads
+  * the corpus's row-level change feed ([[SnapshotTable.changes]] —
+  * a manifest diff that only opens touched files) between the
+  * indexed version and the head, masks the touched ids out of
+  * `assign` with ONE equality delete (zero data reads), assigns just
+  * the upserted batch against the frozen centroids, and appends.
+  * That is the same cost class as the eq-CDC table apply: per-batch
+  * work stays flat as the corpus grows (AnnIndexProbe measures it).
+  *
+  * Search through the index never re-assigns the corpus: queries
+  * rank the (driver-cached, vocabulary-sized) centroid set, probe
+  * `nprobe` cells, and exact-cosine re-rank only those cells' rows —
+  * identical semantics to [[Similarity.ivfTopK]] given the same
+  * centroid rows, so a maintained index answers bit-identically to a
+  * from-scratch rebuild at the same corpus version (pinned by the
+  * q7N oracle query and AnnIndexSpec).
+  *
+  * Assignment determinism: cells rank by UNROUNDED cosine with ties
+  * to the lowest centroid id ([[graft.functions.cat.Kernels
+  * .nearestCentroid]]) — partition-order invariant, so incremental
+  * and rebuilt assignments agree everywhere. */
+object AnnIndex {
+
+  private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
+  private def assignDir(indexDir: String) = s"$indexDir/assign"
+  private def metaPath(indexDir: String) = new Path(indexDir, "_ann_meta.json")
+
+  private final case class Meta(corpusDir: String, indexedVersion: Long,
+                                dim: Int, idCol: String, vecCol: String)
+
+  private def writeMeta(spark: SparkSession, indexDir: String, m: Meta): Unit = {
+    val p = metaPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(indexDir, s".tmp-meta-${java.util.UUID.randomUUID}.json")
+    val out = f.create(tmp, true)
+    try out.write(
+      (s"""{"corpusDir":"${m.corpusDir}","indexedVersion":${m.indexedVersion},""" +
+        s""""dim":${m.dim},"idCol":"${m.idCol}","vecCol":"${m.vecCol}"}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    f.delete(p, false)
+    require(f.rename(tmp, p), s"could not publish ANN index meta under $indexDir")
+  }
+
+  private def readMeta(spark: SparkSession, indexDir: String): Meta = {
+    val p = metaPath(indexDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p), s"$indexDir holds no ANN index (missing _ann_meta.json)")
+    val in = f.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    Meta(node.get("corpusDir").asText(), node.get("indexedVersion").asLong(),
+      node.get("dim").asInt(), node.get("idCol").asText(),
+      node.get("vecCol").asText())
+  }
+
+  /** The frozen coarse quantizer, collected driver-side (centroid
+    * sets are vocabulary-sized by design — k cells for a corpus of
+    * millions) and inlined as literals so cell assignment runs as a
+    * codegen'd kernel argmax, zero joins. */
+  private def loadCentroids(spark: SparkSession, indexDir: String)
+      : Array[(Long, Array[Float])] =
+    SnapshotTable.scan(spark, centroidsDir(indexDir))
+      .select(col("cen_id"), col("embedding"))
+      .orderBy("cen_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def cellOf(vec: Column, cents: Array[(Long, Array[Float])],
+                     dim: Int): Column = {
+    val centsLit = array(cents.flatMap(_._2.map(x => lit(x.toDouble)))
+      .toIndexedSeq: _*)
+    val idsLit = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+    element_at(idsLit,
+      graft.functions.cat.GraftExpr.nearestCentroid(vec, centsLit, dim) + 1)
+  }
+
+  /** Assign + write one batch of corpus rows into `assign/`,
+    * range-clustered by cell so probes prune at the manifest. */
+  private def writeAssigned(spark: SparkSession, indexDir: String,
+                            rows: DataFrame, meta: Meta,
+                            cents: Array[(Long, Array[Float])],
+                            mode: String): Unit = {
+    val assigned = rows.select(
+      col(meta.idCol).cast("long").as("vec_id"),
+      cellOf(col(meta.vecCol), cents, meta.dim).as("cell"),
+      col(meta.vecCol).as("embedding"))
+    SnapshotTable.write(spark,
+      assigned.repartitionByRange(col("cell"))
+        .sortWithinPartitions("cell"),
+      assignDir(indexDir), mode, statsCols = Seq("cell", "vec_id"))
+  }
+
+  /** Build the index over the corpus's CURRENT version. `centroids`
+    * is the caller's coarse quantizer (any small frame of id +
+    * vector — a sampled subset, k-means output, whatever): it is
+    * copied into the index and frozen. Returns the indexed corpus
+    * version. */
+  def build(spark: SparkSession, corpusDir: String, indexDir: String,
+            centroids: DataFrame, dim: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val v = SnapshotTable.latestVersion(spark, corpusDir).getOrElse(
+      throw new IllegalStateException(s"cannot index empty corpus $corpusDir"))
+    SnapshotTable.write(spark,
+      centroids.select(col(idCol).cast("long").as("cen_id"),
+        col(vecCol).as("embedding")),
+      centroidsDir(indexDir), "overwrite", statsCols = Seq("cen_id"))
+    val meta = Meta(corpusDir, v, dim, idCol, vecCol)
+    val cents = loadCentroids(spark, indexDir)
+    writeAssigned(spark, indexDir,
+      SnapshotTable.scan(spark, corpusDir, Some(v)), meta, cents, "overwrite")
+    writeMeta(spark, indexDir, meta)
+    v
+  }
+
+  /** Advance the index to the corpus head by consuming the change
+    * feed since the indexed version: one equality delete masks every
+    * touched id's old assignment row (upserted ids included — an
+    * update moves cells), the upserted batch assigns against the
+    * frozen centroids and appends. O(changed rows) data work +
+    * O(files) metadata, whatever the corpus size. Returns the newly
+    * indexed version (= the old one when the corpus hasn't moved). */
+  def refresh(spark: SparkSession, indexDir: String): Long = {
+    val meta = readMeta(spark, indexDir)
+    val head = SnapshotTable.latestVersion(spark, meta.corpusDir).getOrElse(
+      throw new IllegalStateException(s"corpus ${meta.corpusDir} vanished"))
+    if (head == meta.indexedVersion) return head
+    val feed = SnapshotTable.changes(spark, meta.corpusDir,
+      meta.indexedVersion, head)
+      .select(col(meta.idCol), col(meta.vecCol), col("change_type"))
+      .cache()
+    try {
+      val touched = feed.select(col(meta.idCol).cast("long").as("vec_id"))
+        .distinct()
+      SnapshotTable.deleteByKey(spark, assignDir(indexDir), "vec_id", touched)
+      val upserts = feed.filter(col("change_type") === "upsert")
+      if (upserts.limit(1).count() > 0) {
+        val cents = loadCentroids(spark, indexDir)
+        writeAssigned(spark, indexDir, upserts, meta, cents, "append")
+      }
+      writeMeta(spark, indexDir, meta.copy(indexedVersion = head))
+      head
+    } finally feed.unpersist()
+  }
+
+  /** Top-k ANN through the maintained index: rank centroids per
+    * query (driver-side — queries are batch-small by contract, the
+    * corpus is what scales), push the probed cells' UNION as a
+    * static `cell IN (...)` filter so the assign scan opens only the
+    * probed cells' files, join probes to candidates per cell, exact
+    * cosine re-rank. Output (qid, cid, cos, rank) — the
+    * [[Similarity.ivfTopK]] contract. */
+  def searchTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+                 k: Int, nprobe: Int): DataFrame = {
+    val meta = readMeta(spark, indexDir)
+    val cents = loadCentroids(spark, indexDir)
+    val cen = broadcast(
+      SnapshotTable.scan(spark, centroidsDir(indexDir))
+        .select(col("cen_id"), col("embedding").as("cen_v")))
+    val qa = queries.select(col(meta.idCol).as("qid"), col(meta.vecCol).as("qv"))
+      .crossJoin(cen)
+      .withColumn("csim", Similarity.cosine(col("qv"), col("cen_v")))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cen_id").asc)
+    val probes = qa.withColumn("prank", row_number().over(wq))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("cen_id").as("cell"))
+      .cache()
+    try {
+      // the probed-cell union is at most queries × nprobe ids — a
+      // driver-small set that becomes manifest-level file pruning
+      // (readIn opens only files whose cell range admits a probe; the
+      // V2 connector path is primitives-only, and `embedding` is an
+      // array column)
+      val cells = probes.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val ca = SnapshotTable.readIn(spark, assignDir(indexDir), "cell", cells)
+        .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("cv"))
+      val scored = broadcast(probes).join(ca, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    } finally probes.unpersist()
+  }
+}

@@ -453,7 +453,84 @@ object VectorQueries {
          |    ORDER BY cos DESC, negative) AS rank
          |  FROM rer)
          |SELECT anchor, negative, cos, CAST(rank AS INTEGER) AS rank
-         |FROM rr WHERE rank <= 2 ORDER BY anchor, rank""".stripMargin)
+         |FROM rr WHERE rank <= 2 ORDER BY anchor, rank""".stripMargin),
+
+    // Persisted, incrementally-maintained IVF index (round-16): the
+    // production shape of q2C. Build freezes the coarse quantizer and
+    // materializes cell assignments as a cell-clustered snapshot
+    // table; two CDC epochs then hit the CORPUS (an append and a
+    // keyed delete) and `refresh` advances the index by consuming the
+    // change feed — one equality delete masks the touched ids, only
+    // the appended batch is assigned (O(batch), never O(corpus)).
+    // In-query assert: searching the maintained index returns row-for-
+    // row what a from-scratch rebuild at the corpus head returns. The
+    // oracle replays IVF search over the final corpus in DuckDB.
+    "q7N_ann_index_cdc" -> QueryDef(
+      (s, dir) => {
+        import graft.sources.SnapshotTable
+        import graft.operators.AnnIndex
+        def scratch(name: String): String = {
+          val base = new java.io.File(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            s"graft-snap/${new java.io.File(dir).getName}/$name").getAbsolutePath
+          val p = new org.apache.hadoop.fs.Path(base)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          base
+        }
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        val cenRows = emb.filter((col("vec_id") % 64 === 0) &&
+          col("vec_id") < 450)
+        val corpus = scratch("t7N_corpus")
+        val idx = scratch("t7N_index")
+        SnapshotTable.write(s, emb.filter(col("vec_id") < 450),
+          corpus, "overwrite", Seq("vec_id"))
+        AnnIndex.build(s, corpus, idx, centroids = cenRows, dim = 64)
+        // CDC epochs against the corpus: late arrivals + a keyed purge
+        SnapshotTable.write(s, emb.filter(col("vec_id") >= 450),
+          corpus, "append", Seq("vec_id"))
+        SnapshotTable.deleteByKey(s, corpus, "vec_id",
+          s.range(0, 10).toDF("vec_id"))
+        AnnIndex.refresh(s, idx)
+        val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        val maintained = AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
+          .orderBy("qid", "rank")
+        // the maintained index must answer exactly like a rebuild at
+        // the corpus head (same frozen centroids)
+        val rebuilt = scratch("t7N_rebuild")
+        AnnIndex.build(s, corpus, rebuilt, centroids = cenRows, dim = 64)
+        val fresh = AnnIndex.searchTopK(s, rebuilt, queries, k = 5, nprobe = 2)
+          .orderBy("qid", "rank")
+        require(maintained.collect().toSeq == fresh.collect().toSeq,
+          "maintained ANN index diverged from a from-scratch rebuild")
+        maintained
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |cen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id % 64 = 0 AND vec_id < 450),
+         |ca AS (
+         |  SELECT cid, cv, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus e, cen c)
+         |  WHERE rn = 1),
+         |qa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus q, cen c WHERE q.vec_id < 18)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qid, cid, round(${duckCosRaw("qv", "cv")}, 6) AS cos
+         |  FROM qa JOIN ca USING (cell) WHERE qid <> cid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
   )
 
   /** Squared L2 between embedding subspace `sub` (1-based dims) and a

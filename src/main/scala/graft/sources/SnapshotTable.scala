@@ -1547,6 +1547,30 @@ object SnapshotTable {
       .filter(col(keyCol).between(lo, hi))
   }
 
+  /** IN-list read with stats-based data skipping: only files whose
+    * (min,max) range for `keyCol` admits AT LEAST ONE of `values` are
+    * opened (files without stats read conservatively). The residual
+    * `isin` filter still applies — skipping is a pure optimization.
+    * The discrete-set sibling of [[readRange]]: an IVF probe's
+    * `cell IN (...)` over a cell-clustered table opens only the
+    * probed cells' files. */
+  def readIn(spark: SparkSession, dir: String, keyCol: String,
+             values: Seq[Long], version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val m = readManifest(spark, dir, v)
+    val known = tableSchema(spark, dir, v)
+    val pk = physicalFor(known, keyCol)
+    val sorted = values.distinct.sorted
+    val hit = m.files.filter(fe => fe.stats.get(pk).forall { case (mn, mx) =>
+      sorted.exists(x => x >= mn && x <= mx)
+    })
+    if (hit.isEmpty)
+      return scan(spark, dir, Some(v)).filter(lit(false)) // keep the schema
+    readFiles(spark, dir, hit, knownSchema = known, version = Some(v))
+      .filter(col(keyCol).isin(sorted: _*))
+  }
+
   /** The table AS OF a wall-clock instant: the newest version whose
     * manifest was published at or before `tsMs` (publish stamps are
     * monotone per table because versions publish serially). Manifests
@@ -3912,12 +3936,15 @@ object SnapshotTable {
   def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     val from = readManifest(spark, dir, fromV)
     val to = readManifest(spark, dir, toV)
-    // identity includes the deletion-vector ref: a dv-only commit
-    // keeps the file's path but CHANGES its logical content, so the
-    // entry must diff as removed(old dv) + added(new dv) — the diff
-    // then reads both sides masked and the newly-deleted rows surface
-    // as 'delete' pre-images
-    def key(fe: FileEntry) = (fe.path, fe.dv.map(_._1))
+    // identity includes BOTH in-place masking refs: a dv-only or
+    // eq-delete-only commit keeps the file's path but CHANGES its
+    // logical content, so the entry must diff as removed(old refs) +
+    // added(new refs) — the diff then reads both sides masked and the
+    // newly-deleted rows surface as 'delete' pre-images. (Round-16
+    // fix: eqDv was missing from the key, so the programmatic feed
+    // silently skipped equality deletes that the SQL `.changes`
+    // surface emitted — caught by the q7N index-maintenance oracle.)
+    def key(fe: FileEntry) = (fe.path, fe.dv.map(_._1), fe.eqDv.sorted)
     val fromKeys = from.files.map(key).toSet
     val toKeys = to.files.map(key).toSet
     val removed = from.files.filterNot(fe => toKeys.contains(key(fe)))
