@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would reject the commands for a non-SupportsRowLevelOperations
     // table).
     ext.injectPostHocResolutionRule(s => SnapshotRowLevelSql(s))
+    // SQL ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS] for
+    // snapshot-catalog tables (Spark's planner rejects v2 tables;
+    // this lowers onto the manifest stats / NDV-sketch plumbing).
+    ext.injectPostHocResolutionRule(s => GraftAnalyzeSql(s))
   }
 }
 

@@ -2445,6 +2445,70 @@ object ParityQueries {
     // epoch-1 keys (new files never carry the old ref) while epoch 2
     // masks both generations. The final read runs through the pending
     // masks; the oracle recomputes it from raw orders.
+    // SQL ANALYZE TABLE (round-16): the standard statement is the
+    // inspection/opt-in face of the manifest stats — COMPUTE
+    // STATISTICS records rowCount/sizeBytes as stats.* TBLPROPERTIES
+    // (DESCRIBE EXTENDED / SHOW TBLPROPERTIES), FOR COLUMNS opts an
+    // identity-clustered key into NDV sketching AND backfills the
+    // existing files' KMV sketches in one grouped job, so the CBO
+    // sees real distinct counts immediately. All asserted in-query;
+    // the returned aggregate is what the oracle replays from raw
+    // orders (ANALYZE must never change results).
+    "q7O_analyze_stats" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7O")
+        val cat = "graft_an_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7O_orders")
+        s.sql(s"DROP TABLE IF EXISTS $cat.fact")
+        s.sql(s"""CREATE TABLE $cat.fact
+                  |  (o_custkey BIGINT, o_orderkey BIGINT, price DOUBLE)
+                  |PARTITIONED BY (o_custkey)""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.fact
+                  |SELECT o_custkey, o_orderkey, o_totalprice
+                  |FROM t7O_orders""".stripMargin)
+        s.sql(s"ANALYZE TABLE $cat.fact COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        val props = s.sql(s"SHOW TBLPROPERTIES $cat.fact").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val trueRows = t(s, dir, "orders").count()
+        require(props.get("stats.rowCount").contains(trueRows.toString),
+          s"ANALYZE recorded wrong rowCount: $props")
+        require(props.get("ndvCols").exists(_.contains("o_custkey")),
+          s"FOR COLUMNS did not declare the sketch: $props")
+        val trueNdv = t(s, dir, "orders")
+          .select(col("o_custkey")).distinct().count()
+        val prior = s.conf.getOption("spark.sql.cbo.enabled")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try {
+          val q = s.sql(
+            s"""SELECT o_custkey % 25 AS slot, count(*) AS cnt,
+               |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+               |FROM $cat.fact GROUP BY o_custkey % 25 ORDER BY slot""".stripMargin)
+          val ndvEst = q.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.computeStats()
+          }.head.attributeStats.find(_._1.name == "o_custkey")
+            .flatMap(_._2.distinctCount)
+            .getOrElse(throw new IllegalStateException(
+              "backfilled NDV did not reach the plan statistics"))
+          require((ndvEst - BigInt(trueNdv)).abs.toDouble <=
+            0.25 * trueNdv.toDouble,
+            s"backfilled NDV $ndvEst vs true $trueNdv drifted past KMV error")
+          q
+        } finally prior match {
+          case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+          case None => s.conf.unset("spark.sql.cbo.enabled")
+        }
+      },
+      """SELECT o_custkey % 25 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM orders GROUP BY 1 ORDER BY slot""".stripMargin),
+
     "q7K_equality_delete" -> QueryDef(
       (s, dir) => {
         val src = snapDir(s, dir, "t7K")

@@ -3977,6 +3977,98 @@ object SnapshotTable {
       .select((cols :+ "change_type").map(col): _*)
   }
 
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN]` backend: record
+    * table-level stats as TBLPROPERTIES (`stats.rowCount`,
+    * `stats.sizeBytes`, `stats.analyzedVersion`) so `DESCRIBE
+    * EXTENDED` / `SHOW TBLPROPERTIES` show a SQL user what the CBO
+    * sees. Metadata-only: rows come from the manifest (NOSCAN keeps
+    * the manifest sum even when pending equality deletes make it an
+    * upper bound; the default pays one exact count — itself answered
+    * from metadata when nothing is pending), bytes from the live
+    * files' lengths. Returns (rowCount, sizeBytes). */
+  def analyzeTable(spark: SparkSession, dir: String,
+                   noscan: Boolean): (Long, Long) = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"cannot analyze empty table $dir"))
+    val m = readManifest(spark, dir, v)
+    val eqPending = m.files.exists(_.eqDv.nonEmpty)
+    val rows =
+      if (noscan || !eqPending) m.totalRows
+      else scan(spark, dir, Some(v)).count()
+    val f = fs(spark, new Path(dir))
+    val bytes = m.files.map(fe =>
+      f.getFileStatus(new Path(resolvePath(dir, fe.path))).getLen).sum
+    val hconf = spark.sparkContext.hadoopConfiguration
+    graft.sources.connector.GraftTableProps.write(hconf, dir,
+      graft.sources.connector.GraftTableProps.read(hconf, dir) ++ Map(
+        "stats.rowCount" -> rows.toString,
+        "stats.sizeBytes" -> bytes.toString,
+        "stats.analyzedVersion" -> v.toString))
+    (rows, bytes)
+  }
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS ...` backend:
+    * opt the columns into the table's `ndvCols` (future writes sketch
+    * them — the round-16 default only auto-sketches bucket keys) and
+    * BACKFILL per-file KMV sketches for existing files, in ONE job
+    * grouped by file. The scan's plan-time NDV only reports columns
+    * covered by EVERY pruned file, so backfill is what makes ANALYZE
+    * take effect immediately instead of after a full rewrite cycle.
+    * Sketches are physical-file sketches (dv/eq-masked rows included
+    * — the safe overestimate, same as write-time). Non-stats-typed
+    * columns are refused loudly. Returns the committed version (the
+    * current one when every file was already covered). */
+  def analyzeColumns(spark: SparkSession, dir: String,
+                     cols: Seq[String]): Long =
+    retryOnConflict(s"analyze columns of $dir") {
+      val v = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"cannot analyze empty table $dir"))
+      val m = readManifest(spark, dir, v)
+      val known = tableSchema(spark, dir, v)
+      cols.foreach { c =>
+        val fld = known.flatMap(_.fields.find(_.name == c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE: no column '$c' in $dir"))
+        import org.apache.spark.sql.types._
+        require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+          .contains(fld.dataType),
+          s"ANALYZE FOR COLUMNS: '$c' is ${fld.dataType.simpleString}; " +
+            "NDV sketches cover integral and string columns")
+      }
+      val physCols = cols.map(physicalFor(known, _)).distinct
+      // declare for future writes (merge into any existing list)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val props = graft.sources.connector.GraftTableProps.read(hconf, dir)
+      val declared = props.get("ndvCols").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty)
+      graft.sources.connector.GraftTableProps.write(hconf, dir,
+        props + ("ndvCols" -> (declared ++ physCols).distinct.mkString(",")))
+      val missing = m.files.filter(fe =>
+        physCols.exists(pc => !fe.ndv.contains(pc)))
+      if (missing.isEmpty) return v
+      val byUriPath: Map[String, String] = missing.map(fe =>
+        new Path(resolvePath(dir, fe.path)).toUri.getPath -> fe.path).toMap
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(missing.map(fe => resolvePath(dir, fe.path)): _*)
+      val present = physCols.filter(raw.columns.contains)
+      if (present.isEmpty) return v
+      val aggs = present.map(pc =>
+        graft.functions.cat.KmvValues(col(s"`$pc`"), NdvK).as(s"__ndv_$pc"))
+      val perFile = raw.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+        .map { r =>
+          val rel = byUriPath(new Path(new java.net.URI(r.getString(0)).getPath)
+            .toUri.getPath)
+          rel -> present.map(pc =>
+            pc -> r.getAs[scala.collection.Seq[Long]](s"__ndv_$pc")
+              .toVector.asInstanceOf[Seq[Long]]).toMap
+        }.toMap
+      val updated = missing.map(fe =>
+        fe.copy(ndv = fe.ndv ++ perFile.getOrElse(fe.path, Map.empty)))
+      commit(spark, dir, "analyze", updated,
+        removed = readSetOf(missing), carry = true)
+    }
+
   /** (version, op, totalRows) per committed version, ascending. */
   def history(spark: SparkSession, dir: String): Seq[(Long, String, Long)] =
     versions(spark, dir).map { v =>

@@ -97,6 +97,49 @@ class NdvStatsSpec extends SparkTestBase {
       "identity keys must not auto-declare ndvCols")
   }
 
+  test("SQL ANALYZE records inspectable stats and backfills NDV sketches") {
+    spark.sql("CREATE TABLE graftndv.an (k BIGINT, v BIGINT, name STRING) " +
+      "PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graftndv.an " +
+      "SELECT id % 150, id, concat('n', id % 37) FROM range(0, 15000)")
+    // the identity-key default leaves k unsketched...
+    assert(mergedNdv(s"$root/an", "k").isEmpty)
+    // ...and ANALYZE FOR COLUMNS is the standard SQL face of opting
+    // in: declares ndvCols AND backfills the existing files' sketches
+    spark.sql("ANALYZE TABLE graftndv.an COMPUTE STATISTICS FOR COLUMNS k")
+    val est = mergedNdv(s"$root/an", "k")
+    assert(est.exists(e => math.abs(e - 150L) <= 30),
+      s"backfilled estimate $est too far from true NDV 150")
+    // table-level stats land where a SQL user looks
+    val props = spark.sql("SHOW TBLPROPERTIES graftndv.an").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("stats.rowCount").contains("15000"), props.toString)
+    assert(props.get("ndvCols").contains("k"))
+    assert(props.get("stats.sizeBytes").exists(_.toLong > 0))
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graftndv.an")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("stats.rowCount"), s"DESCRIBE EXTENDED lacks stats:\n$desc")
+    // FOR ALL COLUMNS sketches every stats-typed column, skips none fatally
+    spark.sql("ANALYZE TABLE graftndv.an COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(mergedNdv(s"$root/an", "name").isDefined)
+    // plain + NOSCAN forms both run (metadata-only)
+    spark.sql("ANALYZE TABLE graftndv.an COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE graftndv.an COMPUTE STATISTICS NOSCAN")
+    // the CBO sees what the properties show
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val stats = spark.table("graftndv.an").queryExecution.optimizedPlan
+        .collect { case r: DataSourceV2ScanRelation => r.computeStats() }.head
+      assert(stats.rowCount.contains(BigInt(15000)))
+      assert(stats.attributeStats.exists(_._1.name == "k"),
+        "ANALYZE-declared NDV did not reach the plan")
+    }
+    // appends after ANALYZE keep sketching (the prop persists)
+    spark.sql("INSERT INTO graftndv.an SELECT id % 150, id, 'x' " +
+      "FROM range(0, 1000)")
+    assert(mergedNdv(s"$root/an", "k").isDefined,
+      "post-ANALYZE appends lost the sketch lifecycle")
+  }
+
   test("UNSET ndvCols opts a table out of the sketch cost") {
     spark.sql("CREATE TABLE graftndv.opt (k BIGINT, v BIGINT) " +
       "PARTITIONED BY (k) TBLPROPERTIES ('ndvCols'='k')")
