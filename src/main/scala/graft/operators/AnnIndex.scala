@@ -153,6 +153,23 @@ object AnnIndex {
     val head = SnapshotTable.latestVersion(spark, meta.corpusDir).getOrElse(
       throw new IllegalStateException(s"corpus ${meta.corpusDir} vanished"))
     if (head == meta.indexedVersion) return head
+    // self-maintenance BEFORE attaching more: assignments are
+    // clustered by cell, so every epoch's vec_id batch attaches
+    // broadly and pending keys accumulate across refreshes — fold
+    // once any file's accumulated total crosses half the masking
+    // budget, instead of letting the attach-time cap become a hard
+    // error a thousand epochs in. Footer counts only, zero jobs.
+    locally {
+      val aDir = assignDir(indexDir)
+      val av = SnapshotTable.latestVersion(spark, aDir).get
+      val hc = spark.sparkContext.hadoopConfiguration
+      val worst = SnapshotTable.readManifest(spark, aDir, av).files
+        .map(fe => fe.eqDv.map(p => graft.sources.connector.SnapshotPartitions
+          .sidecarRows(hc, SnapshotTable.resolvePath(aDir, p))).sum)
+        .maxOption.getOrElse(0L)
+      if (worst > graft.sources.connector.SnapshotPartitions.MaxPendingKeys / 2)
+        SnapshotTable.purgeDeletes(spark, aDir)
+    }
     val feed = SnapshotTable.changes(spark, meta.corpusDir,
       meta.indexedVersion, head)
       .select(col(meta.idCol), col(meta.vecCol), col("change_type"))

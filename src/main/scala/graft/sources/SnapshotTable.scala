@@ -3593,7 +3593,11 @@ object SnapshotTable {
     if (!f.exists(bd)) return Nil
     f.listStatus(bd).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
       .flatMap { n =>
-        healFastForward(spark, dir, n)
+        // best-effort: a read-only caller (no write perms for the
+        // heal's commit/renames) still gets the listing — the heal
+        // retries on the next fastForward
+        try healFastForward(spark, dir, n)
+        catch { case _: Exception => () }
         val bdir = branchDir(dir, n)
         latestVersion(spark, bdir).map { head =>
           val base = graft.sources.connector.GraftTableProps
