@@ -3936,49 +3936,126 @@ object SnapshotTable {
     * `toV` but not `fromV`; 'delete' rows are the pre-images present
     * in `fromV` but not `toV` (an updated row contributes one of
     * each). Multiset semantics (EXCEPT ALL), so duplicate rows diff
-    * correctly. */
+    * correctly.
+    *
+    * Cost note: an entry whose ONLY change is ACCRUED equality-delete
+    * refs (same path/dv/stats, eqDv grew) takes a fast path — the
+    * file is read ONCE (masked at the FROM state) and semi-joined
+    * against just the NEW keys (minus keys already pending), emitting
+    * exactly the newly-deleted pre-images. That is O(one masked read
+    * + key join) instead of the general two-sided whole-row EXCEPT
+    * ALL — the same replay the SQL `.changes` surface does with its
+    * keepOnly readers. Every other difference (rewrites, dv changes,
+    * multi-key-column eq deltas) goes through the general diff. */
   def changes(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
     val from = readManifest(spark, dir, fromV)
     val to = readManifest(spark, dir, toV)
     // identity includes BOTH in-place masking refs: a dv-only or
     // eq-delete-only commit keeps the file's path but CHANGES its
     // logical content, so the entry must diff as removed(old refs) +
-    // added(new refs) — the diff then reads both sides masked and the
-    // newly-deleted rows surface as 'delete' pre-images. (Round-16
-    // fix: eqDv was missing from the key, so the programmatic feed
-    // silently skipped equality deletes that the SQL `.changes`
-    // surface emitted — caught by the q7N index-maintenance oracle.)
+    // added(new refs). (Round-16 fix: eqDv was missing from the key,
+    // so the programmatic feed silently skipped equality deletes that
+    // the SQL `.changes` surface emitted — caught by the q7N
+    // index-maintenance oracle.)
     def key(fe: FileEntry) = (fe.path, fe.dv.map(_._1), fe.eqDv.sorted)
+    import graft.sources.connector.SnapshotPartitions.EqSidecars
+    def keyColsOf(refs: Seq[String]): Set[String] =
+      refs.map(p => EqSidecars.load(resolvePath(dir, p)).col).toSet
+    // eq-only-grown pairs: identical entries except ACCRUED eq refs.
+    // Single-key-column deltas ride the fast path; a multi-column
+    // delta (distinct key columns across epochs in one range) would
+    // need per-row de-duplication across its semi-joins, so it keeps
+    // the general diff.
+    val fromByPathDv = from.files.map(fe => (fe.path, fe.dv.map(_._1)) -> fe).toMap
+    val (eqPairs, _) = to.files.flatMap { cur =>
+      fromByPathDv.get((cur.path, cur.dv.map(_._1)))
+        .filter(old => old.eqDv != cur.eqDv &&
+          old.eqDv.toSet.subsetOf(cur.eqDv.toSet) &&
+          old.copy(eqDv = Nil) == cur.copy(eqDv = Nil))
+        .map(old => (old, cur))
+    }.partition { case (old, cur) =>
+      keyColsOf(cur.eqDv.filterNot(old.eqDv.contains)).size == 1
+    }
+    val fastKeys = eqPairs.flatMap { case (o, c) => Seq(key(o), key(c)) }.toSet
     val fromKeys = from.files.map(key).toSet
     val toKeys = to.files.map(key).toSet
-    val removed = from.files.filterNot(fe => toKeys.contains(key(fe)))
-    val added = to.files.filterNot(fe => fromKeys.contains(key(fe)))
-    if (removed.isEmpty && added.isEmpty)
+    val removed = from.files.filterNot(fe =>
+      toKeys.contains(key(fe)) || fastKeys.contains(key(fe)))
+    val added = to.files.filterNot(fe =>
+      fromKeys.contains(key(fe)) || fastKeys.contains(key(fe)))
+    if (removed.isEmpty && added.isEmpty && eqPairs.isEmpty)
       return scan(spark, dir, Some(toV)).filter(lit(false))
         .withColumn("change_type", lit(""))
-    def readOr(files: Seq[FileEntry], other: Seq[FileEntry],
-               atV: Long): DataFrame = {
-      val use = if (files.nonEmpty) files else other
-      val df = readFiles(spark, dir, use,
-        knownSchema = tableSchema(spark, dir, atV))
-      if (files.nonEmpty) df else df.filter(lit(false))
-    }
-    val pre0 = readOr(removed, added, fromV)
-    val post0 = readOr(added, removed, toV)
-    // schema evolution between the versions: align both sides to the
-    // column union (missing columns become typed nulls) so the
-    // multiset diff compares whole rows under ONE schema.
+    // schema evolution between the versions: align a frame to the
+    // other's column union (missing columns become typed nulls) so
+    // the multiset diff compares whole rows under ONE schema.
     def align(df: DataFrame, other: DataFrame): DataFrame =
       other.schema.fields.foldLeft(df) { (acc, f) =>
         if (acc.columns.contains(f.name)) acc
         else acc.withColumn(f.name, lit(null).cast(f.dataType))
       }
-    val post = align(post0, pre0)
-    val pre = align(pre0, post0).select(post.columns.map(col): _*)
-    val cols = post.columns.toSeq
-    post.exceptAll(pre).withColumn("change_type", lit("upsert"))
-      .unionAll(pre.exceptAll(post).withColumn("change_type", lit("delete")))
-      .select((cols :+ "change_type").map(col): _*)
+    val preSchema = tableSchema(spark, dir, fromV)
+    val general: Option[DataFrame] =
+      if (removed.isEmpty && added.isEmpty) None
+      else {
+        def readOr(files: Seq[FileEntry], other: Seq[FileEntry],
+                   atV: Long): DataFrame = {
+          val use = if (files.nonEmpty) files else other
+          val df = readFiles(spark, dir, use,
+            knownSchema = tableSchema(spark, dir, atV))
+          if (files.nonEmpty) df else df.filter(lit(false))
+        }
+        val pre0 = readOr(removed, added, fromV)
+        val post0 = readOr(added, removed, toV)
+        val post = align(post0, pre0)
+        val pre = align(pre0, post0).select(post.columns.map(col): _*)
+        val cols = post.columns.toSeq
+        Some(post.exceptAll(pre).withColumn("change_type", lit("upsert"))
+          .unionAll(pre.exceptAll(post).withColumn("change_type", lit("delete")))
+          .select((cols :+ "change_type").map(col): _*))
+      }
+    // fast-path delta legs: one masked read per distinct (newRefs,
+    // oldRefs) GROUP (one delete epoch attaches the same ref to many
+    // files → one read), semi-joined on the fresh keys only
+    val eqDeltas: Option[DataFrame] = eqPairs
+      .groupBy { case (old, cur) =>
+        (cur.eqDv.filterNot(old.eqDv.contains), old.eqDv) }
+      .toSeq.sortBy(_._1._1.mkString(","))
+      .flatMap { case ((newRefs, oldRefs), pairs) =>
+        val c = keyColsOf(newRefs).head // physical key column
+        val newKeys = spark.read
+          .parquet(newRefs.map(resolvePath(dir, _)): _*)
+          .select(col(s"`$c`").as("__graft_eqkey")).na.drop().distinct()
+        val oldSameCol = oldRefs.filter(p =>
+          EqSidecars.load(resolvePath(dir, p)).col == c)
+        // keys already pending at fromV were deleted then, not now
+        val fresh =
+          if (oldSameCol.isEmpty) newKeys
+          else newKeys.join(
+            spark.read.parquet(oldSameCol.map(resolvePath(dir, _)): _*)
+              .select(col(s"`$c`").as("__graft_eqkey")).distinct(),
+            Seq("__graft_eqkey"), "left_anti")
+        val logical = preSchema
+          .flatMap(_.fields.find(f => physicalName(f) == c).map(_.name))
+          .getOrElse(c)
+        val pre = readFiles(spark, dir, pairs.map(_._1),
+          knownSchema = preSchema)
+        Seq(pre.join(broadcast(fresh),
+          pre(s"`$logical`") === fresh("__graft_eqkey"), "left_semi"))
+      }
+      .reduceOption(_ unionByName _)
+      .map(_.withColumn("change_type", lit("delete")))
+    (general, eqDeltas) match {
+      case (Some(g), Some(e)) =>
+        // the fromV schema is one side of the general union, so e's
+        // columns are always a subset of g's
+        g.unionAll(align(e, g).select(g.columns.map(col): _*))
+      case (Some(g), None) => g
+      case (None, Some(e)) => e
+      case (None, None) => // unreachable (guarded above)
+        scan(spark, dir, Some(toV)).filter(lit(false))
+          .withColumn("change_type", lit(""))
+    }
   }
 
   /** `ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN]` backend: record

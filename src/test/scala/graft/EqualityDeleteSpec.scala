@@ -289,6 +289,45 @@ class EqualityDeleteSpec extends SparkTestBase {
         .count(_ >= 3000000L)) // everything below 3M is deleted
   }
 
+  test("programmatic changes(): eq deltas emit exact fresh-key pre-images") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select($"id".as("k"), ($"id" * 7).as("v"))
+        .repartitionByRange(4, $"k"),
+      dir, "overwrite", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(10, 20).toDF("k"))
+    val feed1 = SnapshotTable.changes(spark, dir, 1, 2).collect()
+    assert(feed1.forall(_.getAs[String]("change_type") == "delete"))
+    assert(feed1.map(_.getAs[Long]("k")).sorted.toSeq == (10L until 20L))
+    assert(feed1.forall(r => r.getAs[Long]("v") == r.getAs[Long]("k") * 7),
+      "pre-images must carry the full row")
+    // an OVERLAPPING second epoch emits only its newly-deleted keys
+    SnapshotTable.deleteByKey(spark, dir, "k", spark.range(15, 25).toDF("k"))
+    val feed2 = SnapshotTable.changes(spark, dir, 2, 3).collect()
+    assert(feed2.map(_.getAs[Long]("k")).sorted.toSeq == (20L until 25L),
+      s"fresh-key delta wrong: ${feed2.map(_.getAs[Long]("k")).sorted.toSeq}")
+    // a range SPANNING both epochs composes
+    val feed13 = SnapshotTable.changes(spark, dir, 1, 3).collect()
+    assert(feed13.map(_.getAs[Long]("k")).sorted.toSeq == (10L until 25L))
+    // dv + eq both pending: the dv-deleted row must NOT re-emit as an
+    // eq delta (it was dead before the eq epoch)
+    SnapshotTable.deleteVectors(spark, dir, $"k" === 30L) // v4
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      Seq(30L, 31L).toDF("k")) // v5: 30 already dv-dead
+    val feed45 = SnapshotTable.changes(spark, dir, 4, 5).collect()
+    assert(feed45.map(_.getAs[Long]("k")).toSeq == Seq(31L),
+      s"dv-dead row re-emitted: ${feed45.map(_.getAs[Long]("k")).toSeq}")
+    // a mixed window (append + eq epoch) still nets correctly through
+    // the general diff for the appended files
+    SnapshotTable.write(spark,
+      spark.range(2000, 2010).select($"id".as("k"), ($"id" * 7).as("v")),
+      dir, "append", Seq("k")) // v6
+    val feed56 = SnapshotTable.changes(spark, dir, 4, 6)
+    assert(feed56.filter($"change_type" === "upsert").count() == 10)
+    assert(feed56.filter($"change_type" === "delete")
+      .select($"k").as[Long].collect().toSeq == Seq(31L))
+  }
+
   test("applyBatchEq replays content-idempotently and matches applyBatch") {
     def feedOf(rows: Seq[(Long, Long)], tpe: String, cv: Long) =
       rows.toDF("k", "v")
