@@ -216,12 +216,22 @@ object AnnIndex {
       // driver-small set that becomes manifest-level file pruning
       // (readIn opens only files whose cell range admits a probe; the
       // V2 connector path is primitives-only, and `embedding` is an
-      // array column)
-      val cells = probes.select("cell").distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val ca = SnapshotTable.readIn(spark, assignDir(indexDir), "cell", cells)
+      // array column). A very large query batch probes most cells
+      // anyway — skip the driver collect + static filter there and
+      // let the per-cell join do the routing alone, same result.
+      val broadBatch =
+        queries.limit(cents.length).count() * nprobe > cents.length / 2
+      val ca = (if (broadBatch) SnapshotTable.scan(spark, assignDir(indexDir))
+        else {
+          val cells = probes.select("cell").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          SnapshotTable.readIn(spark, assignDir(indexDir), "cell", cells)
+        })
         .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("cv"))
-      val scored = broadcast(probes).join(ca, Seq("cell"))
+      // a broad batch is too big to pin broadcast — let the planner
+      // pick (AQE will still broadcast when it fits)
+      val probeSide = if (broadBatch) probes else broadcast(probes)
+      val scored = probeSide.join(ca, Seq("cell"))
         .filter(col("qid") =!= col("cid"))
         .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
       val w = Window.partitionBy(col("qid"))

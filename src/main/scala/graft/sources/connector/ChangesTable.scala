@@ -86,15 +86,18 @@ object ChangesTable {
           val prevByPath = prev.map(fe => fe.path -> fe).toMap
           val curByPath = m.files.map(fe => fe.path -> fe).toMap
           // a file's pending EQUALITY deletes mask its replays exactly
-          // like its dv does; the per-column merged key sets load from
-          // the driver-cached sidecars
-          def eqOf(fe: FileEntry): Seq[(String, Seq[String])] =
-            SnapshotPartitions.EqSidecars.skipFor(dir, fe)
+          // like its dv does. Partitions carry the sidecar REFS only —
+          // readers resolve the merged key sets off the factory's one
+          // broadcast per read (the same shape as the main scan); the
+          // keepOnly sets stay inline because they are epoch-sized
+          // fresh-key deltas by construction.
+          def eqOf(fe: FileEntry): Seq[String] =
+            fe.eqDv.map(p => SnapshotTable.resolvePath(dir, p))
           def part(fe: FileEntry, tpe: String,
                    skipDv: Option[String],
                    keepFrom: Option[String] = None,
                    keepMinus: Option[String] = None,
-                   eqSkip: Seq[(String, Seq[String])] = Nil,
+                   eqSkip: Seq[String] = Nil,
                    eqKeepOnly: Option[(String, Seq[String])] = None) =
             ChangeFilePartition(SnapshotTable.resolvePath(dir, fe.path),
               new org.apache.hadoop.fs.Path(fe.path).getName, fe.rows,
@@ -126,7 +129,8 @@ object ChangesTable {
               // pending) — replay exactly those as delete pre-images
               val newRefs = cur.eqDv.filterNot(old.eqDv.contains)
               if (newRefs.nonEmpty) {
-                val oldKeys = eqOf(old).toMap
+                val oldKeys = SnapshotPartitions.EqSidecars
+                  .skipFor(dir, old).toMap
                 val fresh = newRefs
                   .map(pp => SnapshotPartitions.EqSidecars
                     .load(SnapshotTable.resolvePath(dir, pp)))
@@ -151,14 +155,16 @@ object ChangesTable {
 
 /** One change-feed read unit: a data file replayed under a masking
   * mode ([[SnapshotFileReader]]'s `skipOverride`/`keepOnly`) with the
-  * change metadata appended to every row. */
+  * change metadata appended to every row. `eqSkipRefs` are pending
+  * equality-delete sidecar URIs — key sets resolve off the read's one
+  * broadcast, never the task closure. */
 final case class ChangeFilePartition(fileUri: String, baseName: String,
                                      rows: Long,
                                      skipDvUri: Option[String],
                                      keepFromUri: Option[String],
                                      keepMinusUri: Option[String],
                                      changeType: String, version: Long,
-                                     eqSkip: Seq[(String, Seq[String])] = Nil,
+                                     eqSkipRefs: Seq[String] = Nil,
                                      eqKeepOnly: Option[(String, Seq[String])] = None)
   extends InputPartition
 
@@ -268,10 +274,16 @@ final class ChangesScan(dir: String, tableSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     ChangesTable.planChanges(SparkSession.active, dir, loV, hiV).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // readers bind the files' PHYSICAL column names; output stays
-    // positional under the logical feed schema
-    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema))
+    // positional under the logical feed schema. planChanges is pure
+    // over cached manifests, so re-planning here to collect the
+    // pending sidecar refs for the broadcast costs metadata only.
+    val refs = ChangesTable.planChanges(SparkSession.active, dir, loV, hiV)
+      .flatMap(_.eqSkipRefs)
+    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema),
+      SnapshotPartitions.EqSidecars.broadcastForUris(refs))
+  }
 }
 
 /** The change feed as a Structured Streaming source — the Delta-CDF
@@ -356,11 +368,25 @@ final class ChangesMicroBatchStream(dir: String, tableSchema: StructType,
           s"retained version $earliest of $dir (vacuumed past the " +
           "checkpoint); exactly-once resume is impossible — restart " +
           "from a fresh checkpoint")
-    ChangesTable.planChanges(spark, dir, a + 1, b).toArray
+    val planned = ChangesTable.planChanges(spark, dir, a + 1, b)
+    // remember the batch's pending sidecar refs so the next reader
+    // factory's broadcast covers them (planning precedes factory
+    // creation within a micro-batch; a miss fails loudly executor-side)
+    planned.flatMap(_.eqSkipRefs).foreach(eqRefs.add)
+    planned.toArray
   }
 
+  /** Pending sidecar refs seen by any planned batch, accumulated for
+    * the per-batch reader factory's broadcast (bounded: refs fold
+    * away at purge/compact). */
+  private val eqRefs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema))
+    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema),
+      SnapshotPartitions.EqSidecars.broadcastForUris(
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          eqRefs.iterator()).asScala.toSeq))
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset.parse(json)
@@ -370,7 +396,9 @@ final class ChangesMicroBatchStream(dir: String, tableSchema: StructType,
   override def stop(): Unit = ()
 }
 
-final class ChangesReaderFactory(physSchema: StructType)
+final class ChangesReaderFactory(physSchema: StructType,
+                                 eqBc: Option[org.apache.spark.broadcast
+                                   .Broadcast[Map[String, EqSidecar]]] = None)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
@@ -385,13 +413,25 @@ final class ChangesReaderFactory(physSchema: StructType)
       }
       s
     }
+    val eqSkip: Seq[(String, Seq[String])] =
+      if (c.eqSkipRefs.isEmpty) Nil
+      else {
+        val data = eqBc.map(_.value).getOrElse(
+          throw new IllegalStateException(
+            s"${c.baseName} carries equality-delete refs but the feed " +
+              "built no sidecar broadcast"))
+        SnapshotPartitions.EqSidecars.merge(c.eqSkipRefs.map(u =>
+          data.getOrElse(u, throw new IllegalStateException(
+            s"equality-delete sidecar $u is not in the feed's broadcast"))))
+          .map(e => (e.col, e.keys))
+      }
     new SnapshotFileReader(
       SnapshotFilePartition(c.fileUri, c.baseName, c.rows, None),
       physSchema,
       skipOverride = skip.orElse(Some(new java.util.HashSet[java.lang.Long]())),
       keepOnly = keep,
       extra = Array(UTF8String.fromString(c.changeType), c.version),
-      eqSkipOverride = Some(c.eqSkip),
+      eqSkipOverride = Some(eqSkip),
       eqKeepOnly = c.eqKeepOnly)
   }
 }

@@ -581,6 +581,16 @@ private[graft] object SnapshotPartitions {
       Some(org.apache.spark.sql.SparkSession.active.sparkContext
         .broadcast(data))
     }
+
+    /** [[broadcastFor]] from already-resolved sidecar URIs — the
+      * change-feed surfaces collect refs off their planned partitions
+      * (no FileEntry in hand, no cap re-check: the feed replays what
+      * the table already holds). */
+    def broadcastForUris(uris: Seq[String])
+        : Option[org.apache.spark.broadcast.Broadcast[Map[String, EqSidecar]]] =
+      if (uris.isEmpty) None
+      else Some(org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(uris.distinct.map(u => u -> load(u)).toMap))
   }
 
   /** Sidecar rows DECODED by [[deletedPositions]] since the last
