@@ -141,11 +141,44 @@ object AnnIndex {
     v
   }
 
+  /** Self-maintenance BEFORE attaching more pending refs: assignments
+    * are clustered by cell, so every epoch's vec_id batch attaches
+    * broadly and pending keys accumulate across refreshes — fold once
+    * any file's accumulated total crosses half the masking budget,
+    * instead of letting the attach-time cap become a hard error a
+    * thousand epochs in. Footer counts only, zero jobs. */
+  private def maybeFold(spark: SparkSession, indexDir: String): Unit = {
+    val aDir = assignDir(indexDir)
+    val av = SnapshotTable.latestVersion(spark, aDir).get
+    val hc = spark.sparkContext.hadoopConfiguration
+    val worst = SnapshotTable.readManifest(spark, aDir, av).files
+      .map(fe => fe.eqDv.map(p => graft.sources.connector.SnapshotPartitions
+        .sidecarRows(hc, SnapshotTable.resolvePath(aDir, p))).sum)
+      .maxOption.getOrElse(0L)
+    if (worst > graft.sources.connector.SnapshotPartitions.MaxPendingKeys / 2)
+      SnapshotTable.purgeDeletes(spark, aDir)
+  }
+
+  /** Mask + re-assign one collapsed change set: ONE equality delete
+    * retires every touched id's old assignment row (upserted ids
+    * included — an update moves cells), then the upserts assign
+    * against the frozen centroids and append. Content-idempotent: a
+    * replay retires its own previous append before re-appending. */
+  private def applyChangeSet(spark: SparkSession, indexDir: String,
+                             meta: Meta, changes: DataFrame): Unit = {
+    maybeFold(spark, indexDir)
+    val touched = changes.select(col(meta.idCol).cast("long").as("vec_id"))
+      .distinct()
+    SnapshotTable.deleteByKey(spark, assignDir(indexDir), "vec_id", touched)
+    val upserts = changes.filter(col("change_type") === "upsert")
+    if (upserts.limit(1).count() > 0) {
+      val cents = loadCentroids(spark, indexDir)
+      writeAssigned(spark, indexDir, upserts, meta, cents, "append")
+    }
+  }
+
   /** Advance the index to the corpus head by consuming the change
-    * feed since the indexed version: one equality delete masks every
-    * touched id's old assignment row (upserted ids included — an
-    * update moves cells), the upserted batch assigns against the
-    * frozen centroids and appends. O(changed rows) data work +
+    * feed since the indexed version. O(changed rows) data work +
     * O(files) metadata, whatever the corpus size. Returns the newly
     * indexed version (= the old one when the corpus hasn't moved). */
   def refresh(spark: SparkSession, indexDir: String): Long = {
@@ -153,39 +186,60 @@ object AnnIndex {
     val head = SnapshotTable.latestVersion(spark, meta.corpusDir).getOrElse(
       throw new IllegalStateException(s"corpus ${meta.corpusDir} vanished"))
     if (head == meta.indexedVersion) return head
-    // self-maintenance BEFORE attaching more: assignments are
-    // clustered by cell, so every epoch's vec_id batch attaches
-    // broadly and pending keys accumulate across refreshes — fold
-    // once any file's accumulated total crosses half the masking
-    // budget, instead of letting the attach-time cap become a hard
-    // error a thousand epochs in. Footer counts only, zero jobs.
-    locally {
-      val aDir = assignDir(indexDir)
-      val av = SnapshotTable.latestVersion(spark, aDir).get
-      val hc = spark.sparkContext.hadoopConfiguration
-      val worst = SnapshotTable.readManifest(spark, aDir, av).files
-        .map(fe => fe.eqDv.map(p => graft.sources.connector.SnapshotPartitions
-          .sidecarRows(hc, SnapshotTable.resolvePath(aDir, p))).sum)
-        .maxOption.getOrElse(0L)
-      if (worst > graft.sources.connector.SnapshotPartitions.MaxPendingKeys / 2)
-        SnapshotTable.purgeDeletes(spark, aDir)
-    }
     val feed = SnapshotTable.changes(spark, meta.corpusDir,
       meta.indexedVersion, head)
       .select(col(meta.idCol), col(meta.vecCol), col("change_type"))
       .cache()
     try {
-      val touched = feed.select(col(meta.idCol).cast("long").as("vec_id"))
-        .distinct()
-      SnapshotTable.deleteByKey(spark, assignDir(indexDir), "vec_id", touched)
-      val upserts = feed.filter(col("change_type") === "upsert")
-      if (upserts.limit(1).count() > 0) {
-        val cents = loadCentroids(spark, indexDir)
-        writeAssigned(spark, indexDir, upserts, meta, cents, "append")
-      }
+      applyChangeSet(spark, indexDir, meta, feed)
       writeMeta(spark, indexDir, meta.copy(indexedVersion = head))
       head
     } finally feed.unpersist()
+  }
+
+  /** STREAMING maintenance: the foreachBatch consumer for a
+    * `readChangeFeed` stream of the corpus —
+    *
+    * {{{
+    *   spark.readStream.format("graft_snapshot")
+    *     .option("readChangeFeed", "true")
+    *     .option("startingVersion", (indexedVersion + 1).toString)
+    *     .load(corpusDir)
+    *     .writeStream
+    *     .foreachBatch((b: DataFrame, _: Long) =>
+    *       AnnIndex.applyFeedBatch(b, indexDir))
+    *     .option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * A batch may span several source versions, so the newest action
+    * per id wins first (an UPDATE's same-version pre-image delete
+    * loses to its post-image upsert — the ApplyChanges collapse),
+    * then [[applyChangeSet]] applies it. Content-idempotent under the
+    * stream's at-least-once replay window, and the recorded indexed
+    * version advances to the batch's max commit_version so a batch
+    * [[refresh]] composes with (or takes over from) the stream. Start
+    * the stream at `indexedVersion + 1` — an initial-load replay
+    * would re-assign the whole corpus (correct, wasteful). */
+  def applyFeedBatch(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, indexDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(meta.idCol))
+      .orderBy(col("commit_version").desc,
+        when(col("change_type") === "upsert", 0).otherwise(1))
+    val collapsed = batch
+      .withColumn("__cdc_rn", row_number().over(w))
+      .filter(col("__cdc_rn") === 1)
+      .select(col(meta.idCol), col(meta.vecCol), col("change_type"),
+        col("commit_version"))
+      .cache()
+    try {
+      if (collapsed.limit(1).count() == 0) return
+      applyChangeSet(spark, indexDir, meta, collapsed)
+      val maxV = collapsed.agg(max(col("commit_version"))).head.getLong(0)
+      if (maxV > meta.indexedVersion)
+        writeMeta(spark, indexDir, meta.copy(indexedVersion = maxV))
+    } finally collapsed.unpersist()
   }
 
   /** Top-k ANN through the maintained index: rank centroids per

@@ -465,6 +465,96 @@ object VectorQueries {
     // In-query assert: searching the maintained index returns row-for-
     // row what a from-scratch rebuild at the corpus head returns. The
     // oracle replays IVF search over the final corpus in DuckDB.
+    // Streaming ANN index maintenance (round-16): the same index as
+    // q7N, but maintained by TAILING the corpus change-feed stream —
+    // `readChangeFeed` → foreachBatch(AnnIndex.applyFeedBatch), the
+    // production continuous-ingest shape. The stream replays BOTH CDC
+    // epochs in micro-batches (AvailableNow), the consumer collapses
+    // newest-action-per-id and applies one equality delete + one
+    // batch-sized append per batch. In-query assert: the stream-fed
+    // index answers row-for-row like a from-scratch rebuild; the
+    // DuckDB oracle replays IVF search over the final corpus.
+    "q7P_ann_index_stream" -> QueryDef(
+      (s, dir) => {
+        import graft.sources.SnapshotTable
+        import graft.operators.AnnIndex
+        def scratch(name: String): String = {
+          val base = new java.io.File(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            s"graft-snap/${new java.io.File(dir).getName}/$name").getAbsolutePath
+          val p = new org.apache.hadoop.fs.Path(base)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          base
+        }
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        val cenRows = emb.filter((col("vec_id") % 64 === 0) &&
+          col("vec_id") < 450)
+        val corpus = scratch("t7P_corpus")
+        val idx = scratch("t7P_index")
+        SnapshotTable.write(s, emb.filter(col("vec_id") < 450),
+          corpus, "overwrite", Seq("vec_id"))
+        val builtAt = AnnIndex.build(s, corpus, idx, centroids = cenRows,
+          dim = 64)
+        // CDC epochs land on the corpus while the index is offline
+        SnapshotTable.write(s, emb.filter(col("vec_id") >= 450),
+          corpus, "append", Seq("vec_id"))
+        SnapshotTable.deleteByKey(s, corpus, "vec_id",
+          s.range(0, 10).toDF("vec_id"))
+        // ...then a change-feed STREAM catches the index up, one
+        // version per micro-batch so the collapse logic is exercised
+        val ckpt = scratch("t7P_ckpt")
+        val q = s.readStream.format("graft_snapshot")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", (builtAt + 1).toString)
+          .option("maxVersionsPerTrigger", "1")
+          .load(corpus)
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+            AnnIndex.applyFeedBatch(b.toDF(), idx))
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        val streamed = AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
+          .orderBy("qid", "rank")
+        val rebuilt = scratch("t7P_rebuild")
+        AnnIndex.build(s, corpus, rebuilt, centroids = cenRows, dim = 64)
+        val fresh = AnnIndex.searchTopK(s, rebuilt, queries, k = 5, nprobe = 2)
+          .orderBy("qid", "rank")
+        require(streamed.collect().toSeq == fresh.collect().toSeq,
+          "stream-maintained ANN index diverged from a from-scratch rebuild")
+        streamed
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |cen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id % 64 = 0 AND vec_id < 450),
+         |ca AS (
+         |  SELECT cid, cv, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus e, cen c)
+         |  WHERE rn = 1),
+         |qa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus q, cen c WHERE q.vec_id < 18)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qid, cid, round(${duckCosRaw("qv", "cv")}, 6) AS cos
+         |  FROM qa JOIN ca USING (cell) WHERE qid <> cid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     "q7N_ann_index_cdc" -> QueryDef(
       (s, dir) => {
         import graft.sources.SnapshotTable

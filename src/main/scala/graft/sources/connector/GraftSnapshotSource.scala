@@ -177,23 +177,30 @@ object GraftSnapshotSource {
     }
   }
 
-  /** Column types the connector's readers materialize. Everything
-    * else (nested, decimal, interval) reads via `SnapshotTable.scan`. */
+  /** Column types the connector's readers materialize: primitives and
+    * ARRAYS of primitives (an embedding corpus is a first-class
+    * connector table). Everything else (structs, maps, decimal,
+    * interval) reads via `SnapshotTable.scan`. */
+  private def readablePrimitive(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
   private[sources] def isReadable(schema: StructType): Boolean =
     schema.fields.forall(_.dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | BinaryType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _ => false
+      case ArrayType(et, _) => readablePrimitive(et)
+      case dt => readablePrimitive(dt)
     })
 
   private[connector] def validateReadable(schema: StructType): Unit =
     schema.fields.foreach { f =>
       if (!isReadable(StructType(Seq(f))))
         throw new UnsupportedOperationException(
-          s"graft_snapshot reads primitive columns only; column '${f.name}' " +
-            s"has type ${f.dataType.simpleString} — select it away, or read " +
-            "via SnapshotTable.scan for full-fidelity types")
+          s"graft_snapshot reads primitive and primitive-array columns " +
+            s"only; column '${f.name}' has type ${f.dataType.simpleString} " +
+            "— select it away, or read via SnapshotTable.scan for " +
+            "full-fidelity types")
     }
 }
 

@@ -286,8 +286,7 @@ private[connector] final class SnapshotFileReader(
         projection match {
           case Some(proj) if proj.containsField(f.name) =>
             val idx = proj.getFieldIndex(f.name)
-            (idx, converter(f.dataType, proj.getType(idx).asPrimitiveType(),
-              f.name))
+            (idx, anyConverter(f.dataType, proj.getType(idx), f.name))
           case _ => (-1, null)
         }
       }
@@ -406,6 +405,41 @@ private[connector] final class SnapshotFileReader(
 
   private def openProjected(f: Path, cols: Seq[String]): ParquetReader[Group] =
     openWith(f, buildProjection(footerSchema(f), cols))
+
+  /** Dispatch over the connector's readable surface: primitives bind
+    * [[converter]] directly; ARRAY columns bind an element converter
+    * through the standard 3-level LIST shape (`group (LIST) {
+    * repeated group list { <element> } }` — what both this engine's
+    * writers and Spark's parquet writer emit). */
+  private def anyConverter(dt: DataType, t: org.apache.parquet.schema.Type,
+                           name: String): (Group, Int) => Any = (dt, t) match {
+    case (ArrayType(et, _), gt: org.apache.parquet.schema.GroupType)
+        if gt.getFieldCount == 1 && !gt.getType(0).isPrimitive =>
+      val inner = gt.getType(0).asGroupType() // the repeated "list" group
+      require(inner.getFieldCount == 1,
+        s"graft_snapshot: array column '$name' is not a standard " +
+          "3-level parquet LIST; read via SnapshotTable.scan")
+      val elemConv = converter(et, inner.getType(0).asPrimitiveType(),
+        s"$name.element")
+      (g, i) => {
+        val lg = g.getGroup(i, 0)
+        val n = lg.getFieldRepetitionCount(0)
+        val out = new Array[Any](n)
+        var j = 0
+        while (j < n) {
+          val eg = lg.getGroup(0, j)
+          out(j) =
+            if (eg.getFieldRepetitionCount(0) == 0) null else elemConv(eg, 0)
+          j += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      }
+    case (d, pt: PrimitiveType) => converter(d, pt, name)
+    case (d, other) => throw new UnsupportedOperationException(
+      s"graft_snapshot: column '$name' ${d.simpleString} stored as " +
+        s"$other is outside the connector's type surface; read via " +
+        "SnapshotTable.scan")
+  }
 
   /** Physical parquet value → Spark internal value for one primitive
     * column. Bound once per file, so the per-row path is a direct

@@ -743,32 +743,44 @@ private object SnapshotWriteSupport {
     }
   }
 
-  /** Spark schema → parquet message type (primitive surface, all
-    * fields optional — the reader's null contract). */
+  /** Spark schema → parquet message type (primitive + primitive-array
+    * surface, all fields optional — the reader's null contract).
+    * Arrays use the standard 3-level LIST shape (`list`/`element`
+    * inner names), byte-identical to what Spark's own parquet writer
+    * emits — so staged-batch files and V2-written files interleave. */
   def messageTypeFor(schema: StructType): MessageType = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def primitive(dt: DataType, name: String)
+        : Types.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] =
+      dt match {
+      case BooleanType => Types.optional(BOOLEAN)
+      case ByteType => Types.optional(INT32).as(LTA.intType(8, true))
+      case ShortType => Types.optional(INT32).as(LTA.intType(16, true))
+      case IntegerType => Types.optional(INT32)
+      case LongType => Types.optional(INT64)
+      case FloatType => Types.optional(FLOAT)
+      case DoubleType => Types.optional(DOUBLE)
+      case StringType => Types.optional(BINARY).as(LTA.stringType())
+      case BinaryType => Types.optional(BINARY)
+      case DateType => Types.optional(INT32).as(LTA.dateType())
+      case TimestampType =>
+        Types.optional(INT64).as(LTA.timestampType(true, LTA.TimeUnit.MICROS))
+      case TimestampNTZType =>
+        Types.optional(INT64).as(LTA.timestampType(false, LTA.TimeUnit.MICROS))
+      case other => throw new UnsupportedOperationException(
+        s"graft_snapshot writes primitive and primitive-array columns " +
+          s"only; column '$name' has type ${other.simpleString}")
+    }
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val fb = f.dataType match {
-        case BooleanType => Types.optional(BOOLEAN)
-        case ByteType => Types.optional(INT32).as(LTA.intType(8, true))
-        case ShortType => Types.optional(INT32).as(LTA.intType(16, true))
-        case IntegerType => Types.optional(INT32)
-        case LongType => Types.optional(INT64)
-        case FloatType => Types.optional(FLOAT)
-        case DoubleType => Types.optional(DOUBLE)
-        case StringType => Types.optional(BINARY).as(LTA.stringType())
-        case BinaryType => Types.optional(BINARY)
-        case DateType => Types.optional(INT32).as(LTA.dateType())
-        case TimestampType =>
-          Types.optional(INT64).as(LTA.timestampType(true, LTA.TimeUnit.MICROS))
-        case TimestampNTZType =>
-          Types.optional(INT64).as(LTA.timestampType(false, LTA.TimeUnit.MICROS))
-        case dt => throw new UnsupportedOperationException(
-          s"graft_snapshot writes primitive columns only; column '${f.name}' " +
-            s"has type ${dt.simpleString}")
+      val built = f.dataType match {
+        case ArrayType(et, _) =>
+          Types.optionalList()
+            .element(primitive(et, s"${f.name}.element").named("element"))
+            .named(f.name)
+        case dt => primitive(dt, f.name).named(f.name)
       }
-      b.addField(fb.named(f.name))
+      b.addField(built)
     }
     b.named("spark_schema")
   }
@@ -843,6 +855,31 @@ private final class SnapshotDataWriter(dir: String, schema: StructType,
             g.add(i, Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
           case BinaryType =>
             g.add(i, Binary.fromReusedByteArray(row.getBinary(i)))
+          case ArrayType(et, _) =>
+            // standard 3-level LIST: one "list" group per element, the
+            // element value at its field 0 (absent = null element)
+            val arr = row.getArray(i)
+            val lg = g.addGroup(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              val eg = lg.addGroup(0)
+              if (!arr.isNullAt(j)) et match {
+                case BooleanType => eg.add(0, arr.getBoolean(j))
+                case ByteType => eg.add(0, arr.getByte(j).toInt)
+                case ShortType => eg.add(0, arr.getShort(j).toInt)
+                case IntegerType | DateType => eg.add(0, arr.getInt(j))
+                case LongType | TimestampType | TimestampNTZType =>
+                  eg.add(0, arr.getLong(j))
+                case FloatType => eg.add(0, arr.getFloat(j))
+                case DoubleType => eg.add(0, arr.getDouble(j))
+                case StringType => eg.add(0,
+                  Binary.fromReusedByteArray(arr.getUTF8String(j).getBytes))
+                case BinaryType => eg.add(0,
+                  Binary.fromReusedByteArray(arr.getBinary(j)))
+                case dt => throw new IllegalStateException(s"unreachable: $dt")
+              }
+              j += 1
+            }
           case dt => throw new IllegalStateException(s"unreachable: $dt")
         }
       }
