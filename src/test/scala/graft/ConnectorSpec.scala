@@ -200,18 +200,28 @@ class ConnectorSpec extends SparkTestBase {
 
   test("projection prunes away columns the readers cannot materialize") {
     val dir = freshDir()
+    // STRUCT columns stay outside the readable surface (primitive
+    // ARRAYS joined it in round 16)
     SnapshotTable.write(spark,
-      spark.range(0, 10).select($"id", array($"id", $"id" + 1).as("arr")),
+      spark.range(0, 10).select($"id",
+        struct($"id".as("a"), ($"id" + 1).as("b")).as("st")),
       dir, "overwrite")
     // full read trips the type whitelist...
     val e = intercept[UnsupportedOperationException](load(dir).collect())
-    assert(e.getMessage.contains("arr"))
-    // ...but pruning to primitive columns never touches the array
+    assert(e.getMessage.contains("st"))
+    // ...but pruning to readable columns never touches the struct
     assert(load(dir).select("id").as[Long].collect().sorted.toSeq ==
       (0L until 10L))
     // empty projection still counts rows (per-partition liveRows replay)
     assert(load(dir).select(lit(1).as("one")).agg(sum("one")).as[Long]
       .collect().head == 10L)
+    // primitive arrays are INSIDE the surface now — full read works
+    val adir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 10).select($"id", array($"id", $"id" + 1).as("arr")),
+      adir, "overwrite")
+    assert(load(adir).select(sum(element_at($"arr", 2))).as[Long]
+      .collect().head == (1L to 10L).sum)
   }
 
   test("runtime In-filters prune files like static filters") {
