@@ -2262,12 +2262,12 @@ object ParityQueries {
         val nPre = s.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0)
         // failure injection: the RTAS SELECT throws mid-write — the
         // staged files must never publish
-        val failed = scala.util.Try(s.sql(
+        val failed = expectedFailure("q7H")(scala.util.Try(s.sql(
           s"""REPLACE TABLE $cat.t AS
              |SELECT o_orderkey,
              |       CASE WHEN price >= 0 THEN raise_error('boom')
              |            ELSE price END AS price
-             |FROM $cat.t""".stripMargin).collect())
+             |FROM $cat.t""".stripMargin).collect()))
         require(failed.isFailure, "injected RTAS failure did not throw")
         require(graft.sources.SnapshotTable.latestVersion(s, tdir).get == vPre,
           "failed RTAS must not publish a version")
@@ -2328,10 +2328,10 @@ object ParityQueries {
         s.sql(s"CALL $cat.system.create_branch('t', 'audit')")
         // the poisoned batch: negated prices — the branch's inherited
         // CHECK gate must reject it by name, burning no version
-        val bad = scala.util.Try(s.sql(
+        val bad = expectedFailure("q7I")(scala.util.Try(s.sql(
           s"""INSERT INTO $cat.t.branch_audit
              |SELECT o_orderkey, -o_totalprice FROM t7I_orders
-             |WHERE o_orderkey % 2 = 1""".stripMargin))
+             |WHERE o_orderkey % 2 = 1""".stripMargin)))
         require(bad.isFailure &&
           bad.failed.get.getMessage.contains("sane_price"),
           s"branch write missed the constraint gate: $bad")
@@ -2757,30 +2757,20 @@ object ParityQueries {
         val before = s.sql(s"SELECT count(*) FROM $cat.t")
           .collect().head.getLong(0)
         // the next INSERT is REQUIRED to fail (the CHECK gate under
-        // test) — announce it and silence Spark's abort-path ERROR
-        // stack for just this statement, so a bench/CI log tail does
-        // not read an intentional rejection as a crash
-        println("q7B: expected failure next — the INSERT below violates " +
-          "the positive_price CHECK constraint by design")
-        val quieted = Seq(
-          "org.apache.spark.sql.execution.datasources.v2.AppendDataExec",
-          "org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec")
-        val priorLevels = quieted.map(n =>
-          n -> org.apache.logging.log4j.LogManager.getLogger(n).getLevel)
-        quieted.foreach(n => org.apache.logging.log4j.core.config.Configurator
-          .setLevel(n, org.apache.logging.log4j.Level.OFF))
-        val failed = try {
-          s.sql(s"""INSERT INTO $cat.t
-                    |SELECT o_orderkey, -o_totalprice, 'bad' FROM t7B_orders
-                    |WHERE o_orderkey % 3 = 2""".stripMargin)
-          false
-        } catch {
-          case e: Exception =>
-            def all(x: Throwable): Seq[String] = if (x == null) Nil
-              else Option(x.getMessage).toSeq ++ all(x.getCause)
-            all(e).mkString("\n").contains("positive_price")
-        } finally priorLevels.foreach { case (n, l) =>
-          org.apache.logging.log4j.core.config.Configurator.setLevel(n, l)
+        // test) — expectedFailure announces it and silences Spark's
+        // abort-path ERROR stacks for just this statement
+        val failed = expectedFailure("q7B") {
+          try {
+            s.sql(s"""INSERT INTO $cat.t
+                      |SELECT o_orderkey, -o_totalprice, 'bad' FROM t7B_orders
+                      |WHERE o_orderkey % 3 = 2""".stripMargin)
+            false
+          } catch {
+            case e: Exception =>
+              def all(x: Throwable): Seq[String] = if (x == null) Nil
+                else Option(x.getMessage).toSeq ++ all(x.getCause)
+              all(e).mkString("\n").contains("positive_price")
+          }
         }
         require(failed, "the violating INSERT must fail with the " +
           "constraint name")
@@ -3172,6 +3162,38 @@ object ParityQueries {
 
   /** Fresh per-SF scratch dir for snapshot-table queries — deleted on
     * entry so reruns are deterministic (versions start at 1). */
+  /** Bench/CI-log hygiene for INTENTIONALLY-failing statements: a
+    * handful of queries assert that a write is REJECTED (CHECK gates,
+    * failure-injected RTAS). Spark logs every aborted write and
+    * failed task at ERROR with full stacks, which makes a green bench
+    * tail read like a crash. This announces the expected failure and
+    * silences exactly the abort-path loggers for exactly the body —
+    * levels restored in a finally, nothing else suppressed. */
+  private[queries] def expectedFailure[T](tag: String)(body: => T): T = {
+    println(s"$tag: expected failure next — the statement below is " +
+      "REQUIRED to fail and is asserted by the query itself")
+    val quieted = Seq(
+      "org.apache.spark.util.Utils",
+      "org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.sql.execution.datasources.v2.DataWritingSparkTask",
+      "org.apache.spark.sql.execution.datasources.v2.AppendDataExec",
+      "org.apache.spark.sql.execution.datasources.v2.OverwriteByExpressionExec",
+      "org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec",
+      "org.apache.spark.sql.execution.datasources.v2.ReplaceTableAsSelectExec",
+      "org.apache.spark.sql.execution.datasources.v2.AtomicReplaceTableAsSelectExec",
+      "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
+      "org.apache.spark.sql.execution.streaming.MicroBatchExecution")
+    val prior = quieted.map(n =>
+      n -> org.apache.logging.log4j.LogManager.getLogger(n).getLevel)
+    quieted.foreach(n => org.apache.logging.log4j.core.config.Configurator
+      .setLevel(n, org.apache.logging.log4j.Level.OFF))
+    try body
+    finally prior.foreach { case (n, l) =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(n, l)
+    }
+  }
+
   private def snapDir(s: SparkSession, dir: String, name: String): String = {
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
