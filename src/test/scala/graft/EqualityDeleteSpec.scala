@@ -232,6 +232,38 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(v2.filter($"key" === "u17").count() == 0)
   }
 
+  test("eq masking across schema evolution: files predating the key column never match") {
+    val dir = freshDir()
+    // generation 1 lacks the (future) key column entirely
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v")),
+      dir, "overwrite", Seq("k"))
+    // generation 2 adds `nk`; the delete keys on nk
+    SnapshotTable.write(spark,
+      spark.range(100, 200).select($"id".as("k"), ($"id" * 2).as("v"),
+        ($"id" + 1000).as("nk")),
+      dir, "append", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "nk",
+      spark.range(1100, 1110).toDF("nk"))
+    // old files surface nk as null; null never matches a delete key —
+    // through BOTH reader families
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    assert(v2.count() == 190)
+    assert(v2.filter($"nk".isNull).count() == 100,
+      "generation-1 rows must survive a delete keyed on a column they predate")
+    assert(v2.filter($"nk".between(1100, 1109)).count() == 0)
+    assert(SnapshotTable.scan(spark, dir).count() == 190)
+    // the columnar verdict holds even with the key column absent from
+    // some files (constant-null vectors feed the mask)
+    val scan = v2.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.connector.SnapshotScan]
+    }.head
+    val factory = scan.createReaderFactory()
+    assert(scan.planInputPartitions().forall(factory.supportColumnarReads))
+  }
+
   test("task closures carry sidecar REFS, not key sets (one broadcast per scan)") {
     val dir = freshDir()
     SnapshotTable.write(spark,
