@@ -2509,6 +2509,65 @@ object ParityQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM orders GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Per-column stats metadata table (round-16): `cat.ns.t.stats` is
+    // the LIVE per-column view of what skipping and the CBO see —
+    // row count, full-coverage min/max (exact integral ranges, exact
+    // 1-char string zone maps here), no-null proof, NDV coverage.
+    // The oracle recomputes the deterministic columns from raw
+    // orders; the KMV estimate (not SQL-expressible) is asserted
+    // in-query against the true distinct count after an ANALYZE
+    // backfill.
+    "q7Q_stats_table" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7Q")
+        val cat = "graft_st_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7Q_orders")
+        s.sql(s"DROP TABLE IF EXISTS $cat.fact")
+        s.sql(s"""CREATE TABLE $cat.fact
+                  |  (o_custkey BIGINT, status STRING, price DOUBLE)
+                  |PARTITIONED BY (o_custkey, status)""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.fact
+                  |SELECT o_custkey, o_orderstatus, o_totalprice
+                  |FROM t7Q_orders""".stripMargin)
+        s.sql(s"ANALYZE TABLE $cat.fact COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        // the estimate itself is KMV — pin it in-query, not in SQL
+        val est = s.sql(s"SELECT ndv_estimate FROM $cat.fact.stats " +
+          "WHERE col_name = 'o_custkey'").head.getLong(0)
+        val trueNdv = t(s, dir, "orders")
+          .select(col("o_custkey")).distinct().count()
+        require(math.abs(est - trueNdv).toDouble <= 0.25 * trueNdv,
+          s"stats-table NDV $est vs true $trueNdv past KMV error")
+        require(s.sql(s"SELECT stats_files = files FROM $cat.fact.stats " +
+          "WHERE col_name = 'status'").head.getBoolean(0),
+          "string zone maps must cover every file")
+        s.sql(
+          s"""SELECT col_name, data_type, row_count, min_value, max_value,
+             |       proven_no_nulls
+             |FROM $cat.fact.stats ORDER BY col_name""".stripMargin)
+      },
+      """WITH agg AS (
+        |  SELECT count(*) AS rc,
+        |         CAST(min(o_custkey) AS VARCHAR) AS kmin,
+        |         CAST(max(o_custkey) AS VARCHAR) AS kmax,
+        |         min(o_orderstatus) AS smin, max(o_orderstatus) AS smax
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_custkey' AS col_name, 'bigint' AS data_type,
+        |         rc AS row_count, kmin AS min_value, kmax AS max_value,
+        |         true AS proven_no_nulls FROM agg
+        |  UNION ALL
+        |  SELECT 'price', 'double', rc, CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR), false FROM agg
+        |  UNION ALL
+        |  SELECT 'status', 'string', rc, smin, smax, true FROM agg)
+        |ORDER BY col_name""".stripMargin),
+
     "q7K_equality_delete" -> QueryDef(
       (s, dir) => {
         val src = snapDir(s, dir, "t7K")

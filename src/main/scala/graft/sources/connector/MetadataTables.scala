@@ -39,7 +39,7 @@ import graft.sources.SnapshotTable
 object MetadataTables {
 
   val Names: Set[String] = Set("history", "files", "changes", "refs",
-    "branches")
+    "branches", "stats")
 
   def resolve(spark: SparkSession, tableDir: String,
               metaName: String): Option[Table] =
@@ -54,8 +54,91 @@ object MetadataTables {
       // what `VERSION AS OF '<name>'` resolves, what vacuum pins
       case "refs" => Some(refsTable(spark, tableDir))
       case "branches" => Some(branchesTable(spark, tableDir))
+      // `cat.ns.t.stats` — the per-COLUMN planning surface: what the
+      // skipping and the CBO actually see, live from the manifest
+      case "stats" => Some(statsTable(spark, tableDir))
       case _ => None
     }
+
+  /** `cat.ns.t.stats`: one row per table column of the CURRENT
+    * version — the live per-column view of everything the planner
+    * derives from the manifest (ANALYZE's stats.* TBLPROPERTIES are a
+    * frozen snapshot of the same numbers):
+    *
+    *  - `row_count`: manifest live rows (an UPPER bound while
+    *    equality deletes are pending — `eq_pending` says so);
+    *  - `min_value`/`max_value`: the table-wide range when EVERY file
+    *    carries stats for the column (integral ranges are exact;
+    *    string zone maps are truncate(16) BOUNDS — `exact_bounds`
+    *    distinguishes them); null otherwise (no promise beats a
+    *    wrong one, the same rule the scan applies);
+    *  - `ndv_estimate`: the merged KMV distinct-count estimate the
+    *    CBO receives, when every file carries the column's sketch;
+    *  - `proven_no_nulls`: every file holds writer evidence of zero
+    *    nulls (what lets metadata-only DELETE drop whole files);
+    *  - `stats_files`/`ndv_files`/`bloom_files` of `files`: coverage
+    *    counts — partial coverage explains a null estimate. */
+  private def statsTable(spark: SparkSession, dir: String): Table = {
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("data_type", StringType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("eq_pending", BooleanType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("stats_files", IntegerType, nullable = false),
+      StructField("min_value", StringType, nullable = true),
+      StructField("max_value", StringType, nullable = true),
+      StructField("exact_bounds", BooleanType, nullable = false),
+      StructField("ndv_files", IntegerType, nullable = false),
+      StructField("ndv_estimate", LongType, nullable = true),
+      StructField("proven_no_nulls", BooleanType, nullable = false),
+      StructField("bloom_files", IntegerType, nullable = false)))
+    val v = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val m = SnapshotTable.readManifest(spark, dir, v)
+    val known = SnapshotTable.tableSchema(spark, dir, v).getOrElse(
+      throw new IllegalStateException(
+        s"the stats table needs a schema-recording log under $dir"))
+    val total = m.totalRows
+    val eqPending = m.files.exists(_.eqDv.nonEmpty)
+    val n = m.files.size
+    val rows = known.fields.toSeq.map { f =>
+      val pc = SnapshotTable.physicalName(f)
+      val intCov = m.files.count(_.stats.contains(pc))
+      val strCov = m.files.count(_.strStats.contains(pc))
+      val ndvCov = m.files.count(_.ndv.contains(pc))
+      val bloomCov = m.files.count(_.bloom.contains(pc))
+      val (minV, maxV, exact) =
+        if (n > 0 && intCov == n) {
+          val ranges = m.files.map(_.stats(pc))
+          (ranges.map(_._1).min.toString, ranges.map(_._2).max.toString, true)
+        } else if (n > 0 && strCov == n) {
+          val ranges = m.files.map(_.strStats(pc))
+          (ranges.map(_._1).min, ranges.map(_._2).max, false)
+        } else (null, null, true)
+      val ndv: Any =
+        if (n > 0 && ndvCov == n) {
+          val merged = new java.util.TreeSet[java.lang.Long]()
+          m.files.foreach(_.ndv(pc).foreach { x =>
+            merged.add(x)
+            if (merged.size > SnapshotTable.NdvK) merged.pollLast()
+          })
+          Long.box(math.max(1L,
+            graft.functions.cat.KmvSketch.estimate(merged, SnapshotTable.NdvK)))
+        } else null
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f.name),
+        UTF8String.fromString(f.dataType.simpleString),
+        total, eqPending, n,
+        math.max(intCov, strCov),
+        Option(minV).map(UTF8String.fromString).orNull,
+        Option(maxV).map(UTF8String.fromString).orNull,
+        exact, ndvCov, ndv,
+        n > 0 && m.files.forall(_.noNulls.contains(pc)),
+        bloomCov)): InternalRow
+    }
+    new SnapshotMetaTable(s"graft_snapshot($dir).stats", schema, rows)
+  }
 
   private def historyTable(spark: SparkSession, dir: String): Table = {
     val schema = StructType(Seq(
