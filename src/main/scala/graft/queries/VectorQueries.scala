@@ -555,6 +555,74 @@ object VectorQueries {
          |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // The ANN index driven ENTIRELY through SQL (round-16): the corpus
+    // is an ordinary catalog table with an ARRAY<FLOAT> column; CALL
+    // ann_build freezes the quantizer (the `centroids` smallest ids),
+    // SQL INSERT + DELETE land CDC epochs (the DELETE rides deletion
+    // vectors — refresh consumes a dv epoch here, vs q7N's eq epoch),
+    // CALL ann_refresh advances the index O(batch), and CALL
+    // ann_search returns the top-k result set for a query TABLE. The
+    // oracle replays IVF search over the final corpus.
+    "q7R_ann_procedures" -> QueryDef(
+      (s, dir) => {
+        val root = new java.io.File(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          s"graft-snap/${new java.io.File(dir).getName}/t7R").getAbsolutePath
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val cat = "graft_ann_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+        Tables.computeTable(s, dir, "embeddings")
+          .createOrReplaceTempView("t7R_emb")
+        s.sql(s"CREATE TABLE $cat.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+        s.sql(s"""INSERT INTO $cat.corpus
+                  |SELECT vec_id, embedding FROM t7R_emb
+                  |WHERE vec_id < 450""".stripMargin)
+        s.sql(s"CALL $cat.system.ann_build('corpus', 'ix', 'vec_id', " +
+          "'embedding', 64, 8)")
+        // CDC epochs in plain SQL: late arrivals + a dv-backed DELETE
+        s.sql(s"""INSERT INTO $cat.corpus
+                  |SELECT vec_id, embedding FROM t7R_emb
+                  |WHERE vec_id >= 450""".stripMargin)
+        s.sql(s"DELETE FROM $cat.corpus WHERE vec_id < 10")
+        s.sql(s"CALL $cat.system.ann_refresh('corpus', 'ix')")
+        s.sql(s"""CREATE TABLE $cat.q AS
+                  |SELECT vec_id, embedding FROM $cat.corpus
+                  |WHERE vec_id >= 10 AND vec_id < 18""".stripMargin)
+        s.sql(s"CALL $cat.system.ann_search('corpus', 'ix', 'q', 5, 2)")
+          .orderBy("qid", "rank")
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |cen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id < 8),
+         |ca AS (
+         |  SELECT cid, cv, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, e.embedding AS cv, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus e, cen c)
+         |  WHERE rn = 1),
+         |qa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus q, cen c WHERE q.vec_id < 18)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT qid, cid, round(${duckCosRaw("qv", "cv")}, 6) AS cos
+         |  FROM qa JOIN ca USING (cell) WHERE qid <> cid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         |  FROM scored)
+         |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     "q7N_ann_index_cdc" -> QueryDef(
       (s, dir) => {
         import graft.sources.SnapshotTable

@@ -56,7 +56,17 @@ object GraftProcedures {
   /** Every procedure name [[load]] serves. */
   val Names: Seq[String] = Seq("restore", "vacuum", "compact", "rebucket",
     "purge_deletes", "maintain", "create_tag", "drop_tag", "clone",
-    "create_branch", "fast_forward", "drop_branch", "recluster")
+    "create_branch", "fast_forward", "drop_branch", "recluster",
+    "ann_build", "ann_refresh", "ann_search")
+
+  /** Where table `dir`'s ANN index `name` lives: nested under the
+    * table root (like branches), dropped with the table, never listed
+    * as a table by the catalog. */
+  private def annDir(dir: String, name: String): String = {
+    require("^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$".r.findFirstIn(name).isDefined,
+      s"invalid index name '$name' (want [A-Za-z0-9][A-Za-z0-9._-]*, ≤64 chars)")
+    s"$dir/_ann/$name"
+  }
 
   /** All procedures, by lower-case name. `dirOfTable` resolves an
     * EXISTING table's identifier to its directory; `dirOfNewTable`
@@ -199,6 +209,69 @@ object GraftProcedures {
           val n = SnapshotTable.reclusterDecayed(spark, dir,
             args.getInt(1), args.getLong(2))
           Seq(new GenericInternalRow(Array[Any](n)))
+      })
+      // --- ANN index services (operators.AnnIndex's SQL face) ---
+      // ann_build(table, index, id_col, vec_col, dim, centroids):
+      // freeze a coarse quantizer (the `centroids` rows with the
+      // smallest ids — deterministic; callers wanting k-means or a
+      // custom sample use the programmatic build) and materialize
+      // cell assignments under <table>/_ann/<index>.
+      case "ann_build" => Some(proc("ann_build",
+        Array(in("table", StringType), in("index", StringType),
+          in("id_col", StringType), in("vec_col", StringType),
+          in("dim", IntegerType), in("centroids", IntegerType)),
+        StructType(Seq(
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("cells", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val idx = annDir(dir, args.getUTF8String(1).toString)
+          val idCol = args.getUTF8String(2).toString
+          val vecCol = args.getUTF8String(3).toString
+          val k = args.getInt(5)
+          require(k > 0, "centroids must be positive")
+          import org.apache.spark.sql.functions.col
+          val cents = SnapshotTable.scan(spark, dir)
+            .orderBy(col(s"`$idCol`")).limit(k)
+          val v = graft.operators.AnnIndex.build(spark, dir, idx, cents,
+            args.getInt(4), idCol, vecCol)
+          Seq(new GenericInternalRow(Array[Any](v, k)))
+      })
+      // ann_refresh(table, index): advance the index to the corpus
+      // head by consuming the change feed — O(changed rows).
+      case "ann_refresh" => Some(proc("ann_refresh",
+        Array(in("table", StringType), in("index", StringType)),
+        StructType(Seq(
+          StructField("indexed_version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val idx = annDir(dir, args.getUTF8String(1).toString)
+          val v = graft.operators.AnnIndex.refresh(spark, idx)
+          Seq(new GenericInternalRow(Array[Any](v)))
+      })
+      // ann_search(table, index, query_table, k, nprobe): top-k ANN
+      // for every row of `query_table` (same id/vector columns the
+      // index was built with), as a result set (qid, cid, cos, rank).
+      case "ann_search" => Some(proc("ann_search",
+        Array(in("table", StringType), in("index", StringType),
+          in("query_table", StringType), in("k", IntegerType),
+          in("nprobe", IntegerType)),
+        StructType(Seq(
+          StructField("qid", LongType, nullable = false),
+          StructField("cid", LongType, nullable = false),
+          StructField("cos", DoubleType, nullable = false),
+          StructField("rank", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val idx = annDir(dir, args.getUTF8String(1).toString)
+          val queries = SnapshotTable.scan(spark,
+            dirOfTable(args.getUTF8String(2).toString))
+          graft.operators.AnnIndex
+            .searchTopK(spark, idx, queries, args.getInt(3), args.getInt(4))
+            .orderBy("qid", "rank")
+            .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
+              r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+              : InternalRow)
       })
       case "drop_branch" => Some(proc("drop_branch",
         Array(in("table", StringType), in("name", StringType)),
