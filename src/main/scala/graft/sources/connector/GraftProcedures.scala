@@ -266,8 +266,18 @@ object GraftProcedures {
           val idx = annDir(dir, args.getUTF8String(1).toString)
           val queries = SnapshotTable.scan(spark,
             dirOfTable(args.getUTF8String(2).toString))
+          val k = args.getInt(3)
+          // the procedure protocol returns driver-side rows (LocalScan)
+          // — bound the result so a corpus-sized query table cannot
+          // OOM the driver; bulk search stays on the distributed API
+          val nQueries = queries.count()
+          require(nQueries * k.toLong <= 1000000L,
+            s"ann_search would return ~${nQueries * k.toLong} rows to the " +
+              "driver (procedure results are driver-local); for bulk " +
+              "search use the programmatic AnnIndex.searchTopK, which " +
+              "stays distributed")
           graft.operators.AnnIndex
-            .searchTopK(spark, idx, queries, args.getInt(3), args.getInt(4))
+            .searchTopK(spark, idx, queries, k, args.getInt(4))
             .orderBy("qid", "rank")
             .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
               r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
