@@ -48,14 +48,38 @@ object AnnIndex {
 
   private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
   private def assignDir(indexDir: String) = s"$indexDir/assign"
-  private def metaPath(indexDir: String) = new Path(indexDir, "_ann_meta.json")
 
   private final case class Meta(corpusDir: String, indexedVersion: Long,
                                 dim: Int, idCol: String, vecCol: String)
 
+  /** Meta files are named `_ann_meta-<seq>.json`, seq monotonically
+    * increasing; the newest READABLE one wins. Publish writes seq+1
+    * under a fresh name (temp + rename — never over an existing path)
+    * and only then deletes the older files, so a crash at ANY point
+    * leaves at least one readable meta: the delete-then-rename window
+    * of the old single-file scheme (crash ⇒ no meta at all ⇒ every
+    * refresh/search fails until a full rebuild) is gone. The legacy
+    * un-suffixed `_ann_meta.json` reads as seq 0. */
+  private def metaCandidates(f: org.apache.hadoop.fs.FileSystem,
+                             indexDir: String): Seq[(Long, Path)] = {
+    val root = new Path(indexDir)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case "_ann_meta.json" => Some((0L, p))
+        case n if n.startsWith("_ann_meta-") && n.endsWith(".json") =>
+          n.stripPrefix("_ann_meta-").stripSuffix(".json")
+            .toLongOption.map((_, p))
+        case _ => None
+      }
+    }
+  }
+
   private def writeMeta(spark: SparkSession, indexDir: String, m: Meta): Unit = {
-    val p = metaPath(indexDir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val older = metaCandidates(f, indexDir)
+    val seq = older.map(_._1).maxOption.getOrElse(-1L) + 1L
     val tmp = new Path(indexDir, s".tmp-meta-${java.util.UUID.randomUUID}.json")
     val out = f.create(tmp, true)
     try out.write(
@@ -63,24 +87,33 @@ object AnnIndex {
         s""""dim":${m.dim},"idCol":"${m.idCol}","vecCol":"${m.vecCol}"}""")
         .getBytes("UTF-8"))
     finally out.close()
-    f.delete(p, false)
-    require(f.rename(tmp, p), s"could not publish ANN index meta under $indexDir")
+    require(f.rename(tmp, new Path(indexDir, s"_ann_meta-$seq.json")),
+      s"could not publish ANN index meta under $indexDir")
+    older.foreach(c => f.delete(c._2, false)) // only after the new one exists
   }
 
   private def readMeta(spark: SparkSession, indexDir: String): Meta = {
-    val p = metaPath(indexDir)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(f.exists(p), s"$indexDir holds no ANN index (missing _ann_meta.json)")
-    val in = f.open(p)
-    val bytes = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-      bos.toByteArray
-    } finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-    Meta(node.get("corpusDir").asText(), node.get("indexedVersion").asLong(),
-      node.get("dim").asInt(), node.get("idCol").asText(),
-      node.get("vecCol").asText())
+    val f = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates = metaCandidates(f, indexDir).sortBy(-_._1)
+    require(candidates.nonEmpty,
+      s"$indexDir holds no ANN index (missing _ann_meta*.json)")
+    candidates.view.flatMap { case (_, p) =>
+      try {
+        val in = f.open(p)
+        val bytes = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+          bos.toByteArray
+        } finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        Some(Meta(node.get("corpusDir").asText(),
+          node.get("indexedVersion").asLong(), node.get("dim").asInt(),
+          node.get("idCol").asText(), node.get("vecCol").asText()))
+      } catch { case _: Exception => None } // torn writer temp never renames;
+      // an unreadable older candidate just falls through
+    }.headOption.getOrElse(throw new IllegalStateException(
+      s"no readable ANN index meta under $indexDir"))
   }
 
   /** The frozen coarse quantizer, collected driver-side (centroid

@@ -2546,6 +2546,11 @@ object ParityQueries {
         require(s.sql(s"SELECT stats_files = files FROM $cat.fact.stats " +
           "WHERE col_name = 'status'").head.getBoolean(0),
           "string zone maps must cover every file")
+        // a column with NO stats coverage must not claim exact bounds
+        // (round-17 advice: the no-coverage fallback said true)
+        require(!s.sql(s"SELECT exact_bounds FROM $cat.fact.stats " +
+          "WHERE col_name = 'price'").head.getBoolean(0),
+          "no-coverage columns must not claim exact_bounds")
         s.sql(
           s"""SELECT col_name, data_type, row_count, min_value, max_value,
              |       proven_no_nulls

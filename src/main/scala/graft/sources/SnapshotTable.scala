@@ -3151,6 +3151,36 @@ object SnapshotTable {
     // that recorded one — keeps reading, so tagged versions below the
     // count horizon survive: manifest, checkpoint, and referenced data
     // files alike. Dropping the tag is the only way a pin expires.
+    // Fast-forward intent markers PIN their planned main-relative
+    // paths: a publish in flight — or crashed between its renames and
+    // its commit — has moved branch-exclusive files into main's
+    // `data/` with their ORIGINAL mtimes (rename preserves mtime), so
+    // the age gate alone cannot protect them and no kept manifest
+    // references them yet. Reclaiming one would leave the later
+    // rollback's rename-back restoring nothing — a corrupted branch
+    // under the protocol's "provably completes or rolls back" claim.
+    // An unreadable marker pins nothing: corrupt means the writer died
+    // inside the marker write, before any rename ran.
+    def ffIntentPaths(): Set[String] = {
+      val bd = branchesDir(dir)
+      val bf = fs(spark, bd)
+      if (!bf.exists(bd)) return Set.empty
+      bf.listStatus(bd).toSeq.filter(_.isDirectory).flatMap { st =>
+        val marker = new Path(st.getPath, FfIntentName)
+        try {
+          if (!bf.exists(marker)) Nil
+          else {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(readBytes(bf, marker))
+            if (node == null || node.get("paths") == null) Nil
+            else {
+              import scala.jdk.CollectionConverters._
+              node.get("paths").elements().asScala.map(_.asText()).toSeq
+            }
+          }
+        } catch { case _: Exception => Nil }
+      }.toSet
+    }
     def planSweep(tagged: Set[Long]) = {
       val pinned = below.filter(tagged)
       val kept = pinned ++ kept0
@@ -3158,7 +3188,7 @@ object SnapshotTable {
       // data like any file.
       val referenced = kept.flatMap(readManifest(spark, dir, _).files
         .flatMap(fe => (fe.path +: fe.dv.map(_._1).toSeq) ++ fe.eqDv)).toSet
-      (pinned, below.filterNot(tagged), referenced)
+      (pinned, below.filterNot(tagged), referenced ++ ffIntentPaths())
     }
     val tagged0 = listTags(spark, dir).map(_.version).toSet
     var (pinned, expired, referenced) = planSweep(tagged0)

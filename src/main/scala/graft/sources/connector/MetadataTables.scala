@@ -115,7 +115,7 @@ object MetadataTables {
         } else if (n > 0 && strCov == n) {
           val ranges = m.files.map(_.strStats(pc))
           (ranges.map(_._1).min, ranges.map(_._2).max, false)
-        } else (null, null, true)
+        } else (null, null, false) // no coverage ⇒ no bounds to be exact about
       val ndv: Any =
         if (n > 0 && ndvCov == n) {
           val merged = new java.util.TreeSet[java.lang.Long]()

@@ -97,17 +97,28 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
   }
 
   /** One typed membership test per pending key column, bound to its
-    * vector index in the decoded batch. Key sets convert ONCE here
-    * (strings → UTF8String / Long), so the per-row test is a hash
-    * probe on the vector's native value — no per-row stringification
-    * like the row readers pay. */
-  private val eqChecks: Array[(Int, EqVectorMatcher)] = eq.map { e =>
+    * vector index in the decoded batch. Key sets convert ONCE (strings
+    * → UTF8String / Long), so the per-row test is a hash probe on the
+    * vector's native value — no per-row stringification like the row
+    * readers pay. The matcher binds LAZILY to the DECODED vector's
+    * type, not the sidecar's attach-time dtJson: a lossless ALTER
+    * COLUMN widening after the delete (INT key → BIGINT) makes the
+    * projected vector LongType while dtJson still says int — typing
+    * the probe from dtJson would getInt a long vector (garbage /
+    * NPE, i.e. wrong masking). The sidecar's decimal-digit string
+    * keys parse losslessly into whatever width the vector carries;
+    * dtJson's only remaining job is typing the APPENDED request field
+    * when the key column is not in the output projection (there the
+    * table's current type decides what the reader decodes, and the
+    * vector type still wins at bind time). */
+  private val eqChecks: Array[(Int, EqSidecar)] = eq.map { e =>
     val idx = schema.fieldNames.indexOf(e.col) match {
       case -1 => schema.length + eqAppend.indexWhere(_.name == e.col)
       case i => i
     }
-    (idx, EqVectorMatcher.of(DataType.fromJson(e.dtJson), e.keys, e.col))
+    (idx, e)
   }.toArray
+  private val eqMatchers = new Array[EqVectorMatcher](eqChecks.length)
 
   // per-batch scratch: the eq key vectors, hoisted once per batch so
   // the per-row test is (null check + hash probe), no batch lookups
@@ -117,7 +128,7 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     var j = 0
     while (j < eqChecks.length) {
       val v = eqVecs(j)
-      if (!v.isNullAt(i) && eqChecks(j)._2.matches(v, i)) return true
+      if (!v.isNullAt(i) && eqMatchers(j).matches(v, i)) return true
       j += 1
     }
     false
@@ -182,7 +193,13 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
   private def mask(raw: ColumnarBatch, n: Int): ColumnarBatch = {
     val pos = if (needPos) raw.column(posIdx) else null // generated row index
     var j = 0
-    while (j < eqChecks.length) { eqVecs(j) = raw.column(eqChecks(j)._1); j += 1 }
+    while (j < eqChecks.length) {
+      eqVecs(j) = raw.column(eqChecks(j)._1)
+      if (eqMatchers(j) == null) // bind once per file, to the REAL type
+        eqMatchers(j) = EqVectorMatcher.of(eqVecs(j).dataType(),
+          eqChecks(j)._2.keys, eqChecks(j)._2.col)
+      j += 1
+    }
     var live = 0
     val map = new Array[Int](n)
     var i = 0

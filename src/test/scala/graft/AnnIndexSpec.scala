@@ -87,6 +87,51 @@ class AnnIndexSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, assign).count() == 520)
   }
 
+  test("meta publish is crash-safe: a readable meta exists at every instant") {
+    // regression (round-17 advice): publish used to delete-then-rename
+    // the single meta file, so a crash in between left the index with
+    // NO meta — refresh/search/applyFeedBatch all dead until a full
+    // rebuild. Publish now writes a fresh seq-named sibling first and
+    // deletes older files only after it exists.
+    val corpus = freshDir(); val idx = freshDir()
+    SnapshotTable.write(spark, vecs(0L until 100L), corpus, "overwrite",
+      Seq("vec_id"))
+    AnnIndex.build(spark, corpus, idx, vecs(Seq(0L, 40L, 80L)), dim)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def metas() = f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_ann_meta")).sorted
+    assert(metas() == Seq("_ann_meta-0.json"))
+    SnapshotTable.write(spark, vecs(100L until 120L), corpus, "append",
+      Seq("vec_id"))
+    AnnIndex.refresh(spark, idx)
+    assert(metas() == Seq("_ann_meta-1.json"),
+      "publish must advance the seq and clean the older file")
+    // the crash-between-rename-and-delete state: BOTH present, the
+    // older stale — readers must pick the newest
+    val stale = new org.apache.hadoop.fs.Path(idx, "_ann_meta-0.json")
+    val out = f.create(stale, true)
+    try out.write(
+      (s"""{"corpusDir":"$corpus","indexedVersion":1,"dim":$dim,""" +
+        """"idCol":"vec_id","vecCol":"embedding"}""").getBytes("UTF-8"))
+    finally out.close()
+    SnapshotTable.write(spark, vecs(120L until 130L), corpus, "append",
+      Seq("vec_id"))
+    AnnIndex.refresh(spark, idx)
+    assert(metas() == Seq("_ann_meta-2.json"),
+      "the next publish must sweep the stale leftover too")
+    assert(SnapshotTable.scan(spark, s"$idx/assign").count() == 130,
+      "refresh must consume the feed from the NEWEST meta's version")
+    // a torn higher-seq candidate (unreadable bytes) falls through to
+    // the newest readable one instead of killing the index
+    val torn = new org.apache.hadoop.fs.Path(idx, "_ann_meta-9.json")
+    val out2 = f.create(torn, true)
+    try out2.write("{half a jso".getBytes("UTF-8")) finally out2.close()
+    val queries = vecs(Seq(5L, 125L))
+    assert(searchRows(idx, queries).nonEmpty)
+    f.delete(torn, false)
+  }
+
   test("search probes prune at the manifest: only probed-cell files open") {
     val corpus = freshDir(); val idx = freshDir()
     SnapshotTable.write(spark, vecs(0L until 400L), corpus, "overwrite",

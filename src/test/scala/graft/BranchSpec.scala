@@ -245,6 +245,28 @@ class BranchSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, bdir).count() == 130)
   }
 
+  test("vacuum cannot reclaim files an interrupted fast-forward moved (intent pins)") {
+    // regression (round-17 advice): the moved branch-exclusive files
+    // sit in main's data/ with their ORIGINAL mtimes (rename preserves
+    // mtime) and are referenced by no kept main manifest — an
+    // aggressive vacuum between the crash and the heal used to
+    // age-gate them away, so the rollback's rename-back restored
+    // nothing. The intent marker's planned paths now pin them.
+    val (dir, bdir) = wapFixture("cr5")
+    SnapshotTable.ffCrashPoint = Some("after-renames")
+    intercept[Error](SnapshotTable.fastForward(spark, dir, "cr5"))
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    val healed = SnapshotTable.healFastForward(spark, dir, "cr5")
+    assert(healed.exists(_.startsWith("rolled back")), s"heal said: $healed")
+    assert(SnapshotTable.scan(spark, bdir).count() == 130,
+      "vacuum reclaimed mid-protocol files — the rollback restored nothing")
+    assert(SnapshotTable.scan(spark, bdir).agg(sum($"v")).as[Long].head ==
+      (0L until 130L).map(_ * 2).sum)
+    // the retried publish lands clean after the heal
+    assert(SnapshotTable.fastForward(spark, dir, "cr5") == 2L)
+    assert(SnapshotTable.scan(spark, dir).count() == 130)
+  }
+
   test("crash mid-re-point: heal finishes the base/pin bookkeeping") {
     val (dir, bdir) = wapFixture("cr4")
     SnapshotTable.ffCrashPoint = Some("mid-repoint")

@@ -264,6 +264,39 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(scan.planInputPartitions().forall(factory.supportColumnarReads))
   }
 
+  test("columnar eq masking survives ALTER COLUMN widening of the key") {
+    // regression (round-17 advice): the columnar matcher used to type
+    // its probe from the sidecar's attach-time dtJson; after
+    // `deleteByKey on INT key → ALTER COLUMN k TYPE BIGINT → SELECT`
+    // the projected vector is LongType and a dtJson-typed getInt reads
+    // garbage (or NPEs on on-heap vectors). The matcher now binds to
+    // the DECODED vector's type.
+    spark.sql("CREATE TABLE grafteq.tw (k INT, v BIGINT)")
+    spark.sql("INSERT INTO grafteq.tw " +
+      "SELECT CAST(id AS INT), id * 10 FROM range(0, 5000)")
+    val dir = s"$root/tw"
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(0, 50).select($"id".cast("int").as("k")))
+    spark.sql("ALTER TABLE grafteq.tw ALTER COLUMN k TYPE BIGINT")
+    // re-inserted keys land in files the pending refs never cover:
+    // they must survive while the pre-widening images stay masked
+    spark.sql("INSERT INTO grafteq.tw SELECT id, id * 100 FROM range(0, 10)")
+    assert(spark.sql("SELECT count(*) AS n FROM grafteq.tw").as[Long].head
+      == 5000L - 50 + 10)
+    val low = spark.sql(
+      "SELECT k, v FROM grafteq.tw WHERE k < 60 ORDER BY k, v").collect()
+    assert(low.length == 20, s"got ${low.length} rows under k<60")
+    assert(low.take(10).map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 10L).map(i => (i, i * 100)),
+      "re-inserted post-widening rows must read back unmasked")
+    assert(low.drop(10).map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (50L until 60L).map(i => (i, i * 10)))
+    // the key-not-projected shape (appended mask column) too
+    assert(spark.sql("SELECT sum(v) AS s FROM grafteq.tw").as[Long].head ==
+      (0L until 5000L).map(_ * 10).sum - (0L until 50L).map(_ * 10).sum +
+        (0L until 10L).map(_ * 100).sum)
+  }
+
   test("task closures carry sidecar REFS, not key sets (one broadcast per scan)") {
     val dir = freshDir()
     SnapshotTable.write(spark,
