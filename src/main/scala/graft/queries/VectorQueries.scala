@@ -462,18 +462,20 @@ object VectorQueries {
     // keyed delete) and `refresh` advances the index by consuming the
     // change feed — one equality delete masks the touched ids, only
     // the appended batch is assigned (O(batch), never O(corpus)).
-    // In-query assert: searching the maintained index returns row-for-
-    // row what a from-scratch rebuild at the corpus head returns. The
-    // oracle replays IVF search over the final corpus in DuckDB.
+    // AnnIndexSpec pins that the maintained index answers row-for-row
+    // like a from-scratch rebuild at the corpus head (round-17: that
+    // assertion used to run IN-QUERY, paying a second full build per
+    // bench rep). The oracle replays IVF search over the final corpus
+    // in DuckDB.
     // Streaming ANN index maintenance (round-16): the same index as
     // q7N, but maintained by TAILING the corpus change-feed stream —
     // `readChangeFeed` → foreachBatch(AnnIndex.applyFeedBatch), the
     // production continuous-ingest shape. The stream replays BOTH CDC
     // epochs in micro-batches (AvailableNow), the consumer collapses
     // newest-action-per-id and applies one equality delete + one
-    // batch-sized append per batch. In-query assert: the stream-fed
-    // index answers row-for-row like a from-scratch rebuild; the
-    // DuckDB oracle replays IVF search over the final corpus.
+    // batch-sized append per batch. AnnIndexSpec pins the stream-fed
+    // == from-scratch-rebuild row equality; the DuckDB oracle replays
+    // IVF search over the final corpus.
     "q7P_ann_index_stream" -> QueryDef(
       (s, dir) => {
         import graft.sources.SnapshotTable
@@ -517,15 +519,11 @@ object VectorQueries {
           .start()
         q.awaitTermination()
         val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 18)
-        val streamed = AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
+        // the maintained==rebuilt row-for-row pin lives in AnnIndexSpec
+        // ("stream-fed maintenance … matches a rebuild") — the bench
+        // pays ONE build; the oracle hash below stays the gate
+        AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
           .orderBy("qid", "rank")
-        val rebuilt = scratch("t7P_rebuild")
-        AnnIndex.build(s, corpus, rebuilt, centroids = cenRows, dim = 64)
-        val fresh = AnnIndex.searchTopK(s, rebuilt, queries, k = 5, nprobe = 2)
-          .orderBy("qid", "rank")
-        require(streamed.collect().toSeq == fresh.collect().toSeq,
-          "stream-maintained ANN index diverged from a from-scratch rebuild")
-        streamed
       },
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
@@ -650,17 +648,12 @@ object VectorQueries {
           s.range(0, 10).toDF("vec_id"))
         AnnIndex.refresh(s, idx)
         val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 18)
-        val maintained = AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
+        // the maintained==rebuilt row-for-row pin lives in AnnIndexSpec
+        // ("build → CDC epochs → refresh answers exactly like a
+        // rebuild") — the bench pays ONE build; the oracle hash below
+        // stays the gate
+        AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
           .orderBy("qid", "rank")
-        // the maintained index must answer exactly like a rebuild at
-        // the corpus head (same frozen centroids)
-        val rebuilt = scratch("t7N_rebuild")
-        AnnIndex.build(s, corpus, rebuilt, centroids = cenRows, dim = 64)
-        val fresh = AnnIndex.searchTopK(s, rebuilt, queries, k = 5, nprobe = 2)
-          .orderBy("qid", "rank")
-        require(maintained.collect().toSeq == fresh.collect().toSeq,
-          "maintained ANN index diverged from a from-scratch rebuild")
-        maintained
       },
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

@@ -50,6 +50,9 @@ class AnnIndexSpec extends SparkTestBase {
       $"vec_id".between(50, 55),
       Seq("embedding" -> transform(sequence(lit(0), lit(dim - 1)),
         j => cos($"vec_id" * 0.91 + j * 0.29).cast("float"))))
+    // epoch 4: a deletion-vector delete (the SQL DELETE shape) — the
+    // feed must retire these ids exactly like the eq epoch's
+    SnapshotTable.deleteVectors(spark, corpus, $"vec_id".between(200, 205))
     val indexed = AnnIndex.refresh(spark, idx)
     assert(indexed == SnapshotTable.latestVersion(spark, corpus).get)
     AnnIndex.build(spark, corpus, reb, cen, dim)
@@ -59,9 +62,50 @@ class AnnIndexSpec extends SparkTestBase {
     // deleted ids are really gone; updated ids reflect the new vectors
     val all = SnapshotTable.scan(spark, s"$idx/assign")
     assert(all.filter($"vec_id" < 7).count() == 0)
-    assert(all.count() == 333) // 300 - 7 + 40, updates replace in place
+    assert(all.filter($"vec_id".between(200, 205)).count() == 0)
+    assert(all.count() == 327) // 300 - 7 + 40 - 6, updates replace in place
     // idempotent: refresh with no corpus movement is a no-op
     assert(AnnIndex.refresh(spark, idx) == indexed)
+  }
+
+  /** This is the pin q7N/q7P used to pay for IN-BENCH (a second full
+    * build + in-query comparison on every bench run): the stream-fed
+    * index answers row-for-row like a from-scratch rebuild at the
+    * corpus head. The oracle hash stays the bench gate; the rebuild
+    * equality lives here. */
+  test("stream-fed maintenance (readChangeFeed → applyFeedBatch) matches a rebuild") {
+    val corpus = freshDir(); val idx = freshDir(); val reb = freshDir()
+    SnapshotTable.write(spark, vecs(0L until 300L), corpus, "overwrite",
+      Seq("vec_id"))
+    val cen = vecs((0L until 300L).filter(_ % 40 == 0))
+    val builtAt = AnnIndex.build(spark, corpus, idx, cen, dim)
+    SnapshotTable.write(spark, vecs(300L until 340L), corpus, "append",
+      Seq("vec_id"))
+    SnapshotTable.deleteByKey(spark, corpus, "vec_id",
+      spark.range(0, 7).toDF("vec_id"))
+    SnapshotTable.updateVectors(spark, corpus,
+      $"vec_id".between(50, 55),
+      Seq("embedding" -> transform(sequence(lit(0), lit(dim - 1)),
+        j => cos($"vec_id" * 0.91 + j * 0.29).cast("float"))))
+    val ckpt = Files.createTempDirectory("graft-annix-ckpt").toString
+    val q = spark.readStream.format("graft_snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", (builtAt + 1).toString)
+      .option("maxVersionsPerTrigger", "1") // one version per batch:
+      // exercises the newest-action-per-id collapse across batches
+      .load(corpus)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], _: Long) =>
+        AnnIndex.applyFeedBatch(b.toDF(), idx))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    AnnIndex.build(spark, corpus, reb, cen, dim)
+    val queries = vecs(Seq(10L, 50L, 123L, 339L))
+    assert(searchRows(idx, queries) == searchRows(reb, queries),
+      "stream-maintained index diverged from a from-scratch rebuild")
   }
 
   test("refresh work is O(batch): one eq-delete commit + one batch-sized append") {
