@@ -16,12 +16,20 @@ import graft.sources.SnapshotTable
   *  - `centroids/` — (cen_id BIGINT, embedding ARRAY<FLOAT>): the
   *    coarse quantizer, FROZEN at [[build]] (standard IVF practice —
   *    re-training the quantizer is a rebuild, not maintenance).
-  *  - `assign/`    — (vec_id BIGINT, cell BIGINT, embedding
-  *    ARRAY<FLOAT>): one row per corpus vector, clustered by `cell`
+  *  - `assign/`    — one row per corpus vector, clustered by `cell`
   *    with per-file (min,max) stats so a probe's `cell IN (...)`
-  *    prunes to the probed cells' files at the manifest.
-  *  - `_ann_meta.json` — corpus dir, the corpus VERSION the index
-  *    reflects, dim, and the id/vector column names.
+  *    prunes to the probed cells' files at the manifest. Flat layout:
+  *    (vec_id BIGINT, cell BIGINT, embedding ARRAY<FLOAT>). PQ
+  *    layout: (vec_id BIGINT, cell BIGINT, codes BIGINT) — the
+  *    packed 8-byte product-quantization code, so the index holds
+  *    ~8 B of payload per vector instead of a second copy of the
+  *    corpus's embedding bytes (the 100 TB storage story).
+  *  - `codebooks/` — (sub INT, code INT, pos INT, val DOUBLE): the
+  *    PQ codebooks, flattened to scalar rows, FROZEN at [[build]]
+  *    like the centroids (PQ indexes only).
+  *  - `_ann_meta-<seq>.json` — corpus dir, the corpus VERSION the
+  *    index reflects, dim, the id/vector column names, and the PQ
+  *    (m, ks) when quantized.
   *
   * Maintenance is O(changed rows), NOT O(corpus): [[refresh]] reads
   * the corpus's row-level change feed ([[SnapshotTable.changes]] —
@@ -48,9 +56,22 @@ object AnnIndex {
 
   private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
   private def assignDir(indexDir: String) = s"$indexDir/assign"
+  private def codebooksDir(indexDir: String) = s"$indexDir/codebooks"
+
+  /** Product-quantization layout parameters: `m` subspaces × `ks`
+    * codewords, trained for `iters` Lloyd rounds at [[build]] time
+    * (and FROZEN, like the coarse quantizer — re-training either is a
+    * rebuild). `m ≤ 8` and `ks ≤ 256` so one row's codes pack into a
+    * single BIGINT — the literal "8-byte code" of Jégou et al. */
+  final case class PqSpec(m: Int, ks: Int, iters: Int) {
+    require(m >= 1 && m <= 8, s"pq m must be in [1,8], got $m")
+    require(ks >= 2 && ks <= 256, s"pq ks must be in [2,256], got $ks")
+    require(iters >= 0, s"pq iters must be >= 0, got $iters")
+  }
 
   private final case class Meta(corpusDir: String, indexedVersion: Long,
-                                dim: Int, idCol: String, vecCol: String)
+                                dim: Int, idCol: String, vecCol: String,
+                                pq: Option[(Int, Int)] = None) // (m, ks)
 
   /** Meta files are named `_ann_meta-<seq>.json`, seq monotonically
     * increasing; the newest READABLE one wins. Publish writes seq+1
@@ -82,9 +103,10 @@ object AnnIndex {
     val seq = older.map(_._1).maxOption.getOrElse(-1L) + 1L
     val tmp = new Path(indexDir, s".tmp-meta-${java.util.UUID.randomUUID}.json")
     val out = f.create(tmp, true)
+    val pqJson = m.pq.fold("")(p => s""","pqM":${p._1},"pqKs":${p._2}""")
     try out.write(
       (s"""{"corpusDir":"${m.corpusDir}","indexedVersion":${m.indexedVersion},""" +
-        s""""dim":${m.dim},"idCol":"${m.idCol}","vecCol":"${m.vecCol}"}""")
+        s""""dim":${m.dim},"idCol":"${m.idCol}","vecCol":"${m.vecCol}"$pqJson}""")
         .getBytes("UTF-8"))
     finally out.close()
     require(f.rename(tmp, new Path(indexDir, s"_ann_meta-$seq.json")),
@@ -109,7 +131,9 @@ object AnnIndex {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
         Some(Meta(node.get("corpusDir").asText(),
           node.get("indexedVersion").asLong(), node.get("dim").asInt(),
-          node.get("idCol").asText(), node.get("vecCol").asText()))
+          node.get("idCol").asText(), node.get("vecCol").asText(),
+          if (node.get("pqM") == null) None
+          else Some((node.get("pqM").asInt(), node.get("pqKs").asInt()))))
       } catch { case _: Exception => None } // torn writer temp never renames;
       // an unreadable older candidate just falls through
     }.headOption.getOrElse(throw new IllegalStateException(
@@ -136,40 +160,118 @@ object AnnIndex {
       graft.functions.cat.GraftExpr.nearestCentroid(vec, centsLit, dim) + 1)
   }
 
+  /** The persisted PQ codebooks (flat layout `[(sub*ks+code)*ds+i]`,
+    * [[ProductQuantizer]]'s coordinate), collected driver-side —
+    * m*ks*ds doubles, vocabulary-sized like the centroid set. Public
+    * so a rebuild (or a spec) can re-seed a sibling index with the
+    * SAME frozen codebooks via `build(..., pqCodebooks = …)`. */
+  def loadCodebooks(spark: SparkSession, indexDir: String,
+                    m: Int, ks: Int, dim: Int): Array[Double] = {
+    val ds = dim / m
+    val cb = new Array[Double](m * ks * ds)
+    SnapshotTable.scan(spark, codebooksDir(indexDir))
+      .select(col("sub"), col("code"), col("pos"), col("val"))
+      .collect()
+      .foreach(r => cb((r.getInt(0) * ks + r.getInt(1)) * ds + r.getInt(2)) =
+        r.getDouble(3))
+    cb
+  }
+
+  /** m codes (each < 256) → ONE base-256 big-endian BIGINT, folded in
+    * ascending subspace order. Pure bit ops (shift + or): the 8th
+    * byte legitimately occupies the sign bit, which ANSI arithmetic
+    * would reject as long overflow; [[unpackCodes]]' UNSIGNED shifts
+    * recover every digit regardless of sign. */
+  private def packCodes(codes: Column, m: Int): Column =
+    aggregate(codes, lit(0L),
+      (acc, x) => shiftleft(acc, 8).bitwiseOR(x.cast("long")))
+
+  private def unpackCodes(packed: Column, m: Int): Column =
+    array((0 until m).map(i =>
+      shiftrightunsigned(packed, (m - 1 - i) * 8)
+        .bitwiseAND(lit(255L)).cast("int")): _*)
+
   /** Assign + write one batch of corpus rows into `assign/`,
-    * range-clustered by cell so probes prune at the manifest. */
+    * range-clustered by cell so probes prune at the manifest. A PQ
+    * index stores (vec_id, cell, codes BIGINT) — ~8 bytes of payload
+    * per row instead of the full embedding, so the index never
+    * duplicates the corpus's vector bytes; a flat index stores the
+    * embedding for in-cell exact re-rank. */
   private def writeAssigned(spark: SparkSession, indexDir: String,
                             rows: DataFrame, meta: Meta,
                             cents: Array[(Long, Array[Float])],
+                            pqCb: Option[Array[Double]],
                             mode: String): Unit = {
-    val assigned = rows.select(
-      col(meta.idCol).cast("long").as("vec_id"),
-      cellOf(col(meta.vecCol), cents, meta.dim).as("cell"),
-      col(meta.vecCol).as("embedding"))
+    val assigned = pqCb match {
+      case None => rows.select(
+        col(meta.idCol).cast("long").as("vec_id"),
+        cellOf(col(meta.vecCol), cents, meta.dim).as("cell"),
+        col(meta.vecCol).as("embedding"))
+      case Some(cb) =>
+        val (m, ks) = meta.pq.get
+        val ds = meta.dim / m
+        rows.select(
+          col(meta.idCol).cast("long").as("vec_id"),
+          cellOf(col(meta.vecCol), cents, meta.dim).as("cell"),
+          packCodes(ProductQuantizer.encodeCol(cb, m, ks, ds,
+            col(meta.vecCol)), m).as("codes"))
+    }
     SnapshotTable.write(spark,
       assigned.repartitionByRange(col("cell"))
         .sortWithinPartitions("cell"),
       assignDir(indexDir), mode, statsCols = Seq("cell", "vec_id"))
   }
 
+  private def loadPqCb(spark: SparkSession, indexDir: String,
+                       meta: Meta): Option[Array[Double]] =
+    meta.pq.map { case (m, ks) =>
+      loadCodebooks(spark, indexDir, m, ks, meta.dim) }
+
   /** Build the index over the corpus's CURRENT version. `centroids`
     * is the caller's coarse quantizer (any small frame of id +
     * vector — a sampled subset, k-means output, whatever): it is
-    * copied into the index and frozen. Returns the indexed corpus
+    * copied into the index and frozen. With `pq` set the index is
+    * IVF+PQ (Jégou et al.'s IVFADC, the q4K in-query composition
+    * persisted): PQ codebooks train over the build-time corpus (or
+    * arrive pre-trained via `pqCodebooks` — e.g. another index's, for
+    * an answer-identical rebuild), persist next to the centroids, and
+    * `assign/` stores one packed 8-byte code per row instead of the
+    * embedding — at 100 TB that is the difference between an index
+    * and a second copy of the corpus. Returns the indexed corpus
     * version. */
   def build(spark: SparkSession, corpusDir: String, indexDir: String,
             centroids: DataFrame, dim: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            pq: Option[PqSpec] = None,
+            pqCodebooks: Option[Array[Double]] = None): Long = {
     val v = SnapshotTable.latestVersion(spark, corpusDir).getOrElse(
       throw new IllegalStateException(s"cannot index empty corpus $corpusDir"))
     SnapshotTable.write(spark,
       centroids.select(col(idCol).cast("long").as("cen_id"),
         col(vecCol).as("embedding")),
       centroidsDir(indexDir), "overwrite", statsCols = Seq("cen_id"))
-    val meta = Meta(corpusDir, v, dim, idCol, vecCol)
+    val meta = Meta(corpusDir, v, dim, idCol, vecCol,
+      pq.map(p => (p.m, p.ks)))
+    val cb: Option[Array[Double]] = pq.map { p =>
+      require(dim % p.m == 0, s"pq m=${p.m} must divide dim=$dim")
+      val trained = pqCodebooks.getOrElse(ProductQuantizer.train(
+        SnapshotTable.scan(spark, corpusDir, Some(v)),
+        p.m, p.ks, p.iters, dim, idCol, vecCol))
+      require(trained.length == p.m * p.ks * (dim / p.m),
+        s"codebooks carry ${trained.length} coords, want m*ks*ds")
+      import spark.implicits._
+      val ds = dim / p.m
+      val rows = for {
+        sub <- 0 until p.m; code <- 0 until p.ks; pos <- 0 until ds
+      } yield (sub, code, pos, trained((sub * p.ks + code) * ds + pos))
+      SnapshotTable.write(spark, rows.toDF("sub", "code", "pos", "val"),
+        codebooksDir(indexDir), "overwrite", statsCols = Seq("sub", "code"))
+      trained
+    }
     val cents = loadCentroids(spark, indexDir)
     writeAssigned(spark, indexDir,
-      SnapshotTable.scan(spark, corpusDir, Some(v)), meta, cents, "overwrite")
+      SnapshotTable.scan(spark, corpusDir, Some(v)), meta, cents, cb,
+      "overwrite")
     writeMeta(spark, indexDir, meta)
     v
   }
@@ -206,7 +308,8 @@ object AnnIndex {
     val upserts = changes.filter(col("change_type") === "upsert")
     if (upserts.limit(1).count() > 0) {
       val cents = loadCentroids(spark, indexDir)
-      writeAssigned(spark, indexDir, upserts, meta, cents, "append")
+      writeAssigned(spark, indexDir, upserts, meta, cents,
+        loadPqCb(spark, indexDir, meta), "append")
     }
   }
 
@@ -279,9 +382,13 @@ object AnnIndex {
     * query (driver-side — queries are batch-small by contract, the
     * corpus is what scales), push the probed cells' UNION as a
     * static `cell IN (...)` filter so the assign scan opens only the
-    * probed cells' files, join probes to candidates per cell, exact
-    * cosine re-rank. Output (qid, cid, cos, rank) — the
-    * [[Similarity.ivfTopK]] contract. */
+    * probed cells' files, join probes to candidates per cell, then
+    * score in-cell — exact cosine on a flat index (output (qid, cid,
+    * cos, rank), the [[Similarity.ivfTopK]] contract) or the
+    * broadcast-lut ADC sum on a PQ index (output (qid, cid, adist,
+    * rank), ascending — the [[ProductQuantizer.ivfPqTopK]] contract,
+    * with no vector bytes in flight: the probed files stream 8-byte
+    * codes). */
   def searchTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
                  k: Int, nprobe: Int): DataFrame = {
     val meta = readMeta(spark, indexDir)
@@ -308,24 +415,83 @@ object AnnIndex {
       // let the per-cell join do the routing alone, same result.
       val broadBatch =
         queries.limit(cents.length).count() * nprobe > cents.length / 2
-      val ca = (if (broadBatch) SnapshotTable.scan(spark, assignDir(indexDir))
+      val assignRows =
+        if (broadBatch) SnapshotTable.scan(spark, assignDir(indexDir))
         else {
           val cells = probes.select("cell").distinct()
             .collect().map(_.getLong(0)).toSeq
           SnapshotTable.readIn(spark, assignDir(indexDir), "cell", cells)
-        })
-        .select(col("vec_id").as("cid"), col("cell"), col("embedding").as("cv"))
-      // a broad batch is too big to pin broadcast — let the planner
-      // pick (AQE will still broadcast when it fits)
-      val probeSide = if (broadBatch) probes else broadcast(probes)
-      val scored = probeSide.join(ca, Seq("cell"))
-        .filter(col("qid") =!= col("cid"))
-        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("cid").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("qid", "cid", "cos", "rank")
+        }
+      meta.pq match {
+        case None =>
+          val ca = assignRows.select(col("vec_id").as("cid"), col("cell"),
+            col("embedding").as("cv"))
+          // a broad batch is too big to pin broadcast — let the planner
+          // pick (AQE will still broadcast when it fits)
+          val probeSide = if (broadBatch) probes else broadcast(probes)
+          val scored = probeSide.join(ca, Seq("cell"))
+            .filter(col("qid") =!= col("cid"))
+            .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cid").asc)
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select("qid", "cid", "cos", "rank")
+        case Some((m, ks)) =>
+          val ds = meta.dim / m
+          val cb = loadCodebooks(spark, indexDir, m, ks, meta.dim)
+          val cbLit = array(cb.toIndexedSeq.map(lit): _*)
+          // lut per PROBE row (the q4K shape): m*ks doubles riding the
+          // (broadcast-sized) probe side, so scoring a candidate is m
+          // lookups — the codegen'd ADC kernel — on unpacked codes
+          val probesLut = probes.withColumn("__lut",
+            graft.functions.cat.GraftExpr.pqLut(col("qv"), cbLit, m, ks, ds))
+            .select(col("qid"), col("cell"), col("__lut"))
+          val ca = assignRows.select(col("vec_id").as("cid"), col("cell"),
+            unpackCodes(col("codes"), m).as("__codes"))
+          val probeSide = if (broadBatch) probesLut else broadcast(probesLut)
+          val scored = probeSide.join(ca, Seq("cell"))
+            .filter(col("qid") =!= col("cid"))
+            .withColumn("adist", round(graft.functions.cat.GraftExpr
+              .pqAdcSum(col("__lut"), col("__codes"), ks), 6))
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("adist").asc, col("cid").asc)
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select("qid", "cid", "adist", "rank")
+      }
     } finally probes.unpersist()
+  }
+
+  /** Retrieve-then-refine through a PQ index: take `kCand` ADC
+    * candidates per query from [[searchTopK]], join the CORPUS (as of
+    * the indexed version — the state the codes describe) on the id to
+    * recover exact vectors for just those candidates, re-rank by
+    * exact cosine, keep k. The standard IVFADC+refine recipe: the
+    * approximate pass bounds the bytes, the refine pass restores
+    * exact ordering on a candidate set that is queries × kCand small.
+    * Output (qid, cid, cos, rank). */
+  def searchTopKRerank(spark: SparkSession, indexDir: String,
+                       queries: DataFrame, k: Int, nprobe: Int,
+                       kCand: Int): DataFrame = {
+    val meta = readMeta(spark, indexDir)
+    require(meta.pq.isDefined,
+      s"$indexDir is a flat IVF index — searchTopK already ranks by exact cosine")
+    require(kCand >= k, s"kCand=$kCand must be >= k=$k")
+    val cand = searchTopK(spark, indexDir, queries, kCand, nprobe)
+      .select(col("qid"), col("cid"))
+    val corpus = SnapshotTable.scan(spark, meta.corpusDir,
+      Some(meta.indexedVersion))
+      .select(col(meta.idCol).cast("long").as("cid"),
+        col(meta.vecCol).as("cv"))
+    val qv = queries.select(col(meta.idCol).cast("long").as("qid"),
+      col(meta.vecCol).as("qv"))
+    val exact = cand.join(corpus, Seq("cid")).join(broadcast(qv), Seq("qid"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "cos", "rank")
   }
 }

@@ -86,9 +86,11 @@ object ProductQuantizer {
   }
 
   /** `array<int>` of m codes — one codegen'd argmin kernel call per
-    * subspace against that subspace's slice of the codebook literal. */
-  private def encodeCol(cb: Array[Double], m: Int, ks: Int, ds: Int,
-                        vec: Column): Column =
+    * subspace against that subspace's slice of the codebook literal.
+    * Shared with [[AnnIndex]]'s persisted PQ layout so the maintained
+    * index and the in-query chain encode bit-identically. */
+  private[operators] def encodeCol(cb: Array[Double], m: Int, ks: Int, ds: Int,
+                                   vec: Column): Column =
     array((0 until m).map { sub =>
       val slice = java.util.Arrays.copyOfRange(cb, sub * ks * ds, (sub + 1) * ks * ds)
       GraftExpr.nearestSubCentroidL2(vec, array(slice.toIndexedSeq.map(lit): _*),

@@ -621,6 +621,90 @@ object VectorQueries {
          |SELECT qid, cid, cos, CAST(rank AS INTEGER) AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
+    // Persisted IVF+PQ index (round-17): the q4K IVFADC composition
+    // as a MAINTAINED on-disk index. Build trains the PQ codebooks
+    // over the build-time corpus and freezes them next to the coarse
+    // quantizer; `assign/` stores one packed 8-byte code per vector —
+    // the index never duplicates the corpus's embedding bytes (at
+    // 100 TB the flat index IS a second corpus; this is the storage
+    // story). Two CDC epochs then hit the corpus and `refresh`
+    // advances the index O(batch): the appended rows PQ-encode
+    // against the frozen codebooks, the deleted ids retire via one
+    // equality delete. Search ranks probed cells' candidates by the
+    // broadcast-lut ADC sum over codes — no vector bytes in flight.
+    // The oracle replays the whole chain in DuckDB: codebooks trained
+    // on the BUILD corpus, assignment + IVF+ADC search over the FINAL
+    // corpus. AnnIndexSpec pins maintained == same-codebooks rebuild
+    // and index == in-query ProductQuantizer.ivfPqTopK.
+    "q7S_ann_index_pq" -> QueryDef(
+      (s, dir) => {
+        import graft.sources.SnapshotTable
+        import graft.operators.AnnIndex
+        def scratch(name: String): String = {
+          val base = new java.io.File(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            s"graft-snap/${new java.io.File(dir).getName}/$name").getAbsolutePath
+          val p = new org.apache.hadoop.fs.Path(base)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          base
+        }
+        val emb = Tables.computeTable(s, dir, "embeddings")
+        val cenRows = emb.filter((col("vec_id") % 64 === 0) &&
+          col("vec_id") < 450)
+        val corpus = scratch("t7S_corpus")
+        val idx = scratch("t7S_index")
+        SnapshotTable.write(s, emb.filter(col("vec_id") < 450),
+          corpus, "overwrite", Seq("vec_id"))
+        AnnIndex.build(s, corpus, idx, centroids = cenRows, dim = 64,
+          pq = Some(AnnIndex.PqSpec(PqM, PqKs, PqIters)))
+        SnapshotTable.write(s, emb.filter(col("vec_id") >= 450),
+          corpus, "append", Seq("vec_id"))
+        SnapshotTable.deleteByKey(s, corpus, "vec_id",
+          s.range(0, 10).toDF("vec_id"))
+        AnnIndex.refresh(s, idx)
+        val queries = emb.filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        AnnIndex.searchTopK(s, idx, queries, k = 5, nprobe = 2)
+          .orderBy("qid", "rank")
+      },
+      s"""WITH bcorp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 450),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         |${duckPqCtesFor("bcorp", "corpus")},
+         |kcen AS (
+         |  SELECT vec_id AS cen_id, embedding AS cen_v FROM embeddings
+         |  WHERE vec_id % 64 = 0 AND vec_id < 450),
+         |kca AS (
+         |  SELECT cid, cen_id AS cell FROM (
+         |    SELECT e.vec_id AS cid, c.cen_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosRaw("e.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus e, kcen c) __t
+         |  WHERE rn = 1),
+         |kqa AS (
+         |  SELECT qid, qv, cen_id AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qv, c.cen_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${duckCosRaw("q.embedding", "c.cen_v")} DESC, c.cen_id) AS rn
+         |    FROM corpus q, kcen c WHERE q.vec_id < 18) __t
+         |  WHERE rn <= 2),
+         |kpairs AS (
+         |  SELECT x.qid, ca.cid, a.sub,
+         |         ${duckSubL2("x.qv", "a.sub", "c.cen")} AS dm
+         |  FROM kqa x JOIN kca ca ON x.cell = ca.cell
+         |       JOIN paf a ON a.vec_id = ca.cid
+         |       JOIN pcb$PqIters c ON a.sub = c.sub AND a.code = c.code
+         |  WHERE ca.cid <> x.qid),
+         |kscored AS (
+         |  SELECT qid, cid, round(list_sum(list(dm ORDER BY sub)), 6) AS adist
+         |  FROM kpairs GROUP BY qid, cid),
+         |kranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adist, cid) AS rank
+         |  FROM kscored)
+         |SELECT qid, cid, adist, CAST(rank AS INTEGER) AS rank
+         |FROM kranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+
     "q7N_ann_index_cdc" -> QueryDef(
       (s, dir) => {
         import graft.sources.SnapshotTable
@@ -694,14 +778,15 @@ object VectorQueries {
 
   /** One PQ Lloyd assignment CTE: per (vector, subspace), the argmin-L2
     * codeword from `cbTbl` (unrounded ranking, ties to lowest code). */
-  private def duckPqAssign(out: String, cbTbl: String): String =
+  private def duckPqAssign(out: String, cbTbl: String,
+                           src: String = "embeddings"): String =
     s"""$out AS (
        |  SELECT vec_id, embedding, sub, code FROM (
        |    SELECT e.vec_id, e.embedding, c.sub, c.code,
        |           row_number() OVER (PARTITION BY e.vec_id, c.sub
        |             ORDER BY ${duckSubL2("e.embedding", "c.sub", "c.cen")} ASC,
        |                      c.code) AS __rn
-       |    FROM embeddings e, $cbTbl c) __t
+       |    FROM $src e, $cbTbl c) __t
        |  WHERE __rn = 1)""".stripMargin
 
   /** One PQ Lloyd update: exact decimal per-cell means; codewords with
@@ -722,15 +807,18 @@ object VectorQueries {
 
   /** PQ training + encoding CTE chain: seeds → `PqIters` rounds →
     * final assignment `paf` (codes per vec_id, sub), codebooks in
-    * `pcb<PqIters>`. Shared by q4I (exhaustive ADC) and q4K (IVF+PQ). */
-  private lazy val duckPqCtes: String = {
+    * `pcb<PqIters>`. Trains over `trainSrc` and assigns `encodeSrc` —
+    * distinct sources replay a PERSISTED index whose frozen codebooks
+    * predate later CDC epochs (q7S); q4I/q4K use the default
+    * both-are-embeddings shape. */
+  private def duckPqCtesFor(trainSrc: String, encodeSrc: String): String = {
     val rounds = (1 to PqIters).map { i =>
-      duckPqAssign(s"pa$i", s"pcb${i - 1}") + ",\n" +
+      duckPqAssign(s"pa$i", s"pcb${i - 1}", trainSrc) + ",\n" +
         duckPqMeans(s"pcb$i", s"pa$i", s"pcb${i - 1}")
     }.mkString(",\n")
     s"""pseeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
-       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |  FROM (SELECT vec_id, embedding FROM $trainSrc
        |        ORDER BY vec_id LIMIT $PqKs) __s),
        |pcb0 AS (
        |  SELECT s.sub, d.code,
@@ -738,8 +826,11 @@ object VectorQueries {
        |           __i -> CAST(d.embedding[s.sub*$PqDs + __i] AS DOUBLE)) AS cen
        |  FROM range(0, $PqM) s(sub), pseeds d),
        |$rounds,
-       |${duckPqAssign("paf", s"pcb$PqIters")}""".stripMargin
+       |${duckPqAssign("paf", s"pcb$PqIters", encodeSrc)}""".stripMargin
   }
+
+  private lazy val duckPqCtes: String =
+    duckPqCtesFor("embeddings", "embeddings")
 
   /** Full PQ oracle: seeds → `PqIters` train rounds → encode → ADC
     * scoring (per-subspace dists summed in subspace order) → top-5. */

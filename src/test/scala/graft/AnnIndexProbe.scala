@@ -4,13 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Prices ANN index maintenance at two corpus sizes: build an IVF
-  * index over N and 8N vectors, then apply the SAME 2,000-row CDC
-  * batch (append + keyed delete) and refresh each index. The claim
-  * under test is the production one — per-batch maintenance cost
-  * follows the BATCH, not the corpus (one equality delete masks the
-  * touched ids with zero data reads; only the appended batch is
-  * assigned) — so refresh_sec should stay ~flat while build_sec
-  * scales with the corpus. Also reports a maintained-index search. */
+  * index (flat AND product-quantized) over N and 8N vectors, then
+  * apply the SAME 2,000-row CDC batch (append + keyed delete) and
+  * refresh each index. Claims under test:
+  *  - per-batch maintenance cost follows the BATCH, not the corpus
+  *    (one equality delete masks the touched ids with zero data
+  *    reads; only the appended batch assigns/encodes) — refresh_sec
+  *    stays ~flat while build_sec scales with the corpus, for BOTH
+  *    layouts;
+  *  - the PQ index's assign/ is an order of magnitude smaller than
+  *    the flat one's (8-byte codes vs the full embedding per row) —
+  *    the round-17 storage story: the index is not a second corpus.
+  * Also reports a maintained-index search per layout. */
 object AnnIndexProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -25,6 +30,7 @@ object AnnIndexProbe {
     import graft.sources.SnapshotTable
     val baseRows = args.headOption.map(_.toLong).getOrElse(250000L)
     val dim = 32
+    val pq = AnnIndex.PqSpec(m = 8, ks = 256, iters = 2)
     val root = s"/tmp/graft-scale/annix-${System.currentTimeMillis()}"
 
     def vecs(lo: Long, hi: Long) = spark.range(lo, hi).toDF("vec_id")
@@ -36,10 +42,20 @@ object AnnIndexProbe {
     }
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d, "data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map(_.getLen).sum
+    }
 
-    def arm(tag: String, rows: Long): (Double, Double, Double, Long) = {
+    final case class Arm(build: Double, refresh: Double, search: Double,
+                         assignBytes: Long, n: Long)
+
+    def arms(tag: String, rows: Long): (Arm, Arm) = {
       val corpus = s"$root/$tag/corpus"
-      val idx = s"$root/$tag/index"
+      val flat = s"$root/$tag/flat"
+      val pqi = s"$root/$tag/pq"
       // vec_id-CLUSTERED corpus — the production layout for a CDC-fed
       // table: the keyed delete's batch range then attaches to O(1)
       // files and the change-feed diff reads only those, keeping
@@ -49,38 +65,55 @@ object AnnIndexProbe {
         vecs(0, rows).repartitionByRange(32, $"vec_id"),
         corpus, "overwrite", Seq("vec_id"))
       val cen = vecs(0, rows).filter($"vec_id" % (rows / 64) === 0)
-      val tBuild = sec { AnnIndex.build(spark, corpus, idx, cen, dim) }
+      val bFlat = sec { AnnIndex.build(spark, corpus, flat, cen, dim) }
+      val bPq = sec {
+        AnnIndex.build(spark, corpus, pqi, cen, dim, pq = Some(pq))
+      }
       // the SAME CDC batch whatever the corpus size
       SnapshotTable.write(spark, vecs(rows, rows + 1000),
         corpus, "append", Seq("vec_id"))
       SnapshotTable.deleteByKey(spark, corpus, "vec_id",
         spark.range(0, 1000).toDF("vec_id"))
-      val tRefresh = sec { AnnIndex.refresh(spark, idx) }
-      val tSearch = sec {
-        AnnIndex.searchTopK(spark, idx, vecs(5000, 5008), k = 5,
+      val rFlat = sec { AnnIndex.refresh(spark, flat) }
+      val rPq = sec { AnnIndex.refresh(spark, pqi) }
+      val sFlat = sec {
+        AnnIndex.searchTopK(spark, flat, vecs(5000, 5008), k = 5,
           nprobe = 4).collect()
       }
-      val n = SnapshotTable.scan(spark, s"$idx/assign").count()
-      (tBuild, tRefresh, tSearch, n)
+      val sPq = sec {
+        AnnIndex.searchTopK(spark, pqi, vecs(5000, 5008), k = 5,
+          nprobe = 4).collect()
+      }
+      (Arm(bFlat, rFlat, sFlat, dirBytes(s"$flat/assign"),
+        SnapshotTable.scan(spark, s"$flat/assign").count()),
+        Arm(bPq, rPq, sPq, dirBytes(s"$pqi/assign"),
+          SnapshotTable.scan(spark, s"$pqi/assign").count()))
     }
 
     // warm the codepaths so JIT doesn't bill the first arm
-    arm("warm", 20000L)
-    val (b1, r1, s1, n1) = arm("x1", baseRows)
-    val (b8, r8, s8, n8) = arm("x8", baseRows * 8)
-    require(n1 == baseRows && n8 == baseRows * 8,
-      s"maintained counts wrong: $n1 / $n8")
+    arms("warm", 20000L)
+    val (f1, p1) = arms("x1", baseRows)
+    val (f8, p8) = arms("x8", baseRows * 8)
+    require(f1.n == baseRows && f8.n == baseRows * 8 &&
+      p1.n == baseRows && p8.n == baseRows * 8,
+      s"maintained counts wrong: ${(f1.n, f8.n, p1.n, p8.n)}")
 
     spark.stop()
     println(
       s"""{"metric":"ann_index_probe","dim":$dim,"batch_rows":2000,
-         |"corpus_x1":$baseRows,"build_x1_sec":${f3(b1)},
-         |"refresh_x1_sec":${f3(r1)},"search_x1_sec":${f3(s1)},
-         |"corpus_x8":${baseRows * 8},"build_x8_sec":${f3(b8)},
-         |"refresh_x8_sec":${f3(r8)},"search_x8_sec":${f3(s8)},
-         |"build_scale_ratio":${f3(b8 / b1)},
-         |"refresh_scale_ratio":${f3(r8 / r1)},
-         |"search_scale_ratio":${f3(s8 / s1)}}"""
+         |"pq_m":${pq.m},"pq_ks":${pq.ks},
+         |"corpus_x1":$baseRows,"corpus_x8":${baseRows * 8},
+         |"flat_build_x1_sec":${f3(f1.build)},"flat_build_x8_sec":${f3(f8.build)},
+         |"flat_refresh_x1_sec":${f3(f1.refresh)},"flat_refresh_x8_sec":${f3(f8.refresh)},
+         |"flat_search_x1_sec":${f3(f1.search)},"flat_search_x8_sec":${f3(f8.search)},
+         |"pq_build_x1_sec":${f3(p1.build)},"pq_build_x8_sec":${f3(p8.build)},
+         |"pq_refresh_x1_sec":${f3(p1.refresh)},"pq_refresh_x8_sec":${f3(p8.refresh)},
+         |"pq_search_x1_sec":${f3(p1.search)},"pq_search_x8_sec":${f3(p8.search)},
+         |"flat_refresh_scale_ratio":${f3(f8.refresh / f1.refresh)},
+         |"pq_refresh_scale_ratio":${f3(p8.refresh / p1.refresh)},
+         |"flat_assign_bytes_x8":${f8.assignBytes},
+         |"pq_assign_bytes_x8":${p8.assignBytes},
+         |"assign_bytes_ratio_x8":${f3(f8.assignBytes.toDouble / p8.assignBytes)}}"""
         .stripMargin.replace("\n", ""))
   }
 }

@@ -131,6 +131,117 @@ class AnnIndexSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, assign).count() == 520)
   }
 
+  private val pqSpec = AnnIndex.PqSpec(m = 4, ks = 16, iters = 2)
+
+  test("PQ index stores 8-byte codes, and maintained == rebuilt with the same codebooks") {
+    val corpus = freshDir(); val idx = freshDir(); val reb = freshDir()
+    SnapshotTable.write(spark, vecs(0L until 300L), corpus, "overwrite",
+      Seq("vec_id"))
+    val cen = vecs((0L until 300L).filter(_ % 40 == 0))
+    AnnIndex.build(spark, corpus, idx, cen, dim, pq = Some(pqSpec))
+    // the storage claim: assign/ carries NO vector bytes — one packed
+    // BIGINT of codes per row (the index is not a second corpus)
+    val assignSchema = SnapshotTable.scan(spark, s"$idx/assign").schema
+    assert(assignSchema.fieldNames.toSeq == Seq("vec_id", "cell", "codes"))
+    assert(assignSchema("codes").dataType.simpleString == "bigint")
+    // the full CDC alphabet: append, eq delete, dv update (migrates
+    // cells AND changes codes)
+    SnapshotTable.write(spark, vecs(300L until 340L), corpus, "append",
+      Seq("vec_id"))
+    SnapshotTable.deleteByKey(spark, corpus, "vec_id",
+      spark.range(0, 7).toDF("vec_id"))
+    SnapshotTable.updateVectors(spark, corpus,
+      $"vec_id".between(50, 55),
+      Seq("embedding" -> transform(sequence(lit(0), lit(dim - 1)),
+        j => cos($"vec_id" * 0.91 + j * 0.29).cast("float"))))
+    AnnIndex.refresh(spark, idx)
+    // a rebuild at the head, seeded with the SAME frozen codebooks
+    // (a plain rebuild would re-train on the moved corpus — different
+    // codebooks are a different index, not a maintenance divergence)
+    val cb = AnnIndex.loadCodebooks(spark, idx, pqSpec.m, pqSpec.ks, dim)
+    AnnIndex.build(spark, corpus, reb, cen, dim, pq = Some(pqSpec),
+      pqCodebooks = Some(cb))
+    val queries = vecs(Seq(10L, 50L, 123L, 339L))
+    assert(searchRows(idx, queries) == searchRows(reb, queries),
+      "maintained PQ index diverged from a same-codebooks rebuild")
+  }
+
+  test("PQ search reproduces the in-query IVFADC chain at the same version") {
+    val corpus = freshDir(); val idx = freshDir()
+    val rows = vecs(0L until 300L)
+    SnapshotTable.write(spark, rows, corpus, "overwrite", Seq("vec_id"))
+    val cen = vecs((0L until 300L).filter(_ % 40 == 0))
+    AnnIndex.build(spark, corpus, idx, cen, dim, pq = Some(pqSpec))
+    val queries = vecs(Seq(3L, 77L, 142L))
+    val viaIndex = AnnIndex.searchTopK(spark, idx, queries, k = 3, nprobe = 2)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val inQuery = graft.operators.ProductQuantizer.ivfPqTopK(
+      rows, queries, k = 3, centroids = cen, nprobe = 2,
+      m = pqSpec.m, ks = pqSpec.ks, iters = pqSpec.iters, dim = dim)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(viaIndex == inQuery,
+      "persisted PQ index diverged from ProductQuantizer.ivfPqTopK")
+  }
+
+  test("PQ packing survives the sign bit: m=8, ks=256 codes round-trip") {
+    // 8 one-dim subspaces × 256 codewords: the packed BIGINT's top
+    // byte can exceed 127, i.e. the long goes negative — packing must
+    // stay bitwise (ANSI arithmetic would throw long-overflow) and
+    // unpacking must shift UNSIGNED. Equality with the in-query chain
+    // pins the whole round trip.
+    val big = AnnIndex.PqSpec(m = 8, ks = 256, iters = 1)
+    val corpus = freshDir(); val idx = freshDir()
+    val rows = vecs(0L until 400L)
+    SnapshotTable.write(spark, rows, corpus, "overwrite", Seq("vec_id"))
+    val cen = vecs((0L until 400L).filter(_ % 80 == 0))
+    AnnIndex.build(spark, corpus, idx, cen, dim, pq = Some(big))
+    // at ks=256 some corpus row WILL take a high codeword in the top
+    // subspace — prove the fixture actually crosses the sign bit
+    assert(SnapshotTable.scan(spark, s"$idx/assign")
+      .filter($"codes" < 0L).count() > 0,
+      "fixture never set the sign bit — the pin tests nothing")
+    val queries = vecs(Seq(33L, 271L))
+    val viaIndex = AnnIndex.searchTopK(spark, idx, queries, k = 3, nprobe = 2)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val inQuery = graft.operators.ProductQuantizer.ivfPqTopK(
+      rows, queries, k = 3, centroids = cen, nprobe = 2,
+      m = big.m, ks = big.ks, iters = big.iters, dim = dim)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(viaIndex == inQuery)
+  }
+
+  test("PQ rerank: exact-cosine refinement over the ADC candidate set") {
+    val corpus = freshDir(); val idx = freshDir()
+    SnapshotTable.write(spark, vecs(0L until 300L), corpus, "overwrite",
+      Seq("vec_id"))
+    AnnIndex.build(spark, corpus, idx,
+      vecs((0L until 300L).filter(_ % 40 == 0)), dim, pq = Some(pqSpec))
+    val queries = vecs(Seq(9L, 200L))
+    val got = AnnIndex.searchTopKRerank(spark, idx, queries, k = 3,
+      nprobe = 2, kCand = 12).orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    // expected: the SAME kCand ADC candidates, re-ranked by exact
+    // cosine against the corpus vectors
+    val cand = AnnIndex.searchTopK(spark, idx, queries, k = 12, nprobe = 2)
+      .select($"qid", $"cid")
+    val exact = cand
+      .join(vecs(0L until 300L).select($"vec_id".as("cid"),
+        $"embedding".as("cv")), Seq("cid"))
+      .join(queries.select($"vec_id".as("qid"), $"embedding".as("qv")),
+        Seq("qid"))
+      .withColumn("cos", round(graft.operators.Similarity
+        .cosine($"qv", $"cv"), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+      .orderBy($"cos".desc, $"cid".asc)
+    val want = exact.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3).select("qid", "cid", "cos", "rank")
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got == want, "rerank diverged from exact refinement of the candidates")
+  }
+
   test("meta publish is crash-safe: a readable meta exists at every instant") {
     // regression (round-17 advice): publish used to delete-then-rename
     // the single meta file, so a crash in between left the index with
