@@ -156,8 +156,9 @@ object ChangesTable {
 /** One change-feed read unit: a data file replayed under a masking
   * mode ([[SnapshotFileReader]]'s `skipOverride`/`keepOnly`) with the
   * change metadata appended to every row. `eqSkipRefs` are pending
-  * equality-delete sidecar URIs — key sets resolve off the read's one
-  * broadcast, never the task closure. */
+  * equality-delete sidecar URIs — key sets resolve executor-side (off
+  * the batch scan's one broadcast, or loaded per partition in the
+  * streaming factory), never the task closure. */
 final case class ChangeFilePartition(fileUri: String, baseName: String,
                                      rows: Long,
                                      skipDvUri: Option[String],
@@ -368,25 +369,17 @@ final class ChangesMicroBatchStream(dir: String, tableSchema: StructType,
           s"retained version $earliest of $dir (vacuumed past the " +
           "checkpoint); exactly-once resume is impossible — restart " +
           "from a fresh checkpoint")
-    val planned = ChangesTable.planChanges(spark, dir, a + 1, b)
-    // remember the batch's pending sidecar refs so the next reader
-    // factory's broadcast covers them (planning precedes factory
-    // creation within a micro-batch; a miss fails loudly executor-side)
-    planned.flatMap(_.eqSkipRefs).foreach(eqRefs.add)
-    planned.toArray
+    ChangesTable.planChanges(spark, dir, a + 1, b).toArray
   }
 
-  /** Pending sidecar refs seen by any planned batch, accumulated for
-    * the per-batch reader factory's broadcast (bounded: refs fold
-    * away at purge/compact). */
-  private val eqRefs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
+  /** No scan broadcast: a change partition's pending sidecar refs
+    * resolve EXECUTOR-side off the files themselves
+    * ([[SnapshotPartitions.EqSidecars.loadLocal]], JVM-cached) — CDC
+    * micro-batches carry few refs, and the factory no longer depends
+    * on `planInputPartitions` having stashed them first (the
+    * round-16 plan-order side channel is gone). */
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema),
-      SnapshotPartitions.EqSidecars.broadcastForUris(
-        scala.jdk.CollectionConverters.IteratorHasAsScala(
-          eqRefs.iterator()).asScala.toSeq))
+    new ChangesReaderFactory(SnapshotTable.toPhysical(tableSchema))
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset.parse(json)
@@ -415,16 +408,19 @@ final class ChangesReaderFactory(physSchema: StructType,
     }
     val eqSkip: Seq[(String, Seq[String])] =
       if (c.eqSkipRefs.isEmpty) Nil
-      else {
-        val data = eqBc.map(_.value).getOrElse(
-          throw new IllegalStateException(
-            s"${c.baseName} carries equality-delete refs but the feed " +
-              "built no sidecar broadcast"))
-        SnapshotPartitions.EqSidecars.merge(c.eqSkipRefs.map(u =>
-          data.getOrElse(u, throw new IllegalStateException(
-            s"equality-delete sidecar $u is not in the feed's broadcast"))))
-          .map(e => (e.col, e.keys))
-      }
+      else SnapshotPartitions.EqSidecars.merge(eqBc match {
+        // batch scans ship ONE broadcast (loud on a missed ref —
+        // silence would un-delete rows); streaming factories ship
+        // none and load per partition, executor-side and JVM-cached
+        case Some(bc) =>
+          val data = bc.value
+          c.eqSkipRefs.map(u => data.getOrElse(u,
+            throw new IllegalStateException(
+              s"equality-delete sidecar $u is not in the feed's broadcast")))
+        case None =>
+          c.eqSkipRefs.map(u =>
+            SnapshotPartitions.EqSidecars.loadLocal(conf, u))
+      }).map(e => (e.col, e.keys))
     new SnapshotFileReader(
       SnapshotFilePartition(c.fileUri, c.baseName, c.rows, None),
       physSchema,

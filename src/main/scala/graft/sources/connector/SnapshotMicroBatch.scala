@@ -183,30 +183,22 @@ final class SnapshotMicroBatchStream(dir: String, schema: StructType,
         "source is append-only — set ignoreDeletes=true to tail past " +
         "deletes, or consume SnapshotTable.changes for DML feeds")
     val fresh = after.files.filterNot(fe => base.contains(fe.path))
-    // a NEW file can arrive already carrying eq refs (a commit that
-    // both appends and attaches); remember its sidecars so the
-    // factory's per-batch broadcast covers them — planning always
-    // precedes reader-factory creation within a micro-batch, and a
-    // miss fails loudly executor-side rather than un-deleting rows
-    fresh.filter(_.eqDv.nonEmpty)
-      .foreach(fe => eqFiles.add(fe.copy(stats = Map.empty,
-        bloom = Map.empty, ndv = Map.empty)))
     fresh.map(fe => SnapshotPartitions.partitionFor(dir, fe): InputPartition)
       .toArray
   }
 
-  /** Eq-ref-carrying files seen by any planned batch (stats stripped —
-    * only path/eqDv matter here), accumulated so the next reader
-    * factory's sidecar broadcast covers every pending ref. Bounded:
-    * refs fold away at purge/compact and CDC batches are tiny. */
-  private val eqFiles = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[graft.sources.SnapshotTable.FileEntry]()
-
+  /** No scan broadcast: a partition carrying eq refs (a NEW file that
+    * arrives with pending equality deletes — e.g. the initial load of
+    * a mid-CDC table, or a commit that both appends and attaches)
+    * resolves its sidecars EXECUTOR-side off the files themselves
+    * ([[SnapshotPartitions.EqSidecars.loadLocal]], JVM-cached).
+    * Micro-batches carry few refs, and the factory no longer depends
+    * on `planInputPartitions` having run first — the round-16
+    * plan-order side channel (a ConcurrentHashMap of seen files) is
+    * gone: Spark reordering those calls can no longer fail, let alone
+    * un-delete rows. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(schema,
-      eqBc = SnapshotPartitions.EqSidecars.broadcastFor(dir,
-        scala.jdk.CollectionConverters.IteratorHasAsScala(
-          eqFiles.iterator()).asScala.toSeq))
+    new SnapshotReaderFactory(schema)
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset.parse(json)

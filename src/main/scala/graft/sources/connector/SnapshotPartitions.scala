@@ -91,21 +91,25 @@ final class SnapshotReaderFactory(schema: StructType,
   private val sessionConf: Map[String, String] =
     SnapshotPartitions.sessionParquetConf()
 
-  /** The partition's pending equality deletes, resolved EXECUTOR-side
-    * from the scan's one broadcast: per-column merged key sets across
-    * its sidecar refs. Loud on a ref the broadcast missed — silence
-    * there would un-delete rows. */
+  /** The partition's pending equality deletes, resolved EXECUTOR-side:
+    * from the scan's one broadcast when it shipped one (batch scans —
+    * loud on a ref the broadcast missed, silence there would
+    * un-delete rows), or loaded directly off the sidecar files when
+    * it did not (streaming micro-batch factories, whose batches carry
+    * few refs — the per-partition load retires the factory's old
+    * dependence on plan-order side state). */
   private def eqFor(p: SnapshotFilePartition): Seq[EqSidecar] =
     if (p.eqDvUris.isEmpty) Nil
-    else {
-      val data = eqBc.map(_.value).getOrElse(
-        throw new IllegalStateException(
-          s"${p.baseName} carries equality-delete refs but the scan " +
-            "built no sidecar broadcast"))
-      SnapshotPartitions.EqSidecars.merge(p.eqDvUris.map(u =>
-        data.getOrElse(u, throw new IllegalStateException(
-          s"equality-delete sidecar $u is not in the scan's broadcast"))))
-    }
+    else SnapshotPartitions.EqSidecars.merge(eqBc match {
+      case Some(bc) =>
+        val data = bc.value
+        p.eqDvUris.map(u => data.getOrElse(u, throw new IllegalStateException(
+          s"equality-delete sidecar $u is not in the scan's broadcast")))
+      case None =>
+        val conf = new Configuration()
+        sessionConf.foreach { case (k, v) => conf.set(k, v) }
+        p.eqDvUris.map(u => SnapshotPartitions.EqSidecars.loadLocal(conf, u))
+    })
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -569,6 +573,61 @@ private[graft] object SnapshotPartitions {
         df.select(org.apache.spark.sql.functions.col(s"`${f.name}`")
           .cast("string")).na.drop().distinct()
           .collect().map(_.getString(0)).toVector)
+      cache.synchronized { cache.put(uri, loaded) }
+      loaded
+    }
+
+    /** EXECUTOR-safe sidecar load: parquet-hadoop record assembly
+      * against the one-column key file — no SparkSession, no nested
+      * job — so a reader factory can resolve a partition's refs with
+      * NO scan broadcast. This is the streaming micro-batch path:
+      * batches are small, refs are few, and the old alternative was a
+      * plan-order side channel (the factory depended on
+      * `planInputPartitions` having stashed the refs first). Shares
+      * the LRU cache, so an executor reads each immutable sidecar
+      * once however many tasks/files reference it. */
+    def loadLocal(conf: Configuration, uri: String): EqSidecar = {
+      cache.synchronized {
+        val hit = cache.get(uri)
+        if (hit != null) return hit
+      }
+      val path = new Path(uri)
+      val fileSchema = {
+        val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+        try pfr.getFileMetaData.getSchema finally pfr.close()
+      }
+      require(fileSchema.getFieldCount == 1,
+        s"equality-delete sidecar $uri carries ${fileSchema.getFieldCount} " +
+          "columns, want exactly the key column")
+      val pt = fileSchema.getType(0).asPrimitiveType()
+      val name = fileSchema.getFieldName(0)
+      import PrimitiveType.PrimitiveTypeName._
+      val dt: DataType = pt.getPrimitiveTypeName match {
+        case INT32 => pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if t.getBitWidth == 8 => ByteType
+          case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if t.getBitWidth == 16 => ShortType
+          case _ => IntegerType
+        }
+        case INT64 => LongType
+        case BINARY => StringType
+        case other => throw new IllegalStateException(
+          s"equality-delete sidecar $uri has unmaskable physical type $other")
+      }
+      val toStr: Group => String = pt.getPrimitiveTypeName match {
+        case INT32 => g => g.getInteger(0, 0).toString
+        case INT64 => g => g.getLong(0, 0).toString
+        case _ => g => g.getBinary(0, 0).toStringUsingUTF8
+      }
+      val keys = Vector.newBuilder[String]
+      val r = ParquetReader.builder(new GroupReadSupport(), path)
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) { keys += toStr(g); g = r.read() }
+      } finally r.close()
+      val loaded = EqSidecar(name, dt.json, keys.result())
       cache.synchronized { cache.put(uri, loaded) }
       loaded
     }

@@ -426,6 +426,43 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(content(eqDir) == content(mergeDir))
   }
 
+  test("streaming factories resolve eq refs without plan-order side state") {
+    // regression (round-17): the micro-batch reader factory used to
+    // depend on planInputPartitions having stashed the batch's eq refs
+    // into a ConcurrentHashMap side channel before createReaderFactory
+    // ran — a Spark call reorder failed loudly executor-side. Refs now
+    // resolve per partition, executor-side, off the sidecar files.
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 2000).select($"id".as("k"), ($"id" * 3).as("v"))
+        .repartition(4),
+      dir, "overwrite", Seq("k"))
+    SnapshotTable.deleteByKey(spark, dir, "k",
+      spark.range(0, 100).toDF("k"))
+    val schema = SnapshotTable.toPhysical(
+      SnapshotTable.scan(spark, dir).schema)
+    val stream = new graft.sources.connector.SnapshotMicroBatchStream(
+      dir, schema, org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    // build the factory BEFORE any planning call — the pinned claim
+    val factory = stream.createReaderFactory()
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.nonEmpty)
+    val kIdx = schema.fieldIndex("k")
+    var n = 0L
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try while (r.next()) {
+        val k = r.get().getLong(kIdx)
+        assert(k >= 100, s"masked key $k leaked through the factory")
+        n += 1
+      } finally r.close()
+    }
+    assert(n == 1900, s"initial-load batch emitted $n rows, want 1900")
+  }
+
   test("the STREAMING change feed propagates equality deletes") {
     spark.sql("CREATE TABLE grafteq.scdc (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO grafteq.scdc SELECT id, id * 3 FROM range(0, 300)")
