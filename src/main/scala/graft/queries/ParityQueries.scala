@@ -2787,6 +2787,104 @@ object ParityQueries {
         |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // Composite-key equality-delete CDC (round-17): q7M's recipe with
+    // lineitem's NATURAL 2-column business key (l_orderkey,
+    // l_linenumber) — real CDC keys are tuples, and Iceberg's
+    // equality deletes carry a key schema for exactly this. Each
+    // epoch's delete is ONE 2-column key sidecar; readers mask whole
+    // TUPLES (a per-column mask would also kill sibling line numbers
+    // of a deleted order — asserted in-query). The oracle recomputes
+    // the replica from raw lineitem.
+    "q7T_composite_eq_cdc" -> QueryDef(
+      (s, dir) => {
+        val tgt = snapDir(s, dir, "t7T")
+        // one row per business key: the synthetic lineitem carries
+        // duplicate (orderkey, linenumber) pairs, and a CDC key must
+        // be unique — aggregate them away deterministically
+        val li = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("qty"), max(col("l_extendedprice")).as("price"))
+        def feed(rows: org.apache.spark.sql.DataFrame, tpe: String,
+                 cv: Int) =
+          rows.select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+            col("price"), lit(tpe).as("change_type"),
+            lit(cv.toLong).as("commit_version"))
+        // epoch 1 bootstraps with the even orders (scrambled so the
+        // key is unclustered)
+        graft.streaming.ApplyChanges.applyBatchEqKeys(
+          feed(li.filter(col("l_orderkey") % 2 === 0).repartition(8),
+            "upsert", 1),
+          tgt, Seq("l_orderkey", "l_linenumber"))
+        def files() = graft.sources.SnapshotTable.readManifest(s, tgt,
+          graft.sources.SnapshotTable.latestVersion(s, tgt).get)
+          .files.map(_.path).toSet
+        val f1 = files()
+        // epoch 2: delete LINE 1 of every %10==0 order (their other
+        // line numbers must survive — the tuple-vs-column pin);
+        // insert the %4==1 odd orders
+        graft.streaming.ApplyChanges.applyBatchEqKeys(
+          feed(li.filter(col("l_orderkey") % 10 === 0 &&
+              col("l_linenumber") === 1), "delete", 2)
+            .unionByName(feed(li.filter(col("l_orderkey") % 4 === 1),
+              "upsert", 2)),
+          tgt, Seq("l_orderkey", "l_linenumber"))
+        require(f1.subsetOf(files()),
+          "composite eq-CDC epoch must never rewrite a pre-existing data file")
+        val scan2 = graft.sources.SnapshotTable.scan(s, tgt)
+        val sibs = scan2.filter(col("l_orderkey") % 10 === 0 &&
+          col("l_linenumber") =!= 1).count()
+        val wantSibs = li.filter(col("l_orderkey") % 10 === 0 &&
+          col("l_linenumber") =!= 1).count()
+        require(sibs == wantSibs && sibs > 0,
+          s"tuple masking lost sibling line numbers ($sibs vs $wantSibs)")
+        // epoch 3: update lines <=2 of %10==4 orders (same-version
+        // delete+upsert pair, upsert wins the collapse); delete line 3
+        // of the %8==1 odds
+        val upd = li.filter(col("l_orderkey") % 10 === 4 &&
+          col("l_linenumber") <= 2)
+        graft.streaming.ApplyChanges.applyBatchEqKeys(
+          feed(upd, "delete", 3)
+            .unionByName(feed(upd.withColumn("price", col("price") * 2),
+              "upsert", 3))
+            .unionByName(feed(li.filter(col("l_orderkey") % 8 === 1 &&
+              col("l_linenumber") === 3), "delete", 3)),
+          tgt, Seq("l_orderkey", "l_linenumber"))
+        require(graft.sources.SnapshotTable.readManifest(s, tgt,
+          graft.sources.SnapshotTable.latestVersion(s, tgt).get)
+          .files.exists(_.eqDv.nonEmpty),
+          "epochs should leave pending composite refs until a fold")
+        graft.sources.SnapshotTable.scan(s, tgt)
+          .groupBy(((col("l_orderkey") * 7 + col("l_linenumber")) % 30)
+            .as("slot"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sq"),
+            sum(col("price").cast("decimal(18,2)")).cast("double").as("sp"))
+          .orderBy("slot")
+      },
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q0,
+        |         max(l_extendedprice) AS p0
+        |  FROM lineitem GROUP BY 1, 2),
+        |live AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |         CASE WHEN l_orderkey % 10 = 4 AND l_linenumber <= 2
+        |              THEN p0 * 2 ELSE p0 END AS p,
+        |         q0 AS q
+        |  FROM base
+        |  WHERE l_orderkey % 2 = 0
+        |    AND NOT (l_orderkey % 10 = 0 AND l_linenumber = 1)
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, p0, q0
+        |  FROM base
+        |  WHERE l_orderkey % 4 = 1
+        |    AND NOT (l_orderkey % 8 = 1 AND l_linenumber = 3))
+        |SELECT (k * 7 + ln) % 30 AS slot, count(*) AS cnt,
+        |       CAST(sum(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

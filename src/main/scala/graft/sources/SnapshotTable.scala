@@ -1467,18 +1467,24 @@ object SnapshotTable {
     // the fallback anti-join leg groups the masked files by their
     // equality-delete ref set (heterogeneous sets arise when appends
     // interleave with deleteByKey epochs): each group dv-masks, then
-    // anti-joins the broadcast union of its sidecars' keys. The key
-    // column resolves by the sidecar's own (physical) column name.
+    // anti-joins the broadcast union of its sidecars' keys — over ALL
+    // the sidecar's key columns (composite keys anti-join on the
+    // whole tuple; a null member never matches, the === condition's
+    // null verdict). Key columns resolve by the sidecar's own
+    // (physical) column names.
     def eqMask(leg0: DataFrame, eqs: Seq[String]): DataFrame =
       eqs.foldLeft(leg0) { (leg, pth) =>
         val ks = spark.read.parquet(resolvePath(dir, pth))
-        val kc = ks.columns.head
-        val legCol =
-          if (leg.columns.contains(kc)) kc
-          else schema.fields.find(f => physicalName(f) == kc)
-            .map(_.name).getOrElse(kc)
-        leg.join(broadcast(ks.select(col(s"`$kc`").as("__eq_key"))),
-          leg(s"`$legCol`") === col("__eq_key"), "left_anti")
+        val cond = ks.columns.toSeq.zipWithIndex.map { case (kc, i) =>
+          val legCol =
+            if (leg.columns.contains(kc)) kc
+            else schema.fields.find(f => physicalName(f) == kc)
+              .map(_.name).getOrElse(kc)
+          leg(s"`$legCol`") === col(s"__eq_key_$i")
+        }.reduce(_ && _)
+        leg.join(broadcast(ks.select(ks.columns.toSeq.zipWithIndex.map {
+            case (kc, i) => col(s"`$kc`").as(s"__eq_key_$i") }: _*)),
+          cond, "left_anti")
       }
     val maskedDvd = dvd.groupBy(_.eqDv.sorted).toSeq.sortBy(_._1.mkString(","))
       .map { case (eqs, fs2) =>
@@ -2318,69 +2324,109 @@ object SnapshotTable {
     * its appends (the CDC appliers do). */
   def deleteByKey(spark: SparkSession, dir: String, keyCol: String,
                   keys: DataFrame): Long =
+    deleteByKeys(spark, dir, Seq(keyCol), keys)
+
+  /** [[deleteByKey]] over a COMPOSITE business key (round-17): real
+    * CDC keys are often (tenant, entity)-style tuples — Iceberg's
+    * equality deletes carry a key SCHEMA for the same reason. One
+    * sidecar parquet stores the distinct deleted tuples (N typed
+    * columns, positional against `keyCols`); readers mask rows whose
+    * whole tuple matches (SQL tuple equality — any null member
+    * matches nothing). Pruning stays per member column: a file whose
+    * range/bloom refutes ANY member for the whole batch can hold no
+    * matching tuple. All other semantics — O(batch) bytes, zero data
+    * reads, sequencing, the masking budget — are [[deleteByKey]]'s. */
+  def deleteByKeys(spark: SparkSession, dir: String, keyCols: Seq[String],
+                   keys: DataFrame): Long =
     retryOnConflict(s"equality delete on $dir") {
+      require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+      require(keyCols.distinct == keyCols,
+        s"duplicate key columns in ${keyCols.mkString(",")}")
       val v = latestVersion(spark, dir).getOrElse(
         throw new IllegalStateException(s"cannot delete from empty table $dir"))
       val m = readManifest(spark, dir, v)
       val known = tableSchema(spark, dir, v)
-      val field = known.flatMap(_.fields.find(_.name == keyCol))
-      val phys = field.map(physicalName).getOrElse(keyCol)
-      val dt = field.map(_.dataType)
-      dt.foreach { d =>
-        import org.apache.spark.sql.types._
-        require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
-          .contains(d),
-          s"deleteByKey key '$keyCol' must be integral or string, got ${d.simpleString}")
-      }
-      require(keys.columns.length == 1,
-        s"deleteByKey wants a one-column key frame, got ${keys.columns.toSeq}")
+      require(keys.columns.length == keyCols.length,
+        s"deleteByKeys wants a ${keyCols.length}-column key frame for " +
+          s"${keyCols.mkString(",")}, got ${keys.columns.toSeq}")
+      // (logical, physical, declared type) per member; types from the
+      // CURRENT schema so the sidecar parquet is table-typed
+      val members: Seq[(String, Option[org.apache.spark.sql.types.DataType])] =
+        keyCols.map { kc =>
+          val field = known.flatMap(_.fields.find(_.name == kc))
+          val dt = field.map(_.dataType)
+          dt.foreach { d =>
+            import org.apache.spark.sql.types._
+            require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
+              .contains(d),
+              s"deleteByKey key '$kc' must be integral or string, got ${d.simpleString}")
+          }
+          (field.map(physicalName).getOrElse(kc), dt)
+        }
+      val physCols = members.map(_._1)
+      // a tuple with ANY null member matches nothing (SQL equality)
       val keyDf = keys
-        .select(dt.fold(col(s"`${keys.columns.head}`"))(d =>
-          col(s"`${keys.columns.head}`").cast(d)).as(phys))
-        .filter(col(s"`$phys`").isNotNull).distinct()
-      // tiny jobs over the BATCH (not the table): its bounds refute
-      // whole files through the manifest ranges — integral stats or
-      // string zone maps — and a small batch additionally refutes
-      // through the per-file blooms (point membership beats ranges on
-      // scattered keys)
-      val isString = dt.contains(org.apache.spark.sql.types.StringType)
-      val smallKeys: Option[Seq[String]] = {
-        val rows = keyDf.select(col(s"`$phys`").cast("string"))
+        .select(members.zipWithIndex.map { case ((phys, dt), i) =>
+          dt.fold(col(s"`${keys.columns(i)}`"))(d =>
+            col(s"`${keys.columns(i)}`").cast(d)).as(phys) }: _*)
+        .na.drop("any").distinct()
+      // tiny jobs over the BATCH (not the table): its per-member
+      // bounds refute whole files through the manifest ranges —
+      // integral stats or string zone maps — and a small batch
+      // additionally refutes through the per-file blooms (point
+      // membership beats ranges on scattered keys)
+      val smallKeys: Option[Seq[Seq[String]]] = {
+        val rows = keyDf
+          .select(physCols.map(c => col(s"`$c`").cast("string")): _*)
           .limit(1025).collect()
-        if (rows.length > 1024) None else Some(rows.map(_.getString(0)).toSeq)
+        if (rows.length > 1024) None
+        else Some(rows.map(r => physCols.indices.map(r.getString)).toSeq)
       }
       if (smallKeys.exists(_.isEmpty)) return v // empty batch
-      val bounds: Option[(Long, Long)] =
-        if (isString || dt.isEmpty) None
-        else {
-          val r = keyDf.agg(min(col(s"`$phys`")).cast("long"),
-            max(col(s"`$phys`")).cast("long")).head
-          if (r.isNullAt(0)) return v // empty batch: nothing to do
-          Some((r.getLong(0), r.getLong(1)))
-        }
-      val strBounds: Option[(String, String)] =
-        if (!isString) None
-        else {
-          val r = keyDf.agg(min(col(s"`$phys`")),
-            max(col(s"`$phys`"))).head
-          if (r.isNullAt(0)) return v
-          Some((r.getString(0), r.getString(1)))
-        }
-      // range-disjoint files can hold no matching row (null keys were
-      // dropped from the batch — SQL equality never matches null);
-      // string comparisons go through UTF8String binary order, the
-      // zone maps' collation. A bloom-carrying file with zero batch
-      // hits is refuted outright.
+      // one agg job computes every member's bounds
+      val isString = members.map(_._2
+        .contains(org.apache.spark.sql.types.StringType))
+      val aggExprs = members.zipWithIndex.flatMap { case ((phys, dt), i) =>
+        if (isString(i)) Seq(min(col(s"`$phys`")), max(col(s"`$phys`")))
+        else if (dt.isEmpty) // legacy chain without a recorded schema:
+          Seq(max(lit(null)), max(lit(null))) // no bound, no refutation
+        else Seq(min(col(s"`$phys`")).cast("long"),
+          max(col(s"`$phys`")).cast("long"))
+      }
+      val boundsRow = keyDf.agg(aggExprs.head, aggExprs.tail: _*).head
+      if (physCols.indices.forall(i => boundsRow.isNullAt(2 * i)) &&
+          members.forall(_._2.isDefined))
+        return v // empty batch: nothing to do
+      val bounds: Seq[Option[(Long, Long)]] = physCols.indices.map { i =>
+        if (isString(i) || members(i)._2.isEmpty || boundsRow.isNullAt(2 * i))
+          None
+        else Some((boundsRow.getLong(2 * i), boundsRow.getLong(2 * i + 1)))
+      }
+      val strBounds: Seq[Option[(String, String)]] = physCols.indices.map { i =>
+        if (!isString(i) || boundsRow.isNullAt(2 * i)) None
+        else Some((boundsRow.getString(2 * i), boundsRow.getString(2 * i + 1)))
+      }
+      // a file is refuted when ANY member's whole batch is range- or
+      // bloom-disjoint from it (null keys were dropped from the batch
+      // — SQL equality never matches null); string comparisons go
+      // through UTF8String binary order, the zone maps' collation.
       val affected = m.files.filter { fe =>
-        val rangeHit = bounds.flatMap(b => fe.stats.get(phys).map(s =>
-            !(b._2 < s._1 || b._1 > s._2)))
-          .orElse(strBounds.flatMap { case (bl, bh) =>
-            fe.strStats.get(phys).map { case (lo, hi) =>
-              !(strCmp(bh, lo) < 0 || strCmp(bl, hi) > 0) } })
-          .getOrElse(true)
-        val bloomHit = smallKeys.forall(ks =>
-          fe.bloom.get(phys).isEmpty ||
-            ks.exists(fileMayContain(fe, phys, _)))
+        val rangeHit = physCols.indices.forall { i =>
+          val phys = physCols(i)
+          bounds(i).flatMap(b => fe.stats.get(phys).map(s =>
+              !(b._2 < s._1 || b._1 > s._2)))
+            .orElse(strBounds(i).flatMap { case (bl, bh) =>
+              fe.strStats.get(phys).map { case (lo, hi) =>
+                !(strCmp(bh, lo) < 0 || strCmp(bl, hi) > 0) } })
+            .getOrElse(true)
+        }
+        // a small batch is refuted outright when NO tuple passes every
+        // bloom-carrying member's membership test
+        val bloomHit = smallKeys.forall(tuples =>
+          physCols.forall(c => fe.bloom.get(c).isEmpty) ||
+            tuples.exists(t => physCols.indices.forall(i =>
+              fe.bloom.get(physCols(i)).isEmpty ||
+                fileMayContain(fe, physCols(i), t(i)))))
         rangeHit && bloomHit
       }
       if (affected.isEmpty) return v
@@ -3989,13 +4035,14 @@ object SnapshotTable {
     // index-maintenance oracle.)
     def key(fe: FileEntry) = (fe.path, fe.dv.map(_._1), fe.eqDv.sorted)
     import graft.sources.connector.SnapshotPartitions.EqSidecars
-    def keyColsOf(refs: Seq[String]): Set[String] =
-      refs.map(p => EqSidecars.load(resolvePath(dir, p)).col).toSet
+    def keySigsOf(refs: Seq[String]): Set[Seq[String]] =
+      refs.map(p => EqSidecars.load(resolvePath(dir, p)).colNames).toSet
     // eq-only-grown pairs: identical entries except ACCRUED eq refs.
-    // Single-key-column deltas ride the fast path; a multi-column
-    // delta (distinct key columns across epochs in one range) would
-    // need per-row de-duplication across its semi-joins, so it keeps
-    // the general diff.
+    // Single-key-COLUMN deltas ride the fast path; a multi-signature
+    // delta (distinct key columns across epochs in one range) or a
+    // COMPOSITE-key delta would need per-row tuple semantics across
+    // its semi-joins, so both keep the general diff (which masks
+    // composite refs correctly through readFiles' tuple anti-join).
     val fromByPathDv = from.files.map(fe => (fe.path, fe.dv.map(_._1)) -> fe).toMap
     val (eqPairs, _) = to.files.flatMap { cur =>
       fromByPathDv.get((cur.path, cur.dv.map(_._1)))
@@ -4004,7 +4051,8 @@ object SnapshotTable {
           old.copy(eqDv = Nil) == cur.copy(eqDv = Nil))
         .map(old => (old, cur))
     }.partition { case (old, cur) =>
-      keyColsOf(cur.eqDv.filterNot(old.eqDv.contains)).size == 1
+      val sigs = keySigsOf(cur.eqDv.filterNot(old.eqDv.contains))
+      sigs.size == 1 && sigs.head.lengthCompare(1) == 0
     }
     val fastKeys = eqPairs.flatMap { case (o, c) => Seq(key(o), key(c)) }.toSet
     val fromKeys = from.files.map(key).toSet
@@ -4052,12 +4100,12 @@ object SnapshotTable {
         (cur.eqDv.filterNot(old.eqDv.contains), old.eqDv) }
       .toSeq.sortBy(_._1._1.mkString(","))
       .flatMap { case ((newRefs, oldRefs), pairs) =>
-        val c = keyColsOf(newRefs).head // physical key column
+        val c = keySigsOf(newRefs).head.head // the one physical key column
         val newKeys = spark.read
           .parquet(newRefs.map(resolvePath(dir, _)): _*)
           .select(col(s"`$c`").as("__graft_eqkey")).na.drop().distinct()
         val oldSameCol = oldRefs.filter(p =>
-          EqSidecars.load(resolvePath(dir, p)).col == c)
+          EqSidecars.load(resolvePath(dir, p)).colNames == Seq(c))
         // keys already pending at fromV were deleted then, not now
         val fresh =
           if (oldSameCol.isEmpty) newKeys

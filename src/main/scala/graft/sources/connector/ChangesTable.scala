@@ -98,7 +98,7 @@ object ChangesTable {
                    keepFrom: Option[String] = None,
                    keepMinus: Option[String] = None,
                    eqSkip: Seq[String] = Nil,
-                   eqKeepOnly: Option[(String, Seq[String])] = None) =
+                   eqKeepOnly: Option[(Seq[String], Seq[String])] = None) =
             ChangeFilePartition(SnapshotTable.resolvePath(dir, fe.path),
               new org.apache.hadoop.fs.Path(fe.path).getName, fe.rows,
               skipDv.map(p => SnapshotTable.resolvePath(dir, p)),
@@ -129,19 +129,23 @@ object ChangesTable {
               // pending) — replay exactly those as delete pre-images
               val newRefs = cur.eqDv.filterNot(old.eqDv.contains)
               if (newRefs.nonEmpty) {
-                val oldKeys = SnapshotPartitions.EqSidecars
-                  .skipFor(dir, old).toMap
+                // "already pending" matches by key-column NAMES: the
+                // canonical string forms are width-invariant, so a
+                // widening between epochs still dedupes correctly
+                val oldKeys: Map[Seq[String], Set[String]] =
+                  SnapshotPartitions.EqSidecars.skipFor(dir, old)
+                    .map(e => e.colNames -> e.keys.toSet).toMap
                 val fresh = newRefs
                   .map(pp => SnapshotPartitions.EqSidecars
                     .load(SnapshotTable.resolvePath(dir, pp)))
-                  .groupBy(_.col)
-                  .map { case (c, ks) =>
-                    c -> ks.flatMap(_.keys).distinct
-                      .filterNot(oldKeys.getOrElse(c, Nil).toSet)
+                  .groupBy(_.colNames)
+                  .map { case (cs, ss) =>
+                    cs -> ss.flatMap(_.keys).distinct
+                      .filterNot(oldKeys.getOrElse(cs, Set.empty))
                   }.filter(_._2.nonEmpty)
-                fresh.toSeq.sortBy(_._1).foreach { case (c, ks) =>
+                fresh.toSeq.sortBy(_._1.mkString(",")).foreach { case (cs, ks) =>
                   out += part(cur, "delete", cur.dv.map(_._1),
-                    eqSkip = eqOf(old), eqKeepOnly = Some((c, ks)))
+                    eqSkip = eqOf(old), eqKeepOnly = Some((cs, ks)))
                 }
               }
             }
@@ -166,7 +170,7 @@ final case class ChangeFilePartition(fileUri: String, baseName: String,
                                      keepMinusUri: Option[String],
                                      changeType: String, version: Long,
                                      eqSkipRefs: Seq[String] = Nil,
-                                     eqKeepOnly: Option[(String, Seq[String])] = None)
+                                     eqKeepOnly: Option[(Seq[String], Seq[String])] = None)
   extends InputPartition
 
 final class SnapshotChangesTable(dir: String, tableSchema: StructType)
@@ -406,7 +410,7 @@ final class ChangesReaderFactory(physSchema: StructType,
       }
       s
     }
-    val eqSkip: Seq[(String, Seq[String])] =
+    val eqSkip: Seq[EqSidecar] =
       if (c.eqSkipRefs.isEmpty) Nil
       else SnapshotPartitions.EqSidecars.merge(eqBc match {
         // batch scans ship ONE broadcast (loud on a missed ref —
@@ -420,7 +424,7 @@ final class ChangesReaderFactory(physSchema: StructType,
         case None =>
           c.eqSkipRefs.map(u =>
             SnapshotPartitions.EqSidecars.loadLocal(conf, u))
-      }).map(e => (e.col, e.keys))
+      })
     new SnapshotFileReader(
       SnapshotFilePartition(c.fileUri, c.baseName, c.rows, None),
       physSchema,

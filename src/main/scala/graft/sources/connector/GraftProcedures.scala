@@ -57,7 +57,7 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("restore", "vacuum", "compact", "rebucket",
     "purge_deletes", "maintain", "create_tag", "drop_tag", "clone",
     "create_branch", "fast_forward", "drop_branch", "recluster",
-    "ann_build", "ann_refresh", "ann_search")
+    "ann_build", "ann_refresh", "ann_search", "delete_by_key")
 
   /** Where table `dir`'s ANN index `name` lives: nested under the
     * table root (like branches), dropped with the table, never listed
@@ -114,6 +114,29 @@ object GraftProcedures {
           val v = SnapshotTable.rebucket(spark, dir)
           val files = SnapshotTable.readManifest(spark, dir, v).files.size
           Seq(new GenericInternalRow(Array[Any](v, files)))
+      })
+      // delete_by_key(table, key_cols, keys_table): EQUALITY deletes
+      // by (possibly composite) business key — `key_cols` is a
+      // comma-separated column list, `keys_table` any catalog table
+      // carrying those columns; one O(batch) sidecar commit, zero
+      // data reads (SnapshotTable.deleteByKeys). The DML DELETE
+      // statement stays on deletion vectors (predicate semantics);
+      // this is the keyed-CDC shape where the key list IS the delete.
+      case "delete_by_key" => Some(proc("delete_by_key",
+        Array(in("table", StringType), in("key_cols", StringType),
+          in("keys_table", StringType)),
+        StructType(Seq(StructField("version", LongType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val cols = args.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, "delete_by_key needs at least one key column")
+          val keys = SnapshotTable.scan(spark,
+            dirOfTable(args.getUTF8String(2).toString))
+            .select(cols.map(c =>
+              org.apache.spark.sql.functions.col(s"`$c`")): _*)
+          val v = SnapshotTable.deleteByKeys(spark, dir, cols, keys)
+          Seq(new GenericInternalRow(Array[Any](v)))
       })
       case "purge_deletes" => Some(proc("purge_deletes",
         Array(in("table", StringType)),

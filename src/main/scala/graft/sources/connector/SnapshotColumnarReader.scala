@@ -70,14 +70,25 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
 
   /** Pending EQUALITY deletes: key columns not already in the output
     * projection are APPENDED to the requested schema (typed from the
-    * sidecar, which records the table's key type) so their vectors are
-    * decodable for the mask, then stripped before the batch leaves —
-    * the same shape as the row reader's appended projection columns.
-    * A file that PREDATES a key column surfaces it as constant-null
-    * vectors, and null never matches a delete key. */
-  private val eqAppend: Seq[StructField] = eq
-    .filterNot(e => schema.fieldNames.contains(e.col))
-    .map(e => StructField(e.col, DataType.fromJson(e.dtJson)))
+    * sidecar, which records the table's key type at delete time) so
+    * their vectors are decodable for the mask, then stripped before
+    * the batch leaves — the same shape as the row reader's appended
+    * projection columns. A file that PREDATES a key column surfaces
+    * it as constant-null vectors, and null never matches a delete
+    * key. Composite sidecars append every member column; a column
+    * shared by two sidecar signatures appends once (if their recorded
+    * types differ — widening between delete epochs — the request uses
+    * the first and the matcher binds to the DECODED vector type
+    * anyway). */
+  private val eqAppend: Seq[StructField] = {
+    val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+    eq.flatMap(_.cols).foreach { case (c, dtJson) =>
+      if (!schema.fieldNames.contains(c) && !seen.contains(c))
+        seen(c) = dtJson
+    }
+    seen.toSeq.map { case (c, dtJson) =>
+      StructField(c, DataType.fromJson(dtJson)) }
+  }
 
   /** dv masking keys rows by FILE-ABSOLUTE position. With row-group /
     * page filtering those are no longer sequential, so the reader asks
@@ -96,39 +107,88 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
       LongType)) // nullable: the file doesn't contain it (generated)
   }
 
-  /** One typed membership test per pending key column, bound to its
-    * vector index in the decoded batch. Key sets convert ONCE (strings
-    * → UTF8String / Long), so the per-row test is a hash probe on the
+  /** One membership test per pending SIDECAR, bound to its member
+    * vector indexes in the decoded batch. Single-column sidecars keep
+    * the typed fast path: the key set converts ONCE (strings →
+    * UTF8String / Long), so the per-row test is a hash probe on the
     * vector's native value — no per-row stringification like the row
-    * readers pay. The matcher binds LAZILY to the DECODED vector's
-    * type, not the sidecar's attach-time dtJson: a lossless ALTER
-    * COLUMN widening after the delete (INT key → BIGINT) makes the
-    * projected vector LongType while dtJson still says int — typing
-    * the probe from dtJson would getInt a long vector (garbage /
-    * NPE, i.e. wrong masking). The sidecar's decimal-digit string
-    * keys parse losslessly into whatever width the vector carries;
-    * dtJson's only remaining job is typing the APPENDED request field
-    * when the key column is not in the output projection (there the
-    * table's current type decides what the reader decodes, and the
-    * vector type still wins at bind time). */
-  private val eqChecks: Array[(Int, EqSidecar)] = eq.map { e =>
-    val idx = schema.fieldNames.indexOf(e.col) match {
-      case -1 => schema.length + eqAppend.indexWhere(_.name == e.col)
-      case i => i
-    }
-    (idx, e)
-  }.toArray
-  private val eqMatchers = new Array[EqVectorMatcher](eqChecks.length)
+    * readers pay. Matchers bind LAZILY to the DECODED vector's type,
+    * not the sidecar's attach-time dtJson: a lossless ALTER COLUMN
+    * widening after the delete (INT key → BIGINT) makes the projected
+    * vector LongType while dtJson still says int — typing the probe
+    * from dtJson would getInt a long vector (garbage / NPE, i.e.
+    * wrong masking). dtJson's only remaining job is typing the
+    * APPENDED request field when a key column is not in the output
+    * projection. COMPOSITE sidecars probe the canonical encoded-tuple
+    * form (built per row from the member vectors' string forms) —
+    * an allocation per surviving check on eq-carrying files, the
+    * price of arbitrary-arity tuple equality; the state is transient
+    * (folds at purge/compact) and scoped to affected files. */
+  private def idxOf(c: String): Int = schema.fieldNames.indexOf(c) match {
+    case -1 => schema.length + eqAppend.indexWhere(_.name == c)
+    case i => i
+  }
 
-  // per-batch scratch: the eq key vectors, hoisted once per batch so
-  // the per-row test is (null check + hash probe), no batch lookups
-  private val eqVecs = new Array[ColumnVector](eqChecks.length)
+  private sealed trait EqBatchCheck {
+    def bind(raw: ColumnarBatch): Unit
+    def dead(i: Int): Boolean
+  }
+
+  private final class SingleEqCheck(idx: Int, e: EqSidecar)
+    extends EqBatchCheck {
+    private var v: ColumnVector = _
+    private var m: EqVectorMatcher = _
+    def bind(raw: ColumnarBatch): Unit = {
+      v = raw.column(idx)
+      if (m == null) // bind once per file, to the REAL type
+        m = EqVectorMatcher.of(v.dataType(), e.keys, e.cols.head._1)
+    }
+    def dead(i: Int): Boolean = !v.isNullAt(i) && m.matches(v, i)
+  }
+
+  private final class CompositeEqCheck(idxs: Array[Int], e: EqSidecar)
+    extends EqBatchCheck {
+    private val set = {
+      val s = new java.util.HashSet[String](e.keys.size * 2)
+      e.keys.foreach(s.add)
+      s
+    }
+    private val vs = new Array[ColumnVector](idxs.length)
+    private var strs: Array[(ColumnVector, Int) => String] = _
+    def bind(raw: ColumnarBatch): Unit = {
+      var j = 0
+      while (j < idxs.length) { vs(j) = raw.column(idxs(j)); j += 1 }
+      if (strs == null) { // bind once per file, to the REAL types
+        strs = new Array[(ColumnVector, Int) => String](vs.length)
+        var k = 0
+        while (k < vs.length) {
+          strs(k) = EqVectorMatcher.stringify(vs(k).dataType(), e.cols(k)._1)
+          k += 1
+        }
+      }
+    }
+    def dead(i: Int): Boolean = {
+      var j = 0
+      while (j < vs.length) {
+        if (vs(j).isNullAt(i)) return false // null never matches a tuple
+        j += 1
+      }
+      val parts = new Array[String](vs.length)
+      j = 0
+      while (j < vs.length) { parts(j) = strs(j)(vs(j), i); j += 1 }
+      set.contains(EqSidecar.encode(parts.toSeq))
+    }
+  }
+
+  private val eqChecks: Array[EqBatchCheck] = eq.map { e =>
+    if (e.single) new SingleEqCheck(idxOf(e.cols.head._1), e): EqBatchCheck
+    else new CompositeEqCheck(e.colNames.map(idxOf).toArray, e)
+  }.toArray
 
   private def eqDeletes(i: Int): Boolean = {
     var j = 0
     while (j < eqChecks.length) {
-      val v = eqVecs(j)
-      if (!v.isNullAt(i) && eqMatchers(j).matches(v, i)) return true
+      if (eqChecks(j).dead(i)) return true
       j += 1
     }
     false
@@ -193,13 +253,7 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
   private def mask(raw: ColumnarBatch, n: Int): ColumnarBatch = {
     val pos = if (needPos) raw.column(posIdx) else null // generated row index
     var j = 0
-    while (j < eqChecks.length) {
-      eqVecs(j) = raw.column(eqChecks(j)._1)
-      if (eqMatchers(j) == null) // bind once per file, to the REAL type
-        eqMatchers(j) = EqVectorMatcher.of(eqVecs(j).dataType(),
-          eqChecks(j)._2.keys, eqChecks(j)._2.col)
-      j += 1
-    }
+    while (j < eqChecks.length) { eqChecks(j).bind(raw); j += 1 }
     var live = 0
     val map = new Array[Int](n)
     var i = 0
@@ -276,6 +330,21 @@ private object EqVectorMatcher {
             s.contains(v.getLong(i))
         }
       }
+    case other => throw new IllegalStateException(
+      s"equality-delete key '$col' has unmaskable type ${other.simpleString}")
+  }
+
+  /** String form of a vector value (decimal digits for integrals —
+    * Spark's string cast, the sidecars' canonical coordinate) — the
+    * composite-tuple matcher's per-member extractor, bound to the
+    * DECODED vector type like the single-column matchers. */
+  def stringify(dt: org.apache.spark.sql.types.DataType,
+                col: String): (ColumnVector, Int) => String = dt match {
+    case StringType => (v, i) => v.getUTF8String(i).toString
+    case ByteType => (v, i) => v.getByte(i).toString
+    case ShortType => (v, i) => v.getShort(i).toString
+    case IntegerType => (v, i) => v.getInt(i).toString
+    case LongType => (v, i) => v.getLong(i).toString
     case other => throw new IllegalStateException(
       s"equality-delete key '$col' has unmaskable type ${other.simpleString}")
   }

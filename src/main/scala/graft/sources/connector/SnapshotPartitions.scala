@@ -54,11 +54,37 @@ final case class SnapshotFilePartition(fileUri: String, baseName: String,
                                        eqDvUris: Seq[String] = Nil)
   extends InputPartition
 
-/** One loaded equality-delete sidecar: the physical key column, its
-  * Spark type (as DataType JSON — the columnar reader rebuilds typed
-  * key sets from it), and the distinct deleted keys in string form
-  * (the row readers' comparison coordinate). */
-final case class EqSidecar(col: String, dtJson: String, keys: Seq[String])
+/** One loaded equality-delete sidecar: the physical key columns (with
+  * their Spark types as DataType JSON — the columnar reader rebuilds
+  * typed key sets from them) and the distinct deleted keys in
+  * CANONICAL string form: a single-column sidecar stores raw value
+  * strings (the row readers' comparison coordinate); a COMPOSITE
+  * sidecar (round-17: real CDC keys are often (tenant, entity)-style
+  * tuples) stores [[EqSidecar.encode]]d tuples — length-prefixed
+  * parts, collision-free without escaping. */
+final case class EqSidecar(cols: Seq[(String, String)], keys: Seq[String]) {
+  require(cols.nonEmpty, "an equality-delete sidecar needs key columns")
+  def single: Boolean = cols.lengthCompare(1) == 0
+  /** Single-column accessors — loud on composite sidecars, so a
+    * not-yet-composite-aware path can never treat encoded tuples as
+    * raw key values. */
+  def col: String = {
+    require(single, s"composite equality-delete key ${colNames.mkString(",")}" +
+      " reached a single-column path")
+    cols.head._1
+  }
+  def dtJson: String = cols.head._2
+  def colNames: Seq[String] = cols.map(_._1)
+}
+
+object EqSidecar {
+  /** Canonical tuple form: `len:value|len:value|…` in sidecar column
+    * order. Length prefixes make the join separator-collision-free
+    * for arbitrary string members; integral members print as decimal
+    * digits (identical to Spark's string cast). */
+  def encode(parts: Seq[String]): String =
+    parts.iterator.map(p => s"${p.length}:$p").mkString("|")
+}
 
 /** A completed metadata-only aggregate: values computed on the driver
   * from the manifest, replayed as one row ([[SnapshotScanBuilder]]
@@ -115,10 +141,10 @@ final class SnapshotReaderFactory(schema: StructType,
     p match {
       case m: MetadataAggPartition => new MetadataAggReader(m)
       case f: SnapshotFilePartition => new SnapshotFileReader(f, schema,
-        eqSkipOverride = Some(eqFor(f).map(e => (e.col, e.keys))))
+        eqSkipOverride = Some(eqFor(f)))
       case b: SnapshotBucketPartition => new ChainedPartitionReader(
         b.files.map(f => () => new SnapshotFileReader(f, schema,
-          eqSkipOverride = Some(eqFor(f).map(e => (e.col, e.keys))))))
+          eqSkipOverride = Some(eqFor(f)))))
     }
 
   /** File partitions with a non-empty projection read VECTORIZED
@@ -223,8 +249,8 @@ private[connector] final class SnapshotFileReader(
     skipOverride: Option[java.util.HashSet[java.lang.Long]] = None,
     keepOnly: Option[java.util.HashSet[java.lang.Long]] = None,
     extra: Array[Any] = Array.empty,
-    eqSkipOverride: Option[Seq[(String, Seq[String])]] = None,
-    eqKeepOnly: Option[(String, Seq[String])] = None)
+    eqSkipOverride: Option[Seq[EqSidecar]] = None,
+    eqKeepOnly: Option[(Seq[String], Seq[String])] = None)
   extends PartitionReader[InternalRow] {
 
   // file:// and hdfs:// resolve from classpath defaults; a deployment
@@ -243,22 +269,24 @@ private[connector] final class SnapshotFileReader(
     case None => !deleted.contains(pos)
   }
 
-  /** Pending EQUALITY deletes to mask (value-string membership), and
-    * the feed's inversion ("emit ONLY rows matching these keys").
-    * Key sets arrive from the caller — the factory resolves them off
-    * the scan's sidecar broadcast; the change feed materializes its
-    * own (CDC-epoch-sized) sets driver-side. */
-  private val eqSkip: Seq[(String, java.util.HashSet[String])] =
-    eqSkipOverride.getOrElse(Nil).map { case (c, ks) =>
-      val s = new java.util.HashSet[String](ks.size * 2)
-      ks.foreach(s.add)
-      c -> s
+  /** Pending EQUALITY deletes to mask (canonical-string membership:
+    * raw value for single-column keys, [[EqSidecar.encode]]d tuple
+    * for composite ones), and the feed's inversion ("emit ONLY rows
+    * matching these keys"). Key sets arrive from the caller — the
+    * factory resolves them executor-side (broadcast or per-partition
+    * load); the change feed materializes its own (CDC-epoch-sized)
+    * sets driver-side. */
+  private val eqSkip: Seq[(Seq[String], java.util.HashSet[String])] =
+    eqSkipOverride.getOrElse(Nil).map { e =>
+      val s = new java.util.HashSet[String](e.keys.size * 2)
+      e.keys.foreach(s.add)
+      e.colNames -> s
     }
-  private val eqKeep: Option[(String, java.util.HashSet[String])] =
-    eqKeepOnly.map { case (c, ks) =>
+  private val eqKeep: Option[(Seq[String], java.util.HashSet[String])] =
+    eqKeepOnly.map { case (cs, ks) =>
       val s = new java.util.HashSet[String](ks.size * 2)
       ks.foreach(s.add)
-      c -> s
+      cs -> s
     }
 
   private val liveRows =
@@ -271,9 +299,10 @@ private[connector] final class SnapshotFileReader(
     * needs their values) and never surface in the output row. */
   private val (reader: Option[ParquetReader[Group]],
                fields: Array[(Int, (Group, Int) => Any)],
-               eqCheckers: Seq[(Int, Group => String, java.util.HashSet[String])],
-               eqKeepChecker: Option[Option[(Int, Group => String, java.util.HashSet[String])]]) = {
-    val eqColsWanted = (eqSkip.map(_._1) ++ eqKeep.map(_._1)).distinct
+               eqCheckers: Seq[(Array[(Int, Group => String)], java.util.HashSet[String])],
+               eqKeepChecker: Option[Option[(Array[(Int, Group => String)], java.util.HashSet[String])]]) = {
+    val eqColsWanted =
+      (eqSkip.flatMap(_._1) ++ eqKeep.toSeq.flatMap(_._1)).distinct
     if (schema.isEmpty && eqColsWanted.isEmpty)
       (None, Array.empty[(Int, (Group, Int) => Any)], Nil, None)
     else {
@@ -312,36 +341,58 @@ private[connector] final class SnapshotFileReader(
           }
           Some((idx, f))
         }
+      // one checker per SIDECAR: its member (idx, stringer) pairs plus
+      // the canonical key set. A sidecar with a member the file
+      // predates can match no row (tuple equality over an absent
+      // member is never true) — its checker drops for skip, and the
+      // keep case emits nothing (Some(None) below).
+      def tupleChecker(proj: MessageType, cs: Seq[String],
+                       set: java.util.HashSet[String])
+          : Option[(Array[(Int, Group => String)], java.util.HashSet[String])] = {
+        val members = cs.map(stringer(proj, _))
+        if (members.exists(_.isEmpty)) None
+        else Some((members.map(_.get).toArray, set))
+      }
       val checkers = projection.toSeq.flatMap(proj =>
-        eqSkip.flatMap { case (c, set) =>
-          stringer(proj, c).map { case (idx, f) => (idx, f, set) }
-        })
-      // Some(None) = keep-only requested but the column predates this
-      // file: NO row can match — emit nothing
-      val keepChecker = eqKeep.map { case (c, set) =>
-        projection.flatMap(proj =>
-          stringer(proj, c).map { case (idx, f) => (idx, f, set) })
+        eqSkip.flatMap { case (cs, set) => tupleChecker(proj, cs, set) })
+      // Some(None) = keep-only requested but a keyed column predates
+      // this file: NO row can match — emit nothing
+      val keepChecker = eqKeep.map { case (cs, set) =>
+        projection.flatMap(proj => tupleChecker(proj, cs, set))
       }
       (r, fs, checkers, keepChecker)
     }
   }
 
+  /** One sidecar's membership test for the current group: every member
+    * present (a null/absent key never matches — SQL tuple equality),
+    * canonical form (raw single value / encoded tuple) in the set. */
+  private def eqMatches(members: Array[(Int, Group => String)],
+                        set: java.util.HashSet[String], g: Group): Boolean = {
+    var i = 0
+    while (i < members.length) {
+      if (g.getFieldRepetitionCount(members(i)._1) == 0) return false
+      i += 1
+    }
+    val form =
+      if (members.length == 1) members(0)._2(g)
+      else EqSidecar.encode(members.toSeq.map(_._2(g)))
+    set.contains(form)
+  }
+
   /** Equality verdict for the current group: not in any pending
-    * delete set, and (for feed delta legs) IN the keep set. A null /
-    * absent key never matches a delete and never satisfies a keep. */
+    * delete set, and (for feed delta legs) IN the keep set. */
   private def eqEmits(g: Group): Boolean = {
     var i = 0
     while (i < eqCheckers.length) {
-      val (idx, str, set) = eqCheckers(i)
-      if (g.getFieldRepetitionCount(idx) > 0 && set.contains(str(g)))
-        return false
+      val (members, set) = eqCheckers(i)
+      if (eqMatches(members, set, g)) return false
       i += 1
     }
     eqKeepChecker match {
       case None => true
       case Some(None) => false // keep-only over a column this file lacks
-      case Some(Some((idx, str, set))) =>
-        g.getFieldRepetitionCount(idx) > 0 && set.contains(str(g))
+      case Some(Some((members, set))) => eqMatches(members, set, g)
     }
   }
 
@@ -568,11 +619,15 @@ private[graft] object SnapshotPartitions {
       // idempotent — sidecars are immutable
       val spark = org.apache.spark.sql.SparkSession.active
       val df = spark.read.parquet(uri)
-      val f = df.schema.head
-      val loaded = EqSidecar(f.name, f.dataType.json,
-        df.select(org.apache.spark.sql.functions.col(s"`${f.name}`")
-          .cast("string")).na.drop().distinct()
-          .collect().map(_.getString(0)).toVector)
+      val cols = df.schema.fields.toSeq.map(f => (f.name, f.dataType.json))
+      val strs = df.select(df.schema.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(s"`$n`").cast("string"))
+        .toIndexedSeq: _*).na.drop().distinct().collect()
+      val keys =
+        if (cols.lengthCompare(1) == 0) strs.map(_.getString(0)).toVector
+        else strs.map(r =>
+          EqSidecar.encode(cols.indices.map(r.getString))).toVector
+      val loaded = EqSidecar(cols, keys)
       cache.synchronized { cache.put(uri, loaded) }
       loaded
     }
@@ -596,56 +651,67 @@ private[graft] object SnapshotPartitions {
         val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
         try pfr.getFileMetaData.getSchema finally pfr.close()
       }
-      require(fileSchema.getFieldCount == 1,
-        s"equality-delete sidecar $uri carries ${fileSchema.getFieldCount} " +
-          "columns, want exactly the key column")
-      val pt = fileSchema.getType(0).asPrimitiveType()
-      val name = fileSchema.getFieldName(0)
+      require(fileSchema.getFieldCount >= 1,
+        s"equality-delete sidecar $uri carries no columns")
       import PrimitiveType.PrimitiveTypeName._
-      val dt: DataType = pt.getPrimitiveTypeName match {
-        case INT32 => pt.getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-              if t.getBitWidth == 8 => ByteType
-          case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
-              if t.getBitWidth == 16 => ShortType
-          case _ => IntegerType
+      val members = (0 until fileSchema.getFieldCount).map { i =>
+        val pt = fileSchema.getType(i).asPrimitiveType()
+        val name = fileSchema.getFieldName(i)
+        val dt: DataType = pt.getPrimitiveTypeName match {
+          case INT32 => pt.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if t.getBitWidth == 8 => ByteType
+            case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if t.getBitWidth == 16 => ShortType
+            case _ => IntegerType
+          }
+          case INT64 => LongType
+          case BINARY => StringType
+          case other => throw new IllegalStateException(
+            s"equality-delete sidecar $uri has unmaskable physical type $other")
         }
-        case INT64 => LongType
-        case BINARY => StringType
-        case other => throw new IllegalStateException(
-          s"equality-delete sidecar $uri has unmaskable physical type $other")
+        val toStr: Group => String = pt.getPrimitiveTypeName match {
+          case INT32 => g => g.getInteger(i, 0).toString
+          case INT64 => g => g.getLong(i, 0).toString
+          case _ => g => g.getBinary(i, 0).toStringUsingUTF8
+        }
+        ((name, dt.json), toStr)
       }
-      val toStr: Group => String = pt.getPrimitiveTypeName match {
-        case INT32 => g => g.getInteger(0, 0).toString
-        case INT64 => g => g.getLong(0, 0).toString
-        case _ => g => g.getBinary(0, 0).toStringUsingUTF8
-      }
+      val single = members.lengthCompare(1) == 0
       val keys = Vector.newBuilder[String]
       val r = ParquetReader.builder(new GroupReadSupport(), path)
         .withConf(conf).build()
       try {
         var g = r.read()
-        while (g != null) { keys += toStr(g); g = r.read() }
+        while (g != null) {
+          // sidecars store non-null members by construction, but stay
+          // defensive: a row with an absent member can match nothing
+          if (members.indices.forall(i => g.getFieldRepetitionCount(i) > 0))
+            keys += (if (single) members.head._2(g)
+            else EqSidecar.encode(members.map(_._2(g))))
+          g = r.read()
+        }
       } finally r.close()
-      val loaded = EqSidecar(name, dt.json, keys.result())
+      val loaded = EqSidecar(members.map(_._1), keys.result())
       cache.synchronized { cache.put(uri, loaded) }
       loaded
     }
 
-    /** Per-column union of several sidecars' key sets (a file can
-      * accumulate pending refs across delete epochs). */
+    /** Per-key-signature union of several sidecars' key sets (a file
+      * can accumulate pending refs across delete epochs; sidecars
+      * with DIFFERENT column signatures stay separate entries — a row
+      * dies when it matches ANY of them). */
     def merge(sidecars: Seq[EqSidecar]): Seq[EqSidecar] =
-      sidecars.groupBy(_.col).map { case (c, ss) =>
-        EqSidecar(c, ss.head.dtJson, ss.flatMap(_.keys).distinct)
-      }.toSeq.sortBy(_.col)
+      sidecars.groupBy(_.cols).map { case (cs, ss) =>
+        EqSidecar(cs, ss.flatMap(_.keys).distinct)
+      }.toSeq.sortBy(_.colNames.mkString(","))
 
     /** The change feed's driver-side merged skip sets for one file
       * (CDC epochs are tiny; the feed replays files one epoch at a
       * time, so closure-embedded sets stay batch-sized there). */
-    def skipFor(dir: String, fe: FileEntry): Seq[(String, Seq[String])] =
+    def skipFor(dir: String, fe: FileEntry): Seq[EqSidecar] =
       if (fe.eqDv.isEmpty) Nil
       else merge(fe.eqDv.map(p => load(SnapshotTable.resolvePath(dir, p))))
-        .map(e => (e.col, e.keys))
 
     /** ONE broadcast per scan carrying every pending sidecar the
       * scan's files reference — the executor-side lookup behind

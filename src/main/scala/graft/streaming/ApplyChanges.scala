@@ -112,13 +112,24 @@ object ApplyChanges {
     * folds them; run the fold on a maintenance cadence — EqProbe
     * prices both sides of the trade. */
   def applyBatchEq(batch: DataFrame, dir: String, key: String,
-                   statsCols: Seq[String] = Nil): Unit = {
+                   statsCols: Seq[String] = Nil): Unit =
+    applyBatchEqKeys(batch, dir, Seq(key), statsCols)
+
+  /** [[applyBatchEq]] over a COMPOSITE business key — the common real
+    * CDC shape ((tenant, entity), (order, line), …): the per-batch
+    * equality delete carries the whole key TUPLE
+    * ([[SnapshotTable.deleteByKeys]] — one N-column sidecar, tuple
+    * masking at read), and the newest-action collapse windows over
+    * all key columns. Same O(batch) cost class and replay
+    * idempotence as the single-key form. */
+  def applyBatchEqKeys(batch: DataFrame, dir: String, keys: Seq[String],
+                       statsCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val tableCols = batch.columns.toSeq
       .filterNot(Set("change_type", "commit_version"))
-    require(tableCols.contains(key),
-      s"key column '$key' is not in the feed (${batch.columns.mkString(", ")})")
-    val w = Window.partitionBy(col(key))
+    keys.foreach(k => require(tableCols.contains(k),
+      s"key column '$k' is not in the feed (${batch.columns.mkString(", ")})"))
+    val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
       .orderBy(col("commit_version").desc,
         when(col("change_type") === "upsert", 0).otherwise(1))
     val collapsed = batch
@@ -131,8 +142,8 @@ object ApplyChanges {
       return
     }
     if (collapsed.isEmpty) return
-    SnapshotTable.deleteByKey(spark, dir, key,
-      collapsed.select(col(s"`$key`")))
+    SnapshotTable.deleteByKeys(spark, dir, keys,
+      collapsed.select(keys.map(k => col(s"`$k`")): _*))
     val upserts = collapsed.filter(col("change_type") === "upsert")
       .select(tableCols.map(c => col(s"`$c`")): _*)
     if (!upserts.isEmpty)

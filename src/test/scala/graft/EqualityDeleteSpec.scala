@@ -426,6 +426,85 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(content(eqDir) == content(mergeDir))
   }
 
+  test("composite key: TUPLE masking, not per-column OR, across reader families") {
+    val dir = freshDir()
+    // g = id%50, k = id%100: the deleted tuples' member VALUES both
+    // collide with live rows — (3, 53) shares g with (3, 3) and
+    // (7, 57) shares k-parity shapes — so per-column masking would
+    // over-delete; only exact tuples may die
+    SnapshotTable.write(spark,
+      spark.range(0, 5000).select(($"id" % 50).as("g"), ($"id" % 100).as("k"),
+        ($"id" * 7).as("v")).repartition(6),
+      dir, "overwrite", Seq("g"))
+    val preV = SnapshotTable.latestVersion(spark, dir).get
+    val tuples = Seq((3L, 3L), (7L, 57L)).toDF("g", "k")
+    SnapshotTable.deleteByKeys(spark, dir, Seq("g", "k"), tuples)
+    // id%100==3 (50 rows) and id%100==57 (50 rows) die; nothing else
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    // COLUMNAR family (projection scan)
+    assert(v2.select("g", "k", "v").count() == 4900)
+    assert(v2.filter($"g" === 3 && $"k" === 3).count() == 0)
+    assert(v2.filter($"g" === 7 && $"k" === 57).count() == 0)
+    assert(v2.filter($"g" === 3 && $"k" === 53).count() == 50,
+      "per-column masking over-deleted a tuple sibling")
+    // ROW family (empty projection — pure count decodes only keys)
+    assert(v2.count() == 4900)
+    // ANTI-JOIN family (the programmatic change feed's general diff
+    // reads masked files through readFiles' tuple anti-join)
+    val head = SnapshotTable.latestVersion(spark, dir).get
+    val feed = SnapshotTable.changes(spark, dir, preV, head)
+    assert(feed.filter($"change_type" === "upsert").count() == 0)
+    val dels = feed.filter($"change_type" === "delete")
+      .select("g", "k").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dels == Set((3L, 3L), (7L, 57L)),
+      s"composite feed replayed wrong tuples: $dels")
+    assert(feed.count() == 100)
+    // purge folds composite refs too (readFiles mask feeds the rewrite)
+    SnapshotTable.purgeDeletes(spark, dir)
+    val m = manifest(dir)
+    assert(m.files.forall(_.eqDv.isEmpty))
+    assert(SnapshotTable.scan(spark, dir).count() == 4900)
+    assert(SnapshotTable.scan(spark, dir)
+      .filter($"g" === 3 && $"k" === 53).count() == 50)
+  }
+
+  test("composite key with a STRING member; SQL procedure face; schema evolution") {
+    spark.sql("CREATE TABLE grafteq.ck (name STRING, k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO grafteq.ck " +
+      "SELECT concat('u', id % 40), id % 25, id FROM range(0, 2000)")
+    // CALL face: a keys table carrying the composite business key
+    spark.sql("CREATE TABLE grafteq.ck_keys (name STRING, k BIGINT)")
+    spark.sql("INSERT INTO grafteq.ck_keys VALUES " +
+      "('u3', CAST(3 AS BIGINT)), ('u17', CAST(22 AS BIGINT))")
+    spark.sql("CALL grafteq.system.delete_by_key('ck', 'name,k', 'ck_keys')")
+    // (name='u3', k=3): id%40==3 && id%25==3 → id ≡ 3 (mod 200): 10 rows
+    // (name='u17', k=22): id%40==17 && id%25==22 → id ≡ 97 (mod 200): 10
+    assert(spark.sql("SELECT count(*) AS n FROM grafteq.ck").as[Long].head
+      == 1980L)
+    assert(spark.sql("SELECT count(*) AS n FROM grafteq.ck " +
+      "WHERE name = 'u3' AND k = 3").as[Long].head == 0L)
+    // the string member's OTHER tuples survive (tuple, not column)
+    assert(spark.sql("SELECT count(*) AS n FROM grafteq.ck " +
+      "WHERE name = 'u3'").as[Long].head == 40L)
+    // schema evolution: a composite delete keyed partly on a column
+    // some files PREDATE never matches those files' rows
+    spark.sql("ALTER TABLE grafteq.ck ADD COLUMNS (region STRING)")
+    spark.sql("INSERT INTO grafteq.ck " +
+      "SELECT concat('w', id), id, id, 'emea' FROM range(0, 10)")
+    val dir = s"$root/ck"
+    SnapshotTable.deleteByKeys(spark, dir, Seq("k", "region"),
+      Seq((3L, "emea"), (5L, "emea")).toDF("k", "region"))
+    // only the new-generation rows with those tuples die; every
+    // old-generation row with k in (3, 5) survives (region absent —
+    // a tuple with an absent member matches nothing)
+    assert(spark.sql("SELECT count(*) AS n FROM grafteq.ck").as[Long].head
+      == 1980L + 10 - 2)
+    // k=3: 80 original minus the 10 ('u3', 3)-deleted = 70; k=5: 80
+    assert(spark.sql("SELECT count(*) AS n FROM grafteq.ck " +
+      "WHERE k IN (3, 5) AND region IS NULL").as[Long].head == 150L)
+  }
+
   test("streaming factories resolve eq refs without plan-order side state") {
     // regression (round-17): the micro-batch reader factory used to
     // depend on planInputPartitions having stashed the batch's eq refs
