@@ -378,6 +378,76 @@ object AnnIndex {
     } finally collapsed.unpersist()
   }
 
+  /** Quantizer-drift signal for a maintained index. [[refresh]] never
+    * re-trains (correct IVF practice — a new quantizer is a new
+    * index), so a corpus whose distribution MOVES away from the
+    * build-time sample silently degrades: new vectors funnel into few
+    * cells, probes over-read those cells, recall/latency rot. This
+    * measures that from MANIFEST STATS ALONE — zero assign/ data
+    * reads: each assign file's (min,max) `cell` range plus its live
+    * row count, distributed over the centroid ids inside the range
+    * (the centroid set is vocabulary-sized and already driver-side),
+    * estimates a per-cell population; the signal is max/median over
+    * all cells. Cell-clustered files cover few cells each (hot cells
+    * get single-cell files, where the estimate is exact), so the
+    * estimate tightens exactly where it matters. `liveRows` is an
+    * upper bound while equality deletes are pending — fine for a
+    * heuristic.
+    *
+    * Policy, stated plainly: the uniform fixture sits near 1–3
+    * (AnnIndexSpec pins < 4); REBUILD THE INDEX when the ratio
+    * exceeds ~8 — at that point one cell holds an order of magnitude
+    * more than the typical cell and nprobe-bounded search is paying
+    * a hot-cell scan per probe. [[refresh]]'s SQL face (`CALL
+    * ann_refresh`) returns the ratio per epoch so maintenance jobs
+    * can gate on it. */
+  final case class DriftStats(cells: Int, maxCellRows: Double,
+                              medianCellRows: Double) {
+    def ratio: Double = maxCellRows / math.max(medianCellRows, 1.0)
+  }
+
+  def driftStats(spark: SparkSession, indexDir: String): DriftStats = {
+    val cents = loadCentroids(spark, indexDir).map(_._1).sorted
+    val aDir = assignDir(indexDir)
+    val av = SnapshotTable.latestVersion(spark, aDir).getOrElse(
+      throw new IllegalStateException(s"no assignments under $indexDir"))
+    val est = new Array[Double](cents.length)
+    SnapshotTable.readManifest(spark, aDir, av).files.foreach { fe =>
+      fe.stats.get("cell").foreach { case (lo, hi) =>
+        var i = java.util.Arrays.binarySearch(cents, lo)
+        if (i < 0) i = -i - 1
+        var j = java.util.Arrays.binarySearch(cents, hi)
+        j = if (j < 0) -j - 2 else j
+        if (j >= i) {
+          val share = fe.liveRows.toDouble / (j - i + 1)
+          var k = i
+          while (k <= j) { est(k) += share; k += 1 }
+        }
+      }
+    }
+    val sorted = est.sorted
+    DriftStats(cents.length, if (sorted.isEmpty) 0.0 else sorted.last,
+      if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2))
+  }
+
+  /** Inspection surface for the SQL `cat.ns.t.indexes` metadata table
+    * (and anything else that wants to see an index without opening
+    * it): everything comes from the metas + manifests + the
+    * vocabulary-sized centroid set — no assign/ data read. */
+  final case class IndexInfo(corpusDir: String, indexedVersion: Long,
+                             dim: Int, pq: Option[(Int, Int)], cells: Long,
+                             drift: DriftStats)
+
+  def describe(spark: SparkSession, indexDir: String): IndexInfo = {
+    val meta = readMeta(spark, indexDir)
+    val cDir = centroidsDir(indexDir)
+    val cells = SnapshotTable.latestVersion(spark, cDir)
+      .map(v => SnapshotTable.readManifest(spark, cDir, v).totalRows)
+      .getOrElse(0L)
+    IndexInfo(meta.corpusDir, meta.indexedVersion, meta.dim, meta.pq,
+      cells, driftStats(spark, indexDir))
+  }
+
   /** Top-k ANN through the maintained index: rank centroids per
     * query (driver-side — queries are batch-small by contract, the
     * corpus is what scales), push the probed cells' UNION as a

@@ -2885,6 +2885,123 @@ object ParityQueries {
         |       CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM live GROUP BY 1 ORDER BY slot""".stripMargin),
 
+    // SHOW CREATE TABLE as RUNNABLE DDL (round-17): the emitted text
+    // must reproduce the whole definition — layout transforms
+    // (identity clustering + hash buckets render as PARTITIONED BY,
+    // from the table's reported partitioning), column DEFAULTs, and
+    // CHECK constraints (as constraint.* TBLPROPERTIES, which the
+    // write paths enforce) — proven by re-creating the table FROM the
+    // emitted string alone and exercising each piece. The oracle
+    // recomputes the copy's content from raw orders.
+    "q7U_show_create_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7U")
+        val cat = "graft_sc_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7U_orders")
+        s.sql(s"""CREATE TABLE $cat.src (
+                  |  k BIGINT, status STRING, price DOUBLE DEFAULT 0.0)
+                  |PARTITIONED BY (status, bucket(8, k))""".stripMargin)
+        s.sql(s"ALTER TABLE $cat.src ADD CONSTRAINT pos CHECK (k >= 0)")
+        val ddl = s.sql(s"SHOW CREATE TABLE $cat.src").head.getString(0)
+        require(ddl.contains("PARTITIONED BY") &&
+          ddl.toLowerCase.contains("bucket(8, k)"),
+          s"DDL must render the layout as transforms:\n$ddl")
+        require(ddl.contains("DEFAULT"), s"DDL must render defaults:\n$ddl")
+        require(ddl.contains("'constraint.pos'"),
+          s"DDL must carry the CHECK constraint:\n$ddl")
+        s.sql(ddl.replace(s"$cat.src", s"$cat.copy")) // runnable as-is
+        s.sql(s"""INSERT INTO $cat.copy
+                  |SELECT o_orderkey, o_orderstatus,
+                  |       o_totalprice AS p0 FROM t7U_orders""".stripMargin)
+        // the re-created constraint ENFORCES; the staged batch aborts
+        val rejected =
+          try {
+            s.sql(s"INSERT INTO $cat.copy VALUES " +
+              "(CAST(-1 AS BIGINT), 'X', 1.0)")
+            false
+          } catch { case _: Exception => true }
+        require(rejected, "re-created CHECK constraint must enforce")
+        // the re-created DEFAULT fills an omitted column
+        s.sql(s"INSERT INTO $cat.copy (k, status) VALUES " +
+          "(CAST(999999999 AS BIGINT), 'Z')")
+        // the re-created BUCKET layout actually buckets the files
+        val m = graft.sources.SnapshotTable.readManifest(s, s"$root/copy",
+          graft.sources.SnapshotTable.latestVersion(s, s"$root/copy").get)
+        require(m.files.nonEmpty && m.files.forall(_.bucketN.contains(8)),
+          "the copy lost the bucket layout")
+        s.sql(s"""SELECT status, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM $cat.copy GROUP BY status ORDER BY status""".stripMargin)
+      },
+      """WITH live AS (
+        |  SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+        |  UNION ALL SELECT 'Z', 0.0)
+        |SELECT status, count(*) AS cnt,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY status ORDER BY status""".stripMargin),
+
+    // The ANN-index inspection surface in plain SQL (round-17):
+    // `cat.ns.t.indexes` lists every index under the table with its
+    // indexed version vs the corpus HEAD (staleness visible in SQL,
+    // the q7Q stats-table discipline), layout kind/cells/dim, and the
+    // metadata-only quantizer-drift ratio. The query builds an index,
+    // lands a CDC epoch (stale), refreshes (fresh), and returns both
+    // observations; the oracle is the literal expected rows.
+    "q7V_indexes_table" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7V")
+        val cat = "graft_ix_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        Tables.computeTable(s, dir, "embeddings")
+          .createOrReplaceTempView("t7V_emb")
+        s.sql(s"CREATE TABLE $cat.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+        s.sql(s"""INSERT INTO $cat.corpus
+                  |SELECT vec_id, embedding FROM t7V_emb
+                  |WHERE vec_id < 450""".stripMargin)
+        s.sql(s"CALL $cat.system.ann_build('corpus', 'ix', 'vec_id', " +
+          "'embedding', 64, 8)")
+        s.sql(s"""INSERT INTO $cat.corpus
+                  |SELECT vec_id, embedding FROM t7V_emb
+                  |WHERE vec_id >= 450""".stripMargin)
+        def snap(phase: String) = s.sql(
+          s"""SELECT '$phase' AS phase, name, kind, indexed_version,
+             |       corpus_head, stale, cells, dim
+             |FROM $cat.corpus.indexes""".stripMargin)
+        val pre = snap("pre")
+        // drift is a live double — pin its presence in-query, not in
+        // the hash (the near-uniform fixture must not trip the policy)
+        val drift = s.sql(
+          s"SELECT drift_ratio FROM $cat.corpus.indexes").head.getDouble(0)
+        require(drift > 0 && drift < 8.0,
+          s"uniform fixture should sit inside the rebuild policy: $drift")
+        val preRows = pre.collect().toSeq // the epoch below changes head
+        s.sql(s"CALL $cat.system.ann_refresh('corpus', 'ix')")
+        val post = snap("post")
+        s.createDataFrame(
+          s.sparkContext.parallelize(preRows ++ post.collect().toSeq),
+          post.schema).orderBy("phase")
+      },
+      """SELECT * FROM (VALUES
+        |  ('post', 'ix', 'ivf_flat', CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |   false, CAST(8 AS BIGINT), 64),
+        |  ('pre', 'ix', 'ivf_flat', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+        |   true, CAST(8 AS BIGINT), 64))
+        |  AS t(phase, name, kind, indexed_version, corpus_head, stale,
+        |       cells, dim)
+        |ORDER BY phase""".stripMargin),
+
     // Warehouse DDL guard rails (round-14): CHECK constraints and
     // column DEFAULTs through pure SQL. The constraint gates every
     // write against the STAGED batch — the violating INSERT in the

@@ -261,16 +261,25 @@ object GraftProcedures {
           Seq(new GenericInternalRow(Array[Any](v, k)))
       })
       // ann_refresh(table, index): advance the index to the corpus
-      // head by consuming the change feed — O(changed rows).
+      // head by consuming the change feed — O(changed rows). The
+      // result row carries the QUANTIZER DRIFT signal (metadata-only:
+      // max/median estimated cell population — see
+      // [[graft.operators.AnnIndex.driftStats]]) so maintenance jobs
+      // can gate a rebuild on it (policy: rebuild past ~8).
       case "ann_refresh" => Some(proc("ann_refresh",
         Array(in("table", StringType), in("index", StringType)),
         StructType(Seq(
-          StructField("indexed_version", LongType, nullable = false)))) {
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("drift_ratio", DoubleType, nullable = false),
+          StructField("max_cell_rows", DoubleType, nullable = false),
+          StructField("median_cell_rows", DoubleType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
           val idx = annDir(dir, args.getUTF8String(1).toString)
           val v = graft.operators.AnnIndex.refresh(spark, idx)
-          Seq(new GenericInternalRow(Array[Any](v)))
+          val d = graft.operators.AnnIndex.driftStats(spark, idx)
+          Seq(new GenericInternalRow(Array[Any](v, d.ratio,
+            d.maxCellRows, d.medianCellRows)))
       })
       // ann_search(table, index, query_table, k, nprobe): top-k ANN
       // for every row of `query_table` (same id/vector columns the

@@ -245,6 +245,28 @@ final class SnapshotV2Table(schema: StructType, dir: String,
   private[graft] def tableDir: String = dir
   private[graft] def pinned: Option[Long] = pinnedVersion
 
+  /** The declared layout as V2 partitioning transforms — what SHOW
+    * CREATE TABLE renders as `PARTITIONED BY`, so the emitted DDL
+    * reproduces the layout RUNNABLY (identity columns = clusterBy
+    * range clustering, bucket(n, col) = the hash-bucket layout —
+    * exactly the transforms [[GraftCatalog.createTable]] accepts).
+    * The same keys still ride TBLPROPERTIES; CREATE derives identical
+    * values from either, so the duplication is harmless. */
+  override def partitioning(): Array[org.apache.spark.sql.connector
+      .expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val cluster = tableProps.get("clusterBy").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .map(c => Expressions.identity(c):
+        org.apache.spark.sql.connector.expressions.Transform)
+    val bucket = for {
+      c <- tableProps.get("bucketBy")
+      n <- tableProps.get("buckets")
+    } yield Expressions.bucket(n.toInt, c):
+      org.apache.spark.sql.connector.expressions.Transform
+    (cluster ++ bucket).toArray
+  }
+
   /** SQL `DELETE FROM … WHERE …` lands as deletion vectors: a tiny
     * (file, pos) sidecar commit, zero data files rewritten — the
     * merge-on-read cost class every 100 TB GDPR/retraction delete

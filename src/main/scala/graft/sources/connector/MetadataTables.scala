@@ -39,7 +39,7 @@ import graft.sources.SnapshotTable
 object MetadataTables {
 
   val Names: Set[String] = Set("history", "files", "changes", "refs",
-    "branches", "stats")
+    "branches", "stats", "indexes")
 
   def resolve(spark: SparkSession, tableDir: String,
               metaName: String): Option[Table] =
@@ -57,8 +57,57 @@ object MetadataTables {
       // `cat.ns.t.stats` — the per-COLUMN planning surface: what the
       // skipping and the CBO actually see, live from the manifest
       case "stats" => Some(statsTable(spark, tableDir))
+      // `cat.ns.t.indexes` — the table's ANN indexes with staleness
+      // (indexed version vs corpus head) and quantizer drift, all
+      // visible from plain SQL
+      case "indexes" => Some(indexesTable(spark, tableDir))
       case _ => None
     }
+
+  /** `cat.ns.t.indexes`: one row per ANN index under the table's
+    * `_ann/` (what `CALL ann_build` creates) — layout kind, the
+    * corpus version the index reflects vs the corpus HEAD (`stale`
+    * says whether an `ann_refresh` is due), cell count, PQ shape,
+    * and the metadata-only quantizer-drift ratio ([[graft.operators
+    * .AnnIndex.driftStats]]; policy: rebuild past ~8). Computed from
+    * metas + manifests + the vocabulary-sized centroid set — no
+    * assignment data is read. */
+  private def indexesTable(spark: SparkSession, dir: String): Table = {
+    import graft.operators.AnnIndex
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("indexed_version", LongType, nullable = false),
+      StructField("corpus_head", LongType, nullable = false),
+      StructField("stale", BooleanType, nullable = false),
+      StructField("cells", LongType, nullable = false),
+      StructField("dim", IntegerType, nullable = false),
+      StructField("pq_m", IntegerType, nullable = true),
+      StructField("pq_ks", IntegerType, nullable = true),
+      StructField("drift_ratio", DoubleType, nullable = false)))
+    val annRoot = new org.apache.hadoop.fs.Path(dir, "_ann")
+    val fs = annRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = SnapshotTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $dir"))
+    val rows: Seq[InternalRow] =
+      if (!fs.exists(annRoot)) Nil
+      else fs.listStatus(annRoot).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).sorted.flatMap { name =>
+          try {
+            val info = AnnIndex.describe(spark, s"$dir/_ann/$name")
+            Some(new GenericInternalRow(Array[Any](
+              UTF8String.fromString(name),
+              UTF8String.fromString(
+                if (info.pq.isDefined) "ivf_pq" else "ivf_flat"),
+              info.indexedVersion, head, info.indexedVersion != head,
+              info.cells, info.dim,
+              info.pq.map(p => Int.box(p._1)).orNull,
+              info.pq.map(p => Int.box(p._2)).orNull,
+              info.drift.ratio)): InternalRow)
+          } catch { case _: Exception => None } // half-built leftovers
+        }
+    new SnapshotMetaTable(s"graft_snapshot($dir).indexes", schema, rows)
+  }
 
   /** `cat.ns.t.stats`: one row per table column of the CURRENT
     * version — the live per-column view of everything the planner

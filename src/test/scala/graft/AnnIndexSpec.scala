@@ -242,6 +242,42 @@ class AnnIndexSpec extends SparkTestBase {
     assert(got == want, "rerank diverged from exact refinement of the candidates")
   }
 
+  test("quantizer drift: a planted distribution shift trips the metadata-only signal") {
+    val corpus = freshDir(); val idx = freshDir()
+    // near-uniform fixture over 10 cells — must NOT trip
+    withSQLConf("spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8") {
+      SnapshotTable.write(spark, vecs(0L until 400L), corpus, "overwrite",
+        Seq("vec_id"))
+      AnnIndex.build(spark, corpus, idx,
+        vecs((0L until 400L).filter(_ % 40 == 0)), dim)
+      val calm = AnnIndex.driftStats(spark, idx)
+      assert(calm.ratio < 4.0,
+        s"uniform fixture tripped the drift signal: $calm")
+      // the shift: 400 late arrivals that are all NEAR ONE VECTOR —
+      // they funnel into one cell, the frozen quantizer can't adapt
+      SnapshotTable.write(spark,
+        spark.range(1000L, 1400L).toDF("vec_id")
+          .withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)),
+              j => (sin(j * 1.13) + ($"vec_id" - 1000L) * 1e-4f)
+                .cast("float"))),
+        corpus, "append", Seq("vec_id"))
+      AnnIndex.refresh(spark, idx)
+    }
+    val drifted = AnnIndex.driftStats(spark, idx)
+    assert(drifted.ratio > 8.0,
+      s"planted shift did not trip the drift signal: $drifted")
+    // ZERO data reads: the signal answers from the manifest + the
+    // vocabulary-sized centroid set alone — prove it by removing the
+    // assignment PAYLOAD bytes and asking again
+    val dataP = new org.apache.hadoop.fs.Path(s"$idx/assign/data")
+    val f = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(dataP).foreach(st => f.delete(st.getPath, false))
+    assert(AnnIndex.driftStats(spark, idx).ratio == drifted.ratio,
+      "driftStats touched assign/ data files")
+  }
+
   test("meta publish is crash-safe: a readable meta exists at every instant") {
     // regression (round-17 advice): publish used to delete-then-rename
     // the single meta file, so a crash in between left the index with

@@ -2657,4 +2657,46 @@ class ConnectorSpec extends SparkTestBase {
     assert(scan.description.contains(s"[${vDelete + 1},"),
       s"version bound not pushed: ${scan.description}")
   }
+
+  test("SHOW CREATE TABLE reproduces layout, constraints, defaults as runnable DDL") {
+    val root = Files.createTempDirectory("graft-catS").toString
+    spark.conf.set("spark.sql.catalog.graftcats",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcats.root", root)
+    spark.sql("""CREATE TABLE graftcats.src (
+      k BIGINT, d STRING, v DOUBLE DEFAULT 1.5)
+      PARTITIONED BY (d, bucket(8, k))""")
+    spark.sql("ALTER TABLE graftcats.src ADD CONSTRAINT pos CHECK (k >= 0)")
+    val ddl = spark.sql("SHOW CREATE TABLE graftcats.src").head.getString(0)
+    info(s"emitted DDL:\n$ddl")
+    // the layout must render as PARTITIONED BY transforms, not only props
+    assert(ddl.contains("PARTITIONED BY"), s"no PARTITIONED BY in:\n$ddl")
+    assert(ddl.toLowerCase.contains("bucket(8, k)"), s"no bucket transform in:\n$ddl")
+    assert(ddl.contains("DEFAULT"), s"no column DEFAULT in:\n$ddl")
+    // RUNNABLE: re-create under a new name from the emitted text alone
+    spark.sql(ddl.replace("graftcats.src", "graftcats.copy"))
+    val propsOf = (t: String) => spark.sql(s"SHOW TBLPROPERTIES graftcats.$t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val keep = Set("clusterBy", "bucketBy", "buckets", "statsCols",
+      "bloomCols", "constraint.pos")
+    assert(propsOf("copy").view.filterKeys(keep).toMap ==
+      propsOf("src").view.filterKeys(keep).toMap,
+      s"copy props ${propsOf("copy")} vs src ${propsOf("src")}")
+    // the copy ENFORCES the constraint and FILLS the default
+    spark.sql("INSERT INTO graftcats.copy (k, d) VALUES (CAST(5 AS BIGINT), 'x')")
+    assert(spark.sql("SELECT v FROM graftcats.copy WHERE k = 5")
+      .head.getDouble(0) == 1.5, "column DEFAULT did not survive the round trip")
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graftcats.copy VALUES (CAST(-1 AS BIGINT), 'y', 0.0)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pos")), s"constraint not enforced: $e")
+    // and the copy's files land BUCKETED like the original's would
+    spark.sql("INSERT INTO graftcats.copy SELECT id, " +
+      "concat('d', id % 3), CAST(id AS DOUBLE) AS v0 FROM range(0, 1000)")
+    val m = SnapshotTable.readManifest(spark, s"$root/copy",
+      SnapshotTable.latestVersion(spark, s"$root/copy").get)
+    assert(m.files.forall(fe => fe.bucketN.contains(8)),
+      s"copy lost the bucket layout: ${m.files.map(f => (f.path, f.bucket, f.bucketN))}")
+  }
 }
