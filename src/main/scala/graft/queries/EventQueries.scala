@@ -423,7 +423,7 @@ object EventQueries {
         val (c1, c2) = ev.partition(_._2.getTime < midMs)
         val sentinel = (-1L, new java.sql.Timestamp(1709251200000L), 0.0) // 2024-03-01
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+          .MemoryStream[(Long, java.sql.Timestamp, Double)](16)
         val out = graft.streaming.StreamingFlows.sessionize(
           in.toDF().toDF("user_id", "event_time", "value"),
           gapMinutes = 1440)
@@ -489,7 +489,7 @@ object EventQueries {
         val (c1, c2) = ev.partition(_._2.getTime < midMs)
         val sentinel = (-1L, new java.sql.Timestamp(1709251200000L), 0.0) // 2024-03-01
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, Double)]
+          .MemoryStream[(Long, java.sql.Timestamp, Double)](16)
         val out = graft.streaming.StreamingFlows.tumblingCountsSketch(
           in.toDF().toDF("user_id", "ts", "value"))
         val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
@@ -557,7 +557,7 @@ object EventQueries {
         val table = tmp.resolve("table").toString
         val ckpt = tmp.resolve("ckpt").toString
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, String)]
+          .MemoryStream[(Long, Long, String)](16)
         val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
           graft.streaming.StreamingFlows.startSnapshotSink(
             in.toDF().toDF("event_id", "user_id", "event_type"),
@@ -716,9 +716,9 @@ object EventQueries {
         val views = ev.filter(_._3 == "view").map(e => (e._1, e._2))
         val purch = ev.filter(_._3 == "purchase").map(e => (e._1, e._2))
         val inV = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp)]
+          .MemoryStream[(Long, java.sql.Timestamp)](16)
         val inP = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp)]
+          .MemoryStream[(Long, java.sql.Timestamp)](16)
         val out = graft.streaming.StreamingFlows.intervalJoin(
             inV.toDF().toDF("user_id", "view_time"),
             inP.toDF().toDF("user_id", "purchase_time"),
@@ -785,7 +785,7 @@ object EventQueries {
         val midMs = 1705363200000L // 2024-01-16 00:00 UTC (test data spans Jan 2024)
         val (c1, c2) = ev.partition(_._2.getTime < midMs)
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, String)]
+          .MemoryStream[(Long, java.sql.Timestamp, String)](16)
         // horizon must cover the whole replayed span (the tables span
         // Jan 2024): a mid-replay state expiry is correct STREAM
         // behavior (bounded state) but the oracle compares against the

@@ -4246,6 +4246,14 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil,
       zorderBy: Option[(String, String, Int)] = None,
       healBucketLayout: Boolean = true,
+      // 0 disables; > 0 refreshes the frozen `stats.*` TBLPROPERTIES
+      // (ANALYZE's CBO inputs) when the manifest row count has
+      // drifted more than this fraction from the recorded
+      // stats.rowCount — CDC-heavy tables otherwise serve the
+      // planner rowcounts frozen at the last hand-run ANALYZE while
+      // `cat.ns.t.stats` is live. Opt-in: the refresh may pay one
+      // exact count when equality deletes are pending.
+      analyzeDriftPct: Double = 0.0,
       // 0 disables; N > 0 re-sorts overlap components on the declared
       // clusterBy key whose stabbing depth exceeds N (opt-in: the
       // rewrite is real write amplification, sized O(decayed), and a
@@ -4257,7 +4265,8 @@ object SnapshotTable {
                                      vacuumedFiles: Int,
                                      filesBefore: Int, filesAfter: Int,
                                      rebucketedFiles: Int = 0,
-                                     reclusteredFiles: Int = 0)
+                                     reclusteredFiles: Int = 0,
+                                     statsRefreshed: Boolean = false)
 
   /** One policy-driven maintenance pass — the "table services" sweep a
     * 100 TB deployment runs on a schedule instead of hand-sequencing
@@ -4314,8 +4323,28 @@ object SnapshotTable {
       else 0
     val swept = vacuum(spark, dir, policy.keepVersions, policy.vacuumMinAgeMs)
     val mEnd = readManifest(spark, dir, latestVersion(spark, dir).get)
+    // 5. ANALYZE freshness (opt-in): only tables that WERE analyzed
+    // carry frozen stats to rot — a never-analyzed table is a no-op,
+    // as is one whose recorded rowCount still tracks the manifest.
+    // Props-only, no commit: content-neutral like every other step.
+    val statsRefreshed = policy.analyzeDriftPct > 0 && {
+      val props = graft.sources.connector.GraftTableProps.read(
+        spark.sparkContext.hadoopConfiguration, dir)
+      props.get("stats.rowCount").flatMap(_.toLongOption).exists { recorded =>
+        // manifest totalRows is an upper bound under pending equality
+        // deletes — fine for a TRIGGER (the refresh itself counts
+        // exactly when pending refs exist)
+        val drift = math.abs(mEnd.totalRows - recorded).toDouble /
+          math.max(recorded, 1L)
+        drift > policy.analyzeDriftPct && {
+          analyzeTable(spark, dir, noscan = false)
+          true
+        }
+      }
+    }
     MaintenanceReport(purged, compacted, swept.size,
       filesBefore = m0.files.size, filesAfter = mEnd.files.size,
-      rebucketedFiles = rebucketed, reclusteredFiles = reclustered)
+      rebucketedFiles = rebucketed, reclusteredFiles = reclustered,
+      statsRefreshed = statsRefreshed)
   }
 }

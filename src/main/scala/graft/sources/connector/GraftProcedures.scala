@@ -154,12 +154,19 @@ object GraftProcedures {
           StructField("files_vacuumed", IntegerType, nullable = false),
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
-          StructField("files_rebucketed", IntegerType, nullable = false)))) {
+          StructField("files_rebucketed", IntegerType, nullable = false),
+          StructField("stats_refreshed", BooleanType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
-          val r = SnapshotTable.maintain(spark, dir)
+          // the CALL face opts into ANALYZE freshness (10% drift):
+          // a SQL-driven deployment has no policy object to pass, and
+          // a maintenance sweep is exactly where stale CBO inputs
+          // should get caught — no-op on never-analyzed tables
+          val r = SnapshotTable.maintain(spark, dir,
+            SnapshotTable.MaintenancePolicy(analyzeDriftPct = 0.1))
           Seq(new GenericInternalRow(Array[Any](r.purged, r.compacted,
-            r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles)))
+            r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles,
+            r.statsRefreshed)))
       })
       case "create_tag" => Some(proc("create_tag",
         Array(in("table", StringType), in("name", StringType),

@@ -114,19 +114,17 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
     // column to the incoming name at the same aligned position
     private def incomingName(c: String): String = {
       val incoming = info.schema()
-      val nm =
-        if (incoming.fieldNames.contains(c)) c
-        else incoming.fields(aligned.fieldIndex(c)).name
-      // the distribution/ordering binds BY NAME against the incoming
-      // query; a positional INSERT whose auto-aliased outputs collide
-      // (e.g. `SELECT id, cast(id AS double)` — both named `id`)
-      // cannot bind unambiguously — say so, instead of surfacing
-      // Spark's bare AMBIGUOUS_REFERENCE
-      require(incoming.fields.count(_.name == nm) <= 1,
-        s"positional INSERT carries duplicate output column name '$nm'; " +
-          "alias the SELECT columns distinctly so the table's layout " +
-          "distribution can bind")
-      nm
+      // NB the distribution/ordering binds BY NAME against the
+      // incoming query. A positional INSERT whose outputs carry the
+      // same name twice still binds when they are the SAME attribute
+      // (`SELECT id, id` — resolution dedupes by exprId); only
+      // genuinely distinct same-named outputs (`SELECT id, cast(id AS
+      // double)` — the cast auto-aliases to `id`) fail, with Spark's
+      // AMBIGUOUS_REFERENCE naming the column: alias the SELECT
+      // columns distinctly. The builder sees names only, so it cannot
+      // pre-empt that error without breaking the legitimate case.
+      if (incoming.fieldNames.contains(c)) c
+      else incoming.fields(aligned.fieldIndex(c)).name
     }
     // backtick-quoted like the bucket path below: a positional
     // INSERT's incoming name can be an expression string

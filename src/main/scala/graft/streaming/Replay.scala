@@ -14,6 +14,13 @@ package graft.streaming
   * ~2M small tuples (≲ a few hundred MB), far below the harness heap;
   * the cap is ~20× the sf0.1 fixture so scale-factor bumps hit the
   * require() before they hit an OOM.
+  *
+  * Task-size contract (round-17): every replay constructs its
+  * `MemoryStream[A](numPartitions = 16)` — a partition-less stream
+  * plans each added chunk as ONE input partition whose rows ride the
+  * task binary (the bench flagged ~2.8 MB tasks at sf0.1); split 16
+  * ways the same chunk ships ~16× smaller per task and the engine
+  * under test sees an ordinary multi-partition source.
   */
 object Replay {
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prices the round-17 COMPOSITE equality deletes against the
+  * single-column baseline at the same scale: epoch cost (one
+  * N-column sidecar, zero data reads — must stay flat vs single),
+  * and the pending-read toll of tuple masking on a wide scan
+  * (composite probes an encoded-tuple set per row vs the
+  * single-column typed primitive probe — this is the documented
+  * allocation trade, measured, transient until purge folds it). */
+object CompositeEqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val rows = args.headOption.map(_.toLong).getOrElse(16000000L)
+    val root = s"/tmp/graft-scale/ceq-${System.currentTimeMillis()}"
+
+    // scrambled 2-part business key: (g, k) with per-file ranges
+    // spanning the domain — the unclustered CDC worst case
+    def build(name: String): String = {
+      val dir = s"$root/$name"
+      SnapshotTable.write(spark,
+        spark.range(0, rows)
+          .select(((($"id" * 2654435761L) % rows) % 1024).as("g"),
+            (($"id" * 2654435761L) % rows).as("k"),
+            ($"id" * 2).as("v"), lit("x" * 40).as("pad"))
+          .repartition(32),
+        dir, "overwrite", Seq("k"))
+      dir
+    }
+    def sec(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+
+    val batch = spark.range(0, 1000)
+      .select(((($"id" * 7919L) % rows) % 1024).as("g"),
+        (($"id" * 7919L) % rows).as("k"))
+    def wideRead(dir: String): Double = {
+      val df = spark.read.format("graft_snapshot").load(dir)
+      sec { df.agg(sum($"v"), count(lit(1))).collect() }
+    }
+
+    // warm both paths
+    locally {
+      val w = build("warm")
+      SnapshotTable.deleteByKeys(spark, w, Seq("g", "k"), batch)
+      wideRead(w)
+    }
+    val sDir = build("single")
+    val cDir = build("composite")
+    val base = wideRead(sDir) // folded baseline (no pending refs)
+    val tSingle = sec {
+      SnapshotTable.deleteByKey(spark, sDir, "k", batch.select($"k"))
+    }
+    val tComposite = sec {
+      SnapshotTable.deleteByKeys(spark, cDir, Seq("g", "k"), batch)
+    }
+    val rSingle = wideRead(sDir)
+    val rComposite = wideRead(cDir)
+    val nS = spark.read.format("graft_snapshot").load(sDir).count()
+    val nC = spark.read.format("graft_snapshot").load(cDir).count()
+    require(nC >= nS,
+      s"tuple masking must delete no more rows than its member column ($nC vs $nS)")
+
+    spark.stop()
+    println(
+      s"""{"metric":"composite_eq_probe","rows":$rows,"batch_keys":1000,
+         |"single_epoch_sec":${f3(tSingle)},
+         |"composite_epoch_sec":${f3(tComposite)},
+         |"read_folded_wide_sec":${f3(base)},
+         |"read_pending_single_wide_sec":${f3(rSingle)},
+         |"read_pending_composite_wide_sec":${f3(rComposite)},
+         |"pending_ratio_single":${f3(rSingle / base)},
+         |"pending_ratio_composite":${f3(rComposite / base)}}"""
+        .stripMargin.replace("\n", ""))
+  }
+}

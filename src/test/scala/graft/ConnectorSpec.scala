@@ -2658,6 +2658,33 @@ class ConnectorSpec extends SparkTestBase {
       s"version bound not pushed: ${scan.description}")
   }
 
+  test("maintain refreshes frozen ANALYZE stats when the row count drifts") {
+    val dir = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 1000).toDF("id"), dir,
+      "overwrite", Seq("id"))
+    SnapshotTable.analyzeTable(spark, dir, noscan = false) // records 1000
+    val p = SnapshotTable.MaintenancePolicy(analyzeDriftPct = 0.5)
+    // fresh stats: the opt-in step is a no-op
+    assert(!SnapshotTable.maintain(spark, dir, p).statsRefreshed)
+    // +150% drift trips the trigger
+    SnapshotTable.write(spark, spark.range(1000, 2500).toDF("id"), dir,
+      "append", Seq("id"))
+    assert(SnapshotTable.maintain(spark, dir, p).statsRefreshed,
+      "drifted frozen stats must refresh under the opt-in policy")
+    // the refresh re-recorded the count: a second pass is a no-op
+    // (this IS the check that stats.rowCount now tracks the manifest)
+    assert(!SnapshotTable.maintain(spark, dir, p).statsRefreshed)
+    // the DEFAULT policy never refreshes — strictly opt-in
+    SnapshotTable.write(spark, spark.range(2500, 9000).toDF("id"), dir,
+      "append", Seq("id"))
+    assert(!SnapshotTable.maintain(spark, dir).statsRefreshed)
+    // a never-ANALYZEd table has no frozen stats to rot: no-op too
+    val bare = freshDir()
+    SnapshotTable.write(spark, spark.range(0, 100).toDF("id"), bare,
+      "overwrite", Seq("id"))
+    assert(!SnapshotTable.maintain(spark, bare, p).statsRefreshed)
+  }
+
   test("SHOW CREATE TABLE reproduces layout, constraints, defaults as runnable DDL") {
     val root = Files.createTempDirectory("graft-catS").toString
     spark.conf.set("spark.sql.catalog.graftcats",
