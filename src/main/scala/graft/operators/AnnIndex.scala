@@ -281,7 +281,8 @@ object AnnIndex {
     * broadly and pending keys accumulate across refreshes — fold once
     * any file's accumulated total crosses half the masking budget,
     * instead of letting the attach-time cap become a hard error a
-    * thousand epochs in. Footer counts only, zero jobs. */
+    * thousand epochs in. Footer counts only, zero jobs on the
+    * no-fold path. */
   private def maybeFold(spark: SparkSession, indexDir: String): Unit = {
     val aDir = assignDir(indexDir)
     val av = SnapshotTable.latestVersion(spark, aDir).get
@@ -291,7 +292,24 @@ object AnnIndex {
         .sidecarRows(hc, SnapshotTable.resolvePath(aDir, p))).sum)
       .maxOption.getOrElse(0L)
     if (worst > graft.sources.connector.SnapshotPartitions.MaxPendingKeys / 2)
-      SnapshotTable.purgeDeletes(spark, aDir)
+      foldAssign(spark, indexDir)
+  }
+
+  /** Fold pending refs by a CELL-CLUSTERED self-rewrite of `assign/`
+    * (round-17; previously `purgeDeletes`, whose per-bucket bin-pack
+    * knows nothing of the cell layout — the rewritten files' (min,
+    * max) cell ranges went wide, silently degrading probed-cell
+    * manifest pruning AND the drift estimate exactly when the index
+    * had lived longest). One job over the INDEX (not the corpus;
+    * ~8 B/row on a PQ index), fired roughly once per
+    * (MaxPendingKeys/2 ÷ batch) epochs; restores both the fold and
+    * the layout. */
+  private[graft] def foldAssign(spark: SparkSession, indexDir: String): Unit = {
+    val aDir = assignDir(indexDir)
+    SnapshotTable.write(spark,
+      SnapshotTable.scan(spark, aDir)
+        .repartitionByRange(col("cell")).sortWithinPartitions("cell"),
+      aDir, "overwrite", statsCols = Seq("cell", "vec_id"))
   }
 
   /** Mask + re-assign one collapsed change set: ONE equality delete

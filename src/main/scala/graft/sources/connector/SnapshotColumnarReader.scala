@@ -148,22 +148,53 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
 
   private final class CompositeEqCheck(idxs: Array[Int], e: EqSidecar)
     extends EqBatchCheck {
-    private val set = {
-      val s = new java.util.HashSet[String](e.keys.size * 2)
-      e.keys.foreach(s.add)
-      s
-    }
     private val vs = new Array[ColumnVector](idxs.length)
+    // generic path: canonical encoded-tuple probe (any arity, any
+    // member types) — allocates per surviving row
+    private var set: java.util.HashSet[String] = _
     private var strs: Array[(ColumnVector, Int) => String] = _
+    // fast path for the (tenant, entity)-shaped key: exactly TWO
+    // integral members probe an allocation-free long-pair set (keys
+    // parse back out of the canonical form ONCE at bind; the generic
+    // probe measured ~3× slower per pending 16M-row scan)
+    private var pairSet: LongPairOpenHashSet = _
+    private var getA: (ColumnVector, Int) => Long = _
+    private var getB: (ColumnVector, Int) => Long = _
+
+    private def longGetter(dt: org.apache.spark.sql.types.DataType)
+        : (ColumnVector, Int) => Long = dt match {
+      case ByteType => (v, i) => v.getByte(i).toLong
+      case ShortType => (v, i) => v.getShort(i).toLong
+      case IntegerType => (v, i) => v.getInt(i).toLong
+      case LongType => (v, i) => v.getLong(i)
+      case _ => null
+    }
+
     def bind(raw: ColumnarBatch): Unit = {
       var j = 0
       while (j < idxs.length) { vs(j) = raw.column(idxs(j)); j += 1 }
-      if (strs == null) { // bind once per file, to the REAL types
-        strs = new Array[(ColumnVector, Int) => String](vs.length)
-        var k = 0
-        while (k < vs.length) {
-          strs(k) = EqVectorMatcher.stringify(vs(k).dataType(), e.cols(k)._1)
-          k += 1
+      if (set == null && pairSet == null) { // once per file, REAL types
+        val getters =
+          if (vs.length == 2) (longGetter(vs(0).dataType()),
+            longGetter(vs(1).dataType()))
+          else (null, null)
+        if (getters._1 != null && getters._2 != null) {
+          getA = getters._1; getB = getters._2
+          pairSet = new LongPairOpenHashSet(e.keys.size)
+          e.keys.foreach { k =>
+            val parts = EqSidecar.decode(k)
+            pairSet.add(parts(0).toLong, parts(1).toLong)
+          }
+        } else {
+          set = new java.util.HashSet[String](e.keys.size * 2)
+          e.keys.foreach(set.add)
+          strs = new Array[(ColumnVector, Int) => String](vs.length)
+          var k = 0
+          while (k < vs.length) {
+            strs(k) = EqVectorMatcher.stringify(vs(k).dataType(),
+              e.cols(k)._1)
+            k += 1
+          }
         }
       }
     }
@@ -173,6 +204,8 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
         if (vs(j).isNullAt(i)) return false // null never matches a tuple
         j += 1
       }
+      if (pairSet != null)
+        return pairSet.contains(getA(vs(0), i), getB(vs(1), i))
       val parts = new Array[String](vs.length)
       j = 0
       while (j < vs.length) { parts(j) = strs(j)(vs(j), i); j += 1 }
@@ -347,6 +380,48 @@ private object EqVectorMatcher {
     case LongType => (v, i) => v.getLong(i).toString
     case other => throw new IllegalStateException(
       s"equality-delete key '$col' has unmaskable type ${other.simpleString}")
+  }
+}
+
+/** Allocation-free membership set over PAIRS of longs: open
+  * addressing with linear probing over parallel key arrays and an
+  * occupancy bitmap (any long value is legal, including 0), mixed
+  * with the same murmur finalizer as [[LongOpenHashSet]]. Backs the
+  * two-integral-column composite equality-delete fast path — the
+  * (tenant, entity)-shaped CDC key — where the generic
+  * encoded-string probe measured ~3× slower per pending scan. */
+private[connector] final class LongPairOpenHashSet(n: Int) {
+  private val cap: Int = {
+    var c = 8
+    while (c < n * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val as = new Array[Long](cap)
+  private val bs = new Array[Long](cap)
+  private val used = new Array[Boolean](cap)
+
+  private def mix(a: Long, b: Long): Int = {
+    var h = a * 0x9E3779B97F4A7C15L + b
+    h ^= h >>> 33
+    h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33
+    (h & mask).toInt
+  }
+
+  def add(a: Long, b: Long): Unit = {
+    var i = mix(a, b)
+    while (used(i) && !(as(i) == a && bs(i) == b)) i = (i + 1) & mask
+    as(i) = a; bs(i) = b; used(i) = true
+  }
+
+  def contains(a: Long, b: Long): Boolean = {
+    var i = mix(a, b)
+    while (used(i)) {
+      if (as(i) == a && bs(i) == b) return true
+      i = (i + 1) & mask
+    }
+    false
   }
 }
 

@@ -84,6 +84,22 @@ object EqSidecar {
     * digits (identical to Spark's string cast). */
   def encode(parts: Seq[String]): String =
     parts.iterator.map(p => s"${p.length}:$p").mkString("|")
+
+  /** Inverse of [[encode]] — the typed fast paths parse the canonical
+    * keys back into member values at BIND time (once per file), so
+    * the per-row probe never builds strings. */
+  def decode(encoded: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < encoded.length) {
+      val colon = encoded.indexOf(':', i)
+      val len = encoded.substring(i, colon).toInt
+      val start = colon + 1
+      out += encoded.substring(start, start + len)
+      i = start + len + 1 // skip the '|' separator
+    }
+    out.result()
+  }
 }
 
 /** A completed metadata-only aggregate: values computed on the driver

@@ -242,6 +242,46 @@ class AnnIndexSpec extends SparkTestBase {
     assert(got == want, "rerank diverged from exact refinement of the candidates")
   }
 
+  test("foldAssign folds pending refs AND restores the cell-clustered layout") {
+    val corpus = freshDir(); val idx = freshDir()
+    withSQLConf("spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8") {
+      SnapshotTable.write(spark, vecs(0L until 400L), corpus, "overwrite",
+        Seq("vec_id"))
+      AnnIndex.build(spark, corpus, idx,
+        vecs((0L until 400L).filter(_ % 25 == 0)), dim) // 16 cells
+      // CDC epochs leave pending refs on the assign table
+      SnapshotTable.deleteByKey(spark, corpus, "vec_id",
+        spark.range(0, 30).toDF("vec_id"))
+      AnnIndex.refresh(spark, idx)
+    }
+    val assign = s"$idx/assign"
+    def m() = SnapshotTable.readManifest(spark, assign,
+      SnapshotTable.latestVersion(spark, assign).get)
+    assert(m().files.exists(_.eqDv.nonEmpty), "fixture left nothing pending")
+    val queries = vecs(Seq(42L, 333L))
+    val before = searchRows(idx, queries)
+    withSQLConf("spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8") {
+      AnnIndex.foldAssign(spark, idx)
+    }
+    val after = m()
+    assert(after.files.forall(_.eqDv.isEmpty), "fold left pending refs")
+    assert(SnapshotTable.scan(spark, assign).count() == 370)
+    // the round-17 claim: the fold PRESERVES manifest-level cell
+    // pruning (purgeDeletes' bucket-blind bin-pack used to widen the
+    // rewritten files' cell ranges — a probe then opened ~everything)
+    assert(after.files.size >= 4, s"fixture too small: ${after.files.size}")
+    val minCell = after.files.flatMap(_.stats.get("cell")).map(_._1).min
+    val hit = after.files.count(fe => fe.stats.get("cell").forall {
+      case (mn, mx) => minCell >= mn && minCell <= mx
+    })
+    assert(hit < after.files.size,
+      s"fold destroyed the cell clustering: $hit of ${after.files.size} files admit one cell")
+    assert(searchRows(idx, queries) == before,
+      "fold changed search results")
+  }
+
   test("quantizer drift: a planted distribution shift trips the metadata-only signal") {
     val corpus = freshDir(); val idx = freshDir()
     // near-uniform fixture over 10 cells — must NOT trip
