@@ -419,8 +419,15 @@ object AnnIndex {
     * a hot-cell scan per probe. [[refresh]]'s SQL face (`CALL
     * ann_refresh`) returns the ratio per epoch so maintenance jobs
     * can gate on it. */
+  /** `exactFraction`: the fraction of live rows sitting in
+    * SINGLE-CELL files, where the per-cell estimate is exact rather
+    * than range-smeared — a consumer can tell a sharp signal (1.0 on
+    * a freshly-folded hot index) from a washed-out one (a hand-built
+    * or foreign-compacted layout) instead of trusting the ratio
+    * blindly. */
   final case class DriftStats(cells: Int, maxCellRows: Double,
-                              medianCellRows: Double) {
+                              medianCellRows: Double,
+                              exactFraction: Double) {
     def ratio: Double = maxCellRows / math.max(medianCellRows, 1.0)
   }
 
@@ -430,6 +437,8 @@ object AnnIndex {
     val av = SnapshotTable.latestVersion(spark, aDir).getOrElse(
       throw new IllegalStateException(s"no assignments under $indexDir"))
     val est = new Array[Double](cents.length)
+    var totalRows = 0L
+    var exactRows = 0L
     SnapshotTable.readManifest(spark, aDir, av).files.foreach { fe =>
       fe.stats.get("cell").foreach { case (lo, hi) =>
         var i = java.util.Arrays.binarySearch(cents, lo)
@@ -437,6 +446,8 @@ object AnnIndex {
         var j = java.util.Arrays.binarySearch(cents, hi)
         j = if (j < 0) -j - 2 else j
         if (j >= i) {
+          totalRows += fe.liveRows
+          if (j == i) exactRows += fe.liveRows
           val share = fe.liveRows.toDouble / (j - i + 1)
           var k = i
           while (k <= j) { est(k) += share; k += 1 }
@@ -445,7 +456,8 @@ object AnnIndex {
     }
     val sorted = est.sorted
     DriftStats(cents.length, if (sorted.isEmpty) 0.0 else sorted.last,
-      if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2))
+      if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2),
+      if (totalRows == 0) 1.0 else exactRows.toDouble / totalRows)
   }
 
   /** Inspection surface for the SQL `cat.ns.t.indexes` metadata table
@@ -558,7 +570,14 @@ object AnnIndex {
     * exact cosine, keep k. The standard IVFADC+refine recipe: the
     * approximate pass bounds the bytes, the refine pass restores
     * exact ordering on a candidate set that is queries × kCand small.
-    * Output (qid, cid, cos, rank). */
+    * Output (qid, cid, cos, rank).
+    *
+    * Vacuum contract: the refine pass time-travels the corpus to the
+    * indexed version, so that version must still be RETAINED — vacuum
+    * the corpus only after refreshing its indexes (or keep enough
+    * versions to cover the refresh cadence). An expired version fails
+    * loudly here with that remedy, never with silently different
+    * vectors. */
   def searchTopKRerank(spark: SparkSession, indexDir: String,
                        queries: DataFrame, k: Int, nprobe: Int,
                        kCand: Int): DataFrame = {
@@ -568,8 +587,17 @@ object AnnIndex {
     require(kCand >= k, s"kCand=$kCand must be >= k=$k")
     val cand = searchTopK(spark, indexDir, queries, kCand, nprobe)
       .select(col("qid"), col("cid"))
-    val corpus = SnapshotTable.scan(spark, meta.corpusDir,
-      Some(meta.indexedVersion))
+    val corpusAtIndexed =
+      try SnapshotTable.scan(spark, meta.corpusDir,
+        Some(meta.indexedVersion))
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"rerank needs corpus ${meta.corpusDir} AS OF the indexed " +
+            s"version ${meta.indexedVersion}, which is no longer " +
+            "readable (vacuumed?) — refresh the index to advance its " +
+            "watermark, or retain indexed versions through vacuum", e)
+      }
+    val corpus = corpusAtIndexed
       .select(col(meta.idCol).cast("long").as("cid"),
         col(meta.vecCol).as("cv"))
     val qv = queries.select(col(meta.idCol).cast("long").as("qid"),

@@ -279,14 +279,18 @@ object GraftProcedures {
           StructField("indexed_version", LongType, nullable = false),
           StructField("drift_ratio", DoubleType, nullable = false),
           StructField("max_cell_rows", DoubleType, nullable = false),
-          StructField("median_cell_rows", DoubleType, nullable = false)))) {
+          StructField("median_cell_rows", DoubleType, nullable = false),
+          // confidence: the fraction of rows in single-cell files,
+          // where the estimate is exact — tells a sharp signal from a
+          // range-smeared one
+          StructField("drift_exact_fraction", DoubleType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
           val idx = annDir(dir, args.getUTF8String(1).toString)
           val v = graft.operators.AnnIndex.refresh(spark, idx)
           val d = graft.operators.AnnIndex.driftStats(spark, idx)
           Seq(new GenericInternalRow(Array[Any](v, d.ratio,
-            d.maxCellRows, d.medianCellRows)))
+            d.maxCellRows, d.medianCellRows, d.exactFraction)))
       })
       // ann_search(table, index, query_table, k, nprobe): top-k ANN
       // for every row of `query_table` (same id/vector columns the

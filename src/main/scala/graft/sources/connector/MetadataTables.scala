@@ -84,7 +84,8 @@ object MetadataTables {
       StructField("dim", IntegerType, nullable = false),
       StructField("pq_m", IntegerType, nullable = true),
       StructField("pq_ks", IntegerType, nullable = true),
-      StructField("drift_ratio", DoubleType, nullable = false)))
+      StructField("drift_ratio", DoubleType, nullable = false),
+      StructField("drift_exact_fraction", DoubleType, nullable = false)))
     val annRoot = new org.apache.hadoop.fs.Path(dir, "_ann")
     val fs = annRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = SnapshotTable.latestVersion(spark, dir).getOrElse(
@@ -103,7 +104,7 @@ object MetadataTables {
               info.cells, info.dim,
               info.pq.map(p => Int.box(p._1)).orNull,
               info.pq.map(p => Int.box(p._2)).orNull,
-              info.drift.ratio)): InternalRow)
+              info.drift.ratio, info.drift.exactFraction)): InternalRow)
           } catch { case _: Exception => None } // half-built leftovers
         }
     new SnapshotMetaTable(s"graft_snapshot($dir).indexes", schema, rows)

@@ -308,6 +308,10 @@ class AnnIndexSpec extends SparkTestBase {
     val drifted = AnnIndex.driftStats(spark, idx)
     assert(drifted.ratio > 8.0,
       s"planted shift did not trip the drift signal: $drifted")
+    // confidence datum: the hot cell's file is single-cell, so at
+    // least half the rows sit where the estimate is EXACT
+    assert(drifted.exactFraction >= 0.45 && drifted.exactFraction <= 1.0,
+      s"exactFraction implausible: $drifted")
     // ZERO data reads: the signal answers from the manifest + the
     // vocabulary-sized centroid set alone — prove it by removing the
     // assignment PAYLOAD bytes and asking again
