@@ -601,7 +601,7 @@ object EventQueries {
         val bad = bad0.map(e => (e._1, e._2, None: Option[Double]))
         val tmp = java.nio.file.Files.createTempDirectory("graft-q5q")
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, Option[Double])]
+          .MemoryStream[(Long, Long, Option[Double])](16)
         val q = graft.streaming.StreamMeter.startWithPartitions(s, 8)(
           graft.streaming.StreamingFlows.startGatedSnapshotSink(
             in.toDF().toDF("event_id", "user_id", "value"),

@@ -1251,7 +1251,7 @@ object TextQueries {
           .as[(Long, String)].boundedCollect()
         val (c1, c2) = docs.partition(_._1 % 2 == 0)
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, String)](16)
+          .MemoryStream[(Long, String)](64)
         val terms = in.toDF().toDF("doc_id", "text")
           .filter(length(trim(col("text"))) > 0)
           .select(explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -1314,7 +1314,7 @@ object TextQueries {
         val mid = if (docs.isEmpty) 0L else docs(docs.length / 2)._1
         val (c1, c2) = docs.partition(_._1 < mid)
         val in = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp, String)](16)
+          .MemoryStream[(Long, java.sql.Timestamp, String)](64)
         val out = graft.streaming.StreamingFlows.simhashNearDups(
           in.toDF().toDF("doc_id", "event_time", "text"),
           maxHamming = 2,
