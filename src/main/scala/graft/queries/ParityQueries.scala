@@ -2800,11 +2800,15 @@ object ParityQueries {
         val tgt = snapDir(s, dir, "t7T")
         // one row per business key: the synthetic lineitem carries
         // duplicate (orderkey, linenumber) pairs, and a CDC key must
-        // be unique — aggregate them away deterministically
+        // be unique — aggregate them away deterministically. Cached:
+        // three epochs' feeds (plus the in-query pins) each derive
+        // from this frame, and recomputing the dedup aggregation per
+        // job was most of the query's bench cost.
         val li = t(s, dir, "lineitem")
           .groupBy(col("l_orderkey"), col("l_linenumber"))
           .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("qty"), max(col("l_extendedprice")).as("price"))
+          .cache()
         def feed(rows: org.apache.spark.sql.DataFrame, tpe: String,
                  cv: Int) =
           rows.select(col("l_orderkey"), col("l_linenumber"), col("qty"),
@@ -2854,6 +2858,7 @@ object ParityQueries {
           graft.sources.SnapshotTable.latestVersion(s, tgt).get)
           .files.exists(_.eqDv.nonEmpty),
           "epochs should leave pending composite refs until a fold")
+        li.unpersist() // the result below derives from tgt, not li
         graft.sources.SnapshotTable.scan(s, tgt)
           .groupBy(((col("l_orderkey") * 7 + col("l_linenumber")) % 30)
             .as("slot"))
