@@ -468,6 +468,12 @@ object AnnIndex {
                              dim: Int, pq: Option[(Int, Int)], cells: Long,
                              drift: DriftStats)
 
+  /** Whether the index at `indexDir` is product-quantized (the SQL
+    * `ann_search` face refines PQ results to exact cosine so its
+    * result column means the same thing on either layout). */
+  def isPq(spark: SparkSession, indexDir: String): Boolean =
+    readMeta(spark, indexDir).pq.isDefined
+
   def describe(spark: SparkSession, indexDir: String): IndexInfo = {
     val meta = readMeta(spark, indexDir)
     val cDir = centroidsDir(indexDir)

@@ -57,7 +57,8 @@ object GraftProcedures {
   val Names: Seq[String] = Seq("restore", "vacuum", "compact", "rebucket",
     "purge_deletes", "maintain", "create_tag", "drop_tag", "clone",
     "create_branch", "fast_forward", "drop_branch", "recluster",
-    "ann_build", "ann_refresh", "ann_search", "delete_by_key")
+    "ann_build", "ann_build_pq", "ann_refresh", "ann_search",
+    "delete_by_key")
 
   /** Where table `dir`'s ANN index `name` lives: nested under the
     * table root (like branches), dropped with the table, never listed
@@ -267,6 +268,37 @@ object GraftProcedures {
             args.getInt(4), idCol, vecCol)
           Seq(new GenericInternalRow(Array[Any](v, k)))
       })
+      // ann_build_pq(table, index, id_col, vec_col, dim, centroids,
+      // m, ks, iters): the PRODUCT-QUANTIZED face of ann_build — same
+      // frozen coarse quantizer, plus PQ codebooks trained over the
+      // build-time corpus; assign/ stores packed 8-byte codes instead
+      // of embeddings (the index stops duplicating the corpus's
+      // vector bytes — see AnnIndex.PqSpec).
+      case "ann_build_pq" => Some(proc("ann_build_pq",
+        Array(in("table", StringType), in("index", StringType),
+          in("id_col", StringType), in("vec_col", StringType),
+          in("dim", IntegerType), in("centroids", IntegerType),
+          in("m", IntegerType), in("ks", IntegerType),
+          in("iters", IntegerType)),
+        StructType(Seq(
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("cells", IntegerType, nullable = false)))) {
+        (spark, args) =>
+          val dir = dirOfTable(args.getUTF8String(0).toString)
+          val idx = annDir(dir, args.getUTF8String(1).toString)
+          val idCol = args.getUTF8String(2).toString
+          val vecCol = args.getUTF8String(3).toString
+          val k = args.getInt(5)
+          require(k > 0, "centroids must be positive")
+          import org.apache.spark.sql.functions.col
+          val cents = SnapshotTable.scan(spark, dir)
+            .orderBy(col(s"`$idCol`")).limit(k)
+          val v = graft.operators.AnnIndex.build(spark, dir, idx, cents,
+            args.getInt(4), idCol, vecCol,
+            pq = Some(graft.operators.AnnIndex.PqSpec(args.getInt(6),
+              args.getInt(7), args.getInt(8))))
+          Seq(new GenericInternalRow(Array[Any](v, k)))
+      })
       // ann_refresh(table, index): advance the index to the corpus
       // head by consuming the change feed — O(changed rows). The
       // result row carries the QUANTIZER DRIFT signal (metadata-only:
@@ -295,6 +327,9 @@ object GraftProcedures {
       // ann_search(table, index, query_table, k, nprobe): top-k ANN
       // for every row of `query_table` (same id/vector columns the
       // index was built with), as a result set (qid, cid, cos, rank).
+      // On a PQ index the ADC pass retrieves 4k candidates and the
+      // exact-cosine refine keeps k (AnnIndex.searchTopKRerank), so
+      // `cos` means the same thing on either index layout.
       case "ann_search" => Some(proc("ann_search",
         Array(in("table", StringType), in("index", StringType),
           in("query_table", StringType), in("k", IntegerType),
@@ -319,9 +354,14 @@ object GraftProcedures {
               "driver (procedure results are driver-local); for bulk " +
               "search use the programmatic AnnIndex.searchTopK, which " +
               "stays distributed")
-          graft.operators.AnnIndex
-            .searchTopK(spark, idx, queries, k, args.getInt(4))
-            .orderBy("qid", "rank")
+          val nprobe = args.getInt(4)
+          val hits =
+            if (graft.operators.AnnIndex.isPq(spark, idx))
+              graft.operators.AnnIndex.searchTopKRerank(spark, idx,
+                queries, k, nprobe, kCand = 4 * k)
+            else graft.operators.AnnIndex.searchTopK(spark, idx, queries,
+              k, nprobe)
+          hits.orderBy("qid", "rank")
             .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
               r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
               : InternalRow)

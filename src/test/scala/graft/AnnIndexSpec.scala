@@ -322,6 +322,36 @@ class AnnIndexSpec extends SparkTestBase {
       "driftStats touched assign/ data files")
   }
 
+  test("SQL face: ann_build_pq builds a PQ index; ann_search refines to exact cosine") {
+    val root = Files.createTempDirectory("graft-annix-sql").toString
+    spark.conf.set("spark.sql.catalog.graftann",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftann.root", root)
+    vecs(0L until 300L).createOrReplaceTempView("annix_src")
+    spark.sql("CREATE TABLE graftann.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO graftann.corpus SELECT * FROM annix_src")
+    spark.sql("CALL graftann.system.ann_build_pq('corpus', 'px', " +
+      s"'vec_id', 'embedding', $dim, 8, ${pqSpec.m}, ${pqSpec.ks}, " +
+      s"${pqSpec.iters})")
+    // the indexes metadata table sees the PQ layout
+    val ix = spark.sql("SELECT kind, pq_m, pq_ks FROM " +
+      "graftann.corpus.indexes").head
+    assert((ix.getString(0), ix.getInt(1), ix.getInt(2)) ==
+      ("ivf_pq", pqSpec.m, pqSpec.ks))
+    spark.sql("CREATE TABLE graftann.q AS SELECT * FROM graftann.corpus " +
+      "WHERE vec_id IN (CAST(5 AS BIGINT), CAST(99 AS BIGINT))")
+    val viaSql = spark.sql(
+      "CALL graftann.system.ann_search('corpus', 'px', 'q', 3, 2)")
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    // `cos` must mean EXACT cosine on either layout: the SQL face
+    // retrieves 4k ADC candidates and refines — pin against the
+    // programmatic retrieve-then-refine with the same parameters
+    val want = AnnIndex.searchTopKRerank(spark, s"$root/corpus/_ann/px",
+      vecs(Seq(5L, 99L)), k = 3, nprobe = 2, kCand = 12)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(viaSql == want, "SQL ann_search diverged from the rerank recipe")
+  }
+
   test("meta publish is crash-safe: a readable meta exists at every instant") {
     // regression (round-17 advice): publish used to delete-then-rename
     // the single meta file, so a crash in between left the index with
