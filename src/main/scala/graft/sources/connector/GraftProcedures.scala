@@ -148,7 +148,13 @@ object GraftProcedures {
           Seq(new GenericInternalRow(Array[Any](v)))
       })
       case "maintain" => Some(proc("maintain",
-        Array(in("table", StringType)),
+        Array(in("table", StringType),
+          // optional: the ANALYZE-freshness gate (fraction of row-count
+          // drift past which frozen stats.* re-ANALYZE; 0 disables) —
+          // CALL maintain('t') keeps the 10% default, CALL
+          // maintain('t', 0.25) tunes it
+          ProcedureParameter.in("analyze_drift_pct", DoubleType)
+            .defaultValue("0.1").build()),
         StructType(Seq(
           StructField("purged", BooleanType, nullable = false),
           StructField("compacted", BooleanType, nullable = false),
@@ -159,12 +165,13 @@ object GraftProcedures {
           StructField("stats_refreshed", BooleanType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
-          // the CALL face opts into ANALYZE freshness (10% drift):
-          // a SQL-driven deployment has no policy object to pass, and
-          // a maintenance sweep is exactly where stale CBO inputs
-          // should get caught — no-op on never-analyzed tables
+          // the CALL face opts into ANALYZE freshness (default 10%
+          // drift, tunable per call): a maintenance sweep is exactly
+          // where stale CBO inputs should get caught — no-op on
+          // never-analyzed tables
           val r = SnapshotTable.maintain(spark, dir,
-            SnapshotTable.MaintenancePolicy(analyzeDriftPct = 0.1))
+            SnapshotTable.MaintenancePolicy(
+              analyzeDriftPct = args.getDouble(1)))
           Seq(new GenericInternalRow(Array[Any](r.purged, r.compacted,
             r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles,
             r.statsRefreshed)))

@@ -705,10 +705,16 @@ class ConnectorSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
       .as[Long].head == 200L)
     // maintain: first pass may compact the restored small files;
-    // the second pass must be a reported no-op
+    // the second pass must be a reported no-op. The optional
+    // analyze_drift_pct parameter defaults (1-arg CALL) and tunes
+    // (2-arg CALL) — never-analyzed table, so stats never refresh.
     spark.sql("CALL graftcat7.system.maintain('t')").collect()
     val rep = spark.sql("CALL graftcat7.system.maintain('t')").collect()
     assert(!rep.head.getBoolean(0) && !rep.head.getBoolean(1))
+    val rep2 = spark.sql(
+      "CALL graftcat7.system.maintain('t', 0.25)").collect()
+    assert(!rep2.head.getBoolean(rep2.head.length - 1),
+      "never-analyzed table must not report a stats refresh")
     assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
       .as[Long].head == 200L)
     // unknown procedure fails loudly
