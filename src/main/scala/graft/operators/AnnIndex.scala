@@ -121,21 +121,35 @@ object AnnIndex {
     require(candidates.nonEmpty,
       s"$indexDir holds no ANN index (missing _ann_meta*.json)")
     candidates.view.flatMap { case (_, p) =>
-      try {
-        val in = f.open(p)
-        val bytes = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-          bos.toByteArray
-        } finally in.close()
+      val bytes =
+        try {
+          val in = f.open(p)
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+            bos.toByteArray
+          } finally in.close()
+        } catch {
+          // a candidate DELETED between listing and open is the
+          // publish protocol's crash window — fall through to the
+          // older one. Any OTHER I/O failure must NOT: silently
+          // reading a stale meta would time-travel searches/reranks
+          // to an older corpus version with no error.
+          case _: java.io.FileNotFoundException => null
+        }
+      if (bytes == null) None
+      else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
         Some(Meta(node.get("corpusDir").asText(),
           node.get("indexedVersion").asLong(), node.get("dim").asInt(),
           node.get("idCol").asText(), node.get("vecCol").asText(),
           if (node.get("pqM") == null) None
           else Some((node.get("pqM").asInt(), node.get("pqKs").asInt()))))
-      } catch { case _: Exception => None } // torn writer temp never renames;
-      // an unreadable older candidate just falls through
+      } catch { // torn/garbage CONTENT (a writer died mid-write under a
+        // legacy un-suffixed name): fall through to the older candidate
+        case _: com.fasterxml.jackson.core.JacksonException => None
+        case _: NullPointerException => None // readable JSON, wrong shape
+      }
     }.headOption.getOrElse(throw new IllegalStateException(
       s"no readable ANN index meta under $indexDir"))
   }
@@ -437,16 +451,16 @@ object AnnIndex {
     val av = SnapshotTable.latestVersion(spark, aDir).getOrElse(
       throw new IllegalStateException(s"no assignments under $indexDir"))
     val est = new Array[Double](cents.length)
-    var totalRows = 0L
-    var exactRows = 0L
+    var liveRows = 0L  // every live row, attributable or not
+    var exactRows = 0L // rows in single-cell files (exact estimate)
     SnapshotTable.readManifest(spark, aDir, av).files.foreach { fe =>
+      liveRows += fe.liveRows
       fe.stats.get("cell").foreach { case (lo, hi) =>
         var i = java.util.Arrays.binarySearch(cents, lo)
         if (i < 0) i = -i - 1
         var j = java.util.Arrays.binarySearch(cents, hi)
         j = if (j < 0) -j - 2 else j
         if (j >= i) {
-          totalRows += fe.liveRows
           if (j == i) exactRows += fe.liveRows
           val share = fe.liveRows.toDouble / (j - i + 1)
           var k = i
@@ -455,9 +469,13 @@ object AnnIndex {
       }
     }
     val sorted = est.sorted
+    // exactFraction is honest about BLINDNESS: rows in files with no
+    // `cell` stats at all (a foreign rewrite dropped the statsCols)
+    // count against it, so a fully-blind layout reports 0.0 — never
+    // maximum confidence — and only a genuinely EMPTY index says 1.0
     DriftStats(cents.length, if (sorted.isEmpty) 0.0 else sorted.last,
       if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2),
-      if (totalRows == 0) 1.0 else exactRows.toDouble / totalRows)
+      if (liveRows == 0) 1.0 else exactRows.toDouble / liveRows)
   }
 
   /** Inspection surface for the SQL `cat.ns.t.indexes` metadata table

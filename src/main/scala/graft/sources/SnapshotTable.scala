@@ -2364,11 +2364,18 @@ object SnapshotTable {
           (field.map(physicalName).getOrElse(kc), dt)
         }
       val physCols = members.map(_._1)
+      // binding: BY NAME when the frame carries exactly the key
+      // columns' names (a same-named but REORDERED frame would
+      // otherwise silently delete swapped tuples — a corruption, not
+      // an error); positional only for anonymous/differently-named
+      // frames (spark.range(...).toDF shapes)
+      val byName = keys.columns.toSet == keyCols.toSet
       // a tuple with ANY null member matches nothing (SQL equality)
       val keyDf = keys
         .select(members.zipWithIndex.map { case ((phys, dt), i) =>
-          dt.fold(col(s"`${keys.columns(i)}`"))(d =>
-            col(s"`${keys.columns(i)}`").cast(d)).as(phys) }: _*)
+          val src = if (byName) keyCols(i) else keys.columns(i)
+          dt.fold(col(s"`$src`"))(d =>
+            col(s"`$src`").cast(d)).as(phys) }: _*)
         .na.drop("any").distinct()
       // tiny jobs over the BATCH (not the table): its per-member
       // bounds refute whole files through the manifest ranges —

@@ -77,15 +77,20 @@ object MetadataTables {
     val schema = StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
-      StructField("indexed_version", LongType, nullable = false),
+      StructField("indexed_version", LongType, nullable = true),
       StructField("corpus_head", LongType, nullable = false),
-      StructField("stale", BooleanType, nullable = false),
-      StructField("cells", LongType, nullable = false),
-      StructField("dim", IntegerType, nullable = false),
+      StructField("stale", BooleanType, nullable = true),
+      StructField("cells", LongType, nullable = true),
+      StructField("dim", IntegerType, nullable = true),
       StructField("pq_m", IntegerType, nullable = true),
       StructField("pq_ks", IntegerType, nullable = true),
-      StructField("drift_ratio", DoubleType, nullable = false),
-      StructField("drift_exact_fraction", DoubleType, nullable = false)))
+      StructField("drift_ratio", DoubleType, nullable = true),
+      StructField("drift_exact_fraction", DoubleType, nullable = true),
+      // 'ok', or why the index is unreadable — an inspection surface
+      // must SHOW a broken index, not silently omit the row (the
+      // monitoring job gating on this table would otherwise conclude
+      // "nothing to do" while searches fail)
+      StructField("status", StringType, nullable = false)))
     val annRoot = new org.apache.hadoop.fs.Path(dir, "_ann")
     val fs = annRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val head = SnapshotTable.latestVersion(spark, dir).getOrElse(
@@ -93,10 +98,10 @@ object MetadataTables {
     val rows: Seq[InternalRow] =
       if (!fs.exists(annRoot)) Nil
       else fs.listStatus(annRoot).toSeq.filter(_.isDirectory)
-        .map(_.getPath.getName).sorted.flatMap { name =>
+        .map(_.getPath.getName).sorted.map { name =>
           try {
             val info = AnnIndex.describe(spark, s"$dir/_ann/$name")
-            Some(new GenericInternalRow(Array[Any](
+            new GenericInternalRow(Array[Any](
               UTF8String.fromString(name),
               UTF8String.fromString(
                 if (info.pq.isDefined) "ivf_pq" else "ivf_flat"),
@@ -104,8 +109,18 @@ object MetadataTables {
               info.cells, info.dim,
               info.pq.map(p => Int.box(p._1)).orNull,
               info.pq.map(p => Int.box(p._2)).orNull,
-              info.drift.ratio, info.drift.exactFraction)): InternalRow)
-          } catch { case _: Exception => None } // half-built leftovers
+              info.drift.ratio, info.drift.exactFraction,
+              UTF8String.fromString("ok"))): InternalRow
+          } catch {
+            case e: Exception =>
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(name),
+                UTF8String.fromString("unreadable"),
+                null, head, null, null, null, null, null, null, null,
+                UTF8String.fromString(
+                  Option(e.getMessage).getOrElse(e.getClass.getName)
+                    .take(200)))): InternalRow
+          }
         }
     new SnapshotMetaTable(s"graft_snapshot($dir).indexes", schema, rows)
   }

@@ -16,11 +16,13 @@ package graft.streaming
   * require() before they hit an OOM.
   *
   * Task-size contract (round-17): every replay constructs its
-  * `MemoryStream[A](numPartitions = 16)` — a partition-less stream
+  * `MemoryStream[A](numPartitions = …)` — a partition-less stream
   * plans each added chunk as ONE input partition whose rows ride the
-  * task binary (the bench flagged ~2.8 MB tasks at sf0.1); split 16
-  * ways the same chunk ships ~16× smaller per task and the engine
-  * under test sees an ordinary multi-partition source.
+  * task binary (the bench flagged ~2.8 MB tasks at sf0.1). Event
+  * tuples split 16 ways; DOCUMENT-TEXT replays split 64 (each row
+  * carries the full text, so the per-row payload is ~50× an event
+  * tuple's). Either way the engine under test sees an ordinary
+  * multi-partition source.
   */
 object Replay {
 

@@ -352,6 +352,29 @@ class AnnIndexSpec extends SparkTestBase {
     assert(viaSql == want, "SQL ann_search diverged from the rerank recipe")
   }
 
+  test("indexes metadata table SHOWS a broken index instead of omitting it") {
+    val root = Files.createTempDirectory("graft-annix-bad").toString
+    spark.conf.set("spark.sql.catalog.graftannb",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftannb.root", root)
+    vecs(0L until 100L).createOrReplaceTempView("annixb_src")
+    spark.sql("CREATE TABLE graftannb.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO graftannb.corpus SELECT * FROM annixb_src")
+    spark.sql("CALL graftannb.system.ann_build('corpus', 'good', " +
+      s"'vec_id', 'embedding', $dim, 4)")
+    spark.sql("CALL graftannb.system.ann_build('corpus', 'hurt', " +
+      s"'vec_id', 'embedding', $dim, 4)")
+    // corrupt one index: its centroids table vanishes
+    val p = new org.apache.hadoop.fs.Path(s"$root/corpus/_ann/hurt/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = spark.sql("SELECT name, status FROM graftannb.corpus.indexes " +
+      "ORDER BY name").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.length == 2, s"a broken index vanished from the surface: ${rows.toSeq}")
+    assert(rows(0) == ("good", "ok"))
+    assert(rows(1)._1 == "hurt" && rows(1)._2 != "ok",
+      s"broken index must carry its failure: ${rows(1)}")
+  }
+
   test("meta publish is crash-safe: a readable meta exists at every instant") {
     // regression (round-17 advice): publish used to delete-then-rename
     // the single meta file, so a crash in between left the index with

@@ -505,6 +505,29 @@ class EqualityDeleteSpec extends SparkTestBase {
       "WHERE k IN (3, 5) AND region IS NULL").as[Long].head == 150L)
   }
 
+  test("composite keys bind BY NAME when the frame carries the key columns") {
+    // review finding (round-17): purely positional binding would let a
+    // same-named but REORDERED frame silently delete swapped tuples
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select(($"id" % 10).as("g"), ($"id" % 7).as("k"),
+        $"id".as("v")),
+      dir, "overwrite", Seq("g"))
+    // the frame's columns are (k, g) — REVERSED relative to keyCols
+    val reordered = Seq((3L, 2L)).toDF("k", "g") // means (g=2, k=3)
+    SnapshotTable.deleteByKeys(spark, dir, Seq("g", "k"), reordered)
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    assert(v2.filter($"g" === 2 && $"k" === 3).count() == 0,
+      "the named tuple (g=2, k=3) must die")
+    assert(v2.filter($"g" === 3 && $"k" === 2).count() > 0,
+      "positional binding deleted the SWAPPED tuple")
+    // anonymous frames (no matching names) stay positional
+    SnapshotTable.deleteByKeys(spark, dir, Seq("g", "k"),
+      Seq((5L, 1L)).toDF("c1", "c2")) // positional: g=5, k=1
+    assert(spark.read.format("graft_snapshot").load(dir)
+      .filter($"g" === 5 && $"k" === 1).count() == 0)
+  }
+
   test("streaming factories resolve eq refs without plan-order side state") {
     // regression (round-17): the micro-batch reader factory used to
     // depend on planInputPartitions having stashed the batch's eq refs
