@@ -100,21 +100,60 @@ object AnnIndex {
     val f = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val older = metaCandidates(f, indexDir)
-    val seq = older.map(_._1).maxOption.getOrElse(-1L) + 1L
-    val tmp = new Path(indexDir, s".tmp-meta-${java.util.UUID.randomUUID}.json")
-    val out = f.create(tmp, true)
     val pqJson = m.pq.fold("")(p => s""","pqM":${p._1},"pqKs":${p._2}""")
-    try out.write(
+    val bytes =
       (s"""{"corpusDir":"${m.corpusDir}","indexedVersion":${m.indexedVersion},""" +
         s""""dim":${m.dim},"idCol":"${m.idCol}","vecCol":"${m.vecCol}"$pqJson}""")
-        .getBytes("UTF-8"))
-    finally out.close()
-    require(f.rename(tmp, new Path(indexDir, s"_ann_meta-$seq.json")),
-      s"could not publish ANN index meta under $indexDir")
+        .getBytes("UTF-8")
+    // CREATE-EXCLUSIVE publish at the seq-named destination (round-18;
+    // previously temp + rename, but rename REPLACES an existing file
+    // on POSIX/local filesystems — two concurrent publishers could
+    // both land _ann_meta-<N>.json and one watermark advance was
+    // silently lost). Losing the slot race now retries at a higher
+    // seq; a writer crashing mid-create leaves a torn file that
+    // readMeta's content fallback already skips, with the older meta
+    // still in place (older files are deleted only after success).
+    publishExclusive(f, indexDir, bytes,
+      older.map(_._1).maxOption.getOrElse(-1L) + 1L)
     older.foreach(c => f.delete(c._2, false)) // only after the new one exists
   }
 
+  /** The exclusive-create slot loop, seam'd out so AnnIndexSpec can
+    * pin the collision retry deterministically (two publishers given
+    * the SAME start seq land on DISTINCT files, both intact). */
+  private[graft] def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+                                      indexDir: String, bytes: Array[Byte],
+                                      startSeq: Long): Long = {
+    var seq = startSeq
+    var attempts = 0
+    while (true) {
+      try {
+        val out = f.create(new Path(indexDir, s"_ann_meta-$seq.json"),
+          /* overwrite = */ false)
+        try out.write(bytes) finally out.close()
+        return seq
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          attempts += 1
+          require(attempts <= 1000,
+            s"could not publish ANN index meta under $indexDir after " +
+              s"$attempts slot collisions")
+          seq += 1L
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Meta resolutions since the last reset — single-JVM telemetry so a
+    * spec can pin that one `CALL ann_search` costs ONE list+open round
+    * trip (round-18; the CALL face used to resolve three times on a PQ
+    * index — isPq, rerank, nested search — each a listing + open on
+    * the query latency path). */
+  private[graft] val metaResolves = new java.util.concurrent.atomic.LongAdder
+
   private def readMeta(spark: SparkSession, indexDir: String): Meta = {
+    metaResolves.increment()
     val f = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val candidates = metaCandidates(f, indexDir).sortBy(-_._1)
@@ -514,8 +553,16 @@ object AnnIndex {
     * with no vector bytes in flight: the probed files stream 8-byte
     * codes). */
   def searchTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
-                 k: Int, nprobe: Int): DataFrame = {
-    val meta = readMeta(spark, indexDir)
+                 k: Int, nprobe: Int): DataFrame =
+    searchTopKWith(spark, indexDir, readMeta(spark, indexDir), queries, k,
+      nprobe)
+
+  /** [[searchTopK]] against an ALREADY-RESOLVED meta — the rerank and
+    * CALL faces thread one resolution through the whole search instead
+    * of paying a list+open per layer (round-18). */
+  private def searchTopKWith(spark: SparkSession, indexDir: String,
+                             meta: Meta, queries: DataFrame,
+                             k: Int, nprobe: Int): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
     val cen = broadcast(
       SnapshotTable.scan(spark, centroidsDir(indexDir))
@@ -604,12 +651,28 @@ object AnnIndex {
     * vectors. */
   def searchTopKRerank(spark: SparkSession, indexDir: String,
                        queries: DataFrame, k: Int, nprobe: Int,
-                       kCand: Int): DataFrame = {
+                       kCand: Int): DataFrame =
+    rerankWith(spark, indexDir, readMeta(spark, indexDir), queries, k,
+      nprobe, kCand)
+
+  /** The SQL `ann_search` dispatch: ONE meta resolution, then PQ →
+    * retrieve-then-refine with `kCand` ADC candidates, flat → exact
+    * in-cell cosine directly. `cos` means the same thing either way. */
+  def searchAuto(spark: SparkSession, indexDir: String, queries: DataFrame,
+                 k: Int, nprobe: Int, kCand: Int): DataFrame = {
     val meta = readMeta(spark, indexDir)
+    if (meta.pq.isDefined)
+      rerankWith(spark, indexDir, meta, queries, k, nprobe, kCand)
+    else searchTopKWith(spark, indexDir, meta, queries, k, nprobe)
+  }
+
+  private def rerankWith(spark: SparkSession, indexDir: String, meta: Meta,
+                         queries: DataFrame, k: Int, nprobe: Int,
+                         kCand: Int): DataFrame = {
     require(meta.pq.isDefined,
       s"$indexDir is a flat IVF index — searchTopK already ranks by exact cosine")
     require(kCand >= k, s"kCand=$kCand must be >= k=$k")
-    val cand = searchTopK(spark, indexDir, queries, kCand, nprobe)
+    val cand = searchTopKWith(spark, indexDir, meta, queries, kCand, nprobe)
       .select(col("qid"), col("cid"))
     val corpusAtIndexed =
       try SnapshotTable.scan(spark, meta.corpusDir,

@@ -2820,28 +2820,19 @@ object ParityQueries {
           feed(li.filter(col("l_orderkey") % 2 === 0).repartition(8),
             "upsert", 1),
           tgt, Seq("l_orderkey", "l_linenumber"))
-        def files() = graft.sources.SnapshotTable.readManifest(s, tgt,
-          graft.sources.SnapshotTable.latestVersion(s, tgt).get)
-          .files.map(_.path).toSet
-        val f1 = files()
         // epoch 2: delete LINE 1 of every %10==0 order (their other
-        // line numbers must survive — the tuple-vs-column pin);
-        // insert the %4==1 odd orders
+        // line numbers must survive — the tuple-vs-column semantics;
+        // pinned in EqualityDeleteSpec "composite eq-CDC epochs",
+        // along with the zero-file-rewrite manifest pin, since
+        // round 18 — the r16 q7N precedent: the oracle hash below
+        // stays the bench gate, the pins cost bench reps nothing)
+        // — and insert the %4==1 odd orders
         graft.streaming.ApplyChanges.applyBatchEqKeys(
           feed(li.filter(col("l_orderkey") % 10 === 0 &&
               col("l_linenumber") === 1), "delete", 2)
             .unionByName(feed(li.filter(col("l_orderkey") % 4 === 1),
               "upsert", 2)),
           tgt, Seq("l_orderkey", "l_linenumber"))
-        require(f1.subsetOf(files()),
-          "composite eq-CDC epoch must never rewrite a pre-existing data file")
-        val scan2 = graft.sources.SnapshotTable.scan(s, tgt)
-        val sibs = scan2.filter(col("l_orderkey") % 10 === 0 &&
-          col("l_linenumber") =!= 1).count()
-        val wantSibs = li.filter(col("l_orderkey") % 10 === 0 &&
-          col("l_linenumber") =!= 1).count()
-        require(sibs == wantSibs && sibs > 0,
-          s"tuple masking lost sibling line numbers ($sibs vs $wantSibs)")
         // epoch 3: update lines <=2 of %10==4 orders (same-version
         // delete+upsert pair, upsert wins the collapse); delete line 3
         // of the %8==1 odds
@@ -2924,13 +2915,17 @@ object ParityQueries {
         s.sql(s"""INSERT INTO $cat.copy
                   |SELECT o_orderkey, o_orderstatus,
                   |       o_totalprice AS p0 FROM t7U_orders""".stripMargin)
-        // the re-created constraint ENFORCES; the staged batch aborts
-        val rejected =
+        // the re-created constraint ENFORCES; the staged batch aborts.
+        // expectedFailure: without it the abort stack floods the bench
+        // tail (the round-11–14 parsed-null failure mode — q7U forgot
+        // the helper in round 17 and its stack ate the tail window)
+        val rejected = expectedFailure("q7U") {
           try {
             s.sql(s"INSERT INTO $cat.copy VALUES " +
               "(CAST(-1 AS BIGINT), 'X', 1.0)")
             false
           } catch { case _: Exception => true }
+        }
         require(rejected, "re-created CHECK constraint must enforce")
         // the re-created DEFAULT fills an omitted column
         s.sql(s"INSERT INTO $cat.copy (k, status) VALUES " +

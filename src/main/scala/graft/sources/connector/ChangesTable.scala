@@ -398,9 +398,17 @@ final class ChangesReaderFactory(physSchema: StructType,
                                    .Broadcast[Map[String, EqSidecar]]] = None)
   extends PartitionReaderFactory {
 
+  /** Driver-captured runtime hadoop-conf delta (round-18): the
+    * executor-side sidecar/dv loads below see object-store creds and
+    * custom fs impls applied to the session at runtime, same as the
+    * table scan factory — the factory is built on the driver. */
+  private val confExtra: Map[String, String] =
+    SnapshotPartitions.hadoopConfDelta().toMap
+
   override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val c = p.asInstanceOf[ChangeFilePartition]
     val conf = new Configuration()
+    confExtra.foreach { case (k, v) => conf.set(k, v) }
     val skip = c.skipDvUri.map(u =>
       SnapshotPartitions.positionsOf(conf, Some(u), c.baseName))
     val keep = c.keepFromUri.map { u =>
@@ -432,6 +440,7 @@ final class ChangesReaderFactory(physSchema: StructType,
       keepOnly = keep,
       extra = Array(UTF8String.fromString(c.changeType), c.version),
       eqSkipOverride = Some(eqSkip),
-      eqKeepOnly = c.eqKeepOnly)
+      eqKeepOnly = c.eqKeepOnly,
+      confExtra = confExtra)
   }
 }

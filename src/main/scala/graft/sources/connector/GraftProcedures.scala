@@ -331,16 +331,23 @@ object GraftProcedures {
           Seq(new GenericInternalRow(Array[Any](v, d.ratio,
             d.maxCellRows, d.medianCellRows, d.exactFraction)))
       })
-      // ann_search(table, index, query_table, k, nprobe): top-k ANN
-      // for every row of `query_table` (same id/vector columns the
-      // index was built with), as a result set (qid, cid, cos, rank).
-      // On a PQ index the ADC pass retrieves 4k candidates and the
-      // exact-cosine refine keeps k (AnnIndex.searchTopKRerank), so
-      // `cos` means the same thing on either index layout.
+      // ann_search(table, index, query_table, k, nprobe[, k_cand]):
+      // top-k ANN for every row of `query_table` (same id/vector
+      // columns the index was built with), as a result set
+      // (qid, cid, cos, rank). On a PQ index the ADC pass retrieves
+      // `k_cand` candidates (default 4*k — recall of the refined
+      // top-k is capped by this pool, so it is a PARAMETER, not a
+      // constant) and the exact-cosine refine keeps k
+      // (AnnIndex.searchAuto), so `cos` means the same thing on
+      // either index layout. One meta resolution per CALL.
       case "ann_search" => Some(proc("ann_search",
         Array(in("table", StringType), in("index", StringType),
           in("query_table", StringType), in("k", IntegerType),
-          in("nprobe", IntegerType)),
+          in("nprobe", IntegerType),
+          // 0 = "the 4*k default"; ignored on flat indexes (no
+          // retrieve-then-refine pass there)
+          ProcedureParameter.in("k_cand", IntegerType)
+            .defaultValue("0").build()),
         StructType(Seq(
           StructField("qid", LongType, nullable = false),
           StructField("cid", LongType, nullable = false),
@@ -362,12 +369,12 @@ object GraftProcedures {
               "search use the programmatic AnnIndex.searchTopK, which " +
               "stays distributed")
           val nprobe = args.getInt(4)
-          val hits =
-            if (graft.operators.AnnIndex.isPq(spark, idx))
-              graft.operators.AnnIndex.searchTopKRerank(spark, idx,
-                queries, k, nprobe, kCand = 4 * k)
-            else graft.operators.AnnIndex.searchTopK(spark, idx, queries,
-              k, nprobe)
+          val kCand0 = args.getInt(5)
+          require(kCand0 == 0 || kCand0 >= k,
+            s"k_cand=$kCand0 must be >= k=$k (or 0 for the 4*k default)")
+          val hits = graft.operators.AnnIndex.searchAuto(spark, idx,
+            queries, k, nprobe,
+            kCand = if (kCand0 <= 0) 4 * k else kCand0)
           hits.orderBy("qid", "rank")
             .collect().toSeq.map(r => new GenericInternalRow(Array[Any](
               r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

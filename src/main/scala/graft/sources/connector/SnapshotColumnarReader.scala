@@ -119,11 +119,13 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     * from dtJson would getInt a long vector (garbage / NPE, i.e.
     * wrong masking). dtJson's only remaining job is typing the
     * APPENDED request field when a key column is not in the output
-    * projection. COMPOSITE sidecars probe the canonical encoded-tuple
-    * form (built per row from the member vectors' string forms) —
-    * an allocation per surviving check on eq-carrying files, the
-    * price of arbitrary-arity tuple equality; the state is transient
-    * (folds at purge/compact) and scoped to affected files. */
+    * projection. COMPOSITE sidecars (round-18) all probe
+    * allocation-free typed sets: two integral members keep the
+    * long-pair fast path, everything else — (string, string) keys,
+    * 3+ members, mixed tuples — probes [[TypedTupleOpenHashSet]]
+    * through reused scratch arrays; the canonical encoded-string
+    * probe (one string build per surviving row, the 11.3× toll
+    * SCALE_r17 measured) is gone. */
   private def idxOf(c: String): Int = schema.fieldNames.indexOf(c) match {
     case -1 => schema.length + eqAppend.indexWhere(_.name == c)
     case i => i
@@ -149,10 +151,6 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
   private final class CompositeEqCheck(idxs: Array[Int], e: EqSidecar)
     extends EqBatchCheck {
     private val vs = new Array[ColumnVector](idxs.length)
-    // generic path: canonical encoded-tuple probe (any arity, any
-    // member types) — allocates per surviving row
-    private var set: java.util.HashSet[String] = _
-    private var strs: Array[(ColumnVector, Int) => String] = _
     // fast path for the (tenant, entity)-shaped key: exactly TWO
     // integral members probe an allocation-free long-pair set (keys
     // parse back out of the canonical form ONCE at bind; the generic
@@ -160,6 +158,17 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     private var pairSet: LongPairOpenHashSet = _
     private var getA: (ColumnVector, Int) => Long = _
     private var getB: (ColumnVector, Int) => Long = _
+    // every other shape — (string, string) business keys, 3+ members,
+    // mixed tuples — probes a TYPED tuple set (round-18; previously
+    // the canonical encoded-string probe, one string build per
+    // surviving row — the measured 11.3× pending-read toll). Member
+    // values land in reused scratch arrays; keys parse out of the
+    // canonical form ONCE at bind.
+    private var tupleSet: TypedTupleOpenHashSet = _
+    private var isStr: Array[Boolean] = _
+    private var longGets: Array[(ColumnVector, Int) => Long] = _
+    private var scratchL: Array[Long] = _
+    private var scratchS: Array[UTF8String] = _
 
     private def longGetter(dt: org.apache.spark.sql.types.DataType)
         : (ColumnVector, Int) => Long = dt match {
@@ -173,7 +182,7 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     def bind(raw: ColumnarBatch): Unit = {
       var j = 0
       while (j < idxs.length) { vs(j) = raw.column(idxs(j)); j += 1 }
-      if (set == null && pairSet == null) { // once per file, REAL types
+      if (tupleSet == null && pairSet == null) { // once per file, REAL types
         val getters =
           if (vs.length == 2) (longGetter(vs(0).dataType()),
             longGetter(vs(1).dataType()))
@@ -186,15 +195,31 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
             pairSet.add(parts(0).toLong, parts(1).toLong)
           }
         } else {
-          set = new java.util.HashSet[String](e.keys.size * 2)
-          e.keys.foreach(set.add)
-          strs = new Array[(ColumnVector, Int) => String](vs.length)
-          var k = 0
-          while (k < vs.length) {
-            strs(k) = EqVectorMatcher.stringify(vs(k).dataType(),
-              e.cols(k)._1)
-            k += 1
+          isStr = vs.map(_.dataType() == StringType)
+          longGets = vs.map(v => longGetter(v.dataType()))
+          var m = 0
+          while (m < vs.length) {
+            if (!isStr(m) && longGets(m) == null)
+              throw new IllegalStateException(
+                s"equality-delete key '${e.cols(m)._1}' has unmaskable " +
+                  s"type ${vs(m).dataType().simpleString}")
+            m += 1
           }
+          tupleSet = new TypedTupleOpenHashSet(isStr, e.keys.size)
+          e.keys.foreach { k =>
+            val parts = EqSidecar.decode(k)
+            val ls = new Array[Long](vs.length)
+            val ss = new Array[UTF8String](vs.length)
+            var p = 0
+            while (p < vs.length) {
+              if (isStr(p)) ss(p) = UTF8String.fromString(parts(p))
+              else ls(p) = parts(p).toLong
+              p += 1
+            }
+            tupleSet.add(ls, ss)
+          }
+          scratchL = new Array[Long](vs.length)
+          scratchS = new Array[UTF8String](vs.length)
         }
       }
     }
@@ -206,10 +231,13 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
       }
       if (pairSet != null)
         return pairSet.contains(getA(vs(0), i), getB(vs(1), i))
-      val parts = new Array[String](vs.length)
       j = 0
-      while (j < vs.length) { parts(j) = strs(j)(vs(j), i); j += 1 }
-      set.contains(EqSidecar.encode(parts.toSeq))
+      while (j < vs.length) {
+        if (isStr(j)) scratchS(j) = vs(j).getUTF8String(i)
+        else scratchL(j) = longGets(j)(vs(j), i)
+        j += 1
+      }
+      tupleSet.contains(scratchL, scratchS)
     }
   }
 
@@ -367,19 +395,82 @@ private object EqVectorMatcher {
       s"equality-delete key '$col' has unmaskable type ${other.simpleString}")
   }
 
-  /** String form of a vector value (decimal digits for integrals —
-    * Spark's string cast, the sidecars' canonical coordinate) — the
-    * composite-tuple matcher's per-member extractor, bound to the
-    * DECODED vector type like the single-column matchers. */
-  def stringify(dt: org.apache.spark.sql.types.DataType,
-                col: String): (ColumnVector, Int) => String = dt match {
-    case StringType => (v, i) => v.getUTF8String(i).toString
-    case ByteType => (v, i) => v.getByte(i).toString
-    case ShortType => (v, i) => v.getShort(i).toString
-    case IntegerType => (v, i) => v.getInt(i).toString
-    case LongType => (v, i) => v.getLong(i).toString
-    case other => throw new IllegalStateException(
-      s"equality-delete key '$col' has unmaskable type ${other.simpleString}")
+}
+
+/** Allocation-free membership set over TYPED tuples of any arity:
+  * each member is a long (integral key member) or a [[UTF8String]]
+  * (string member), stored in parallel per-member arrays with open
+  * addressing + linear probing over an occupancy bitmap. Round-18:
+  * replaces the canonical encoded-string probe — which allocated
+  * per-member String conversions plus one encoded key string PER
+  * SURVIVING ROW and measured an 11.3× pending-read toll at 16M rows
+  * — for every composite shape beyond the two-integral pair:
+  * (string, string) business keys, 3+ integral members, mixed
+  * tuples. A probe reads the row's member values into caller-owned
+  * scratch arrays once, hashes across members, and compares
+  * slot-wise — the only per-row allocations left are the vector
+  * accessors' own UTF8String views, the same cost the single-column
+  * string path pays. */
+private[connector] final class TypedTupleOpenHashSet(isStr: Array[Boolean],
+                                                     n: Int) {
+  private val arity = isStr.length
+  private val cap: Int = {
+    var c = 8
+    while (c < n * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val used = new Array[Boolean](cap)
+  private val longs: Array[Array[Long]] =
+    isStr.map(s => if (s) null else new Array[Long](cap))
+  private val strs: Array[Array[UTF8String]] =
+    isStr.map(s => if (s) new Array[UTF8String](cap) else null)
+
+  /** UTF8String.hashCode is murmur3 over the bytes; integral members
+    * feed their raw value — one multiply-xor fold per member, the
+    * same finalizer family as [[LongOpenHashSet]]. */
+  private def slotOf(ls: Array[Long], ss: Array[UTF8String]): Int = {
+    var h = 0x9E3779B97F4A7C15L
+    var m = 0
+    while (m < arity) {
+      h = (h ^ (if (isStr(m)) ss(m).hashCode().toLong else ls(m))) *
+        0xFF51AFD7ED558CCDL
+      h ^= h >>> 33
+      m += 1
+    }
+    (h & mask).toInt
+  }
+
+  private def equalAt(i: Int, ls: Array[Long], ss: Array[UTF8String]): Boolean = {
+    var m = 0
+    while (m < arity) {
+      if (isStr(m)) { if (!(strs(m)(i) == ss(m))) return false }
+      else if (longs(m)(i) != ls(m)) return false
+      m += 1
+    }
+    true
+  }
+
+  def add(ls: Array[Long], ss: Array[UTF8String]): Unit = {
+    var i = slotOf(ls, ss)
+    while (used(i) && !equalAt(i, ls, ss)) i = (i + 1) & mask
+    if (!used(i)) {
+      used(i) = true
+      var m = 0
+      while (m < arity) {
+        if (isStr(m)) strs(m)(i) = ss(m) else longs(m)(i) = ls(m)
+        m += 1
+      }
+    }
+  }
+
+  def contains(ls: Array[Long], ss: Array[UTF8String]): Boolean = {
+    var i = slotOf(ls, ss)
+    while (used(i)) {
+      if (equalAt(i, ls, ss)) return true
+      i = (i + 1) & mask
+    }
+    false
   }
 }
 

@@ -126,12 +126,16 @@ final class SnapshotReaderFactory(schema: StructType,
                                     .Broadcast[Map[String, EqSidecar]]] = None)
   extends PartitionReaderFactory {
 
-  /** SQLConf-derived parquet settings, captured on the DRIVER (the
-    * factory is built in createReaderFactory) — the executor's bare
-    * `Configuration()` has no session, and Spark's vectorized stack
-    * reads these keys without defaults. */
+  /** SQLConf-derived parquet settings PLUS the driver's runtime
+    * hadoop-conf delta ([[SnapshotPartitions.hadoopConfDelta]]),
+    * captured on the DRIVER (the factory is built in
+    * createReaderFactory) — the executor's bare `Configuration()` has
+    * no session, Spark's vectorized stack reads the SQLConf keys
+    * without defaults, and runtime fs settings (object-store creds)
+    * never reach classpath defaults. */
   private val sessionConf: Map[String, String] =
-    SnapshotPartitions.sessionParquetConf()
+    SnapshotPartitions.hadoopConfDelta().toMap ++
+      SnapshotPartitions.sessionParquetConf()
 
   /** The partition's pending equality deletes, resolved EXECUTOR-side:
     * from the scan's one broadcast when it shipped one (batch scans —
@@ -157,10 +161,10 @@ final class SnapshotReaderFactory(schema: StructType,
     p match {
       case m: MetadataAggPartition => new MetadataAggReader(m)
       case f: SnapshotFilePartition => new SnapshotFileReader(f, schema,
-        eqSkipOverride = Some(eqFor(f)))
+        eqSkipOverride = Some(eqFor(f)), confExtra = sessionConf)
       case b: SnapshotBucketPartition => new ChainedPartitionReader(
         b.files.map(f => () => new SnapshotFileReader(f, schema,
-          eqSkipOverride = Some(eqFor(f)))))
+          eqSkipOverride = Some(eqFor(f)), confExtra = sessionConf)))
     }
 
   /** File partitions with a non-empty projection read VECTORIZED
@@ -266,13 +270,17 @@ private[connector] final class SnapshotFileReader(
     keepOnly: Option[java.util.HashSet[java.lang.Long]] = None,
     extra: Array[Any] = Array.empty,
     eqSkipOverride: Option[Seq[EqSidecar]] = None,
-    eqKeepOnly: Option[(Seq[String], Seq[String])] = None)
+    eqKeepOnly: Option[(Seq[String], Seq[String])] = None,
+    confExtra: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
-  // file:// and hdfs:// resolve from classpath defaults; a deployment
-  // with non-default fs conf would broadcast the session's hadoop conf
-  // here (the standard SerializableConfiguration pattern)
+  // classpath defaults plus the factory's driver-captured overlay
+  // (runtime hadoop-conf delta — object-store creds, custom fs impls
+  // — and the parquet SQLConf entries); callers without a factory
+  // (change-feed driver-side loads) pass nothing and keep the old
+  // file://-and-hdfs classpath resolution
   private val conf = new Configuration()
+  confExtra.foreach { case (k, v) => conf.set(k, v) }
   private val path = new Path(p.fileUri)
 
   /** Deleted row positions of THIS file (dv sidecars may be shared
@@ -580,6 +588,28 @@ private[graft] object SnapshotPartitions {
       SQLConf.VARIANT_ALLOW_READING_SHREDDED,
       SQLConf.LEGACY_PARQUET_RETURN_NULL_STRUCT_IF_ALL_FIELDS_MISSING)
       .map(e => e.key -> c.getConf(e).toString).toMap
+  }
+
+  /** Driver-applied hadoop settings that DIFFER from the classpath
+    * defaults (object-store credentials, custom fs impls, anything
+    * `sparkContext.hadoopConfiguration.set` at runtime) — what an
+    * executor-side `new Configuration()` cannot see (round-18; the
+    * streaming factories' sidecar loads used classpath defaults and
+    * could fail loudly where the batch broadcast path worked). The
+    * DELTA only, captured at factory construction on the driver, so
+    * task closures carry a handful of entries instead of the ~full
+    * Configuration the SerializableConfiguration pattern ships. */
+  def hadoopConfDelta(): Seq[(String, String)] = {
+    val session = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val defaults = new Configuration()
+    val out = Seq.newBuilder[(String, String)]
+    val it = session.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (defaults.get(e.getKey) != e.getValue) out += e.getKey -> e.getValue
+    }
+    out.result()
   }
 
   def partitionFor(dir: String, fe: FileEntry): SnapshotFilePartition =

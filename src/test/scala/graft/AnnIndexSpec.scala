@@ -350,6 +350,48 @@ class AnnIndexSpec extends SparkTestBase {
       vecs(Seq(5L, 99L)), k = 3, nprobe = 2, kCand = 12)
       .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
     assert(viaSql == want, "SQL ann_search diverged from the rerank recipe")
+    // k_cand is a PARAMETER (round-18 advice): recall of the refined
+    // top-k is capped by the candidate pool, so SQL can widen it
+    val widened = spark.sql(
+      "CALL graftann.system.ann_search('corpus', 'px', 'q', 3, 2, 20)")
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    val wantWide = AnnIndex.searchTopKRerank(spark, s"$root/corpus/_ann/px",
+      vecs(Seq(5L, 99L)), k = 3, nprobe = 2, kCand = 20)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(widened == wantWide, "explicit k_cand did not reach the rerank")
+    // one meta resolution per CALL (round-18): the PQ face used to
+    // list+open the meta three times (isPq → rerank → nested search)
+    // on the query latency path
+    AnnIndex.metaResolves.reset()
+    spark.sql("CALL graftann.system.ann_search('corpus', 'px', 'q', 3, 2)")
+      .collect()
+    assert(AnnIndex.metaResolves.sum() == 1L,
+      s"ann_search resolved the index meta ${AnnIndex.metaResolves.sum()} times")
+  }
+
+  test("meta publish is create-exclusive: a lost slot race lands at a higher seq") {
+    // regression (round-17 advice): publish wrote temp + rename, and
+    // rename REPLACES an existing destination on POSIX/local
+    // filesystems — two concurrent publishers (a streaming
+    // applyFeedBatch racing a manual CALL ann_refresh) could both
+    // land _ann_meta-<N>.json, silently losing one watermark advance.
+    val idx = freshDir()
+    val f = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val a = """{"first":true}""".getBytes("UTF-8")
+    val b = """{"second":true}""".getBytes("UTF-8")
+    // both publishers believe seq 1 is free — the slot loser must
+    // retry upward, never clobber
+    assert(AnnIndex.publishExclusive(f, idx, a, 1L) == 1L)
+    assert(AnnIndex.publishExclusive(f, idx, b, 1L) == 2L)
+    def read(name: String): String = {
+      val in = f.open(new org.apache.hadoop.fs.Path(idx, name))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(read("_ann_meta-1.json") == """{"first":true}""",
+      "the slot loser clobbered the winner's meta")
+    assert(read("_ann_meta-2.json") == """{"second":true}""")
   }
 
   test("indexes metadata table SHOWS a broken index instead of omitting it") {

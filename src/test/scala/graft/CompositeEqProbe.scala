@@ -51,23 +51,75 @@ object CompositeEqProbe {
       sec { df.agg(sum($"v"), count(lit(1))).collect() }
     }
 
-    // warm both paths
+    // (string, string) business key — the most common real CDC key
+    // after (int, int); round-18's TypedTupleOpenHashSet arm (the
+    // generic encoded-string probe measured 11.3× here pre-fix)
+    def buildSS(name: String): String = {
+      val dir = s"$root/$name"
+      SnapshotTable.write(spark,
+        spark.range(0, rows)
+          .select(concat(lit("t"),
+              (((($"id" * 2654435761L) % rows) % 1024)).cast("string")).as("gs"),
+            concat(lit("u"),
+              (($"id" * 2654435761L) % rows).cast("string")).as("ks"),
+            ($"id" * 2).as("v"), lit("x" * 40).as("pad"))
+          .repartition(32),
+        dir, "overwrite", Nil)
+      dir
+    }
+    val batchSS = batch.select(
+      concat(lit("t"), $"g".cast("string")).as("gs"),
+      concat(lit("u"), $"k".cast("string")).as("ks"))
+    // 3 integral members — past the long-pair fast path's arity
+    def buildIII(name: String): String = {
+      val dir = s"$root/$name"
+      SnapshotTable.write(spark,
+        spark.range(0, rows)
+          .select(((($"id" * 2654435761L) % rows) % 1024).as("g"),
+            (($"id" * 2654435761L) % rows).as("k"),
+            ((($"id" * 48271L) % rows) % 4096).as("j"),
+            ($"id" * 2).as("v"), lit("x" * 40).as("pad"))
+          .repartition(32),
+        dir, "overwrite", Seq("k"))
+      dir
+    }
+    val batchIII = spark.range(0, 1000)
+      .select(((($"id" * 7919L) % rows) % 1024).as("g"),
+        (($"id" * 7919L) % rows).as("k"),
+        ((($"id" * 7919L) * 48271L % rows) % 4096).as("j"))
+
+    // warm every path (pair set, typed tuple set, attach machinery)
     locally {
       val w = build("warm")
       SnapshotTable.deleteByKeys(spark, w, Seq("g", "k"), batch)
       wideRead(w)
+      val wss = buildSS("warm_ss")
+      SnapshotTable.deleteByKeys(spark, wss, Seq("gs", "ks"), batchSS)
+      wideRead(wss)
     }
     val sDir = build("single")
     val cDir = build("composite")
+    val ssDir = buildSS("ss")
+    val iiiDir = buildIII("iii")
     val base = wideRead(sDir) // folded baseline (no pending refs)
+    val baseSS = wideRead(ssDir) // string tables decode wider columns
+    val baseIII = wideRead(iiiDir)
     val tSingle = sec {
       SnapshotTable.deleteByKey(spark, sDir, "k", batch.select($"k"))
     }
     val tComposite = sec {
       SnapshotTable.deleteByKeys(spark, cDir, Seq("g", "k"), batch)
     }
+    val tSS = sec {
+      SnapshotTable.deleteByKeys(spark, ssDir, Seq("gs", "ks"), batchSS)
+    }
+    val tIII = sec {
+      SnapshotTable.deleteByKeys(spark, iiiDir, Seq("g", "k", "j"), batchIII)
+    }
     val rSingle = wideRead(sDir)
     val rComposite = wideRead(cDir)
+    val rSS = wideRead(ssDir)
+    val rIII = wideRead(iiiDir)
     val nS = spark.read.format("graft_snapshot").load(sDir).count()
     val nC = spark.read.format("graft_snapshot").load(cDir).count()
     require(nC >= nS,
@@ -82,7 +134,14 @@ object CompositeEqProbe {
          |"read_pending_single_wide_sec":${f3(rSingle)},
          |"read_pending_composite_wide_sec":${f3(rComposite)},
          |"pending_ratio_single":${f3(rSingle / base)},
-         |"pending_ratio_composite":${f3(rComposite / base)}}"""
+         |"pending_ratio_composite":${f3(rComposite / base)},
+         |"ss_epoch_sec":${f3(tSS)},"iii_epoch_sec":${f3(tIII)},
+         |"read_folded_ss_sec":${f3(baseSS)},
+         |"read_pending_ss_sec":${f3(rSS)},
+         |"pending_ratio_ss":${f3(rSS / baseSS)},
+         |"read_folded_iii_sec":${f3(baseIII)},
+         |"read_pending_iii_sec":${f3(rIII)},
+         |"pending_ratio_iii":${f3(rIII / baseIII)}}"""
         .stripMargin.replace("\n", ""))
   }
 }

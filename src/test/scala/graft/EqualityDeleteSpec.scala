@@ -505,6 +505,103 @@ class EqualityDeleteSpec extends SparkTestBase {
       "WHERE k IN (3, 5) AND region IS NULL").as[Long].head == 150L)
   }
 
+  test("composite (string,string) key: typed tuple masking, concat-collision-proof") {
+    // round-18: the (string, string) business key — the most common
+    // real CDC key after (int, int) — moves off the allocating
+    // encoded-string probe onto TypedTupleOpenHashSet. The fixture's
+    // tuples are CONCATENATION-COLLIDING: ("a","bc") vs ("ab","c") —
+    // any probe keyed on joined strings (without length prefixes)
+    // would kill both.
+    val dir = freshDir()
+    val rows = spark.range(0, 900).select(
+      when($"id" % 3 === 0, "a").when($"id" % 3 === 1, "ab")
+        .otherwise(concat(lit("q"), ($"id" % 5).cast("string"))).as("a"),
+      when($"id" % 3 === 0, "bc").when($"id" % 3 === 1, "c")
+        .otherwise(concat(lit("w"), ($"id" % 7).cast("string"))).as("b"),
+      $"id".as("v"))
+    SnapshotTable.write(spark, rows.repartition(4), dir, "overwrite", Nil)
+    SnapshotTable.deleteByKeys(spark, dir, Seq("a", "b"),
+      Seq(("a", "bc")).toDF("a", "b"))
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    // COLUMNAR family (projection)
+    assert(v2.select("a", "b", "v").filter($"a" === "a").count() == 0,
+      "the named (string,string) tuple must die")
+    assert(v2.select("a", "b", "v").filter($"a" === "ab" && $"b" === "c")
+      .count() == 300,
+      "concatenation-colliding sibling tuple was over-deleted")
+    assert(v2.select("a", "b", "v").count() == 600)
+    // ROW family (empty projection — decodes only the key columns)
+    assert(v2.count() == 600)
+    // second epoch composes; a key whose members exist only in OTHER
+    // tuples matches nothing
+    SnapshotTable.deleteByKeys(spark, dir, Seq("a", "b"),
+      Seq(("q1", "w0"), ("ab", "w1")).toDF("a", "b"))
+    val want = 600 - rows.filter($"a" === "q1" && $"b" === "w0").count()
+    assert(spark.read.format("graft_snapshot").load(dir).count() == want)
+  }
+
+  test("composite 3-integral key: tuple masking past the long-pair fast path") {
+    val dir = freshDir()
+    def base = spark.range(0, 8000).select(($"id" % 9).as("g"),
+      ($"id" % 16).as("k"), ($"id" % 25).as("j"), $"id".as("v"))
+    SnapshotTable.write(spark, base.repartition(4), dir, "overwrite", Seq("g"))
+    // 9/16/25 pairwise coprime → the tuple (1,2,3) names exactly the
+    // ids ≡ x0 (mod 3600); expectations computed from the base frame
+    val hits = base.filter($"g" === 1 && $"k" === 2 && $"j" === 3).count()
+    assert(hits > 0, "fixture lost its target tuple")
+    SnapshotTable.deleteByKeys(spark, dir, Seq("g", "k", "j"),
+      Seq((1L, 2L, 3L)).toDF("g", "k", "j"))
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    assert(v2.filter($"g" === 1 && $"k" === 2 && $"j" === 3).count() == 0)
+    // every 2-member projection of the tuple survives elsewhere
+    assert(v2.filter($"g" === 1 && $"k" === 2 && $"j" =!= 3).count() > 0,
+      "arity-3 masking killed a 2-member sibling")
+    assert(v2.filter($"g" === 1 && $"k" =!= 2 && $"j" === 3).count() > 0)
+    assert(v2.filter($"g" =!= 1 && $"k" === 2 && $"j" === 3).count() > 0)
+    assert(v2.count() == 8000 - hits)
+    assert(v2.select("g", "k", "j", "v").count() == 8000 - hits) // columnar
+    // fold leaves content fixed
+    SnapshotTable.purgeDeletes(spark, dir)
+    assert(SnapshotTable.scan(spark, dir).count() == 8000 - hits)
+  }
+
+  test("composite eq-CDC epochs: no pre-existing file rewritten, siblings survive") {
+    // q7T's two in-query pins, moved here (round-18, the r16 q7N
+    // precedent: the pins cost a manifest walk + two count jobs per
+    // bench rep; the oracle hash stays q7T's bench gate). Same epoch
+    // shape as the query: applyBatchEqKeys on a (k, ln) business key.
+    val dir = freshDir()
+    val base = spark.range(0, 3000)
+      .select(($"id" % 500).as("k"), ($"id" % 6 + 1).as("ln"),
+        ($"id" * 3).as("qty"))
+      .groupBy($"k", $"ln").agg(max($"qty").as("qty"))
+      .cache()
+    def feed(rows: org.apache.spark.sql.DataFrame, tpe: String, cv: Int) =
+      rows.select($"k", $"ln", $"qty", lit(tpe).as("change_type"),
+        lit(cv.toLong).as("commit_version"))
+    graft.streaming.ApplyChanges.applyBatchEqKeys(
+      feed(base.filter($"k" % 2 === 0).repartition(8), "upsert", 1),
+      dir, Seq("k", "ln"))
+    def files() = manifest(dir).files.map(_.path).toSet
+    val f1 = files()
+    graft.streaming.ApplyChanges.applyBatchEqKeys(
+      feed(base.filter($"k" % 10 === 0 && $"ln" === 1), "delete", 2)
+        .unionByName(feed(base.filter($"k" % 4 === 1), "upsert", 2)),
+      dir, Seq("k", "ln"))
+    // pin 1 (verbatim from q7T rounds 17): an eq-CDC epoch is a
+    // sidecar + append — zero target data files rewritten
+    require(f1.subsetOf(files()),
+      "composite eq-CDC epoch must never rewrite a pre-existing data file")
+    // pin 2 (verbatim): deleting (k, ln=1) tuples must keep the SAME
+    // k's other line numbers — tuple masking, not per-column OR
+    val scan2 = SnapshotTable.scan(spark, dir)
+    val sibs = scan2.filter($"k" % 10 === 0 && $"ln" =!= 1).count()
+    val wantSibs = base.filter($"k" % 10 === 0 && $"ln" =!= 1).count()
+    require(sibs == wantSibs && sibs > 0,
+      s"tuple masking lost sibling line numbers ($sibs vs $wantSibs)")
+    base.unpersist()
+  }
+
   test("composite keys bind BY NAME when the frame carries the key columns") {
     // review finding (round-17): purely positional binding would let a
     // same-named but REORDERED frame silently delete swapped tuples
