@@ -2947,6 +2947,65 @@ object ParityQueries {
         |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM live GROUP BY status ORDER BY status""".stripMargin),
 
+    // Dynamic partition overwrite (round-18, closing the r17 advice
+    // finding): INSERT OVERWRITE under partitionOverwriteMode=dynamic
+    // replaces exactly the identity-partition values present in the
+    // incoming batch — ONE atomic eq-delete + append commit, zero
+    // data files rewritten (the eq-CDC cost class, not a partition
+    // rewrite; at 100 TB a daily restatement touches one day's
+    // sidecar, never the table). The oracle recomputes the post-state
+    // from raw orders.
+    "q7W_dynamic_overwrite" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7W")
+        val cat = "graft_dw_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7W_orders")
+        s.sql(s"""CREATE TABLE $cat.t (k BIGINT, status STRING, price DOUBLE)
+                  |PARTITIONED BY (status)""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey, o_orderstatus, o_totalprice
+                  |FROM t7W_orders""".stripMargin)
+        val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          // restate ONE partition: the 'O' status rows shrink to the
+          // %3==0 keys at doubled price; 'F'/'P' partitions must ride
+          // through untouched
+          s.sql(s"""INSERT OVERWRITE $cat.t
+                    |SELECT o_orderkey, o_orderstatus, o_totalprice * 2
+                    |FROM t7W_orders
+                    |WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0""".stripMargin)
+        finally prior match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        // metadata-only sanity: the overwrite landed as pending eq
+        // refs (sidecar + append), not a table rewrite
+        require(graft.sources.SnapshotTable.readManifest(s, s"$root/t",
+          graft.sources.SnapshotTable.latestVersion(s, s"$root/t").get)
+          .files.exists(_.eqDv.nonEmpty),
+          "dynamic overwrite should land as an eq-delete sidecar + append")
+        s.sql(s"""SELECT status, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM $cat.t GROUP BY status ORDER BY status""".stripMargin)
+      },
+      """WITH live AS (
+        |  SELECT o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders WHERE o_orderstatus <> 'O'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0)
+        |SELECT status, count(*) AS cnt,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY status ORDER BY status""".stripMargin),
+
     // The ANN-index inspection surface in plain SQL (round-17):
     // `cat.ns.t.indexes` lists every index under the table with its
     // indexed version vs the corpus HEAD (staleness visible in SQL,

@@ -2338,7 +2338,73 @@ object SnapshotTable {
     * reads, sequencing, the masking budget — are [[deleteByKey]]'s. */
   def deleteByKeys(spark: SparkSession, dir: String, keyCols: Seq[String],
                    keys: DataFrame): Long =
+    deleteByKeysCore(spark, dir, keyCols, keys, alsoAdd = Nil,
+      op = "delete-eq", schemaJson = None)
+
+  /** Dynamic partition overwrite (`INSERT OVERWRITE` under
+    * `partitionOverwriteMode=dynamic`, `df.writeTo(t)
+    * .overwritePartitions()`): replace exactly the identity-partition
+    * values present in the incoming batch, keep every other
+    * partition — in ONE atomic commit, O(batch) bytes, zero data
+    * files rewritten.
+    *
+    * Partition identity is the table's IDENTITY layout columns
+    * (`clusterBy` — what `PARTITIONED BY (d)` declares): the incoming
+    * files' distinct key tuples become one equality-delete sidecar
+    * over the existing files (manifest-range/bloom-pruned, so a
+    * day-clustered table attaches only to the files whose range
+    * admits the incoming days) and the staged files append — the
+    * Hive/Iceberg replace-partitions semantics at the eq-CDC cost
+    * class instead of a partition rewrite. Hash buckets are file
+    * LAYOUT, not partition identity (Hive's view of CLUSTERED BY), so
+    * a bucket-only or layout-less table degrades to a full
+    * truncate-overwrite — exactly what static mode does there.
+    *
+    * Stated honestly: a row whose identity tuple has a NULL member
+    * appends WITHOUT replacing the existing null-partition rows (SQL
+    * equality never matches null — the same reason a null key never
+    * eq-deletes); and the incoming distinct-tuple count is subject to
+    * the per-file pending-key masking budget, so overwriting via a
+    * near-unique identity column fails loudly with compact/purge as
+    * the remedy rather than degrading reads. */
+  private[graft] def overwritePartitionsDynamic(
+      spark: SparkSession, dir: String, added: Seq[FileEntry],
+      keyCols: Seq[String], physKeyCols: Seq[String],
+      schemaJson: Option[String]): Long = {
+    if (keyCols.isEmpty || latestVersion(spark, dir).isEmpty)
+      return commitAdded(spark, dir, "overwrite", added, carry = false,
+        schemaJson = schemaJson)
+    if (added.isEmpty) // empty query output replaces no partitions
+      return latestVersion(spark, dir).get
+    // distinct identity tuples of the incoming batch, read back off
+    // the staged files (physical names), column-pruned — one tiny job
+    val keys = spark.read
+      .parquet(added.map(fe => resolvePath(dir, fe.path)): _*)
+      .select(physKeyCols.zip(keyCols).map { case (p, l) =>
+        col(s"`$p`").as(l) }: _*)
+      .distinct()
+    deleteByKeysCore(spark, dir, keyCols, keys, alsoAdd = added,
+      op = "overwrite-dynamic", schemaJson = schemaJson)
+  }
+
+  /** [[deleteByKeys]] with an optional atomically-co-committed set of
+    * staged files (`alsoAdd`) — dynamic partition overwrite is
+    * "delete the incoming tuples + append the incoming files" as ONE
+    * commit, so a crash can never leave the delete without the data. */
+  private def deleteByKeysCore(spark: SparkSession, dir: String,
+                               keyCols: Seq[String], keys: DataFrame,
+                               alsoAdd: Seq[FileEntry], op: String,
+                               schemaJson: Option[String]): Long =
     retryOnConflict(s"equality delete on $dir") {
+      // nothing to refute/mask (empty or all-null key batch, or every
+      // file refuted): the co-committed adds still publish. Plain
+      // commit, NOT commitStaged: a slot-race conflict must leave the
+      // staged files on disk for the retry (the V2 write's abort owns
+      // terminal cleanup).
+      def addsOnly(v: Long): Long =
+        if (alsoAdd.isEmpty) v
+        else commit(spark, dir, op, alsoAdd, removed = Map.empty,
+          carry = true, schemaJson = schemaJson)
       require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
       require(keyCols.distinct == keyCols,
         s"duplicate key columns in ${keyCols.mkString(",")}")
@@ -2389,7 +2455,7 @@ object SnapshotTable {
         if (rows.length > 1024) None
         else Some(rows.map(r => physCols.indices.map(r.getString)).toSeq)
       }
-      if (smallKeys.exists(_.isEmpty)) return v // empty batch
+      if (smallKeys.exists(_.isEmpty)) return addsOnly(v) // empty batch
       // one agg job computes every member's bounds
       val isString = members.map(_._2
         .contains(org.apache.spark.sql.types.StringType))
@@ -2403,7 +2469,7 @@ object SnapshotTable {
       val boundsRow = keyDf.agg(aggExprs.head, aggExprs.tail: _*).head
       if (physCols.indices.forall(i => boundsRow.isNullAt(2 * i)) &&
           members.forall(_._2.isDefined))
-        return v // empty batch: nothing to do
+        return addsOnly(v) // empty batch: nothing to do
       val bounds: Seq[Option[(Long, Long)]] = physCols.indices.map { i =>
         if (isString(i) || members(i)._2.isEmpty || boundsRow.isNullAt(2 * i))
           None
@@ -2436,7 +2502,7 @@ object SnapshotTable {
                 fileMayContain(fe, physCols(i), t(i)))))
         rangeHit && bloomHit
       }
-      if (affected.isEmpty) return v
+      if (affected.isEmpty) return addsOnly(v)
       // attach-time pending-key budget: readers materialize each
       // file's MERGED key set, capped at MaxPendingKeys — enforce the
       // bound where it accumulates (here) instead of surfacing it as
@@ -2458,8 +2524,8 @@ object SnapshotTable {
       val rel = s"data/$nonce-eq.parquet"
       writeSingleParquet(spark, dir, keyDf, rel)
       val updated = affected.map(fe => fe.copy(eqDv = (fe.eqDv :+ rel).distinct))
-      try commit(spark, dir, "delete-eq", updated,
-        removed = readSetOf(affected), carry = true)
+      try commit(spark, dir, op, updated ++ alsoAdd,
+        removed = readSetOf(affected), carry = true, schemaJson = schemaJson)
       catch {
         case e: CommitConflictException =>
           fs(spark, new Path(dir)).delete(new Path(dir, rel), false)

@@ -330,10 +330,14 @@ final class SnapshotV2Table(schema: StructType, dir: String,
   override def schema(): StructType = schema
 
   override def capabilities(): java.util.Set[TableCapability] =
+    // OVERWRITE_DYNAMIC (round-18): with partitioning() non-empty,
+    // ResolveInsertInto routes plain INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic to OverwritePartitionsDynamic,
+    // which failed at analysis while the builder only truncated
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (schema.isEmpty) throw new IllegalStateException(

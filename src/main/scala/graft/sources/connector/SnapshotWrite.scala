@@ -51,11 +51,26 @@ import graft.sources.SnapshotTable.FileEntry
 final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
                                  asFresh: Boolean = false,
                                  defer: Option[Seq[FileEntry] => Unit] = None)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var overwrite = false
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` /
+    * `df.writeTo(t).overwritePartitions()`: replace exactly the
+    * identity-partition values present in the incoming data
+    * ([[graft.sources.SnapshotTable.overwritePartitionsDynamic]] —
+    * one atomic eq-delete + append commit, zero data files
+    * rewritten). On a table with no identity layout columns this is a
+    * full truncate-overwrite, the Hive semantics for non-partitioned
+    * tables (buckets are layout, not partition identity) and the
+    * pre-round-18 behavior. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
+    this
+  }
 
   private def cols(key: String): Seq[String] =
     Option(info.options.get(key))
@@ -229,20 +244,28 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
 
     override def toBatch: BatchWrite = {
       val pm = physMapFor
+      require(!(dynamic && defer.isDefined),
+        "staged DDL (CREATE/REPLACE TABLE AS SELECT) cannot take a " +
+          "dynamic-overwrite write")
       new SnapshotBatchWrite(dir, aligned, overwrite,
         cols("statsCols").map(logicalName).map(c => pm.getOrElse(c, c)),
         cols("bloomCols").map(logicalName).map(c => pm.getOrElse(c, c)),
         SnapshotWriteSupport.rename(aligned, pm),
         bucketCol.map(c => (pm.getOrElse(c, c), bucketCount)),
         targetFileRows, defer,
-        cols("ndvCols").map(logicalName).map(c => pm.getOrElse(c, c)))
+        cols("ndvCols").map(logicalName).map(c => pm.getOrElse(c, c)),
+        // dynamic overwrite's partition identity = the identity layout
+        // (clusterBy) columns, as (logical, physical) name pairs
+        dynamicKeys =
+          if (dynamic) Some((clusterCols, clusterCols.map(c => pm.getOrElse(c, c))))
+          else None)
     }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(defer.isEmpty,
         "staged DDL (CREATE/REPLACE TABLE AS SELECT) cannot take a streaming write")
-      require(!overwrite,
+      require(!overwrite && !dynamic,
         "graft_snapshot streaming sink is append-only (outputMode append)")
       val mergeKey = Option(info.options.get("mergeKey")).map(_.trim)
         .filter(_.nonEmpty)
@@ -375,7 +398,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
                                bucketSpec: Option[(String, Int)] = None,
                                targetFileRows: Long = 0L,
                                defer: Option[Seq[FileEntry] => Unit] = None,
-                               ndvCols: Seq[String] = Nil)
+                               ndvCols: Seq[String] = Nil,
+                               dynamicKeys: Option[(Seq[String], Seq[String])] = None)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -407,9 +431,20 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
       case Some(stash) => stash(entries)
       case None =>
         SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
-        SnapshotTable.commitAdded(SparkSession.active, dir,
-          if (overwrite) "overwrite" else "append", entries, carry = !overwrite,
-          schemaJson = Some(schema.json))
+        dynamicKeys match {
+          // dynamic partition overwrite: ONE commit that eq-deletes the
+          // incoming identity tuples from the existing files and
+          // appends the staged ones (full overwrite when the table
+          // declares no identity columns)
+          case Some((logical, physical)) =>
+            SnapshotTable.overwritePartitionsDynamic(SparkSession.active,
+              dir, entries, logical, physical, Some(schema.json))
+          case None =>
+            SnapshotTable.commitAdded(SparkSession.active, dir,
+              if (overwrite) "overwrite" else "append", entries,
+              carry = !overwrite, schemaJson = Some(schema.json))
+        }
+        ()
     }
   }
 
