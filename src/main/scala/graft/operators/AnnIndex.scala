@@ -62,11 +62,26 @@ object AnnIndex {
     * codewords, trained for `iters` Lloyd rounds at [[build]] time
     * (and FROZEN, like the coarse quantizer — re-training either is a
     * rebuild). `m ≤ 8` and `ks ≤ 256` so one row's codes pack into a
-    * single BIGINT — the literal "8-byte code" of Jégou et al. */
-  final case class PqSpec(m: Int, ks: Int, iters: Int) {
+    * single BIGINT — the literal "8-byte code" of Jégou et al.
+    *
+    * `trainFraction` (round-18): train the codebooks on a
+    * DETERMINISTIC hash-sampled subset of the build-time corpus
+    * instead of every row — standard PQ practice (the codebooks are a
+    * vocabulary-sized summary; Lloyd rounds over 10⁹ rows buy nothing
+    * a 1% draw doesn't), and at scale the difference between minutes
+    * and hours of scan per round. The draw is [[Sampling]]'s
+    * partition-invariant hash on the id column, so the same corpus
+    * version + fraction reproduces the same codebooks on any cluster
+    * layout; ENCODING still covers every row, so the index is exact
+    * over the full corpus either way. 1.0 (default) trains on
+    * everything — the pre-round-18 behavior. */
+  final case class PqSpec(m: Int, ks: Int, iters: Int,
+                          trainFraction: Double = 1.0) {
     require(m >= 1 && m <= 8, s"pq m must be in [1,8], got $m")
     require(ks >= 2 && ks <= 256, s"pq ks must be in [2,256], got $ks")
     require(iters >= 0, s"pq iters must be >= 0, got $iters")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"pq trainFraction must be in (0,1], got $trainFraction")
   }
 
   private final case class Meta(corpusDir: String, indexedVersion: Long,
@@ -307,9 +322,30 @@ object AnnIndex {
       pq.map(p => (p.m, p.ks)))
     val cb: Option[Array[Double]] = pq.map { p =>
       require(dim % p.m == 0, s"pq m=${p.m} must divide dim=$dim")
-      val trained = pqCodebooks.getOrElse(ProductQuantizer.train(
-        SnapshotTable.scan(spark, corpusDir, Some(v)),
-        p.m, p.ks, p.iters, dim, idCol, vecCol))
+      val trained = pqCodebooks.getOrElse {
+        val full = SnapshotTable.scan(spark, corpusDir, Some(v))
+        val trainDf =
+          if (p.trainFraction >= 1.0) full
+          else {
+            // deterministic hash draw on the id: same corpus version +
+            // fraction ⇒ same training set (hence same codebooks) on
+            // any cluster/partition layout
+            val den = 1 << 20
+            val num = math.max(1,
+              math.round(p.trainFraction * den).toInt)
+            val s = Sampling.hashSample(full, idCol, num, den,
+              salt = "pq-train")
+            // the seeds are the ks lowest-id TRAINING rows — a draw
+            // thinner than ks codewords would leave dead (zero)
+            // codewords silently degrading every encode
+            require(s.limit(p.ks).count() >= p.ks,
+              s"pq trainFraction=${p.trainFraction} drew fewer than " +
+                s"ks=${p.ks} rows — raise the fraction (or shrink ks)")
+            s
+          }
+        ProductQuantizer.train(trainDf, p.m, p.ks, p.iters, dim, idCol,
+          vecCol)
+      }
       require(trained.length == p.m * p.ks * (dim / p.m),
         s"codebooks carry ${trained.length} coords, want m*ks*ds")
       import spark.implicits._

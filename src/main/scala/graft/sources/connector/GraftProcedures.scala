@@ -286,7 +286,13 @@ object GraftProcedures {
           in("id_col", StringType), in("vec_col", StringType),
           in("dim", IntegerType), in("centroids", IntegerType),
           in("m", IntegerType), in("ks", IntegerType),
-          in("iters", IntegerType)),
+          in("iters", IntegerType),
+          // round-18: codebooks train on a deterministic hash-sampled
+          // fraction of the corpus (1.0 = every row) — at 10⁹ rows
+          // full-corpus Lloyd rounds are hours of scan a 1% draw
+          // makes minutes, with encode/search unchanged
+          ProcedureParameter.in("train_fraction", DoubleType)
+            .defaultValue("1.0").build()),
         StructType(Seq(
           StructField("indexed_version", LongType, nullable = false),
           StructField("cells", IntegerType, nullable = false)))) {
@@ -303,7 +309,8 @@ object GraftProcedures {
           val v = graft.operators.AnnIndex.build(spark, dir, idx, cents,
             args.getInt(4), idCol, vecCol,
             pq = Some(graft.operators.AnnIndex.PqSpec(args.getInt(6),
-              args.getInt(7), args.getInt(8))))
+              args.getInt(7), args.getInt(8),
+              trainFraction = args.getDouble(9))))
           Seq(new GenericInternalRow(Array[Any](v, k)))
       })
       // ann_refresh(table, index): advance the index to the corpus

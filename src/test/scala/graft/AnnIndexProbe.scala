@@ -98,6 +98,25 @@ object AnnIndexProbe {
       p1.n == baseRows && p8.n == baseRows * 8,
       s"maintained counts wrong: ${(f1.n, f8.n, p1.n, p8.n)}")
 
+    // sampled-training arms (round-18): the x8 corpus again, PQ
+    // codebooks trained on 1/4 and 1/16 deterministic hash draws —
+    // the Lloyd rounds' scan+update cost should drop ~linearly in the
+    // fraction while encode (the other build half) and search stay
+    // fraction-independent
+    val corpus8 = s"$root/x8/corpus"
+    val rows8 = baseRows * 8
+    val cen8 = vecs(0, rows8).filter($"vec_id" % (rows8 / 64) === 0)
+    def sampledArm(tag: String, fraction: Double): (Double, Double) = {
+      val d = s"$root/x8/pq_$tag"
+      val b = sec { AnnIndex.build(spark, corpus8, d, cen8, dim,
+        pq = Some(pq.copy(trainFraction = fraction))) }
+      val s = sec { AnnIndex.searchTopK(spark, d, vecs(5000, 5008), k = 5,
+        nprobe = 4).collect() }
+      (b, s)
+    }
+    val (b25, s25) = sampledArm("f25", 0.25)
+    val (b06, s06) = sampledArm("f0625", 0.0625)
+
     spark.stop()
     println(
       s"""{"metric":"ann_index_probe","dim":$dim,"batch_rows":2000,
@@ -113,7 +132,9 @@ object AnnIndexProbe {
          |"pq_refresh_scale_ratio":${f3(p8.refresh / p1.refresh)},
          |"flat_assign_bytes_x8":${f8.assignBytes},
          |"pq_assign_bytes_x8":${p8.assignBytes},
-         |"assign_bytes_ratio_x8":${f3(f8.assignBytes.toDouble / p8.assignBytes)}}"""
+         |"assign_bytes_ratio_x8":${f3(f8.assignBytes.toDouble / p8.assignBytes)},
+         |"pq_build_x8_f25_sec":${f3(b25)},"pq_build_x8_f0625_sec":${f3(b06)},
+         |"pq_search_x8_f25_sec":${f3(s25)},"pq_search_x8_f0625_sec":${f3(s06)}}"""
         .stripMargin.replace("\n", ""))
   }
 }

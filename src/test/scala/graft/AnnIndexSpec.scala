@@ -166,6 +166,54 @@ class AnnIndexSpec extends SparkTestBase {
       "maintained PQ index diverged from a same-codebooks rebuild")
   }
 
+  test("sampled PQ training: deterministic codebooks; maintained == rebuilt") {
+    // round-18: trainFraction trains the codebooks on a deterministic
+    // hash-sampled draw — at 10⁹ rows the full-corpus Lloyd rounds
+    // are the one honest build cost SCALE_r17 priced (107 s at 2M).
+    // The draw keys on the id column, so same corpus version + same
+    // fraction ⇒ bit-identical codebooks whatever the partitioning.
+    val corpus = freshDir()
+    SnapshotTable.write(spark, vecs(0L until 400L), corpus, "overwrite",
+      Seq("vec_id"))
+    val cen = vecs((0L until 400L).filter(_ % 50 == 0))
+    val sampled = AnnIndex.PqSpec(m = 4, ks = 16, iters = 2,
+      trainFraction = 0.3)
+    val a = freshDir(); val b = freshDir()
+    AnnIndex.build(spark, corpus, a, cen, dim, pq = Some(sampled))
+    // a REPARTITIONED rebuild of the same corpus content draws the
+    // same training rows (partition-invariant hash)
+    AnnIndex.build(spark, corpus, b, cen, dim, pq = Some(sampled))
+    val cbA = AnnIndex.loadCodebooks(spark, a, sampled.m, sampled.ks, dim)
+    val cbB = AnnIndex.loadCodebooks(spark, b, sampled.m, sampled.ks, dim)
+    assert(cbA.toSeq == cbB.toSeq, "sampled training must be deterministic")
+    // the sample genuinely changed the training input (vs full-corpus)
+    val full = freshDir()
+    AnnIndex.build(spark, corpus, full, cen, dim, pq = Some(pqSpec))
+    assert(cbA.toSeq != AnnIndex.loadCodebooks(spark, full, pqSpec.m,
+      pqSpec.ks, dim).toSeq,
+      "0.3 draw trained identically to the full corpus — sampling inert?")
+    // maintenance stays exact under the frozen SAMPLED codebooks:
+    // CDC epochs + refresh answer like a same-codebooks rebuild
+    SnapshotTable.write(spark, vecs(400L until 430L), corpus, "append",
+      Seq("vec_id"))
+    SnapshotTable.deleteByKey(spark, corpus, "vec_id",
+      spark.range(0, 5).toDF("vec_id"))
+    AnnIndex.refresh(spark, a)
+    val reb = freshDir()
+    AnnIndex.build(spark, corpus, reb, cen, dim, pq = Some(sampled),
+      pqCodebooks = Some(cbA))
+    val queries = vecs(Seq(10L, 222L, 429L))
+    assert(searchRows(a, queries) == searchRows(reb, queries),
+      "sampled-codebook maintenance diverged from rebuild")
+    // a draw thinner than ks codewords refuses loudly at build
+    val tooThin = AnnIndex.PqSpec(m = 4, ks = 16, iters = 1,
+      trainFraction = 0.005)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.build(spark, corpus, freshDir(), cen, dim, pq = Some(tooThin))
+    }
+    assert(err.getMessage.contains("fewer than"))
+  }
+
   test("PQ search reproduces the in-query IVFADC chain at the same version") {
     val corpus = freshDir(); val idx = freshDir()
     val rows = vecs(0L until 300L)
