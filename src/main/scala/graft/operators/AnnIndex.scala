@@ -561,6 +561,18 @@ object AnnIndex {
                              dim: Int, pq: Option[(Int, Int)], cells: Long,
                              drift: DriftStats)
 
+  /** Names of the ANN indexes living under a TABLE root's `_ann/`
+    * directory (what `CALL ann_build[_pq]` creates) — the walk the
+    * `cat.ns.t.indexes` metadata table and `maintain`'s index sweep
+    * share. Listing only; nothing is opened. */
+  def listIndexes(spark: SparkSession, tableDir: String): Seq[String] = {
+    val annRoot = new Path(tableDir, "_ann")
+    val f = annRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(annRoot)) Nil
+    else f.listStatus(annRoot).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
   /** Whether the index at `indexDir` is product-quantized (the SQL
     * `ann_search` face refines PQ results to exact cosine so its
     * result column means the same thing on either layout). */

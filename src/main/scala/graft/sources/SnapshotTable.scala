@@ -4331,15 +4331,34 @@ object SnapshotTable {
       // clusterBy key whose stabbing depth exceeds N (opt-in: the
       // rewrite is real write amplification, sized O(decayed), and a
       // deployment chooses its pruning-vs-write trade)
-      reclusterMaxDepth: Int = 0)
+      reclusterMaxDepth: Int = 0,
+      // opt-in (round-18): walk the table's ANN indexes (`_ann/*`)
+      // and REFRESH the stale ones off the change feed — O(changed
+      // rows) each. Runs BEFORE vacuum, so the refreshed watermark
+      // (not a stale one) decides which corpus versions a PQ rerank
+      // still needs retained; content-neutral for the corpus itself.
+      refreshIndexes: Boolean = false,
+      // when refreshIndexes is on, an index whose metadata-only
+      // quantizer-drift ratio exceeds this REPORTS rebuild-recommended
+      // (AnnIndex.driftStats policy: ~8 = one cell holds an order of
+      // magnitude more than the typical cell). Reported, never
+      // auto-executed: a rebuild re-trains the quantizer — a new
+      // index — and that is an operator's call.
+      indexRebuildDriftRatio: Double = 8.0)
 
-  /** What one [[maintain]] pass actually did (all content-neutral). */
+  /** What one [[maintain]] pass actually did (all content-neutral).
+    * `indexRebuildRecommended` lists the ANN indexes whose drift
+    * ratio crossed the policy threshold — or that are UNREADABLE
+    * (a dead index's only remedy is a rebuild) — for the operator to
+    * act on; maintain never rebuilds by itself. */
   final case class MaintenanceReport(purged: Boolean, compacted: Boolean,
                                      vacuumedFiles: Int,
                                      filesBefore: Int, filesAfter: Int,
                                      rebucketedFiles: Int = 0,
                                      reclusteredFiles: Int = 0,
-                                     statsRefreshed: Boolean = false)
+                                     statsRefreshed: Boolean = false,
+                                     indexesRefreshed: Int = 0,
+                                     indexRebuildRecommended: Seq[String] = Nil)
 
   /** One policy-driven maintenance pass — the "table services" sweep a
     * 100 TB deployment runs on a schedule instead of hand-sequencing
@@ -4394,6 +4413,42 @@ object SnapshotTable {
         reclusterDecayed(spark, dir, policy.reclusterMaxDepth,
           policy.targetRows)
       else 0
+    // index lifecycle (opt-in), BEFORE vacuum: refresh advances each
+    // index's watermark so vacuum retention is judged against the
+    // fresh indexed versions, and the change feed still has the
+    // manifests it must diff. The maintenance rewrites above are
+    // content-neutral, so their file churn diffs to an EMPTY change
+    // set (EXCEPT ALL cancels identical rows) — a refresh after
+    // compact pays a diff read, never a wrong assignment.
+    val (indexesRefreshed, rebuildRec) =
+      if (!policy.refreshIndexes) (0, Nil)
+      else {
+        var refreshed = 0
+        val rec = Seq.newBuilder[String]
+        graft.operators.AnnIndex.listIndexes(spark, dir).foreach { name =>
+          val idx = s"$dir/_ann/$name"
+          try {
+            val head = latestVersion(spark, dir).get
+            val info = graft.operators.AnnIndex.describe(spark, idx)
+            val drift =
+              if (info.indexedVersion == head) info.drift
+              else {
+                graft.operators.AnnIndex.refresh(spark, idx)
+                refreshed += 1
+                // post-refresh drift: the signal should reflect the
+                // assignments the sweep just landed
+                graft.operators.AnnIndex.driftStats(spark, idx)
+              }
+            if (drift.ratio > policy.indexRebuildDriftRatio) rec += name
+          } catch {
+            // an unreadable index must neither kill the sweep nor
+            // hide: rebuild is its one remedy, so it reports as such
+            // (the indexes metadata table carries the failure detail)
+            case _: Exception => rec += name
+          }
+        }
+        (refreshed, rec.result())
+      }
     val swept = vacuum(spark, dir, policy.keepVersions, policy.vacuumMinAgeMs)
     val mEnd = readManifest(spark, dir, latestVersion(spark, dir).get)
     // 5. ANALYZE freshness (opt-in): only tables that WERE analyzed
@@ -4418,6 +4473,8 @@ object SnapshotTable {
     MaintenanceReport(purged, compacted, swept.size,
       filesBefore = m0.files.size, filesAfter = mEnd.files.size,
       rebucketedFiles = rebucketed, reclusteredFiles = reclustered,
-      statsRefreshed = statsRefreshed)
+      statsRefreshed = statsRefreshed,
+      indexesRefreshed = indexesRefreshed,
+      indexRebuildRecommended = rebuildRec)
   }
 }

@@ -154,7 +154,15 @@ object GraftProcedures {
           // CALL maintain('t') keeps the 10% default, CALL
           // maintain('t', 0.25) tunes it
           ProcedureParameter.in("analyze_drift_pct", DoubleType)
-            .defaultValue("0.1").build()),
+            .defaultValue("0.1").build(),
+          // optional (round-18): walk the table's ANN indexes too —
+          // refresh the stale ones (O(changed rows) each, before
+          // vacuum so retention sees the fresh watermarks) and REPORT
+          // rebuild-recommended for any whose quantizer-drift ratio
+          // exceeds ~8 (never auto-rebuilds: a new quantizer is a new
+          // index, an operator's call)
+          ProcedureParameter.in("refresh_indexes", BooleanType)
+            .defaultValue("false").build()),
         StructType(Seq(
           StructField("purged", BooleanType, nullable = false),
           StructField("compacted", BooleanType, nullable = false),
@@ -162,7 +170,12 @@ object GraftProcedures {
           StructField("files_before", IntegerType, nullable = false),
           StructField("files_after", IntegerType, nullable = false),
           StructField("files_rebucketed", IntegerType, nullable = false),
-          StructField("stats_refreshed", BooleanType, nullable = false)))) {
+          StructField("stats_refreshed", BooleanType, nullable = false),
+          StructField("indexes_refreshed", IntegerType, nullable = false),
+          // comma-joined index names past the drift threshold (or
+          // unreadable); empty = nothing to do
+          StructField("index_rebuild_recommended", StringType,
+            nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
           // the CALL face opts into ANALYZE freshness (default 10%
@@ -171,10 +184,13 @@ object GraftProcedures {
           // never-analyzed tables
           val r = SnapshotTable.maintain(spark, dir,
             SnapshotTable.MaintenancePolicy(
-              analyzeDriftPct = args.getDouble(1)))
+              analyzeDriftPct = args.getDouble(1),
+              refreshIndexes = args.getBoolean(2)))
           Seq(new GenericInternalRow(Array[Any](r.purged, r.compacted,
             r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles,
-            r.statsRefreshed)))
+            r.statsRefreshed, r.indexesRefreshed,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              r.indexRebuildRecommended.mkString(",")))))
       })
       case "create_tag" => Some(proc("create_tag",
         Array(in("table", StringType), in("name", StringType),

@@ -370,6 +370,64 @@ class AnnIndexSpec extends SparkTestBase {
       "driftStats touched assign/ data files")
   }
 
+  test("maintain's index sweep: refresh-when-stale, no-op-when-fresh, drift report") {
+    // round-18: CALL maintain(..., refresh_indexes => true) walks the
+    // table's ANN indexes — refreshes stale ones BEFORE vacuum and
+    // REPORTS (never executes) rebuild-recommended past the drift
+    // threshold. Opt-in: the default sweep leaves indexes alone.
+    val root = Files.createTempDirectory("graft-annix-mnt").toString
+    spark.conf.set("spark.sql.catalog.graftannm",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftannm.root", root)
+    vecs(0L until 400L).createOrReplaceTempView("annixm_src")
+    spark.sql("CREATE TABLE graftannm.corpus (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO graftannm.corpus SELECT * FROM annixm_src")
+    withSQLConf("spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8") {
+      spark.sql("CALL graftannm.system.ann_build('corpus', 'ix', " +
+        s"'vec_id', 'embedding', $dim, 10)")
+    }
+    // stale the index with a CDC epoch
+    vecs(400L until 430L).createOrReplaceTempView("annixm_more")
+    spark.sql("INSERT INTO graftannm.corpus SELECT * FROM annixm_more")
+    def corpusRows() = spark.sql("SELECT * FROM graftannm.corpus")
+      .collect().map(_.toSeq).toSet
+    val before = corpusRows()
+    // default sweep: indexes NOT walked (opt-in), index stays stale
+    val r0 = spark.sql("CALL graftannm.system.maintain('corpus')").head
+    assert(r0.getAs[Int]("indexes_refreshed") == 0)
+    assert(spark.sql("SELECT stale FROM graftannm.corpus.indexes").head
+      .getBoolean(0), "default maintain must not touch indexes")
+    // opted-in sweep: refreshes the stale index, corpus content fixed
+    val r1 = spark.sql(
+      "CALL graftannm.system.maintain('corpus', 0.0, true)").head
+    assert(r1.getAs[Int]("indexes_refreshed") == 1,
+      s"stale index not refreshed: $r1")
+    assert(r1.getAs[String]("index_rebuild_recommended") == "")
+    assert(!spark.sql("SELECT stale FROM graftannm.corpus.indexes").head
+      .getBoolean(0), "sweep left the index stale")
+    assert(corpusRows() == before, "index sweep mutated the corpus")
+    // fresh: the second sweep is a no-op
+    val r2 = spark.sql(
+      "CALL graftannm.system.maintain('corpus', 0.0, true)").head
+    assert(r2.getAs[Int]("indexes_refreshed") == 0)
+    // planted distribution shift (the driftStats fixture): late
+    // arrivals funneling into ONE cell — the sweep refreshes AND
+    // reports rebuild-recommended
+    spark.range(1000L, 1400L).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => (sin(j * 1.13) + ($"vec_id" - 1000L) * 1e-4f)
+            .cast("float")))
+      .createOrReplaceTempView("annixm_shift")
+    spark.sql("INSERT INTO graftannm.corpus SELECT * FROM annixm_shift")
+    val r3 = spark.sql(
+      "CALL graftannm.system.maintain('corpus', 0.0, true)").head
+    assert(r3.getAs[Int]("indexes_refreshed") == 1)
+    assert(r3.getAs[String]("index_rebuild_recommended") == "ix",
+      s"planted shift not reported: $r3")
+  }
+
   test("SQL face: ann_build_pq builds a PQ index; ann_search refines to exact cosine") {
     val root = Files.createTempDirectory("graft-annix-sql").toString
     spark.conf.set("spark.sql.catalog.graftann",

@@ -713,8 +713,11 @@ class ConnectorSpec extends SparkTestBase {
     assert(!rep.head.getBoolean(0) && !rep.head.getBoolean(1))
     val rep2 = spark.sql(
       "CALL graftcat7.system.maintain('t', 0.25)").collect()
-    assert(!rep2.head.getBoolean(rep2.head.length - 1),
+    assert(!rep2.head.getAs[Boolean]("stats_refreshed"),
       "never-analyzed table must not report a stats refresh")
+    // the round-18 index columns default inert on an index-less table
+    assert(rep2.head.getAs[Int]("indexes_refreshed") == 0)
+    assert(rep2.head.getAs[String]("index_rebuild_recommended") == "")
     assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
       .as[Long].head == 200L)
     // unknown procedure fails loudly
