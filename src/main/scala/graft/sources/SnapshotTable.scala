@@ -4025,20 +4025,39 @@ object SnapshotTable {
     * z-order pair so the compacted files get tight (min,max) ranges on
     * BOTH columns — compaction and [[readRange]] skipping compound.
     * Content is bit-identical; only layout changes. */
+  /** `where` (round-18, the `OPTIMIZE … WHERE` shape): scope the
+    * bin-pack to files the predicate cannot be REFUTED for through
+    * the manifest stats/blooms — at 100 TB only the hot ingest tail
+    * decays, and whole-table compaction there is write amplification
+    * over cold data nobody touched. Conservative the safe way: a
+    * file the manifest cannot prove non-matching is included (still
+    * content-neutral), a proven-cold file is never rewritten and its
+    * manifest entry rides through untouched. */
   def compact(spark: SparkSession, dir: String, smallRows: Long, targetRows: Long,
               statsCols: Seq[String] = Nil,
-              zorderBy: Option[(String, String, Int)] = None): Long =
+              zorderBy: Option[(String, String, Int)] = None,
+              where: Option[org.apache.spark.sql.Column] = None): Long =
     retryOnConflict(s"compact $dir") {
-      compactOnce(spark, dir, smallRows, targetRows, statsCols, zorderBy)
+      compactOnce(spark, dir, smallRows, targetRows, statsCols, zorderBy,
+        where)
     }
 
   private def compactOnce(spark: SparkSession, dir: String, smallRows: Long,
                           targetRows: Long, statsCols: Seq[String],
-                          zorderBy: Option[(String, String, Int)]): Long = {
+                          zorderBy: Option[(String, String, Int)],
+                          where: Option[org.apache.spark.sql.Column] = None): Long = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot compact empty table $dir"))
     val m = readManifest(spark, dir, v)
-    val small = m.files.filter(_.liveRows < smallRows)
+    val small0 = m.files.filter(_.liveRows < smallRows)
+    val small = where match {
+      case None => small0
+      case Some(p) =>
+        val expr = org.apache.spark.sql.graftbridge.Bridge
+          .catalystExpression(p)
+        val k = tableSchema(spark, dir, v)
+        small0.filterNot(refutesAllRows(expr, _, k))
+    }
     if (small.size < 2) return v // nothing to gain
     // bin-pack WITHIN each bucket group so a bucketed table's layout
     // (and its storage-partitioned-join capability) survives

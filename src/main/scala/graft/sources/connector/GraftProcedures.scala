@@ -98,12 +98,22 @@ object GraftProcedures {
       })
       case "compact" => Some(proc("compact",
         Array(in("table", StringType), in("small_rows", LongType),
-          in("target_rows", LongType)),
+          in("target_rows", LongType),
+          // optional (round-18): the OPTIMIZE … WHERE shape — scope
+          // the bin-pack to files the predicate may match (manifest-
+          // pruned); '' = whole table. A SQL boolean expression over
+          // the table's columns, e.g. 'day >= 20240101'.
+          ProcedureParameter.in("where", StringType)
+            .defaultValue("''").build()),
         StructType(Seq(StructField("version", LongType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
+          val whereStr = args.getUTF8String(3).toString.trim
+          val where =
+            if (whereStr.isEmpty) None
+            else Some(org.apache.spark.sql.functions.expr(whereStr))
           val v = SnapshotTable.compact(spark, dir, args.getLong(1),
-            args.getLong(2))
+            args.getLong(2), where = where)
           Seq(new GenericInternalRow(Array[Any](v)))
       })
       case "rebucket" => Some(proc("rebucket",

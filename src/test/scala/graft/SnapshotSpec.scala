@@ -175,6 +175,78 @@ class SnapshotSpec extends SparkTestBase {
     assert(SnapshotTable.compact(spark, dir, 100, 1000, Seq("id")) == v)
   }
 
+  test("predicate-scoped compaction: only the hot tail rewrites (OPTIMIZE WHERE)") {
+    // round-18: at 100 TB only the ingest tail decays — `where` scopes
+    // the bin-pack to files the predicate may match via the manifest
+    // stats, so cold small files are never rewritten.
+    val dir = freshDir()
+    // cold region: ids < 10000 in several small id-clustered files
+    (0 until 4).foreach { i =>
+      SnapshotTable.write(spark,
+        spark.range(i * 100, i * 100 + 50)
+          .select($"id", ($"id" % 9).as("x")).coalesce(1),
+        dir, if (i == 0) "overwrite" else "append", Seq("id"))
+    }
+    // hot tail: ids >= 10000 in several small files
+    (0 until 5).foreach { i =>
+      SnapshotTable.write(spark,
+        spark.range(10000 + i * 100, 10000 + i * 100 + 50)
+          .select($"id", ($"id" % 9).as("x")).coalesce(1),
+        dir, "append", Seq("id"))
+    }
+    val before = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    val coldEntries = before.files.filter(_.stats("id")._2 < 10000L)
+    assert(coldEntries.size == 4 && before.files.size == 9)
+    val want = SnapshotTable.scan(spark, dir).orderBy("id").collect().toSeq
+    import org.apache.spark.sql.functions.col
+    SnapshotTable.compact(spark, dir, smallRows = 1000, targetRows = 1000,
+      statsCols = Seq("id"), where = Some(col("id") >= 10000L))
+    val after = SnapshotTable.readManifest(spark, dir,
+      SnapshotTable.latestVersion(spark, dir).get)
+    // the 5 hot files packed; the 4 cold ENTRIES ride through
+    // IDENTICALLY (same path, same stats — not even re-stat'ed)
+    assert(after.files.size == 5, s"got ${after.files.size} files")
+    coldEntries.foreach { fe =>
+      assert(after.files.contains(fe),
+        s"cold entry ${fe.path} was touched by a scoped compact")
+    }
+    // bytes-rewritten bounded by the matching files: every fresh file
+    // covers only the hot id range
+    val fresh = after.files.filterNot(fe =>
+      coldEntries.exists(_.path == fe.path))
+    assert(fresh.forall(_.stats("id")._1 >= 10000L))
+    // content-neutral
+    assert(SnapshotTable.scan(spark, dir).orderBy("id").collect().toSeq == want)
+    // a predicate refuting EVERY small file is a version-free no-op
+    val v = SnapshotTable.latestVersion(spark, dir).get
+    assert(SnapshotTable.compact(spark, dir, 1000, 1000, Seq("id"),
+      where = Some(col("id") >= 999999L)) == v)
+    // SQL face: CALL compact with the optional where argument
+    val root = java.nio.file.Files.createTempDirectory("graft-optw").toString
+    spark.conf.set("spark.sql.catalog.graftow",
+      classOf[graft.sources.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftow.root", root)
+    spark.sql("CREATE TABLE graftow.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statsCols' = 'k')") // stats drive the pruning
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graftow.t SELECT id, id FROM " +
+        s"range(${i * 1000}, ${i * 1000 + 100})")
+    }
+    val mb = SnapshotTable.readManifest(spark, s"$root/t",
+      SnapshotTable.latestVersion(spark, s"$root/t").get)
+    spark.sql(
+      "CALL graftow.system.compact('t', 1000, 100000, 'k >= 1000')").collect()
+    val ma = SnapshotTable.readManifest(spark, s"$root/t",
+      SnapshotTable.latestVersion(spark, s"$root/t").get)
+    // the k<1000 file survives verbatim; the two hot ones packed
+    val cold = mb.files.filter(fe => fe.stats.get("k").exists(_._2 < 1000L))
+    assert(cold.nonEmpty && cold.forall(ma.files.contains))
+    assert(ma.files.size < mb.files.size)
+    assert(spark.sql("SELECT count(*) AS n FROM graftow.t")
+      .collect().head.getLong(0) == 300L)
+  }
+
   test("changes reads only touched files and yields pre/post images") {
     val dir = freshDir()
     val base = spark.range(0, 4000)
