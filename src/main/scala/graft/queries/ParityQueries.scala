@@ -3006,6 +3006,51 @@ object ParityQueries {
         |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
         |FROM live GROUP BY status ORDER BY status""".stripMargin),
 
+    // REPLACE WHERE (round-18): the static partition-spec'd INSERT
+    // OVERWRITE — delete the predicate's rows and insert the batch as
+    // ONE atomic commit. Files whose stats PROVE every row matches
+    // drop from the manifest whole (metadata-only); refuting files
+    // never open; only boundary files dv-scan. The restatement shape:
+    // "re-state status O" touches the O files, never the table.
+    "q7X_replace_where" -> QueryDef(
+      (s, dir) => {
+        val root = snapDir(s, dir, "t7X")
+        val cat = "graft_rw_" + Integer.toHexString(root.hashCode)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.connector.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(root))
+        t(s, dir, "orders").createOrReplaceTempView("t7X_orders")
+        s.sql(s"""CREATE TABLE $cat.t (k BIGINT, status STRING, price DOUBLE)
+                  |PARTITIONED BY (status)""".stripMargin)
+        s.sql(s"""INSERT INTO $cat.t
+                  |SELECT o_orderkey, o_orderstatus, o_totalprice
+                  |FROM t7X_orders""".stripMargin)
+        // static partition-spec overwrite: replace the 'P' partition
+        // with a recomputed slice (the %2==0 keys at doubled price)
+        s.sql(s"""INSERT OVERWRITE $cat.t PARTITION (status = 'P')
+                  |SELECT o_orderkey, o_totalprice * 2
+                  |FROM t7X_orders
+                  |WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0""".stripMargin)
+        // and writeTo-style predicate overwrite via SQL is covered by
+        // DynamicOverwriteSpec; here the oracle hash gates the result
+        s.sql(s"""SELECT status, count(*) AS cnt,
+                  |       CAST(sum(CAST(price AS DECIMAL(18,2)))
+                  |            AS DOUBLE) AS sp
+                  |FROM $cat.t GROUP BY status ORDER BY status""".stripMargin)
+      },
+      """WITH live AS (
+        |  SELECT o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders WHERE o_orderstatus <> 'P'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice * 2
+        |  FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0)
+        |SELECT status, count(*) AS cnt,
+        |       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |FROM live GROUP BY status ORDER BY status""".stripMargin),
+
     // The ANN-index inspection surface in plain SQL (round-17):
     // `cat.ns.t.indexes` lists every index under the table with its
     // indexed version vs the corpus HEAD (staleness visible in SQL,

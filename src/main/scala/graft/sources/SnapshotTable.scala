@@ -1958,6 +1958,14 @@ object SnapshotTable {
       case GreaterThan(x, y) => both(x, y, '>', eq = false, flip = '<')
       case GreaterThanOrEqual(x, y) => both(x, y, '>', eq = true, flip = '<')
       case EqualTo(x, y) => both(x, y, '=', eq = true, flip = '=')
+      // null-safe equality against a NON-NULL literal (the lit
+      // extractors never match a null) behaves exactly like `=` for
+      // both directions: a range excluding c refutes every non-null
+      // row and null rows never <=> a non-null c; the proof side
+      // still demands nonNull. Static partition-spec overwrites
+      // (`INSERT OVERWRITE ... PARTITION (d = 2)`) arrive as this
+      // shape (round-18).
+      case EqualNullSafe(x, y) => both(x, y, '=', eq = true, flip = '=')
       // the Column DSL (and the SQL DELETE predicate translation)
       // builds comparisons as BY-NAME unresolved functions; the
       // analyzer would resolve them to the cases above, but a DELETE
@@ -1971,7 +1979,7 @@ object SnapshotTable {
           case "<=" => both(x, y, '<', eq = true, flip = '>')
           case ">" => both(x, y, '>', eq = false, flip = '<')
           case ">=" => both(x, y, '>', eq = true, flip = '<')
-          case "=" | "==" => both(x, y, '=', eq = true, flip = '=')
+          case "=" | "==" | "<=>" => both(x, y, '=', eq = true, flip = '=')
           case _ => None
         }
       case _ => None
@@ -2009,6 +2017,7 @@ object SnapshotTable {
       case GreaterThan(x, y) => both(x, y, '>', eq = false, flip = '<')
       case GreaterThanOrEqual(x, y) => both(x, y, '>', eq = true, flip = '<')
       case EqualTo(x, y) => both(x, y, '=', eq = true, flip = '=')
+      case EqualNullSafe(x, y) => both(x, y, '=', eq = true, flip = '=')
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if f.nameParts.length == 1 && f.arguments.length == 2 =>
         val x = f.arguments(0)
@@ -2018,7 +2027,7 @@ object SnapshotTable {
           case "<=" => both(x, y, '<', eq = true, flip = '>')
           case ">" => both(x, y, '>', eq = false, flip = '<')
           case ">=" => both(x, y, '>', eq = true, flip = '<')
-          case "=" | "==" => both(x, y, '=', eq = true, flip = '=')
+          case "=" | "==" | "<=>" => both(x, y, '=', eq = true, flip = '=')
           case _ => None
         }
       case _ => None
@@ -2230,8 +2239,38 @@ object SnapshotTable {
     }
   }
 
+  /** REPLACE WHERE (Delta's `replaceWhere`, SQL's static
+    * `INSERT OVERWRITE t PARTITION (day = 'x')`, and
+    * `df.writeTo(t).overwrite(cond)`): delete the rows matching the
+    * predicate and insert the staged batch — ONE atomic commit.
+    * Deletion rides [[deleteVectors]]' machinery, so it keeps both of
+    * its scale levers: files whose stats PROVE every row matches are
+    * dropped from the manifest whole (a day-clustered restatement
+    * prunes almost everything metadata-only), files whose stats
+    * REFUTE the predicate never open, and only boundary files scan
+    * into the consolidated deletion vector. Spark's
+    * OverwriteByExpression contract: the inserted rows are NOT
+    * validated against the predicate (unlike Delta's opt-in
+    * constraint check) — the caller owns that invariant. */
+  private[graft] def replaceWhere(spark: SparkSession, dir: String,
+                                  added: Seq[FileEntry],
+                                  predicate: org.apache.spark.sql.Column,
+                                  schemaJson: Option[String]): Long =
+    latestVersion(spark, dir) match {
+      case None => // first commit: nothing to replace
+        commitAdded(spark, dir, "overwrite", added, carry = false,
+          schemaJson = schemaJson)
+      case Some(_) => retryOnConflict(s"replace-where on $dir") {
+        deleteVectorsOnce(spark, dir, predicate, alsoAdd = added,
+          opName = "replace-where", schemaJson = schemaJson)
+      }
+    }
+
   private def deleteVectorsOnce(spark: SparkSession, dir: String,
-                                predicate: org.apache.spark.sql.Column): Long = {
+                                predicate: org.apache.spark.sql.Column,
+                                alsoAdd: Seq[FileEntry] = Nil,
+                                opName: String = "delete",
+                                schemaJson: Option[String] = None): Long = {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"cannot delete from empty table $dir"))
     val m = readManifest(spark, dir, v)
@@ -2252,9 +2291,9 @@ object SnapshotTable {
     val (dropped, rest) = m.files.partition(fe => allRows(expr, fe))
     val candidates = rest.filterNot(fe => noRows(expr, fe))
     def pruneOnly(): Long =
-      if (dropped.isEmpty) v
-      else commit(spark, dir, "delete-prune", Nil,
-        removed = readSetOf(dropped), carry = true)
+      if (dropped.isEmpty && alsoAdd.isEmpty) v
+      else commit(spark, dir, s"$opName-prune", alsoAdd,
+        removed = readSetOf(dropped), carry = true, schemaJson = schemaJson)
     if (candidates.isEmpty) return pruneOnly()
     // the consolidation manifest is every SURVIVING file (rest, not
     // candidates): prior sidecar rows of scan-skipped files must carry
@@ -2268,10 +2307,10 @@ object SnapshotTable {
       case None => pruneOnly()
       case Some((name, entries)) =>
         val newPaths = entries.map(_.path).toSet
-        try commit(spark, dir, "delete-dv", entries,
+        try commit(spark, dir, s"$opName-dv", entries ++ alsoAdd,
           removed = readSetOf(
             rest.filter(fe => newPaths.contains(fe.path)) ++ dropped),
-          carry = true)
+          carry = true, schemaJson = schemaJson)
         catch {
           case e: CommitConflictException =>
             fs(spark, new Path(dir)).delete(new Path(dir, name), false)

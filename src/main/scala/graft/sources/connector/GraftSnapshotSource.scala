@@ -334,10 +334,13 @@ final class SnapshotV2Table(schema: StructType, dir: String,
     // ResolveInsertInto routes plain INSERT OVERWRITE under
     // partitionOverwriteMode=dynamic to OverwritePartitionsDynamic,
     // which failed at analysis while the builder only truncated
+    // OVERWRITE_BY_FILTER (round-18): REPLACE WHERE — static
+    // partition-spec'd INSERT OVERWRITE and writeTo().overwrite(cond)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (schema.isEmpty) throw new IllegalStateException(

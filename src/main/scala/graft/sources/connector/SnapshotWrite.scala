@@ -51,12 +51,44 @@ import graft.sources.SnapshotTable.FileEntry
 final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
                                  asFresh: Boolean = false,
                                  defer: Option[Seq[FileEntry] => Unit] = None)
-  extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+  extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+    with SupportsOverwriteV2 {
 
   private var overwrite = false
   private var dynamic = false
+  private var replaceWhere: Option[org.apache.spark.sql.Column] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** REPLACE WHERE (round-18): static `INSERT OVERWRITE … PARTITION
+    * (day = 'x')` and `df.writeTo(t).overwrite(cond)` — delete the
+    * predicate's rows (metadata-pruned + deletion vectors) and insert
+    * the batch as ONE atomic commit
+    * ([[graft.sources.SnapshotTable.replaceWhere]]). Whole-or-nothing
+    * translation like DELETE: a predicate that cannot translate
+    * refuses here (canOverwrite), never deletes a subset. */
+  override def canOverwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean =
+    predicates.forall(SnapshotV2Table.v2ToColumn(_).isDefined)
+
+  override def overwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): WriteBuilder = {
+    import org.apache.spark.sql.functions.lit
+    val cols = predicates.map(p => SnapshotV2Table.v2ToColumn(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot translate overwrite predicate ${p.describe()}")))
+    val cond = cols.reduceOption(_ && _).getOrElse(lit(true))
+    // a trivially-true predicate IS a truncate: take the full-replace
+    // path (drops the rename mapping, replaces the schema) instead of
+    // dv-scanning the whole table into a deletion vector
+    if (predicates.isEmpty ||
+        (predicates.length == 1 && predicates.head.name() == "ALWAYS_TRUE"))
+      overwrite = true
+    else replaceWhere = Some(cond)
+    this
+  }
 
   /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` /
     * `df.writeTo(t).overwritePartitions()`: replace exactly the
@@ -244,9 +276,9 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
 
     override def toBatch: BatchWrite = {
       val pm = physMapFor
-      require(!(dynamic && defer.isDefined),
+      require(!((dynamic || replaceWhere.isDefined) && defer.isDefined),
         "staged DDL (CREATE/REPLACE TABLE AS SELECT) cannot take a " +
-          "dynamic-overwrite write")
+          "dynamic-overwrite or replace-where write")
       new SnapshotBatchWrite(dir, aligned, overwrite,
         cols("statsCols").map(logicalName).map(c => pm.getOrElse(c, c)),
         cols("bloomCols").map(logicalName).map(c => pm.getOrElse(c, c)),
@@ -258,14 +290,15 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
         // (clusterBy) columns, as (logical, physical) name pairs
         dynamicKeys =
           if (dynamic) Some((clusterCols, clusterCols.map(c => pm.getOrElse(c, c))))
-          else None)
+          else None,
+        replaceWhere = replaceWhere)
     }
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(defer.isEmpty,
         "staged DDL (CREATE/REPLACE TABLE AS SELECT) cannot take a streaming write")
-      require(!overwrite && !dynamic,
+      require(!overwrite && !dynamic && replaceWhere.isEmpty,
         "graft_snapshot streaming sink is append-only (outputMode append)")
       val mergeKey = Option(info.options.get("mergeKey")).map(_.trim)
         .filter(_.nonEmpty)
@@ -399,7 +432,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
                                targetFileRows: Long = 0L,
                                defer: Option[Seq[FileEntry] => Unit] = None,
                                ndvCols: Seq[String] = Nil,
-                               dynamicKeys: Option[(Seq[String], Seq[String])] = None)
+                               dynamicKeys: Option[(Seq[String], Seq[String])] = None,
+                               replaceWhere: Option[org.apache.spark.sql.Column] = None)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -431,15 +465,20 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
       case Some(stash) => stash(entries)
       case None =>
         SnapshotWriteSupport.enforceConstraints(dir, entries, physSchema, schema)
-        dynamicKeys match {
+        (dynamicKeys, replaceWhere) match {
           // dynamic partition overwrite: ONE commit that eq-deletes the
           // incoming identity tuples from the existing files and
           // appends the staged ones (full overwrite when the table
           // declares no identity columns)
-          case Some((logical, physical)) =>
+          case (Some((logical, physical)), _) =>
             SnapshotTable.overwritePartitionsDynamic(SparkSession.active,
               dir, entries, logical, physical, Some(schema.json))
-          case None =>
+          // REPLACE WHERE: delete the predicate's rows (metadata prune
+          // + dv boundary scan) and append the staged files, one commit
+          case (None, Some(cond)) =>
+            SnapshotTable.replaceWhere(SparkSession.active, dir, entries,
+              cond, Some(schema.json))
+          case (None, None) =>
             SnapshotTable.commitAdded(SparkSession.active, dir,
               if (overwrite) "overwrite" else "append", entries,
               carry = !overwrite, schemaJson = Some(schema.json))

@@ -50,6 +50,17 @@ object CompositeEqProbe {
       val df = spark.read.format("graft_snapshot").load(dir)
       sec { df.agg(sum($"v"), count(lit(1))).collect() }
     }
+    // keyed read: the aggregation itself decodes the key columns, so
+    // folded and pending legs read the SAME projection — the ratio
+    // then isolates pure masking-probe overhead (the wide read's
+    // pending leg must ADDITIONALLY decode the appended key columns,
+    // a structural cost that grows with key arity, not a probe cost)
+    def keyedRead(dir: String, keys: Seq[String]): Double = {
+      val df = spark.read.format("graft_snapshot").load(dir)
+      val aggs = (sum($"v") +: keys.map(c => max(col(s"`$c`")))) :+
+        count(lit(1))
+      sec { df.agg(aggs.head, aggs.tail: _*).collect() }
+    }
 
     // (string, string) business key — the most common real CDC key
     // after (int, int); round-18's TypedTupleOpenHashSet arm (the
@@ -104,6 +115,9 @@ object CompositeEqProbe {
     val base = wideRead(sDir) // folded baseline (no pending refs)
     val baseSS = wideRead(ssDir) // string tables decode wider columns
     val baseIII = wideRead(iiiDir)
+    val kBase = keyedRead(sDir, Seq("k"))
+    val kBaseSS = keyedRead(ssDir, Seq("gs", "ks"))
+    val kBaseIII = keyedRead(iiiDir, Seq("g", "k", "j"))
     val tSingle = sec {
       SnapshotTable.deleteByKey(spark, sDir, "k", batch.select($"k"))
     }
@@ -120,6 +134,9 @@ object CompositeEqProbe {
     val rComposite = wideRead(cDir)
     val rSS = wideRead(ssDir)
     val rIII = wideRead(iiiDir)
+    val kSingle = keyedRead(sDir, Seq("k"))
+    val kSS = keyedRead(ssDir, Seq("gs", "ks"))
+    val kIII = keyedRead(iiiDir, Seq("g", "k", "j"))
     val nS = spark.read.format("graft_snapshot").load(sDir).count()
     val nC = spark.read.format("graft_snapshot").load(cDir).count()
     require(nC >= nS,
@@ -141,7 +158,10 @@ object CompositeEqProbe {
          |"pending_ratio_ss":${f3(rSS / baseSS)},
          |"read_folded_iii_sec":${f3(baseIII)},
          |"read_pending_iii_sec":${f3(rIII)},
-         |"pending_ratio_iii":${f3(rIII / baseIII)}}"""
+         |"pending_ratio_iii":${f3(rIII / baseIII)},
+         |"keyed_ratio_single":${f3(kSingle / kBase)},
+         |"keyed_ratio_ss":${f3(kSS / kBaseSS)},
+         |"keyed_ratio_iii":${f3(kIII / kBaseIII)}}"""
         .stripMargin.replace("\n", ""))
   }
 }

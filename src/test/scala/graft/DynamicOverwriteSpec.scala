@@ -145,6 +145,80 @@ class DynamicOverwriteSpec extends SparkTestBase {
       "null identity tuples must append, not replace")
   }
 
+  test("REPLACE WHERE: static partition-spec overwrite and writeTo.overwrite(cond)") {
+    // round-18: OVERWRITE_BY_FILTER — delete the predicate's rows
+    // (metadata prune + dv boundary scan) and insert the batch as ONE
+    // atomic commit (Delta's replaceWhere, SnapshotTable.replaceWhere)
+    spark.sql("CREATE TABLE graftdyn.rw (k BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graftdyn.rw " +
+      "SELECT id, concat('d', CAST(id % 3 AS STRING)) FROM range(0, 300)")
+    val vBefore = SnapshotTable.latestVersion(spark, s"$root/rw").get
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
+      // the static partition-spec shape: OverwriteByExpression(day='d1')
+      spark.sql("INSERT OVERWRITE graftdyn.rw PARTITION (day = 'd1') " +
+        "SELECT id + 5000 FROM range(0, 20)")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rw WHERE day = 'd1'")
+      .as[Long].head == 20L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rw WHERE day = 'd0'")
+      .as[Long].head == 100L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rw WHERE day = 'd2'")
+      .as[Long].head == 100L)
+    assert(SnapshotTable.latestVersion(spark, s"$root/rw").get == vBefore + 1,
+      "replace-where must be one atomic commit")
+    // time travel: the pre-replace d1 rows still read
+    assert(spark.read.format("graft_snapshot")
+      .option("versionAsOf", vBefore.toString).load(s"$root/rw")
+      .filter($"day" === "d1").count() == 100L)
+    // writeTo(...).overwrite(cond) drives the same path
+    spark.range(0, 7)
+      .select(($"id" + 9000).as("k"), lit("d0").as("day"))
+      .writeTo("graftdyn.rw").overwrite($"day" === "d0")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rw WHERE day = 'd0'")
+      .as[Long].head == 7L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rw WHERE day = 'd2'")
+      .as[Long].head == 100L)
+    // overwrite(lit(true)) IS a truncate — full replace, no dv scan
+    spark.range(0, 3).select($"id".as("k"), lit("dz").as("day"))
+      .writeTo("graftdyn.rw").overwrite(lit(true))
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rw").as[Long].head == 3L)
+  }
+
+  test("REPLACE WHERE prunes proven files metadata-only on a clustered key") {
+    // an integral clusterBy key: files whose (min,max) PROVE every row
+    // matches are dropped from the manifest whole — no scan, no dv
+    // sidecar (the retention-restatement shape at 100 TB)
+    spark.sql("CREATE TABLE graftdyn.rp (k BIGINT, d BIGINT) " +
+      "PARTITIONED BY (d) TBLPROPERTIES ('statsCols' = 'd,k')")
+    // one INSERT per d value: every file is d-PURE by construction
+    // (range partitioning could legally co-locate two small d values
+    // in one file, which would legitimately dv-scan as a boundary)
+    (0 until 4).foreach { d =>
+      spark.sql(s"INSERT INTO graftdyn.rp SELECT id, CAST($d AS BIGINT) FROM " +
+        s"range(${d * 100}, ${d * 100 + 100})")
+    }
+    val m0 = manifest(s"$root/rp")
+    // d-pure files exist (identity clustering range-partitions by d)
+    assert(m0.files.exists(fe => fe.stats.get("d").exists(s => s._1 == s._2)))
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
+      spark.sql("INSERT OVERWRITE graftdyn.rp PARTITION (d = 2) " +
+        "SELECT id + 7000 FROM range(0, 5)")
+    }
+    val m1 = manifest(s"$root/rp")
+    // no deletion vector anywhere: the d=2 files were PROVEN and
+    // dropped whole; other files ride through untouched
+    assert(m1.files.forall(_.dv.isEmpty),
+      "proven-partition replace must not write a deletion vector")
+    assert(m0.files.filter(fe => fe.stats.get("d").exists(s =>
+      !(s._1 <= 2 && 2 <= s._2))).forall(m1.files.contains),
+      "files refuting the predicate must ride through verbatim")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rp WHERE d = 2")
+      .as[Long].head == 5L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rp").as[Long].head
+      == 305L)
+  }
+
   test("dynamic overwrite composes with maintenance: purge folds, content fixed") {
     spark.sql("CREATE TABLE graftdyn.p (k BIGINT, day STRING) " +
       "PARTITIONED BY (day)")
