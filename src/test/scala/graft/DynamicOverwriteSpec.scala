@@ -219,6 +219,40 @@ class DynamicOverwriteSpec extends SparkTestBase {
       == 305L)
   }
 
+  test("DATE identity: dynamic refuses early with the workaround; REPLACE WHERE covers") {
+    // dynamic overwrite keys an eq-delete sidecar on the identity
+    // columns (integral-or-string members); a DATE-partitioned table
+    // must fail BEFORE staging anything, naming the static
+    // partition-spec path — which handles any comparable type via
+    // the dv prove/refute machinery
+    spark.sql("CREATE TABLE graftdyn.dt (k BIGINT, day DATE) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graftdyn.dt SELECT id, " +
+      "DATE_ADD(DATE'2024-01-01', CAST(id % 3 AS INT)) FROM range(0, 90)")
+    val vBefore = SnapshotTable.latestVersion(spark, s"$root/dt").get
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      dynMode {
+        spark.sql("INSERT OVERWRITE graftdyn.dt " +
+          "SELECT id + 500, DATE'2024-01-02' FROM range(0, 5)")
+      }
+    }
+    assert(msgs(e).exists(_.contains("REPLACE WHERE")),
+      s"refusal must name the workaround: ${msgs(e)}")
+    assert(SnapshotTable.latestVersion(spark, s"$root/dt").get == vBefore,
+      "the refused write must not commit")
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
+      spark.sql("INSERT OVERWRITE graftdyn.dt PARTITION (day = '2024-01-02') " +
+        "SELECT id + 500 FROM range(0, 5)")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt " +
+      "WHERE day = DATE'2024-01-02'").as[Long].head == 5L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt").as[Long].head
+      == 65L)
+  }
+
   test("dynamic overwrite composes with maintenance: purge folds, content fixed") {
     spark.sql("CREATE TABLE graftdyn.p (k BIGINT, day STRING) " +
       "PARTITIONED BY (day)")
