@@ -4416,7 +4416,8 @@ object SnapshotTable {
                                      reclusteredFiles: Int = 0,
                                      statsRefreshed: Boolean = false,
                                      indexesRefreshed: Int = 0,
-                                     indexRebuildRecommended: Seq[String] = Nil)
+                                     indexRebuildRecommended: Seq[String] = Nil,
+                                     indexErrors: Seq[String] = Nil)
 
   /** One policy-driven maintenance pass — the "table services" sweep a
     * 100 TB deployment runs on a schedule instead of hand-sequencing
@@ -4478,14 +4479,15 @@ object SnapshotTable {
     // content-neutral, so their file churn diffs to an EMPTY change
     // set (EXCEPT ALL cancels identical rows) — a refresh after
     // compact pays a diff read, never a wrong assignment.
-    val (indexesRefreshed, rebuildRec) =
-      if (!policy.refreshIndexes) (0, Nil)
+    val (indexesRefreshed, rebuildRec, indexErrors) =
+      if (!policy.refreshIndexes) (0, Nil, Nil)
       else {
         var refreshed = 0
         val rec = Seq.newBuilder[String]
+        val errs = Seq.newBuilder[String]
         graft.operators.AnnIndex.listIndexes(spark, dir).foreach { name =>
           val idx = s"$dir/_ann/$name"
-          try {
+          def sweepOne(): Unit = {
             val head = latestVersion(spark, dir).get
             val info = graft.operators.AnnIndex.describe(spark, idx)
             val drift =
@@ -4498,14 +4500,27 @@ object SnapshotTable {
                 graft.operators.AnnIndex.driftStats(spark, idx)
               }
             if (drift.ratio > policy.indexRebuildDriftRatio) rec += name
-          } catch {
-            // an unreadable index must neither kill the sweep nor
-            // hide: rebuild is its one remedy, so it reports as such
-            // (the indexes metadata table carries the failure detail)
-            case _: Exception => rec += name
+          }
+          // one failure must neither kill the sweep nor hide — but a
+          // TRANSIENT hiccup (object-store 503, a listing racing a
+          // publish) must not masquerade as "rebuild me" either: retry
+          // once, then classify. Structurally-dead shapes (no readable
+          // meta, vanished centroids — this engine's own loud errors)
+          // report rebuild-recommended, rebuild being their one remedy;
+          // anything else reports as an ERROR for the operator to look
+          // at (the indexes metadata table carries the detail).
+          try sweepOne()
+          catch {
+            case _: Exception =>
+              try sweepOne()
+              catch {
+                case _: IllegalStateException |
+                     _: IllegalArgumentException => rec += name
+                case _: Exception => errs += name
+              }
           }
         }
-        (refreshed, rec.result())
+        (refreshed, rec.result(), errs.result())
       }
     val swept = vacuum(spark, dir, policy.keepVersions, policy.vacuumMinAgeMs)
     val mEnd = readManifest(spark, dir, latestVersion(spark, dir).get)
@@ -4533,6 +4548,7 @@ object SnapshotTable {
       rebucketedFiles = rebucketed, reclusteredFiles = reclustered,
       statsRefreshed = statsRefreshed,
       indexesRefreshed = indexesRefreshed,
-      indexRebuildRecommended = rebuildRec)
+      indexRebuildRecommended = rebuildRec,
+      indexErrors = indexErrors)
   }
 }

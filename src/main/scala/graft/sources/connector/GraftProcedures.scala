@@ -182,10 +182,14 @@ object GraftProcedures {
           StructField("files_rebucketed", IntegerType, nullable = false),
           StructField("stats_refreshed", BooleanType, nullable = false),
           StructField("indexes_refreshed", IntegerType, nullable = false),
-          // comma-joined index names past the drift threshold (or
-          // unreadable); empty = nothing to do
+          // comma-joined index names past the drift threshold or
+          // structurally dead (rebuild is their remedy); empty =
+          // nothing to do
           StructField("index_rebuild_recommended", StringType,
-            nullable = false)))) {
+            nullable = false),
+          // names whose sweep failed TWICE on a non-structural error
+          // (transient I/O) — look, don't rebuild
+          StructField("index_errors", StringType, nullable = false)))) {
         (spark, args) =>
           val dir = dirOfTable(args.getUTF8String(0).toString)
           // the CALL face opts into ANALYZE freshness (default 10%
@@ -200,7 +204,9 @@ object GraftProcedures {
             r.vacuumedFiles, r.filesBefore, r.filesAfter, r.rebucketedFiles,
             r.statsRefreshed, r.indexesRefreshed,
             org.apache.spark.unsafe.types.UTF8String.fromString(
-              r.indexRebuildRecommended.mkString(",")))))
+              r.indexRebuildRecommended.mkString(",")),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              r.indexErrors.mkString(",")))))
       })
       case "create_tag" => Some(proc("create_tag",
         Array(in("table", StringType), in("name", StringType),

@@ -426,6 +426,19 @@ class AnnIndexSpec extends SparkTestBase {
     assert(r3.getAs[Int]("indexes_refreshed") == 1)
     assert(r3.getAs[String]("index_rebuild_recommended") == "ix",
       s"planted shift not reported: $r3")
+    assert(r3.getAs[String]("index_errors") == "")
+    // a STRUCTURALLY dead index (vanished centroids) classifies as
+    // rebuild-recommended, not as a transient error — and must not
+    // kill the sweep
+    val cen = new org.apache.hadoop.fs.Path(
+      s"$root/corpus/_ann/ix/centroids")
+    cen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(cen, true)
+    val r4 = spark.sql(
+      "CALL graftannm.system.maintain('corpus', 0.0, true)").head
+    assert(r4.getAs[String]("index_rebuild_recommended") == "ix",
+      s"dead index must report rebuild-recommended: $r4")
+    assert(r4.getAs[Int]("indexes_refreshed") == 0)
   }
 
   test("SQL face: ann_build_pq builds a PQ index; ann_search refines to exact cosine") {

@@ -40,6 +40,16 @@ object CompositeEqProbe {
     def sec(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    // read measurements divide by sub-second baselines, which wobble
+    // ±30%+ per sample on this box — SPARK_GRAFT_PROBE_REPS=N medians
+    // every READ timing over N samples (the bench's discipline;
+    // epoch/attach timings mutate state and stay single-shot)
+    val readReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "1")
+      .toInt.max(1)
+    def medianOf(sample: => Double): Double = {
+      val xs = Seq.fill(readReps)(sample).sorted
+      xs(xs.size / 2)
+    }
     def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
 
@@ -112,12 +122,12 @@ object CompositeEqProbe {
     val cDir = build("composite")
     val ssDir = buildSS("ss")
     val iiiDir = buildIII("iii")
-    val base = wideRead(sDir) // folded baseline (no pending refs)
-    val baseSS = wideRead(ssDir) // string tables decode wider columns
-    val baseIII = wideRead(iiiDir)
-    val kBase = keyedRead(sDir, Seq("k"))
-    val kBaseSS = keyedRead(ssDir, Seq("gs", "ks"))
-    val kBaseIII = keyedRead(iiiDir, Seq("g", "k", "j"))
+    val base = medianOf(wideRead(sDir)) // folded baseline (no pending refs)
+    val baseSS = medianOf(wideRead(ssDir)) // string tables decode wider columns
+    val baseIII = medianOf(wideRead(iiiDir))
+    val kBase = medianOf(keyedRead(sDir, Seq("k")))
+    val kBaseSS = medianOf(keyedRead(ssDir, Seq("gs", "ks")))
+    val kBaseIII = medianOf(keyedRead(iiiDir, Seq("g", "k", "j")))
     val tSingle = sec {
       SnapshotTable.deleteByKey(spark, sDir, "k", batch.select($"k"))
     }
@@ -130,13 +140,13 @@ object CompositeEqProbe {
     val tIII = sec {
       SnapshotTable.deleteByKeys(spark, iiiDir, Seq("g", "k", "j"), batchIII)
     }
-    val rSingle = wideRead(sDir)
-    val rComposite = wideRead(cDir)
-    val rSS = wideRead(ssDir)
-    val rIII = wideRead(iiiDir)
-    val kSingle = keyedRead(sDir, Seq("k"))
-    val kSS = keyedRead(ssDir, Seq("gs", "ks"))
-    val kIII = keyedRead(iiiDir, Seq("g", "k", "j"))
+    val rSingle = medianOf(wideRead(sDir))
+    val rComposite = medianOf(wideRead(cDir))
+    val rSS = medianOf(wideRead(ssDir))
+    val rIII = medianOf(wideRead(iiiDir))
+    val kSingle = medianOf(keyedRead(sDir, Seq("k")))
+    val kSS = medianOf(keyedRead(ssDir, Seq("gs", "ks")))
+    val kIII = medianOf(keyedRead(iiiDir, Seq("g", "k", "j")))
     val nS = spark.read.format("graft_snapshot").load(sDir).count()
     val nC = spark.read.format("graft_snapshot").load(cDir).count()
     require(nC >= nS,

@@ -718,6 +718,7 @@ class ConnectorSpec extends SparkTestBase {
     // the round-18 index columns default inert on an index-less table
     assert(rep2.head.getAs[Int]("indexes_refreshed") == 0)
     assert(rep2.head.getAs[String]("index_rebuild_recommended") == "")
+    assert(rep2.head.getAs[String]("index_errors") == "")
     assert(spark.sql("SELECT count(*) AS n FROM graftcat7.t")
       .as[Long].head == 200L)
     // unknown procedure fails loudly
