@@ -2919,10 +2919,14 @@ object ParityQueries {
         // expectedFailure: without it the abort stack floods the bench
         // tail (the round-11–14 parsed-null failure mode — q7U forgot
         // the helper in round 17 and its stack ate the tail window)
+        // price cast explicitly: an uncast 1.0 is DECIMAL(2,1) and the
+        // positional-INSERT type gate rejected the row BEFORE the
+        // constraint ever ran — the pin passed for the wrong reason
+        // (round-18 bench-tail audit)
         val rejected = expectedFailure("q7U") {
           try {
             s.sql(s"INSERT INTO $cat.copy VALUES " +
-              "(CAST(-1 AS BIGINT), 'X', 1.0)")
+              "(CAST(-1 AS BIGINT), 'X', CAST(1.0 AS DOUBLE))")
             false
           } catch { case _: Exception => true }
         }
@@ -3568,7 +3572,12 @@ object ParityQueries {
       "org.apache.spark.sql.execution.datasources.v2.ReplaceTableAsSelectExec",
       "org.apache.spark.sql.execution.datasources.v2.AtomicReplaceTableAsSelectExec",
       "org.apache.spark.sql.execution.datasources.v2.WriteToDataSourceV2Exec",
-      "org.apache.spark.sql.execution.streaming.MicroBatchExecution")
+      "org.apache.spark.sql.execution.streaming.MicroBatchExecution",
+      // a registered QueryExecutionListener re-triggers the failed
+      // lazy plan on onFailure and the BUS logs the rethrow at ERROR
+      // with the full stack — the one emitter the r17 list missed
+      // (this was the actual source of q7U's bench-tail stacks)
+      "org.apache.spark.sql.util.ExecutionListenerBus")
     val prior = quieted.map(n =>
       n -> org.apache.logging.log4j.LogManager.getLogger(n).getLevel)
     quieted.foreach(n => org.apache.logging.log4j.core.config.Configurator
