@@ -2255,7 +2255,29 @@ object SnapshotTable {
   private[graft] def replaceWhere(spark: SparkSession, dir: String,
                                   added: Seq[FileEntry],
                                   predicate: org.apache.spark.sql.Column,
-                                  schemaJson: Option[String]): Long =
+                                  schemaJson: Option[String],
+                                  validate: Boolean = false): Long = {
+    // opt-in (round-18, Delta's replaceWhere constraint check): reject
+    // the WHOLE write if any staged row does not satisfy the predicate
+    // — without it, restating PARTITION (day='x') with a batch
+    // carrying day='y' rows silently appends those y rows while old y
+    // rows survive (Spark's OverwriteByExpression contract; surprising
+    // double data, hence the knob). One scan of the BATCH, never the
+    // table; a throw here aborts before anything commits, and the V2
+    // write path deletes the staged files.
+    if (validate && added.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val known = latestVersion(spark, dir)
+        .flatMap(v => tableSchema(spark, dir, v))
+      val bad = readFiles(spark, dir, added, knownSchema = known)
+        .filter(not(coalesce(predicate, lit(false))))
+        .limit(1).count()
+      require(bad == 0L,
+        "replaceWhere validation: the staged batch carries rows that do " +
+          "not satisfy the overwrite predicate (false or null) — fix the " +
+          "query, or drop the replaceWhereValidate option to take " +
+          "Spark's unvalidated OverwriteByExpression semantics")
+    }
     latestVersion(spark, dir) match {
       case None => // first commit: nothing to replace
         commitAdded(spark, dir, "overwrite", added, carry = false,
@@ -2265,6 +2287,7 @@ object SnapshotTable {
           opName = "replace-where", schemaJson = schemaJson)
       }
     }
+  }
 
   private def deleteVectorsOnce(spark: SparkSession, dir: String,
                                 predicate: org.apache.spark.sql.Column,

@@ -402,7 +402,8 @@ object SnapshotV2Table {
   /** Table properties that act as write-layout defaults. */
   val LayoutProps: Seq[String] =
     Seq("statsCols", "bloomCols", "clusterBy", "clusterPartitions",
-      "bucketBy", "buckets", "targetFileRows", "ndvCols")
+      "bucketBy", "buckets", "targetFileRows", "ndvCols",
+      "replaceWhereValidate")
 
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{abs, col, lit}

@@ -308,7 +308,14 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
         dynamicKeys =
           if (dynamic) Some((clusterCols, clusterCols.map(c => pm.getOrElse(c, c))))
           else None,
-        replaceWhere = replaceWhere)
+        replaceWhere = replaceWhere,
+        // opt-in validation that every inserted row satisfies the
+        // replace predicate (Delta's replaceWhere check): a writer
+        // option, or declared once as a TBLPROPERTY (the layout-props
+        // merge makes it the write default, so SQL INSERT OVERWRITE
+        // PARTITION inherits it)
+        replaceWhereValidate = Option(info.options.get("replaceWhereValidate"))
+          .exists(_.toBoolean))
     }
 
     override def toStreaming
@@ -450,7 +457,8 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
                                defer: Option[Seq[FileEntry] => Unit] = None,
                                ndvCols: Seq[String] = Nil,
                                dynamicKeys: Option[(Seq[String], Seq[String])] = None,
-                               replaceWhere: Option[org.apache.spark.sql.Column] = None)
+                               replaceWhere: Option[org.apache.spark.sql.Column] = None,
+                               replaceWhereValidate: Boolean = false)
   extends BatchWrite {
 
   /** Task-side (physical-name) schema; `schema` is the logical one the
@@ -494,7 +502,7 @@ final class SnapshotBatchWrite(dir: String, schema: StructType,
           // + dv boundary scan) and append the staged files, one commit
           case (None, Some(cond)) =>
             SnapshotTable.replaceWhere(SparkSession.active, dir, entries,
-              cond, Some(schema.json))
+              cond, Some(schema.json), validate = replaceWhereValidate)
           case (None, None) =>
             SnapshotTable.commitAdded(SparkSession.active, dir,
               if (overwrite) "overwrite" else "append", entries,

@@ -253,6 +253,51 @@ class DynamicOverwriteSpec extends SparkTestBase {
       == 65L)
   }
 
+  test("replaceWhereValidate: an out-of-predicate batch refuses before committing") {
+    // opt-in (Delta's replaceWhere constraint check): without it,
+    // Spark's OverwriteByExpression contract lets a restatement batch
+    // carry rows OUTSIDE the predicate — they append while the old
+    // out-of-predicate rows survive (surprising double data). The
+    // TBLPROPERTY declares it once; writer options inherit it.
+    spark.sql("CREATE TABLE graftdyn.rv (k BIGINT, day STRING) " +
+      "PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('replaceWhereValidate' = 'true')")
+    spark.sql("INSERT INTO graftdyn.rv " +
+      "SELECT id, concat('d', CAST(id % 2 AS STRING)) FROM range(0, 100)")
+    val vBefore = SnapshotTable.latestVersion(spark, s"$root/rv").get
+    val e = intercept[Exception] {
+      Seq((1L, "d0"), (2L, "d1")).toDF("k", "day")
+        .writeTo("graftdyn.rv").overwrite($"day" === "d0")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("replaceWhere validation")),
+      s"wrong failure: ${msgs(e)}")
+    assert(SnapshotTable.latestVersion(spark, s"$root/rv").get == vBefore,
+      "a refused replace must commit NOTHING")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rv")
+      .as[Long].head == 100L)
+    // a compliant batch passes under the same property
+    Seq((7L, "d0")).toDF("k", "day")
+      .writeTo("graftdyn.rv").overwrite($"day" === "d0")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rv WHERE day = 'd0'")
+      .as[Long].head == 1L)
+    // without the knob, the same violating write takes Spark's
+    // unvalidated semantics: d0 replaced, the d1 batch row appends,
+    // old d1 rows survive
+    spark.sql("CREATE TABLE graftdyn.rv2 (k BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO graftdyn.rv2 " +
+      "SELECT id, concat('d', CAST(id % 2 AS STRING)) FROM range(0, 100)")
+    Seq((1L, "d0"), (2L, "d1")).toDF("k", "day")
+      .writeTo("graftdyn.rv2").overwrite($"day" === "d0")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rv2 WHERE day = 'd0'")
+      .as[Long].head == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.rv2 WHERE day = 'd1'")
+      .as[Long].head == 51L)
+  }
+
   test("dynamic overwrite composes with maintenance: purge folds, content fixed") {
     spark.sql("CREATE TABLE graftdyn.p (k BIGINT, day STRING) " +
       "PARTITIONED BY (day)")
