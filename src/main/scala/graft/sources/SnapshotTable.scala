@@ -2485,9 +2485,15 @@ object SnapshotTable {
           val dt = field.map(_.dataType)
           dt.foreach { d =>
             import org.apache.spark.sql.types._
-            require(Seq(ByteType, ShortType, IntegerType, LongType, StringType)
-              .contains(d),
-              s"deleteByKey key '$kc' must be integral or string, got ${d.simpleString}")
+            // DateType (round-18): the canonical sidecar/masking form
+            // is DAYS-SINCE-EPOCH digits — what the parquet INT32
+            // physically stores, so every reader family (row stringer,
+            // columnar vector getInt, executor loadLocal) agrees for
+            // free; only the DRIVER-side canonical load must convert
+            require(Seq(ByteType, ShortType, IntegerType, LongType,
+              StringType, DateType).contains(d),
+              s"deleteByKey key '$kc' must be integral, string, or date, " +
+                s"got ${d.simpleString}")
           }
           (field.map(physicalName).getOrElse(kc), dt)
         }
@@ -2525,8 +2531,15 @@ object SnapshotTable {
         if (isString(i)) Seq(min(col(s"`$phys`")), max(col(s"`$phys`")))
         else if (dt.isEmpty) // legacy chain without a recorded schema:
           Seq(max(lit(null)), max(lit(null))) // no bound, no refutation
-        else Seq(min(col(s"`$phys`")).cast("long"),
-          max(col(s"`$phys`")).cast("long"))
+        else {
+          // DATE → days since epoch (a date cannot CAST to long; the
+          // days number is also the physical stats coordinate)
+          val num =
+            if (dt.contains(org.apache.spark.sql.types.DateType))
+              datediff(col(s"`$phys`"), lit("1970-01-01").cast("date"))
+            else col(s"`$phys`")
+          Seq(min(num).cast("long"), max(num).cast("long"))
+        }
       }
       val boundsRow = keyDf.agg(aggExprs.head, aggExprs.tail: _*).head
       if (physCols.indices.forall(i => boundsRow.isNullAt(2 * i)) &&

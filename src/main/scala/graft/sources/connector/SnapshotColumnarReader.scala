@@ -174,7 +174,9 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
         : (ColumnVector, Int) => Long = dt match {
       case ByteType => (v, i) => v.getByte(i).toLong
       case ShortType => (v, i) => v.getShort(i).toLong
-      case IntegerType => (v, i) => v.getInt(i).toLong
+      // a DATE member's vector value is the days-since-epoch int —
+      // the canonical coordinate (round-18)
+      case IntegerType | DateType => (v, i) => v.getInt(i).toLong
       case LongType => (v, i) => v.getLong(i)
       case _ => null
     }
@@ -368,10 +370,12 @@ private object EqVectorMatcher {
         def matches(v: ColumnVector, i: Int): Boolean =
           s.contains(v.getUTF8String(i))
       }
-    case ByteType | ShortType | IntegerType | LongType =>
+    case ByteType | ShortType | IntegerType | LongType | DateType =>
       // primitive open-addressing set: a boxed HashSet probe would
       // allocate a Long per ROW (the cache covers only small values) —
-      // at 16M rows that is 16M allocations on the scan's hot loop
+      // at 16M rows that is 16M allocations on the scan's hot loop.
+      // DateType rides the integer arm: its vector value IS the
+      // days-since-epoch int, the sidecars' canonical coordinate.
       val s = new LongOpenHashSet(keys.map(_.toLong).toArray)
       dt match {
         case ByteType => new EqVectorMatcher {
@@ -382,7 +386,7 @@ private object EqVectorMatcher {
           def matches(v: ColumnVector, i: Int): Boolean =
             s.contains(v.getShort(i).toLong)
         }
-        case IntegerType => new EqVectorMatcher {
+        case IntegerType | DateType => new EqVectorMatcher {
           def matches(v: ColumnVector, i: Int): Boolean =
             s.contains(v.getInt(i).toLong)
         }

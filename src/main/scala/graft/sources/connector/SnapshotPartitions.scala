@@ -666,9 +666,18 @@ private[graft] object SnapshotPartitions {
       val spark = org.apache.spark.sql.SparkSession.active
       val df = spark.read.parquet(uri)
       val cols = df.schema.fields.toSeq.map(f => (f.name, f.dataType.json))
-      val strs = df.select(df.schema.fieldNames.map(n =>
-        org.apache.spark.sql.functions.col(s"`$n`").cast("string"))
-        .toIndexedSeq: _*).na.drop().distinct().collect()
+      // canonical string form per member: decimal digits for
+      // integrals, raw value for strings, DAYS-SINCE-EPOCH for dates
+      // (round-18; a yyyy-MM-dd cast here would disagree with every
+      // executor-side reader, which sees the parquet INT32 days)
+      val strs = df.select(df.schema.fields.map { f =>
+        import org.apache.spark.sql.functions.{col, datediff, lit}
+        val c = col(s"`${f.name}`")
+        (f.dataType match {
+          case DateType => datediff(c, lit("1970-01-01").cast("date"))
+          case _ => c
+        }).cast("string")
+      }.toIndexedSeq: _*).na.drop().distinct().collect()
       val keys =
         if (cols.lengthCompare(1) == 0) strs.map(_.getString(0)).toVector
         else strs.map(r =>
@@ -709,6 +718,11 @@ private[graft] object SnapshotPartitions {
                 if t.getBitWidth == 8 => ByteType
             case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
                 if t.getBitWidth == 16 => ShortType
+            // DATE sidecar members surface as DateType so an appended
+            // request field decodes the annotated column correctly;
+            // the canonical form stays the raw INT32 days below
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+              DateType
             case _ => IntegerType
           }
           case INT64 => LongType

@@ -280,21 +280,22 @@ final class SnapshotWriteBuilder(dir: String, info: LogicalWriteInfo,
         "staged DDL (CREATE/REPLACE TABLE AS SELECT) cannot take a " +
           "dynamic-overwrite or replace-where write")
       // dynamic overwrite keys an equality-delete sidecar on the
-      // identity columns, whose member types are integral-or-string —
-      // fail HERE (before any file stages) with the workaround, not
-      // deep in the delete machinery after the write ran
+      // identity columns, whose member types are integral, string, or
+      // date — fail HERE (before any file stages) with the workaround,
+      // not deep in the delete machinery after the write ran
       if (dynamic) clusterCols.foreach { c =>
         val dt = aligned.fields(aligned.fieldIndex(c)).dataType
         val ok = dt match {
           case ByteType | ShortType | IntegerType | LongType |
-               StringType => true
+               StringType | DateType => true
           case _ => false
         }
         require(ok,
           s"dynamic partition overwrite keys on identity column '$c' of " +
             s"type ${dt.simpleString}, outside the equality-delete key " +
-            "surface (integral or string); use a static partition-spec " +
-            "INSERT OVERWRITE (REPLACE WHERE handles any comparable type)")
+            "surface (integral, string, or date); use a static " +
+            "partition-spec INSERT OVERWRITE (REPLACE WHERE handles any " +
+            "comparable type)")
       }
       new SnapshotBatchWrite(dir, aligned, overwrite,
         cols("statsCols").map(logicalName).map(c => pm.getOrElse(c, c)),

@@ -219,38 +219,61 @@ class DynamicOverwriteSpec extends SparkTestBase {
       == 305L)
   }
 
-  test("DATE identity: dynamic refuses early with the workaround; REPLACE WHERE covers") {
-    // dynamic overwrite keys an eq-delete sidecar on the identity
-    // columns (integral-or-string members); a DATE-partitioned table
-    // must fail BEFORE staging anything, naming the static
-    // partition-spec path — which handles any comparable type via
-    // the dv prove/refute machinery
+  test("DATE identity: dynamic overwrite works (days-canonical eq keys)") {
+    // round-18: DATE joined the equality-delete key surface (canonical
+    // form = days-since-epoch, the parquet INT32's own coordinate), so
+    // the MOST COMMON partition shape — a date-partitioned fact —
+    // dynamic-overwrites like any other
     spark.sql("CREATE TABLE graftdyn.dt (k BIGINT, day DATE) " +
       "PARTITIONED BY (day)")
     spark.sql("INSERT INTO graftdyn.dt SELECT id, " +
       "DATE_ADD(DATE'2024-01-01', CAST(id % 3 AS INT)) FROM range(0, 90)")
     val vBefore = SnapshotTable.latestVersion(spark, s"$root/dt").get
+    val filesBefore = manifest(s"$root/dt").files.map(_.path).toSet
+    dynMode {
+      spark.sql("INSERT OVERWRITE graftdyn.dt " +
+        "SELECT id + 500, DATE'2024-01-02' FROM range(0, 5)")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt " +
+      "WHERE day = DATE'2024-01-02'").as[Long].head == 5L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt " +
+      "WHERE day = DATE'2024-01-01'").as[Long].head == 30L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt " +
+      "WHERE day = DATE'2024-01-03'").as[Long].head == 30L)
+    assert(SnapshotTable.latestVersion(spark, s"$root/dt").get == vBefore + 1)
+    assert(filesBefore.subsetOf(manifest(s"$root/dt").files.map(_.path).toSet))
+    // the fold leaves content fixed (days-canonical masking agreed
+    // across reader families before the fold)
+    SnapshotTable.purgeDeletes(spark, s"$root/dt")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt").as[Long].head
+      == 65L)
+    // static partition-spec REPLACE WHERE on dates still works too
+    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
+      spark.sql("INSERT OVERWRITE graftdyn.dt PARTITION (day = '2024-01-03') " +
+        "SELECT id + 900 FROM range(0, 4)")
+    }
+    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt").as[Long].head
+      == 39L)
+    // a genuinely-unsupported identity type (timestamp) still refuses
+    // EARLY, naming the workaround
+    spark.sql("CREATE TABLE graftdyn.ts (k BIGINT, at TIMESTAMP) " +
+      "PARTITIONED BY (at)")
+    spark.sql("INSERT INTO graftdyn.ts SELECT id, " +
+      "TIMESTAMP'2024-01-01 00:00:00' FROM range(0, 10)")
+    val vTs = SnapshotTable.latestVersion(spark, s"$root/ts").get
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val e = intercept[Exception] {
       dynMode {
-        spark.sql("INSERT OVERWRITE graftdyn.dt " +
-          "SELECT id + 500, DATE'2024-01-02' FROM range(0, 5)")
+        spark.sql("INSERT OVERWRITE graftdyn.ts " +
+          "SELECT id + 500, TIMESTAMP'2024-01-01 00:00:00' FROM range(0, 5)")
       }
     }
     assert(msgs(e).exists(_.contains("REPLACE WHERE")),
       s"refusal must name the workaround: ${msgs(e)}")
-    assert(SnapshotTable.latestVersion(spark, s"$root/dt").get == vBefore,
+    assert(SnapshotTable.latestVersion(spark, s"$root/ts").get == vTs,
       "the refused write must not commit")
-    withSQLConf("spark.sql.sources.partitionOverwriteMode" -> "static") {
-      spark.sql("INSERT OVERWRITE graftdyn.dt PARTITION (day = '2024-01-02') " +
-        "SELECT id + 500 FROM range(0, 5)")
-    }
-    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt " +
-      "WHERE day = DATE'2024-01-02'").as[Long].head == 5L)
-    assert(spark.sql("SELECT count(*) AS n FROM graftdyn.dt").as[Long].head
-      == 65L)
   }
 
   test("replaceWhereValidate: an out-of-predicate batch refuses before committing") {

@@ -565,6 +565,46 @@ class EqualityDeleteSpec extends SparkTestBase {
     assert(SnapshotTable.scan(spark, dir).count() == 8000 - hits)
   }
 
+  test("DATE keys: days-canonical masking agrees across every reader family") {
+    // round-18: DateType joins the eq-delete key surface. The one trap
+    // is the canonical form — the driver-side sidecar load must speak
+    // DAYS (what executor readers see in the parquet INT32), not the
+    // yyyy-MM-dd string cast; a mismatch would silently un-delete
+    // through one family and mask through another. Pin all of them:
+    // columnar (projection), row (pure count), anti-join (scan), and
+    // the composite (date, int) tuple.
+    val dir = freshDir()
+    val rows = spark.range(0, 1200).select(
+      date_add(lit("2024-01-01").cast("date"),
+        ($"id" % 6).cast("int")).as("day"),
+      ($"id" % 5).as("slot"), $"id".as("v")) // 5 coprime with 6: every
+    // (day, slot) combo exists (40 rows each)
+    SnapshotTable.write(spark, rows.repartition(4), dir, "overwrite", Nil)
+    // single date key
+    SnapshotTable.deleteByKey(spark, dir, "day",
+      Seq(java.sql.Date.valueOf("2024-01-03")).toDF("day"))
+    val v2 = spark.read.format("graft_snapshot").load(dir)
+    assert(v2.select("day", "slot", "v")
+      .filter($"day" === "2024-01-03").count() == 0) // columnar family
+    assert(v2.count() == 1000)                        // row family
+    assert(SnapshotTable.scan(spark, dir).count() == 1000) // anti-join
+    // composite (date, int) tuple: only the exact tuple dies
+    SnapshotTable.deleteByKeys(spark, dir, Seq("day", "slot"),
+      Seq((java.sql.Date.valueOf("2024-01-01"), 4L)).toDF("day", "slot"))
+    val v3 = spark.read.format("graft_snapshot").load(dir)
+    assert(v3.filter($"day" === "2024-01-01" && $"slot" === 4).count() == 0)
+    assert(v3.filter($"day" === "2024-01-01" && $"slot" === 3).count() == 40,
+      "date-tuple masking took a sibling slot")
+    assert(v3.filter($"day" === "2024-01-02" && $"slot" === 4).count() == 40,
+      "date-tuple masking took a sibling day")
+    assert(v3.count() == 960)
+    // the fold is content-neutral
+    SnapshotTable.purgeDeletes(spark, dir)
+    assert(SnapshotTable.scan(spark, dir).count() == 960)
+    assert(SnapshotTable.scan(spark, dir)
+      .filter($"day" === "2024-01-03").count() == 0)
+  }
+
   test("composite eq-CDC epochs: no pre-existing file rewritten, siblings survive") {
     // q7T's two in-query pins, moved here (round-18, the r16 q7N
     // precedent: the pins cost a manifest walk + two count jobs per
