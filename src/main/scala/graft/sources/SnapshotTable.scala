@@ -1176,70 +1176,168 @@ object SnapshotTable {
     val stage = new Path(dir, s".stage-$nonce")
     val f = fs(spark, stage)
     df.write.mode("overwrite").parquet(stage.toString)
-    val staged = spark.read.parquet(stage.toString)
     // string stats columns get ZONE MAPS (truncated (lower,upper)
     // bounds) instead of long ranges; everything else is unchanged
     val strCols = statsCols.filter(c =>
-      staged.schema.fields.find(_.name == c)
+      df.schema.fields.find(_.name == c)
         .exists(_.dataType == org.apache.spark.sql.types.StringType))
     val intCols = statsCols.filterNot(strCols.contains)
-    val aggs = count(lit(1)).as("__rows") +:
-      (intCols.flatMap(c => Seq(
-        min(col(c)).cast("long").as(s"__min_$c"),
-        max(col(c)).cast("long").as(s"__max_$c"),
-        count(col(c)).as(s"__cnt_$c"))) ++
-        strCols.flatMap(c => Seq(
-          min(col(c)).as(s"__smin_$c"),
-          max(col(c)).as(s"__smax_$c"),
-          count(col(c)).as(s"__cnt_$c"))) ++
-        bloomCols.map(c => graft.functions.cat.BloomAgg(
-          graft.functions.TextFunctions.polyHash(col(c).cast("string")),
-          BloomBits, BloomK).as(s"__bloom_$c")) ++
-        ndvCols.map(c =>
-          graft.functions.cat.KmvValues(col(c), NdvK).as(s"__ndv_$c")))
-    val perFile = staged
-      .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    // Per-file rows / min-max / null counts come from the staged
+    // parquet FOOTERS (round-18, guide §1.2/§6): the parquet writer
+    // already computed exactly these statistics while writing, so the
+    // post-hoc aggregation job that re-read every staged byte is pure
+    // duplication — at 100 TB an append re-read its whole batch. A
+    // column whose footer stats are absent/dropped (e.g. >4 KB string
+    // values) degrades to "no stats entry" — readers treat missing
+    // stats conservatively, so the fallback costs pruning, never
+    // correctness. Bloom/NDV sketches are not in footers; they keep a
+    // (column-pruned) aggregation pass below, only when declared.
+    val partFiles = f.listStatus(stage).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    val hc = spark.sparkContext.hadoopConfiguration
+    val footers: Seq[(String, FooterFileStats)] =
+      if (partFiles.lengthCompare(64) <= 0)
+        partFiles.map(p => p.getName -> readFooterStats(hc, p, intCols, strCols))
+      else {
+        // a wide staged batch scrapes footers as one parallel
+        // metadata-only job (executor-side Configuration, the sidecar
+        // loaders' precedent)
+        val paths = partFiles.map(_.toString)
+        val ic = intCols; val sc = strCols
+        spark.sparkContext
+          .parallelize(paths, math.min(paths.size,
+            spark.sparkContext.defaultParallelism))
+          .map { s =>
+            val p = new Path(s)
+            p.getName -> readFooterStats(
+              new org.apache.hadoop.conf.Configuration(), p, ic, sc)
+          }.collect().toSeq.sortBy(_._1)
+      }
+    val sketchByFile: Map[String, org.apache.spark.sql.Row] =
+      if (bloomCols.isEmpty && ndvCols.isEmpty) Map.empty
+      else {
+        val sketchAggs =
+          bloomCols.map(c => graft.functions.cat.BloomAgg(
+            graft.functions.TextFunctions.polyHash(col(c).cast("string")),
+            BloomBits, BloomK).as(s"__bloom_$c")) ++
+          ndvCols.map(c =>
+            graft.functions.cat.KmvValues(col(c), NdvK).as(s"__ndv_$c"))
+        spark.read.parquet(stage.toString)
+          .select(((bloomCols ++ ndvCols).distinct.map(c => col(s"`$c`")) :+
+            input_file_name().as("__file")): _*)
+          .groupBy(col("__file"))
+          .agg(sketchAggs.head, sketchAggs.tail: _*)
+          .collect().toSeq
+          .map(r => new Path(new java.net.URI(r.getString(0)).getPath).getName -> r)
+          .toMap
+      }
     f.mkdirs(dataDir(dir))
-    val entries = perFile.toSeq.sortBy(_.getString(0)).zipWithIndex.map { case (r, i) =>
-      val base = new Path(new java.net.URI(r.getString(0)).getPath).getName
+    // a 0-row part file (empty frame's schema carrier) stages nothing,
+    // matching the aggregation path's per-file groupBy semantics
+    val entries = footers.filter(_._2.rows > 0).zipWithIndex.map { case ((base, fst), i) =>
       val name = f"$nonce-p$i%05d.parquet"
       require(f.rename(new Path(stage, base), new Path(dataDir(dir), name)),
         s"failed to move staged file $base into $dir/data")
-      val stats = intCols.flatMap { c =>
-        val lo = r.getAs[Any](s"__min_$c")
-        val hi = r.getAs[Any](s"__max_$c")
-        if (lo == null || hi == null) None
-        else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
-      }.toMap
-      val strStats = strCols.flatMap { c =>
-        val lo = r.getAs[String](s"__smin_$c")
-        val hi = r.getAs[String](s"__smax_$c")
-        if (lo == null || hi == null) None
-        else strUpperBound(hi).map(u => c -> (strLowerBound(lo), u))
-      }.toMap
-      val blooms = bloomCols.map { c =>
-        c -> r.getAs[scala.collection.Seq[Long]](s"__bloom_$c").toVector.asInstanceOf[Seq[Long]]
-      }.toMap
-      val ndv = ndvCols.map { c =>
-        c -> r.getAs[scala.collection.Seq[Long]](s"__ndv_$c").toVector.asInstanceOf[Seq[Long]]
-      }.toMap
+      val strStats = fst.strStats.flatMap { case (c, (lo, hi)) =>
+        strUpperBound(hi).map(u => c -> (strLowerBound(lo), u))
+      }
+      val blooms = bloomCols.flatMap(c => sketchByFile.get(base).map(r =>
+        c -> r.getAs[scala.collection.Seq[Long]](s"__bloom_$c").toVector
+          .asInstanceOf[Seq[Long]])).toMap
+      val ndv = ndvCols.flatMap(c => sketchByFile.get(base).map(r =>
+        c -> r.getAs[scala.collection.Seq[Long]](s"__ndv_$c").toVector
+          .asInstanceOf[Seq[Long]])).toMap
       val bucket = bucketing.flatMap { case (_, n) =>
         partIndexOf(base).filter(_ < n)
       }
       // sortedBy records the PHYSICAL name — the coordinate the files
       // (and later scans' ordering claims) actually use
       val sortedBy = bucketing.map { case (c, _) => mapping.getOrElse(c, c) }
-      FileEntry(s"data/$name", r.getAs[Long]("__rows"), stats, blooms,
+      FileEntry(s"data/$name", fst.rows, fst.intStats, blooms,
         bucket = bucket, sortedBy = sortedBy,
         bucketN = bucket.flatMap(_ => bucketing.map(_._2)),
         noNulls = statsCols.filter(c =>
-          r.getAs[Long](s"__cnt_$c") == r.getAs[Long]("__rows")).sorted,
+          fst.nonNull.get(c).contains(fst.rows)).sorted,
         strStats = strStats, ndv = ndv)
     }
     f.delete(stage, true)
     entries // empty input -> zero non-empty files -> empty (but valid) version
+  }
+
+  /** One staged file's stats, scraped from its parquet footer: exact
+    * row count, per-column (min,max) for the requested integral and
+    * string stats columns, and non-null counts for columns whose
+    * every row group recorded a null count. Absent or dropped footer
+    * statistics simply omit the column — the conservative direction
+    * for every consumer (skipping keeps the file, noNulls stays
+    * unclaimed). */
+  private[graft] final case class FooterFileStats(
+      rows: Long,
+      intStats: Map[String, (Long, Long)],
+      strStats: Map[String, (String, String)],
+      nonNull: Map[String, Long])
+
+  private[graft] def readFooterStats(
+      conf: org.apache.hadoop.conf.Configuration, p: Path,
+      intCols: Seq[String], strCols: Seq[String]): FooterFileStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.unsafe.types.UTF8String
+    val wanted = intCols ++ strCols
+    val isStr = strCols.toSet
+    val pfr = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      var rows = 0L
+      val nn = scala.collection.mutable.Map(wanted.map(_ -> 0L): _*)
+      val nnOk = scala.collection.mutable.Set(wanted: _*)
+      val boundsOk = scala.collection.mutable.Set(wanted: _*)
+      val iLo = scala.collection.mutable.Map[String, Long]()
+      val iHi = scala.collection.mutable.Map[String, Long]()
+      val sLo = scala.collection.mutable.Map[String, UTF8String]()
+      val sHi = scala.collection.mutable.Map[String, UTF8String]()
+      pfr.getFooter.getBlocks.forEach { b =>
+        rows += b.getRowCount
+        val byName = new scala.collection.mutable.HashMap[String,
+          org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]()
+        b.getColumns.forEach(cc => byName.put(cc.getPath.toDotString, cc))
+        wanted.foreach { c =>
+          byName.get(c) match {
+            case None => nnOk -= c; boundsOk -= c
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet) { nnOk -= c; boundsOk -= c }
+              else {
+                val nonNullHere = b.getRowCount - st.getNumNulls
+                nn(c) += nonNullHere
+                if (nonNullHere > 0) {
+                  if (!st.hasNonNullValue) boundsOk -= c
+                  else if (isStr(c)) {
+                    val lo = UTF8String.fromBytes(st.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                    val hi = UTF8String.fromBytes(st.genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+                    if (!sLo.contains(c) || lo.compareTo(sLo(c)) < 0) sLo(c) = lo
+                    if (!sHi.contains(c) || hi.compareTo(sHi(c)) > 0) sHi(c) = hi
+                  } else {
+                    val lo = st.genericGetMin.asInstanceOf[Number].longValue
+                    val hi = st.genericGetMax.asInstanceOf[Number].longValue
+                    if (!iLo.contains(c) || lo < iLo(c)) iLo(c) = lo
+                    if (!iHi.contains(c) || hi > iHi(c)) iHi(c) = hi
+                  }
+                }
+              }
+          }
+        }
+      }
+      FooterFileStats(rows,
+        intCols.collect { case c if boundsOk(c) && iLo.contains(c) =>
+          c -> (iLo(c), iHi(c)) }.toMap,
+        strCols.collect { case c if boundsOk(c) && sLo.contains(c) =>
+          c -> (sLo(c).toString, sHi(c).toString) }.toMap,
+        wanted.collect { case c if nnOk(c) => c -> nn(c) }.toMap)
+    } finally pfr.close()
   }
 
   /** Commit `df` as a new snapshot. `mode` "overwrite" starts the file
@@ -1809,6 +1907,60 @@ object SnapshotTable {
     if (!f.rename(part, target) && !f.exists(target))
       throw new IllegalStateException(s"could not publish $target")
     f.delete(tmp, true)
+  }
+
+  /** Publish ≤~1k ALREADY-COLLECTED key rows as one parquet sidecar
+    * written entirely on the driver (round-18): a small eq-delete
+    * epoch's sidecar costs zero Spark jobs. Same temp-then-rename
+    * publish as [[writeSingleParquet]]; the message type is
+    * [[graft.sources.connector.SnapshotWriteSupport.messageTypeFor]] —
+    * the exact layout Spark's own writer emits — so both sidecar
+    * reader families are indifferent to which path wrote the file. */
+  private def writeDriverSidecar(spark: SparkSession, dir: String,
+                                 relPath: String,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.spark.sql.types._
+    val msg = graft.sources.connector.SnapshotWriteSupport.messageTypeFor(schema)
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    val tmp = new Path(dir, s".dv-${java.util.UUID.randomUUID}/part-sidecar.parquet")
+    val f = fs(spark, tmp)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(msg, conf)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(tmp)
+      .withConf(conf).withType(msg)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      schema.fields.zipWithIndex.foreach { case (fld, i) =>
+        if (!r.isNullAt(i)) fld.dataType match {
+          case ByteType => g.add(i, r.getByte(i).toInt)
+          case ShortType => g.add(i, r.getShort(i).toInt)
+          case IntegerType => g.add(i, r.getInt(i))
+          case LongType => g.add(i, r.getLong(i))
+          case StringType => g.add(i,
+            org.apache.parquet.io.api.Binary.fromString(r.getString(i)))
+          // stored as days-since-epoch INT32 — what Spark's writer emits
+          case DateType => g.add(i, (r.get(i) match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
+            case other => throw new IllegalStateException(
+              s"unexpected date value $other")
+          }).toInt)
+          case dt => throw new IllegalStateException(
+            s"unsupported sidecar member type ${dt.simpleString}")
+        }
+      }
+      w.write(g)
+    } finally w.close()
+    val target = new Path(dir, relPath)
+    if (!f.rename(tmp, target) && !f.exists(target))
+      throw new IllegalStateException(s"could not publish $target")
+    f.delete(tmp.getParent, true)
   }
 
   /** DELETE WHERE via DELETION VECTORS (merge-on-read): instead of
@@ -2515,44 +2667,84 @@ object SnapshotTable {
       // bounds refute whole files through the manifest ranges —
       // integral stats or string zone maps — and a small batch
       // additionally refutes through the per-file blooms (point
-      // membership beats ranges on scattered keys)
-      val smallKeys: Option[Seq[Seq[String]]] = {
-        val rows = keyDf
-          .select(physCols.map(c => col(s"`$c`").cast("string")): _*)
-          .limit(1025).collect()
-        if (rows.length > 1024) None
-        else Some(rows.map(r => physCols.indices.map(r.getString)).toSeq)
-      }
-      if (smallKeys.exists(_.isEmpty)) return addsOnly(v) // empty batch
-      // one agg job computes every member's bounds
+      // membership beats ranges on scattered keys).
+      // Round-18 job fusion (guide §1.2): ONE typed limit-collect
+      // decides small vs wide; a small batch's string forms, bounds,
+      // and count all derive from the collected rows on the driver
+      // (this path used to run a string-cast collect PLUS a bounds
+      // aggregate PLUS, for wide batches, a third count job), and only
+      // a wide batch pays one aggregate folding bounds and count
+      // together.
       val isString = members.map(_._2
         .contains(org.apache.spark.sql.types.StringType))
-      val aggExprs = members.zipWithIndex.flatMap { case ((phys, dt), i) =>
-        if (isString(i)) Seq(min(col(s"`$phys`")), max(col(s"`$phys`")))
-        else if (dt.isEmpty) // legacy chain without a recorded schema:
-          Seq(max(lit(null)), max(lit(null))) // no bound, no refutation
-        else {
-          // DATE → days since epoch (a date cannot CAST to long; the
-          // days number is also the physical stats coordinate)
-          val num =
-            if (dt.contains(org.apache.spark.sql.types.DateType))
-              datediff(col(s"`$phys`"), lit("1970-01-01").cast("date"))
-            else col(s"`$phys`")
-          Seq(min(num).cast("long"), max(num).cast("long"))
-        }
+      val typedRows = keyDf.limit(1025).collect()
+      if (typedRows.isEmpty) return addsOnly(v) // empty batch
+      // driver-side canonical forms replicate the CAST-to-string the
+      // old collect ran: integrals print decimal digits, dates ISO
+      // yyyy-MM-dd — both are the Java toString forms
+      def stringForm(x: Any): String = x match {
+        case d: java.sql.Date => d.toString
+        case d: java.time.LocalDate => d.toString
+        case other => other.toString
       }
-      val boundsRow = keyDf.agg(aggExprs.head, aggExprs.tail: _*).head
-      if (physCols.indices.forall(i => boundsRow.isNullAt(2 * i)) &&
-          members.forall(_._2.isDefined))
-        return addsOnly(v) // empty batch: nothing to do
-      val bounds: Seq[Option[(Long, Long)]] = physCols.indices.map { i =>
-        if (isString(i) || members(i)._2.isEmpty || boundsRow.isNullAt(2 * i))
-          None
-        else Some((boundsRow.getLong(2 * i), boundsRow.getLong(2 * i + 1)))
+      // the physical stats coordinate: days-since-epoch for dates,
+      // the value itself for integrals (what min(num).cast("long")
+      // computed)
+      def boundForm(x: Any): Long = x match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+        case n: java.lang.Number => n.longValue
+        case other => throw new IllegalStateException(
+          s"unexpected key member value $other")
       }
-      val strBounds: Seq[Option[(String, String)]] = physCols.indices.map { i =>
-        if (!isString(i) || boundsRow.isNullAt(2 * i)) None
-        else Some((boundsRow.getString(2 * i), boundsRow.getString(2 * i + 1)))
+      val smallKeys: Option[Seq[Seq[String]]] =
+        if (typedRows.length > 1024) None
+        else Some(typedRows.toSeq.map(r =>
+          physCols.indices.map(i => stringForm(r.get(i)))))
+      val (bounds, strBounds, batchKeys) = smallKeys match {
+        case Some(tuples) =>
+          val b: Seq[Option[(Long, Long)]] = physCols.indices.map { i =>
+            if (isString(i) || members(i)._2.isEmpty) None
+            else {
+              val vs = typedRows.map(r => boundForm(r.get(i)))
+              Some((vs.min, vs.max))
+            }
+          }
+          val sb: Seq[Option[(String, String)]] = physCols.indices.map { i =>
+            if (!isString(i)) None
+            else {
+              val vs = typedRows.map(_.getString(i))
+              Some((vs.reduce((x, y) => if (strCmp(x, y) <= 0) x else y),
+                vs.reduce((x, y) => if (strCmp(x, y) >= 0) x else y)))
+            }
+          }
+          (b, sb, tuples.size.toLong)
+        case None =>
+          val aggExprs = members.zipWithIndex.flatMap { case ((phys, dt), i) =>
+            if (isString(i)) Seq(min(col(s"`$phys`")), max(col(s"`$phys`")))
+            else if (dt.isEmpty) // legacy chain without a recorded schema:
+              Seq(max(lit(null)), max(lit(null))) // no bound, no refutation
+            else {
+              // DATE → days since epoch (a date cannot CAST to long; the
+              // days number is also the physical stats coordinate)
+              val num =
+                if (dt.contains(org.apache.spark.sql.types.DateType))
+                  datediff(col(s"`$phys`"), lit("1970-01-01").cast("date"))
+                else col(s"`$phys`")
+              Seq(min(num).cast("long"), max(num).cast("long"))
+            }
+          } :+ count(lit(1)) // the wide batch's key count, same job
+          val boundsRow = keyDf.agg(aggExprs.head, aggExprs.tail: _*).head
+          val b: Seq[Option[(Long, Long)]] = physCols.indices.map { i =>
+            if (isString(i) || members(i)._2.isEmpty || boundsRow.isNullAt(2 * i))
+              None
+            else Some((boundsRow.getLong(2 * i), boundsRow.getLong(2 * i + 1)))
+          }
+          val sb: Seq[Option[(String, String)]] = physCols.indices.map { i =>
+            if (!isString(i) || boundsRow.isNullAt(2 * i)) None
+            else Some((boundsRow.getString(2 * i), boundsRow.getString(2 * i + 1)))
+          }
+          (b, sb, boundsRow.getLong(aggExprs.length - 1))
       }
       // a file is refuted when ANY member's whole batch is range- or
       // bloom-disjoint from it (null keys were dropped from the batch
@@ -2583,8 +2775,9 @@ object SnapshotTable {
       // bound where it accumulates (here) instead of surfacing it as
       // a read failure N epochs later. Footer row counts only (the
       // sum over epochs upper-bounds the merged set; refusing a hair
-      // early beats refusing reads), zero Spark jobs.
-      val batchKeys = smallKeys.map(_.size.toLong).getOrElse(keyDf.count())
+      // early beats refusing reads), zero Spark jobs. (batchKeys came
+      // with the bounds above — driver-counted for a small batch,
+      // folded into the wide batch's single aggregate.)
       val hc = spark.sparkContext.hadoopConfiguration
       affected.foreach { fe =>
         val pending = fe.eqDv.map(p => graft.sources.connector
@@ -2597,7 +2790,12 @@ object SnapshotTable {
       }
       val nonce = java.util.UUID.randomUUID.toString.take(8)
       val rel = s"data/$nonce-eq.parquet"
-      writeSingleParquet(spark, dir, keyDf, rel)
+      // a small batch's distinct tuples are already ON the driver
+      // (typedRows) — write the sidecar directly, zero Spark jobs;
+      // wide batches keep the distributed single-file write
+      if (smallKeys.isDefined)
+        writeDriverSidecar(spark, dir, rel, keyDf.schema, typedRows.toSeq)
+      else writeSingleParquet(spark, dir, keyDf, rel)
       val updated = affected.map(fe => fe.copy(eqDv = (fe.eqDv :+ rel).distinct))
       try commit(spark, dir, op, updated ++ alsoAdd,
         removed = readSetOf(affected), carry = true, schemaJson = schemaJson)

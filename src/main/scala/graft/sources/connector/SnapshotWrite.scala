@@ -697,7 +697,7 @@ private final class BucketedDataWriter(dir: String, schema: StructType,
   }
 }
 
-private object SnapshotWriteSupport {
+private[sources] object SnapshotWriteSupport {
 
   /** CHECK-constraint gate over a STAGED batch: every `constraint.*`
     * table prop (written by `ALTER TABLE … ADD CONSTRAINT`) is

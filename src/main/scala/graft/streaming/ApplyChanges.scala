@@ -55,35 +55,43 @@ object ApplyChanges {
     val w = Window.partitionBy(col(key))
       .orderBy(col("commit_version").desc,
         when(col("change_type") === "upsert", 0).otherwise(1))
+    // cached: the collapse is a shuffle + window over the batch, and
+    // everything below (emptiness probe, merge source, bootstrap
+    // write) derives from it — without the cache each derived action
+    // re-runs the window (round-18, guide §5: a bounded micro-batch
+    // intermediate reused 2-3×)
     val collapsed = batch
       .withColumn("__cdc_rn", row_number().over(w))
       .filter(col("__cdc_rn") === 1)
-    // bootstrap: the downstream table does not exist yet — the first
-    // batch's surviving upserts ARE the initial snapshot (deletes of
-    // never-seen keys no-op by definition)
-    if (SnapshotTable.latestVersion(spark, dir).isEmpty) {
-      val initial = collapsed.filter(col("change_type") === "upsert")
-        .select(tableCols.map(c => col(s"`$c`")): _*)
-      SnapshotTable.write(spark, initial, dir, "overwrite", statsCols)
-      return
-    }
-    // source columns are renamed out of the target's namespace (the
-    // merge joins target and source into one frame)
-    val latest = collapsed
-      .select(col("change_type").as("_cdc_change") +:
-        tableCols.map(c => col(s"`$c`").as(s"_src_$c")): _*)
-    if (latest.isEmpty) return
-    SnapshotTable.mergeClauses(spark, dir, latest,
-      keyCol = key, sourceKey = col(s"_src_$key"),
-      matched = Seq(
-        MergeWhenClause(Some(col("_cdc_change") === "delete"),
-          MergeRowAction.Delete),
-        MergeWhenClause(None, MergeRowAction.Update(
-          tableCols.map(c => c -> col(s"_src_$c"))))),
-      notMatched = Seq(
-        MergeInsertClause(Some(col("_cdc_change") === "upsert"),
-          tableCols.map(c => c -> col(s"_src_$c")))),
-      statsCols = statsCols)
+      .cache()
+    try {
+      // bootstrap: the downstream table does not exist yet — the first
+      // batch's surviving upserts ARE the initial snapshot (deletes of
+      // never-seen keys no-op by definition)
+      if (SnapshotTable.latestVersion(spark, dir).isEmpty) {
+        val initial = collapsed.filter(col("change_type") === "upsert")
+          .select(tableCols.map(c => col(s"`$c`")): _*)
+        SnapshotTable.write(spark, initial, dir, "overwrite", statsCols)
+        return
+      }
+      // source columns are renamed out of the target's namespace (the
+      // merge joins target and source into one frame)
+      val latest = collapsed
+        .select(col("change_type").as("_cdc_change") +:
+          tableCols.map(c => col(s"`$c`").as(s"_src_$c")): _*)
+      if (latest.isEmpty) return
+      SnapshotTable.mergeClauses(spark, dir, latest,
+        keyCol = key, sourceKey = col(s"_src_$key"),
+        matched = Seq(
+          MergeWhenClause(Some(col("_cdc_change") === "delete"),
+            MergeRowAction.Delete),
+          MergeWhenClause(None, MergeRowAction.Update(
+            tableCols.map(c => c -> col(s"_src_$c"))))),
+        notMatched = Seq(
+          MergeInsertClause(Some(col("_cdc_change") === "upsert"),
+            tableCols.map(c => c -> col(s"_src_$c")))),
+        statsCols = statsCols)
+    } finally collapsed.unpersist()
   }
 
   /** [[applyBatch]]'s EQUALITY-DELETE twin — the Iceberg
@@ -132,21 +140,28 @@ object ApplyChanges {
     val w = Window.partitionBy(keys.map(k => col(s"`$k`")): _*)
       .orderBy(col("commit_version").desc,
         when(col("change_type") === "upsert", 0).otherwise(1))
+    // cached: the delete's key frame, the upserts' append, and the
+    // emptiness probes all derive from this one shuffle + window over
+    // the batch — without the cache the collapse re-runs ~4× per
+    // epoch (round-18, guide §5)
     val collapsed = batch
       .withColumn("__cdc_rn", row_number().over(w))
       .filter(col("__cdc_rn") === 1)
-    if (SnapshotTable.latestVersion(spark, dir).isEmpty) {
-      val initial = collapsed.filter(col("change_type") === "upsert")
+      .cache()
+    try {
+      if (SnapshotTable.latestVersion(spark, dir).isEmpty) {
+        val initial = collapsed.filter(col("change_type") === "upsert")
+          .select(tableCols.map(c => col(s"`$c`")): _*)
+        SnapshotTable.write(spark, initial, dir, "overwrite", statsCols)
+        return
+      }
+      if (collapsed.isEmpty) return
+      SnapshotTable.deleteByKeys(spark, dir, keys,
+        collapsed.select(keys.map(k => col(s"`$k`")): _*))
+      val upserts = collapsed.filter(col("change_type") === "upsert")
         .select(tableCols.map(c => col(s"`$c`")): _*)
-      SnapshotTable.write(spark, initial, dir, "overwrite", statsCols)
-      return
-    }
-    if (collapsed.isEmpty) return
-    SnapshotTable.deleteByKeys(spark, dir, keys,
-      collapsed.select(keys.map(k => col(s"`$k`")): _*))
-    val upserts = collapsed.filter(col("change_type") === "upsert")
-      .select(tableCols.map(c => col(s"`$c`")): _*)
-    if (!upserts.isEmpty)
-      SnapshotTable.write(spark, upserts, dir, "append", statsCols)
+      if (!upserts.isEmpty)
+        SnapshotTable.write(spark, upserts, dir, "append", statsCols)
+    } finally collapsed.unpersist()
   }
 }
