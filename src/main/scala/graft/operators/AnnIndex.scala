@@ -208,16 +208,48 @@ object AnnIndex {
       s"no readable ANN index meta under $indexDir"))
   }
 
+  /** Version-keyed LRU of collected centroid/codebook tables
+    * (round-18, guide §1.2): one index operation chain (build → CDC
+    * epochs → refresh → search) used to re-scan + re-collect the
+    * SAME immutable vocabulary-sized tables up to 9× per query. A
+    * snapshot version is immutable, so (dir, version) fully
+    * determines the content — this is metadata-read avoidance inside
+    * one JVM (the [[graft.sources.connector.SnapshotPartitions]]
+    * EqSidecars precedent), not cross-run result caching: every
+    * entry re-derives from disk on first touch of that version. */
+  private val vocabCache =
+    new java.util.LinkedHashMap[(String, Long), AnyRef](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), AnyRef]): Boolean =
+        size() > 64
+    }
+
+  private def vocabCached[T <: AnyRef](dir: String, v: Long)(load: => T): T = {
+    vocabCache.synchronized {
+      val hit = vocabCache.get((dir, v))
+      if (hit != null) return hit.asInstanceOf[T]
+    }
+    val loaded = load // outside the lock (a Spark job); double-load is idempotent
+    vocabCache.synchronized { vocabCache.put((dir, v), loaded) }
+    loaded
+  }
+
   /** The frozen coarse quantizer, collected driver-side (centroid
     * sets are vocabulary-sized by design — k cells for a corpus of
     * millions) and inlined as literals so cell assignment runs as a
     * codegen'd kernel argmax, zero joins. */
   private def loadCentroids(spark: SparkSession, indexDir: String)
-      : Array[(Long, Array[Float])] =
-    SnapshotTable.scan(spark, centroidsDir(indexDir))
-      .select(col("cen_id"), col("embedding"))
-      .orderBy("cen_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      : Array[(Long, Array[Float])] = {
+    val cDir = centroidsDir(indexDir)
+    val v = SnapshotTable.latestVersion(spark, cDir).getOrElse(
+      throw new IllegalStateException(s"no centroids under $indexDir"))
+    vocabCached(cDir, v) {
+      SnapshotTable.scan(spark, cDir, Some(v))
+        .select(col("cen_id"), col("embedding"))
+        .orderBy("cen_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    }
+  }
 
   private def cellOf(vec: Column, cents: Array[(Long, Array[Float])],
                      dim: Int): Column = {
@@ -236,13 +268,18 @@ object AnnIndex {
   def loadCodebooks(spark: SparkSession, indexDir: String,
                     m: Int, ks: Int, dim: Int): Array[Double] = {
     val ds = dim / m
-    val cb = new Array[Double](m * ks * ds)
-    SnapshotTable.scan(spark, codebooksDir(indexDir))
-      .select(col("sub"), col("code"), col("pos"), col("val"))
-      .collect()
-      .foreach(r => cb((r.getInt(0) * ks + r.getInt(1)) * ds + r.getInt(2)) =
-        r.getDouble(3))
-    cb
+    val cbDir = codebooksDir(indexDir)
+    val v = SnapshotTable.latestVersion(spark, cbDir).getOrElse(
+      throw new IllegalStateException(s"no codebooks under $indexDir"))
+    vocabCached(cbDir, v) {
+      val cb = new Array[Double](m * ks * ds)
+      SnapshotTable.scan(spark, cbDir, Some(v))
+        .select(col("sub"), col("code"), col("pos"), col("val"))
+        .collect()
+        .foreach(r => cb((r.getInt(0) * ks + r.getInt(1)) * ds + r.getInt(2)) =
+          r.getDouble(3))
+      cb
+    }
   }
 
   /** m codes (each < 256) → ONE base-256 big-endian BIGINT, folded in
@@ -314,9 +351,14 @@ object AnnIndex {
             pqCodebooks: Option[Array[Double]] = None): Long = {
     val v = SnapshotTable.latestVersion(spark, corpusDir).getOrElse(
       throw new IllegalStateException(s"cannot index empty corpus $corpusDir"))
+    // vocabulary-sized by design (k cells) — ONE file, not one file
+    // per upstream partition: the quantizer is re-read far more often
+    // than written (every search/refresh loads it), and an 8-row
+    // table shredded over 32 single-row files paid 32 opens per load
+    // (round-18, guide §6 small files)
     SnapshotTable.write(spark,
       centroids.select(col(idCol).cast("long").as("cen_id"),
-        col(vecCol).as("embedding")),
+        col(vecCol).as("embedding")).coalesce(1),
       centroidsDir(indexDir), "overwrite", statsCols = Seq("cen_id"))
     val meta = Meta(corpusDir, v, dim, idCol, vecCol,
       pq.map(p => (p.m, p.ks)))
@@ -353,7 +395,9 @@ object AnnIndex {
       val rows = for {
         sub <- 0 until p.m; code <- 0 until p.ks; pos <- 0 until ds
       } yield (sub, code, pos, trained((sub * p.ks + code) * ds + pos))
-      SnapshotTable.write(spark, rows.toDF("sub", "code", "pos", "val"),
+      // m*ks*ds rows — vocabulary-sized like the centroids; one file
+      SnapshotTable.write(spark,
+        rows.toDF("sub", "code", "pos", "val").coalesce(1),
         codebooksDir(indexDir), "overwrite", statsCols = Seq("sub", "code"))
       trained
     }
@@ -409,8 +453,10 @@ object AnnIndex {
   private def applyChangeSet(spark: SparkSession, indexDir: String,
                              meta: Meta, changes: DataFrame): Unit = {
     maybeFold(spark, indexDir)
+    // no .distinct() here: deleteByKeys canonicalizes + distincts the
+    // key frame itself, so the explicit one was a second shuffle of
+    // the same batch (round-18, guide §2.4)
     val touched = changes.select(col(meta.idCol).cast("long").as("vec_id"))
-      .distinct()
     SnapshotTable.deleteByKey(spark, assignDir(indexDir), "vec_id", touched)
     val upserts = changes.filter(col("change_type") === "upsert")
     if (upserts.limit(1).count() > 0) {
@@ -612,9 +658,14 @@ object AnnIndex {
                              meta: Meta, queries: DataFrame,
                              k: Int, nprobe: Int): DataFrame = {
     val cents = loadCentroids(spark, indexDir)
-    val cen = broadcast(
-      SnapshotTable.scan(spark, centroidsDir(indexDir))
-        .select(col("cen_id"), col("embedding").as("cen_v")))
+    // the quantizer is ALREADY on the driver (loadCentroids) — inline
+    // it as a local relation instead of re-scanning the centroids
+    // table for the probe cross-join (round-18: one fewer scan +
+    // broadcast-build job per search; same rows by construction)
+    val cen = broadcast {
+      import spark.implicits._
+      cents.toSeq.toDF("cen_id", "cen_v")
+    }
     val qa = queries.select(col(meta.idCol).as("qid"), col(meta.vecCol).as("qv"))
       .crossJoin(cen)
       .withColumn("csim", Similarity.cosine(col("qv"), col("cen_v")))
@@ -625,29 +676,30 @@ object AnnIndex {
       .select(col("qid"), col("qv"), col("cen_id").as("cell"))
       .cache()
     try {
-      // the probed-cell union is at most queries × nprobe ids — a
-      // driver-small set that becomes manifest-level file pruning
-      // (readIn opens only files whose cell range admits a probe; the
-      // V2 connector path is primitives-only, and `embedding` is an
-      // array column). A very large query batch probes most cells
-      // anyway — skip the driver collect + static filter there and
-      // let the per-cell join do the routing alone, same result.
-      val broadBatch =
-        queries.limit(cents.length).count() * nprobe > cents.length / 2
+      // the probed-cell union is DISTINCT cells, bounded by the
+      // vocabulary-sized centroid set however large the query batch —
+      // always driver-safe to collect. It decides both halves at once
+      // (round-18; this used to be a separate count job over the
+      // queries estimating the union): few cells probed → manifest-
+      // level file pruning (readIn opens only files whose cell range
+      // admits a probe); most cells probed → the static filter would
+      // prune nothing, scan flat and let the per-cell join route.
+      val cells = probes.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val broadBatch = cells.size > cents.length / 2
       val assignRows =
         if (broadBatch) SnapshotTable.scan(spark, assignDir(indexDir))
-        else {
-          val cells = probes.select("cell").distinct()
-            .collect().map(_.getLong(0)).toSeq
-          SnapshotTable.readIn(spark, assignDir(indexDir), "cell", cells)
-        }
+        else SnapshotTable.readIn(spark, assignDir(indexDir), "cell", cells)
       meta.pq match {
         case None =>
           val ca = assignRows.select(col("vec_id").as("cid"), col("cell"),
             col("embedding").as("cv"))
-          // a broad batch is too big to pin broadcast — let the planner
-          // pick (AQE will still broadcast when it fits)
-          val probeSide = if (broadBatch) probes else broadcast(probes)
+          // no broadcast pin either way (round-18): `cells` bounds the
+          // probed CELLS, not the probe ROWS, so pinning here could
+          // ship an arbitrarily large query batch to every executor;
+          // the probe side is cached, so AQE sees its true runtime
+          // size and still broadcasts exactly when it fits
+          val probeSide = probes
           val scored = probeSide.join(ca, Seq("cell"))
             .filter(col("qid") =!= col("cid"))
             .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
@@ -668,7 +720,7 @@ object AnnIndex {
             .select(col("qid"), col("cell"), col("__lut"))
           val ca = assignRows.select(col("vec_id").as("cid"), col("cell"),
             unpackCodes(col("codes"), m).as("__codes"))
-          val probeSide = if (broadBatch) probesLut else broadcast(probesLut)
+          val probeSide = probesLut // see the flat branch: AQE decides
           val scored = probeSide.join(ca, Seq("cell"))
             .filter(col("qid") =!= col("cid"))
             .withColumn("adist", round(graft.functions.cat.GraftExpr

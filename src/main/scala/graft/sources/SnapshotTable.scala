@@ -2677,6 +2677,7 @@ object SnapshotTable {
       // together.
       val isString = members.map(_._2
         .contains(org.apache.spark.sql.types.StringType))
+      try {
       val typedRows = keyDf.limit(1025).collect()
       if (typedRows.isEmpty) return addsOnly(v) // empty batch
       // driver-side canonical forms replicate the CAST-to-string the
@@ -2701,6 +2702,14 @@ object SnapshotTable {
         if (typedRows.length > 1024) None
         else Some(typedRows.toSeq.map(r =>
           physCols.indices.map(i => stringForm(r.get(i)))))
+      // WIDE batches only (round-18, guide §5): the canonicalize +
+      // distinct shuffle still feeds two more actions (the bounds
+      // aggregate and the distributed sidecar write) — cache it for
+      // their span. The small path runs exactly one action (the
+      // early-stopping limit-collect above, deliberately uncached:
+      // caching would force full-partition materialization) and then
+      // works from the driver rows. Unpersist rides the finally.
+      if (smallKeys.isEmpty) keyDf.cache()
       val (bounds, strBounds, batchKeys) = smallKeys match {
         case Some(tuples) =>
           val b: Seq[Option[(Long, Long)]] = physCols.indices.map { i =>
@@ -2793,8 +2802,30 @@ object SnapshotTable {
       // a small batch's distinct tuples are already ON the driver
       // (typedRows) — write the sidecar directly, zero Spark jobs;
       // wide batches keep the distributed single-file write
-      if (smallKeys.isDefined)
+      if (smallKeys.isDefined) {
         writeDriverSidecar(spark, dir, rel, keyDf.schema, typedRows.toSeq)
+        // seed the reader-side sidecar cache with what we just wrote
+        // (round-18): canonical forms replicate EqSidecars.load —
+        // integrals/strings via toString (== the string cast), dates
+        // as DAYS-SINCE-EPOCH digits (== the datediff canonical);
+        // typedRows are distinct + null-free already (keyDf), and
+        // messageTypeFor round-trips every member type, so the seeded
+        // (name, dtype-json) columns equal the read-back schema's.
+        val fields = keyDf.schema.fields
+        def canon(x: Any): String = x match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+          case d: java.time.LocalDate => d.toEpochDay.toString
+          case other => other.toString
+        }
+        val canonKeys = typedRows.toVector.map { r =>
+          val parts = fields.indices.map(i => canon(r.get(i)))
+          if (fields.length == 1) parts.head
+          else graft.sources.connector.EqSidecar.encode(parts)
+        }
+        graft.sources.connector.SnapshotPartitions.EqSidecars.seed(
+          resolvePath(dir, rel),
+          fields.toSeq.map(f => (f.name, f.dataType.json)), canonKeys)
+      }
       else writeSingleParquet(spark, dir, keyDf, rel)
       val updated = affected.map(fe => fe.copy(eqDv = (fe.eqDv :+ rel).distinct))
       try commit(spark, dir, op, updated ++ alsoAdd,
@@ -2804,6 +2835,7 @@ object SnapshotTable {
           fs(spark, new Path(dir)).delete(new Path(dir, rel), false)
           throw e
       }
+      } finally keyDf.unpersist()
     }
 
   /** UPDATE WHERE via deletion vectors (merge-on-read): matched rows'

@@ -656,6 +656,19 @@ private[graft] object SnapshotPartitions {
           size() > MaxCached
       }
 
+    /** Pre-populate the cache with a sidecar the DRIVER just wrote
+      * (round-18, guide §1.2): a small epoch's keys are already in
+      * memory at write time, so the first post-epoch scan needn't run
+      * a Spark read job to re-derive what the writer held. The entry
+      * is exactly what [[load]] would compute (same canonical string
+      * forms, same (name, dtype-json) columns), keyed by the same
+      * resolved uri, and evicts like any other entry. */
+    def seed(uri: String, cols: Seq[(String, String)],
+             canonicalKeys: Vector[String]): Unit = {
+      val loaded = EqSidecar(cols, canonicalKeys)
+      cache.synchronized { cache.put(uri, loaded) }
+    }
+
     def load(uri: String): EqSidecar = {
       cache.synchronized {
         val hit = cache.get(uri)
@@ -677,7 +690,11 @@ private[graft] object SnapshotPartitions {
           case DateType => datediff(c, lit("1970-01-01").cast("date"))
           case _ => c
         }).cast("string")
-      }.toIndexedSeq: _*).na.drop().distinct().collect()
+        // no .distinct() (round-18): sidecars store distinct non-null
+        // keys by construction (deleteByKeysCore writes the distinct
+        // typed batch; canonical string forms are injective per
+        // member type), so the dedup was a shuffle per sidecar load
+      }.toIndexedSeq: _*).na.drop().collect()
       val keys =
         if (cols.lengthCompare(1) == 0) strs.map(_.getString(0)).toVector
         else strs.map(r =>
@@ -789,9 +806,16 @@ private[graft] object SnapshotPartitions {
           val uri = SnapshotTable.resolvePath(dir, p)
           uri -> load(uri)
         }.toMap
+      // cap re-check on the SUM of the refs' sizes — the same upper
+      // bound attach-time enforcement maintains, so every engine-
+      // written table passes identically. The exact merged count used
+      // here previously re-unioned every file's full key sets on the
+      // driver per scan — O(files × keys) string hashing that profiled
+      // at ~15% of a CDC query's driver time (round-18, guide §7.3),
+      // for a number only compared against the cap.
       withRefs.foreach { fe =>
-        val total = merge(fe.eqDv.map(p =>
-          data(SnapshotTable.resolvePath(dir, p)))).map(_.keys.size.toLong).sum
+        val total = fe.eqDv.map(p =>
+          data(SnapshotTable.resolvePath(dir, p)).keys.size.toLong).sum
         require(total <= MaxPendingKeys,
           s"${fe.path} carries $total pending equality-delete keys — " +
             "too many to mask at read; run purge_deletes (or compact) " +

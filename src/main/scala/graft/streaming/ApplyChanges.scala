@@ -155,7 +155,11 @@ object ApplyChanges {
         SnapshotTable.write(spark, initial, dir, "overwrite", statsCols)
         return
       }
-      if (collapsed.isEmpty) return
+      // no emptiness probe (round-18): deleteByKeys' own typed
+      // limit-collect sees the empty batch and returns without
+      // committing, and the upsert append below is already gated on
+      // its own probe — the extra action here re-ran the collapse
+      // once per epoch for a case that answers itself for free
       SnapshotTable.deleteByKeys(spark, dir, keys,
         collapsed.select(keys.map(k => col(s"`$k`")): _*))
       val upserts = collapsed.filter(col("change_type") === "upsert")
