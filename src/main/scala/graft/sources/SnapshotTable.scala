@@ -2017,7 +2017,8 @@ object SnapshotTable {
     * derived from a keepPos masked read of `m`, which makes it
     * disjoint from already-deleted positions by construction. */
   private def stageDvSidecarFrom(spark: SparkSession, dir: String, m: Manifest,
-                                 matched: DataFrame):
+                                 matched: DataFrame,
+                                 failOnDuplicate: Boolean = false):
       Option[(String, Seq[FileEntry])] = {
     import spark.implicits._
     val oldDvPaths = m.files.flatMap(_.dv.map(_._1)).distinct
@@ -2039,15 +2040,56 @@ object SnapshotTable {
     // per-task sidecar decode stays O(own positions), not O(all
     // deleted positions) (the K×D amplification a consolidated sidecar
     // would otherwise cost across K dv-carrying files)
-    writeSingleParquet(spark, dir,
-      matched.unionByName(prior)
-        .repartition(1).sortWithinPartitions("file", "pos"), name)
+    //
+    // Round-18 job fusion (guide §1.2): the single sorted writer task
+    // streams every (file, pos) row anyway, so the per-file counts
+    // (previously a read-back job over the published sidecar) and the
+    // MERGE cardinality check (previously its own groupBy-count job in
+    // mergeClauses) both ride the write as accumulators — duplicates
+    // are ADJACENT in the sort, so detection is one comparison per
+    // row. The counts accumulator collapses through toMap, so a rare
+    // duplicated successful attempt (speculation) cannot double-count;
+    // the dup flag is only ever read as "> 0".
+    val dupAcc = spark.sparkContext.longAccumulator("graft.dv.dupPositions")
+    val countsAcc = spark.sparkContext
+      .collectionAccumulator[(String, Long)]("graft.dv.fileCounts")
+    val sortedChecked = matched.unionByName(prior)
+      .repartition(1).sortWithinPartitions("file", "pos")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        var prevF: String = null
+        var prevP = Long.MinValue
+        var runRows = 0L
+        val checked = it.map { case (f0, p0) =>
+          if (f0 == prevF) {
+            if (p0 == prevP) dupAcc.add(1)
+            runRows += 1
+          } else {
+            if (prevF != null) countsAcc.add((prevF, runRows))
+            runRows = 1
+          }
+          prevF = f0; prevP = p0
+          (f0, p0)
+        }
+        checked ++ {
+          if (prevF != null) countsAcc.add((prevF, runRows))
+          Iterator.empty
+        }
+      }
+      .toDF("file", "pos")
+    writeSingleParquet(spark, dir, sortedChecked, name)
     val f = fs(spark, new Path(dir))
-    // per-file deleted counts from the (tiny) published sidecar — the
-    // corpus is scanned exactly once, by the write above
-    val counts: Map[String, Long] =
-      spark.read.parquet(s"$dir/$name").groupBy("file").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (failOnDuplicate && dupAcc.value > 0) {
+      f.delete(new Path(dir, name), false)
+      throw new IllegalArgumentException(
+        "MERGE cardinality violation: a matched target row has more " +
+          "than one source image; deduplicate the source (e.g. " +
+          "keep-latest by a version column) before merging")
+    }
+    val counts: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      countsAcc.value.asScala.toMap
+    }
     val oldTotal = m.files.flatMap(_.dv.map(_._2)).sum
     if (counts.values.sum == oldTotal) { // nothing newly matched
       f.delete(new Path(dir, name), false)
@@ -3228,15 +3270,15 @@ object SnapshotTable {
         val positions = effect.filter(col("__kind") < 3)
           .select(col("__e_file").as("file"), col("__e_pos").as("pos"))
         // Delta/ANSI cardinality: >1 source row modifying one target
-        // row is ambiguous (which image wins?) — raise, don't guess
-        if (matched.nonEmpty &&
-            positions.groupBy("file", "pos").count()
-              .filter(col("count") > 1).limit(1).count() > 0)
-          throw new IllegalArgumentException(
-            "MERGE cardinality violation: a matched target row has more " +
-              "than one source image; deduplicate the source (e.g. " +
-              "keep-latest by a version column) before merging")
-        val staged = stageDvSidecarFrom(spark, dir, m, positions)
+        // row is ambiguous (which image wins?) — raise, don't guess.
+        // Detection rides the sidecar write's sorted single task
+        // (duplicates are adjacent there), replacing what used to be
+        // a separate groupBy-count job per merge (round-18): prior
+        // vectors can never collide with fresh positions (the scan
+        // masks dv-deleted rows), so any adjacent duplicate IS a
+        // source-cardinality violation.
+        val staged = stageDvSidecarFrom(spark, dir, m, positions,
+          failOnDuplicate = matched.nonEmpty)
         val f = fs(spark, new Path(dir))
         try {
           val post = effect.filter(col("__kind") >= 2).select(cols.map(col): _*)

@@ -400,10 +400,15 @@ object GraftProcedures {
           val k = args.getInt(3)
           // the procedure protocol returns driver-side rows (LocalScan)
           // — bound the result so a corpus-sized query table cannot
-          // OOM the driver; bulk search stays on the distributed API
-          val nQueries = queries.count()
-          require(nQueries * k.toLong <= 1000000L,
-            s"ann_search would return ~${nQueries * k.toLong} rows to the " +
+          // OOM the driver; bulk search stays on the distributed API.
+          // CAPPED count (round-18): the bound only needs "more than
+          // cap or not", so the probe early-stops at cap+1 rows
+          // instead of counting a possibly corpus-sized query table.
+          val qCap = 1000000L / math.max(k, 1)
+          val over = queries.limit((qCap + 1).min(Int.MaxValue).toInt)
+            .count() > qCap
+          require(!over,
+            s"ann_search would return more than 1000000 rows to the " +
               "driver (procedure results are driver-local); for bulk " +
               "search use the programmatic AnnIndex.searchTopK, which " +
               "stays distributed")
