@@ -420,18 +420,17 @@ final class ChangesReaderFactory(physSchema: StructType,
     }
     val eqSkip: Seq[EqSidecar] =
       if (c.eqSkipRefs.isEmpty) Nil
-      else SnapshotPartitions.EqSidecars.merge(eqBc match {
+      else SnapshotPartitions.EqSidecars.mergedFor(c.eqSkipRefs, eqBc match {
         // batch scans ship ONE broadcast (loud on a missed ref —
         // silence would un-delete rows); streaming factories ship
         // none and load per partition, executor-side and JVM-cached
         case Some(bc) =>
           val data = bc.value
-          c.eqSkipRefs.map(u => data.getOrElse(u,
+          u => data.getOrElse(u,
             throw new IllegalStateException(
-              s"equality-delete sidecar $u is not in the feed's broadcast")))
+              s"equality-delete sidecar $u is not in the feed's broadcast"))
         case None =>
-          c.eqSkipRefs.map(u =>
-            SnapshotPartitions.EqSidecars.loadLocal(conf, u))
+          u => SnapshotPartitions.EqSidecars.loadLocal(conf, u)
       })
     new SnapshotFileReader(
       SnapshotFilePartition(c.fileUri, c.baseName, c.rows, None),

@@ -142,8 +142,15 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
     private var m: EqVectorMatcher = _
     def bind(raw: ColumnarBatch): Unit = {
       v = raw.column(idx)
-      if (m == null) // bind once per file, to the REAL type
-        m = EqVectorMatcher.of(v.dataType(), e.keys, e.cols.head._1)
+      if (m == null) // once per file, to the REAL type — and memoized
+        // on the (shared, immutable) sidecar per type signature, so a
+        // scan's files sharing one merged sidecar build the key set
+        // once per JVM, not once per file (round-18; matchers are
+        // probe-only after construction)
+        m = e.probeMemo.computeIfAbsent(
+          "single:" + v.dataType().catalogString,
+          _ => EqVectorMatcher.of(v.dataType(), e.keys, e.cols.head._1))
+          .asInstanceOf[EqVectorMatcher]
     }
     def dead(i: Int): Boolean = !v.isNullAt(i) && m.matches(v, i)
   }
@@ -191,11 +198,16 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
           else (null, null)
         if (getters._1 != null && getters._2 != null) {
           getA = getters._1; getB = getters._2
-          pairSet = new LongPairOpenHashSet(e.keys.size)
-          e.keys.foreach { k =>
-            val parts = EqSidecar.decode(k)
-            pairSet.add(parts(0).toLong, parts(1).toLong)
-          }
+          // memoized on the shared sidecar (see SingleEqCheck): the
+          // set is probe-only after construction
+          pairSet = e.probeMemo.computeIfAbsent("pair", _ => {
+            val s = new LongPairOpenHashSet(e.keys.size)
+            e.keys.foreach { k =>
+              val parts = EqSidecar.decode(k)
+              s.add(parts(0).toLong, parts(1).toLong)
+            }
+            s
+          }).asInstanceOf[LongPairOpenHashSet]
         } else {
           isStr = vs.map(_.dataType() == StringType)
           longGets = vs.map(v => longGetter(v.dataType()))
@@ -207,19 +219,24 @@ private final class SnapshotColumnarFileReader(p: SnapshotFilePartition,
                   s"type ${vs(m).dataType().simpleString}")
             m += 1
           }
-          tupleSet = new TypedTupleOpenHashSet(isStr, e.keys.size)
-          e.keys.foreach { k =>
-            val parts = EqSidecar.decode(k)
-            val ls = new Array[Long](vs.length)
-            val ss = new Array[UTF8String](vs.length)
-            var p = 0
-            while (p < vs.length) {
-              if (isStr(p)) ss(p) = UTF8String.fromString(parts(p))
-              else ls(p) = parts(p).toLong
-              p += 1
-            }
-            tupleSet.add(ls, ss)
-          }
+          val sig = isStr
+          tupleSet = e.probeMemo.computeIfAbsent(
+            "tuple:" + sig.mkString(","), _ => {
+              val ts = new TypedTupleOpenHashSet(sig, e.keys.size)
+              e.keys.foreach { k =>
+                val parts = EqSidecar.decode(k)
+                val ls = new Array[Long](sig.length)
+                val ss = new Array[UTF8String](sig.length)
+                var p = 0
+                while (p < sig.length) {
+                  if (sig(p)) ss(p) = UTF8String.fromString(parts(p))
+                  else ls(p) = parts(p).toLong
+                  p += 1
+                }
+                ts.add(ls, ss)
+              }
+              ts
+            }).asInstanceOf[TypedTupleOpenHashSet]
           scratchL = new Array[Long](vs.length)
           scratchS = new Array[UTF8String](vs.length)
         }

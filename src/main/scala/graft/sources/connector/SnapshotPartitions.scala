@@ -64,6 +64,16 @@ final case class SnapshotFilePartition(fileUri: String, baseName: String,
   * parts, collision-free without escaping. */
 final case class EqSidecar(cols: Seq[(String, String)], keys: Seq[String]) {
   require(cols.nonEmpty, "an equality-delete sidecar needs key columns")
+  /** Memoized PROBE STRUCTURES built from this sidecar's keys (typed
+    * hash sets / vector matchers), keyed by the binder's type
+    * signature (round-18, guide §1.2): a 96-file scan whose files
+    * share one merged sidecar used to rebuild the same ~100k-key set
+    * 96 times. Probe structures are read-only after construction and
+    * the map provides safe publication, so sharing across tasks is
+    * sound; sidecars are immutable, so the memo can never go stale.
+    * Transient + lazy: a broadcast deserialization starts it empty. */
+  @transient lazy val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   def single: Boolean = cols.lengthCompare(1) == 0
   /** Single-column accessors — loud on composite sidecars, so a
     * not-yet-composite-aware path can never treat encoded tuples as
@@ -146,15 +156,15 @@ final class SnapshotReaderFactory(schema: StructType,
     * dependence on plan-order side state). */
   private def eqFor(p: SnapshotFilePartition): Seq[EqSidecar] =
     if (p.eqDvUris.isEmpty) Nil
-    else SnapshotPartitions.EqSidecars.merge(eqBc match {
+    else SnapshotPartitions.EqSidecars.mergedFor(p.eqDvUris, eqBc match {
       case Some(bc) =>
         val data = bc.value
-        p.eqDvUris.map(u => data.getOrElse(u, throw new IllegalStateException(
-          s"equality-delete sidecar $u is not in the scan's broadcast")))
+        u => data.getOrElse(u, throw new IllegalStateException(
+          s"equality-delete sidecar $u is not in the scan's broadcast"))
       case None =>
         val conf = new Configuration()
         sessionConf.foreach { case (k, v) => conf.set(k, v) }
-        p.eqDvUris.map(u => SnapshotPartitions.EqSidecars.loadLocal(conf, u))
+        u => SnapshotPartitions.EqSidecars.loadLocal(conf, u)
     })
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -302,9 +312,14 @@ private[connector] final class SnapshotFileReader(
     * sets driver-side. */
   private val eqSkip: Seq[(Seq[String], java.util.HashSet[String])] =
     eqSkipOverride.getOrElse(Nil).map { e =>
-      val s = new java.util.HashSet[String](e.keys.size * 2)
-      e.keys.foreach(s.add)
-      e.colNames -> s
+      // memoized on the (shared, immutable) sidecar — files sharing
+      // one merged sidecar build the canonical-string set once per
+      // JVM (round-18; HashSet is probe-only after construction here)
+      e.colNames -> e.probeMemo.computeIfAbsent("strset", _ => {
+        val s = new java.util.HashSet[String](e.keys.size * 2)
+        e.keys.foreach(s.add)
+        s
+      }).asInstanceOf[java.util.HashSet[String]]
     }
   private val eqKeep: Option[(Seq[String], java.util.HashSet[String])] =
     eqKeepOnly.map { case (cs, ks) =>
@@ -780,8 +795,36 @@ private[graft] object SnapshotPartitions {
       * dies when it matches ANY of them). */
     def merge(sidecars: Seq[EqSidecar]): Seq[EqSidecar] =
       sidecars.groupBy(_.cols).map { case (cs, ss) =>
-        EqSidecar(cs, ss.flatMap(_.keys).distinct)
+        if (ss.lengthCompare(1) == 0) ss.head // nothing to union — and
+        // reusing the instance keeps its probeMemo warm
+        else EqSidecar(cs, ss.flatMap(_.keys).distinct)
       }.toSeq.sortBy(_.colNames.mkString(","))
+
+    /** [[merge]] memoized on the resolved ref-uri LIST (round-18):
+      * every file of a scan that carries the same pending refs gets
+      * the SAME merged sidecar objects, so the union work runs once
+      * per distinct ref combination per JVM instead of once per file
+      * — and the shared instances make [[EqSidecar.probeMemo]]
+      * coalesce the typed-set builds across the scan's tasks.
+      * Sidecar files are immutable, so the uri list fully determines
+      * the result. */
+    private val mergedCache =
+      new java.util.LinkedHashMap[Seq[String], Seq[EqSidecar]](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Seq[String], Seq[EqSidecar]]): Boolean =
+          size() > 128
+      }
+
+    def mergedFor(uris: Seq[String], resolve: String => EqSidecar)
+        : Seq[EqSidecar] = {
+      mergedCache.synchronized {
+        val hit = mergedCache.get(uris)
+        if (hit != null) return hit
+      }
+      val m = merge(uris.map(resolve)) // outside the lock; idempotent
+      mergedCache.synchronized { mergedCache.put(uris, m) }
+      m
+    }
 
     /** The change feed's driver-side merged skip sets for one file
       * (CDC epochs are tiny; the feed replays files one epoch at a
